@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Sessionize
+import Qutil._
+
+/** The web-analytics query canon over the `events` table (SURVEY.md §2.4).
+  *
+  * The reference delegates all SQL to Athena (Trino) — its declared
+  * capability is "any SQL over the web-log tables"
+  * (`web-analytics-parquet/cdk_stacks/athena_workgroup.py:46-47`). This
+  * canon is that repertoire re-expressed Spark-first: hash aggregates,
+  * exact + approximate distincts, gap sessionization, top-K, time-series,
+  * window functions, join families, set ops, rollup/cube, and the JSON
+  * scalar functions the raw-payload path needs.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  val all: Seq[Q] = Seq(
+
+    // Q1/Q2/Q3 of the reference: plain COUNT(*) smoke
+    // (`web-analytics-parquet/README.md:253-256`).
+    Q("q_count_total",
+      (s, d) => ev(s, d).agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM events"),
+      headline = true),
+
+    // per-event-type counts — GROUP BY event (iceberg table partition key).
+    Q("q_count_by_type",
+      (s, d) => ev(s, d).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type"),
+      headline = true),
+
+    // time-series: events per hour (tumbling) + exact value sum.
+    Q("q_events_hourly",
+      (s, d) => ev(s, d)
+        .groupBy(tsStr(date_trunc("hour", col("ts"))).as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("hour"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |count(*) AS cnt,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // same semantics via the streaming-native tumbling window() operator.
+    Q("q_window_tumbling",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(tsStr(col("window.start")).as("hour"), col("cnt"))
+        .orderBy("hour"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // unique visitors, exact (COUNT DISTINCT → partial sort-based distinct agg).
+    Q("q_unique_users",
+      (s, d) => ev(s, d).agg(countDistinct(col("user_id")).as("uniq")),
+      Some("SELECT count(DISTINCT user_id) AS uniq FROM events"),
+      headline = true),
+
+    Q("q_unique_users_by_type",
+      (s, d) => ev(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("uniq"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(DISTINCT user_id) AS uniq FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // HLL sketch variant (SURVEY §2.4 "approx_count_distinct"); sketch
+    // internals differ per engine → rows-only check, no oracle.
+    Q("q_approx_unique_users",
+      (s, d) => ev(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_uniq"))
+        .orderBy("event_type"),
+      None),
+
+    // gap-based sessionization (30 min), exact microsecond durations.
+    Q("q_sessionize",
+      (s, d) => Sessionize.sessions(ev(s, d))
+        .select(col("user_id"), col("session_seq"), col("n_events"), col("duration_us"))
+        .orderBy("user_id", "session_seq"),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             |  FROM g)
+             |SELECT user_id, session_seq, count(*) AS n_events,
+             |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+             |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // global session stats (events/session, durations) — one row.
+    Q("q_session_stats",
+      (s, d) => Sessionize.sessions(ev(s, d))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          dratio(sum(col("n_events")), count(lit(1))).as("avg_events_per_session"),
+          sum(col("duration_us")).as("total_duration_us"),
+          max(col("duration_us")).as("max_duration_us")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, session_seq, count(*) AS n_events,
+             |         max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+             |  FROM s GROUP BY user_id, session_seq)
+             |SELECT count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+             |       round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_events_per_session,
+             |       CAST(sum(duration_us) AS BIGINT) AS total_duration_us, max(duration_us) AS max_duration_us
+             |FROM sess""".stripMargin.replace("\n", " "))),
+
+    // top-K by count (TakeOrderedAndProject): top props.k values.
+    Q("q_top_pages",
+      (s, d) => ev(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("k"))
+        .limit(10),
+      Some("""SELECT CAST(props->>'$.k' AS BIGINT) AS k, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY cnt DESC, k LIMIT 10""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // first/last event per user (min_by/max_by over event time).
+    Q("q_first_last_event",
+      (s, d) => ev(s, d).groupBy("user_id")
+        .agg(
+          min_by(col("event_type"), col("ts")).as("first_event"),
+          max_by(col("event_type"), col("ts")).as("last_event"),
+          tsStr(min(col("ts"))).as("first_ts"),
+          tsStr(max(col("ts"))).as("last_ts"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, arg_min(event_type, ts) AS first_event,
+             |arg_max(event_type, ts) AS last_event,
+             |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+             |strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // ranking window functions over exact (decimal) per-user totals.
+    Q("q_user_rank",
+      (s, d) => {
+        val totals = ev(s, d).groupBy("user_id")
+          .agg(sum(dec(col("value"))).as("tv"), count(lit(1)).as("n_events"))
+        totals
+          .withColumn("rnk", rank().over(Window.orderBy(col("tv").desc)))
+          .withColumn("drnk", dense_rank().over(Window.orderBy(col("n_events").desc)))
+          .select(col("user_id"), round(col("tv").cast("double"), 3).as("total_value"),
+            col("n_events"), col("rnk"), col("drnk"))
+          .orderBy("user_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS tv, count(*) AS n_events
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, round(CAST(tv AS DOUBLE), 3) AS total_value, n_events,
+             |       rank() OVER (ORDER BY tv DESC) AS rnk,
+             |       dense_rank() OVER (ORDER BY n_events DESC) AS drnk
+             |FROM t ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // inter-event gap per user via lag() — exact microsecond sums.
+    Q("q_interevent_gap",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        ev(s, d)
+          .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"), sum(col("gap_us")).as("sum_gap_us"),
+            dratio(sum(col("gap_us")), count(lit(1)) * lit(1000000L), 3).as("avg_gap_sec"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events)
+             |SELECT user_id, count(*) AS n_gaps, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+             |       round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE), 3) AS avg_gap_sec
+             |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // broadcast dimension join: events × customer (SURVEY §2.4 "broadcast dim join").
+    Q("q_join_customer",
+      (s, d) => ev(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS cnt,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // left-semi: customers that produced at least one purchase event.
+    Q("q_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(ev(s, d).filter(col("event_type") === "purchase"),
+          col("c_custkey") === col("user_id"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM events WHERE event_type = 'purchase' AND user_id = c_custkey)
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // left-anti: customers that never produced an event.
+    Q("q_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(ev(s, d), col("c_custkey") === col("user_id"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS cnt FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // set ops on user sets (SURVEY §2.4 "INTERSECT on user sets") —
+    // restricted to day 1 so both branches are non-trivial.
+    Q("q_users_intersect",
+      (s, d) => ev(s, d)
+        .filter(col("event_type") === "purchase" && dayofmonth(col("ts")) <= 1)
+        .select("user_id")
+        .intersect(ev(s, d)
+          .filter(col("event_type") === "error" && dayofmonth(col("ts")) <= 1)
+          .select("user_id"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id FROM events WHERE event_type = 'purchase' AND day(ts) <= 1
+             |INTERSECT
+             |SELECT user_id FROM events WHERE event_type = 'error' AND day(ts) <= 1
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    Q("q_users_except",
+      (s, d) => ev(s, d)
+        .filter(col("event_type") === "purchase" && dayofmonth(col("ts")) <= 1)
+        .select("user_id")
+        .except(ev(s, d)
+          .filter(col("event_type") === "error" && dayofmonth(col("ts")) <= 1)
+          .select("user_id"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id FROM events WHERE event_type = 'purchase' AND day(ts) <= 1
+             |EXCEPT
+             |SELECT user_id FROM events WHERE event_type = 'error' AND day(ts) <= 1
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // UNION ALL across slices (the reference's hourly-partition union).
+    Q("q_union_all",
+      (s, d) => ev(s, d).filter(col("event_type") === "purchase").select("user_id")
+        .unionAll(ev(s, d).filter(col("event_type") === "error").select("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS cnt FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id FROM events WHERE event_type = 'error')
+             |GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // ROLLUP over (event_type, day) — dashboard pivot (SURVEY §2.4).
+    Q("q_rollup",
+      (s, d) => ev(s, d)
+        .rollup(col("event_type"), dayofmonth(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+          col("cnt"))
+        .orderBy("event_type", "day"),
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |coalesce(CAST(day(ts) AS VARCHAR), 'ALL') AS day, count(*) AS cnt
+             |FROM events GROUP BY ROLLUP(event_type, day(ts))
+             |ORDER BY event_type, day""".stripMargin.replace("\n", " "))),
+
+    // CUBE over (event_type, hour-of-day).
+    Q("q_cube",
+      (s, d) => ev(s, d)
+        .cube(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("hod").cast("string"), lit("ALL")).as("hod"),
+          col("cnt"), col("total_value"))
+        .orderBy("event_type", "hod"),
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |coalesce(CAST(hour(ts) AS VARCHAR), 'ALL') AS hod, count(*) AS cnt,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total_value
+             |FROM events GROUP BY CUBE(event_type, hour(ts))
+             |ORDER BY event_type, hod""".stripMargin.replace("\n", " "))),
+
+    // GROUPING SETS via the SQL surface (Engine.sql path).
+    Q("q_grouping_sets",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events")
+        s.sql("""SELECT coalesce(event_type, 'ALL') AS event_type,
+                |coalesce(CAST(day(ts) AS STRING), 'ALL') AS day, count(*) AS cnt
+                |FROM events GROUP BY GROUPING SETS ((event_type), (day(ts)))
+                |ORDER BY event_type, day""".stripMargin)
+      },
+      Some("""SELECT coalesce(event_type, 'ALL') AS event_type,
+             |coalesce(CAST(day(ts) AS VARCHAR), 'ALL') AS day, count(*) AS cnt
+             |FROM events GROUP BY GROUPING SETS ((event_type), (day(ts)))
+             |ORDER BY event_type, day""".stripMargin.replace("\n", " "))),
+
+    // scalar-function repertoire (SURVEY §2.4: lower/upper/substring/length/
+    // regexp_extract/coalesce) — full-width projection, pruned scan.
+    Q("q_scalar_funcs",
+      (s, d) => ev(s, d).select(
+        col("event_id"),
+        upper(col("event_type")).as("et_up"),
+        lower(col("event_type")).as("et_low"),
+        substring(col("event_type"), 1, 3).as("et_pre"),
+        length(col("event_type")).as("et_len"),
+        regexp_extract(col("props"), "[0-9]+", 0).as("k_digits"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("et_coal"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, upper(event_type) AS et_up, lower(event_type) AS et_low,
+             |substring(event_type, 1, 3) AS et_pre, length(event_type) AS et_len,
+             |regexp_extract(props, '[0-9]+', 0) AS k_digits,
+             |coalesce(nullif(event_type, 'error'), 'ERR') AS et_coal
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // JSON payload parsing (from_json on the raw-record channel).
+    Q("q_from_json",
+      (s, d) => ev(s, d)
+        .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+        .groupBy((col("k") % 10).as("kmod"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+        .orderBy("kmod"),
+      Some("""SELECT CAST(props->>'$.k' AS INT) % 10 AS kmod, count(*) AS cnt,
+             |CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " ")))
+  )
+}

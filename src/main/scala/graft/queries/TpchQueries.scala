@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import Qutil._
+
+/** Star-schema analytics over the TPC-H-ish tables (TESTDATA.md) — the
+  * "general SQL over cataloged tables" half of the reference's query
+  * surface (SURVEY.md §2.4: Athena engine v3 gives users full SQL; our
+  * engine must match that repertoire, not just the web-log canon).
+  *
+  * Scale notes: fact-fact joins (lineitem × orders) shuffle on the join
+  * key and rely on AQE for skew; dimension joins (nation, supplier,
+  * customer-as-dim) are explicitly `broadcast()` so the 100 TB fact scan
+  * never shuffles for them. All money math is exact DECIMAL so results are
+  * partition-order independent.
+  */
+object TpchQueries {
+
+  private val one = lit(1.0).cast(DecimalType(3, 2))
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: pricing summary over the fact table, decimal-exact.
+    Q("q_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .cast("double"), 3).as("sum_disc_price"),
+          round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+            * (one + dec(col("l_tax")))).cast("double"), 3).as("sum_charge"),
+          dratio(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_qty,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_base_price,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 3) AS sum_disc_price,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 3) AS sum_charge,
+             |round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // 4-way join: revenue per nation; dims broadcast, facts shuffle once.
+    Q("q_revenue_by_nation",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double"), 3).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 3) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // top-K suppliers by exact revenue (TakeOrderedAndProject).
+    Q("q_top_suppliers",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), round(col("rev").cast("double"), 3).as("revenue"))
+        .orderBy(col("rev").desc, col("s_suppkey"))
+        .limit(10)
+        .select("s_suppkey", "s_name", "revenue"),
+      Some("""SELECT s_suppkey, s_name, round(CAST(rev AS DOUBLE), 3) AS revenue FROM (
+             |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+             |  FROM lineitem GROUP BY l_suppkey) t
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |ORDER BY rev DESC, s_suppkey LIMIT 10""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // semi-join priority count (TPC-H Q4 shape).
+    Q("q_order_priority",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+          .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "))),
+
+    // left outer join preserving empty customers.
+    Q("q_orders_per_customer",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |round(CAST(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE), 3) AS total_spend
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    // segment dashboard: counts + exact balance stats.
+    Q("q_segment_stats",
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("c_acctbal")).as("sum_bal"),
+          round(sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_bal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS cnt,
+             |round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_bal,
+             |round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_bal
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
+
+    // correlated-shape aggregate filter: parts above their brand's mean size.
+    Q("q_parts_above_brand_avg",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+          .agg((sum(col("p_size").cast("long")) / count(lit(1))).as("avg_size"))
+        p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+          .filter(col("p_size").cast("double") > col("avg_size"))
+          .groupBy("p_brand").agg(count(lit(1)).as("n_large"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_large FROM part p
+             |JOIN (SELECT p_brand AS b_brand, CAST(sum(p_size) AS DOUBLE) / count(*) AS avg_size
+             |      FROM part GROUP BY p_brand) b ON p.p_brand = b.b_brand
+             |WHERE CAST(p_size AS DOUBLE) > avg_size
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " ")))
+  )
+}
