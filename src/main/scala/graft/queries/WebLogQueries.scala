@@ -1,0 +1,174 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.Ingest
+import graft.weblog._
+import Qutil._
+
+/** The web-log pipeline operators (SURVEY.md §2.1-§2.3) exposed through
+  * the driver's correctness gate. Payloads are constructed
+  * deterministically from the `events` table, so a DuckDB oracle can
+  * replicate the *expected* outcome in pure SQL while the Spark side runs
+  * the real operators (T1 validation expression, S7/S8 zone writers, C1
+  * compaction, S10 upsert, §3.1 streaming ingest).
+  *
+  * Corruption rule (mirrored in the oracles): event_id % 13 == 0 → ip is
+  * a JSON number (wrong type); else event_id % 7 == 0 → timestamp in the
+  * reference's rejected space format. Everything else is valid.
+  */
+object WebLogQueries {
+
+  /** Deterministic dialect-B payload built from an events row. */
+  private def payloadCol(corrupted: Boolean): Column = {
+    val ipPart =
+      if (corrupted)
+        when(col("event_id") % 13 === 0, lit("212234672"))
+          .otherwise(concat(lit("\""), lit("10.0."), (col("event_id") % 250).cast("string"),
+            lit(".1"), lit("\"")))
+      else concat(lit("\"10.0."), (col("event_id") % 250).cast("string"), lit(".1\""))
+    val tsPart =
+      if (corrupted)
+        when(col("event_id") % 13 =!= 0 && col("event_id") % 7 === 0,
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      else date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    concat(
+      lit("""{"user_id": "u"""), col("user_id").cast("string"),
+      lit("""", "session_id": "s"""), (col("event_id") % 97).cast("string"),
+      lit("""", "event": """"), col("event_type"),
+      lit("""", "user_agent": "UA-"""), (col("event_id") % 5).cast("string"),
+      lit("""", "ip": """), ipPart,
+      lit(""", "hostname": "orig.example", "os": "linux", "timestamp": """"), tsPart,
+      lit("""", "uri": "https://orig.example/p?k="""), (col("event_id") % 100).cast("string"),
+      lit(""""}"""))
+  }
+
+  private def payloads(s: SparkSession, d: String, corrupted: Boolean): DataFrame =
+    Tables.events(s, d).withColumn("payload", payloadCol(corrupted))
+
+  private def scratch(s: SparkSession, name: String, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_q", s"${name}_$safe").toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    dir
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // T1: strict Avro-style validation + Ok/ProcessingFailed tagging over
+    // 10k constructed payloads; output = counts per validation reason.
+    Q("weblog_validate",
+      (s, d) => Validator.validate(payloads(s, d, corrupted = true), "payload", "B")
+        .groupBy("valid", "reason").agg(count(lit(1)).as("cnt"))
+        .orderBy("reason"),
+      Some("""SELECT CASE WHEN event_id % 13 = 0 THEN false
+             |            WHEN event_id % 7 = 0 THEN false ELSE true END AS valid,
+             |       CASE WHEN event_id % 13 = 0 THEN 'wrong_type:ip'
+             |            WHEN event_id % 7 = 0 THEN 'bad_timestamp' ELSE 'ok' END AS reason,
+             |       count(*) AS cnt
+             |FROM events GROUP BY 1, 2 ORDER BY reason""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // T1+S7/S8+C1: full batch pipeline — validate, route to raw/error
+    // zones (hive hour partitions), compact one hour to parquet, read the
+    // compacted output back. Ingest time = event time here (the generator
+    // emits within the current hour, SURVEY §1.1).
+    Q("weblog_compact_roundtrip",
+      (s, d) => {
+        val raw = scratch(s, "wcr_raw", d)
+        val err = scratch(s, "wcr_err", d)
+        val pq = scratch(s, "wcr_pq", d)
+        val src = payloads(s, d, corrupted = true)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("ingest_ts", col("ts"))
+        val (ok, bad) = Validator.route(Validator.validate(src, "payload", "B"))
+        Zones.writeRawJson(ok, raw)
+        Zones.writeErrors(bad, err)
+        val hp = Compaction.HourPartition(2024, 1, 1, 0)
+        Compaction.compactHour(s, raw, pq, hp, targetFiles = 1)
+        s.read.parquet(s"$pq/${hp.relPath}")
+          .select(col("user_id"), col("event"), col("timestamp"), col("ip"))
+          .orderBy("timestamp", "user_id")
+      },
+      Some("""SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id, event_type AS event,
+             |strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS timestamp,
+             |'10.0.' || CAST(event_id % 250 AS VARCHAR) || '.1' AS ip
+             |FROM events
+             |WHERE day(ts) = 1 AND hour(ts) = 0 AND event_id % 13 <> 0 AND event_id % 7 <> 0
+             |ORDER BY timestamp, user_id""".stripMargin.replace("\n", " "))),
+
+    // S10: upsert by unique keys (user_id, timestamp) — day-1 base load,
+    // then an update batch rewriting hostnames for hours < 12; output the
+    // merged table (last write wins, replay-safe).
+    Q("weblog_upsert",
+      (s, d) => {
+        val path = scratch(s, "upsert", d) + "/t"
+        val base = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(1L).as("seq"))
+        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"))
+        t.write(base, "seq")
+        val updates = base.filter(hour(to_timestamp(col("timestamp"),
+            WebLogSchema.TsPattern)) < 12)
+          .withColumn("hostname", lit("updated.example"))
+          .withColumn("seq", lit(2L))
+        t.write(updates, "seq")
+        t.write(updates, "seq") // replay: must be idempotent
+        t.read.select("user_id", "timestamp", "event", "hostname")
+          .orderBy("timestamp", "user_id")
+      },
+      Some("""SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id,
+             |strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS timestamp,
+             |event_type AS event,
+             |CASE WHEN hour(ts) < 12 THEN 'updated.example' ELSE 'orig.example' END AS hostname
+             |FROM events WHERE day(ts) = 1
+             |ORDER BY timestamp, user_id""".stripMargin.replace("\n", " "))),
+
+    // §3.1 streaming: real Structured Streaming file source over the raw
+    // zone → validate → parse → event-time tumbling hourly counts
+    // (AvailableNow trigger, complete-mode memory sink).
+    Q("weblog_stream_hourly",
+      (s, d) => {
+        val raw = scratch(s, "stream_raw", d)
+        val src = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 2)
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src, raw)
+        val stream = s.readStream
+          .schema("value STRING")
+          .option("recursiveFileLookup", "true")
+          .text(raw)
+          .withColumnRenamed("value", "payload")
+        val typed = Validator.parsed(
+          Validator.validate(stream, "payload", "B").filter(col("valid")),
+          "payload", "B")
+        val qname = s"wsh_${math.abs(d.hashCode)}"
+        val q = Ingest.hourlyEventCounts(typed)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(tsStr(col("hour_start")).as("hour"), col("event"), col("cnt"))
+          .orderBy("hour", "event")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |event_type AS event, count(*) AS cnt
+             |FROM events WHERE day(ts) = 2
+             |GROUP BY 1, 2 ORDER BY hour, event""".stripMargin.replace("\n", " ")))
+  )
+}
