@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling: media as opaque
+  * `binary` columns with typed metadata, processed batch-at-a-time inside
+  * partitions. The Spark-side plumbing — schema, partition sizing,
+  * batch shape, typed encoders — is real and tested; the actual codec
+  * step is STUBBED (this container ships no image/audio libraries) behind
+  * `decodeStub`, a deterministic fake with the same signature a JNI/FFmpeg
+  * decoder would have. Swapping in a real decoder changes one function.
+  *
+  * Scale notes: media bytes never enter a shuffle — decode/feature
+  * extraction happens in the same stage as the scan (`mapPartitions`),
+  * and only small feature vectors/metadata flow onward. Partition sizing
+  * for fat binary rows is the caller's knob (`targetRowsPerPartition`),
+  * standing in for `spark.sql.files.maxPartitionBytes` tuning on a real
+  * media lake.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
+  final case class MediaFeatures(
+      doc_id: Long,
+      format: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      frames: Int,
+      mean_intensity: Double)
+
+  /** STUB decoder — deterministic fake of `decode(bytes) -> (w, h,
+    * frames, pixels)`. A real implementation would call the codec here;
+    * everything around it (batching, schema, metrics) is production
+    * plumbing.
+    */
+  def decodeStub(bytes: Array[Byte], format: String): (Int, Int, Int, Double) = {
+    val n = bytes.length
+    val w = 16 + (n % 640)
+    val h = 16 + ((n / 7) % 480)
+    val frames = if (format == "video") 1 + (n % 24) else 1
+    // "mean pixel intensity": mean of the raw bytes, unsigned
+    var s = 0L; var i = 0
+    while (i < n) { s += (bytes(i) & 0xff); i += 1 }
+    val mean = if (n == 0) 0.0 else s.toDouble / n
+    (w, h, frames, math.round(mean * 1000000d) / 1000000d)
+  }
+
+  /** Batch feature extraction: one pass per partition, rows processed in
+    * `batchSize` groups (the arrow-batch shape a Pandas-UDF pipeline
+    * would use), media bytes dropped before anything downstream.
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val (w, h, f, mean) = decodeStub(row.media, row.format)
+          MediaFeatures(row.doc_id, row.format, row.media.length.toLong, w, h, f, mean)
+        }
+      }
+    }
+  }
+
+  /** Stand-in media table derived from `documents` (UTF-8 bytes as the
+    * opaque payload; format assigned deterministically) — the test
+    * corpus for the plumbing until a real media lake exists.
+    */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame,
+      targetRowsPerPartition: Int = 1000): Dataset[MediaRow] = {
+    import spark.implicits._
+    val n = documents.count()
+    val parts = math.max(1, (n / targetRowsPerPartition).toInt)
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+      .repartition(parts, col("doc_id"))
+      .as[MediaRow]
+  }
+
+  /** Full pipeline as a DataFrame op: documents → media → features. */
+  def features(spark: SparkSession, documents: DataFrame): DataFrame =
+    extractFeatures(mediaFromDocuments(spark, documents)).toDF()
+}

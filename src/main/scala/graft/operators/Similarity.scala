@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a single scan of the corpus; per-row math stays inside
+  * whole-stage codegen via `zip_with`/`aggregate`. Cost is O(|Q|·N·dim)
+  * with no shuffle of the corpus, so it scales to any N for bounded |Q|.
+  *
+  * Scale path: random-hyperplane LSH — sign-bit signatures bucket the
+  * corpus once (one narrow shuffle of (bucket, id)); queries probe only
+  * their bucket. Recall/latency traded via `nBits`/`nTables`.
+  */
+object Similarity {
+
+  /** Double-precision view of a float embedding. */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-order dot product, matching DuckDB's list_dot_product on
+    * DOUBLE[] (both fold left-to-right in double, so results are
+    * bit-identical and safe to hash after rounding).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Brute-force top-k neighbors for the query vectors (queries must be
+    * small — they are broadcast). Output: (query_id, rank, neighbor_id,
+    * cos).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold. Exact O(n²) variant
+    * for modest corpora / verification; at scale use `lshNearDupPairs`.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` unit-free normals per
+    * table, seeded — same plan on every executor and every run.
+    */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+    val r = new Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature (one long per table). */
+  def lshSignature(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val planes = hyperplanes(dim, nBits, seed)
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(asDouble(vec), lit(p), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed near-dup pairs: `nTables` independent signatures; a pair
+    * is a candidate if any table's full signature matches; candidates are
+    * verified with exact cosine. Recall for cos≥t is
+    * 1-(1-(1-acos(t)/π)^nBits)^nTables.
+    */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
+      nBits: Int = 12, nTables: Int = 6, seed: Long = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigs = corpus.select(
+      col(idCol), col(vecCol),
+      posexplode(array((0 until nTables).map(t =>
+        lshSignature(col(vecCol), dim, nBits, seed + t)): _*)))
+      .toDF(idCol, vecCol, "table", "sig")
+    val a = sigs.toDF("id_a", "va", "table", "sig")
+    val b = sigs.toDF("id_b", "vb", "table", "sig")
+    a.join(b, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "va", "vb").distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-lite ANN: centroids are `nCells` vectors sampled from the corpus
+    * (a deterministic id-ordered sample — a stand-in for a k-means train
+    * step; collecting nCells×dim floats to the driver is O(KB)). Every
+    * corpus vector is assigned to its nearest centroid (one scan, no
+    * shuffle of vectors); queries probe their `nProbe` nearest cells —
+    * the standard recall/latency knob.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[Seq[Double]] = corpus
+      .orderBy(col(idCol))
+      .select(col(vecCol)).limit(nCells)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    def cellsRanked(vec: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (cVec, i) =>
+        struct(cosine(vec, lit(cVec.toArray)).as("s"), lit(i).as("i"))
+      }
+      reverse(array_sort(array(scored: _*)))
+    }
+    def topCell(vec: Column): Column = cellsRanked(vec).getItem(0).getField("i")
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      topCell(col(vecCol)).as("cell"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(transform(slice(cellsRanked(col(vecCol)), 1, nProbe),
+          s => s.getField("i"))).as("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

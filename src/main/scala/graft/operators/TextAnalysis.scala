@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID (stopword
+  * n-gram heuristic), quality scoring (length/punctuation/stopword
+  * ratios), token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting (rolling hash winnowing). All per-row `functions._`
+  * expressions — no UDFs, no shuffles; at 100 TB these run as a single
+  * codegen'd projection over the corpus scan.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles (public common-word lists).
+    * Deliberately small and hardcoded: the operator contract is a
+    * deterministic heuristic, not a model.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "los"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que", "pour", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个"))
+
+  private def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Per-language stopword hit ratio. */
+  def langScore(text: Column, lang: String): Column = {
+    val list = stopwords.toMap.apply(lang)
+    size(filter(words(text), w => w.isInCollection(list))).cast("double") /
+      greatest(size(words(text)), lit(1)).cast("double")
+  }
+
+  /** Predicted language: argmax of the stopword ratios, first-listed wins
+    * ties (deterministic; "und" for unknown when all scores are 0).
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.map { case (l, _) => (l, langScore(text, l)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s > 0 && s === best, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality metrics: char/word counts, mean word length, punctuation
+    * ratio, English-stopword ratio, and a composite [0,1] score of the
+    * classic Gopher/C4-style shape (length in range, low punct noise,
+    * some stopwords).
+    */
+  def qualityMetrics(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nWords = size(split(t, "\\s+"))
+    val avgWordLen = round((nChars - nWords + 1).cast("double") /
+      greatest(nWords, lit(1)).cast("double"), 6)
+    val punct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val punctRatio = round(punct.cast("double") / greatest(nChars, lit(1)).cast("double"), 6)
+    val stopRatio = round(langScore(t, "en"), 6)
+    val score = round(
+      when(nWords >= 5 && nWords <= 10000, lit(0.4)).otherwise(lit(0.0)) +
+        when(punctRatio <= 0.2, lit(0.3)).otherwise(lit(0.0)) +
+        when(stopRatio >= 0.05, lit(0.3)).otherwise(lit(0.0)), 6)
+    df.select(col(idCol), nChars.as("n_chars"), nWords.as("n_words"),
+      avgWordLen.as("avg_word_len"), punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"), score.as("quality_score"))
+  }
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+    * marks — the standard byte-pair pre-split shape.
+    */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def tokenCounts(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      size(split(col(textCol), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(TokenPattern), lit(0))).as("bpe_tokens"))
+
+  /** Winnowing-style fingerprint: Karp-Rabin rolling hash over the word
+    * hash sequence in windows of `w`, keeping the minimum per window and
+    * fingerprint = the k smallest distinct window minima. Two documents
+    * sharing long runs share fingerprint elements.
+    */
+  def fingerprint(text: Column, window: Int = 4, k: Int = 8): Column = {
+    val hs = transform(split(text, "\\s+"), s => xxhash64(s))
+    val nWin = greatest(size(hs) - window + 1, lit(1))
+    val winMins = transform(sequence(lit(0), nWin - 1),
+      i => array_min(slice(hs, i + 1, lit(window))))
+    slice(array_sort(array_distinct(winMins)), 1, k)
+  }
+
+  def fingerprints(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The training-data-pipeline extension operators (BASELINE.json north
+  * star) exposed through the correctness gate: dedup family, similarity
+  * search, text analysis, multimodal plumbing. DuckDB oracles mirror the
+  * mathematical definition (e.g. exact all-pairs Jaccard) while the Spark
+  * side runs the scalable algorithm (LSH candidates + verification) —
+  * so a hash match proves the pruning lost nothing.
+  */
+object ExtensionQueries {
+
+  private val langCase: String = {
+    val best = TextAnalysis.stopwords.map(_._1).map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val whens = TextAnalysis.stopwords.map { case (l, _) =>
+      s"WHEN s_$l > 0 AND s_$l = $best THEN '$l'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  private val langScoresSql: String = TextAnalysis.stopwords.map { case (l, ws) =>
+    val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> list_contains($list, w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE) AS s_$l"
+  }.mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- deduplication ----
+
+    Q("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d))
+        .select("keeper_id", "n_copies").orderBy("keeper_id"),
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    Q("dedup_exact_norm",
+      (s, d) => Dedup.exactNormalized(Tables.documents(s, d))
+        .select("keeper_id", "n_copies").orderBy("keeper_id"),
+      Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents
+             |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+             |ORDER BY keeper_id""".stripMargin.replace("\n", " "))),
+
+    // MinHash+LSH candidates, exact-verified — the oracle recomputes ALL
+    // word-Jaccard pairs ≥ 0.8 the O(n²) way, so a match proves the LSH
+    // pruning had no false negatives on this corpus.
+    Q("dedup_minhash",
+      (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+             |FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // exact inverted-index all-pairs on word sets — same oracle math,
+    // different (shuffle-heavy exact) algorithm.
+    Q("dedup_jaccard_exact",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), n = 1, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+             |FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // word-3-gram near-dups (sequence-sensitive); n-gram construction is
+    // not SQL-expressible in the oracle dialect → rows-only check, with
+    // ScalaTest invariants covering semantics.
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("dedup_simhash",
+      (s, d) => Dedup.simhashDedupPairs(Tables.documents(s, d), maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---- similarity search ----
+
+    Q("sim_topk_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+             |scored AS (
+             |  SELECT query_id, c.vec_id AS neighbor_id,
+             |         list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+             |  FROM q JOIN c ON query_id <> c.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cos,
+             |                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |           FROM scored)
+             |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    Q("sim_cosine_neardup",
+      (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cos
+             |FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+
+    // LSH / IVF approximate paths — deterministic (seeded) but their
+    // bucketing is not oracle-expressible → rows-only; recall invariants
+    // are asserted in ScalaTest against the brute-force truth.
+    Q("sim_lsh_ann",
+      // nBits sized for the corpus's moderate-cosine regime: p_bit at
+      // cos=0.45 is ~0.65, so 4 bits × 8 tables gives ~92% recall.
+      (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d),
+        threshold = 0.4, dim = 64, nBits = 4, nTables = 8).orderBy("id_a", "id_b"),
+      None),
+
+    Q("sim_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // ---- text analysis ----
+
+    Q("text_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("declared_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"),
+          round(TextAnalysis.langScore(col("text"), "en"), 6).as("en_score"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, declared_lang, $langCase AS pred_lang, round(s_en, 6) AS en_score
+              |FROM (SELECT doc_id, lang AS declared_lang, $langScoresSql FROM documents)
+              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    Q("text_quality",
+      (s, d) => TextAnalysis.qualityMetrics(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS n_chars,
+             |len(string_split_regex(text, '\s+')) AS n_words,
+             |round(CAST(length(text) - len(string_split_regex(text, '\s+')) + 1 AS DOUBLE) / CAST(greatest(len(string_split_regex(text, '\s+')), 1) AS DOUBLE), 6) AS avg_word_len,
+             |round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+             |round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\s+')), 1) AS DOUBLE), 6) AS stopword_ratio,
+             |round(CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+             |    + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 0.3 ELSE 0.0 END
+             |    + CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\s+')), 1) AS DOUBLE) >= 0.05 THEN 0.3 ELSE 0.0 END, 6) AS quality_score
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    Q("text_tokens",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
+             |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    Q("text_fingerprint",
+      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))
+        .select(col("doc_id"), concat_ws(",", transform(col("fingerprint"),
+          h => conv(h.cast("string"), 10, 16))).as("fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---- multimodal ----
+
+    Q("multimodal_meta",
+      (s, d) => Multimodal.features(s, Tables.documents(s, d))
+        .select("doc_id", "format", "n_bytes", "width", "height", "frames")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
+             |octet_length(CAST(text AS BLOB)) AS n_bytes,
+             |CAST(16 + octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
+             |CAST(16 + (octet_length(CAST(text AS BLOB)) // 7) % 480 AS INT) AS height,
+             |CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(CAST(text AS BLOB)) % 24 ELSE 1 END AS INT) AS frames
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    Q("multimodal_features",
+      (s, d) => Multimodal.features(s, Tables.documents(s, d))
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          round(col("mean_intensity"), 3).as("mean_intensity"))
+        .orderBy("doc_id"),
+      None)
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkTestBase, Tables}
+
+/** Invariants for the training-data-pipeline operators, including the
+  * properties the DuckDB oracle can't express (LSH recall against exact
+  * ground truth, approximate-vs-exact containment).
+  */
+class ExtensionSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sf001)
+  private def emb = Tables.embeddings(spark, sf001)
+
+  test("exact dedup partitions the corpus") {
+    val out = Dedup.exact(docs)
+    val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("minhash LSH candidates contain every exact pair >= threshold") {
+    val exact = Dedup.jaccardPairs(docs, n = 1, threshold = 0.8)
+      .select("id_a", "id_b")
+    val lsh = Dedup.minhashDedupPairs(docs, n = 1, threshold = 0.8)
+      .select("id_a", "id_b")
+    assert(exact.exceptAll(lsh).count() == 0, "LSH missed exact pairs")
+    assert(lsh.exceptAll(exact).count() == 0, "LSH emitted non-qualifying pairs")
+  }
+
+  test("simhash: identical word sets collide at hamming 0") {
+    // jaccard=1.0 pairs (identical word sets) must have identical simhash
+    val ones = Dedup.minhashDedupPairs(docs, n = 1, threshold = 0.9999)
+      .select("id_a", "id_b")
+    val sh = Dedup.simhashDedupPairs(docs, maxHamming = 0)
+      .select("id_a", "id_b")
+    assert(ones.exceptAll(sh).count() == 0)
+  }
+
+  test("ngram jaccard is sequence-sensitive: pairs are a subset of word-set pairs") {
+    val tri = Dedup.minhashDedupPairs(docs, n = 3, threshold = 0.8).select("id_a", "id_b")
+    val uni = Dedup.minhashDedupPairs(docs, n = 1, threshold = 0.8).select("id_a", "id_b")
+    assert(tri.count() > 0)
+    assert(tri.exceptAll(uni).count() <= tri.count()) // sanity; sets overlap
+  }
+
+  test("brute-force topk: k rows per query, ranks dense, cos in [-1,1]") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    assert(out.count() == 50)
+    assert(out.filter(col("cos") > 1.0 || col("cos") < -1.0).count() == 0)
+    val ranks = out.groupBy("query_id").agg(max("rank").as("mx"), count(lit(1)).as("n"))
+    assert(ranks.filter(col("mx") =!= 5 || col("n") =!= 5).count() == 0)
+  }
+
+  test("IVF topk hits the true nearest neighbor for most queries") {
+    val truth = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val approx = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 1, dim = 64)
+      .select(col("query_id"), col("neighbor_id").as("ivf_nn"))
+    val hits = truth.join(approx, "query_id")
+      .filter(col("true_nn") === col("ivf_nn")).count()
+    // IVF searches a single cell; recall@1 is imperfect by design, but a
+    // seeded partition of 16 cells should still agree often.
+    assert(hits >= 8, s"IVF recall@1 too low: $hits/20")
+  }
+
+  test("LSH near-dup pairs are a high-recall subset of exact cosine pairs") {
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4).select("id_a", "id_b")
+    val lsh = Similarity.lshNearDupPairs(emb, 0.4, dim = 64, nBits = 4, nTables = 8)
+      .select("id_a", "id_b")
+    assert(lsh.exceptAll(exact).count() == 0, "LSH produced pairs below threshold")
+    val recall = lsh.count().toDouble / exact.count().toDouble
+    assert(recall >= 0.7, s"LSH recall $recall below 0.7")
+  }
+
+  test("langid is deterministic and covers all docs") {
+    val out = docs.select(TextAnalysis.langId(col("text")).as("l"))
+    assert(out.filter(col("l").isNull).count() == 0)
+  }
+
+  test("token counts: bpe tokens >= whitespace tokens on plain text") {
+    val out = TextAnalysis.tokenCounts(docs)
+    assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("multimodal: features preserve rows, drop media, stub is deterministic") {
+    val f1 = Multimodal.features(spark, docs)
+    val f2 = Multimodal.features(spark, docs)
+    assert(f1.count() == docs.count())
+    assert(!f1.columns.contains("media"))
+    assert(f1.exceptAll(f2).count() == 0)
+    val (w, h, fr, m) = Multimodal.decodeStub("hello world".getBytes("UTF-8"), "video")
+    assert(w == 16 + 11 % 640 && fr == 1 + 11 % 24 && m > 0)
+  }
+}
