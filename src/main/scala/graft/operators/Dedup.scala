@@ -45,31 +45,40 @@ object Dedup {
     df.groupBy(sha2(normalized(col(textCol)).cast("binary"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k minimums of per-shingle 64-bit hashes, the i-th
-    * hash family being xxhash64(i, xxhash64(shingle)). Computed entirely
-    * per-row.
+  /** MinHash signatures: k minimums of per-shingle 64-bit hashes, the
+    * i-th hash family being xxhash64(i, xxhash64(shingle)). The shingle
+    * hash array is materialized as its own projection first — the k
+    * min-terms then reference a cheap attribute instead of re-running
+    * split/shingle/hash k times (CollapseProject keeps non-cheap
+    * multi-referenced projections separate, so this sticks).
     */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val hashes = transform(shingles(text, n), s => xxhash64(s))
-    array((0 until k).map(i => array_min(transform(hashes, h => xxhash64(lit(i), h)))): _*)
-  }
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int): DataFrame =
+    df.select(col(idCol),
+        transform(shingles(col(textCol), n), s => xxhash64(s)).as("_h"))
+      .select(col(idCol),
+        array((0 until k).map(i =>
+          array_min(transform(col("_h"), h => xxhash64(lit(i), h)))): _*).as("sig"))
 
-  /** LSH candidate pairs: split the k-wide signature into `bands` bands,
-    * bucket by (band index, band hash), pair ids within a bucket. Returns
-    * (idCol_a, idCol_b) with a < b, distinct. Two docs with Jaccard j
-    * share a band with prob 1-(1-j^(k/bands))^bands — at k=64, bands=16
-    * that is >0.9998 for j≥0.8 and exactly 1 for j=1.
+  /** Banded minhash signatures over a precomputed shingle frame
+    * (columns: id, sh). Output: (id, band, bucket).
     */
-  def lshCandidates(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int, bands: Int): DataFrame = {
+  private def bandedBuckets(sets: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sig = df.select(col(idCol), minhashSignature(col(textCol), n, k).as("sig"))
-    val banded = sig.select(
-      col(idCol),
+    val sig = sets
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("_h"))
+      .select(col("id"),
+        array((0 until k).map(i =>
+          array_min(transform(col("_h"), h => xxhash64(lit(i), h)))): _*).as("sig"))
+    sig.select(
+      col("id"),
       posexplode(array((0 until bands).map(j =>
         xxhash64(lit("band"), lit(j), slice(col("sig"), j * r + 1, r))): _*)))
-      .toDF(idCol, "band", "bucket")
+      .toDF("id", "band", "bucket")
+  }
+
+  private def bucketPairs(banded: DataFrame): DataFrame = {
     val a = banded.toDF("id_a", "band", "bucket")
     val b = banded.toDF("id_b", "band", "bucket")
     a.join(b, Seq("band", "bucket"))
@@ -78,31 +87,84 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup pairs with exact Jaccard verification on the
-    * candidate set: output (id_a, id_b, jaccard) for word-n-gram Jaccard
-    * ≥ threshold. The n² work is confined to LSH buckets; verification
-    * joins shingle sets back by id.
+  /** LSH candidate pairs: split the k-wide signature into `bands` bands,
+    * bucket by (band index, band hash), pair ids within a bucket. Returns
+    * (id_a, id_b) with a < b, distinct. Two docs with Jaccard j share a
+    * band with prob 1-(1-j^(k/bands))^bands — at k=128, bands=32 that is
+    * >0.999999 for j≥0.8 and exactly 1 for j=1.
+    */
+  def lshCandidates(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int): DataFrame =
+    bucketPairs(bandedBuckets(
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")), k, bands))
+
+  /** MinHash+LSH near-dup pairs with exact Jaccard verification: output
+    * (id_a, id_b, jaccard) for word-n-gram Jaccard ≥ threshold.
+    *
+    * Duplicative corpora (the 100 TB dedup reality: 20-40% exact/near
+    * copies) would make naive LSH quadratic in cluster sizes, so docs are
+    * first collapsed by *identical shingle set* (64-bit canonical set
+    * hash; collision odds ~(R/2³²)² — swap in sha2 past ~10⁸ distinct
+    * sets). LSH bucketing, the candidate join, and Jaccard verification
+    * all run on group representatives only; member pairs are expanded
+    * back at the end (identical sets ⇒ identical Jaccard, intra-group
+    * pairs ⇒ exactly 1.0), which provably reproduces the full pair set.
     */
   def minhashDedupPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 1, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    val cands = lshCandidates(df, textCol, idCol, n, k, bands)
-    val sh = df.select(col(idCol), shingles(col(textCol), n).as("sh"))
-    cands
-      .join(sh.toDF("id_a", "sh_a"), "id_a")
-      .join(sh.toDF("id_b", "sh_b"), "id_b")
+    val sets = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("setkey", xxhash64(array_sort(col("sh"))))
+
+    val groups = sets.groupBy("setkey").agg(
+      min(col("id")).as("rep"),
+      sort_array(collect_list(col("id"))).as("members"),
+      first(col("sh")).as("sh"))
+
+    // intra-group: identical shingle sets, Jaccard exactly 1.0
+    val intra = groups.filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+
+    // cross-group: LSH + exact verification on representatives only
+    val repSets = groups.select(col("rep").as("id"), col("sh"))
+    val repPairs = bucketPairs(bandedBuckets(repSets, k, bands))
+      .join(repSets.toDF("id_a", "sh_a"), "id_a")
+      .join(repSets.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    // expand rep pairs to all member pairs across the two groups
+    val expanded = repPairs
+      .join(groups.select(col("rep").as("id_a"), col("members").as("ma")), "id_a")
+      .join(groups.select(col("rep").as("id_b"), col("members").as("mb")), "id_b")
+      .select(explode(flatten(transform(col("ma"), x =>
+        transform(col("mb"), y =>
+          struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("p"),
+        col("jaccard"))
+      .select(col("p.id_a"), col("p.id_b"), col("jaccard"))
+
+    intra.unionAll(expanded)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash over the distinct-word hash set (per-row, no shuffle):
     * bit j is 1 iff more word hashes have bit j set than not.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(array_distinct(words(text)), w => xxhash64(w))
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(array_distinct(words(text)), w => xxhash64(w)))
+
+  /** SimHash of a materialized word-hash array (pass an attribute here on
+    * the hot path — the 64 bit-balance folds each re-scan their input).
+    */
+  def simhashFromHashes(hashes: Column): Column = {
     val bitCols = (0 until 64).map { j =>
       val bal = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -117,7 +179,10 @@ object Dedup {
     */
   def simhashDedupPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), simhash(col(textCol)).as("sh"))
+    val sh = df
+      .select(col(idCol),
+        transform(array_distinct(words(col(textCol))), w => xxhash64(w)).as("_h"))
+      .select(col(idCol), simhashFromHashes(col("_h")).as("sh"))
     val banded = sh.select(col(idCol), col("sh"),
       posexplode(array((0 until 4).map(j =>
         shiftright(col("sh"), j * 16).bitwiseAND(0xFFFF)): _*)))

@@ -84,8 +84,13 @@ object TextAnalysis {
     * fingerprint = the k smallest distinct window minima. Two documents
     * sharing long runs share fingerprint elements.
     */
-  def fingerprint(text: Column, window: Int = 4, k: Int = 8): Column = {
-    val hs = transform(split(text, "\\s+"), s => xxhash64(s))
+  def fingerprint(text: Column, window: Int = 4, k: Int = 8): Column =
+    fingerprintFromHashes(transform(split(text, "\\s+"), s => xxhash64(s)), window, k)
+
+  /** Fingerprint of a materialized word-hash array; on the hot path pass
+    * an attribute so the per-window lambda doesn't re-hash the document.
+    */
+  def fingerprintFromHashes(hs: Column, window: Int = 4, k: Int = 8): Column = {
     val nWin = greatest(size(hs) - window + 1, lit(1))
     val winMins = transform(sequence(lit(0), nWin - 1),
       i => array_min(slice(hs, i + 1, lit(window))))
@@ -94,5 +99,7 @@ object TextAnalysis {
 
   def fingerprints(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+    df.select(col(idCol),
+        transform(split(col(textCol), "\\s+"), s => xxhash64(s)).as("_h"))
+      .select(col(idCol), fingerprintFromHashes(col("_h")).as("fingerprint"))
 }
