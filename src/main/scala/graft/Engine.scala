@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.weblog.Validator
+
+/** The interactive query surface (SURVEY.md §3.3): the reference gives
+  * analysts "any SQL over the cataloged tables" through an Athena
+  * workgroup plus a registry of named queries published as console
+  * templates (`athena_named_query.py:56-64,103-111`). Here that is a thin
+  * facade over Catalyst — `sql` hands the text to Spark and returns the
+  * lazily-planned frame — plus a named-query registry seeded with the
+  * reference's shipped queries (Q1/Q2 shapes) and open for user
+  * registration.
+  */
+final class Engine(val spark: SparkSession) {
+
+  Validator.register(spark) // expose validate_weblog_A/B in SQL too
+
+  private val named = scala.collection.concurrent.TrieMap[String, String](
+    // the reference's named queries, modulo table names
+    // (`athena_named_query.py:53,100`)
+    "count_raw" -> "SELECT COUNT(*) FROM web_log_json",
+    "count_parquet" -> "SELECT COUNT(*) FROM web_log_parquet",
+    "show_partitions_raw" -> "SHOW PARTITIONS web_log_json",
+    "repair_raw" -> "MSCK REPAIR TABLE web_log_json")
+
+  /** Full Spark SQL — parse/analyze/optimize/execute via Catalyst. */
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  def registerNamedQuery(name: String, query: String): Unit = named.put(name, query)
+
+  def namedQueries: Map[String, String] = named.toMap
+
+  def runNamed(name: String): DataFrame =
+    sql(named.getOrElse(name, throw new NoSuchElementException(s"no named query: $name")))
+}
+
+object Engine {
+  def apply(spark: SparkSession): Engine = new Engine(spark)
+}

@@ -74,4 +74,42 @@ class IngestSpec extends SparkTestBase {
     assert(perHour.length == 2)
     assert(perHour.map(_.getLong(1)).sum == 60)
   }
+
+  test("session windows on the stream close after the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val source = MemoryStream[String]
+    val typed = Validator.parsed(
+      Validator.validate(source.toDF().withColumnRenamed("value", "payload"), "payload", "B")
+        .filter(col("valid")), "payload", "B")
+    val q = Ingest.sessionWindows(typed)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+
+    // one user, two bursts >30min apart within one hour
+    def rec(min: Int, sec: Int) =
+      s"""{"user_id": "u1", "session_id": "s", "event": "view", "ip": "1.1.1.1",
+         | "hostname": "h", "os": "l", "timestamp": "2024-03-03T09:${f"$min%02d"}:${f"$sec%02d"}Z",
+         | "uri": "https://x"}""".stripMargin.replace("\n", "")
+    source.addData(rec(0, 0), rec(1, 0), rec(2, 0), rec(45, 0), rec(46, 30))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess_out").orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(3) == 3 && out(1).getLong(3) == 2)
+  }
+
+  test("observe surfaces T4 validation counters per batch") {
+    import graft.weblog.Generator
+    val hour = java.time.LocalDateTime.of(2024, 3, 4, 7, 0)
+    val df = Generator.frame(spark, 60, seed = 3, hour, invalidEvery = 20)
+    val observed = Validator.observed(Validator.validate(df, "payload", "B"))
+    observed.collect() // trigger this exact QueryExecution
+    val metrics = observed.queryExecution.observedMetrics("validation")
+    assert(metrics.getLong(0) == 60)
+    assert(metrics.getLong(1) == 57)
+    assert(metrics.getLong(2) == 3)
+  }
 }
