@@ -5,8 +5,8 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -33,15 +33,18 @@ import graft.weblog.WebLogSchema
   *
   * Implemented as a Catalyst `Expression` (not a Scala UDF) so the
   * validation runs on the raw `UTF8String` inside the task with no
-  * SerDe round-trip; `CodegenFallback` is acceptable because this sits
-  * on the once-per-record ingest path, not the analytics hot path.
+  * encoder SerDe round-trip, and with real `doGenCode`: the generated
+  * code calls this instance's `validate` directly, keeping the
+  * surrounding projection inside whole-stage codegen (a
+  * `CodegenFallback` here would force an interpreted island on the
+  * ingest hot path).
   *
   * Returns `struct<valid: boolean, reason: string>`; reason is "ok" for
   * valid records (result-code mapping: Ok/ProcessingFailed,
   * `schema_validator.py:124-138`).
   */
 case class ValidateWebLog(child: Expression, dialect: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ValidateWebLog.resultType
   override def nullable: Boolean = false
@@ -55,7 +58,23 @@ case class ValidateWebLog(child: Expression, dialect: String)
     else validate(v.asInstanceOf[UTF8String].toString)
   }
 
-  private def validate(payload: String): InternalRow = {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("validator", this, classOf[ValidateWebLog].getName)
+    val childGen = child.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    val code =
+      code"""
+        ${childGen.code}
+        $rowCls ${ev.value} = ${childGen.isNull}
+          ? $ref.nullPayloadResult()
+          : $ref.validate(${childGen.value}.toString());
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  def nullPayloadResult(): InternalRow = ValidateWebLog.result(valid = false, "null_payload")
+
+  def validate(payload: String): InternalRow = {
     val node: JsonNode =
       try mapper.readTree(payload)
       catch { case NonFatal(_) => return ValidateWebLog.result(valid = false, "invalid_json") }

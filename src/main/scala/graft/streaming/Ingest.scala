@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.weblog.{Validator, Zones}
+import graft.weblog.{IcebergLikeTable, Validator, Zones}
 
 /** Structured-Streaming ingest path (SURVEY.md §3.1): the reference's
   * `API GW → Kinesis → Firehose(+validator Lambda) → S3` hot path becomes
@@ -41,6 +41,38 @@ object Ingest {
         val validated = Validator.validate(batch.toDF(), "payload", dialect)
         val (ok, bad) = Validator.route(validated)
         Zones.writeRawJson(ok, rawZone)
+        Zones.writeErrors(bad, errorZone)
+        ()
+      }
+      .start()
+
+  /** §3.4: the iceberg-variant lifecycle — validate, parse, then commit
+    * each micro-batch into an Iceberg-like table with the T3 routing
+    * decision (append without keys, upsert with; the reference's
+    * transformer stamps `operation` per deployment,
+    * `firehose_to_iceberg_transformer.py:114-115`). The micro-batch id is
+    * the arrival-order tiebreak for intra-batch duplicate keys; failed
+    * records go to the error-zone backup (`FailedDataOnly`,
+    * `firehose_to_iceberg.py:119`).
+    */
+  def startIcebergIngest(
+      stream: DataFrame,
+      table: IcebergLikeTable,
+      errorZone: String,
+      checkpoint: String,
+      dialect: String = "B",
+      triggerSeconds: Long = 60): StreamingQuery =
+    stream.writeStream
+      .queryName("weblog-iceberg-ingest")
+      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val validated = Validator.validate(batch.toDF(), "payload", dialect)
+        val (ok, bad) = Validator.route(validated)
+        val parsed = Validator.parsed(ok, "payload", dialect)
+          .drop("payload", "event_ts")
+          .withColumn("_seq", monotonically_increasing_id() + lit(batchId << 40))
+        table.write(parsed, "_seq")
         Zones.writeErrors(bad, errorZone)
         ()
       }

@@ -66,7 +66,7 @@ object Generator {
     */
   def corrupt(p: String, mode: Int): String = mode % 3 match {
     case 0 => p.replaceAll("""T(\d{2}:\d{2}:\d{2})Z""", " $1") // space, no Z
-    case 1 => p.replaceFirst(""""user_id": "[^"]*", """, "")   // drop required
+    case 1 => p.replaceFirst(""""user_?[Ii]d": "[^"]*", """, "") // drop required (either dialect)
     case _ => p.replaceAll(""""ip": "[^"]*"""", "\"ip\": 212234672")
   }
 
