@@ -169,6 +169,51 @@ object WebLogQueries {
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              |event_type AS event, count(*) AS cnt
              |FROM events WHERE day(ts) = 2
-             |GROUP BY 1, 2 ORDER BY hour, event""".stripMargin.replace("\n", " ")))
+             |GROUP BY 1, 2 ORDER BY hour, event""".stripMargin.replace("\n", " "))),
+
+    // §2.5 session windows on a real stream (30-min gap close). The
+    // oracle re-derives the same sessions with SQL gap logic: a session
+    // break at gap ≥ 30min mirrors session_window's exclusive end.
+    Q("weblog_stream_sessions",
+      (s, d) => {
+        val raw = scratch(s, "stream_sess_raw", d)
+        val src = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 3)
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src, raw)
+        val stream = s.readStream
+          .schema("value STRING")
+          .option("recursiveFileLookup", "true")
+          .text(raw)
+          .withColumnRenamed("value", "payload")
+        val typed = Validator.parsed(
+          Validator.validate(stream, "payload", "B").filter(col("valid")),
+          "payload", "B")
+        val qname = s"wss_${math.abs(d.hashCode)}"
+        val q = Ingest.sessionWindows(typed, gap = "30 minutes")
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(col("user_id"), tsStr(col("session_start")).as("session_start"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id,
+             |                 date_trunc('second', ts) AS ts
+             |          FROM events WHERE day(ts) = 3),
+             |g AS (SELECT user_id, ts,
+             |             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |      FROM e),
+             |s AS (SELECT user_id, ts,
+             |             sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+             |               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+             |      FROM g)
+             |SELECT user_id,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       count(*) AS n_events
+             |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")))
   )
 }
