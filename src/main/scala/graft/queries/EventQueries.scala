@@ -320,13 +320,63 @@ object EventQueries {
         substring(col("event_type"), 1, 3).as("et_pre"),
         length(col("event_type")).as("et_len"),
         regexp_extract(col("props"), "[0-9]+", 0).as("k_digits"),
+        element_at(split(col("props"), ":"), 1).as("props_head"),
         coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("et_coal"))
         .orderBy("event_id"),
       Some("""SELECT event_id, upper(event_type) AS et_up, lower(event_type) AS et_low,
              |substring(event_type, 1, 3) AS et_pre, length(event_type) AS et_len,
              |regexp_extract(props, '[0-9]+', 0) AS k_digits,
+             |string_split(props, ':')[1] AS props_head,
              |coalesce(nullif(event_type, 'error'), 'ERR') AS et_coal
              |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // exact percentiles (sort-based aggregate; _disc avoids interpolation
+    // formula differences between engines).
+    Q("q_value_percentiles",
+      (s, d) => {
+        ev(s, d).createOrReplaceTempView("events")
+        s.sql("""SELECT event_type,
+                |round(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 3) AS p50,
+                |round(percentile_disc(0.9) WITHIN GROUP (ORDER BY value), 3) AS p90,
+                |round(percentile_disc(0.99) WITHIN GROUP (ORDER BY value), 3) AS p99,
+                |round(min(value), 3) AS mn, round(max(value), 3) AS mx
+                |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type,
+             |round(quantile_disc(value, 0.5), 3) AS p50,
+             |round(quantile_disc(value, 0.9), 3) AS p90,
+             |round(quantile_disc(value, 0.99), 3) AS p99,
+             |round(min(value), 3) AS mn, round(max(value), 3) AS mx
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    // PIVOT: events per (day, event_type) as a wide dashboard matrix.
+    Q("q_pivot",
+      (s, d) => ev(s, d)
+        .groupBy(dayofmonth(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day"),
+      Some("""SELECT day(ts) AS day,
+             |count(*) FILTER (WHERE event_type = 'click') AS click,
+             |count(*) FILTER (WHERE event_type = 'error') AS error,
+             |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
+
+    // sliding window (2h window, 1h slide) — every window with ≥1 event.
+    Q("q_window_sliding",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(tsStr(col("window.start")).as("win_start"), col("cnt"))
+        .orderBy("win_start"),
+      Some("""WITH hc AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c FROM events GROUP BY 1),
+             |starts AS (SELECT h AS s FROM hc UNION SELECT h - INTERVAL 1 HOUR FROM hc)
+             |SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start,
+             |       CAST((SELECT sum(c) FROM hc WHERE hc.h >= starts.s AND hc.h < starts.s + INTERVAL 2 HOUR) AS BIGINT) AS cnt
+             |FROM starts ORDER BY win_start""".stripMargin.replace("\n", " "))),
 
     // JSON payload parsing (from_json on the raw-record channel).
     Q("q_from_json",

@@ -58,6 +58,23 @@ object WebLogCatalog {
   def showPartitions(spark: SparkSession, table: String): DataFrame =
     spark.sql(s"SHOW PARTITIONS $table")
 
+  /** C1 as literal SQL — the reference's exact mechanism
+    * (`athena_ctas.py:30-39`): partition-pruned CTAS of one raw hour into
+    * a snappy-parquet external location. The programmatic
+    * `Compaction.compactHour` is the production path (atomic swap); this
+    * keeps the SQL surface for parity.
+    */
+  def ctasCompactHour(spark: SparkSession, tmpTable: String, location: String,
+      srcTable: String, hp: Compaction.HourPartition,
+      columns: String = "*"): Unit =
+    spark.sql(
+      s"""CREATE TABLE $tmpTable
+         |USING PARQUET
+         |OPTIONS (compression 'snappy')
+         |LOCATION '$location'
+         |AS SELECT $columns FROM $srcTable
+         |WHERE year=${hp.year} AND month=${hp.month} AND day=${hp.day} AND hour=${hp.hour}""".stripMargin)
+
   /** C3: tmp-table cleanup for hour H−2 (`athena_ctas.py:79-103`). Our
     * compactor doesn't create tmp tables (atomic dir swap instead), but
     * the DDL surface is kept for parity.

@@ -64,6 +64,29 @@ class PipelineSpec extends SparkTestBase {
     assert(errs.select("error_type").distinct().count() >= 2)
   }
 
+  test("C1 as literal CTAS SQL compacts the pruned hour (athena_ctas.py:30-39 shape)") {
+    val hour = LocalDateTime.of(2024, 3, 6, 14, 0)
+    val raw = tmpDir("ctas-raw")
+    val ext = tmpDir("ctas-ext") + "/out"
+    val df = Generator.frame(spark, 120, seed = 4, hour)
+    Zones.writeRawJson(Validator.validate(df, "payload", "B").filter(col("valid")), raw)
+    // also write a neighboring hour that the CTAS must prune away
+    val df2 = Generator.frame(spark, 50, seed = 5, hour.plusHours(1))
+    Zones.writeRawJson(Validator.validate(df2, "payload", "B").filter(col("valid")), raw)
+
+    WebLogCatalog.dropTableIfExists(spark, "ctas_src")
+    WebLogCatalog.dropTableIfExists(spark, "tmp_ctas_out")
+    WebLogCatalog.createRawJsonTable(spark, "ctas_src", raw)
+    WebLogCatalog.msckRepair(spark, "ctas_src")
+    val hp = Compaction.HourPartition.of(hour)
+    WebLogCatalog.ctasCompactHour(spark, "tmp_ctas_out", ext, "ctas_src", hp)
+    assert(spark.sql("SELECT count(*) FROM tmp_ctas_out").collect()(0).getLong(0) == 120)
+    assert(spark.read.parquet(ext).count() == 120)
+    // C3: dropping the tmp table keeps the external data files
+    WebLogCatalog.dropTableIfExists(spark, "tmp_ctas_out")
+    assert(spark.read.parquet(ext).count() == 120)
+  }
+
   test("compaction re-run of the same hour is idempotent (atomic swap)") {
     val hour = LocalDateTime.of(2024, 3, 2, 5, 0)
     val raw = tmpDir("rawzone2")
