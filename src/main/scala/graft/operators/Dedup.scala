@@ -197,6 +197,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph (id_a, id_b) by
+    * iterative min-label propagation: every node adopts the smallest
+    * label among itself and its neighbors until fixpoint. Near-dup
+    * clusters are near-cliques, so convergence takes O(cluster diameter)
+    * ≈ 2-4 rounds regardless of corpus size; each round is one shuffle
+    * on node id. `localCheckpoint` truncates the growing lineage so the
+    * loop's plan stays flat.
+    *
+    * Returns (id, cluster) where cluster = min doc id of the component.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Keeper selection: the full corpus minus every near-duplicate that is
+    * not its cluster's representative (min id). Docs outside the pair
+    * graph keep themselves.
+    */
+  def keepers(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val drop = clusters(pairs).filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via an inverted-index
     * join (explode shingles, join on shingle, count co-occurrences) —
     * the classic scalable exact algorithm: work is proportional to

@@ -79,6 +79,19 @@ object ExtensionQueries {
     // word-3-gram near-dups (sequence-sensitive); n-gram construction is
     // not SQL-expressible in the oracle dialect → rows-only check, with
     // ScalaTest invariants covering semantics.
+    // end-to-end dedup: near-dup pairs -> connected components -> keep
+    // one doc per cluster. Components aren't oracle-expressible (no
+    // recursive CTE parity) -> rows-only; ExtensionSpec checks against a
+    // driver-side union-find ground truth.
+    Q("dedup_keepers",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.keepers(docs, Dedup.minhashDedupPairs(docs, threshold = 0.8))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      None),
+
     Q("dedup_ngram_jaccard",
       (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),

@@ -44,6 +44,33 @@ class ExtensionSpec extends SparkTestBase {
     assert(tri.exceptAll(uni).count() <= tri.count()) // sanity; sets overlap
   }
 
+  test("connected components match a union-find ground truth") {
+    val pairs = Dedup.minhashDedupPairs(docs, threshold = 0.8)
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // driver-side union-find over the same edges
+    val edges = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(k => k -> find(k)).toMap
+    assert(got.size == truth.size)
+    got.foreach { case (id, c) => assert(truth(id) == c, s"node $id") }
+
+    // keepers = corpus minus non-representatives
+    val kept = Dedup.keepers(docs, pairs).count()
+    val nonReps = truth.count { case (id, c) => id != c }
+    assert(kept == docs.count() - nonReps)
+  }
+
   test("brute-force topk: k rows per query, ranks dense, cos in [-1,1]") {
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     assert(out.count() == 50)
