@@ -76,9 +76,6 @@ object ExtensionQueries {
              |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
-    // word-3-gram near-dups (sequence-sensitive); n-gram construction is
-    // not SQL-expressible in the oracle dialect → rows-only check, with
-    // ScalaTest invariants covering semantics.
     // end-to-end dedup: near-dup pairs -> connected components -> keep
     // one doc per cluster. Components aren't oracle-expressible (no
     // recursive CTE parity) -> rows-only; ExtensionSpec checks against a
@@ -92,10 +89,25 @@ object ExtensionQueries {
       },
       None),
 
+    // word-3-gram near-dups (sequence-sensitive): MinHash+LSH on trigram
+    // shingles; the oracle rebuilds identical trigram sets with DuckDB
+    // list comprehensions and recomputes all pairs exactly.
     Q("dedup_ngram_jaccard",
-      (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), n = 3, threshold = 0.5)
+      (s, d) => Dedup.minhashDedupPairs(Tables.documents(s, d), n = 3, threshold = 0.8)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-2, 1)),
+             |         i -> CASE WHEN len(w) >= 3 THEN w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+             |                   ELSE array_to_string(w, ' ') END)) AS s FROM t),
+             |dw AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |       round(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+             |FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
     Q("dedup_simhash",
       (s, d) => Dedup.simhashDedupPairs(Tables.documents(s, d), maxHamming = 3)
