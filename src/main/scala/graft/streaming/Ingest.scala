@@ -89,6 +89,17 @@ object Ingest {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("hour_start"), col("event"), col("cnt"))
 
+  /** In-stream deduplication by unique keys inside the watermark window
+    * (SURVEY §2.5: `dropDuplicatesWithinWatermark` — the streaming-side
+    * complement of the Iceberg upsert; state is bounded by the
+    * watermark, so it holds at any stream length).
+    */
+  def dedupWithinWatermark(parsed: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    parsed
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Session windows on the stream (gap-close sessionization, the
     * streaming twin of the batch Sessionize operator).
     */

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression tests: the properties SCALE.md claims must stay
+  * visible in `.explain` — pushed filters, pruned scans, broadcast dim
+  * joins, top-K without global sort. A refactor that silently loses one
+  * of these passes correctness but regresses 100 TB behavior; these
+  * specs make that a test failure.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.explainString(SimpleMode)
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q_join_customer").contains("BroadcastHashJoin"))
+    assert(plan("q_revenue_by_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("filters reach the parquet scan") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("scans are column-pruned") {
+    val p = plan("q_pricing_summary")
+    // ReadSchema must not include l_orderkey/l_partkey/l_suppkey etc.
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"))
+    val p2 = plan("q_count_by_type")
+    val read2 = p2.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read2.contains("event_type") && !read2.contains("props"))
+  }
+
+  test("top-K compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_top_suppliers").contains("TakeOrderedAndProject"))
+    assert(plan("q_top_pages").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations ship partial (map-side) aggregates") {
+    assert(plan("q_count_by_type").contains("partial_count"))
+    assert(plan("q_pricing_summary").contains("partial_sum"))
+  }
+
+  test("sessionization shuffles once on user_id") {
+    val p = plan("q_sessionize")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1, s"expected exactly one user_id exchange:\n$p")
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.weblog.Validator
+
+/** Custom stateful ops on the stream: flatMapGroupsWithState
+  * sessionization and dropDuplicatesWithinWatermark.
+  */
+class StatefulSpec extends SparkTestBase {
+
+  private def rec(user: String, hhmmss: String) =
+    s"""{"user_id": "$user", "session_id": "s", "event": "view", "ip": "1.1.1.1",
+       | "hostname": "h", "os": "l", "timestamp": "2024-03-07T${hhmmss}Z",
+       | "uri": "https://x"}""".stripMargin.replace("\n", "")
+
+  private def typedStream(source: MemoryStream[String]) =
+    Validator.parsed(
+      Validator.validate(source.toDF().withColumnRenamed("value", "payload"), "payload", "B")
+        .filter(col("valid")), "payload", "B")
+
+  test("flatMapGroupsWithState closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val sessions = StatefulSessionizer.closedSessions(typedStream(source),
+      gapSeconds = 1800, watermark = "10 minutes")
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+
+    // burst 1 (3 events), then a later burst that closes it via gap
+    source.addData(rec("u1", "08:00:00"), rec("u1", "08:01:00"), rec("u1", "08:02:00"))
+    q.processAllAvailable()
+    source.addData(rec("u1", "09:30:00"), rec("u1", "09:31:00"))
+    q.processAllAvailable()
+    // advance the watermark far past burst 2's timeout so it closes too
+    source.addData(rec("u2", "12:00:00"))
+    q.processAllAvailable()
+    source.addData(rec("u2", "12:00:30"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("closed_sessions")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.contains(("u1", 3L)), s"gap-closed session missing: $out")
+    assert(out.contains(("u1", 2L)), s"timeout-closed session missing: $out")
+  }
+
+  test("dropDuplicatesWithinWatermark collapses replayed keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val deduped = Ingest.dedupWithinWatermark(typedStream(source),
+      Seq("user_id", "timestamp"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+
+    val batch = Seq(rec("u1", "08:00:00"), rec("u1", "08:00:10"), rec("u2", "08:00:20"))
+    source.addData(batch: _*)
+    q.processAllAvailable()
+    source.addData(batch: _*) // exact replay inside the watermark
+    q.processAllAvailable()
+    q.stop()
+
+    assert(spark.table("dedup_out").count() == 3)
+  }
+}
