@@ -63,6 +63,48 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(doc_id: Long, format: String,
+      width: Int, height: Int, media: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB resize — a real implementation would decode, scale, re-encode;
+    * the stub deterministically re-buckets the bytes to the target
+    * dimensions so downstream schema/size behavior is realistic.
+    */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(bytes.length, (w.toLong * h / 64).toInt))
+    java.util.Arrays.copyOf(bytes, target)
+  }
+
+  /** Batched resize over the media table (same mapPartitions shape). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { row =>
+      ResizedMedia(row.doc_id, row.format, w, h, resizeStub(row.media, w, h))
+    }))
+  }
+
+  /** Frame sampling for video rows: the stub treats the payload as
+    * `frames` equal byte chunks (per `decodeStub`'s frame count) and
+    * keeps every `everyN`-th chunk. One row out per sampled frame; frame
+    * bytes never shuffle (sampled in the scan stage, small chunks flow
+    * on).
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 4,
+      batchSize: Int = 64): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.format == "video").mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+      val (_, _, frames, _) = decodeStub(row.media, row.format)
+      val size = math.max(1, row.media.length / math.max(frames, 1))
+      (0 until frames by everyN).map { k =>
+        val from = k * size
+        val until = math.min(row.media.length, from + size)
+        Frame(row.doc_id, k, java.util.Arrays.copyOfRange(row.media, from, math.max(from, until)))
+      }
+    }))
+  }
+
   /** Stand-in media table derived from `documents` (UTF-8 bytes as the
     * opaque payload; format assigned deterministically) — the test
     * corpus for the plumbing until a real media lake exists.

@@ -220,6 +220,26 @@ object ExtensionQueries {
         .select(col("doc_id"), col("format"), col("n_bytes"),
           round(col("mean_intensity"), 3).as("mean_intensity"))
         .orderBy("doc_id"),
-      None)
+      None),
+
+    // frame sampling over the video rows; sampled-frame byte lengths are
+    // a deterministic function of payload size, so the oracle recomputes
+    // them from octet_length alone.
+    Q("multimodal_frames",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)), everyN = 4).toDF()
+        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH v AS (
+             |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+             |         1 + octet_length(CAST(text AS BLOB)) % 24 AS frames
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |f AS (
+             |  SELECT doc_id, n, frames, greatest(n // frames, 1) AS fsize,
+             |         unnest(range(0, frames, 4)) AS frame_idx
+             |  FROM v)
+             |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             |       CAST(greatest(least(n, frame_idx * fsize + fsize) - frame_idx * fsize, 0) AS INT) AS frame_bytes
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")))
   )
 }

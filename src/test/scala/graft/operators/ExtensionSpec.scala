@@ -119,4 +119,15 @@ class ExtensionSpec extends SparkTestBase {
     val (w, h, fr, m) = Multimodal.decodeStub("hello world".getBytes("UTF-8"), "video")
     assert(w == 16 + 11 % 640 && fr == 1 + 11 % 24 && m > 0)
   }
+
+  test("multimodal resize and frame sampling keep batch plumbing intact") {
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val resized = Multimodal.resize(media, 32, 32)
+    assert(resized.count() == docs.count())
+    assert(resized.filter(r => r.media.length > math.max(1, 32 * 32 / 64)).count() == 0)
+    val frames = Multimodal.sampleFrames(media, everyN = 4)
+    val videos = media.filter(_.format == "video").count()
+    assert(frames.select("doc_id").distinct().count() == videos)
+    assert(frames.filter(f => f.frame_idx % 4 != 0).count() == 0)
+  }
 }
