@@ -378,6 +378,79 @@ object EventQueries {
              |       CAST((SELECT sum(c) FROM hc WHERE hc.h >= starts.s AND hc.h < starts.s + INTERVAL 2 HOUR) AS BIGINT) AS cnt
              |FROM starts ORDER BY win_start""".stripMargin.replace("\n", " "))),
 
+    // first event of every derived session (SURVEY §2.4 "first/last page
+    // per session" — row_number over the session partition).
+    Q("q_first_event_per_session",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"))
+        Sessionize.withSessionIds(ev(s, d))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("session_seq"),
+            tsStr(col("ts")).as("session_start"), col("event_type").as("first_event"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_type,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts, event_type,
+             |         CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+             |  FROM g),
+             |r AS (
+             |  SELECT user_id, session_seq, ts, event_type,
+             |         row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts) AS rn
+             |  FROM s)
+             |SELECT user_id, session_seq,
+             |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       event_type AS first_event
+             |FROM r WHERE rn = 1 ORDER BY user_id, session_seq""".stripMargin.replace("\n", " "))),
+
+    // date/time scalar repertoire over event time.
+    Q("q_date_funcs",
+      (s, d) => ev(s, d).filter(dayofmonth(col("ts")) === 1)
+        .select(
+          col("event_id"),
+          quarter(col("ts")).as("q"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("se"),
+          unix_micros(col("ts")).as("us"),
+          tsStr(col("ts") + expr("INTERVAL 3 DAYS")).as("plus3d"),
+          last_day(col("ts")).cast("string").as("month_end"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_since"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, quarter(ts) AS q, minute(ts) AS mi, second(ts) AS se,
+             |epoch_us(ts) AS us,
+             |strftime(ts + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS plus3d,
+             |strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+             |CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since
+             |FROM events WHERE day(ts) = 1 ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    // string scalar repertoire.
+    Q("q_string_funcs",
+      (s, d) => ev(s, d).filter(col("event_id") < 1000)
+        .select(
+          col("event_id"),
+          lpad(col("event_type"), 10, "*").as("padded"),
+          reverse(col("event_type")).as("rev"),
+          translate(col("event_type"), "aeiou", "AEIOU").as("trans"),
+          org.apache.spark.sql.functions.repeat(col("event_type"), 2).as("rep"),
+          ascii(col("event_type")).as("asc"),
+          concat_ws("|", col("event_type"), col("props")).as("joined"),
+          org.apache.spark.sql.functions.replace(col("props"), lit("k"), lit("key")).as("repl"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, lpad(event_type, 10, '*') AS padded,
+             |reverse(event_type) AS rev,
+             |translate(event_type, 'aeiou', 'AEIOU') AS trans,
+             |repeat(event_type, 2) AS rep,
+             |ascii(event_type) AS asc,
+             |concat_ws('|', event_type, props) AS joined,
+             |replace(props, 'k', 'key') AS repl
+             |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
     // JSON payload parsing (from_json on the raw-record channel).
     Q("q_from_json",
       (s, d) => ev(s, d)
