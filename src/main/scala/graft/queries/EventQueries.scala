@@ -378,6 +378,20 @@ object EventQueries {
              |       CAST((SELECT sum(c) FROM hc WHERE hc.h >= starts.s AND hc.h < starts.s + INTERVAL 2 HOUR) AS BIGINT) AS cnt
              |FROM starts ORDER BY win_start""".stripMargin.replace("\n", " "))),
 
+    // conditional counting (SURVEY §2.4 lists count_if explicitly).
+    Q("q_count_if",
+      (s, d) => ev(s, d).groupBy("event_type")
+        .agg(
+          count_if(col("value") > 100).as("high_value"),
+          count_if(col("value") <= 100).as("low_value"),
+          count_if(col("user_id") % 2 === 0).as("even_users"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |count(*) FILTER (WHERE value > 100) AS high_value,
+             |count(*) FILTER (WHERE value <= 100) AS low_value,
+             |count(*) FILTER (WHERE user_id % 2 = 0) AS even_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     // first event of every derived session (SURVEY §2.4 "first/last page
     // per session" — row_number over the session partition).
     Q("q_first_event_per_session",

@@ -99,6 +99,46 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$pq/${hp.relPath}").count() == 200)
   }
 
+  test("hourly lifecycle: 3 ingest hours, Compaction.run per trigger, ±1h registration") {
+    val raw = tmpDir("life-raw")
+    val pq = tmpDir("life-pq")
+    val db = "lifedb"
+    WebLogCatalog.createDatabase(spark, db)
+    WebLogCatalog.dropTableIfExists(spark, s"$db.raw")
+    WebLogCatalog.dropTableIfExists(spark, s"$db.pq")
+    WebLogCatalog.createRawJsonTable(spark, s"$db.raw", raw)
+    WebLogCatalog.createParquetTable(spark, s"$db.pq", pq)
+
+    // three consecutive ingest hours land in the raw zone
+    val h0 = LocalDateTime.of(2024, 6, 1, 0, 0)
+    (0 to 2).foreach { i =>
+      val df = Generator.frame(spark, 100 + i, seed = 100 + i, h0.plusHours(i))
+      Zones.writeRawJson(Validator.validate(df, "payload", "B").filter(col("valid")), raw)
+    }
+    // the hourly trigger fires at H+1 minute 10 and compacts H
+    // (merge_small_files_lambda.py:105-108, athena_ctas.py:141-143)
+    (0 to 2).foreach { i =>
+      val trigger = h0.plusHours(i + 1).plusMinutes(10)
+      val n = Compaction.run(spark, raw, pq, trigger,
+        jsonTable = Some(s"$db.raw"), parquetTable = Some(s"$db.pq"))
+      assert(n == 100 + i)
+    }
+    val total = spark.sql(s"SELECT count(*) FROM $db.pq").collect()(0).getLong(0)
+    assert(total == 100 + 101 + 102)
+    // per-partition counts via the catalog (partition-pruned reads)
+    (0 to 2).foreach { i =>
+      val c = spark.sql(
+        s"SELECT count(*) FROM $db.pq WHERE year=2024 AND month=6 AND day=1 AND hour=$i")
+        .collect()(0).getLong(0)
+      assert(c == 100 + i)
+    }
+    // H+1 pre-registration: the raw table knows hour 3 even though only
+    // hours 0-2 hold data (athena_ctas.py:55-59 rationale)
+    val parts = WebLogCatalog.showPartitions(spark, s"$db.raw")
+      .collect().map(_.getString(0)).toSet
+    assert(parts.exists(_.contains("hour=3")))
+  }
+
   test("upsert: replay idempotence and last-write-wins (FIXTURES.md §2)") {
     import spark.implicits._
     val path = tmpDir("iceberg") + "/t"
