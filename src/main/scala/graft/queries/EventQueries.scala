@@ -79,6 +79,23 @@ object EventQueries {
         .orderBy("event_type"),
       None),
 
+    // sketch family beyond HLL++: DataSketches HLL (hll_sketch_agg) and
+    // approximate percentiles. Sketch internals are engine-specific →
+    // rows-only; exact twins (q_unique_users*, q_value_percentiles) are
+    // the hash-checked counterparts.
+    Q("q_hll_sketch",
+      (s, d) => ev(s, d).groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"))
+        .orderBy("event_type"),
+      None),
+
+    Q("q_approx_percentiles",
+      (s, d) => ev(s, d).groupBy("event_type")
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+        .orderBy("event_type"),
+      None),
+
     // gap-based sessionization (30 min), exact microsecond durations.
     Q("q_sessionize",
       (s, d) => Sessionize.sessions(ev(s, d))
