@@ -1,6 +1,7 @@
 package graft.weblog
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-zone writers (reference operators S7/S8/S9, SURVEY.md §2.1).
@@ -58,4 +59,32 @@ object Zones {
       .option("compression", "snappy")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(path)
+
+  /** Small-file monitoring for a zone: one row per leaf partition
+    * directory with file count and byte totals — the signal that decides
+    * when C1 compaction is due (`README.md:258-263` is the reference's
+    * prose motivation). Listing runs on the driver against the
+    * filesystem's `listFiles(recursive)` — a metadata scan, no data read.
+    */
+  def partitionStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootStr = root.toUri.getPath
+    val it = fs.listFiles(root, true)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.getParent.toUri.getPath.stripPrefix(rootStr).stripPrefix("/")
+        rows += ((if (rel.isEmpty) "<root>" else rel, f.getLen))
+      }
+    }
+    rows.toSeq.toDF("partition", "bytes")
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+        max("bytes").as("max_file_bytes"), min("bytes").as("min_file_bytes"))
+      .orderBy("partition")
+  }
 }

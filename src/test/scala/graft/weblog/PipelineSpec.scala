@@ -97,6 +97,14 @@ class PipelineSpec extends SparkTestBase {
     assert(Compaction.compactHour(spark, raw, pq, hp) == 200)
     assert(Compaction.compactHour(spark, raw, pq, hp) == 200)
     assert(spark.read.parquet(s"$pq/${hp.relPath}").count() == 200)
+
+    // small-file merge actually merged: exactly targetFiles=1 data file,
+    // visible through the partitionStats monitoring op
+    val stats = Zones.partitionStats(spark, pq).collect()
+    assert(stats.length == 1 && stats(0).getLong(1) == 1,
+      s"expected 1 partition with 1 file: ${stats.mkString}")
+    val rawStats = Zones.partitionStats(spark, raw)
+    assert(rawStats.count() >= 1)
   }
 
   test("hourly lifecycle: 3 ingest hours, Compaction.run per trigger, ±1h registration") {
