@@ -13,7 +13,8 @@ import graft.weblog.Validator
   * reference's shipped queries (Q1/Q2 shapes) and open for user
   * registration.
   */
-final class Engine(val spark: SparkSession) {
+final class Engine(val spark: SparkSession,
+    resultLocation: Option[String] = None) {
 
   Validator.register(spark) // expose validate_weblog_A/B in SQL too
 
@@ -34,8 +35,29 @@ final class Engine(val spark: SparkSession) {
 
   def runNamed(name: String): DataFrame =
     sql(named.getOrElse(name, throw new NoSuchElementException(s"no named query: $name")))
+
+  /** Athena-workgroup semantics: the workgroup *enforces* a result
+    * location and every query execution lands there as CSV
+    * (`athena_workgroup.py:20-53`, result bucket
+    * `s3://aws-athena-query-results-…`). Runs the SQL, writes the result
+    * set as headered CSV under `<resultLocation>/<queryId>/`, returns
+    * (queryId, frame).
+    */
+  def execute(query: String): (String, DataFrame) = {
+    val loc = resultLocation.getOrElse(
+      throw new IllegalStateException("no result location configured for this workgroup"))
+    val id = java.util.UUID.nameUUIDFromBytes(
+      (query + loc).getBytes("UTF-8")).toString
+    val df = sql(query)
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      .csv(s"$loc/$id")
+    (id, df)
+  }
 }
 
 object Engine {
   def apply(spark: SparkSession): Engine = new Engine(spark)
+  def apply(spark: SparkSession, resultLocation: String): Engine =
+    new Engine(spark, Some(resultLocation))
 }

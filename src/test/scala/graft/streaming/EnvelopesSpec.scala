@@ -47,6 +47,18 @@ class EnvelopesSpec extends SparkTestBase {
     assert(perKeyPartitions == 0)
   }
 
+  test("Engine result location: execute lands CSV results like the Athena workgroup") {
+    val loc = java.nio.file.Files.createTempDirectory("results").toString
+    val e = graft.Engine(spark, loc)
+    val (id, df) = e.execute("SELECT 1 AS a, 'x' AS b")
+    assert(df.count() == 1)
+    val csv = spark.read.option("header", "true").csv(s"$loc/$id")
+    assert(csv.columns.toSeq == Seq("a", "b"))
+    assert(csv.collect()(0).getString(0) == "1")
+    // no result location configured -> workgroup refuses
+    intercept[IllegalStateException](graft.Engine(spark).execute("SELECT 1"))
+  }
+
   test("Engine facade: sql + named queries + weblog SQL functions") {
     val e = graft.Engine(spark)
     assert(e.sql("SELECT 1 AS one").collect()(0).getInt(0) == 1)
