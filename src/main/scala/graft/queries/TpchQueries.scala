@@ -126,6 +126,31 @@ object TpchQueries {
              |round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_bal
              |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
 
+    // scalar subquery: customers above the global mean balance (exact
+    // decimal mean so both engines compare against the same double).
+    Q("q_scalar_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql("""SELECT c_mktsegment, count(*) AS n_above FROM customer
+                |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM customer)
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_above FROM customer
+             |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM customer)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
+
+    // HAVING over an aggregate.
+    Q("q_having",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+             |round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 3) AS spend
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+             |ORDER BY o_custkey""".stripMargin.replace("\n", " "))),
+
     // correlated-shape aggregate filter: parts above their brand's mean size.
     Q("q_parts_above_brand_avg",
       (s, d) => {
