@@ -85,4 +85,35 @@ final case class IcebergLikeTable(
   /** Route a batch per the deployment's T3 metadata: upsert iff keys. */
   def write(batch: DataFrame, orderCol: String): Unit =
     if (uniqueKeys.isEmpty) append(batch) else upsert(batch, orderCol)
+
+  /** C7: small-file maintenance — the reference declares
+    * `optimize_rewrite_delete_file_threshold='10'`
+    * (`web-analytics-iceberg/README.md:187`) and delegates the rewrite to
+    * Athena's OPTIMIZE. Here: partitions whose data-file count exceeds
+    * `fileThreshold` are rewritten to `targetFiles` files via dynamic
+    * partition overwrite. Returns the rewritten partition values. Cost is
+    * proportional to the hot partitions, never the table.
+    */
+  def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] = {
+    if (!exists) return Nil
+    val prefix = s"$partitionCol="
+    val hot = Zones.partitionStats(spark, path)
+      .filter(col("partition").startsWith(prefix) && col("n_files") > fileThreshold)
+      .select("partition").collect()
+      .map(_.getString(0).stripPrefix(prefix)).toSeq
+    if (hot.isEmpty) return Nil
+    val staging = s"$path/../.staging_maintain_${System.nanoTime()}"
+    read.filter(col(partitionCol).isin(hot: _*))
+      .repartition(targetFiles * hot.size, col(partitionCol))
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
+      .coalesce(math.max(targetFiles * hot.size, 1))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .option("compression", "snappy")
+      .parquet(path)
+    fs.delete(new Path(staging), true)
+    hot
+  }
 }

@@ -179,6 +179,28 @@ class PipelineSpec extends SparkTestBase {
     assert(h == "CHANGED-AGAIN.com")
   }
 
+  test("C7 maintenance: hot partitions rewritten to few files, data unchanged") {
+    import spark.implicits._
+    val path = tmpDir("maint") + "/t"
+    val t = IcebergLikeTable(spark, path, "event", Nil)
+    // 15 tiny appends -> 'view' partition accumulates >10 files
+    (1 to 15).foreach { i =>
+      t.append(Seq((s"u$i", s"2024-03-01T10:00:${f"$i%02d"}Z", "view", i.toLong))
+        .toDF("user_id", "timestamp", "event", "seq"))
+    }
+    val before = t.read.orderBy("seq").collect()
+    val filesBefore = Zones.partitionStats(spark, path).collect()(0).getLong(1)
+    assert(filesBefore >= 15)
+
+    val rewritten = t.maintain(fileThreshold = 10, targetFiles = 1)
+    assert(rewritten == Seq("view"))
+    val filesAfter = Zones.partitionStats(spark, path).collect()(0).getLong(1)
+    assert(filesAfter < filesBefore && filesAfter <= 2)
+    assert(t.read.orderBy("seq").collect().toSeq == before.toSeq)
+    // below-threshold partitions untouched on a second run
+    assert(t.maintain(fileThreshold = 10).isEmpty)
+  }
+
   test("append mode when no unique keys declared (insert routing)") {
     import spark.implicits._
     val path = tmpDir("iceberg2") + "/t"
