@@ -205,9 +205,13 @@ object Dedup {
     * on node id. `localCheckpoint` truncates the growing lineage so the
     * loop's plan stays flat.
     *
+    * Throws if the loop exits via `maxIter` without reaching a fixpoint
+    * (a chain-shaped graph with diameter > maxIter) — unconverged labels
+    * must not masquerade as cluster assignments.
+    *
     * Returns (id, cluster) where cluster = min doc id of the component.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
@@ -229,6 +233,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge within $maxIter label-propagation rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -107,12 +107,20 @@ object WebLogQueries {
 
     // S10: upsert by unique keys (user_id, timestamp) — day-1 base load,
     // then an update batch rewriting hostnames for hours < 12; output the
-    // merged table (last write wins, replay-safe).
+    // merged table (last write wins, replay-safe). The base batch is made
+    // unique on the keys first (row_number over event_id), mirrored in the
+    // oracle's QUALIFY — so the check never depends on (user_id, second)
+    // happening to be unique in `events` at a given scale factor.
     Q("weblog_upsert",
       (s, d) => {
         val path = scratch(s, "upsert", d) + "/t"
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
         val base = payloads(s, d, corrupted = false)
           .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
           .select(
             concat(lit("u"), col("user_id").cast("string")).as("user_id"),
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
@@ -135,6 +143,9 @@ object WebLogQueries {
              |event_type AS event,
              |CASE WHEN hour(ts) < 12 THEN 'updated.example' ELSE 'orig.example' END AS hostname
              |FROM events WHERE day(ts) = 1
+             |QUALIFY row_number() OVER (
+             |  PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |  ORDER BY event_id) = 1
              |ORDER BY timestamp, user_id""".stripMargin.replace("\n", " "))),
 
     // §3.1 streaming: real Structured Streaming file source over the raw

@@ -50,10 +50,14 @@ object Ingest {
     * each micro-batch into an Iceberg-like table with the T3 routing
     * decision (append without keys, upsert with; the reference's
     * transformer stamps `operation` per deployment,
-    * `firehose_to_iceberg_transformer.py:114-115`). The micro-batch id is
-    * the arrival-order tiebreak for intra-batch duplicate keys; failed
-    * records go to the error-zone backup (`FailedDataOnly`,
-    * `firehose_to_iceberg.py:119`).
+    * `firehose_to_iceberg_transformer.py:114-115`). Last-write-wins order
+    * is the struct `(_batch, _mid)` — batch-major, so a replayed or older
+    * micro-batch can never outrank a newer one (a single fused long would
+    * break at scale: `monotonically_increasing_id` packs the partition ID
+    * into bits 33+, colliding with any left-shifted batch id once
+    * partition IDs exceed the shift). `_mid` breaks intra-batch duplicate
+    * keys by arrival order within a partition. Failed records go to the
+    * error-zone backup (`FailedDataOnly`, `firehose_to_iceberg.py:119`).
     */
   def startIcebergIngest(
       stream: DataFrame,
@@ -71,7 +75,9 @@ object Ingest {
         val (ok, bad) = Validator.route(validated)
         val parsed = Validator.parsed(ok, "payload", dialect)
           .drop("payload", "event_ts")
-          .withColumn("_seq", monotonically_increasing_id() + lit(batchId << 40))
+          .withColumn("_seq", struct(
+            lit(batchId).as("batch"),
+            monotonically_increasing_id().as("mid")))
         table.write(parsed, "_seq")
         Zones.writeErrors(bad, errorZone)
         ()

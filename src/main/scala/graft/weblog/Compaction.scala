@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * web_log_json WHERE year=… AND month=… AND day=… AND hour=…`
   * (`athena_ctas.py:30-39`) fire-and-forget with 10s sleeps between
   * statements. Our job is synchronous and collapses the tmp-table dance
-  * (C3) into write-to-staging + atomic rename (SURVEY §3.2): the
-  * destination partition dir appears atomically, so readers never see a
-  * half-written hour, and a re-run of the same hour is idempotent
-  * (staging replaces the old dir).
+  * (C3) into write-to-staging + rename swap (SURVEY §3.2): the hour is
+  * fully written in staging before it becomes visible, and a re-run of
+  * the same hour is idempotent (the old dir is renamed aside to a trash
+  * dir, staging renamed in, trash deleted — so the dest-missing window is
+  * two metadata renames, not a data rewrite). Caveat: rename is atomic
+  * only on HDFS/local filesystems; on object stores (S3) rename is
+  * copy+delete, so a concurrent reader can observe a partial or missing
+  * hour during the swap — there, readers should go through the catalog
+  * (C2 registers the partition only after the swap completes).
   *
   * Scale: the scan is partition-pruned *by construction* (we read only the
   * hour's directory); `targetFiles` implements the small-file merge that
@@ -73,10 +78,15 @@ object Compaction {
       .parquet(stagingDir.toString)
 
     val n = spark.read.parquet(stagingDir.toString).count()
-    fs.delete(destDir, true)                       // idempotent re-run of the hour
+    // Swap: old dir aside -> staging in -> drop old. Idempotent re-run of
+    // the hour; see the object-store caveat in the class scaladoc.
+    val trashDir = new Path(s"$parquetPath/.trash_${hp.year}_${hp.month}_${hp.day}_${hp.hour}")
+    fs.delete(trashDir, true)
     fs.mkdirs(destDir.getParent)
+    val hadOld = fs.exists(destDir) && fs.rename(destDir, trashDir)
     if (!fs.rename(stagingDir, destDir))
-      throw new java.io.IOException(s"atomic swap failed: $stagingDir -> $destDir")
+      throw new java.io.IOException(s"swap failed: $stagingDir -> $destDir")
+    if (hadOld) fs.delete(trashDir, true)
     n
   }
 

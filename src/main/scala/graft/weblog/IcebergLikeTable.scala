@@ -47,7 +47,8 @@ final case class IcebergLikeTable(
 
   /** S10 upsert path (`operation='update'`). `orderCol` breaks intra-batch
     * duplicate keys last-write-wins (arrival order in the reference's
-    * stream; callers pass a sequence/arrival column).
+    * stream; callers pass a sequence/arrival column — may be a struct,
+    * e.g. `(batch, mid)`, which orders lexicographically batch-major).
     */
   def upsert(batch: DataFrame, orderCol: String): Unit = {
     require(uniqueKeys.nonEmpty, "upsert requires declared unique_keys")

@@ -37,8 +37,11 @@ object WebLogSchema {
     * timestamp parsing accepts formats the reference rejects.
     */
   def structType(dialect: String): StructType =
-    StructType(fields(dialect).map { case (n, req) =>
-      StructField(n, StringType, nullable = !req || n != "__never__")
+    StructType(fields(dialect).map { case (n, _) =>
+      // Every field is nullable here on purpose: from_json needs to be able
+      // to null out absent keys; required-ness is enforced by the validator
+      // (ValidateWebLog), not by the parse struct.
+      StructField(n, StringType, nullable = true)
     })
 
   /** Event-time parse pattern (`schema_validator.py:70-85`). */
