@@ -45,20 +45,21 @@ object Dedup {
     df.groupBy(sha2(normalized(col(textCol)).cast("binary"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: k minimums of per-shingle 64-bit hashes, the
-    * i-th hash family being xxhash64(i, xxhash64(shingle)). The shingle
-    * hash array is materialized as its own projection first — the k
-    * min-terms then reference a cheap attribute instead of re-running
-    * split/shingle/hash k times (CollapseProject keeps non-cheap
-    * multi-referenced projections separate, so this sticks).
+  /** MinHash signatures: k per-family minimums over the shingle-hash set,
+    * computed in one pass by the codegen'd `minhash_sigs` expression
+    * (graft.functions.MinhashSignatures). The shingle hash array is
+    * materialized as its own projection first — the signature term then
+    * references a cheap attribute instead of re-running split/shingle/hash
+    * (CollapseProject keeps non-cheap multi-referenced projections
+    * separate, so this sticks).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int): DataFrame =
+      n: Int, k: Int): DataFrame = {
+    graft.functions.MinhashSignatures.register(df.sparkSession)
     df.select(col(idCol),
         transform(shingles(col(textCol), n), s => xxhash64(s)).as("_h"))
-      .select(col(idCol),
-        array((0 until k).map(i =>
-          array_min(transform(col("_h"), h => xxhash64(lit(i), h)))): _*).as("sig"))
+      .select(col(idCol), expr(s"minhash_sigs(_h, $k)").as("sig"))
+  }
 
   /** Banded minhash signatures over a precomputed shingle frame
     * (columns: id, sh). Output: (id, band, bucket).
@@ -148,15 +149,13 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
 
-    // cross-group LSH on representatives: band hashes as flat long columns
-    // (the k-wide signature array is materialized as its own projection
-    // first so each of the k min-terms references a cheap attribute).
+    // cross-group LSH on representatives: the one-pass codegen'd
+    // signature expression, then band hashes as flat long columns.
     // Checkpointed: it is both sides of every per-band join.
+    graft.functions.MinhashSignatures.register(df.sparkSession)
     val repSets = groups.select(col("rep").as("id"), col("shl"))
     val narrow = repSets
-      .select(col("id"),
-        array((0 until k).map(i =>
-          array_min(transform(col("shl"), h => xxhash64(lit(i), h)))): _*).as("sig"))
+      .select(col("id"), expr(s"minhash_sigs(shl, $k)").as("sig"))
       .select(col("id") +: (0 until bands).map(j =>
         xxhash64(lit(j) +: (0 until r).map(i => col("sig")(j * r + i)): _*).as(s"_b$j")): _*)
       .localCheckpoint()
