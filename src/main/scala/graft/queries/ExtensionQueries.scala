@@ -77,9 +77,12 @@ object ExtensionQueries {
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
     // end-to-end dedup: near-dup pairs -> connected components -> keep
-    // one doc per cluster. Components aren't oracle-expressible (no
-    // recursive CTE parity) -> rows-only; ExtensionSpec checks against a
-    // driver-side union-find ground truth.
+    // one doc per cluster (min id). The oracle recomputes the exact pair
+    // graph O(n²) and its connected components with a recursive CTE
+    // (full reachability, then min label) — so label propagation,
+    // clustering and keeper selection are all hash-checked, not just
+    // row-counted. ExtensionSpec additionally checks a driver-side
+    // union-find ground truth.
     Q("dedup_keepers",
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -87,7 +90,19 @@ object ExtensionQueries {
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH RECURSIVE
+             |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |good AS (SELECT id_a, id_b FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |         WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b, id_a FROM good),
+             |reach(id, r) AS (SELECT src, src FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // word-3-gram near-dups (sequence-sensitive): MinHash+LSH on trigram
     // shingles; the oracle rebuilds identical trigram sets with DuckDB
