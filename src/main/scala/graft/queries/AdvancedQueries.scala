@@ -47,23 +47,28 @@ object AdvancedQueries {
              |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
              |ORDER BY p.event_id""".stripMargin.replace("\n", " "))),
 
-    // Range join (event value vs supplier balance bands): bucketed
+    // Range join (event value vs supplier balance bands, folded into the
+    // value domain so every scale factor has overlaps): bucketed
     // equi-join scale path; oracle is the plain BETWEEN theta join.
     Q("q_range_join",
       (s, d) => {
         val pts = ev(s, d).select("event_id", "value")
+        // pmod matches DuckDB's fmod (floored, non-negative) on the
+        // negative balances where Spark's % (truncated) would diverge
         val iv = Tables.supplier(s, d).select(col("s_suppkey"),
-          col("s_acctbal").as("lo"), (col("s_acctbal") + 50).as("hi"))
+          pmod(col("s_acctbal"), lit(400)).as("lo"),
+          (pmod(col("s_acctbal"), lit(400)) + 50).as("hi"))
         Joins.rangeJoinBucketed(pts, "value", iv, "lo", "hi", bucketWidth = 50.0)
           .select(col("event_id"), col("s_suppkey"), round(col("value"), 3).as("value"))
           .orderBy("event_id", "s_suppkey")
       },
       Some("""SELECT e.event_id, s.s_suppkey, round(e.value, 3) AS value
-             |FROM events e JOIN supplier s ON e.value BETWEEN s.s_acctbal AND s.s_acctbal + 50
+             |FROM events e JOIN supplier s
+             |ON e.value BETWEEN fmod(s.s_acctbal, 400) AND fmod(s.s_acctbal, 400) + 50
              |ORDER BY event_id, s_suppkey""".stripMargin.replace("\n", " "))),
 
     // Correlated EXISTS through the SQL surface (Engine.sql semantics):
-    // customers with at least one 400+ purchase event.
+    // customers with at least one 100+ purchase event.
     Q("q_exists_subquery",
       (s, d) => {
         ev(s, d).createOrReplaceTempView("adv_events")
@@ -71,13 +76,13 @@ object AdvancedQueries {
         s.sql("""SELECT c_custkey, c_name FROM adv_customer c
                  WHERE EXISTS (SELECT 1 FROM adv_events e
                                WHERE e.user_id = c.c_custkey
-                                 AND e.event_type = 'purchase' AND e.value > 400)
+                                 AND e.event_type = 'purchase' AND e.value > 100)
                  ORDER BY c_custkey""")
       },
       Some("""SELECT c_custkey, c_name FROM customer c
              |WHERE EXISTS (SELECT 1 FROM events e
              |              WHERE e.user_id = c.c_custkey
-             |                AND e.event_type = 'purchase' AND e.value > 400)
+             |                AND e.event_type = 'purchase' AND e.value > 100)
              |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
 
     // LATERAL correlated subquery: top-2 orders per customer.

@@ -230,12 +230,25 @@ object ExtensionQueries {
              |CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(CAST(text AS BLOB)) % 24 ELSE 1 END AS INT) AS frames
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // the stub decoder's "mean pixel intensity" is the mean of the raw
+    // payload bytes — the oracle recomputes it by hex-decoding the BLOB
+    // (double rounding 6-then-3 mirrors decodeStub + the query's round).
     Q("multimodal_features",
       (s, d) => Multimodal.features(s, Tables.documents(s, d))
         .select(col("doc_id"), col("format"), col("n_bytes"),
           round(col("mean_intensity"), 3).as("mean_intensity"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(CAST(text AS BLOB)) AS h, octet_length(CAST(text AS BLOB)) AS n
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS format,
+             |  n AS n_bytes,
+             |  round(round(CAST(list_sum(list_transform(range(n),
+             |      i -> 16 * (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1)
+             |           + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1))) AS DOUBLE)
+             |    / greatest(n, 1), 6), 3) AS mean_intensity
+             |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes

@@ -182,6 +182,48 @@ object WebLogQueries {
              |FROM events WHERE day(ts) = 2
              |GROUP BY 1, 2 ORDER BY hour, event""".stripMargin.replace("\n", " "))),
 
+    // §2.5 stream-stream interval join on two real file streams over the
+    // same raw zone: purchases joined to the same user's views within the
+    // trailing hour, watermarks on both sides (append mode). The oracle
+    // replays the same interval join as a batch BETWEEN join.
+    Q("weblog_stream_join",
+      (s, d) => {
+        val raw = scratch(s, "stream_join_raw", d)
+        val src = payloads(s, d, corrupted = false)
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src, raw)
+        def sideStream(eventType: String) = {
+          val stream = s.readStream
+            .schema("value STRING")
+            .option("recursiveFileLookup", "true")
+            .text(raw)
+            .withColumnRenamed("value", "payload")
+          Validator.parsed(
+            Validator.validate(stream, "payload", "B").filter(col("valid")),
+            "payload", "B").filter(col("event") === eventType)
+        }
+        val qname = s"wsj_${math.abs(d.hashCode)}"
+        val q = Ingest.attributionJoin(sideStream("purchase"), sideStream("view"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(col("user_id"), tsStr(col("p_ts")).as("p_ts"),
+            tsStr(col("v_ts")).as("v_ts"))
+          .orderBy("user_id", "p_ts", "v_ts")
+      },
+      Some("""WITH p AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id, date_trunc('second', ts) AS p_ts
+             |          FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id, date_trunc('second', ts) AS v_ts
+             |      FROM events WHERE event_type = 'view')
+             |SELECT p.user_id AS user_id, strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+             |       strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+             |FROM p JOIN v ON p.user_id = v.user_id
+             |  AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
+             |ORDER BY user_id, p_ts, v_ts""".stripMargin.replace("\n", " "))),
+
     // §2.5 session windows on a real stream (30-min gap close). The
     // oracle re-derives the same sessions with SQL gap logic: a session
     // break at gap ≥ 30min mirrors session_window's exclusive end.

@@ -106,6 +106,28 @@ object Ingest {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream interval join (§2.5): purchases joined to the same
+    * user's views within the trailing `window`, both sides watermarked so
+    * the join state is bounded — Spark buffers only rows younger than
+    * watermark + interval, per key, regardless of stream length. This is
+    * the streaming twin of the batch as-of/attribution join
+    * (operators/Joins.asOfBackward), with multi-match semantics: every
+    * (purchase, view) pair inside the interval is emitted, in append
+    * mode, exactly once.
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame,
+      window: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"), col("event_ts").as("p_ts"))
+      .withWatermark("p_ts", window)
+    val v = views.select(col("user_id").as("v_user"), col("event_ts").as("v_ts"))
+      .withWatermark("v_ts", window)
+    p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Session windows on the stream (gap-close sessionization, the
     * streaming twin of the batch Sessionize operator).
     */

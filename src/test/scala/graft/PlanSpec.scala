@@ -53,4 +53,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("as-of join is one window pass — no join node, no range explosion") {
+    val p = plan("q_asof_attribution")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"as-of must not plan a theta join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"as-of should be a window pass:\n$p")
+  }
+
+  test("range join is an equi-join on buckets, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"bucketed range join must not plan a nested loop:\n$p")
+    assert(p.contains("Join") && p.contains("_bucket"),
+      s"expected an equi-join keyed on _bucket:\n$p")
+  }
 }
