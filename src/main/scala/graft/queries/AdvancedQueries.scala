@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Joins
+import graft.operators.{Joins, Skew}
 import Qutil._
 
 /** Round-2 additions to the query canon: join shapes Spark lacks as
@@ -163,6 +163,32 @@ object AdvancedQueries {
              |FULL JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 300) c
              |ON u.user_id = c.c_custkey
              |ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    // Skew-safe two-phase aggregation: the salted plan must produce
+    // byte-identical results to the plain GROUP BY the oracle runs.
+    Q("q_salted_agg",
+      (s, d) => Skew.saltedAgg(ev(s, d), Seq("user_id"), saltBuckets = 16,
+          partial = Seq(count(lit(1)).as("c"), sum(dec(col("value"))).as("v")),
+          merge = Seq(sum(col("c")).as("cnt"),
+            round(sum(col("v")).cast("double"), 3).as("total_value")))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS cnt,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // Skew-safe replicated join: salted (key, salt) equi-join must equal
+    // the plain equi-join the oracle runs.
+    Q("q_salted_join",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        Skew.saltedJoin(ev(s, d), dim, "user_id", saltBuckets = 8)
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS cnt
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", " "))),
 
     // RANGE-frame window: per-user trailing-1h value sum, framed in
     // microsecond space so both engines use the exact same boundaries.

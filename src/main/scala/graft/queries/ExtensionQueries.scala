@@ -129,6 +129,43 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b"),
       None),
 
+    // end-to-end training-data pipeline composition: quality-filter the
+    // corpus, then near-dup-dedup the survivors, then language-ID the
+    // keepers — the canonical clean-corpus flow, hash-checked as one
+    // unit (quality SQL + O(n²) pair graph + recursive-CTE components +
+    // stopword-argmax, all recomputed independently in DuckDB).
+    Q("pipeline_clean_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val qual = TextAnalysis.qualityMetrics(docs)
+          .filter(col("quality_score") >= 0.7).select("doc_id")
+        val clean = docs.join(qual, "doc_id")
+        Dedup.keepers(clean, Dedup.minhashDedupPairs(clean, threshold = 0.8))
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |q AS (SELECT doc_id,
+              |  round(CASE WHEN len(string_split_regex(text, '\\s+')) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+              |      + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 0.3 ELSE 0.0 END
+              |      + CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE) >= 0.05 THEN 0.3 ELSE 0.0 END, 6) AS score
+              |  FROM documents),
+              |keep0 AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN q USING (doc_id) WHERE q.score >= 0.7),
+              |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM keep0),
+              |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |good AS (SELECT id_a, id_b FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+              |         WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+              |e AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b, id_a FROM good),
+              |reach(id, r) AS (SELECT src, src FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+              |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+              |SELECT doc_id, lang, $langCase AS pred_lang
+              |FROM (SELECT doc_id, lang, $langScoresSql FROM keep0)
+              |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- similarity search ----
 
     Q("sim_topk_bruteforce",
