@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible corpus sampling for training-data
+  * pipelines. `df.sample()` is neither stable across runs/partition
+  * layouts nor auditable; these operators key the keep decision on a
+  * column value, so the same rows are kept in every run, on any cluster
+  * layout, at any scale — and any engine can recompute the sample. All
+  * are codegen'd per-row filters: no shuffle, pushdown-friendly.
+  */
+object Sampling {
+
+  /** Systematic 1-in-m sampling keyed on an id column. Use when ids are
+    * uncorrelated with content; otherwise prefer [[everyNthHashed]].
+    */
+  def everyNth(df: DataFrame, idCol: String, m: Int): DataFrame =
+    df.filter(pmod(col(idCol), lit(m)) === 0)
+
+  /** 1-in-m sampling on a 64-bit hash of the key — the production
+    * default: immune to id-ordering bias, still fully deterministic.
+    */
+  def everyNthHashed(df: DataFrame, keyCol: String, m: Int): DataFrame =
+    df.filter(pmod(xxhash64(col(keyCol)), lit(m)) === 0)
+
+  /** Stratified systematic sampling: per-stratum 1-in-m rates; strata
+    * without a configured rate are dropped (an explicit allowlist — a
+    * typoed stratum surfaces as missing rows, not a silent full copy).
+    */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Int]): DataFrame = {
+    val m: Column = rates.foldLeft(lit(null).cast("int")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("_m", m)
+      .filter(col("_m").isNotNull && pmod(col(idCol), col("_m")) === 0)
+      .drop("_m")
+  }
+}

@@ -68,6 +68,20 @@ object TextAnalysis {
       stopRatio.as("stopword_ratio"), score.as("quality_score"))
   }
 
+  /** PII redaction: mask emails, dotted-quad IPs, and phone-shaped digit
+    * runs with typed placeholders. Pure regexp_replace chain — codegen'd,
+    * per-row, no shuffle; the regexes stay inside the RE2-compatible
+    * subset so an external engine (or the DuckDB oracle) applies the
+    * identical policy.
+    */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d().-]{7,}\\d", "<PHONE>")
+  }
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
     * marks — the standard byte-pair pre-split shape.
     */
@@ -102,4 +116,20 @@ object TextAnalysis {
     df.select(col(idCol),
         transform(split(col(textCol), "\\s+"), s => xxhash64(s)).as("_h"))
       .select(col(idCol), fingerprintFromHashes(col("_h")).as("fingerprint"))
+
+  /** Winnowing over the raw word sequence — identical algorithm to
+    * `fingerprint` but the per-window minimum is the lexicographically
+    * smallest *word* instead of the smallest hash. Production uses the
+    * hashed variant (uniform distribution); this one exists because every
+    * step (windowing, minima, distinct, k-smallest) is expressible in
+    * plain SQL on both engines, so the winnowing logic itself is
+    * hash-checked against the DuckDB oracle rather than rows-only.
+    */
+  def fingerprintWords(text: Column, window: Int = 4, k: Int = 8): Column = {
+    val ws = split(text, "\\s+")
+    val nWin = greatest(size(ws) - window + 1, lit(1))
+    val winMins = transform(sequence(lit(0), nWin - 1),
+      i => array_min(slice(ws, i + 1, lit(window))))
+    slice(array_sort(array_distinct(winMins)), 1, k)
+  }
 }

@@ -253,6 +253,54 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       None),
 
+    // winnowing with lexicographic word minima instead of hash minima —
+    // same windowing/distinct/k-smallest logic, but every step has a
+    // DuckDB twin, so the fingerprint ALGORITHM is hash-checked (the
+    // xxhash64 variant above stays rows-only: DuckDB can't replay Spark's
+    // hash). Exploded to flat rows for robust value hashing.
+    Q("text_fingerprint_words",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(
+          TextAnalysis.fingerprintWords(col("text"))).as(Seq("pos", "gram")))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+             |fp AS (SELECT doc_id,
+             |       list_sort(list_distinct(list_transform(range(greatest(len(w) - 3, 1)),
+             |         i -> list_aggregate(w[i + 1:i + 4], 'min'))))[1:8] AS f FROM t)
+             |SELECT * FROM (SELECT doc_id, unnest(range(len(f))) AS pos, unnest(f) AS gram FROM fp)
+             |ORDER BY doc_id, pos""".stripMargin.replace("\n", " "))),
+
+    // PII redaction over text with synthesized (deterministic, id-derived)
+    // email/IP/phone spans — the oracle applies the identical regex
+    // policy, proving the masking rules match an external engine's RE2.
+    Q("text_redact",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.redact(concat(
+            col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com or 10.0."), pmod(col("doc_id"), lit(250)),
+            lit(".7 tel +15550104"), pmod(col("doc_id"), lit(100)))).as("clean"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+             |text || ' contact user' || doc_id || '@mail.example.com or 10.0.' || (doc_id % 250) || '.7 tel +15550104' || (doc_id % 100),
+             |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |'\+?\d[\d().-]{7,}\d', '<PHONE>', 'g') AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // deterministic stratified sampling: per-language 1-in-m keep rates
+    // keyed on doc_id; unconfigured strata drop (explicit allowlist).
+    // Reproducible by construction — the oracle recomputes the exact
+    // same sample from the rate table alone.
+    Q("corpus_sample_stratified",
+      (s, d) => graft.operators.Sampling.stratified(
+          Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 2, "de" -> 3, "fr" -> 5))
+        .select("doc_id", "lang", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE (lang = 'en' AND doc_id % 2 = 0) OR (lang = 'de' AND doc_id % 3 = 0)
+             |   OR (lang = 'fr' AND doc_id % 5 = 0) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- multimodal ----
 
     Q("multimodal_meta",

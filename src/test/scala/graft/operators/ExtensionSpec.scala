@@ -110,6 +110,31 @@ class ExtensionSpec extends SparkTestBase {
     assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
   }
 
+  test("redact masks email, ip and phone but not plain words") {
+    import spark.implicits._
+    val out = Seq("mail a.b+c@x-y.co end, host 192.168.0.1, call +1(555)010-4321 now, v1.2 stays")
+      .toDF("t").select(TextAnalysis.redact(col("t")).as("r")).as[String].head()
+    assert(out == "mail <EMAIL> end, host <IP>, call <PHONE> now, v1.2 stays")
+  }
+
+  test("stratified sampling keeps configured strata at 1-in-m, drops the rest") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val kept = Sampling.stratified(df, "s", "id", Map("a" -> 5)).as[(Long, String)].collect()
+    assert(kept.forall { case (id, s) => s == "a" && id % 5 == 0 })
+    assert(kept.length == 10) // ids 0,10,...,90: even (stratum a) and %5==0
+  }
+
+  test("word winnowing: window minima, distinct, k smallest") {
+    import spark.implicits._
+    val df = Seq("b a z y x w", "z q").toDF("text")
+    val out = df.select(TextAnalysis.fingerprintWords(col("text"), 4, 8).as("fp"))
+      .as[Seq[String]].collect()
+    // windows of 4: [b a z y]->a [a z y x]->a [z y x w]->w; short doc: one window
+    assert(out(0) == Seq("a", "w"))
+    assert(out(1) == Seq("q"))
+  }
+
   test("multimodal: features preserve rows, drop media, stub is deterministic") {
     val f1 = Multimodal.features(spark, docs)
     val f2 = Multimodal.features(spark, docs)
