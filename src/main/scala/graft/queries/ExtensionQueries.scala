@@ -197,6 +197,29 @@ object ExtensionQueries {
              |WHERE list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // embedding-space dedup end-to-end: exact cosine near-dup pairs →
+    // connected components → one keeper (min id) per cluster. The oracle
+    // recomputes the full O(n²) cosine graph and its components with a
+    // recursive CTE, so the whole embedding-dedup pipeline is
+    // hash-checked, mirroring the text-space dedup_keepers gate.
+    Q("dedup_embedding_keepers",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.45)
+          .select(col("id_a"), col("id_b"))
+        Dedup.keepers(emb, pairs, "vec_id").select("vec_id").orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |good AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM c a JOIN c b ON a.vec_id < b.vec_id
+             |         WHERE list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b, id_a FROM good),
+             |reach(id, r) AS (SELECT src, src FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+             |ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
     // LSH / IVF approximate paths — deterministic (seeded) but their
     // bucketing is not oracle-expressible → rows-only; recall invariants
     // are asserted in ScalaTest against the brute-force truth.

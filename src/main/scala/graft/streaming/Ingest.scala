@@ -32,10 +32,16 @@ object Ingest {
       errorZone: String,
       checkpoint: String,
       dialect: String = "B",
-      triggerSeconds: Long = 60): StreamingQuery =
+      triggerSeconds: Long = 60,
+      availableNow: Boolean = false): StreamingQuery =
     stream.writeStream
       .queryName("weblog-ingest")
-      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      // availableNow = bounded catch-up: drain everything the source has
+      // (in rate-limited micro-batches), then stop — same checkpoint, so
+      // a scheduled backfill run resumes exactly where the last live or
+      // backfill run left off (the Kinesis 24h-replay story, S4).
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(s"$triggerSeconds seconds"))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val validated = Validator.validate(batch.toDF(), "payload", dialect)

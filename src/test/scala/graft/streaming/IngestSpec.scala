@@ -48,6 +48,37 @@ class IngestSpec extends SparkTestBase {
     assert(errOut.count() == 1)
   }
 
+  test("availableNow backfill drains the source, stops, and resumes without duplicates") {
+    import spark.implicits._
+
+    val hour = LocalDateTime.of(2024, 3, 3, 9, 0)
+    val drop = tmpDir("b-drop")
+    val raw = tmpDir("b-raw")
+    val err = tmpDir("b-err")
+    val ckpt = tmpDir("b-ckpt")
+
+    def dropFile(name: String, ids: Range): Unit = {
+      val lines = ids.map(i => Generator.payload(12, i.toLong, hour)).mkString("\n")
+      Files.writeString(java.nio.file.Paths.get(s"$drop/$name"), lines)
+    }
+    def fileStream = spark.readStream.text(drop)
+      .withColumnRenamed("value", "payload")
+      .withColumn("ingest_ts", lit("2024-03-03 09:00:00").cast("timestamp"))
+
+    dropFile("a.jsonl", 0 until 40)
+    val q1 = Ingest.start(fileStream, raw, err, ckpt, availableNow = true)
+    q1.awaitTermination() // AvailableNow terminates after draining
+    assert(spark.read.text(raw).count() == 40)
+
+    dropFile("b.jsonl", 40 until 70)
+    val q2 = Ingest.start(fileStream, raw, err, ckpt, availableNow = true)
+    q2.awaitTermination()
+    // the second catch-up run processes ONLY the new file (checkpointed
+    // source offsets), so nothing is duplicated
+    assert(spark.read.text(raw).count() == 70)
+    assert(spark.read.text(raw).distinct().count() == 70)
+  }
+
   test("event-time hourly window aggregation over the parsed stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
