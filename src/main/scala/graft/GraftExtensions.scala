@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinhashSignatures, SortedIntersectCount, ValidateWebLog}
+import graft.functions.{DotVec, MinhashSignatures, SortedIntersectCount, ValidateWebLog, WindowMinima}
 
 /** Session-extension entry point: makes the engine's native expressions
   * first-class SQL functions on any session built with
@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
 
     ext.injectFunction((
+      FunctionIdentifier(DotVec.FnName),
+      info(DotVec.FnName,
+        "_FUNC_(a, b) - dot product of two float/double arrays (double fold)"),
+      (exprs: Seq[Expression]) => DotVec(exprs(0), exprs(1))))
+
+    ext.injectFunction((
       FunctionIdentifier(MinhashSignatures.FnName),
       info(MinhashSignatures.FnName,
         "_FUNC_(hashes, k) - k-wide MinHash signature of a shingle-hash set"),
@@ -37,6 +43,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(k: Int, _) => MinhashSignatures(exprs.head, k)
         case other => throw new IllegalArgumentException(
           s"${MinhashSignatures.FnName} k must be an int literal, got $other")
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier(WindowMinima.FnName),
+      info(WindowMinima.FnName,
+        "_FUNC_(arr, w) - sliding-window minima of a bigint/string array"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(w: Int, _) => WindowMinima(exprs.head, w)
+        case other => throw new IllegalArgumentException(
+          s"${WindowMinima.FnName} w must be an int literal, got $other")
       }))
 
     for (dialect <- Seq("a", "b")) {
@@ -53,6 +69,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   /** Injected SQL function names (for discovery/tests). */
   val names: Seq[String] = Seq(
-    SortedIntersectCount.FnName, MinhashSignatures.FnName,
-    "validate_weblog_a", "validate_weblog_b")
+    SortedIntersectCount.FnName, MinhashSignatures.FnName, DotVec.FnName,
+    WindowMinima.FnName, "validate_weblog_a", "validate_weblog_b")
 }

@@ -125,6 +125,36 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 1, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    val (groups, repPairs) = minhashCore(df, textCol, idCol, n, k, bands, threshold)
+
+    // intra-group: identical shingle sets, Jaccard exactly 1.0
+    val intra = groups.filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
+
+    // expand rep pairs to all member pairs across the two groups
+    val expanded = repPairs
+      .join(groups.select(col("rep").as("id_a"), col("members").as("ma")), "id_a")
+      .join(groups.select(col("rep").as("id_b"), col("members").as("mb")), "id_b")
+      .select(explode(flatten(transform(col("ma"), x =>
+        transform(col("mb"), y =>
+          struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("p"),
+        col("jaccard"))
+      .select(col("p.id_a"), col("p.id_b"), col("jaccard"))
+
+    intra.unionAll(expanded)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The shared front of the MinHash pipeline: shingle-set collapse into
+    * `groups` (setkey → rep, members, shl) and the exact-verified
+    * near-dup pairs over group *representatives* only. Both frames are
+    * checkpointed — every consumer fans out over them.
+    */
+  private def minhashCore(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sets = df
@@ -141,13 +171,6 @@ object Dedup {
       sort_array(collect_list(col("id"))).as("members"),
       first(col("shl")).as("shl"))
       .localCheckpoint()
-
-    // intra-group: identical shingle sets, Jaccard exactly 1.0
-    val intra = groups.filter(size(col("members")) > 1)
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + 2, size(col("members"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), lit(1.0).as("jaccard"))
 
     // cross-group LSH on representatives: the one-pass codegen'd
     // signature expression, then band hashes as flat long columns.
@@ -184,18 +207,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
-    // expand rep pairs to all member pairs across the two groups
-    val expanded = repPairs
-      .join(groups.select(col("rep").as("id_a"), col("members").as("ma")), "id_a")
-      .join(groups.select(col("rep").as("id_b"), col("members").as("mb")), "id_b")
-      .select(explode(flatten(transform(col("ma"), x =>
-        transform(col("mb"), y =>
-          struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))).as("p"),
-        col("jaccard"))
-      .select(col("p.id_a"), col("p.id_b"), col("jaccard"))
+    (groups, repPairs)
+  }
 
-    intra.unionAll(expanded)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  /** One keeper (min id) per near-duplicate cluster, WITHOUT
+    * materializing the expanded pair set: equivalent to
+    * `keepers(df, minhashDedupPairs(df, ...))` but connected components
+    * run on the group-representative graph only. A group's members form
+    * a clique around their rep (= the group's min id), so the component
+    * label of the rep IS the min doc id of the whole cluster; every
+    * member other than its group's cluster label is dropped. The clique
+    * pairs — quadratic in the corpus duplication rate, the dominant term
+    * of pair expansion at 100 TB — are never generated (measured ~2x
+    * end-to-end at sf0.1; the gate checks equality with the O(n²)
+    * oracle either way).
+    */
+  def minhashKeepers(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 1, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val (groups, repPairs) = minhashCore(df, textCol, idCol, n, k, bands, threshold)
+    val labels = clusters(repPairs.select(col("id_a"), col("id_b")))
+    val drop = groups
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
+      .select(explode(col("members")).as(idCol),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+      .filter(col(idCol) =!= col("cluster"))
+      .select(idCol)
+    df.join(drop, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over the distinct-word hash set (per-row, no shuffle):
@@ -255,8 +293,13 @@ object Dedup {
     * Returns (id, cluster) where cluster = min doc id of the component.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // checkpoint the edge list once: `pairs` is typically an expensive
+    // pipeline (LSH candidates + verification), and the loop scans edges
+    // in every round — without this the full pair computation re-runs
+    // per iteration (measured 8x slower at sf0.1).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
@@ -267,12 +310,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("nmin"))
+      // carry the previous label through the projection — convergence is
+      // a filter over the checkpointed frame, not another join
       val next = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("_old"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("_old")).count()
+      labels = next.drop("_old")
       converged = changed == 0
       i += 1
     }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import scala.util.Random
 
+import graft.functions.DotVec
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — a broadcast of the (small) query
@@ -19,16 +21,12 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Double-precision view of a float embedding. */
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
-
   /** Sequential-order dot product, matching DuckDB's list_dot_product on
     * DOUBLE[] (both fold left-to-right in double, so results are
-    * bit-identical and safe to hash after rounding).
+    * bit-identical and safe to hash after rounding). Codegen'd native
+    * expression; every public operator here registers it first.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function(DotVec.FnName, a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
@@ -39,10 +37,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    DotVec.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("q2", dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("c2", dot(col("cv"), col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / sqrt(col("q2") * col("c2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -57,10 +58,14 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
+    // norms once per row, not per pair — the n² term is a single dot
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("a2", dot(col("va"), col("va")))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("b2", dot(col("vb"), col("vb")))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / sqrt(col("a2") * col("b2")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
@@ -77,9 +82,7 @@ object Similarity {
   def lshSignature(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
     val planes = hyperplanes(dim, nBits, seed)
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(
-        zip_with(asDouble(vec), lit(p), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, lit(p))
       when(proj >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
@@ -93,6 +96,7 @@ object Similarity {
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, dim: Int,
       nBits: Int = 12, nTables: Int = 6, seed: Long = 42,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
     val sigs = corpus.select(
       col(idCol), col(vecCol),
       posexplode(array((0 until nTables).map(t =>
@@ -118,6 +122,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
     val centroids: Array[Seq[Double]] = corpus
       .orderBy(col(idCol))
       .select(col(vecCol)).limit(nCells)

@@ -93,8 +93,8 @@ object TextAnalysis {
       size(split(col(textCol), "\\s+")).as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit(TokenPattern), lit(0))).as("bpe_tokens"))
 
-  /** Winnowing-style fingerprint: Karp-Rabin rolling hash over the word
-    * hash sequence in windows of `w`, keeping the minimum per window and
+  /** Winnowing-style fingerprint: per-window minima over the word hash
+    * sequence (codegen'd `window_minima`), keeping the minimum per window and
     * fingerprint = the k smallest distinct window minima. Two documents
     * sharing long runs share fingerprint elements.
     */
@@ -104,18 +104,17 @@ object TextAnalysis {
   /** Fingerprint of a materialized word-hash array; on the hot path pass
     * an attribute so the per-window lambda doesn't re-hash the document.
     */
-  def fingerprintFromHashes(hs: Column, window: Int = 4, k: Int = 8): Column = {
-    val nWin = greatest(size(hs) - window + 1, lit(1))
-    val winMins = transform(sequence(lit(0), nWin - 1),
-      i => array_min(slice(hs, i + 1, lit(window))))
-    slice(array_sort(array_distinct(winMins)), 1, k)
-  }
+  def fingerprintFromHashes(hs: Column, window: Int = 4, k: Int = 8): Column =
+    slice(array_sort(array_distinct(
+      call_function(graft.functions.WindowMinima.FnName, hs, lit(window)))), 1, k)
 
   def fingerprints(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id"): DataFrame = {
+    graft.functions.WindowMinima.register(df.sparkSession)
     df.select(col(idCol),
         transform(split(col(textCol), "\\s+"), s => xxhash64(s)).as("_h"))
       .select(col(idCol), fingerprintFromHashes(col("_h")).as("fingerprint"))
+  }
 
   /** Winnowing over the raw word sequence — identical algorithm to
     * `fingerprint` but the per-window minimum is the lexicographically
@@ -125,11 +124,7 @@ object TextAnalysis {
     * plain SQL on both engines, so the winnowing logic itself is
     * hash-checked against the DuckDB oracle rather than rows-only.
     */
-  def fingerprintWords(text: Column, window: Int = 4, k: Int = 8): Column = {
-    val ws = split(text, "\\s+")
-    val nWin = greatest(size(ws) - window + 1, lit(1))
-    val winMins = transform(sequence(lit(0), nWin - 1),
-      i => array_min(slice(ws, i + 1, lit(window))))
-    slice(array_sort(array_distinct(winMins)), 1, k)
-  }
+  def fingerprintWords(text: Column, window: Int = 4, k: Int = 8): Column =
+    slice(array_sort(array_distinct(call_function(
+      graft.functions.WindowMinima.FnName, split(text, "\\s+"), lit(window)))), 1, k)
 }

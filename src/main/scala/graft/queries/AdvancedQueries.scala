@@ -45,7 +45,8 @@ object AdvancedQueries {
              |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
              |       v.view_event_id, epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
              |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
-             |ORDER BY p.event_id""".stripMargin.replace("\n", " "))),
+             |ORDER BY p.event_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // Range join (event value vs supplier balance bands, folded into the
     // value domain so every scale factor has overlaps): bucketed
@@ -65,7 +66,8 @@ object AdvancedQueries {
       Some("""SELECT e.event_id, s.s_suppkey, round(e.value, 3) AS value
              |FROM events e JOIN supplier s
              |ON e.value BETWEEN fmod(s.s_acctbal, 400) AND fmod(s.s_acctbal, 400) + 50
-             |ORDER BY event_id, s_suppkey""".stripMargin.replace("\n", " "))),
+             |ORDER BY event_id, s_suppkey""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // Correlated EXISTS through the SQL surface (Engine.sql semantics):
     // customers with at least one 100+ purchase event.

@@ -86,7 +86,7 @@ object ExtensionQueries {
     Q("dedup_keepers",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Dedup.keepers(docs, Dedup.minhashDedupPairs(docs, threshold = 0.8))
+        Dedup.minhashKeepers(docs, threshold = 0.8)
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
@@ -140,7 +140,7 @@ object ExtensionQueries {
         val qual = TextAnalysis.qualityMetrics(docs)
           .filter(col("quality_score") >= 0.7).select("doc_id")
         val clean = docs.join(qual, "doc_id")
-        Dedup.keepers(clean, Dedup.minhashDedupPairs(clean, threshold = 0.8))
+        Dedup.minhashKeepers(clean, threshold = 0.8)
           .select(col("doc_id"), col("lang"),
             TextAnalysis.langId(col("text")).as("pred_lang"))
           .orderBy("doc_id")
@@ -164,7 +164,8 @@ object ExtensionQueries {
               |SELECT doc_id, lang, $langCase AS pred_lang
               |FROM (SELECT doc_id, lang, $langScoresSql FROM keep0)
               |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
-              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+              |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // ---- similarity search ----
 
@@ -195,7 +196,8 @@ object ExtensionQueries {
              |       round(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 6) AS cos
              |FROM c a JOIN c b ON a.vec_id < b.vec_id
              |WHERE list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
-             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // embedding-space dedup end-to-end: exact cosine near-dup pairs →
     // connected components → one keeper (min id) per cluster. The oracle
@@ -218,7 +220,8 @@ object ExtensionQueries {
              |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
              |SELECT vec_id FROM embeddings
              |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
-             |ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+             |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // LSH / IVF approximate paths — deterministic (seeded) but their
     // bucketing is not oracle-expressible → rows-only; recall invariants
@@ -282,16 +285,20 @@ object ExtensionQueries {
     // xxhash64 variant above stays rows-only: DuckDB can't replay Spark's
     // hash). Exploded to flat rows for robust value hashing.
     Q("text_fingerprint_words",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => {
+        graft.functions.WindowMinima.register(s)
+        Tables.documents(s, d)
         .select(col("doc_id"), posexplode(
           TextAnalysis.fingerprintWords(col("text"))).as(Seq("pos", "gram")))
-        .orderBy("doc_id", "pos"),
+        .orderBy("doc_id", "pos")
+      },
       Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
              |fp AS (SELECT doc_id,
              |       list_sort(list_distinct(list_transform(range(greatest(len(w) - 3, 1)),
              |         i -> list_aggregate(w[i + 1:i + 4], 'min'))))[1:8] AS f FROM t)
              |SELECT * FROM (SELECT doc_id, unnest(range(len(f))) AS pos, unnest(f) AS gram FROM fp)
-             |ORDER BY doc_id, pos""".stripMargin.replace("\n", " "))),
+             |ORDER BY doc_id, pos""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // PII redaction over text with synthesized (deterministic, id-derived)
     // email/IP/phone spans — the oracle applies the identical regex
@@ -309,7 +316,8 @@ object ExtensionQueries {
              |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              |'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              |'\+?\d[\d().-]{7,}\d', '<PHONE>', 'g') AS clean
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // deterministic stratified sampling: per-language 1-in-m keep rates
     // keyed on doc_id; unconfigured strata drop (explicit allowlist).
@@ -322,7 +330,8 @@ object ExtensionQueries {
         .select("doc_id", "lang", "source").orderBy("doc_id"),
       Some("""SELECT doc_id, lang, source FROM documents
              |WHERE (lang = 'en' AND doc_id % 2 = 0) OR (lang = 'de' AND doc_id % 3 = 0)
-             |   OR (lang = 'fr' AND doc_id % 5 = 0) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |   OR (lang = 'fr' AND doc_id % 5 = 0) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // ---- multimodal ----
 

@@ -71,6 +71,14 @@ class ExtensionSpec extends SparkTestBase {
     assert(kept == docs.count() - nonReps)
   }
 
+  test("minhashKeepers equals the generic keepers-over-expanded-pairs composition") {
+    val viaPairs = Dedup.keepers(docs, Dedup.minhashDedupPairs(docs, threshold = 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fused = Dedup.minhashKeepers(docs, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fused == viaPairs)
+  }
+
   test("brute-force topk: k rows per query, ranks dense, cos in [-1,1]") {
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     assert(out.count() == 50)
@@ -127,6 +135,7 @@ class ExtensionSpec extends SparkTestBase {
 
   test("word winnowing: window minima, distinct, k smallest") {
     import spark.implicits._
+    graft.functions.WindowMinima.register(spark)
     val df = Seq("b a z y x w", "z q").toDF("text")
     val out = df.select(TextAnalysis.fingerprintWords(col("text"), 4, 8).as("fp"))
       .as[Seq[String]].collect()
