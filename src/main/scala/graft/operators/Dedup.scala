@@ -339,6 +339,25 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware keeper selection: per near-dup cluster keep the row
+    * maximizing `scoreCol` (ties broken by min id) instead of blindly
+    * keeping the min id — the realistic training-pipeline policy (keep
+    * the cleanest copy, not the first-crawled one). One extra shuffle on
+    * the cluster label; rows outside the pair graph keep themselves.
+    */
+  def keepersBy(df: DataFrame, pairs: DataFrame, scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = clusters(pairs).withColumnRenamed("id", idCol)
+    val scored = df.join(labels, Seq(idCol), "left_outer")
+      .withColumn("_cluster", coalesce(col("cluster"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_cluster", "cluster")
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via an inverted-index
     * join (explode shingles, join on shingle, count co-occurrences) —
     * the classic scalable exact algorithm: work is proportional to

@@ -333,6 +333,56 @@ object ExtensionQueries {
              |   OR (lang = 'fr' AND doc_id % 5 = 0) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // sequence packing for pretraining batches: per-source token-budget
+    // bins in one window pass (boundary-straddle semantics — exactly the
+    // SQL the oracle runs; the exact-greedy variant is spec-tested).
+    Q("corpus_pack_bins",
+      (s, d) => graft.operators.Packing.packByCumsum(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", size(split(col("text"), "\\s+"))),
+          "source", "doc_id", "n_tokens", budget = 1000L)
+        .orderBy("doc_id"),
+      Some("""SELECT source, doc_id, len(string_split_regex(text, '\s+')) AS n_tokens,
+             |CAST(floor((sum(len(string_split_regex(text, '\s+'))) OVER
+             |  (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |  - len(string_split_regex(text, '\s+'))) / 1000.0) AS BIGINT) AS bin
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // quality-aware dedup: per near-dup cluster keep the highest-quality
+    // copy (ties -> min id) instead of the min id. The oracle recomputes
+    // the O(n²) pair graph, its components, the quality score and the
+    // per-cluster argmax — end-to-end hash-checked.
+    Q("dedup_keepers_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs.join(
+          TextAnalysis.qualityMetrics(docs).select("doc_id", "quality_score"), "doc_id")
+        Dedup.keepersBy(scored, Dedup.minhashDedupPairs(docs, threshold = 0.8),
+            "quality_score")
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |good AS (SELECT id_a, id_b FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |         WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b, id_a FROM good),
+             |reach(id, r) AS (SELECT src, src FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |q AS (SELECT doc_id,
+             |  round(CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+             |      + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 0.3 ELSE 0.0 END
+             |      + CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\s+')), 1) AS DOUBLE) >= 0.05 THEN 0.3 ELSE 0.0 END, 6) AS score
+             |  FROM documents)
+             |SELECT doc_id, lang FROM (
+             |  SELECT d.doc_id, d.lang,
+             |         row_number() OVER (PARTITION BY COALESCE(c.cluster, d.doc_id)
+             |                            ORDER BY q.score DESC, d.doc_id) AS rn
+             |  FROM documents d JOIN q USING (doc_id) LEFT JOIN comp c ON c.id = d.doc_id)
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ---- multimodal ----
 
     Q("multimodal_meta",

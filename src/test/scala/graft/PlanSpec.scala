@@ -69,4 +69,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join") && p.contains("_bucket"),
       s"expected an equi-join keyed on _bucket:\n$p")
   }
+
+  test("embedding math is the native dot_vec expression, not interpreted HOFs") {
+    val p = plan("sim_cosine_neardup")
+    assert(p.contains("dotvec") || p.contains("dot_vec"),
+      s"cosine should compile to the native expression:\n$p")
+    assert(!p.contains("zip_with") && !p.contains("aggregate(zip_with"),
+      s"no interpreted higher-order fallback allowed on the pair scan:\n$p")
+  }
+
+  test("winnowing fingerprints use the native window_minima expression") {
+    val p = plan("text_fingerprint_words")
+    assert(p.contains("windowminima") || p.contains("window_minima"),
+      s"winnowing should compile to the native expression:\n$p")
+  }
+
+  test("stratified sampling pushes the per-stratum filter into one scan pass") {
+    val p = plan("corpus_sample_stratified")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"sampling must not shuffle (only the final ORDER BY may):\n$p")
+    assert(p.contains("Filter"), s"expected a codegen'd filter:\n$p")
+  }
 }

@@ -118,6 +118,33 @@ class ExtensionSpec extends SparkTestBase {
     assert(out.filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
   }
 
+  test("greedy packing: bins never exceed the budget except oversized single docs") {
+    val withTokens = docs.withColumn("n_tokens", size(split(col("text"), "\\s+")))
+    val packed = Packing.packGreedy(withTokens, "source", "doc_id", "n_tokens", budget = 300L)
+    assert(packed.count() == docs.count()) // every doc lands in exactly one bin
+    val over = packed.groupBy("source", "bin")
+      .agg(sum("n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter(col("tot") > 300 && col("n") > 1)
+    assert(over.count() == 0, "a multi-doc bin exceeded the budget")
+  }
+
+  test("keepersBy keeps exactly one doc per cluster, the best-scoring one") {
+    val pairs = Dedup.minhashDedupPairs(docs, threshold = 0.8)
+    val scored = docs.join(
+      TextAnalysis.qualityMetrics(docs).select("doc_id", "quality_score"), "doc_id")
+    val kept = Dedup.keepersBy(scored, pairs, "quality_score")
+    // same cluster count as min-id keepers — only the representative differs
+    assert(kept.count() == Dedup.keepers(docs, pairs).count())
+    // every kept doc's score is >= every dropped clustermate's score
+    val labels = Dedup.clusters(pairs)
+    val keptScores = kept.join(labels.withColumnRenamed("id", "doc_id"), "doc_id")
+      .select(col("cluster"), col("quality_score").as("kept_score"))
+    val worse = scored.join(labels.withColumnRenamed("id", "doc_id"), "doc_id")
+      .join(keptScores, "cluster")
+      .filter(col("quality_score") > col("kept_score"))
+    assert(worse.count() == 0, "a dropped doc outscored its cluster keeper")
+  }
+
   test("redact masks email, ip and phone but not plain words") {
     import spark.implicits._
     val out = Seq("mail a.b+c@x-y.co end, host 192.168.0.1, call +1(555)010-4321 now, v1.2 stays")

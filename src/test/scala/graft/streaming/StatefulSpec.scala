@@ -49,6 +49,28 @@ class StatefulSpec extends SparkTestBase {
     assert(out.contains(("u1", 2L)), s"timeout-closed session missing: $out")
   }
 
+  test("sessionizer runs on the RocksDB state store with identical results") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StateStores.useRocksDB(spark)
+    try {
+      val source = MemoryStream[String]
+      val sessions = StatefulSessionizer.closedSessions(typedStream(source),
+        gapSeconds = 1800, watermark = "10 minutes")
+      val q = sessions.toDF().writeStream.outputMode("append")
+        .format("memory").queryName("rocksdb_sessions").start()
+      source.addData(rec("u1", "08:00:00"), rec("u1", "08:01:00"), rec("u1", "08:02:00"))
+      q.processAllAvailable()
+      source.addData(rec("u1", "09:30:00"))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("rocksdb_sessions")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(out == Set(("u1", 3L)), s"gap-closed session under RocksDB: $out")
+    } finally StateStores.useDefault(spark)
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
