@@ -382,6 +382,39 @@ object EventQueries {
              |count(*) FILTER (WHERE event_type = 'view') AS view
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", " "))),
 
+    // UNPIVOT (wide → long): per-day event counts back to rows via
+    // stack(); oracle unpivots the same FILTER-pivoted wide table.
+    Q("q_unpivot",
+      (s, d) => ev(s, d)
+        .groupBy(dayofmonth(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1))).na.fill(0L)
+        .select(col("day"), expr(
+          "stack(5, 'click', click, 'error', error, 'purchase', purchase, " +
+            "'signup', signup, 'view', view) AS (event, cnt)"))
+        .orderBy("day", "event"),
+      Some("""WITH wide AS (SELECT day(ts) AS day,
+             |count(*) FILTER (WHERE event_type = 'click') AS click,
+             |count(*) FILTER (WHERE event_type = 'error') AS error,
+             |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             |count(*) FILTER (WHERE event_type = 'view') AS view
+             |FROM events GROUP BY 1)
+             |SELECT day, event, cnt FROM wide
+             |UNPIVOT (cnt FOR event IN (click, error, purchase, signup, view))
+             |ORDER BY day, event""".stripMargin.replace("\n", " "))),
+
+    // ordered array aggregation: per-user sorted distinct event types.
+    Q("q_array_agg",
+      (s, d) => ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("events"))
+        .filter(col("user_id") < 50)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, list_sort(list_distinct(list(event_type))) AS events
+             |FROM events WHERE user_id < 50 GROUP BY user_id
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // sliding window (2h window, 1h slide) — every window with ≥1 event.
     Q("q_window_sliding",
       (s, d) => ev(s, d)
