@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
-import graft.streaming.Ingest
+import graft.streaming.{Ingest, StatefulSessionizer}
 import graft.weblog._
 import Qutil._
 
@@ -267,6 +267,64 @@ object WebLogQueries {
              |SELECT user_id,
              |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              |       count(*) AS n_events
-             |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")))
+             |FROM s GROUP BY user_id, seq ORDER BY user_id, session_start""".stripMargin.replace("\n", " "))),
+
+    // §2.5 custom stateful sessionization (flatMapGroupsWithState with
+    // event-time timeout) over the same real file stream — the
+    // hand-rolled twin of session_window, gate-checked against SQL gap
+    // sessionization. Closed = by a following event (gap >= 30 min) or
+    // by the event-time timeout once the final watermark (max ts − 1 h)
+    // passes session_end + gap.
+    Q("weblog_stream_stateful",
+      (s, d) => {
+        val raw = scratch(s, "stream_state_raw", d)
+        val src = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 3)
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src, raw)
+        val stream = s.readStream
+          .schema("value STRING")
+          .option("recursiveFileLookup", "true")
+          .text(raw)
+          .withColumnRenamed("value", "payload")
+        val typed = Validator.parsed(
+          Validator.validate(stream, "payload", "B").filter(col("valid")),
+          "payload", "B")
+        val qname = s"wstf_${math.abs(d.hashCode)}"
+        val q = StatefulSessionizer.closedSessions(typed,
+            gapSeconds = 1800, watermark = "1 hour")
+          .toDF().writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(col("user_id"),
+            tsStr(col("session_start")).as("session_start"),
+            tsStr(col("session_end")).as("session_end"), col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_id,
+             |                 date_trunc('second', ts) AS ts
+             |          FROM events WHERE day(ts) = 3),
+             |g AS (SELECT user_id, ts,
+             |             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |      FROM e),
+             |s AS (SELECT user_id, ts,
+             |             sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+             |               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+             |      FROM g),
+             |sess AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
+             |                row_number() OVER (PARTITION BY user_id ORDER BY min(ts)) AS k,
+             |                count(*) OVER (PARTITION BY user_id) AS nk
+             |         FROM s GROUP BY user_id, seq)
+             |SELECT user_id,
+             |       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+             |       n_events
+             |FROM sess
+             |WHERE k < nk
+             |   OR epoch_us(session_end) + 1800000000 <= (SELECT max(epoch_us(ts)) FROM e) - 3600000000
+             |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")))
   )
 }
