@@ -402,7 +402,8 @@ object EventQueries {
              |FROM events GROUP BY 1)
              |SELECT day, event, cnt FROM wide
              |UNPIVOT (cnt FOR event IN (click, error, purchase, signup, view))
-             |ORDER BY day, event""".stripMargin.replace("\n", " "))),
+             |ORDER BY day, event""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // ordered array aggregation: per-user sorted distinct event types.
     Q("q_array_agg",

@@ -251,7 +251,8 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, declared_lang, $langCase AS pred_lang, round(s_en, 6) AS en_score
               |FROM (SELECT doc_id, lang AS declared_lang, $langScoresSql FROM documents)
-              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+              |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     Q("text_quality",
       (s, d) => TextAnalysis.qualityMetrics(Tables.documents(s, d)).orderBy("doc_id"),
@@ -270,7 +271,8 @@ object ExtensionQueries {
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, len(string_split_regex(text, '\s+')) AS ws_tokens,
              |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     Q("text_fingerprint",
       (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))
@@ -395,7 +397,8 @@ object ExtensionQueries {
              |CAST(16 + octet_length(CAST(text AS BLOB)) % 640 AS INT) AS width,
              |CAST(16 + (octet_length(CAST(text AS BLOB)) // 7) % 480 AS INT) AS height,
              |CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(CAST(text AS BLOB)) % 24 ELSE 1 END AS INT) AS frames
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // the stub decoder's "mean pixel intensity" is the mean of the raw
     // payload bytes — the oracle recomputes it by hex-decoding the BLOB
