@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines: exact
@@ -44,60 +44,6 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame =
     df.groupBy(sha2(normalized(col(textCol)).cast("binary"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
-
-  /** MinHash signatures: k per-family minimums over the shingle-hash set,
-    * computed in one pass by the codegen'd `minhash_sigs` expression
-    * (graft.functions.MinhashSignatures). The shingle hash array is
-    * materialized as its own projection first — the signature term then
-    * references a cheap attribute instead of re-running split/shingle/hash
-    * (CollapseProject keeps non-cheap multi-referenced projections
-    * separate, so this sticks).
-    */
-  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int): DataFrame = {
-    graft.functions.MinhashSignatures.register(df.sparkSession)
-    df.select(col(idCol),
-        transform(shingles(col(textCol), n), s => xxhash64(s)).as("_h"))
-      .select(col(idCol), expr(s"minhash_sigs(_h, $k)").as("sig"))
-  }
-
-  /** Banded minhash signatures over a precomputed shingle frame
-    * (columns: id, sh). Output: (id, band, bucket).
-    */
-  private def bandedBuckets(sets: DataFrame, k: Int, bands: Int): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val sig = sets
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("_h"))
-      .select(col("id"),
-        array((0 until k).map(i =>
-          array_min(transform(col("_h"), h => xxhash64(lit(i), h)))): _*).as("sig"))
-    sig.select(
-      col("id"),
-      posexplode(array((0 until bands).map(j =>
-        xxhash64(lit("band"), lit(j), slice(col("sig"), j * r + 1, r))): _*)))
-      .toDF("id", "band", "bucket")
-  }
-
-  private def bucketPairs(banded: DataFrame): DataFrame = {
-    val a = banded.toDF("id_a", "band", "bucket")
-    val b = banded.toDF("id_b", "band", "bucket")
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-  }
-
-  /** LSH candidate pairs: split the k-wide signature into `bands` bands,
-    * bucket by (band index, band hash), pair ids within a bucket. Returns
-    * (id_a, id_b) with a < b, distinct. Two docs with Jaccard j share a
-    * band with prob 1-(1-j^(k/bands))^bands — at k=128, bands=32 that is
-    * >0.999999 for j≥0.8 and exactly 1 for j=1.
-    */
-  def lshCandidates(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int, bands: Int): DataFrame =
-    bucketPairs(bandedBuckets(
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh")), k, bands))
 
   /** MinHash+LSH near-dup pairs with exact Jaccard verification: output
     * (id_a, id_b, jaccard) for word-n-gram Jaccard ≥ threshold.
@@ -150,10 +96,45 @@ object Dedup {
 
   /** The shared front of the MinHash pipeline: shingle-set collapse into
     * `groups` (setkey → rep, members, shl) and the exact-verified
-    * near-dup pairs over group *representatives* only. Both frames are
-    * checkpointed — every consumer fans out over them.
+    * near-dup pairs over group *representatives* only. All three frames
+    * are checkpointed — every consumer fans out over them — and the
+    * result is memoized per (session, input plan, params): pair
+    * enumeration and keeper selection over the same corpus share one
+    * signature/LSH/verification pass instead of recomputing it per query
+    * (the dominant cost of the dedup family; a run that executes several
+    * dedup operators over one corpus is the common shape in both the
+    * correctness gate and a real pipeline).
     */
+  private val coreMemo =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, Int, Int, Int, Double), (DataFrame, DataFrame)]
+
+  /** Cache key for an input frame: the canonicalized plan string PLUS the
+    * scan root paths and any local-relation data hash — the canonicalized
+    * string alone prints `Relation [cols] parquet` without the path, so
+    * reads of the same table at different scale factors would collide.
+    */
+  private def planKey(df: DataFrame): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val analyzed = df.queryExecution.analyzed
+    val leaves = analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case r => r.toString
+      }
+      case lr: LocalRelation => s"local:${lr.data.hashCode}"
+    }.mkString("|")
+    leaves + "##" + analyzed.canonicalized.toString
+  }
+
   private def minhashCore(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = coreMemo.synchronized {
+    val key = s"$textCol/$idCol/" + planKey(df)
+    coreMemo.getOrElseUpdate((df.sparkSession, key, n, k, bands, threshold),
+      minhashCoreCompute(df, textCol, idCol, n, k, bands, threshold))
+  }
+
+  private def minhashCoreCompute(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -206,6 +187,12 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // checkpointed too: pair expansion, clustering and keeper selection
+      // all re-scan the verified pair set; materializing it here costs
+      // nothing extra (clusters() would otherwise materialize the same
+      // data in its edge-list checkpoint) and makes every consumer reuse
+      // one verification pass.
+      .localCheckpoint()
 
     (groups, repPairs)
   }
@@ -303,24 +290,32 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // one propagation round: every node takes the min label among itself
+    // and its neighbors; extra columns (the convergence marker) ride along
+    def step(l: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(l.select(col("id").as("src"), col("cluster")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("nmin"))
+      l.join(neighborMin, Seq("id"), "left_outer")
+        .withColumn("cluster",
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))))
+        .drop("nmin")
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("cluster")).as("nmin"))
-      // carry the previous label through the projection — convergence is
-      // a filter over the checkpointed frame, not another join
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          col("cluster").as("_old"))
+      // two propagation rounds per materialization + convergence check:
+      // labels only ever decrease, so "no change across the fused double
+      // round" still implies a fixpoint, at half the checkpoint/count
+      // actions (the loop's real cost — each round's join work is cheap
+      // next to eagerly materializing its result).
+      val next = step(step(labels.withColumn("_old", col("cluster"))))
         .localCheckpoint()
       val changed = next.filter(col("cluster") =!= col("_old")).count()
       labels = next.drop("_old")
       converged = changed == 0
-      i += 1
+      i += 2
     }
     if (!converged)
       throw new IllegalStateException(

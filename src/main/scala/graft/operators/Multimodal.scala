@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * Scale notes: media bytes never enter a shuffle — decode/feature
   * extraction happens in the same stage as the scan (`mapPartitions`),
   * and only small feature vectors/metadata flow onward. Partition sizing
-  * for fat binary rows is the caller's knob (`targetRowsPerPartition`),
-  * standing in for `spark.sql.files.maxPartitionBytes` tuning on a real
-  * media lake.
+  * for fat binary rows belongs to the scan
+  * (`spark.sql.files.maxPartitionBytes`), not to a repartition of the
+  * payload bytes.
   */
 object Multimodal {
 
@@ -108,18 +108,21 @@ object Multimodal {
   /** Stand-in media table derived from `documents` (UTF-8 bytes as the
     * opaque payload; format assigned deterministically) — the test
     * corpus for the plumbing until a real media lake exists.
+    *
+    * Deliberately a pure projection: the media bytes stay in the scan
+    * stage (no count action, no repartition) so every downstream
+    * mapPartitions decode runs in the same stage as the read. Partition
+    * sizing for fat binary rows is the scan's knob
+    * (`spark.sql.files.maxPartitionBytes`), exactly as it would be on a
+    * real media lake.
     */
-  def mediaFromDocuments(spark: SparkSession, documents: DataFrame,
-      targetRowsPerPartition: Int = 1000): Dataset[MediaRow] = {
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    val n = documents.count()
-    val parts = math.max(1, (n / targetRowsPerPartition).toInt)
     documents.select(
       col("doc_id"),
       col("text").cast("binary").as("media"),
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"))
-      .repartition(parts, col("doc_id"))
       .as[MediaRow]
   }
 

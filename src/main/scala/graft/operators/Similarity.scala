@@ -97,16 +97,24 @@ object Similarity {
       nBits: Int = 12, nTables: Int = 6, seed: Long = 42,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     DotVec.register(corpus.sparkSession)
+    // signatures computed in the scan stage; only (id, table, sig) — three
+    // longs per row — enters the bucket join and the candidate distinct.
+    // Vectors rejoin by id for the (small) verified short-list only, so no
+    // shuffle ever carries a dim-sized array.
     val sigs = corpus.select(
-      col(idCol), col(vecCol),
+      col(idCol),
       posexplode(array((0 until nTables).map(t =>
         lshSignature(col(vecCol), dim, nBits, seed + t)): _*)))
-      .toDF(idCol, vecCol, "table", "sig")
-    val a = sigs.toDF("id_a", "va", "table", "sig")
-    val b = sigs.toDF("id_b", "vb", "table", "sig")
-    a.join(b, Seq("table", "sig"))
+      .toDF(idCol, "table", "sig")
+    val a = sigs.toDF("id_a", "table", "sig")
+    val b = sigs.toDF("id_b", "table", "sig")
+    val candidates = a.join(b, Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "va", "vb").distinct()
+      .select("id_a", "id_b").distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    candidates
+      .join(vecs.toDF("id_a", "va"), "id_a")
+      .join(vecs.toDF("id_b", "vb"), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))

@@ -168,14 +168,19 @@ object EventQueries {
              |strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " "))),
 
-    // ranking window functions over exact (decimal) per-user totals.
+    // ranking window functions over exact (decimal) per-user totals —
+    // computed by the distributed range-partitioned ranking operator, not
+    // an unpartitioned window (which would drag every per-user aggregate
+    // into a single task; see operators/Ranking).
     Q("q_user_rank",
       (s, d) => {
         val totals = ev(s, d).groupBy("user_id")
           .agg(sum(dec(col("value"))).as("tv"), count(lit(1)).as("n_events"))
-        totals
-          .withColumn("rnk", rank().over(Window.orderBy(col("tv").desc)))
-          .withColumn("drnk", dense_rank().over(Window.orderBy(col("n_events").desc)))
+        val ranked = graft.operators.Ranking.withGlobalRank(
+          graft.operators.Ranking.withGlobalRank(
+            totals, col("tv"), ascending = false, "rnk"),
+          col("n_events"), ascending = false, "drnk", dense = true)
+        ranked
           .select(col("user_id"), round(col("tv").cast("double"), 3).as("total_value"),
             col("n_events"), col("rnk"), col("drnk"))
           .orderBy("user_id")
@@ -406,15 +411,20 @@ object EventQueries {
       headline = true),
 
     // ordered array aggregation: per-user sorted distinct event types.
+    // Exploded to flat (user_id, pos, event) rows — the driver's value
+    // hasher needs hashable scalars, and position-exploding still checks
+    // the array's exact content AND order.
     Q("q_array_agg",
       (s, d) => ev(s, d)
+        .filter(col("user_id") < 50)
         .groupBy(col("user_id"))
         .agg(sort_array(collect_set(col("event_type"))).as("events"))
-        .filter(col("user_id") < 50)
-        .orderBy("user_id"),
-      Some("""SELECT user_id, list_sort(list_distinct(list(event_type))) AS events
-             |FROM events WHERE user_id < 50 GROUP BY user_id
-             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+        .select(col("user_id"), posexplode(col("events")).as(Seq("pos", "event")))
+        .orderBy("user_id", "pos"),
+      Some("""WITH a AS (SELECT user_id, list_sort(list_distinct(list(event_type))) AS events
+             |FROM events WHERE user_id < 50 GROUP BY user_id)
+             |SELECT user_id, unnest(range(len(events))) AS pos, unnest(events) AS event
+             |FROM a ORDER BY user_id, pos""".stripMargin.replace("\n", " "))),
 
     // sliding window (2h window, 1h slide) — every window with ≥1 event.
     Q("q_window_sliding",

@@ -135,6 +135,12 @@ object WebLogQueries {
           .withColumn("seq", lit(2L))
         t.write(updates, "seq")
         t.write(updates, "seq") // replay: must be idempotent
+        // out-of-order replay of the OLDER batch (stale hostnames,
+        // seq=1 < the committed seq=2): last-write-wins must keep the
+        // newer rows — the adversarial ordering an incoming-always-wins
+        // merge silently corrupts.
+        t.write(base.filter(hour(to_timestamp(col("timestamp"),
+          WebLogSchema.TsPattern)) < 12), "seq")
         t.read.select("user_id", "timestamp", "event", "hostname")
           .orderBy("timestamp", "user_id")
       },

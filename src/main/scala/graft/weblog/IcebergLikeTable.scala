@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * Emulation: partitioned parquet (partition column `event`, like the
   * reference's `PARTITIONED BY (event)`, `README.md:181`) + a merge in
   * three steps: (1) last-write-wins dedup of the incoming batch on the
-  * unique keys, (2) anti-join the *affected partitions only* against the
-  * batch keys, (3) dynamic-partition-overwrite of exactly those
-  * partitions. Untouched partitions are never rewritten — at 100 TB the
-  * merge cost is proportional to the hot partitions, not the table.
+  * unique keys, (2) order-aware merge of the *affected partitions only*
+  * — per key, the max-`orderCol` row across stored ∪ incoming wins, so a
+  * replayed/out-of-order batch can never clobber newer data, (3)
+  * dynamic-partition-overwrite of exactly those partitions. Untouched
+  * partitions are never rewritten — at 100 TB the merge cost is
+  * proportional to the hot partitions, not the table.
   */
 final case class IcebergLikeTable(
     spark: SparkSession,
@@ -45,10 +47,15 @@ final case class IcebergLikeTable(
       .option("compression", "snappy")
       .parquet(path)
 
-  /** S10 upsert path (`operation='update'`). `orderCol` breaks intra-batch
-    * duplicate keys last-write-wins (arrival order in the reference's
+  /** S10 upsert path (`operation='update'`). `orderCol` decides
+    * last-write-wins — both for duplicate keys inside the batch AND
+    * against rows already in the table (arrival order in the reference's
     * stream; callers pass a sequence/arrival column — may be a struct,
     * e.g. `(batch, mid)`, which orders lexicographically batch-major).
+    * Because the stored `orderCol` participates in the merge, replaying
+    * an OLDER micro-batch after a newer one has committed cannot
+    * overwrite the newer rows — the exact failure mode of an
+    * incoming-always-wins merge under out-of-order replay.
     */
   def upsert(batch: DataFrame, orderCol: String): Unit = {
     require(uniqueKeys.nonEmpty, "upsert requires declared unique_keys")
@@ -67,8 +74,13 @@ final case class IcebergLikeTable(
     val parts = deduped.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
     val old = read.filter(col(partitionCol).isin(parts: _*))
-    val merged = old.join(deduped, uniqueKeys, "left_anti")
-      .unionByName(deduped.selectExpr(cols: _*))
+    // keep the max-orderCol row per key across (stored ∪ incoming); the
+    // shuffle is on the unique keys of the hot partitions only, same as
+    // the anti-join it replaces, but order-aware.
+    val merged = old.unionByName(deduped.selectExpr(cols: _*))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
 
     // Parquet can't overwrite a path that feeds the same plan — stage the
     // merged partitions, then dynamic-overwrite only those partitions.

@@ -84,6 +84,46 @@ class PlanSpec extends SparkTestBase {
       s"winnowing should compile to the native expression:\n$p")
   }
 
+  test("global ranking is range-partitioned — no single-partition window") {
+    import org.apache.spark.sql.functions._
+    // the distributed core of Ranking: a range shuffle + a per-partition
+    // window; an unpartitioned window would show `SinglePartition`.
+    val totals = Tables.events(spark, sf001).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    val core = graft.operators.Ranking
+      .localRanked(totals, col("n"), ascending = false, dense = false)
+    val p = core.queryExecution.explainString(SimpleMode)
+    assert(p.contains("rangepartitioning"),
+      s"ranking must range-partition on the sort key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"ranking must not plan a single-partition exchange:\n$p")
+    // and the full gate query keeps that property end to end
+    assert(!plan("q_user_rank").contains("SinglePartition"))
+  }
+
+  test("LSH ANN never shuffles or distincts embedding vectors") {
+    val p = plan("sim_lsh_ann")
+    val aggs = p.linesIterator.filter(_.contains("HashAggregate(keys=")).toSeq
+    assert(aggs.nonEmpty, s"expected a candidate-pair distinct:\n$p")
+    aggs.foreach { l =>
+      assert(!l.contains("embedding") && !l.contains("va#") && !l.contains("vb#"),
+        s"distinct must key on ids only, not vectors: $l")
+    }
+  }
+
+  test("multimodal pipelines keep media bytes out of every shuffle") {
+    for (q <- Seq("multimodal_meta", "multimodal_features", "multimodal_frames")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle the media payload (only the final " +
+          s"ORDER BY's range exchange is allowed):\n$p")
+      p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+        assert(!l.contains("media#") && !l.contains("frame#"),
+          s"$q shuffles media bytes: $l")
+      }
+    }
+  }
+
   test("stratified sampling pushes the per-stratum filter into one scan pass") {
     val p = plan("corpus_sample_stratified")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),

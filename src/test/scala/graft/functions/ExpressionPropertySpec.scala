@@ -86,6 +86,35 @@ class ExpressionPropertySpec extends SparkTestBase {
     }
   }
 
+  test("simhash bit-balance fold equals a direct reimplementation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // model: bit j of the simhash is set iff more input hashes have bit j
+    // set than not (strict majority).
+    def model(hs: Seq[Long]): Long = {
+      var out = 0L
+      var j = 0
+      while (j < 64) {
+        val bal = hs.foldLeft(0L)((acc, h) =>
+          acc + (if (((h >> j) & 1L) == 1L) 1L else -1L))
+        if (bal > 0) out |= (1L << j)
+        j += 1
+      }
+      out
+    }
+    val gen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val cases = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    forAll(gen, n = 150)(hs => cases += hs)
+    cases += Seq.empty // empty word set → 0L
+    val df = cases.toSeq.zipWithIndex.map { case (hs, i) => (i, hs) }.toDF("id", "hs")
+    val got = df
+      .select(col("id"), graft.operators.Dedup.simhashFromHashes(col("hs")).as("sh"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    cases.toSeq.zipWithIndex.foreach { case (hs, i) =>
+      assert(got(i) == model(hs), s"hs=$hs")
+    }
+  }
+
   test("sorted_intersect_count equals set intersection size on sorted distinct arrays") {
     val cases = Gen.zip(
       Gen.listOf(Gen.chooseNum(0L, 50L)).map(_.distinct.sorted),

@@ -47,4 +47,25 @@ class IcebergIngestSpec extends SparkTestBase {
       .filter(_.startsWith("event="))
     assert(parts.nonEmpty)
   }
+
+  test("out-of-order replay: an older batch cannot clobber newer rows") {
+    import spark.implicits._
+    // batch-major `_seq` struct ordering: a stale replay (lower batch id)
+    // of a key already committed by a newer batch must lose the merge.
+    val dir = Files.createTempDirectory("ice-stale").toString
+    val table = IcebergLikeTable(spark, s"$dir/t", "event",
+      uniqueKeys = Seq("user_id", "timestamp"))
+    def batchDf(batchId: Long, host: String) =
+      Seq(("u1", "2024-03-05T06:00:00Z", "view", host))
+        .toDF("user_id", "timestamp", "event", "hostname")
+        .withColumn("_seq", struct(
+          lit(batchId).as("batch"),
+          monotonically_increasing_id().as("mid")))
+    table.write(batchDf(1L, "old.example"), "_seq")
+    table.write(batchDf(2L, "new.example"), "_seq")
+    table.write(batchDf(1L, "old.example"), "_seq") // stale replay
+    val hosts = table.read.select("hostname").collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("new.example"),
+      s"stale replay must not win last-write-wins: ${hosts.toSeq}")
+  }
 }
