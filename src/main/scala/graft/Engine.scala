@@ -42,13 +42,27 @@ final class Engine(val spark: SparkSession,
     * `s3://aws-athena-query-results-…`). Runs the SQL, writes the result
     * set as headered CSV under `<resultLocation>/<queryId>/`, returns
     * (queryId, frame).
+    *
+    * The single CSV object means ONE task serializes the whole result —
+    * correct for Athena-sized result sets, a bottleneck for
+    * table-exports. `maxResultRows` guards that: results above the cap
+    * fail loudly with advice to write parquet directly, instead of
+    * silently crawling through one task. The cap is enforced with a
+    * LIMIT cap+1 probe, so the guard never scans more than the cap.
     */
-  def execute(query: String): (String, DataFrame) = {
+  def execute(query: String, maxResultRows: Long = 1000000L): (String, DataFrame) = {
     val loc = resultLocation.getOrElse(
       throw new IllegalStateException("no result location configured for this workgroup"))
     val id = java.util.UUID.nameUUIDFromBytes(
       (query + loc).getBytes("UTF-8")).toString
     val df = sql(query)
+    val cap = math.min(maxResultRows, Int.MaxValue - 1L).toInt
+    val probe = df.limit(cap + 1).count()
+    if (probe > maxResultRows)
+      throw new IllegalStateException(
+        s"result set exceeds $maxResultRows rows; a single-object CSV result " +
+          "would serialize through one task — write the frame out as " +
+          "partitioned parquet instead, or raise maxResultRows explicitly")
     df.coalesce(1).write.mode("overwrite")
       .option("header", "true")
       .csv(s"$loc/$id")

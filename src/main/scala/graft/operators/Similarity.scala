@@ -72,8 +72,10 @@ object Similarity {
 
   /** Deterministic random hyperplanes: `nBits` unit-free normals per
     * table, seeded — same plan on every executor and every run.
+    * `private[graft]` so the correctness gate can replay the identical
+    * planes as SQL literals in the DuckDB oracle.
     */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val r = new Random(seed)
     Array.fill(nBits)(Array.fill(dim)(r.nextGaussian()))
   }

@@ -26,6 +26,62 @@ object ExtensionQueries {
     s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> list_contains($list, w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE) AS s_$l"
   }.mkString(", ")
 
+  /** DuckDB replay of `Similarity.lshNearDupPairs`: the SAME seeded
+    * hyperplanes are emitted as double literals, and `list_dot_product`
+    * over DOUBLE[] folds left-to-right exactly like the native `dot_vec`
+    * — so sign bits, signatures, candidate buckets and verified cosines
+    * are all bit-identical and the approximate path is fully
+    * hash-checked, not rows-only.
+    */
+  private def lshOracleSql(threshold: Double, dim: Int, nBits: Int,
+      nTables: Int, seed: Long): String = {
+    def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+    val sigSelects = (0 until nTables).map { t =>
+      val planes = Similarity.hyperplanes(dim, nBits, seed + t)
+      val bits = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_dot_product(v, ${arr(p)}) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS sig FROM c"
+    }.mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sigs AS ($sigSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cos, 6) AS cos FROM (
+       |  SELECT cand.id_a, cand.id_b,
+       |         list_dot_product(ca.v, cb.v) / sqrt(list_dot_product(ca.v, ca.v) * list_dot_product(cb.v, cb.v)) AS cos
+       |  FROM cand JOIN c ca ON ca.vec_id = cand.id_a JOIN c cb ON cb.vec_id = cand.id_b)
+       |WHERE cos >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB replay of `Similarity.ivfTopK`: centroids are the first
+    * `nCells` corpus vectors by id (same deterministic sample the Spark
+    * side collects), cell ranking mirrors the reversed struct sort
+    * (score DESC, then cell index DESC on ties), probes take the top
+    * `nProbe` cells per query — bit-identical cosines make every step
+    * exact.
+    */
+  private def ivfOracleSql(k: Int, nCells: Int, nProbe: Int,
+      queryPred: String): String =
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
+       |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT $nCells)),
+       |scored AS (SELECT c.vec_id, cent.i,
+       |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
+       |           FROM c, cent),
+       |ranked AS (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS r FROM scored),
+       |assign AS (SELECT vec_id, i AS cell FROM ranked WHERE r = 1),
+       |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked WHERE r <= $nProbe AND $queryPred),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+       |topk AS (SELECT query_id, neighbor_id,
+       |                list_dot_product(q.v, n.v) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(n.v, n.v)) AS cos
+       |         FROM cand JOIN c q ON q.vec_id = cand.query_id JOIN c n ON n.vec_id = cand.neighbor_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 6) AS cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM topk)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
 
     // ---- deduplication ----
@@ -223,15 +279,18 @@ object ExtensionQueries {
              |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
-    // LSH / IVF approximate paths — deterministic (seeded) but their
-    // bucketing is not oracle-expressible → rows-only; recall invariants
-    // are asserted in ScalaTest against the brute-force truth.
+    // LSH / IVF approximate paths — deterministic (seeded), and because
+    // the native dot_vec folds exactly like DuckDB's list_dot_product,
+    // the oracle replays the full bucketing with the hyperplanes /
+    // centroids as SQL literals: every signature, cell assignment and
+    // verified cosine is hash-checked, not just row-counted. Recall
+    // invariants vs the brute-force truth live in ScalaTest.
     Q("sim_lsh_ann",
       // nBits sized for the corpus's moderate-cosine regime: p_bit at
       // cos=0.45 is ~0.65, so 4 bits × 8 tables gives ~92% recall.
       (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d),
         threshold = 0.4, dim = 64, nBits = 4, nTables = 8).orderBy("id_a", "id_b"),
-      None),
+      Some(lshOracleSql(threshold = 0.4, dim = 64, nBits = 4, nTables = 8, seed = 42))),
 
     Q("sim_ivf_topk",
       (s, d) => {
@@ -239,7 +298,7 @@ object ExtensionQueries {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(ivfOracleSql(k = 5, nCells = 16, nProbe = 3, queryPred = "vec_id < 10"))),
 
     // ---- text analysis ----
 
