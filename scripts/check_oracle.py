@@ -8,6 +8,10 @@ import sys, json, glob, os
 import duckdb
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
+# optional 3rd arg: comma-separated query names to skip (e.g. the
+# recursive-CTE keeper oracles, which DuckDB can't evaluate at sf0.1
+# in reasonable time)
+skip_names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -18,6 +22,10 @@ n_pass = n_fail = n_skip = 0
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
+        continue
+    if name in skip_names:
+        print(f"SKIP  {name}: excluded by arg")
+        n_skip += 1
         continue
     got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
     got = got.reindex(sorted(got.columns), axis=1)

@@ -122,35 +122,89 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF-lite ANN: centroids are `nCells` vectors sampled from the corpus
-    * (a deterministic id-ordered sample — a stand-in for a k-means train
-    * step; collecting nCells×dim floats to the driver is O(KB)). Every
-    * corpus vector is assigned to its nearest centroid (one scan, no
-    * shuffle of vectors); queries probe their `nProbe` nearest cells —
-    * the standard recall/latency knob.
+  /** Cells ranked by cosine to each centroid, best first (ties: larger
+    * cell index first — the reversed ascending struct sort).
+    */
+  private def cellsRanked(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (cVec, i) =>
+      struct(cosine(vec, lit(cVec)).as("s"), lit(i).as("i"))
+    }
+    reverse(array_sort(array(scored: _*)))
+  }
+
+  /** Deterministic centroid seed: the first `k` corpus vectors by id
+    * (collecting k×dim doubles to the driver is O(KB)).
+    */
+  private def seedCentroids(corpus: DataFrame, k: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).select(col(vecCol)).limit(k)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Distributed k-means (Lloyd) for IVF centroid training. Each round:
+    * assign every vector to its best cell by cosine — a scan-stage
+    * projection over broadcast centroid literals, no shuffle of vectors —
+    * then update centroids as per-cell means via `dim` sum aggregates
+    * (map-side partials; the only shuffle moves k×(dim+1) partial sums
+    * per task, never a vector). Centroids live on the driver between
+    * rounds (k×dim doubles). Empty cells keep their previous centroid.
+    * Deterministic given the id-ordered seed; at 100 TB run the rounds
+    * on a sample — assignment quality needs centroid *positions*, not
+    * every point's vote.
+    */
+  def kmeansCentroids(corpus: DataFrame, k: Int, dim: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    DotVec.register(corpus.sparkSession)
+    var centroids = seedCentroids(corpus, k, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        cellsRanked(col(vecCol), centroids).getItem(0).getField("i").as("cell"))
+      val aggs = (0 until dim).map(i => sum(col("v").getItem(i)).as(s"_s$i")) :+
+        count(lit(1)).as("_n")
+      val next = centroids.map(_.clone())
+      assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*).collect().foreach { row =>
+        val cell = row.getInt(0)
+        val n = row.getLong(dim + 1).toDouble
+        next(cell) = Array.tabulate(dim)(i => row.getDouble(i + 1) / n)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Mean cosine distance of every vector to its assigned centroid — the
+    * (spherical) k-means objective; must not increase across Lloyd
+    * rounds. One scan, no shuffle.
+    */
+  def kmeansObjective(corpus: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): Double = {
+    DotVec.register(corpus.sparkSession)
+    corpus.select((lit(1.0) -
+        cellsRanked(col(vecCol), centroids).getItem(0).getField("s")).as("d"))
+      .agg(avg(col("d"))).collect()(0).getDouble(0)
+  }
+
+  /** IVF ANN: centroids default to the deterministic id-ordered sample
+    * (`trainIters = 0` — the gate-checked configuration, exactly
+    * replayable in SQL); `trainIters > 0` refines them with that many
+    * distributed Lloyd rounds (`kmeansCentroids`) for tighter cells and
+    * better recall at the same `nProbe`. Every corpus vector is assigned
+    * to its best cell in the scan stage (no shuffle of vectors); queries
+    * probe their `nProbe` nearest cells — the standard recall/latency
+    * knob.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = 16, nProbe: Int = 3,
+      nCells: Int = 16, nProbe: Int = 3, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     DotVec.register(corpus.sparkSession)
-    val centroids: Array[Seq[Double]] = corpus
-      .orderBy(col(idCol))
-      .select(col(vecCol)).limit(nCells)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble))
-    def cellsRanked(vec: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (cVec, i) =>
-        struct(cosine(vec, lit(cVec.toArray)).as("s"), lit(i).as("i"))
-      }
-      reverse(array_sort(array(scored: _*)))
-    }
-    def topCell(vec: Column): Column = cellsRanked(vec).getItem(0).getField("i")
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(corpus, nCells, dim, trainIters, idCol, vecCol)
+      else seedCentroids(corpus, nCells, idCol, vecCol)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      topCell(col(vecCol)).as("cell"))
+      cellsRanked(col(vecCol), centroids).getItem(0).getField("i").as("cell"))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(transform(slice(cellsRanked(col(vecCol)), 1, nProbe),
+        explode(transform(slice(cellsRanked(col(vecCol), centroids), 1, nProbe),
           s => s.getField("i"))).as("cell")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

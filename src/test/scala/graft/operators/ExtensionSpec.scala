@@ -99,6 +99,26 @@ class ExtensionSpec extends SparkTestBase {
     assert(hits >= 8, s"IVF recall@1 too low: $hits/20")
   }
 
+  test("k-means training tightens cells and keeps IVF recall") {
+    val seed = Similarity.kmeansCentroids(emb, k = 16, dim = 64, iters = 0)
+    val trained = Similarity.kmeansCentroids(emb, k = 16, dim = 64, iters = 3)
+    val objSeed = Similarity.kmeansObjective(emb, seed)
+    val objTrained = Similarity.kmeansObjective(emb, trained)
+    // Lloyd rounds must improve the mean cosine distance to the assigned
+    // centroid (small slack: the mean update is the spherical-k-means
+    // optimum only for normalized vectors)
+    assert(objTrained < objSeed,
+      s"k-means objective did not improve: $objSeed -> $objTrained")
+    val truth = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val approx = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        k = 1, dim = 64, trainIters = 3)
+      .select(col("query_id"), col("neighbor_id").as("ivf_nn"))
+    val hits = truth.join(approx, "query_id")
+      .filter(col("true_nn") === col("ivf_nn")).count()
+    assert(hits >= 8, s"trained-IVF recall@1 too low: $hits/20")
+  }
+
   test("LSH near-dup pairs are a high-recall subset of exact cosine pairs") {
     val exact = Similarity.cosineNearDupPairs(emb, 0.4).select("id_a", "id_b")
     val lsh = Similarity.lshNearDupPairs(emb, 0.4, dim = 64, nBits = 4, nTables = 8)
