@@ -130,6 +130,11 @@ object Dedup {
   private def minhashCore(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = coreMemo.synchronized {
     val key = s"$textCol/$idCol/" + planKey(df)
+    // bounded: a long-lived session sweeping many corpora must not pin
+    // checkpoint blocks forever — FIFO-evict; dropped entries' RDDs are
+    // reclaimed by the ContextCleaner once unreferenced.
+    if (coreMemo.size >= 8 && !coreMemo.contains((df.sparkSession, key, n, k, bands, threshold)))
+      coreMemo.remove(coreMemo.head._1)
     coreMemo.getOrElseUpdate((df.sparkSession, key, n, k, bands, threshold),
       minhashCoreCompute(df, textCol, idCol, n, k, bands, threshold))
   }
@@ -213,7 +218,8 @@ object Dedup {
       idCol: String = "doc_id", n: Int = 1, k: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     val (groups, repPairs) = minhashCore(df, textCol, idCol, n, k, bands, threshold)
-    val labels = clusters(repPairs.select(col("id_a"), col("id_b")))
+    val labels = clusters(repPairs.select(col("id_a"), col("id_b")),
+      pairsMaterialized = true)
     val drop = groups
       .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
       .select(explode(col("members")).as(idCol),
@@ -279,14 +285,18 @@ object Dedup {
     *
     * Returns (id, cluster) where cluster = min doc id of the component.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 30,
+      pairsMaterialized: Boolean = false): DataFrame = {
     // checkpoint the edge list once: `pairs` is typically an expensive
     // pipeline (LSH candidates + verification), and the loop scans edges
     // in every round — without this the full pair computation re-runs
-    // per iteration (measured 8x slower at sf0.1).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // per iteration (measured 8x slower at sf0.1). Callers whose pairs
+    // are ALREADY a checkpointed frame (minhashKeepers) skip the second
+    // materialization — re-scanning cached pairs twice per round is
+    // cheaper than copying them.
+    val edgesPlan = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+    val edges = if (pairsMaterialized) edgesPlan else edgesPlan.localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
