@@ -45,10 +45,11 @@ final class Engine(val spark: SparkSession,
     *
     * The single CSV object means ONE task serializes the whole result —
     * correct for Athena-sized result sets, a bottleneck for
-    * table-exports. `maxResultRows` guards that: results above the cap
-    * fail loudly with advice to write parquet directly, instead of
-    * silently crawling through one task. The cap is enforced with a
-    * LIMIT cap+1 probe, so the guard never scans more than the cap.
+    * table-exports. `maxResultRows` guards that: the query executes ONCE,
+    * distributed, into a parquet staging dir; the (metadata-cheap) staged
+    * row count gates the final single-object CSV copy, so an oversized
+    * result fails loudly before any one-task crawl and without
+    * re-running the query.
     */
   def execute(query: String, maxResultRows: Long = 1000000L): (String, DataFrame) = {
     val loc = resultLocation.getOrElse(
@@ -56,16 +57,25 @@ final class Engine(val spark: SparkSession,
     val id = java.util.UUID.nameUUIDFromBytes(
       (query + loc).getBytes("UTF-8")).toString
     val df = sql(query)
-    val cap = math.min(maxResultRows, Int.MaxValue - 1L).toInt
-    val probe = df.limit(cap + 1).count()
-    if (probe > maxResultRows)
+    // staging lives OUTSIDE $loc/$id — the final overwrite of $loc/$id
+    // must not delete the staged files it is reading from.
+    val staging = s"$loc/.staging_$id"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val n = staged.count() // parquet footer count — no data scan
+    if (n > maxResultRows) {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       throw new IllegalStateException(
-        s"result set exceeds $maxResultRows rows; a single-object CSV result " +
-          "would serialize through one task — write the frame out as " +
-          "partitioned parquet instead, or raise maxResultRows explicitly")
-    df.coalesce(1).write.mode("overwrite")
+        s"result set has $n rows (> $maxResultRows); a single-object CSV " +
+          "result would serialize through one task — write the frame out " +
+          "as partitioned parquet instead, or raise maxResultRows explicitly")
+    }
+    staged.coalesce(1).write.mode("overwrite")
       .option("header", "true")
       .csv(s"$loc/$id")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     (id, df)
   }
 }

@@ -105,39 +105,65 @@ object Dedup {
     * dedup operators over one corpus is the common shape in both the
     * correctness gate and a real pipeline).
     */
+  private type CoreKey = (SparkSession, String, Int, Int, Int, Double)
+  // insertion-ordered with true FIFO eviction: a long-lived session
+  // sweeping many corpora must not pin checkpoint blocks forever;
+  // dropped entries' RDDs are reclaimed by the ContextCleaner once
+  // unreferenced.
   private val coreMemo =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String, Int, Int, Int, Double), (DataFrame, DataFrame)]
+    new java.util.LinkedHashMap[CoreKey, (DataFrame, DataFrame)](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[CoreKey, (DataFrame, DataFrame)]): Boolean = size > 8
+    }
 
-  /** Cache key for an input frame: the canonicalized plan string PLUS the
-    * scan root paths and any local-relation data hash — the canonicalized
-    * string alone prints `Relation [cols] parquet` without the path, so
-    * reads of the same table at different scale factors would collide.
+  /** Cache key for an input frame, or None when the plan's leaves aren't
+    * identifiable (then the core is computed uncached — never risk
+    * returning another corpus's result). The key is the canonicalized
+    * plan string PLUS the scan root paths AND the concrete input file
+    * list (the canonicalized string alone prints `Relation [cols]
+    * parquet` without the path, so reads of the same table at different
+    * scale factors would collide; the file list catches a path whose
+    * contents were rewritten or appended mid-session) plus any
+    * local-relation data hash.
     */
-  private def planKey(df: DataFrame): String = {
-    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+  private def planKey(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val analyzed = df.queryExecution.analyzed
-    val leaves = analyzed.collect {
+    val leaves = analyzed.collect { case l: LeafNode => l }
+    val ids = leaves.map {
       case l: LogicalRelation => l.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
-        case r => r.toString
+        case fs: HadoopFsRelation => Some(fs.location.rootPaths.mkString(","))
+        case _ => None
       }
-      case lr: LocalRelation => s"local:${lr.data.hashCode}"
-    }.mkString("|")
-    leaves + "##" + analyzed.canonicalized.toString
+      case lr: LocalRelation => Some(s"local:${lr.data.hashCode}")
+      case _ => None // RDD-backed / V2 / streaming leaf: not identifiable
+    }
+    if (ids.exists(_.isEmpty)) None
+    else Some(ids.flatten.mkString("|") +
+      s"#files:${df.inputFiles.sorted.mkString(",").hashCode}" +
+      "##" + analyzed.canonicalized.toString)
   }
 
   private def minhashCore(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = coreMemo.synchronized {
-    val key = s"$textCol/$idCol/" + planKey(df)
-    // bounded: a long-lived session sweeping many corpora must not pin
-    // checkpoint blocks forever — FIFO-evict; dropped entries' RDDs are
-    // reclaimed by the ContextCleaner once unreferenced.
-    if (coreMemo.size >= 8 && !coreMemo.contains((df.sparkSession, key, n, k, bands, threshold)))
-      coreMemo.remove(coreMemo.head._1)
-    coreMemo.getOrElseUpdate((df.sparkSession, key, n, k, bands, threshold),
-      minhashCoreCompute(df, textCol, idCol, n, k, bands, threshold))
-  }
+      n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) =
+    planKey(df) match {
+      case None =>
+        minhashCoreCompute(df, textCol, idCol, n, k, bands, threshold)
+      case Some(pk) =>
+        val key: CoreKey =
+          (df.sparkSession, s"$textCol/$idCol/$pk", n, k, bands, threshold)
+        val cached = coreMemo.synchronized(Option(coreMemo.get(key)))
+        cached.getOrElse {
+          // compute OUTSIDE the lock — a multi-minute Spark job must not
+          // serialize unrelated dedup work; a lost race just means one
+          // redundant compute whose result is discarded.
+          val v = minhashCoreCompute(df, textCol, idCol, n, k, bands, threshold)
+          coreMemo.synchronized {
+            Option(coreMemo.get(key)).getOrElse { coreMemo.put(key, v); v }
+          }
+        }
+    }
 
   private def minhashCoreCompute(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {

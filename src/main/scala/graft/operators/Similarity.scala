@@ -100,9 +100,13 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     DotVec.register(corpus.sparkSession)
     // signatures computed in the scan stage; only (id, table, sig) — three
-    // longs per row — enters the bucket join and the candidate distinct.
-    // Vectors rejoin by id for the (small) verified short-list only, so no
-    // shuffle ever carries a dim-sized array.
+    // longs per row — enters the bucket join and the candidate distinct,
+    // so the nTables-amplified exchanges and the distinct's hash keys
+    // never touch a vector. Vectors then rejoin by id: each corpus
+    // vector crosses the wire at most once per join side (linear,
+    // un-amplified — the standard verification-join shape the MinHash
+    // pipeline uses for text), and AQE broadcasts the candidate side
+    // when it is small.
     val sigs = corpus.select(
       col(idCol),
       posexplode(array((0 until nTables).map(t =>

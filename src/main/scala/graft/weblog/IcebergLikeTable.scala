@@ -76,11 +76,16 @@ final case class IcebergLikeTable(
     val old = read.filter(col(partitionCol).isin(parts: _*))
     // keep the max-orderCol row per key across (stored ∪ incoming); the
     // shuffle is on the unique keys of the hot partitions only, same as
-    // the anti-join it replaces, but order-aware.
-    val merged = old.unionByName(deduped.selectExpr(cols: _*))
-      .withColumn("_rn", row_number().over(w))
+    // the anti-join it replaces, but order-aware. Ties on orderCol break
+    // toward the INCOMING row (MERGE semantics: an exact re-send with the
+    // same sequence but corrected content must still win).
+    val mergeW = Window.partitionBy(keyCols: _*)
+      .orderBy(col(orderCol).desc, col("_is_new").desc)
+    val merged = old.withColumn("_is_new", lit(0))
+      .unionByName(deduped.selectExpr(cols: _*).withColumn("_is_new", lit(1)))
+      .withColumn("_rn", row_number().over(mergeW))
       .filter(col("_rn") === 1)
-      .drop("_rn")
+      .drop("_rn", "_is_new")
 
     // Parquet can't overwrite a path that feeds the same plan — stage the
     // merged partitions, then dynamic-overwrite only those partitions.

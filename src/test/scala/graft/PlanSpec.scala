@@ -84,10 +84,12 @@ class PlanSpec extends SparkTestBase {
       s"winnowing should compile to the native expression:\n$p")
   }
 
-  test("global ranking is range-partitioned — no single-partition window") {
+  test("global ranking is one range shuffle — no single-partition, no second exchange") {
     import org.apache.spark.sql.functions._
-    // the distributed core of Ranking: a range shuffle + a per-partition
-    // window; an unpartitioned window would show `SinglePartition`.
+    // the distributed core of Ranking: one range shuffle + an in-stage
+    // mapPartitions rank. An unpartitioned window would show
+    // `SinglePartition`; a window over spark_partition_id() would add a
+    // second full-frame hash exchange on top of the aggregate's.
     val totals = Tables.events(spark, sf001).groupBy("user_id")
       .agg(count(lit(1)).as("n"))
     val core = graft.operators.Ranking
@@ -97,6 +99,11 @@ class PlanSpec extends SparkTestBase {
       s"ranking must range-partition on the sort key:\n$p")
     assert(!p.contains("SinglePartition"),
       s"ranking must not plan a single-partition exchange:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    // one for the input aggregate, one range shuffle for the ranking —
+    // nothing else
+    assert(exchanges == 2,
+      s"expected exactly the aggregate + range exchanges, got $exchanges:\n$p")
     // and the full gate query keeps that property end to end
     assert(!plan("q_user_rank").contains("SinglePartition"))
   }

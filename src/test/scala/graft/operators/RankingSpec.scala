@@ -51,6 +51,27 @@ class RankingSpec extends SparkTestBase {
     check(seed = 5, n = 500, distinctKeys = 20, ascending = false, dense = true)
   }
 
+  test("null keys rank like the window ground truth (nulls group together)") {
+    import spark.implicits._
+    val df = (Seq[(Long, Option[Long])]((0L, None), (1L, Some(5L)), (2L, None),
+      (3L, Some(5L)), (4L, Some(9L)), (5L, Some(1L)), (6L, None)))
+      .toDF("id", "key").repartition(5)
+    for (asc <- Seq(true, false); dense <- Seq(true, false)) {
+      val sortExpr = if (asc) col("key").asc else col("key").desc
+      val expected = df
+        .withColumn("want",
+          (if (dense) dense_rank() else rank()).over(Window.orderBy(sortExpr)))
+        .select("id", "want")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Ranking.withGlobalRank(df, col("key"), asc, "got", dense)
+        .select("id", "got")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      expected.foreach { case (id, want) =>
+        assert(got(id) == want.toLong, s"id=$id asc=$asc dense=$dense: got ${got(id)}, want $want")
+      }
+    }
+  }
+
   test("degenerate inputs: empty frame and all-equal keys") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id", "key")

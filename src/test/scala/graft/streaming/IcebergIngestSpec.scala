@@ -67,5 +67,11 @@ class IcebergIngestSpec extends SparkTestBase {
     val hosts = table.read.select("hostname").collect().map(_.getString(0))
     assert(hosts.toSeq == Seq("new.example"),
       s"stale replay must not win last-write-wins: ${hosts.toSeq}")
+    // equal-seq re-send with corrected content: MERGE semantics — the
+    // incoming row must deterministically beat the stored one.
+    table.write(batchDf(2L, "corrected.example"), "_seq")
+    val after = table.read.select("hostname").collect().map(_.getString(0))
+    assert(after.toSeq == Seq("corrected.example"),
+      s"incoming must win orderCol ties: ${after.toSeq}")
   }
 }
