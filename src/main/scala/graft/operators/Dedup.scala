@@ -389,6 +389,48 @@ object Dedup {
       .drop("_rn", "_cluster", "cluster")
   }
 
+  /** Benchmark decontamination: (corpus_id, ref_id, jaccard) for every
+    * corpus document whose word-n-gram Jaccard against a reference
+    * (benchmark / eval-set) document reaches `threshold`. The reference
+    * side is tiny by definition (benchmarks are KB–MB against a 100 TB
+    * corpus), so its exploded posting list is BROADCAST: the corpus side
+    * never shuffles — shingle, hash-join in the scan stage, partial-agg
+    * the co-occurrence counts on (corpus_id, ref_id). The only exchange
+    * carries candidate id pairs.
+    */
+  def contaminationPairs(corpus: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    def sh(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val corpusSh = sh(corpus, "corpus_id")
+    val refSh = sh(ref, "ref_id")
+    val refPost = broadcast(refSh.select(col("ref_id"), explode(col("sh")).as("s")))
+    val refSizes = broadcast(refSh.select(col("ref_id"), size(col("sh")).as("nb")))
+    corpusSh.select(col("corpus_id"), size(col("sh")).as("na"), explode(col("sh")).as("s"))
+      .join(refPost, "s")
+      .groupBy("corpus_id", "ref_id")
+      .agg(first(col("na")).as("na"), count(lit(1)).as("common"))
+      .join(refSizes, "ref_id")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The corpus minus every document contaminated by the reference set
+    * (any Jaccard ≥ threshold match) — one broadcast pass + a left-anti
+    * join on the (short) contaminated-id list.
+    */
+  def decontaminate(corpus: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    val bad = contaminationPairs(corpus, ref, textCol, idCol, n, threshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via an inverted-index
     * join (explode shingles, join on shingle, count co-occurrences) —
     * the classic scalable exact algorithm: work is proportional to

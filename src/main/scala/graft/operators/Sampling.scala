@@ -37,4 +37,30 @@ object Sampling {
       .filter(col("_m").isNotNull && pmod(col(idCol), col("_m")) === 0)
       .drop("_m")
   }
+
+  /** Token-budget corpus mixing: per source, keep documents in
+    * deterministic id order until the source's token budget is reached —
+    * the "data mixture weights" step of a training pipeline, expressed
+    * so the mix is reproducible and auditable (same docs on every run,
+    * any layout, any engine). A document is kept iff the cumulative
+    * token count BEFORE it is still under budget, so the straddling doc
+    * is included (budgets are floors, matching Packing's bin rule) and a
+    * single over-budget doc can't starve its source. Sources without a
+    * budget are dropped (explicit allowlist, like [[stratified]]). One
+    * shuffle on the source column; the cumsum is a per-source window.
+    */
+  def mixByTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, budgets: Map[String, Long]): DataFrame = {
+    val b: Column = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_budget", b)
+      .withColumn("_cum", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .filter(col("_budget").isNotNull && col("_cum") < col("_budget"))
+      .drop("_budget", "_cum")
+  }
 }

@@ -384,6 +384,69 @@ object ExtensionQueries {
     // keyed on doc_id; unconfigured strata drop (explicit allowlist).
     // Reproducible by construction — the oracle recomputes the exact
     // same sample from the rate table alone.
+    // benchmark decontamination: corpus docs whose word-Jaccard against
+    // the (synthetic) benchmark slice reaches 0.8 — the oracle recomputes
+    // the full cross inverted-index join, so the broadcast-postings plan
+    // is proven exact; decon_clean hash-checks the kept corpus.
+    Q("decon_pairs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminationPairs(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0), threshold = 0.8)
+          .orderBy("corpus_id", "ref_id")
+      },
+      Some("""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w
+             |          WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0 GROUP BY 1, 2)
+             |SELECT corpus_id, ref_id,
+             |       round(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
+             |FROM pairs JOIN cnt ca ON corpus_id = ca.doc_id JOIN cnt cb ON ref_id = cb.doc_id
+             |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8
+             |ORDER BY corpus_id, ref_id""".stripMargin.replace("\n", " "))),
+
+    Q("decon_clean",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminate(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0), threshold = 0.8)
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some("""WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |bad AS (SELECT DISTINCT a.doc_id AS corpus_id
+             |        FROM dw a JOIN dw b ON a.w = b.w
+             |        JOIN cnt ca ON a.doc_id = ca.doc_id JOIN cnt cb ON b.doc_id = cb.doc_id
+             |        WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+             |        GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+             |        HAVING CAST(count(*) AS DOUBLE) / CAST(ca.n + cb.n - count(*) AS DOUBLE) >= 0.8)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM bad)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // token-budget data mixing: per-source floors in deterministic id
+    // order — the mixture-weights step, reproducible and auditable; the
+    // oracle replays the same cumsum-window rule.
+    Q("corpus_mix_tokens",
+      (s, d) => graft.operators.Sampling.mixByTokenBudget(
+          Tables.documents(s, d)
+            .withColumn("n_tokens", size(split(col("text"), "\\s+"))),
+          "source", "doc_id", "n_tokens",
+          Map("src1" -> 600L, "src2" -> 400L, "src5" -> 10000L, "src7" -> 300L))
+        .select("doc_id", "source", "n_tokens").orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, source, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, source, n_tokens,
+             |             CASE source WHEN 'src1' THEN 600 WHEN 'src2' THEN 400
+             |                         WHEN 'src5' THEN 10000 WHEN 'src7' THEN 300 END AS budget,
+             |             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+             |      FROM t)
+             |SELECT doc_id, source, n_tokens FROM c
+             |WHERE budget IS NOT NULL AND cum < budget
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     Q("corpus_sample_stratified",
       (s, d) => graft.operators.Sampling.stratified(
           Tables.documents(s, d), "lang", "doc_id",

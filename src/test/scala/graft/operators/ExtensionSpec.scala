@@ -128,6 +128,50 @@ class ExtensionSpec extends SparkTestBase {
     assert(recall >= 0.7, s"LSH recall $recall below 0.7")
   }
 
+  test("decontamination agrees with the single-frame exact algorithm") {
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val ref = docs.filter(col("doc_id") % 17 === 0)
+    val pairs = Dedup.contaminationPairs(corpus, ref, threshold = 0.8)
+    // ground truth: exact all-pairs over the union, restricted to pairs
+    // that straddle the corpus/reference split
+    val crossFromAll = Dedup.jaccardPairs(docs, n = 1, threshold = 0.8)
+      .filter((col("id_a") % 17 === 0) =!= (col("id_b") % 17 === 0))
+      .select(
+        when(col("id_a") % 17 === 0, col("id_b")).otherwise(col("id_a")).as("corpus_id"),
+        when(col("id_a") % 17 === 0, col("id_a")).otherwise(col("id_b")).as("ref_id"))
+    val got = pairs.select("corpus_id", "ref_id")
+    assert(got.exceptAll(crossFromAll).count() == 0, "spurious contamination pairs")
+    assert(crossFromAll.exceptAll(got).count() == 0, "missed contamination pairs")
+    // and the cleaned corpus contains exactly the uncontaminated docs
+    val clean = Dedup.decontaminate(corpus, ref, threshold = 0.8)
+    val nBad = pairs.select("corpus_id").distinct().count()
+    assert(clean.count() == corpus.count() - nBad)
+    assert(clean.join(pairs.select(col("corpus_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi").count() == 0)
+  }
+
+  test("token-budget mixing matches a driver-side replay of the cumsum rule") {
+    val budgets = Map("src1" -> 600L, "src2" -> 400L, "src9" -> 1L)
+    val withTokens = docs.withColumn("n_tokens", size(split(col("text"), "\\s+")))
+    val got = Sampling.mixByTokenBudget(withTokens, "source", "doc_id",
+        "n_tokens", budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = withTokens.filter(col("source").isin(budgets.keys.toSeq: _*))
+      .select("source", "doc_id", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).filter { case (_, _, t) =>
+        val keep = cum < budgets(src); cum += t; keep
+      }.toSeq
+    }.map(_._2).toSet
+    assert(got == expected)
+    // budget=1 keeps exactly the first doc of its source (floor semantics)
+    assert(rows.filter(_._1 == "src9").map(_._2).min == got.intersect(
+      rows.filter(_._1 == "src9").map(_._2).toSet).min)
+    assert(got.intersect(rows.filter(_._1 == "src9").map(_._2).toSet).size == 1)
+  }
+
   test("langid is deterministic and covers all docs") {
     val out = docs.select(TextAnalysis.langId(col("text")).as("l"))
     assert(out.filter(col("l").isNull).count() == 0)
