@@ -393,28 +393,42 @@ object Dedup {
     * corpus document whose word-n-gram Jaccard against a reference
     * (benchmark / eval-set) document reaches `threshold`. The reference
     * side is tiny by definition (benchmarks are KB–MB against a 100 TB
-    * corpus), so its exploded posting list is BROADCAST: the corpus side
-    * never shuffles — shingle, hash-join in the scan stage, partial-agg
-    * the co-occurrence counts on (corpus_id, ref_id). The only exchange
-    * carries candidate id pairs.
+    * corpus), so everything reference-side is BROADCAST and the corpus
+    * never shuffles a document.
+    *
+    * Candidates come from PREFIX FILTERING (the AllPairs/PPJoin
+    * principle): under any global total order on shingles — here the
+    * 64-bit shingle hash — two sets with Jaccard ≥ t must share an
+    * element within the first `|x| − ⌈t·|x|⌉ + 1` elements of each, so
+    * only those short prefixes are exploded and joined. That kills the
+    * stopword blowup of a naive posting join (every corpus doc sharing
+    * "the" with every benchmark doc) while provably missing nothing;
+    * candidates are then verified exactly on the full sorted hash sets
+    * with the codegen'd `sorted_intersect_count`. Counts are identical
+    * to string shingles up to 64-bit hash collisions (the same trade
+    * minhash verification makes).
     */
   def contaminationPairs(corpus: DataFrame, ref: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
-    def sh(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out), shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val corpusSh = sh(corpus, "corpus_id")
-    val refSh = sh(ref, "ref_id")
-    val refPost = broadcast(refSh.select(col("ref_id"), explode(col("sh")).as("s")))
-    val refSizes = broadcast(refSh.select(col("ref_id"), size(col("sh")).as("nb")))
-    corpusSh.select(col("corpus_id"), size(col("sh")).as("na"), explode(col("sh")).as("s"))
-      .join(refPost, "s")
-      .groupBy("corpus_id", "ref_id")
-      .agg(first(col("na")).as("na"), count(lit(1)).as("common"))
-      .join(refSizes, "ref_id")
+    def sets(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("shl"))
+      .filter(size(col("shl")) > 0)
+    def prefix(shl: Column) =
+      slice(shl, lit(1), (size(shl) - ceil(size(shl) * threshold) + 1).cast("int"))
+    val c = sets(corpus, "corpus_id")
+    val r = sets(ref, "ref_id")
+    val cPost = c.select(col("corpus_id"), explode(prefix(col("shl"))).as("s"))
+    val rPost = broadcast(r.select(col("ref_id"), explode(prefix(col("shl"))).as("s")))
+    val cand = cPost.join(rPost, "s").select("corpus_id", "ref_id").distinct()
+    graft.functions.SortedIntersectCount.register(corpus.sparkSession)
+    cand
+      .join(c.toDF("corpus_id", "sha"), "corpus_id")
+      .join(broadcast(r.toDF("ref_id", "shb")), "ref_id")
+      .withColumn("common", expr("sorted_intersect_count(sha, shb)"))
       .withColumn("jaccard", col("common").cast("double") /
-        (col("na") + col("nb") - col("common")).cast("double"))
+        (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -158,7 +158,8 @@ object ExtensionQueries {
              |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
              |SELECT doc_id, lang, source FROM documents
              |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
-             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // word-3-gram near-dups (sequence-sensitive): MinHash+LSH on trigram
     // shingles; the oracle rebuilds identical trigram sets with DuckDB
@@ -290,7 +291,8 @@ object ExtensionQueries {
       // cos=0.45 is ~0.65, so 4 bits × 8 tables gives ~92% recall.
       (s, d) => Similarity.lshNearDupPairs(Tables.embeddings(s, d),
         threshold = 0.4, dim = 64, nBits = 4, nTables = 8).orderBy("id_a", "id_b"),
-      Some(lshOracleSql(threshold = 0.4, dim = 64, nBits = 4, nTables = 8, seed = 42))),
+      Some(lshOracleSql(threshold = 0.4, dim = 64, nBits = 4, nTables = 8, seed = 42)),
+      headline = true),
 
     Q("sim_ivf_topk",
       (s, d) => {
@@ -405,7 +407,8 @@ object ExtensionQueries {
              |       round(CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE), 6) AS jaccard
              |FROM pairs JOIN cnt ca ON corpus_id = ca.doc_id JOIN cnt cb ON ref_id = cb.doc_id
              |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8
-             |ORDER BY corpus_id, ref_id""".stripMargin.replace("\n", " "))),
+             |ORDER BY corpus_id, ref_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     Q("decon_clean",
       (s, d) => {
@@ -445,7 +448,8 @@ object ExtensionQueries {
              |      FROM t)
              |SELECT doc_id, source, n_tokens FROM c
              |WHERE budget IS NOT NULL AND cum < budget
-             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     Q("corpus_sample_stratified",
       (s, d) => graft.operators.Sampling.stratified(
