@@ -297,13 +297,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Connected components over a near-dup pair graph (id_a, id_b) by
-    * iterative min-label propagation: every node adopts the smallest
-    * label among itself and its neighbors until fixpoint. Near-dup
-    * clusters are near-cliques, so convergence takes O(cluster diameter)
-    * ≈ 2-4 rounds regardless of corpus size; each round is one shuffle
-    * on node id. `localCheckpoint` truncates the growing lineage so the
-    * loop's plan stays flat.
+  /** Connected components over a near-dup pair graph (id_a, id_b).
+    *
+    * Hybrid by edge count: after shingle-set collapse the rep graph is
+    * tiny relative to the corpus (near-dup graphs are sparse), so below
+    * `driverSolveMaxEdges` the edge list is collected and solved with
+    * union-find on the driver — O(m α(m)) in milliseconds, zero Spark
+    * rounds. Above the bound: iterative min-label propagation — every
+    * node adopts the smallest label among itself and its neighbors until
+    * fixpoint. Near-dup clusters are near-cliques, so convergence takes
+    * O(cluster diameter) ≈ 2-4 rounds regardless of corpus size; each
+    * round is one shuffle on node id. `localCheckpoint` truncates the
+    * growing lineage so the loop's plan stays flat.
     *
     * Throws if the loop exits via `maxIter` without reaching a fixpoint
     * (a chain-shaped graph with diameter > maxIter) — unconverged labels
@@ -312,7 +317,8 @@ object Dedup {
     * Returns (id, cluster) where cluster = min doc id of the component.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 30,
-      pairsMaterialized: Boolean = false): DataFrame = {
+      pairsMaterialized: Boolean = false,
+      driverSolveMaxEdges: Long = 4000000L): DataFrame = {
     // checkpoint the edge list once: `pairs` is typically an expensive
     // pipeline (LSH candidates + verification), and the loop scans edges
     // in every round — without this the full pair computation re-runs
@@ -323,6 +329,29 @@ object Dedup {
     val edgesPlan = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val edges = if (pairsMaterialized) edgesPlan else edgesPlan.localCheckpoint()
+    // counting the (materialized) edge frame is cheap; the collect below
+    // is bounded by driverSolveMaxEdges rows of two longs.
+    if (edges.count() <= 2 * driverSolveMaxEdges) {
+      val raw = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      // union-by-min: the larger root is parented under the smaller, so
+      // every component's final root IS its min node id.
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = raw.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return nodes.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()

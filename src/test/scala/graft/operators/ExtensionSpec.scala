@@ -65,6 +65,12 @@ class ExtensionSpec extends SparkTestBase {
     assert(got.size == truth.size)
     got.foreach { case (id, c) => assert(truth(id) == c, s"node $id") }
 
+    // both code paths — driver union-find below the edge bound and
+    // distributed label propagation above it — must agree exactly
+    val distributed = Dedup.clusters(pairs, driverSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == got)
+
     // keepers = corpus minus non-representatives
     val kept = Dedup.keepers(docs, pairs).count()
     val nonReps = truth.count { case (id, c) => id != c }
