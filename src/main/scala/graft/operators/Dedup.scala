@@ -444,8 +444,13 @@ object Dedup {
       .select(col(idCol).as(out),
         array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("shl"))
       .filter(size(col("shl")) > 0)
+    // prefix length |x| − α + 1 with α = ⌈t·|x|⌉; floor (not ceil) keeps
+    // the FP error on the SAFE side — 60·0.8 is 48.0000…03 in binary, and
+    // ceil'ing that to 49 would shorten the prefix below the PPJoin
+    // guarantee and silently drop qualifying pairs. A one-longer prefix
+    // only costs a few extra candidate postings.
     def prefix(shl: Column) =
-      slice(shl, lit(1), (size(shl) - ceil(size(shl) * threshold) + 1).cast("int"))
+      slice(shl, lit(1), (size(shl) - floor(size(shl) * threshold) + 1).cast("int"))
     val c = sets(corpus, "corpus_id")
     val r = sets(ref, "ref_id")
     val cPost = c.select(col("corpus_id"), explode(prefix(col("shl"))).as("s"))
