@@ -330,9 +330,15 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     val edges = if (pairsMaterialized) edgesPlan else edgesPlan.localCheckpoint()
     // counting the (materialized) edge frame is cheap; the collect below
-    // is bounded by driverSolveMaxEdges rows of two longs.
-    if (edges.count() <= 2 * driverSolveMaxEdges) {
-      val raw = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // is bounded by driverSolveMaxEdges undirected edges of two longs
+    // (the src<dst filter keeps one direction of each symmetrized pair).
+    // The driver path assumes 64-bit ids — any other id type falls
+    // through to the type-agnostic distributed loop.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() / 2 <= driverSolveMaxEdges) {
+      val raw = edges.filter(col("src") < col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -457,8 +463,18 @@ object Dedup {
     val rPost = broadcast(r.select(col("ref_id"), explode(prefix(col("shl"))).as("s")))
     val cand = cPost.join(rPost, "s").select("corpus_id", "ref_id").distinct()
     graft.functions.SortedIntersectCount.register(corpus.sparkSession)
-    cand
-      .join(c.toDF("corpus_id", "sha"), "corpus_id")
+    // verification: candidate ids broadcast BACK against the corpus (a
+    // semi-join prunes the re-shingle to candidate docs only, then a
+    // broadcast join attaches the pair) — the corpus-side document
+    // arrays stay in their scan stage; nothing document-sized ever
+    // enters an exchange. Candidate volume is bounded by the true
+    // contamination rate, not the corpus.
+    val candIds = broadcast(cand.select(col("corpus_id")).distinct())
+    val cVerify = sets(
+      corpus.join(candIds.withColumnRenamed("corpus_id", idCol), Seq(idCol), "left_semi"),
+      "corpus_id")
+    cVerify.toDF("corpus_id", "sha")
+      .join(broadcast(cand), "corpus_id")
       .join(broadcast(r.toDF("ref_id", "shb")), "ref_id")
       .withColumn("common", expr("sorted_intersect_count(sha, shb)"))
       .withColumn("jaccard", col("common").cast("double") /

@@ -48,6 +48,10 @@ object Sampling {
     * single over-budget doc can't starve its source. Sources without a
     * budget are dropped (explicit allowlist, like [[stratified]]). One
     * shuffle on the source column; the cumsum is a per-source window.
+    *
+    * Contract: `idCol` must be unique within a source (a primary key) —
+    * with duplicate ids the running sum's tie order, and therefore which
+    * boundary doc is kept, would be layout-dependent.
     */
   def mixByTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
       tokensCol: String, budgets: Map[String, Long]): DataFrame = {
