@@ -77,6 +77,19 @@ class ExtensionSpec extends SparkTestBase {
     assert(kept == docs.count() - nonReps)
   }
 
+  test("minhash memo never serves one corpus's result for another") {
+    // regression: the memo key must distinguish inputs that share a
+    // table but differ in filters/scale — a collision here silently
+    // returns wrong dedup results.
+    val aIds = Dedup.minhashKeepers(docs, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bIds = Dedup.minhashKeepers(docs.filter(col("doc_id") % 2 === 0), threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bIds.nonEmpty && bIds.forall(_ % 2 == 0),
+      "filtered corpus must not be served the full corpus's cached result")
+    assert(aIds != bIds)
+  }
+
   test("minhashKeepers equals the generic keepers-over-expanded-pairs composition") {
     val viaPairs = Dedup.keepers(docs, Dedup.minhashDedupPairs(docs, threshold = 0.8))
       .select("doc_id").collect().map(_.getLong(0)).toSet

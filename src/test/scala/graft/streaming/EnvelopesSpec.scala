@@ -57,6 +57,12 @@ class EnvelopesSpec extends SparkTestBase {
     assert(csv.collect()(0).getString(0) == "1")
     // no result location configured -> workgroup refuses
     intercept[IllegalStateException](graft.Engine(spark).execute("SELECT 1"))
+    // oversized result set -> fails loudly before the one-task CSV copy,
+    // and leaves no staging behind
+    val ex = intercept[IllegalStateException](
+      e.execute("SELECT explode(sequence(1, 10)) AS n", maxResultRows = 3))
+    assert(ex.getMessage.contains("rows"))
+    assert(!new java.io.File(loc).listFiles().exists(_.getName.startsWith(".staging")))
   }
 
   test("Engine facade: sql + named queries + weblog SQL functions") {
