@@ -68,6 +68,36 @@ object TextAnalysis {
       stopRatio.as("stopword_ratio"), score.as("quality_score"))
   }
 
+  /** Repetition metrics — the Gopher-style duplication filters that
+    * [[qualityMetrics]] doesn't cover: a boilerplate or degenerate
+    * document repeats itself, so the fraction of duplicated words, the
+    * share of the most frequent word bigram, and the duplicated-bigram
+    * fraction are the standard signals. Per-row higher-order expressions
+    * over short word arrays — no shuffle, rides the scan like every
+    * other text metric.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = split(col(textCol), "\\s+")
+    val nWords = size(w)
+    // guard: sequence(0, -1) would generate a DESCENDING range, not empty
+    val bg = when(nWords >= 2,
+      transform(sequence(lit(0), nWords - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val nBg = size(bg)
+    val topBgCount = coalesce(
+      array_max(transform(array_distinct(bg), x => size(filter(bg, y => y === x)))),
+      lit(0))
+    def ratio(num: Column, den: Column) =
+      round(num.cast("double") / greatest(den, lit(1)).cast("double"), 6)
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      ratio(nWords - size(array_distinct(w)), nWords).as("dup_word_frac"),
+      ratio(topBgCount, nBg).as("top_bigram_frac"),
+      ratio(nBg - size(array_distinct(bg)), nBg).as("dup_bigram_frac"))
+  }
+
   /** PII redaction: mask emails, dotted-quad IPs, and phone-shaped digit
     * runs with typed placeholders. Pure regexp_replace chain — codegen'd,
     * per-row, no shuffle; the regexes stay inside the RE2-compatible

@@ -315,6 +315,23 @@ object ExtensionQueries {
               |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // Gopher-style repetition filters: duplicated-word fraction, top
+    // bigram share, duplicated-bigram fraction — the oracle recomputes
+    // the same per-row list math in DuckDB.
+    Q("text_repetition",
+      (s, d) => TextAnalysis.repetitionMetrics(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+             |b AS (SELECT doc_id, w, len(w) AS nw,
+             |             CASE WHEN len(w) >= 2
+             |                  THEN list_transform(range(len(w) - 1), i -> w[i + 1] || ' ' || w[i + 2])
+             |                  ELSE [] END AS bg
+             |      FROM t)
+             |SELECT doc_id, CAST(nw AS INT) AS n_words,
+             |       round(CAST(nw - len(list_distinct(w)) AS DOUBLE) / greatest(nw, 1), 6) AS dup_word_frac,
+             |       round(CAST(coalesce(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / greatest(len(bg), 1), 6) AS top_bigram_frac,
+             |       round(CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / greatest(len(bg), 1), 6) AS dup_bigram_frac
+             |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     Q("text_quality",
       (s, d) => TextAnalysis.qualityMetrics(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, length(text) AS n_chars,

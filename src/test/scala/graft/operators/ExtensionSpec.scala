@@ -191,6 +191,23 @@ class ExtensionSpec extends SparkTestBase {
     assert(got.intersect(rows.filter(_._1 == "src9").map(_._2).toSet).size == 1)
   }
 
+  test("repetition metrics match hand-computed values") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),        // words: 5, distinct 2; bigrams: [a b, b a, a b, b a] -> top 2/4, dup 2/4
+      (2L, "x y z"),            // no repetition
+      (3L, "w"),                // single word: no bigrams
+      (4L, "q q q q")           // fully degenerate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out(0) == ((1L, 5, 0.6, 0.5, 0.5)))
+    assert(out(1) == ((2L, 3, 0.0, 0.5, 0.0)))
+    assert(out(2) == ((3L, 1, 0.0, 0.0, 0.0)))
+    assert(out(3) == ((4L, 4, 0.75, 1.0, 0.666667)))
+  }
+
   test("langid is deterministic and covers all docs") {
     val out = docs.select(TextAnalysis.langId(col("text")).as("l"))
     assert(out.filter(col("l").isNull).count() == 0)
