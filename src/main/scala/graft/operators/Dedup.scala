@@ -483,6 +483,26 @@ object Dedup {
       .select(col("corpus_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Count-based decontamination — the industry-standard "any shared
+    * 13-gram" rule: (corpus_id, ref_id, common) for corpus documents
+    * sharing at least `minCommon` distinct word-n-grams with a reference
+    * document. Long shingles are near-unique, so the broadcast posting
+    * join's output is proportional to TRUE contamination (no stopword
+    * blowup, no prefix filter needed); postings carry 8-byte shingle
+    * hashes and the corpus never shuffles a document.
+    */
+  def ngramOverlap(corpus: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 13,
+      minCommon: Int = 1): DataFrame = {
+    def post(df: DataFrame, out: String) = df.select(col(idCol).as(out),
+      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("s"))
+    post(corpus, "corpus_id")
+      .join(broadcast(post(ref, "ref_id")), "s")
+      .groupBy("corpus_id", "ref_id")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+  }
+
   /** The corpus minus every document contaminated by the reference set
     * (any Jaccard ≥ threshold match) — one broadcast pass + a left-anti
     * join on the (short) contaminated-id list.

@@ -447,6 +447,27 @@ object ExtensionQueries {
              |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT corpus_id FROM bad)
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // count-based decontamination (the "any shared 13-gram" rule): the
+    // oracle rebuilds identical 13-gram sets and counts cross-split
+    // co-occurrences exactly.
+    Q("decon_ngram13",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.ngramOverlap(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0), n = 13, minCommon = 1)
+          .orderBy("corpus_id", "ref_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-12, 1)),
+             |         i -> array_to_string(w[i+1:i+13], ' '))) AS s FROM t),
+             |dw AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh)
+             |SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS common
+             |FROM dw a JOIN dw b ON a.g = b.g
+             |WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+             |GROUP BY 1, 2 HAVING count(*) >= 1
+             |ORDER BY corpus_id, ref_id""".stripMargin.replace("\n", " "))),
+
     // token-budget data mixing: per-source floors in deterministic id
     // order — the mixture-weights step, reproducible and auditable; the
     // oracle replays the same cumsum-window rule.

@@ -169,6 +169,18 @@ class ExtensionSpec extends SparkTestBase {
       Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("ngram overlap: identical docs share exactly their distinct n-gram count") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = Seq((1L, "a b c d e f"), (2L, "totally different words here now ok"))
+      .toDF("doc_id", "text")
+    val ref = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Dedup.ngramOverlap(corpus, ref, n = 3, minCommon = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 == ref 100: four distinct trigrams in a 6-word doc; doc 2: none
+    assert(out.toSeq == Seq((1L, 100L, 4L)))
+  }
+
   test("token-budget mixing matches a driver-side replay of the cumsum rule") {
     val budgets = Map("src1" -> 600L, "src2" -> 400L, "src9" -> 1L)
     val withTokens = docs.withColumn("n_tokens", size(split(col("text"), "\\s+")))
