@@ -131,6 +131,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination keeps the corpus on the broadcast side — no sort-merge join") {
+    for (q <- Seq("decon_pairs", "decon_ngram13")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must broadcast the reference/candidate side, never shuffle the corpus:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q should plan broadcast joins:\n$p")
+    }
+  }
+
   test("stratified sampling pushes the per-stratum filter into one scan pass") {
     val p = plan("corpus_sample_stratified")
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
