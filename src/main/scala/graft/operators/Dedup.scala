@@ -20,13 +20,20 @@ object Dedup {
   /** Whitespace tokens of the raw text. */
   private def words(text: Column): Column = split(text, "\\s+")
 
+  /** Word n-grams WITH duplicates over a word array (short docs yield one
+    * truncated n-gram — `slice` clamps). Shared by shingling and the
+    * repetition metrics; pass a materialized attribute for `w` on hot
+    * paths so per-element lambdas don't re-derive it.
+    */
+  private[operators] def wordNgrams(w: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+
   /** Distinct word-n-gram shingles (n=1 → word set). */
   def shingles(text: Column, n: Int): Column =
     if (n == 1) array_distinct(words(text))
-    else array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(words(text)) - n, lit(0))),
-        i => concat_ws(" ", slice(words(text), i + 1, lit(n)))))
+    else array_distinct(wordNgrams(words(text), n))
 
   /** Exact dedup: one keeper (min id) per identical content. The groupBy
     * key is sha2-256 of the text, so the shuffle moves 64-byte digests,

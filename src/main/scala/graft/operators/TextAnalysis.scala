@@ -78,24 +78,37 @@ object TextAnalysis {
     */
   def repetitionMetrics(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val w = split(col(textCol), "\\s+")
-    val nWords = size(w)
-    // guard: sequence(0, -1) would generate a DESCENDING range, not empty
-    val bg = when(nWords >= 2,
-      transform(sequence(lit(0), nWords - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val nBg = size(bg)
-    val topBgCount = coalesce(
-      array_max(transform(array_distinct(bg), x => size(filter(bg, y => y === x)))),
-      lit(0))
+    // word and bigram arrays materialize as their own projections — the
+    // downstream lambdas then index cheap attributes instead of
+    // re-splitting the document per element (CollapseProject leaves
+    // multi-referenced non-cheap projections alone, so this sticks).
+    val withW = df.select(col(idCol), split(col(textCol), "\\s+").as("_w"))
+    val withBg = withW.select(col(idCol), col("_w"),
+      // guard: a single-word doc has NO bigrams (wordNgrams would emit
+      // one truncated gram — shingle semantics, wrong here)
+      when(size(col("_w")) >= 2, Dedup.wordNgrams(col("_w"), 2))
+        .otherwise(array().cast("array<string>")).as("_bg"))
+    val nWords = size(col("_w"))
+    val nBg = size(col("_bg"))
+    // top bigram count in one O(n log n) pass: sort, then fold run
+    // lengths — not filter-per-distinct-bigram (quadratic in distincts)
+    val topBgCount = aggregate(
+      array_sort(col("_bg")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     def ratio(num: Column, den: Column) =
       round(num.cast("double") / greatest(den, lit(1)).cast("double"), 6)
-    df.select(col(idCol),
+    withBg.select(col(idCol),
       nWords.as("n_words"),
-      ratio(nWords - size(array_distinct(w)), nWords).as("dup_word_frac"),
+      ratio(nWords - size(array_distinct(col("_w"))), nWords).as("dup_word_frac"),
       ratio(topBgCount, nBg).as("top_bigram_frac"),
-      ratio(nBg - size(array_distinct(bg)), nBg).as("dup_bigram_frac"))
+      ratio(nBg - size(array_distinct(col("_bg"))), nBg).as("dup_bigram_frac"))
   }
 
   /** PII redaction: mask emails, dotted-quad IPs, and phone-shaped digit

@@ -131,7 +131,7 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("decontamination keeps the corpus on the broadcast side — no sort-merge join") {
+  test("decontamination broadcasts the reference side — the corpus is never shuffled") {
     for (q <- Seq("decon_pairs", "decon_ngram13")) {
       val p = plan(q)
       assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
