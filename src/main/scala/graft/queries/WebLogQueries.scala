@@ -188,6 +188,49 @@ object WebLogQueries {
              |FROM events WHERE day(ts) = 2
              |GROUP BY 1, 2 ORDER BY hour, event""".stripMargin.replace("\n", " "))),
 
+    // §2.5 in-stream keyed dedup on a real file stream: the raw zone is
+    // written with every payload DUPLICATED (at-least-once delivery),
+    // dropDuplicatesWithinWatermark collapses them inside the watermark,
+    // and the hourly counts must equal the oracle's DISTINCT-key counts.
+    Q("weblog_stream_dedup",
+      (s, d) => {
+        val raw = scratch(s, "stream_dedup_raw", d)
+        val src = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 4)
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src.unionAll(src), raw) // duplicated delivery
+        val stream = s.readStream
+          .schema("value STRING")
+          .option("recursiveFileLookup", "true")
+          .text(raw)
+          .withColumnRenamed("value", "payload")
+        val typed = Validator.parsed(
+          Validator.validate(stream, "payload", "B").filter(col("valid")),
+          "payload", "B")
+        val qname = s"wsd_${math.abs(d.hashCode)}"
+        // append mode: the dedup operator emits each first-seen key once
+        // (state bounded by the watermark); hourly counts then batch-agg
+        // over the emitted stream.
+        val q = Ingest.dedupWithinWatermark(typed, Seq("user_id", "event_ts"))
+          .select("user_id", "event_ts")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .groupBy(date_trunc("hour", col("event_ts")).as("hour_start"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(tsStr(col("hour_start")).as("hour"), col("cnt"))
+          .orderBy("hour")
+      },
+      Some("""WITH k AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS user_id,
+             |                date_trunc('second', ts) AS ts
+             |         FROM events WHERE day(ts) = 4)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |       count(*) AS cnt
+             |FROM k GROUP BY 1 ORDER BY hour""".stripMargin.replace("\n", " "))),
+
     // §2.5 stream-stream interval join on two real file streams over the
     // same raw zone: purchases joined to the same user's views within the
     // trailing hour, watermarks on both sides (append mode). The oracle
