@@ -86,6 +86,64 @@ object TpchQueries {
              |ORDER BY rev DESC, s_suppkey LIMIT 10""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    // date-bounded orders × unshipped lineitems, top-10 by revenue.
+    // Filters push to all three scans; the customer dim broadcasts.
+    Q("q_shipping_priority",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+        .orderBy(col("rev").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), round(col("rev").cast("double"), 3).as("revenue"),
+          tsStr(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority")),
+      Some("""SELECT l_orderkey, round(CAST(rev AS DOUBLE), 3) AS revenue,
+             |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderpriority FROM (
+             |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+             |    AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |  GROUP BY 1, 2, 3)
+             |ORDER BY rev DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q10 shape (returned items): quarterly returned-revenue per
+    // customer, top-20; nation dim broadcast.
+    Q("q_returned_items",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          round(col("rev").cast("double"), 3).as("revenue")),
+      Some("""SELECT c_custkey, c_name, n_name, round(CAST(rev AS DOUBLE), 3) AS revenue FROM (
+             |  SELECT c_custkey, c_name, n_name,
+             |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  GROUP BY 1, 2, 3)
+             |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " "))),
+
     // semi-join priority count (TPC-H Q4 shape).
     Q("q_order_priority",
       (s, d) => Tables.orders(s, d)
