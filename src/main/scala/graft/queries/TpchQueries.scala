@@ -144,6 +144,150 @@ object TpchQueries {
              |  GROUP BY 1, 2, 3)
              |ORDER BY rev DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", " "))),
 
+    // TPC-H Q5 shape (local supplier volume): revenue where the supplier
+    // and the ordering customer share a nation. Both dims broadcast; the
+    // nation equality rides the customer join so no extra shuffle appears.
+    Q("q_local_supplier_volume",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double"), 3).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 3) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q7 shape (volume shipping): revenue between distinct
+    // (supplier-nation, customer-nation) pairs per ship year. The nation
+    // dim broadcasts twice under different aliases.
+    Q("q_nations_trade",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          // round in DECIMAL space (exact half-up) BEFORE the double cast:
+          // sums ending exactly in .xxx5 otherwise round differently across
+          // engines (double-rounding through the binary representation).
+          .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 3)
+            .cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |year(l_shipdate) AS l_year,
+             |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))), 3) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+             |  AND s_nationkey <> c_nationkey
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q14 shape (promo revenue): promo share of one month's revenue.
+    // sum(CASE) via null-skipping `when` so both branches stay decimal-exact.
+    Q("q_promo_revenue",
+      (s, d) => {
+        val discPrice = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            round(lit(100.0) * sum(when(col("p_type") === "PROMO", discPrice)).cast("double")
+              / sum(discPrice).cast("double"), 6).as("promo_pct"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT
+             |round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+             |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_pct,
+             |count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total quantity
+    // tops 150, with their customer, top-100 by price. The aggregate runs
+    // before the joins so only qualifying orderkeys reach the join.
+    Q("q_large_orders",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(dec(col("l_quantity"))).as("qty"))
+          .filter(col("qty") > 150),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          tsStr(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"),
+          round(col("qty").cast("double"), 3).as("sum_qty")),
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_totalprice,
+             |round(CAST(qty AS DOUBLE), 3) AS sum_qty
+             |FROM orders
+             |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+             |      FROM lineitem GROUP BY 1
+             |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) t
+             |  ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // TPC-H Q19 shape (discounted revenue): disjunctive brand/size/quantity
+    // predicates — exercises OR-predicate pushdown through a broadcast join.
+    Q("q_disjunctive_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double"), 3).as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 3) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin.replace("\n", " "))),
+
     // semi-join priority count (TPC-H Q4 shape).
     Q("q_order_priority",
       (s, d) => Tables.orders(s, d)
