@@ -510,6 +510,57 @@ object Dedup {
       .filter(col("common") >= minCommon)
   }
 
+  /** `ngramOverlap` for when the reference side is too large to broadcast
+    * as postings: build a Bloom filter over the reference's shingle
+    * hashes (Spark's distributed tree-aggregate sketch — a few MB for
+    * millions of grams), broadcast the compact filter, and pre-prune
+    * corpus postings BEFORE the exact join, so the join input shrinks to
+    * ~(true matches + fpp · postings) instead of every corpus gram.
+    * Bloom filters have no false negatives and false positives fail the
+    * exact join, so the result is IDENTICAL to `ngramOverlap` (the gate
+    * shares its oracle). The reference postings are computed twice (once
+    * for the sketch, once for the join) — both are one scan of the
+    * (small-relative-to-corpus) reference set.
+    */
+  def ngramOverlapBloom(corpus: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 13,
+      minCommon: Int = 1, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    def post(df: DataFrame, out: String) = df.select(col(idCol).as(out),
+      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("s"))
+    val rPost = post(ref, "ref_id")
+    val bloom = rPost.stat.bloomFilter("s", expectedItems, fpp)
+    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((h: Long) => bloomB.value.mightContainLong(h))
+    post(corpus, "corpus_id").filter(might(col("s")))
+      .join(rPost, "s")
+      .groupBy("corpus_id", "ref_id")
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+  }
+
+  /** Span-level duplication census — the "duplicated substring" view of
+    * the corpus (the signal behind suffix-array dedup à la Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * word n-gram occurring in at least `minDocs` distinct documents,
+    * with its document count and total occurrence count. Two cascaded
+    * aggregations keyed on the 64-bit gram hash (8-byte shuffle keys);
+    * the gram text rides along as a `min` payload for reporting — at
+    * petabyte scale you would drop it and keep hashes only. Counts are
+    * exact up to 64-bit hash collisions (the standard trade).
+    */
+  def duplicateSpans(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(wordNgrams(words(col(textCol)), n)).as("gram"))
+      .groupBy(xxhash64(col("gram")).as("_gh"), col("_id"))
+      .agg(min("gram").as("gram"), count(lit(1)).as("_occ"))
+      .groupBy("_gh")
+      .agg(min("gram").as("gram"), count(lit(1)).as("n_docs"),
+        sum("_occ").as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .select("gram", "n_docs", "n_occurrences")
+
   /** The corpus minus every document contaminated by the reference set
     * (any Jaccard ≥ threshold match) — one broadcast pass + a left-anti
     * join on the (short) contaminated-id list.

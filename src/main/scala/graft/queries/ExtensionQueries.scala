@@ -21,6 +21,20 @@ object ExtensionQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  /** Exact any-shared-13-gram decontamination, shared by decon_ngram13
+    * and its bloom-prefiltered twin (identical semantics by construction).
+    */
+  private val ngram13OverlapOracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-12, 1)),
+      |         i -> array_to_string(w[i+1:i+13], ' '))) AS s FROM t),
+      |dw AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh)
+      |SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS common
+      |FROM dw a JOIN dw b ON a.g = b.g
+      |WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+      |GROUP BY 1, 2 HAVING count(*) >= 1
+      |ORDER BY corpus_id, ref_id""".stripMargin.replace("\n", " ")
+
   private val langScoresSql: String = TextAnalysis.stopwords.map { case (l, ws) =>
     val list = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> list_contains($list, w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE) AS s_$l"
@@ -458,15 +472,63 @@ object ExtensionQueries {
             docs.filter(col("doc_id") % 17 === 0), n = 13, minCommon = 1)
           .orderBy("corpus_id", "ref_id")
       },
+      Some(ngram13OverlapOracleSql)),
+
+    // bloom-prefiltered variant: identical semantics (bloom has no false
+    // negatives; false positives die in the exact join), so it shares
+    // decon_ngram13's oracle verbatim — a hash match proves the bloom
+    // pruning lost nothing.
+    Q("decon_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.ngramOverlapBloom(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0), n = 13, minCommon = 1)
+          .orderBy("corpus_id", "ref_id")
+      },
+      Some(ngram13OverlapOracleSql)),
+
+    // span-level duplication census: the oracle rebuilds the same word
+    // 13-grams (with duplicates) and counts documents/occurrences
+    // directly on the gram text, so the hash-keyed Spark aggregation is
+    // checked end-to-end.
+    Q("dedup_spans",
+      (s, d) => Dedup.duplicateSpans(Tables.documents(s, d), n = 13, minDocs = 2)
+        .orderBy("gram"),
       Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(range(greatest(len(w)-12, 1)),
-             |         i -> array_to_string(w[i+1:i+13], ' '))) AS s FROM t),
-             |dw AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh)
-             |SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS common
-             |FROM dw a JOIN dw b ON a.g = b.g
-             |WHERE a.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
-             |GROUP BY 1, 2 HAVING count(*) >= 1
-             |ORDER BY corpus_id, ref_id""".stripMargin.replace("\n", " "))),
+             |g AS (SELECT doc_id, unnest(list_transform(range(greatest(len(w)-12, 1)),
+             |        i -> array_to_string(w[i+1:i+13], ' '))) AS gram FROM t)
+             |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+             |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+             |ORDER BY gram""".stripMargin.replace("\n", " "))),
+
+    // corpus vocabulary: top tokens by document frequency.
+    Q("vocab_topk",
+      (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))
+        .orderBy(col("doc_freq").desc, col("token")).limit(100),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+             |tcnt AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2)
+             |SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS term_freq
+             |FROM tcnt GROUP BY token
+             |ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // per-document tf-idf keywords; the rational (log-free) idf makes
+    // the score — and therefore the ranking — bit-identical in DuckDB.
+    Q("text_tfidf_keywords",
+      (s, d) => TextAnalysis.tfidfKeywords(Tables.documents(s, d), k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+             |tcnt AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+             |dcnt AS (SELECT token, count(*) AS df FROM tcnt GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT doc_id, tcnt.token AS token, tf, df,
+             |         round(tf * (n_docs + 1.0) / (df + 1.0), 6) AS score
+             |       FROM tcnt JOIN dcnt ON tcnt.token = dcnt.token CROSS JOIN n),
+             |r AS (SELECT doc_id, token, tf, df, score,
+             |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+             |      FROM sc)
+             |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin.replace("\n", " "))),
 
     // token-budget data mixing: per-source floors in deterministic id
     // order — the mixture-weights step, reproducible and auditable; the

@@ -303,4 +303,58 @@ class ExtensionSpec extends SparkTestBase {
     assert(frames.select("doc_id").distinct().count() == videos)
     assert(frames.filter(f => f.frame_idx % 4 != 0).count() == 0)
   }
+
+  test("bloom-prefiltered ngram overlap equals the exact posting join") {
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val ref = docs.filter(col("doc_id") % 17 === 0)
+    val exact = Dedup.ngramOverlap(corpus, ref, n = 13)
+    val bloomed = Dedup.ngramOverlapBloom(corpus, ref, n = 13)
+    assert(exact.exceptAll(bloomed).count() == 0, "bloom dropped a true match")
+    assert(bloomed.exceptAll(exact).count() == 0, "a bloom false positive survived the exact join")
+    // also at an aggressive fpp: false negatives are structurally impossible
+    val sloppy = Dedup.ngramOverlapBloom(corpus, ref, n = 13, fpp = 0.5)
+    assert(exact.exceptAll(sloppy).count() == 0)
+    assert(sloppy.exceptAll(exact).count() == 0)
+  }
+
+  test("duplicate spans: counts match a hand-built corpus") {
+    import spark.implicits._
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared tail one"),
+      (2L, s"lead $shared"),
+      (3L, "completely different words here that never repeat at all exactly"),
+      (4L, s"$shared $shared")
+    ).toDF("doc_id", "text")
+    // the exact 13-gram `shared` occurs in docs 1, 2 and 4 (doc 4 contains
+    // it twice: the windows starting at words 1 and 14)
+    val spans = Dedup.duplicateSpans(df, n = 13, minDocs = 2)
+      .as[(String, Long, Long)].collect()
+    val row = spans.find(_._1 == shared)
+    assert(row.isDefined, "shared 13-gram missing")
+    assert(row.get._2 == 3, s"expected 3 docs, got ${row.get._2}")
+    assert(row.get._3 == 4, s"expected 4 occurrences, got ${row.get._3}")
+  }
+
+  test("vocabulary: term_freq >= doc_freq and hand-checked counts") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(df).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(v("a") == (2L, 3L) && v("b") == (1L, 1L) && v("c") == (1L, 1L))
+    val corpus = TextAnalysis.vocabulary(docs)
+    assert(corpus.filter(col("term_freq") < col("doc_freq")).count() == 0)
+  }
+
+  test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
+    import spark.implicits._
+    // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
+    val df = Seq((1L, "rare common"), (2L, "common x"), (3L, "common y"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfKeywords(df, k = 1)
+      .filter(col("doc_id") === 1).select("token").as[String].head()
+    assert(top == "rare")
+    val all = TextAnalysis.tfidfKeywords(docs, k = 3)
+    assert(all.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+  }
 }
