@@ -486,7 +486,8 @@ object ExtensionQueries {
             docs.filter(col("doc_id") % 17 === 0), n = 13, minCommon = 1)
           .orderBy("corpus_id", "ref_id")
       },
-      Some(ngram13OverlapOracleSql)),
+      Some(ngram13OverlapOracleSql),
+      headline = true),
 
     // span-level duplication census: the oracle rebuilds the same word
     // 13-grams (with duplicates) and counts documents/occurrences
@@ -500,7 +501,8 @@ object ExtensionQueries {
              |        i -> array_to_string(w[i+1:i+13], ' '))) AS gram FROM t)
              |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
              |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
-             |ORDER BY gram""".stripMargin.replace("\n", " "))),
+             |ORDER BY gram""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // corpus vocabulary: top tokens by document frequency.
     Q("vocab_topk",
@@ -510,7 +512,8 @@ object ExtensionQueries {
              |tcnt AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2)
              |SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS term_freq
              |FROM tcnt GROUP BY token
-             |ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin.replace("\n", " "))),
+             |ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // per-document tf-idf keywords; the rational (log-free) idf makes
     // the score — and therefore the ranking — bit-identical in DuckDB.
@@ -528,7 +531,8 @@ object ExtensionQueries {
              |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
              |      FROM sc)
              |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
-             |ORDER BY doc_id, rank""".stripMargin.replace("\n", " "))),
+             |ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // token-budget data mixing: per-source floors in deterministic id
     // order — the mixture-weights step, reproducible and auditable; the

@@ -146,4 +146,48 @@ class PlanSpec extends SparkTestBase {
       s"sampling must not shuffle (only the final ORDER BY may):\n$p")
     assert(p.contains("Filter"), s"expected a codegen'd filter:\n$p")
   }
+
+  test("vocabulary collapses token streams map-side and never shuffles raw text") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"vocabulary shuffled raw document text: $l")
+    }
+  }
+
+  test("tfidf ranking window is doc-partitioned with a pushed group limit") {
+    val p = plan("text_tfidf_keywords")
+    // Spark's rank-limit pushdown: per-partition top-k BEFORE the window
+    // shuffle, so no executor ever sorts more than k rows per document
+    // past the partial stage — and the window itself partitions by doc
+    // (a bare global window would be the q_user_rank anti-pattern).
+    assert(p.contains("WindowGroupLimit [doc_id"),
+      s"expected a doc-partitioned WindowGroupLimit:\n$p")
+    // the corpus doc count arrives as a broadcast single-row aggregate,
+    // not a driver-side action
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"n_docs should broadcast, not collect:\n$p")
+  }
+
+  test("span census aggregates key on the 64-bit gram hash, not the gram text") {
+    val p = plan("dedup_spans")
+    assert(p.contains("xxhash64(gram"), s"expected hash-keyed grouping:\n$p")
+    val keyed = p.linesIterator.filter(_.contains("Aggregate(key")).toSeq
+    assert(keyed.exists(_.contains("key=[_gh")), s"final agg must key on the hash:\n$p")
+    keyed.foreach { l =>
+      assert(!l.contains("key=[gram#") && !l.contains("keys=[gram#"),
+        s"aggregate keyed on raw gram text: $l")
+    }
+  }
+
+  test("bloom decontamination filters corpus postings before the exact join") {
+    val p = plan("decon_bloom")
+    assert(p.contains("Filter UDF(s#"),
+      s"bloom might-contain filter missing from the posting stream:\n$p")
+    // every hash exchange carries only candidate ids, never documents
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"bloom decon shuffled a document: $l")
+    }
+  }
 }
