@@ -513,9 +513,11 @@ object Dedup {
   /** `ngramOverlap` for when the reference side is too large to broadcast
     * as postings: build a Bloom filter over the reference's shingle
     * hashes (Spark's distributed tree-aggregate sketch — a few MB for
-    * millions of grams), broadcast the compact filter, and pre-prune
-    * corpus postings BEFORE the exact join, so the join input shrinks to
-    * ~(true matches + fpp · postings) instead of every corpus gram.
+    * millions of grams), ship the compact filter with the plan, and
+    * pre-prune corpus postings BEFORE the exact join — inside whole-stage
+    * codegen via the native `bloom_might_contain` expression — so the
+    * join input shrinks to ~(true matches + fpp · postings) instead of
+    * every corpus gram.
     * Bloom filters have no false negatives and false positives fail the
     * exact join, so the result is IDENTICAL to `ngramOverlap` (the gate
     * shares its oracle). The reference postings are computed twice (once
@@ -530,9 +532,10 @@ object Dedup {
       explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("s"))
     val rPost = post(ref, "ref_id")
     val bloom = rPost.stat.bloomFilter("s", expectedItems, fpp)
-    val bloomB = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((h: Long) => bloomB.value.mightContainLong(h))
-    post(corpus, "corpus_id").filter(might(col("s")))
+    graft.functions.BloomMightContain.register(corpus.sparkSession)
+    val bloomLit = lit(graft.functions.BloomMightContain.serialize(bloom))
+    post(corpus, "corpus_id")
+      .filter(call_function(graft.functions.BloomMightContain.FnName, col("s"), bloomLit))
       .join(rPost, "s")
       .groupBy("corpus_id", "ref_id")
       .agg(count(lit(1)).as("common"))

@@ -183,8 +183,9 @@ class PlanSpec extends SparkTestBase {
 
   test("bloom decontamination filters corpus postings before the exact join") {
     val p = plan("decon_bloom")
-    assert(p.contains("Filter UDF(s#"),
-      s"bloom might-contain filter missing from the posting stream:\n$p")
+    assert(p.contains("bloom_might_contain(s#"),
+      s"native bloom might-contain filter missing from the posting stream:\n$p")
+    assert(!p.contains("UDF"), s"bloom probe must be codegen'd, not a UDF:\n$p")
     // every hash exchange carries only candidate ids, never documents
     p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
       assert(!l.contains("text#"), s"bloom decon shuffled a document: $l")

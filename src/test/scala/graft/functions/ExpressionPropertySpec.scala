@@ -126,4 +126,23 @@ class ExpressionPropertySpec extends SparkTestBase {
       assert(e.eval(null) == a.toSet.intersect(b.toSet).size)
     }
   }
+
+  test("bloom_might_contain: never a false negative, agrees with the sketch on probes") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val cases = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    forAll(cases, n = 100) { case (inserted, probes) =>
+      val bf = BloomFilter.create(inserted.size.toLong.max(1), 0.03)
+      inserted.foreach(bf.putLong)
+      val bytes = BloomMightContain.serialize(bf)
+      def probe(h: Long): Boolean =
+        BloomMightContain(Literal(h, LongType), bytes)
+          .eval(null).asInstanceOf[Boolean]
+      // no false negatives, structurally
+      inserted.foreach(h => assert(probe(h), s"false negative for $h"))
+      // agreement with the driver-side sketch on arbitrary probes
+      probes.foreach(h => assert(probe(h) == bf.mightContainLong(h)))
+    }
+  }
 }
