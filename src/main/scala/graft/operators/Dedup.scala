@@ -564,6 +564,52 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .select("gram", "n_docs", "n_occurrences")
 
+  /** ExactSubstr-style duplicated-span REMOVAL — the rewrite counterpart
+    * of [[duplicateSpans]] (after Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": cut the duplicated substring,
+    * keep the rest of the document): every word position covered by any
+    * occurrence of a word n-gram appearing in ≥ `minDocs` distinct
+    * documents is removed, and the surviving words are re-joined.
+    * Returns (idCol, clean_text, n_words, n_removed) for every document
+    * (documents without duplicated spans pass through unchanged).
+    *
+    * Scale: the census and hit-detection shuffles carry only (gram hash,
+    * doc id, position) longs — never text; per-document cut lists
+    * collapse to ONE short row per AFFECTED document (start positions
+    * only), so the final left join against the corpus streams the scan
+    * and, duplication being contamination-bounded, typically broadcasts
+    * the cut side under AQE (bucket the corpus by `idCol` to co-locate
+    * it outright at 100 TB). The word filter itself is a per-row
+    * projection. Census counts are exact up to 64-bit gram-hash
+    * collisions — the standard trade.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("_id"),
+        posexplode(wordNgrams(words(col(textCol)), n)).as(Seq("_pos", "_gram")))
+      .select(col("_id"), col("_pos"), xxhash64(col("_gram")).as("_gh"))
+    val dup = grams.groupBy("_gh")
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select("_gh")
+    val cuts = grams.join(dup, "_gh")
+      .groupBy(col("_id").as(idCol))
+      .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
+    // covered = union of [start, start + n) ranges; positions past the
+    // end (a truncated short-doc gram) are ignored by the length guard
+    val covered = array_distinct(flatten(transform(
+      coalesce(col("_starts"), array().cast("array<int>")),
+      s => sequence(s, s + lit(n - 1)))))
+    df.join(cuts, Seq(idCol), "left_outer")
+      .withColumn("_w", words(col(textCol)))
+      .withColumn("_cov", covered)
+      .select(col(idCol),
+        array_join(filter(col("_w"),
+          (_, i) => !array_contains(col("_cov"), i)), " ").as("clean_text"),
+        size(col("_w")).as("n_words"),
+        size(filter(col("_cov"), p => p < size(col("_w")))).as("n_removed"))
+  }
+
   /** The corpus minus every document contaminated by the reference set
     * (any Jaccard ≥ threshold match) — one broadcast pass + a left-anti
     * join on the (short) contaminated-id list.

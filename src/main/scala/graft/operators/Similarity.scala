@@ -187,6 +187,157 @@ object Similarity {
       .agg(avg(col("d"))).collect()(0).getDouble(0)
   }
 
+  /** Product-quantization codebook: `m` sub-spaces × `nCodes` centroids of
+    * `dim / m` doubles each, seeded from the first `nCodes` corpus vectors
+    * by id (the same deterministic sample IVF uses, sliced per sub-space).
+    * `private[graft]` so the correctness gate's DuckDB oracle can rebuild
+    * the identical codebook straight from the parquet table.
+    */
+  private[graft] def pqCodebook(corpus: DataFrame, dim: Int, m: Int, nCodes: Int,
+      idCol: String, vecCol: String): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, "m must divide dim")
+    val seeds = seedCentroids(corpus, nCodes, idCol, vecCol)
+    require(seeds.length == nCodes, s"corpus has fewer than $nCodes vectors")
+    val dsub = dim / m
+    Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** Sequential left-to-right dot of two driver-side vectors — the same
+    * fold order as `dot_vec` / DuckDB's `list_dot_product`, so constants
+    * derived from codebook entries are bit-identical across engines.
+    */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", IEEE TPAMI 2011): each corpus vector is
+    * compressed to `m` small codes — per sub-space, the index of the
+    * nearest codebook centroid by squared L2 (ties → smaller code) — and
+    * queries rank neighbors by the cosine between the query and the
+    * vector's codebook RECONSTRUCTION (asymmetric distance: the query
+    * side stays exact, only the corpus side is quantized).
+    *
+    * Why this is the 100 TB path: the scored corpus representation is
+    * `m` bytes instead of `dim` floats (8 vs 256 bytes here — a 32×
+    * smaller scan), encoding and scoring are both per-row projections
+    * over broadcast codebook literals — NO shuffle anywhere — and the
+    * optional `refine` stage re-reads full vectors only for the ADC
+    * short-list (`k × refine` candidates per query) before exact
+    * re-ranking. With `refine = 0` the output is the pure ADC ranking,
+    * which the gate's DuckDB oracle replays end-to-end (codebook seed,
+    * encoding argmin, reconstruction, ranking) for an exact hash match.
+    *
+    * The d² argmin uses ‖s‖² − 2·s·c + ‖c‖² with each dot a sequential
+    * double fold, and scoring dots the full reconstruction in one fold —
+    * both bit-reproducible in DuckDB, unlike a per-sub-space score sum
+    * (whose addition order SQL aggregation would not pin).
+    */
+  /** Per-sub-space nearest-code expression: argmin over the candidate
+    * structs (struct ordering compares d2 first, then code index —
+    * deterministic ties). d² = ‖s‖² − 2·s·c + ‖c‖², each dot a
+    * sequential fold, so DuckDB replays it bit-exactly.
+    */
+  private def pqCodeExpr(cb: Array[Array[Array[Double]]], j: Int, dsub: Int,
+      v: Column): Column = {
+    val sv = slice(v, j * dsub + 1, dsub)
+    val cands = cb(j).zipWithIndex.map { case (cv, c) =>
+      struct((dot(sv, sv) - lit(2.0) * dot(sv, lit(cv)) + lit(dotSeq(cv, cv)))
+        .as("d2"), lit(c).as("c"))
+    }
+    array_min(array(cands.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** Per-sub-space Lloyd refinement of the PQ codebook: each round
+    * re-assigns every sub-vector to its nearest code (scan-stage
+    * projection) and recenters codes as per-(sub-space, code) means.
+    * The update shuffle carries (sub, code, sub-vector) — at 100 TB run
+    * training on a sample, exactly like IVF's `kmeansCentroids`; codes
+    * with no members keep their previous centroid.
+    */
+  def pqTrainCodebook(corpus: DataFrame, dim: Int, m: Int, nCodes: Int,
+      iters: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    DotVec.register(corpus.sparkSession)
+    val dsub = dim / m
+    var cb = pqCodebook(corpus, dim, m, nCodes, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val pieces = (0 until m).map { j =>
+        corpus.select(lit(j).as("sub"),
+          pqCodeExpr(cb, j, dsub, col(vecCol)).as("code"),
+          slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>").as("sv"))
+      }.reduce(_ unionAll _)
+      val aggs = (0 until dsub).map(i => sum(col("sv")(i)).as(s"_s$i")) :+
+        count(lit(1)).as("_n")
+      val next = cb.map(_.map(_.clone()))
+      pieces.groupBy("sub", "code").agg(aggs.head, aggs.tail: _*)
+        .collect().foreach { row =>
+          val j = row.getInt(0)
+          val c = row.getInt(1)
+          val n = row.getLong(dsub + 2).toDouble
+          next(j)(c) = Array.tabulate(dsub)(i => row.getDouble(i + 2) / n)
+        }
+      cb = next
+    }
+    cb
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, nCodes: Int = 16, refine: Int = 0, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
+    val cb =
+      if (trainIters > 0) pqTrainCodebook(corpus, dim, m, nCodes, trainIters, idCol, vecCol)
+      else pqCodebook(corpus, dim, m, nCodes, idCol, vecCol)
+    val dsub = dim / m
+    val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .select(col("neighbor_id"),
+        array((0 until m).map(j => pqCodeExpr(cb, j, dsub, col("_v"))): _*).as("codes"))
+
+    // scoring: reconstruct from the broadcast codebook literal in the
+    // scan stage (the stored representation stays `codes`), then one
+    // sequential fold against the exact query vector
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val xhat = flatten(transform(col("codes"),
+      (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("q2", dot(col("qv"), col("qv"))))
+    val scored = q.join(enc, col("query_id") =!= col("neighbor_id"))
+      .withColumn("_xhat", xhat)
+      .withColumn("cos_adc",
+        dot(col("qv"), col("_xhat")) / sqrt(col("q2") * dot(col("_xhat"), col("_xhat"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_adc").desc, col("neighbor_id"))
+    val adcRanked = scored.withColumn("rank", row_number().over(w))
+
+    if (refine <= 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos_adc"), 6).as("cos_adc"))
+    else {
+      // exact re-rank of the ADC short-list: full vectors are read for
+      // k×refine candidates per query only
+      val shortlist = adcRanked.filter(col("rank") <= k * refine)
+        .select("query_id", "neighbor_id")
+      val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+        .withColumn("c2", dot(col("cv"), col("cv")))
+      val exact = shortlist
+        .join(vecs, "neighbor_id")
+        .join(q.select(col("query_id"), col("qv"), col("q2")), "query_id")
+        .withColumn("cos", dot(col("qv"), col("cv")) / sqrt(col("q2") * col("c2")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+    }
+  }
+
   /** IVF ANN: centroids default to the deterministic id-ordered sample
     * (`trainIters = 0` — the gate-checked configuration, exactly
     * replayable in SQL); `trainIters > 0` refines them with that many

@@ -151,6 +151,38 @@ object TextAnalysis {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"), sum("_tf").as("term_freq"))
 
+  /** Unigram-LM quality proxy — the CCNet-style perplexity filter with an
+    * honest corpus-frequency model instead of a trained LM: per document,
+    * the mean corpus term frequency of its token occurrences and the
+    * share of occurrences whose token appears in at most `rareDocsMax`
+    * documents. Common-token documents score high (fluent or
+    * boilerplate); rare-token-heavy documents score low (noise, OCR
+    * garbage, wrong language) — the same decision axis a perplexity
+    * filter provides, derived from corpus statistics alone.
+    *
+    * Exactness: both passes aggregate INTEGER occurrence counts, so every
+    * sum is order-independent; the only double division happens once per
+    * document at the end. Scale: the vocabulary side of the token join is
+    * Zipf-bounded (≪ corpus) so it broadcasts; aggregation keys are doc
+    * ids — nothing document-sized enters an exchange.
+    */
+  def frequencyStats(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", rareDocsMax: Long = 1): DataFrame = {
+    val vocab = vocabulary(df, textCol, idCol)
+    val toks = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    toks.join(vocab, "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("term_freq").as("sum_tf"),
+        sum(when(col("doc_freq") <= rareDocsMax, 1L).otherwise(0L)).as("_n_rare"))
+      .select(col(idCol), col("n_tokens"), col("sum_tf"),
+        round(col("sum_tf").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_tf"),
+        round(col("_n_rare").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("rare_frac"))
+  }
+
   /** Per-document top-k keywords by tf-idf. The idf is the RATIONAL form
     * (n_docs + 1) / (df + 1) rather than its logarithm: log is monotone,
     * so the per-document ranking is identical, and a log-free score is

@@ -504,6 +504,82 @@ object ExtensionQueries {
              |ORDER BY gram""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // ExactSubstr-style span removal: duplicated 13-grams are cut from
+    // every document; the oracle rebuilds the census on gram TEXT,
+    // derives covered positions, and re-joins survivors with an ordered
+    // string_agg — the whole rewrite is hash-checked end-to-end.
+    Q("dedup_span_removal",
+      (s, d) => Dedup.removeDuplicateSpans(Tables.documents(s, d), n = 13, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+             |p AS (SELECT doc_id, w, CAST(unnest(range(greatest(len(w)-12, 1))) AS INT) AS pos FROM t),
+             |g AS (SELECT doc_id, pos, array_to_string(w[pos+1:pos+13], ' ') AS gram FROM p),
+             |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+             |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+             |cov AS (SELECT DISTINCT doc_id, pos + CAST(unnest(range(13)) AS INT) AS cpos FROM hits),
+             |wpos AS (SELECT doc_id, CAST(unnest(range(len(w))) AS INT) AS pos, unnest(w) AS word FROM t),
+             |keep AS (SELECT wp.doc_id, wp.pos, wp.word FROM wpos wp
+             |         LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.cpos
+             |         WHERE cov.doc_id IS NULL),
+             |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text FROM keep GROUP BY doc_id),
+             |nrem AS (SELECT cov.doc_id, count(*) AS n_removed FROM cov JOIN t ON t.doc_id = cov.doc_id
+             |         WHERE cpos < len(w) GROUP BY cov.doc_id)
+             |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             |       CAST(len(t.w) AS INT) AS n_words,
+             |       CAST(coalesce(nrem.n_removed, 0) AS INT) AS n_removed
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN nrem ON t.doc_id = nrem.doc_id
+             |ORDER BY t.doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // unigram-LM frequency scoring (perplexity-proxy quality): integer
+    // corpus-frequency sums per document, one double division at the end.
+    Q("text_freq_stats",
+      (s, d) => TextAnalysis.frequencyStats(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+             |v AS (SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+             |      FROM tok WHERE token <> '' GROUP BY token),
+             |j AS (SELECT doc_id, term_freq, doc_freq FROM tok JOIN v USING (token) WHERE token <> '')
+             |SELECT doc_id, count(*) AS n_tokens, CAST(sum(term_freq) AS BIGINT) AS sum_tf,
+             |round(CAST(sum(term_freq) AS DOUBLE) / count(*), 6) AS mean_tf,
+             |round(CAST(sum(CASE WHEN doc_freq <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS rare_frac
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // product-quantization ANN: the oracle rebuilds the id-ordered
+    // codebook from the parquet itself, replays the per-sub-space L2
+    // argmin encoding, reconstructs, and ranks by reconstruction cosine
+    // — every code and score is bit-identical (sequential double folds
+    // on both engines), so the compressed-ANN path is hash-checked.
+    Q("sim_pq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+             |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16)),
+             |subs AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+             |cb AS (SELECT sub, code, cent.v[sub*8+1 : sub*8+8] AS cv FROM cent CROSS JOIN subs),
+             |cs AS (SELECT vec_id, sub, v[sub*8+1 : sub*8+8] AS sv FROM c CROSS JOIN subs),
+             |dist AS (SELECT vec_id, cs.sub, code,
+             |         list_dot_product(sv, sv) - 2*list_dot_product(sv, cv) + list_dot_product(cv, cv) AS d2
+             |         FROM cs JOIN cb ON cb.sub = cs.sub),
+             |a AS (SELECT vec_id, sub, code FROM (
+             |        SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS r
+             |        FROM dist) WHERE r = 1),
+             |xh AS (SELECT a.vec_id, flatten(list(cb.cv ORDER BY a.sub)) AS xhat
+             |       FROM a JOIN cb ON cb.sub = a.sub AND cb.code = a.code GROUP BY a.vec_id),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+             |sc AS (SELECT query_id, xh.vec_id AS neighbor_id,
+             |              list_dot_product(qv, xhat) / sqrt(list_dot_product(qv, qv) * list_dot_product(xhat, xhat)) AS cos_adc
+             |       FROM q JOIN xh ON xh.vec_id <> query_id)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos_adc, 6) AS cos_adc FROM (
+             |  SELECT query_id, neighbor_id, cos_adc,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos_adc DESC, neighbor_id) AS rank FROM sc)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // corpus vocabulary: top tokens by document frequency.
     Q("vocab_topk",
       (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))

@@ -368,6 +368,153 @@ object TpchQueries {
              |JOIN (SELECT p_brand AS b_brand, CAST(sum(p_size) AS DOUBLE) / count(*) AS avg_size
              |      FROM part GROUP BY p_brand) b ON p.p_brand = b.b_brand
              |WHERE CAST(p_size AS DOUBLE) > avg_size
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " ")))
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q6 shape: forecast-revenue-change — a pure scan-side filter
+    // + one exact decimal aggregate; the whole query should collapse to
+    // a pushed-filter parquet scan and a partial/final agg, no shuffle
+    // beyond the single-row exchange.
+    Q("q_forecast_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          dec(col("l_discount")).between(lit(0.02).cast(DecimalType(18, 2)),
+            lit(0.04).cast(DecimalType(18, 2))) &&
+          col("l_quantity") < 25)
+        .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double"), 3).as("revenue"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 3) AS revenue,
+             |count(*) AS n_items
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+             |AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST(0.02 AS DECIMAL(18,2)) AND CAST(0.04 AS DECIMAL(18,2))
+             |AND l_quantity < 25""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // TPC-H Q12 shape (no l_shipmode/commitdate in this schema): late
+    // shipments — lineitems shipped > 60 days after the order date —
+    // bucketed by order priority class, the same fact-fact join +
+    // conditional-count pattern.
+    Q("q_late_shipments",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).as("high_line_count"),
+          count_if(!col("o_orderpriority").isin("1-URGENT", "2-HIGH")).as("low_line_count"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+             |count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q13 shape: customer order-count distribution — left outer
+    // join preserving order-less customers, then a histogram of the
+    // per-customer counts (two cascaded aggregations).
+    Q("q_customer_distribution",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue — revenue
+    // per supplier (exact decimal), then keep the max via a scalar
+    // subquery on the UNROUNDED decimal so ties are exact.
+    Q("q_top_supplier_revenue",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+            .as("_rev"))
+        val top = rev.agg(max(col("_rev")).as("_max"))
+        rev.join(broadcast(top), col("_rev") === col("_max"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("_rev").cast("double"), 3).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 3) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE r = (SELECT max(r) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q17 shape: revenue from small-quantity orders of one brand.
+    // The correlated per-part mean-quantity comparison is rewritten
+    // division-free (qty · n · 5 < sum_qty ⟺ qty < 0.2·avg) so both
+    // engines compare exact decimals — no division-rounding skew.
+    Q("q_small_qty_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+          .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+            count(lit(1)).as("n_li"))
+        li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")),
+            col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("a_partkey"))
+          .filter(dec(col("l_quantity")) * col("n_li") * lit(5) < col("sum_qty"))
+          .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0), 3)
+            .as("avg_yearly"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""WITH pp AS (
+             |  SELECT l_partkey AS a_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n_li
+             |  FROM lineitem GROUP BY l_partkey)
+             |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 3) AS avg_yearly,
+             |count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN pp ON l_partkey = a_partkey
+             |WHERE p_brand = 'Brand#23'
+             |AND CAST(l_quantity AS DECIMAL(18,2)) * n_li * 5 < sum_qty""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q22 shape (no phone prefixes in this schema; every customer
+    // has SOME order in this data, so the anti-join target is "no
+    // urgent-priority order"): customers from a nation allowlist with
+    // above-average positive balance and no urgent order — anti join +
+    // division-free scalar-average comparison (bal · n > sum ⟺
+    // bal > avg).
+    Q("q_idle_customers",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+        val avgPos = c.filter(col("c_acctbal") > 0.0)
+          .agg(sum(dec(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n_pos"))
+        c.join(broadcast(avgPos),
+            dec(col("c_acctbal")) * col("n_pos") > col("sum_bal"))
+          .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH cset AS (SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+             |a AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS n_pos
+             |      FROM cset WHERE c_acctbal > 0.0)
+             |SELECT c_nationkey, count(*) AS numcust,
+             |round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 3) AS totacctbal
+             |FROM cset, a
+             |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_bal
+             |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replace("\n", " ")))
   )
 }

@@ -191,4 +191,48 @@ class PlanSpec extends SparkTestBase {
       assert(!l.contains("text#"), s"bloom decon shuffled a document: $l")
     }
   }
+
+  test("span removal: census and hit shuffles carry gram hashes, never gram text") {
+    val p = plan("dedup_span_removal")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("_gram#"), s"span removal shuffled gram text: $l")
+    }
+    // the document text crosses an exchange at most once — the final
+    // doc_id join that attaches cut lists (bucket the corpus to kill it)
+    val textShuffles = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(textShuffles <= 1, s"text must shuffle at most once:\n$p")
+  }
+
+  test("frequency stats never shuffle document text") {
+    val p = plan("text_freq_stats")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"frequency stats shuffled a document: $l")
+    }
+  }
+
+  test("pq scoring is native dot_vec over codes — vectors never shuffle") {
+    val p = plan("sim_pq_topk")
+    assert(p.contains("dotvec("), s"PQ must score with the native expression:\n$p")
+    // corpus embeddings are consumed in the scan-stage encode projection;
+    // no hash exchange may carry a raw or reconstructed vector
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("embedding#") && !l.contains("_v#") && !l.contains("_xhat#"),
+        s"PQ shuffled a vector: $l")
+    }
+  }
+
+  test("forecast revenue is a pushed-filter scan plus one partial aggregate") {
+    val p = plan("q_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter must reach the scan:\n$p")
+    assert(p.contains("partial_sum"), s"aggregate must ship partials:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a global scalar aggregate needs no hash exchange:\n$p")
+  }
+
+  test("small-quantity revenue broadcasts the filtered part dimension") {
+    val p = plan("q_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+  }
 }

@@ -346,6 +346,97 @@ class ExtensionSpec extends SparkTestBase {
     assert(corpus.filter(col("term_freq") < col("doc_freq")).count() == 0)
   }
 
+  test("span removal cuts exactly the covered words of a hand-built corpus") {
+    import spark.implicits._
+    val shared = (1 to 13).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared tail one"),
+      (2L, s"lead $shared"),
+      (3L, "completely different words here that never repeat at all exactly"),
+      (4L, "tiny shared doc"),
+      (5L, "tiny shared doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, n = 13, minDocs = 2)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2: the shared 13-gram is cut, the non-covered words survive
+    assert(out(1L)._2 == "tail one" && out(1L)._4 == 13)
+    assert(out(2L)._2 == "lead" && out(2L)._4 == 13)
+    // untouched doc passes through verbatim with zero removed
+    assert(out(3L)._2 == "completely different words here that never repeat at all exactly")
+    assert(out(3L)._4 == 0)
+    // short identical docs (one truncated gram) are removed entirely,
+    // and n_removed is clamped to the real word count
+    assert(out(4L)._2 == "" && out(4L)._3 == 3 && out(4L)._4 == 3)
+    assert(out(5L)._2 == "")
+  }
+
+  test("span removal is consistent with the duplicate-span census") {
+    // every document containing a census gram loses words; all others
+    // keep their exact text (round-trips the corpus)
+    val out = Dedup.removeDuplicateSpans(docs, n = 13, minDocs = 2)
+    val joined = docs.select(col("doc_id"), col("text")).join(out, "doc_id")
+    assert(joined.filter(col("n_removed") === 0 && col("clean_text") =!= col("text"))
+      .count() == 0, "untouched docs must round-trip")
+    assert(joined.filter(col("n_removed") > 0 && col("clean_text") === col("text"))
+      .count() == 0, "cut docs must change")
+    val nCut = out.filter(col("n_removed") > 0).count()
+    assert(nCut > 0, "sf0.01 corpus has known duplicated spans")
+  }
+
+  test("frequency stats match hand-computed corpus frequencies") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.frequencyStats(df)
+      .as[(Long, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // vocab: a → tf 3 (df 2), b → tf 1 (df 1), c → tf 1 (df 1)
+    assert(out(1L) == ((1L, 3L, 7L, 2.333333, 0.333333)))
+    assert(out(2L) == ((2L, 2L, 4L, 2.0, 0.5)))
+    // corpus-level sanity: mean_tf ≥ 1 everywhere, rare_frac ∈ [0,1]
+    val c = TextAnalysis.frequencyStats(docs)
+    assert(c.filter(col("mean_tf") < 1.0).count() == 0)
+    assert(c.filter(col("rare_frac") < 0.0 || col("rare_frac") > 1.0).count() == 0)
+  }
+
+  test("pq topk: k dense ranks per query, scores in range, deterministic") {
+    val q = emb.filter(col("vec_id") < 10)
+    val out = Similarity.pqTopK(emb, q, k = 5, dim = 64).cache()
+    assert(out.count() == 50)
+    assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(out.filter(col("cos_adc") < -1.000001 || col("cos_adc") > 1.000001).count() == 0)
+    val again = Similarity.pqTopK(emb, q, k = 5, dim = 64)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("pq with full-coverage refine equals brute force exactly") {
+    // refine large enough that the ADC short-list covers the whole
+    // corpus → the exact re-rank IS brute force; proves the refine
+    // plumbing (short-list join + re-rank) loses nothing
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    val refined = Similarity.pqTopK(emb, q, k = 5, dim = 64, refine = 200)
+    assert(refined.exceptAll(exact).count() == 0 && exact.exceptAll(refined).count() == 0)
+  }
+
+  test("pq adc recall: training the codebook beats the raw seed") {
+    val q = emb.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(emb, q, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    def recall(adc: org.apache.spark.sql.DataFrame): Long = truth.join(adc,
+      truth("query_id") === adc("query_id") && col("true_nn") === col("neighbor_id"))
+      .count()
+    val seeded = recall(Similarity.pqTopK(emb, q, k = 20, dim = 64)
+      .select(col("query_id"), col("neighbor_id")))
+    val trained = recall(Similarity.pqTopK(emb, q, k = 20, dim = 64, trainIters = 3)
+      .select(col("query_id"), col("neighbor_id")))
+    assert(trained >= seeded, s"training degraded recall: $trained < $seeded")
+    // the synthetic embeddings are near-isotropic — PQ's worst case
+    // (no cluster structure to exploit); 4% of the corpus as short-list
+    // recovering half the true top-1s is the expected regime, and the
+    // full-coverage-refine test above pins exactness of the plumbing
+    assert(trained >= 5, s"trained ADC top-20 recovered only $trained/10 true top-1")
+  }
+
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
