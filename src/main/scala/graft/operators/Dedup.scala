@@ -35,6 +35,23 @@ object Dedup {
     if (n == 1) array_distinct(words(text))
     else array_distinct(wordNgrams(words(text), n))
 
+  /** 64-bit hashes of the distinct word-n-gram shingles WITHOUT ever
+    * materializing the gram strings: words hash once per document, then
+    * every window hashes its long sub-array. Words are space-free (split
+    * on `\s+`), so the concat_ws text form is injective and the equality
+    * classes match hashing the gram text — up to xxhash64 collisions,
+    * the trade every hashed-shingle consumer already makes — while the
+    * per-document byte volume drops from ~n× the text (each word appears
+    * in n gram strings) to one long per word plus one per window.
+    */
+  def hashedShingles(text: Column, n: Int): Column = {
+    val wh = transform(words(text), w => xxhash64(w))
+    if (n == 1) array_distinct(wh)
+    else array_distinct(transform(
+      sequence(lit(0), greatest(size(wh) - n, lit(0))),
+      i => xxhash64(slice(wh, i + 1, lit(n)))))
+  }
+
   /** Exact dedup: one keeper (min id) per identical content. The groupBy
     * key is sha2-256 of the text, so the shuffle moves 64-byte digests,
     * not documents.
@@ -177,9 +194,9 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sets = df
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), array_sort(transform(col("sh"), s => xxhash64(s))).as("shl"))
+      .select(col("id"), array_sort(col("sh")).as("shl"))
       .withColumn("setkey", xxhash64(col("shl")))
 
     // checkpointed: groups feeds the LSH join fan-out (2 sides × bands),
@@ -455,7 +472,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     def sets(df: DataFrame, out: String) = df
       .select(col(idCol).as(out),
-        array_sort(transform(shingles(col(textCol), n), s => xxhash64(s))).as("shl"))
+        array_sort(hashedShingles(col(textCol), n)).as("shl"))
       .filter(size(col("shl")) > 0)
     // prefix length |x| − α + 1 with α = ⌈t·|x|⌉; floor (not ceil) keeps
     // the FP error on the SAFE side — 60·0.8 is 48.0000…03 in binary, and
@@ -502,7 +519,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id", n: Int = 13,
       minCommon: Int = 1): DataFrame = {
     def post(df: DataFrame, out: String) = df.select(col(idCol).as(out),
-      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("s"))
+      explode(hashedShingles(col(textCol), n)).as("s"))
     post(corpus, "corpus_id")
       .join(broadcast(post(ref, "ref_id")), "s")
       .groupBy("corpus_id", "ref_id")
@@ -529,7 +546,7 @@ object Dedup {
       minCommon: Int = 1, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
     def post(df: DataFrame, out: String) = df.select(col(idCol).as(out),
-      explode(transform(shingles(col(textCol), n), s => xxhash64(s))).as("s"))
+      explode(hashedShingles(col(textCol), n)).as("s"))
     val rPost = post(ref, "ref_id")
     val bloom = rPost.stat.bloomFilter("s", expectedItems, fpp)
     graft.functions.BloomMightContain.register(corpus.sparkSession)

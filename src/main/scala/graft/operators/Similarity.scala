@@ -239,16 +239,34 @@ object Similarity {
   /** Per-sub-space nearest-code expression: argmin over the candidate
     * structs (struct ordering compares d2 first, then code index —
     * deterministic ties). d² = ‖s‖² − 2·s·c + ‖c‖², each dot a
-    * sequential fold, so DuckDB replays it bit-exactly.
+    * sequential fold, so DuckDB replays it bit-exactly. Takes the
+    * sub-vector and its self-dot as ATTRIBUTES so the nCodes candidates
+    * share one slice and one ‖s‖² instead of recomputing both per
+    * candidate (a 3× expression-count cut that CollapseProject keeps,
+    * multi-referenced non-cheap projections being left alone).
     */
-  private def pqCodeExpr(cb: Array[Array[Array[Double]]], j: Int, dsub: Int,
-      v: Column): Column = {
-    val sv = slice(v, j * dsub + 1, dsub)
-    val cands = cb(j).zipWithIndex.map { case (cv, c) =>
-      struct((dot(sv, sv) - lit(2.0) * dot(sv, lit(cv)) + lit(dotSeq(cv, cv)))
+  private def pqCodeExpr(cbJ: Array[Array[Double]], sv: Column, ss: Column): Column = {
+    val cands = cbJ.zipWithIndex.map { case (cv, c) =>
+      struct((ss - lit(2.0) * dot(sv, lit(cv)) + lit(dotSeq(cv, cv)))
         .as("d2"), lit(c).as("c"))
     }
     array_min(array(cands.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** Encode every row to its `m` nearest-code indices (scan-stage only:
+    * slices and self-dots are materialized once per sub-space, then the
+    * argmin runs over attributes).
+    */
+  private def pqEncode(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+      dsub: Int, idCol: String, vecCol: String, outId: String): DataFrame = {
+    val m = cb.length
+    val withSv = corpus.select(col(idCol).as(outId) +: (0 until m).map(j =>
+      slice(col(vecCol), j * dsub + 1, dsub).as(s"_sv$j")): _*)
+    val withSs = withSv.select(col(outId) +: (0 until m).flatMap(j =>
+      Seq(col(s"_sv$j"), dot(col(s"_sv$j"), col(s"_sv$j")).as(s"_ss$j"))): _*)
+    withSs.select(col(outId),
+      array((0 until m).map(j =>
+        pqCodeExpr(cb(j), col(s"_sv$j"), col(s"_ss$j"))): _*).as("codes"))
   }
 
   /** Per-sub-space Lloyd refinement of the PQ codebook: each round
@@ -266,9 +284,12 @@ object Similarity {
     var cb = pqCodebook(corpus, dim, m, nCodes, idCol, vecCol)
     for (_ <- 0 until iters) {
       val pieces = (0 until m).map { j =>
-        corpus.select(lit(j).as("sub"),
-          pqCodeExpr(cb, j, dsub, col(vecCol)).as("code"),
-          slice(col(vecCol), j * dsub + 1, dsub).cast("array<double>").as("sv"))
+        corpus
+          .select(slice(col(vecCol), j * dsub + 1, dsub).as("_sv"))
+          .select(col("_sv"), dot(col("_sv"), col("_sv")).as("_ss"))
+          .select(lit(j).as("sub"),
+            pqCodeExpr(cb(j), col("_sv"), col("_ss")).as("code"),
+            col("_sv").cast("array<double>").as("sv"))
       }.reduce(_ unionAll _)
       val aggs = (0 until dsub).map(i => sum(col("sv")(i)).as(s"_s$i")) :+
         count(lit(1)).as("_n")
@@ -293,23 +314,31 @@ object Similarity {
       if (trainIters > 0) pqTrainCodebook(corpus, dim, m, nCodes, trainIters, idCol, vecCol)
       else pqCodebook(corpus, dim, m, nCodes, idCol, vecCol)
     val dsub = dim / m
-    val enc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
-      .select(col("neighbor_id"),
-        array((0 until m).map(j => pqCodeExpr(cb, j, dsub, col("_v"))): _*).as("codes"))
+    val enc = pqEncode(corpus, cb, dsub, idCol, vecCol, "neighbor_id")
 
-    // scoring: reconstruct from the broadcast codebook literal in the
-    // scan stage (the stored representation stays `codes`), then one
-    // sequential fold against the exact query vector
+    // scoring: reconstruct from the broadcast codebook literal ONCE per
+    // corpus row — not per (query, neighbor) pair — in the scan stage
+    // (the stored representation stays `codes`; decompression is the
+    // scan's job, exactly like parquet decoding), then one sequential
+    // fold against the exact query vector per pair. A per-query LUT
+    // (m·nCodes partial dots) would drop the per-pair cost to O(m) but
+    // regroups the addition order — same ranking up to fp ties, no
+    // longer bit-replayable — so the oracle-checked form keeps the
+    // single fold.
     val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val xhat = flatten(transform(col("codes"),
       (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
+    val encX = enc
+      .withColumn("_xhat", xhat)
+      .select(col("neighbor_id"), col("_xhat"),
+        dot(col("_xhat"), col("_xhat")).as("_x2"))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("q2", dot(col("qv"), col("qv"))))
-    val scored = q.join(enc, col("query_id") =!= col("neighbor_id"))
-      .withColumn("_xhat", xhat)
+    val scored = q.join(encX, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_adc",
-        dot(col("qv"), col("_xhat")) / sqrt(col("q2") * dot(col("_xhat"), col("_xhat"))))
+        dot(col("qv"), col("_xhat")) / sqrt(col("q2") * col("_x2")))
+      .select("query_id", "neighbor_id", "cos_adc")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_adc").desc, col("neighbor_id"))
     val adcRanked = scored.withColumn("rank", row_number().over(w))
