@@ -639,6 +639,34 @@ object Dedup {
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dup dedup — the continuous-ingestion shape: the
+    * `existing` frame is an already-deduplicated keeper corpus
+    * (immutable; its docs are never dropped), and a NEW batch is reduced
+    * to the docs worth appending. A delta doc is dropped when its
+    * word-n-gram Jaccard against ANY existing keeper reaches
+    * `threshold`; the remainder is then deduplicated among itself
+    * (MinHash+LSH, connected components, min id per cluster). Returns
+    * the delta keepers — append them to `existing` to advance the
+    * corpus, batch after batch.
+    *
+    * Scale: the delta side is small relative to the corpus by
+    * definition (a micro-batch against 100 TB), so the cross-check runs
+    * as [[contaminationPairs]] with the DELTA broadcast — one pass over
+    * the existing corpus, which never shuffles a document. A production
+    * deployment would persist the existing side's sorted shingle-hash
+    * arrays next to the corpus (they are exactly the `shl` column the
+    * minhash core computes) to skip re-shingling the archive per batch;
+    * the semantics here are unchanged by that caching.
+    */
+  def incrementalKeepers(existing: DataFrame, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
+      k: Int = 128, bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val hits = contaminationPairs(existing, delta, textCol, idCol, n, threshold)
+      .select(col("ref_id").as(idCol)).distinct()
+    val fresh = delta.join(hits, Seq(idCol), "left_anti")
+    minhashKeepers(fresh, textCol, idCol, n, k, bands, threshold)
+  }
+
   /** Exact all-pairs n-gram Jaccard ≥ threshold via an inverted-index
     * join (explode shingles, join on shingle, count co-occurrences) —
     * the classic scalable exact algorithm: work is proportional to

@@ -504,6 +504,91 @@ object ExtensionQueries {
              |ORDER BY gram""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // incremental (continuous-ingestion) dedup: the existing keeper
+    // corpus is immutable; a new batch drops docs near-dup to ANY
+    // existing doc, then dedups the survivors among themselves. The
+    // oracle recomputes both stages exactly — the O(n²) cross pair
+    // graph and the recursive-CTE components over survivors.
+    Q("dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalKeepers(
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 3 =!= 0), threshold = 0.8)
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |xp AS (SELECT a.doc_id AS did, b.doc_id AS eid, count(*) AS common
+             |       FROM dw a JOIN dw b ON a.w = b.w
+             |       WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0 GROUP BY 1, 2),
+             |dropped AS (SELECT DISTINCT did FROM xp JOIN cnt ca ON did = ca.doc_id JOIN cnt cb ON eid = cb.doc_id
+             |            WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |sv AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT did FROM dropped)),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+             |          WHERE a.doc_id IN (SELECT doc_id FROM sv) AND b.doc_id IN (SELECT doc_id FROM sv)
+             |          GROUP BY 1, 2),
+             |good AS (SELECT id_a, id_b FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |         WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b, id_a FROM good),
+             |reach(id, r) AS (SELECT src, src FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id IN (SELECT doc_id FROM sv)
+             |AND doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // the continuous-ingestion FOLD: batch 0 dedups alone, batch 1
+    // dedups against batch 0's keepers — exactly what a foreachBatch
+    // pipeline computes (StreamingDedupSpec proves the streaming wrapper
+    // equals this batch replay). The oracle replays both stages, each
+    // with its own recursive-CTE component solve.
+    Q("dedup_incremental_fold",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val k0 = Dedup.minhashKeepers(docs.filter(col("doc_id") % 2 === 0),
+          threshold = 0.8)
+        val k1 = Dedup.incrementalKeepers(k0,
+          docs.filter(col("doc_id") % 2 =!= 0), threshold = 0.8)
+        k0.unionAll(k1).select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |       FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+             |       WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0 GROUP BY 1, 2),
+             |g0 AS (SELECT id_a, id_b FROM p0 JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |       WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |e0 AS (SELECT id_a AS src, id_b AS dst FROM g0 UNION ALL SELECT id_b, id_a FROM g0),
+             |r0(id, r) AS (SELECT src, src FROM e0 UNION SELECT e0.dst, r0.r FROM r0 JOIN e0 ON e0.src = r0.id),
+             |c0 AS (SELECT id, min(r) AS cluster FROM r0 GROUP BY id),
+             |k0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+             |       AND doc_id NOT IN (SELECT id FROM c0 WHERE id <> cluster)),
+             |x1 AS (SELECT a.doc_id AS did, b.doc_id AS eid, count(*) AS common
+             |       FROM dw a JOIN dw b ON a.w = b.w
+             |       WHERE a.doc_id % 2 = 1 AND b.doc_id IN (SELECT doc_id FROM k0) GROUP BY 1, 2),
+             |drop1 AS (SELECT DISTINCT did FROM x1 JOIN cnt ca ON did = ca.doc_id JOIN cnt cb ON eid = cb.doc_id
+             |          WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |sv1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT did FROM drop1)),
+             |p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |       FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+             |       WHERE a.doc_id IN (SELECT doc_id FROM sv1) AND b.doc_id IN (SELECT doc_id FROM sv1)
+             |       GROUP BY 1, 2),
+             |g1 AS (SELECT id_a, id_b FROM p1 JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |       WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |e1 AS (SELECT id_a AS src, id_b AS dst FROM g1 UNION ALL SELECT id_b, id_a FROM g1),
+             |r1(id, r) AS (SELECT src, src FROM e1 UNION SELECT e1.dst, r1.r FROM r1 JOIN e1 ON e1.src = r1.id),
+             |c1 AS (SELECT id, min(r) AS cluster FROM r1 GROUP BY id),
+             |k1 AS (SELECT doc_id FROM sv1
+             |       WHERE doc_id NOT IN (SELECT id FROM c1 WHERE id <> cluster))
+             |SELECT doc_id, lang, source FROM documents
+             |WHERE doc_id IN (SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // ExactSubstr-style span removal: duplicated 13-grams are cut from
     // every document; the oracle rebuilds the census on gram TEXT,
     // derives covered positions, and re-joins survivors with an ordered

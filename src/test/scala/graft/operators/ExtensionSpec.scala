@@ -437,6 +437,26 @@ class ExtensionSpec extends SparkTestBase {
     assert(trained >= 5, s"trained ADC top-20 recovered only $trained/10 true top-1")
   }
 
+  test("incremental dedup: empty archive degenerates to plain keepers") {
+    val none = docs.filter(col("doc_id") < 0)
+    val inc = Dedup.incrementalKeepers(none, docs).select("doc_id")
+    val plain = Dedup.minhashKeepers(docs).select("doc_id")
+    assert(inc.exceptAll(plain).count() == 0 && plain.exceptAll(inc).count() == 0)
+  }
+
+  test("incremental dedup: no emitted doc is a near-dup of the archive or the batch") {
+    val existing = docs.filter(col("doc_id") % 3 === 0)
+    val delta = docs.filter(col("doc_id") % 3 =!= 0)
+    val out = Dedup.incrementalKeepers(existing, delta)
+    // nothing emitted collides with the immutable archive...
+    assert(Dedup.contaminationPairs(existing, out).count() == 0)
+    // ...and the emitted set is internally dedup'd: any qualifying pair
+    // would have been an edge of one component, which keeps one doc
+    assert(Dedup.minhashDedupPairs(out).count() == 0)
+    // replaying the archive as the batch emits nothing
+    assert(Dedup.incrementalKeepers(existing, existing).count() == 0)
+  }
+
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
