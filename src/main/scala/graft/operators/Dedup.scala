@@ -35,22 +35,35 @@ object Dedup {
     if (n == 1) array_distinct(words(text))
     else array_distinct(wordNgrams(words(text), n))
 
-  /** 64-bit hashes of the distinct word-n-gram shingles WITHOUT ever
-    * materializing the gram strings: words hash once per document, then
-    * every window hashes its long sub-array. Words are space-free (split
-    * on `\s+`), so the concat_ws text form is injective and the equality
-    * classes match hashing the gram text — up to xxhash64 collisions,
-    * the trade every hashed-shingle consumer already makes — while the
-    * per-document byte volume drops from ~n× the text (each word appears
-    * in n gram strings) to one long per word plus one per window.
+  /** Per-word 64-bit hashes — materialize this as its own projection
+    * (an attribute) before windowing over it: an expression captured
+    * inside a higher-order-function lambda re-evaluates per ELEMENT, so
+    * passing `wordHashes(text)` straight into a window transform would
+    * hash the whole document once per window (O(words²)).
     */
-  def hashedShingles(text: Column, n: Int): Column = {
-    val wh = transform(words(text), w => xxhash64(w))
-    if (n == 1) array_distinct(wh)
-    else array_distinct(transform(
-      sequence(lit(0), greatest(size(wh) - n, lit(0))),
-      i => xxhash64(slice(wh, i + 1, lit(n)))))
-  }
+  private[operators] def wordHashes(text: Column): Column =
+    transform(words(text), w => xxhash64(w))
+
+  /** All word-n-gram hashes (with duplicates, truncated tail gram like
+    * [[wordNgrams]]) composed from a MATERIALIZED word-hash array: each
+    * window hashes its long sub-array — no gram string is ever built.
+    * Words are space-free (split on `\s+`), so the concat_ws text form
+    * is injective and the equality classes match hashing the gram text,
+    * up to xxhash64 collisions — the trade every hashed-shingle
+    * consumer already makes — while per-document byte volume drops from
+    * ~n× the text (each word appears in n gram strings) to one long per
+    * word plus one per window.
+    */
+  private[operators] def hashedNgramsAll(wh: Column, n: Int): Column =
+    if (n == 1) wh
+    else transform(sequence(lit(0), greatest(size(wh) - n, lit(0))),
+      i => xxhash64(slice(wh, i + 1, lit(n))))
+
+  /** Distinct hash-composed shingles over a materialized word-hash
+    * array (n=1 → distinct word hashes).
+    */
+  private[operators] def hashedShinglesFromHashes(wh: Column, n: Int): Column =
+    array_distinct(hashedNgramsAll(wh, n))
 
   /** Exact dedup: one keeper (min id) per identical content. The groupBy
     * key is sha2-256 of the text, so the shuffle moves 64-byte digests,
@@ -194,7 +207,8 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sets = df
-      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"), wordHashes(col(textCol)).as("_wh"))
+      .select(col("id"), hashedShinglesFromHashes(col("_wh"), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), array_sort(col("sh")).as("shl"))
       .withColumn("setkey", xxhash64(col("shl")))
@@ -471,8 +485,9 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
       threshold: Double = 0.8): DataFrame = {
     def sets(df: DataFrame, out: String) = df
-      .select(col(idCol).as(out),
-        array_sort(hashedShingles(col(textCol), n)).as("shl"))
+      .select(col(idCol).as(out), wordHashes(col(textCol)).as("_wh"))
+      .select(col(out),
+        array_sort(hashedShinglesFromHashes(col("_wh"), n)).as("shl"))
       .filter(size(col("shl")) > 0)
     // prefix length |x| − α + 1 with α = ⌈t·|x|⌉; floor (not ceil) keeps
     // the FP error on the SAFE side — 60·0.8 is 48.0000…03 in binary, and
@@ -518,8 +533,9 @@ object Dedup {
   def ngramOverlap(corpus: DataFrame, ref: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 13,
       minCommon: Int = 1): DataFrame = {
-    def post(df: DataFrame, out: String) = df.select(col(idCol).as(out),
-      explode(hashedShingles(col(textCol), n)).as("s"))
+    def post(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), wordHashes(col(textCol)).as("_wh"))
+      .select(col(out), explode(hashedShinglesFromHashes(col("_wh"), n)).as("s"))
     post(corpus, "corpus_id")
       .join(broadcast(post(ref, "ref_id")), "s")
       .groupBy("corpus_id", "ref_id")
@@ -545,8 +561,9 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id", n: Int = 13,
       minCommon: Int = 1, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
-    def post(df: DataFrame, out: String) = df.select(col(idCol).as(out),
-      explode(hashedShingles(col(textCol), n)).as("s"))
+    def post(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out), wordHashes(col(textCol)).as("_wh"))
+      .select(col(out), explode(hashedShinglesFromHashes(col("_wh"), n)).as("s"))
     val rPost = post(ref, "ref_id")
     val bloom = rPost.stat.bloomFilter("s", expectedItems, fpp)
     graft.functions.BloomMightContain.register(corpus.sparkSession)
@@ -565,21 +582,42 @@ object Dedup {
     * word n-gram occurring in at least `minDocs` distinct documents,
     * with its document count and total occurrence count. Two cascaded
     * aggregations keyed on the 64-bit gram hash (8-byte shuffle keys);
-    * the gram text rides along as a `min` payload for reporting — at
-    * petabyte scale you would drop it and keep hashes only. Counts are
-    * exact up to 64-bit hash collisions (the standard trade).
+    * the census itself never materializes a gram STRING — text is
+    * attached afterwards for the (duplication-bounded) survivors only,
+    * so at petabyte scale the string phase stays proportional to real
+    * duplication, not the corpus. Counts are exact up to 64-bit hash
+    * collisions (the standard trade).
     */
   def duplicateSpans(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame =
-    df.select(col(idCol).as("_id"),
-        explode(wordNgrams(words(col(textCol)), n)).as("gram"))
-      .groupBy(xxhash64(col("gram")).as("_gh"), col("_id"))
-      .agg(min("gram").as("gram"), count(lit(1)).as("_occ"))
+      idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame = {
+    // phase 1: census on hash-composed grams only — no gram string is
+    // ever built, and the two aggregations shuffle pure longs
+    val counts = df
+      .select(col(idCol).as("_id"), wordHashes(col(textCol)).as("_wh"))
+      .select(col("_id"), explode(hashedNgramsAll(col("_wh"), n)).as("_gh"))
+      .groupBy("_gh", "_id").agg(count(lit(1)).as("_occ"))
       .groupBy("_gh")
-      .agg(min("gram").as("gram"), count(lit(1)).as("n_docs"),
-        sum("_occ").as("n_occurrences"))
+      .agg(count(lit(1)).as("n_docs"), sum("_occ").as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
+    // phase 2: attach the reporting text for the duplicated grams only.
+    // Gram strings still materialize in the scan (they must, to exist at
+    // all) but die before the exchange: only census survivors shuffle a
+    // string.
+    val texts = df
+      .select(words(col(textCol)).as("_w"))
+      .select(col("_w"), transform(col("_w"), x => xxhash64(x)).as("_wh"))
+      .select(explode(transform(
+        sequence(lit(0), greatest(size(col("_w")) - n, lit(0))),
+        i => struct(
+          (if (n == 1) element_at(col("_wh"), i + 1)
+           else xxhash64(slice(col("_wh"), i + 1, lit(n)))).as("_gh"),
+          concat_ws(" ", slice(col("_w"), i + 1, lit(n))).as("gram")))).as("p"))
+      .select(col("p._gh").as("_gh"), col("p.gram").as("gram"))
+      .join(counts.select("_gh"), "_gh")
+      .groupBy("_gh").agg(min("gram").as("gram"))
+    counts.join(texts, "_gh")
       .select("gram", "n_docs", "n_occurrences")
+  }
 
   /** ExactSubstr-style duplicated-span REMOVAL — the rewrite counterpart
     * of [[duplicateSpans]] (after Lee et al., "Deduplicating Training
@@ -602,9 +640,10 @@ object Dedup {
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame = {
-    val grams = df.select(col(idCol).as("_id"),
-        posexplode(wordNgrams(words(col(textCol)), n)).as(Seq("_pos", "_gram")))
-      .select(col("_id"), col("_pos"), xxhash64(col("_gram")).as("_gh"))
+    val grams = df
+      .select(col(idCol).as("_id"), wordHashes(col(textCol)).as("_wh"))
+      .select(col("_id"),
+        posexplode(hashedNgramsAll(col("_wh"), n)).as(Seq("_pos", "_gh")))
     val dup = grams.groupBy("_gh")
       .agg(count_distinct(col("_id")).as("_nd"))
       .filter(col("_nd") >= minDocs)
@@ -658,13 +697,43 @@ object Dedup {
     * minhash core computes) to skip re-shingling the archive per batch;
     * the semantics here are unchanged by that caching.
     */
+  // result-level memo for incrementalKeepers: the derived `fresh` frame
+  // is checkpoint-backed (unidentifiable plan leaves), so the core memo
+  // can't key it — memoize the whole checkpointed result on the two
+  // INPUT plans instead. Same bounded-FIFO policy as coreMemo.
+  private val incMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = size > 8
+    }
+
   def incrementalKeepers(existing: DataFrame, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
       k: Int = 128, bands: Int = 32, threshold: Double = 0.8): DataFrame = {
-    val hits = contaminationPairs(existing, delta, textCol, idCol, n, threshold)
-      .select(col("ref_id").as(idCol)).distinct()
-    val fresh = delta.join(hits, Seq(idCol), "left_anti")
-    minhashKeepers(fresh, textCol, idCol, n, k, bands, threshold)
+    def compute(): DataFrame = {
+      // the contaminated-id list is small (bounded by the batch) and
+      // feeds BOTH the dedup core and the final anti-join — checkpoint
+      // it so the archive cross-check scans once per call
+      val hits = contaminationPairs(existing, delta, textCol, idCol, n, threshold)
+        .select(col("ref_id").as(idCol)).distinct()
+        .localCheckpoint()
+      val fresh = delta.join(hits, Seq(idCol), "left_anti")
+      minhashKeepers(fresh, textCol, idCol, n, k, bands, threshold)
+    }
+    val key = for { a <- planKey(existing); b <- planKey(delta) }
+      yield (existing.sparkSession,
+        s"$a||$b/$textCol/$idCol/$n/$k/$bands/$threshold")
+    key match {
+      case None => compute()
+      case Some(kk) =>
+        val cached = incMemo.synchronized(Option(incMemo.get(kk)))
+        cached.getOrElse {
+          val v = compute().localCheckpoint()
+          incMemo.synchronized {
+            Option(incMemo.get(kk)).getOrElse { incMemo.put(kk, v); v }
+          }
+        }
+    }
   }
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via an inverted-index

@@ -210,6 +210,35 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Fixed-size document chunking with overlap — the pretraining /
+    * retrieval prep op: each document becomes ⌈max(n−size,0)/stride⌉+1
+    * chunks of `size` words starting every `stride` words (the last
+    * chunk is the tail remainder; a doc shorter than `size` yields one
+    * chunk). Pure scan-stage explode — chunk rows inherit the scan's
+    * partitioning, nothing shuffles.
+    */
+  def chunk(df: DataFrame, size: Int, stride: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    // the word array is materialized as an attribute — an expression
+    // captured inside the transform lambda would re-split the document
+    // once per chunk. sequence(0, X, stride) emits the stride multiples
+    // ≤ X, so X = max(n−size, 0) + stride−1 lands the last start at
+    // ⌈max(n−size,0)/stride⌉·stride — integer arithmetic only.
+    val starts = sequence(lit(0),
+      greatest(size_(col("_w")) - size, lit(0)) + lit(stride - 1), lit(stride))
+    df.select(col(idCol), split(col(textCol), "\\s+").as("_w"))
+      .select(col(idCol), posexplode(transform(starts,
+        s => slice(col("_w"), s + 1, lit(size)))).as(Seq("chunk_idx", "_cw")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("_cw"), " ").as("chunk"),
+        size_(col("_cw")).as("n_words"))
+  }
+
+  // `size` the function, shadowed by `chunk`'s parameter
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Winnowing-style fingerprint: per-window minima over the word hash
     * sequence (codegen'd `window_minima`), keeping the minimum per window and
     * fingerprint = the k smallest distinct window minima. Two documents

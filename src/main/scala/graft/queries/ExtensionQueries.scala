@@ -665,6 +665,19 @@ object ExtensionQueries {
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // fixed-size chunking with overlap (pretraining/RAG prep): every
+    // start offset, boundary and tail is replayed in SQL.
+    Q("text_chunks",
+      (s, d) => TextAnalysis.chunk(Tables.documents(s, d), size = 40, stride = 20)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+             |st AS (SELECT doc_id, w, CAST(unnest(range(0, greatest(len(w) - 40, 0) + 20, 20)) AS INT) AS start FROM t)
+             |SELECT doc_id, CAST(start // 20 AS INT) AS chunk_idx,
+             |array_to_string(w[start+1 : start+40], ' ') AS chunk,
+             |CAST(len(w[start+1 : start+40]) AS INT) AS n_words
+             |FROM st ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // corpus vocabulary: top tokens by document frequency.
     Q("vocab_topk",
       (s, d) => TextAnalysis.vocabulary(Tables.documents(s, d))

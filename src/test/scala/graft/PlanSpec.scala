@@ -172,12 +172,17 @@ class PlanSpec extends SparkTestBase {
 
   test("span census aggregates key on the 64-bit gram hash, not the gram text") {
     val p = plan("dedup_spans")
-    assert(p.contains("xxhash64(gram"), s"expected hash-keyed grouping:\n$p")
     val keyed = p.linesIterator.filter(_.contains("Aggregate(key")).toSeq
     assert(keyed.exists(_.contains("key=[_gh")), s"final agg must key on the hash:\n$p")
     keyed.foreach { l =>
       assert(!l.contains("key=[gram#") && !l.contains("keys=[gram#"),
         s"aggregate keyed on raw gram text: $l")
+    }
+    // the census (count-bearing) aggregations must not shuffle gram
+    // strings either — text only appears in the survivor-attach phase
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("n_docs")).foreach { l =>
+      assert(!l.contains("gram#"), s"census exchange carried gram text: $l")
     }
   }
 

@@ -457,6 +457,31 @@ class ExtensionSpec extends SparkTestBase {
     assert(Dedup.incrementalKeepers(existing, existing).count() == 0)
   }
 
+  test("chunking: hand-checked starts, tail, and full coverage") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, size = 4, stride = 2)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    // doc 1: starts 0,2,4,6 — last chunk is the exact tail
+    assert(out(1L).map(_._3).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(out(1L).map(_._4).toSeq == Seq(4, 4, 4, 4))
+    // a doc shorter than `size` yields one (short) chunk
+    assert(out(2L).map(_._3).toSeq == Seq("short doc") && out(2L).head._4 == 2)
+    // corpus-level: every word position lands in at least one chunk
+    val docs01 = docs
+    val chunks = TextAnalysis.chunk(docs01, size = 40, stride = 20)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("n_words").as("covered"), max("chunk_idx").as("mx"))
+    val joined = docs01.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("n")).join(perDoc, "doc_id")
+    // overlap ⇒ covered ≥ n, and coverage reaches the last word:
+    // mx*stride + last chunk words = n for docs over one chunk
+    assert(joined.filter(col("covered") < col("n")).count() == 0)
+  }
+
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
