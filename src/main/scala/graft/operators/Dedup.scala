@@ -613,7 +613,13 @@ object Dedup {
            else xxhash64(slice(col("_wh"), i + 1, lit(n)))).as("_gh"),
           concat_ws(" ", slice(col("_w"), i + 1, lit(n))).as("gram")))).as("p"))
       .select(col("p._gh").as("_gh"), col("p.gram").as("gram"))
-      .join(counts.select("_gh"), "_gh")
+      // explicit broadcast: without the hint a conservative size
+      // estimate degrades this to a sort-merge join that shuffles EVERY
+      // gram string — the exact cost this rewrite exists to avoid. The
+      // survivor hash set is duplication-bounded (8 bytes per
+      // duplicated gram); if it outgrows broadcast at extreme
+      // duplication rates, fall back to the un-hinted join consciously.
+      .join(broadcast(counts.select("_gh")), "_gh")
       .groupBy("_gh").agg(min("gram").as("gram"))
     counts.join(texts, "_gh")
       .select("gram", "n_docs", "n_occurrences")
@@ -640,10 +646,16 @@ object Dedup {
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame = {
+    // checkpointed: the posting set feeds BOTH the census (→ dup) and
+    // the hit join — without it the corpus scan + word hashing + window
+    // hashing (the operator's dominant CPU) runs twice. The
+    // materialization is posting-set-proportional (3 longs per gram);
+    // at extreme scale trade it back for recompute consciously.
     val grams = df
       .select(col(idCol).as("_id"), wordHashes(col(textCol)).as("_wh"))
       .select(col("_id"),
         posexplode(hashedNgramsAll(col("_wh"), n)).as(Seq("_pos", "_gh")))
+      .localCheckpoint()
     val dup = grams.groupBy("_gh")
       .agg(count_distinct(col("_id")).as("_nd"))
       .filter(col("_nd") >= minDocs)
@@ -700,11 +712,15 @@ object Dedup {
   // result-level memo for incrementalKeepers: the derived `fresh` frame
   // is checkpoint-backed (unidentifiable plan leaves), so the core memo
   // can't key it — memoize the whole checkpointed result on the two
-  // INPUT plans instead. Same bounded-FIFO policy as coreMemo.
+  // INPUT plans instead. The two plan keys and the param string are
+  // SEPARATE tuple fields — concatenating them could alias different
+  // input pairs (canonicalized plan strings can contain any separator,
+  // e.g. `||` from a boolean OR). Same bounded-FIFO policy as coreMemo.
+  private type IncKey = (SparkSession, String, String, String)
   private val incMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, false) {
+    new java.util.LinkedHashMap[IncKey, DataFrame](16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = size > 8
+          e: java.util.Map.Entry[IncKey, DataFrame]): Boolean = size > 8
     }
 
   def incrementalKeepers(existing: DataFrame, delta: DataFrame,
@@ -720,9 +736,9 @@ object Dedup {
       val fresh = delta.join(hits, Seq(idCol), "left_anti")
       minhashKeepers(fresh, textCol, idCol, n, k, bands, threshold)
     }
-    val key = for { a <- planKey(existing); b <- planKey(delta) }
-      yield (existing.sparkSession,
-        s"$a||$b/$textCol/$idCol/$n/$k/$bands/$threshold")
+    val key: Option[IncKey] = for { a <- planKey(existing); b <- planKey(delta) }
+      yield (existing.sparkSession, a, b,
+        s"$textCol/$idCol/$n/$k/$bands/$threshold")
     key match {
       case None => compute()
       case Some(kk) =>

@@ -162,9 +162,11 @@ object TextAnalysis {
     *
     * Exactness: both passes aggregate INTEGER occurrence counts, so every
     * sum is order-independent; the only double division happens once per
-    * document at the end. Scale: the vocabulary side of the token join is
-    * Zipf-bounded (≪ corpus) so it broadcasts; aggregation keys are doc
-    * ids — nothing document-sized enters an exchange.
+    * document at the end. Scale: the vocabulary is Zipf-bounded (≪
+    * corpus) — AQE broadcasts it when it fits, and past the broadcast
+    * threshold the join sort-merges on short token keys; either way the
+    * aggregation keys are doc ids and nothing document-sized enters an
+    * exchange.
     */
   def frequencyStats(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", rareDocsMax: Long = 1): DataFrame = {

@@ -200,7 +200,7 @@ class PlanSpec extends SparkTestBase {
   test("span removal: census and hit shuffles carry gram hashes, never gram text") {
     val p = plan("dedup_span_removal")
     p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
-      assert(!l.contains("_gram#"), s"span removal shuffled gram text: $l")
+      assert(!l.contains("gram#"), s"span removal shuffled gram text: $l")
     }
     // the document text crosses an exchange at most once — the final
     // doc_id join that attaches cut lists (bucket the corpus to kill it)
@@ -225,6 +225,14 @@ class PlanSpec extends SparkTestBase {
       assert(!l.contains("embedding#") && !l.contains("_v#") && !l.contains("_xhat#"),
         s"PQ shuffled a vector: $l")
     }
+  }
+
+  test("chunking is a pure scan-stage explode — no exchange at all") {
+    val p = plan("text_chunks")
+    // the gate's ORDER BY adds one range exchange for output
+    // determinism; chunk construction itself must add none
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"chunking must not shuffle:\n$p")
   }
 
   test("forecast revenue is a pushed-filter scan plus one partial aggregate") {

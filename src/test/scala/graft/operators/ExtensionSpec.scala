@@ -474,12 +474,17 @@ class ExtensionSpec extends SparkTestBase {
     val docs01 = docs
     val chunks = TextAnalysis.chunk(docs01, size = 40, stride = 20)
     val perDoc = chunks.groupBy("doc_id")
-      .agg(sum("n_words").as("covered"), max("chunk_idx").as("mx"))
+      .agg(sum("n_words").as("covered"),
+        max(col("chunk_idx") * 20 + col("n_words")).as("max_end"))
     val joined = docs01.select(col("doc_id"),
         size(split(col("text"), "\\s+")).as("n")).join(perDoc, "doc_id")
-    // overlap ⇒ covered ≥ n, and coverage reaches the last word:
-    // mx*stride + last chunk words = n for docs over one chunk
+    // overlap ⇒ covered ≥ n
     assert(joined.filter(col("covered") < col("n")).count() == 0)
+    // tail invariant: the furthest chunk end is EXACTLY the document
+    // length (full chunks end at idx·stride+size ≤ n; the tail chunk
+    // ends at mx·stride + its word count = n) — a sequence bound one
+    // stride short would drop the tail and fail this
+    assert(joined.filter(col("max_end") =!= col("n")).count() == 0)
   }
 
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {

@@ -41,11 +41,12 @@ class StreamingDedupSpec extends SparkTestBase {
         keepers = Some(next)
       }
       .start()
-    source.addData(b0.as[(Long, String)].collect().toIndexedSeq: _*)
-    q.processAllAvailable()
-    source.addData(b1.as[(Long, String)].collect().toIndexedSeq: _*)
-    q.processAllAvailable()
-    q.stop()
+    try {
+      source.addData(b0.as[(Long, String)].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+      source.addData(b1.as[(Long, String)].collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
 
     // batch replay (the dedup_incremental_fold gate shape)
     val k0 = Dedup.minhashKeepers(b0)
