@@ -367,6 +367,30 @@ object Similarity {
     }
   }
 
+  /** Diversity-balanced subsampling — the semantic-curation primitive
+    * (SemDeDup-style: cap each semantic region instead of letting the
+    * head of the distribution dominate the sample): vectors are
+    * assigned to their nearest centroid cell (deterministic id-ordered
+    * seed, optionally Lloyd-trained like IVF) and each cell keeps its
+    * first `perCell` members by id. Assignment is a scan-stage
+    * projection over broadcast centroid literals; the per-cell window
+    * shuffles only (id, cell) — no vector ever crosses an exchange.
+    */
+  def diversitySample(corpus: DataFrame, nCells: Int, perCell: Int, dim: Int,
+      trainIters: Int = 0, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(corpus, nCells, dim, trainIters, idCol, vecCol)
+      else seedCentroids(corpus, nCells, idCol, vecCol)
+    val assigned = corpus.select(col(idCol),
+      cellsRanked(col(vecCol), centroids).getItem(0).getField("i").as("cell"))
+    val w = Window.partitionBy(col("cell")).orderBy(col(idCol))
+    assigned.withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= perCell)
+      .select(col(idCol), col("cell"))
+  }
+
   /** IVF ANN: centroids default to the deterministic id-ordered sample
     * (`trainIters = 0` — the gate-checked configuration, exactly
     * replayable in SQL); `trainIters > 0` refines them with that many

@@ -316,6 +316,26 @@ object ExtensionQueries {
       },
       Some(ivfOracleSql(k = 5, nCells = 16, nProbe = 3, queryPred = "vec_id < 10"))),
 
+    // diversity-balanced subsampling (SemDeDup-style cell caps): the
+    // oracle replays the deterministic centroid assignment (the IVF
+    // machinery) and the per-cell id-ordered cap exactly.
+    Q("sim_diversity_sample",
+      (s, d) => Similarity.diversitySample(Tables.embeddings(s, d),
+          nCells = 16, perCell = 10, dim = 64)
+        .orderBy("vec_id"),
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
+             |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16)),
+             |scored AS (SELECT c.vec_id, cent.i,
+             |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
+             |           FROM c, cent),
+             |ranked AS (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS r FROM scored),
+             |assign AS (SELECT vec_id, i AS cell FROM ranked WHERE r = 1),
+             |keep AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk FROM assign)
+             |SELECT vec_id, CAST(cell AS INT) AS cell FROM keep WHERE rnk <= 10
+             |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // ---- text analysis ----
 
     Q("text_langid",

@@ -487,6 +487,21 @@ class ExtensionSpec extends SparkTestBase {
     assert(joined.filter(col("max_end") =!= col("n")).count() == 0)
   }
 
+  test("diversity sample: per-cell cap holds, deterministic, trained variant valid") {
+    val out = Similarity.diversitySample(emb, nCells = 16, perCell = 10, dim = 64)
+      .cache()
+    assert(out.groupBy("cell").count().filter(col("count") > 10).count() == 0)
+    assert(out.count() <= 160 && out.count() > 0)
+    // kept ids are real corpus ids
+    assert(out.select("vec_id").exceptAll(emb.select("vec_id")).count() == 0)
+    val again = Similarity.diversitySample(emb, nCells = 16, perCell = 10, dim = 64)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    out.unpersist()
+    val trained = Similarity.diversitySample(emb, nCells = 16, perCell = 10,
+      dim = 64, trainIters = 2)
+    assert(trained.groupBy("cell").count().filter(col("count") > 10).count() == 0)
+  }
+
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
