@@ -238,6 +238,43 @@ object ExtensionQueries {
               |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // cross-modal curation composition: text-quality filter → join the
+    // documents' embeddings → diversity-sample the survivors (cell
+    // caps) → emit curated docs with their semantic cell. Every stage —
+    // quality SQL, centroid seed FROM THE FILTERED SET, assignment,
+    // cap — is replayed exactly in DuckDB.
+    Q("pipeline_curated_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val qual = TextAnalysis.qualityMetrics(docs)
+          .filter(col("quality_score") >= 0.7).select("doc_id")
+        val emb = Tables.embeddings(s, d)
+          .join(qual.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+        val kept = Similarity.diversitySample(emb, nCells = 16, perCell = 10, dim = 64)
+        docs.join(kept.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+          .select("doc_id", "cell", "lang", "source").orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT doc_id,
+             |  round(CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+             |      + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 0.3 ELSE 0.0 END
+             |      + CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\s+')), 1) AS DOUBLE) >= 0.05 THEN 0.3 ELSE 0.0 END, 6) AS score
+             |  FROM documents),
+             |keep0 AS (SELECT doc_id FROM q WHERE score >= 0.7),
+             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |      WHERE vec_id IN (SELECT doc_id FROM keep0)),
+             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
+             |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16)),
+             |scored AS (SELECT c.vec_id, cent.i,
+             |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
+             |           FROM c, cent),
+             |ranked AS (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS r FROM scored),
+             |assign AS (SELECT vec_id, i AS cell FROM ranked WHERE r = 1),
+             |keepc AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk FROM assign)
+             |SELECT d.doc_id, CAST(cell AS INT) AS cell, lang, source
+             |FROM documents d JOIN keepc ON d.doc_id = keepc.vec_id
+             |WHERE rnk <= 10 ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // ---- similarity search ----
 
     Q("sim_topk_bruteforce",
