@@ -161,7 +161,7 @@ object Similarity {
     var centroids = seedCentroids(corpus, k, idCol, vecCol)
     for (_ <- 0 until iters) {
       val assigned = corpus.select(col(vecCol).as("v"),
-        cellsRanked(col(vecCol), centroids).getItem(0).getField("i").as("cell"))
+        cellExpr(col(vecCol), centroids).as("cell"))
       val aggs = (0 until dim).map(i => sum(col("v").getItem(i)).as(s"_s$i")) :+
         count(lit(1)).as("_n")
       val next = centroids.map(_.clone())
@@ -367,6 +367,13 @@ object Similarity {
     }
   }
 
+  /** Nearest-cell index expression — the single assignment definition
+    * shared by k-means updates, IVF and diversity sampling, so the
+    * semantics (tie-break included) can never drift between them.
+    */
+  private def cellExpr(vec: Column, centroids: Array[Array[Double]]): Column =
+    cellsRanked(vec, centroids).getItem(0).getField("i")
+
   /** Diversity-balanced subsampling — the semantic-curation primitive
     * (SemDeDup-style: cap each semantic region instead of letting the
     * head of the distribution dominate the sample): vectors are
@@ -384,7 +391,7 @@ object Similarity {
       if (trainIters > 0) kmeansCentroids(corpus, nCells, dim, trainIters, idCol, vecCol)
       else seedCentroids(corpus, nCells, idCol, vecCol)
     val assigned = corpus.select(col(idCol),
-      cellsRanked(col(vecCol), centroids).getItem(0).getField("i").as("cell"))
+      cellExpr(col(vecCol), centroids).as("cell"))
     val w = Window.partitionBy(col("cell")).orderBy(col(idCol))
     assigned.withColumn("_rnk", row_number().over(w))
       .filter(col("_rnk") <= perCell)
@@ -409,7 +416,7 @@ object Similarity {
       else seedCentroids(corpus, nCells, idCol, vecCol)
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cellsRanked(col(vecCol), centroids).getItem(0).getField("i").as("cell"))
+      cellExpr(col(vecCol), centroids).as("cell"))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(transform(slice(cellsRanked(col(vecCol), centroids), 1, nProbe),

@@ -40,6 +40,31 @@ object ExtensionQueries {
     s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> list_contains($list, w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE) AS s_$l"
   }.mkString(", ")
 
+  /** SQL twin of `TextAnalysis.qualityMetrics`' composite score — ONE
+    * definition for every oracle that filters on quality (a plain
+    * triple-quoted val, so `\s` stays literal; inject only into
+    * interpolated oracles, whose own escapes are already doubled).
+    */
+  private val qualityScoreSql: String =
+    """round(CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
+      |      + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 0.3 ELSE 0.0 END
+      |      + CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\s+')), 1) AS DOUBLE) >= 0.05 THEN 0.3 ELSE 0.0 END, 6)""".stripMargin.replace("\n", " ")
+
+  /** Shared DuckDB CTE chain for the deterministic nearest-centroid
+    * assignment (id-ordered seed, cosine score, reversed tie-break) —
+    * the SQL twin of Similarity's `cellExpr`, extended by the IVF,
+    * diversity-sample and curated-pipeline oracles. Expects an existing
+    * CTE `c(vec_id, v)`; emits `cent`, `scored`, `ranked`, `assign`.
+    */
+  private def assignCtesSql(nCells: Int): String =
+    s"""cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
+       |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT $nCells)),
+       |scored AS (SELECT c.vec_id, cent.i,
+       |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
+       |           FROM c, cent),
+       |ranked AS (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS r FROM scored),
+       |assign AS (SELECT vec_id, i AS cell FROM ranked WHERE r = 1)""".stripMargin
+
   /** DuckDB replay of `Similarity.lshNearDupPairs`: the SAME seeded
     * hyperplanes are emitted as double literals, and `list_dot_product`
     * over DOUBLE[] folds left-to-right exactly like the native `dot_vec`
@@ -78,13 +103,7 @@ object ExtensionQueries {
   private def ivfOracleSql(k: Int, nCells: Int, nProbe: Int,
       queryPred: String): String =
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
-       |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT $nCells)),
-       |scored AS (SELECT c.vec_id, cent.i,
-       |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
-       |           FROM c, cent),
-       |ranked AS (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS r FROM scored),
-       |assign AS (SELECT vec_id, i AS cell FROM ranked WHERE r = 1),
+       |${assignCtesSql(nCells)},
        |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked WHERE r <= $nProbe AND $queryPred),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
        |         FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
@@ -217,11 +236,7 @@ object ExtensionQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE
-              |q AS (SELECT doc_id,
-              |  round(CASE WHEN len(string_split_regex(text, '\\s+')) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
-              |      + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 0.3 ELSE 0.0 END
-              |      + CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\\s+')), 1) AS DOUBLE) >= 0.05 THEN 0.3 ELSE 0.0 END, 6) AS score
-              |  FROM documents),
+              |q AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
               |keep0 AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN q USING (doc_id) WHERE q.score >= 0.7),
               |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM keep0),
               |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
@@ -254,25 +269,15 @@ object ExtensionQueries {
         docs.join(kept.withColumnRenamed("vec_id", "doc_id"), "doc_id")
           .select("doc_id", "cell", "lang", "source").orderBy("doc_id")
       },
-      Some("""WITH q AS (SELECT doc_id,
-             |  round(CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 5 AND 10000 THEN 0.4 ELSE 0.0 END
-             |      + CASE WHEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) <= 0.2 THEN 0.3 ELSE 0.0 END
-             |      + CASE WHEN CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> list_contains(['the','a','of','and','to','in','is','that','it','for'], w))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(text), '\s+')), 1) AS DOUBLE) >= 0.05 THEN 0.3 ELSE 0.0 END, 6) AS score
-             |  FROM documents),
-             |keep0 AS (SELECT doc_id FROM q WHERE score >= 0.7),
-             |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-             |      WHERE vec_id IN (SELECT doc_id FROM keep0)),
-             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
-             |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16)),
-             |scored AS (SELECT c.vec_id, cent.i,
-             |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
-             |           FROM c, cent),
-             |ranked AS (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS r FROM scored),
-             |assign AS (SELECT vec_id, i AS cell FROM ranked WHERE r = 1),
-             |keepc AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk FROM assign)
-             |SELECT d.doc_id, CAST(cell AS INT) AS cell, lang, source
-             |FROM documents d JOIN keepc ON d.doc_id = keepc.vec_id
-             |WHERE rnk <= 10 ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
+      Some(s"""WITH q AS (SELECT doc_id, $qualityScoreSql AS score FROM documents),
+              |keep0 AS (SELECT doc_id FROM q WHERE score >= 0.7),
+              |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              |      WHERE vec_id IN (SELECT doc_id FROM keep0)),
+              |${assignCtesSql(16)},
+              |keepc AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk FROM assign)
+              |SELECT d.doc_id, CAST(cell AS INT) AS cell, lang, source
+              |FROM documents d JOIN keepc ON d.doc_id = keepc.vec_id
+              |WHERE rnk <= 10 ORDER BY d.doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
     // ---- similarity search ----
@@ -360,17 +365,11 @@ object ExtensionQueries {
       (s, d) => Similarity.diversitySample(Tables.embeddings(s, d),
           nCells = 16, perCell = 10, dim = 64)
         .orderBy("vec_id"),
-      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
-             |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16)),
-             |scored AS (SELECT c.vec_id, cent.i,
-             |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
-             |           FROM c, cent),
-             |ranked AS (SELECT vec_id, i, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, i DESC) AS r FROM scored),
-             |assign AS (SELECT vec_id, i AS cell FROM ranked WHERE r = 1),
-             |keep AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk FROM assign)
-             |SELECT vec_id, CAST(cell AS INT) AS cell FROM keep WHERE rnk <= 10
-             |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |${assignCtesSql(16)},
+              |keep AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk FROM assign)
+              |SELECT vec_id, CAST(cell AS INT) AS cell FROM keep WHERE rnk <= 10
+              |ORDER BY vec_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
     // ---- text analysis ----

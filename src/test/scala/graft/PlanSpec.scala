@@ -235,6 +235,13 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"chunking must not shuffle:\n$p")
   }
 
+  test("diversity sampling shuffles only (id, cell) — vectors stay in the scan") {
+    val p = plan("sim_diversity_sample")
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("embedding#"), s"diversity sample shuffled a vector: $l")
+    }
+  }
+
   test("forecast revenue is a pushed-filter scan plus one partial aggregate") {
     val p = plan("q_forecast_revenue")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
