@@ -502,6 +502,54 @@ class ExtensionSpec extends SparkTestBase {
     assert(trained.groupBy("cell").count().filter(col("count") > 10).count() == 0)
   }
 
+  test("chunking invariants hold across size/stride configurations") {
+    import spark.implicits._
+    val doc = (1 to 23).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    for ((size, stride) <- Seq((8, 8), (8, 4), (5, 2), (23, 23), (40, 10))) {
+      val chunks = TextAnalysis.chunk(df, size, stride)
+        .as[(Long, Int, String, Int)].collect().sortBy(_._2)
+      val words = doc.split(" ")
+      // every chunk is EXACTLY the slice [idx·stride, idx·stride+size)
+      chunks.foreach { case (_, idx, text, n) =>
+        val expect = words.slice(idx * stride, idx * stride + size)
+        assert(text == expect.mkString(" ") && n == expect.length,
+          s"chunk $idx wrong at ($size,$stride): $text")
+      }
+      // chunk indexes are dense from 0 and the tail reaches the last word
+      assert(chunks.map(_._2).toSeq == chunks.indices.toSeq)
+      assert(chunks.map { case (_, idx, _, n) => idx * stride + n }.max == 23,
+        s"tail not covered at ($size,$stride)")
+    }
+  }
+
+  test("hash-composed shingles preserve the text shingles' equality classes") {
+    // distinct-count equality per document AND corpus-wide proves the
+    // word-hash window composition neither merges distinct grams
+    // (collision) nor splits equal ones — the exact guarantee every
+    // hashed-shingle consumer (minhash, decon, spans) relies on
+    import spark.implicits._
+    for (n <- Seq(1, 3, 13)) {
+      val t = docs.select(col("doc_id"),
+          Dedup.shingles(col("text"), n).as("_ts"))
+        .select(col("doc_id"), size(col("_ts")).as("n_text"))
+      val h = docs.select(col("doc_id"),
+          graft.operators.Dedup.wordHashes(col("text")).as("_wh"))
+        .select(col("doc_id"),
+          size(Dedup.hashedShinglesFromHashes(col("_wh"), n)).as("n_hash"))
+      val joined = t.join(h, "doc_id")
+      assert(joined.filter(col("n_text") =!= col("n_hash")).count() == 0,
+        s"n=$n: per-doc distinct shingle counts diverge")
+      val textDistinct = docs
+        .select(explode(Dedup.shingles(col("text"), n)).as("g")).distinct().count()
+      val hashDistinct = docs
+        .select(Dedup.wordHashes(col("text")).as("_wh"))
+        .select(explode(Dedup.hashedShinglesFromHashes(col("_wh"), n)).as("g"))
+        .distinct().count()
+      assert(textDistinct == hashDistinct, s"n=$n: corpus-wide classes diverge")
+    }
+  }
+
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
