@@ -1,7 +1,7 @@
 package graft.weblog
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,35 +15,66 @@ import org.apache.spark.sql.functions._
   * MATCHED THEN INSERT *` (`firehose_to_iceberg.py:111-117`;
   * operation choice `firehose_to_iceberg_transformer.py:114-115`).
   *
-  * Emulation: partitioned parquet (partition column `event`, like the
-  * reference's `PARTITIONED BY (event)`, `README.md:181`) + a merge in
-  * three steps: (1) last-write-wins dedup of the incoming batch on the
-  * unique keys, (2) order-aware merge of the *affected partitions only*
-  * — per key, the max-`orderCol` row across stored ∪ incoming wins, so a
-  * replayed/out-of-order batch can never clobber newer data, (3)
-  * dynamic-partition-overwrite of exactly those partitions. Untouched
-  * partitions are never rewritten — at 100 TB the merge cost is
-  * proportional to the hot partitions, not the table.
+  * Emulation: partitioned parquet. The user-visible partition column is
+  * `event` (like the reference's `PARTITIONED BY (event)`, `README.md:181`),
+  * but `event` alone has ~6 values, so a merge that dynamic-overwrites
+  * whole event partitions would rewrite table_size/6 per micro-batch — at
+  * 100 TB, effectively the whole table. Real Iceberg MERGE rewrites only
+  * the data files containing matched keys; we emulate that rewrite unit by
+  * sub-bucketing keyed tables one level deeper:
+  * `event=X/gbucket=pmod(xxhash64(unique_keys), numBuckets)`. A merge then
+  * touches only the `(event, gbucket)` leaves that contain batch keys, so
+  * the rewrite bound is `batch_distinct_(event,bucket)_pairs ×
+  * (table_size / (|event| × numBuckets))` — tunable via `numBuckets`,
+  * independent of total table size for a key-local batch. `gbucket` is an
+  * internal layout column: `read` hides it, and it is deterministically
+  * recomputable from the keys, so it never leaks into user schemas.
+  *
+  * The merge itself proceeds in three steps: (1) last-write-wins dedup of
+  * the incoming batch on the unique keys, (2) order-aware merge of the
+  * *affected leaves only* — per key, the max-`orderCol` row across stored
+  * ∪ incoming wins, so a replayed/out-of-order batch can never clobber
+  * newer data, (3) dynamic-partition-overwrite of exactly those leaves.
   */
 final case class IcebergLikeTable(
     spark: SparkSession,
     path: String,
     partitionCol: String = "event",
-    uniqueKeys: Seq[String] = Nil) {
+    uniqueKeys: Seq[String] = Nil,
+    numBuckets: Int = 16) {
 
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Internal sub-bucket column (keyed tables only). Must not start with
+    * `_`/`.` — Spark's file index treats such directories as hidden.
+    */
+  val bucketCol = "gbucket"
+
+  private def partCols: Seq[String] =
+    if (uniqueKeys.isEmpty) Seq(partitionCol) else Seq(partitionCol, bucketCol)
+
+  private def withBucket(df: DataFrame): DataFrame =
+    if (uniqueKeys.isEmpty) df
+    else df.withColumn(bucketCol,
+      pmod(xxhash64(uniqueKeys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
+
   def exists: Boolean = fs.exists(new Path(path))
 
-  def read: DataFrame = spark.read.parquet(path)
+  /** User-facing read: the internal bucket column is layout, not schema. */
+  def read: DataFrame =
+    if (uniqueKeys.isEmpty) spark.read.parquet(path)
+    else spark.read.parquet(path).drop(bucketCol)
+
+  /** Raw read including the layout columns (merge/maintenance internals). */
+  private def readRaw: DataFrame = spark.read.parquet(path)
 
   /** T3: the routing decision the transformer stamps on every record. */
   def operation: String = if (uniqueKeys.isEmpty) "insert" else "update"
 
   /** S10 append path (`operation='insert'`). */
   def append(df: DataFrame): Unit =
-    df.write.mode("append")
-      .partitionBy(partitionCol)
+    withBucket(df).write.mode("append")
+      .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(path)
 
@@ -61,21 +92,33 @@ final case class IcebergLikeTable(
     require(uniqueKeys.nonEmpty, "upsert requires declared unique_keys")
     val keyCols = uniqueKeys.map(col)
     val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol).desc)
-    val deduped = batch
+    val deduped = withBucket(batch
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn")
+      .drop("_rn"))
 
-    if (!exists) { append(deduped); return }
+    if (!exists) {
+      deduped.write.mode("append")
+        .partitionBy(partCols: _*)
+        .option("compression", "snappy")
+        .parquet(path)
+      return
+    }
 
-    val cols = read.columns
-    // affected partitions only — the partition column is low-cardinality
-    // by design (6 event types), so this collect is O(6), not O(data).
-    val parts = deduped.select(partitionCol).distinct()
-      .collect().map(_.get(0)).toSeq
-    val old = read.filter(col(partitionCol).isin(parts: _*))
+    val cols = readRaw.columns
+    // affected (event, bucket) leaves only — bounded by the batch's
+    // distinct key-derived pairs (≤ |event| × numBuckets), never by table
+    // size; this collect is O(pairs), not O(data).
+    val pairs = deduped.select(partitionCol, bucketCol).distinct()
+      .collect().map(r => (r.get(0), r.getInt(1))).toSeq
+    val leafPred: Column = pairs.map { case (e, b) =>
+      col(partitionCol) === lit(e) && col(bucketCol) === lit(b)
+    }.reduce(_ || _)
+    // both predicate columns are partition columns → partition pruning
+    // makes this read list only the affected leaf directories.
+    val old = readRaw.filter(leafPred)
     // keep the max-orderCol row per key across (stored ∪ incoming); the
-    // shuffle is on the unique keys of the hot partitions only, same as
+    // shuffle is on the unique keys of the hot leaves only, same as
     // the anti-join it replaces, but order-aware. Ties on orderCol break
     // toward the INCOMING row (MERGE semantics: an exact re-send with the
     // same sequence but corrected content must still win).
@@ -88,13 +131,13 @@ final case class IcebergLikeTable(
       .drop("_rn", "_is_new")
 
     // Parquet can't overwrite a path that feeds the same plan — stage the
-    // merged partitions, then dynamic-overwrite only those partitions.
+    // merged leaves, then dynamic-overwrite only those leaves.
     val staging = s"$path/../.staging_merge_${System.nanoTime()}"
     merged.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
+      .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(path)
     fs.delete(new Path(staging), true)
@@ -107,31 +150,38 @@ final case class IcebergLikeTable(
   /** C7: small-file maintenance — the reference declares
     * `optimize_rewrite_delete_file_threshold='10'`
     * (`web-analytics-iceberg/README.md:187`) and delegates the rewrite to
-    * Athena's OPTIMIZE. Here: partitions whose data-file count exceeds
-    * `fileThreshold` are rewritten to `targetFiles` files via dynamic
-    * partition overwrite. Returns the rewritten partition values. Cost is
-    * proportional to the hot partitions, never the table.
+    * Athena's OPTIMIZE. Here: leaf partitions whose data-file count
+    * exceeds `fileThreshold` are rewritten via dynamic partition
+    * overwrite. Returns the rewritten leaf partition paths. Cost is
+    * proportional to the hot leaves, never the table.
     */
   def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] = {
     if (!exists) return Nil
     val prefix = s"$partitionCol="
     val hot = Zones.partitionStats(spark, path)
       .filter(col("partition").startsWith(prefix) && col("n_files") > fileThreshold)
-      .select("partition").collect()
-      .map(_.getString(0).stripPrefix(prefix)).toSeq
+      .select("partition").collect().map(_.getString(0)).toSeq
     if (hot.isEmpty) return Nil
+    // a leaf path is `event=X` or `event=X/gbucket=N` — rebuild the
+    // partition-pruning predicate from its segments.
+    val hotPred = hot.map { leaf =>
+      leaf.split("/").toSeq.map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        col(k) === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
     val staging = s"$path/../.staging_maintain_${System.nanoTime()}"
-    read.filter(col(partitionCol).isin(hot: _*))
-      .repartition(targetFiles * hot.size, col(partitionCol))
+    readRaw.filter(hotPred)
+      .repartition(targetFiles * hot.size, partCols.map(col): _*)
       .write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging)
       .coalesce(math.max(targetFiles * hot.size, 1))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
+      .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(path)
     fs.delete(new Path(staging), true)
-    hot
+    hot.map(_.stripPrefix(prefix))
   }
 }

@@ -48,6 +48,51 @@ class IcebergIngestSpec extends SparkTestBase {
     assert(parts.nonEmpty)
   }
 
+  test("upsert rewrite unit: untouched (event,bucket) leaves stay byte-identical") {
+    import spark.implicits._
+    // the 100 TB contract: a micro-batch touching one key must rewrite
+    // only the gbucket leaves containing that key's hash — every other
+    // leaf's file list (names, lengths, mtimes) must be unchanged.
+    val dir = Files.createTempDirectory("ice-bucket").toString
+    val path = s"$dir/t"
+    val table = IcebergLikeTable(spark, path, "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 8)
+    val base = (0 until 200).map(i =>
+      (s"u$i", f"2024-03-05T06:${i % 60}%02d:00Z", if (i % 2 == 0) "view" else "click", "orig"))
+      .toDF("user_id", "timestamp", "event", "hostname")
+      .withColumn("seq", lit(1L))
+    table.write(base, "seq")
+
+    def leafFiles(): Map[String, Set[(String, Long, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .groupBy(_.getParentFile.toString.stripPrefix(path).stripPrefix("/"))
+        .map { case (leaf, fs) =>
+          leaf -> fs.map(f => (f.getName, f.length(), f.lastModified())).toSet
+        }
+    }
+    val before = leafFiles()
+    assert(before.size > 2, s"expected several leaves, got ${before.keySet}")
+
+    val update = Seq(("u7", "2024-03-05T06:07:00Z", "click", "updated"))
+      .toDF("user_id", "timestamp", "event", "hostname")
+      .withColumn("seq", lit(2L))
+    table.write(update, "seq")
+    val after = leafFiles()
+
+    val changed = before.keySet.filter(k => after.get(k) != Some(before(k)))
+    assert(changed.size == 1, s"exactly one leaf may be rewritten, got $changed")
+    assert(changed.head.startsWith("event=click/gbucket="),
+      s"the rewritten leaf must be u7's (event,bucket): $changed")
+    // and the merge itself is still correct
+    val hosts = table.read.filter($"user_id" === "u7")
+      .select("hostname").collect().map(_.getString(0)).toSeq
+    assert(hosts == Seq("updated"))
+    assert(table.read.count() == 200)
+  }
+
   test("out-of-order replay: an older batch cannot clobber newer rows") {
     import spark.implicits._
     // batch-major `_seq` struct ordering: a stale replay (lower batch id)
