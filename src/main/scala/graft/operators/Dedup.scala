@@ -311,15 +311,29 @@ object Dedup {
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Engine-replayable 60-bit word hash: the first 15 hex digits of the
+    * word's MD5 as a bigint. MD5 is a cross-engine standard, so an
+    * external SQL engine (the DuckDB oracle) reproduces it bit-for-bit —
+    * unlike `xxhash64`, whose seed/implementation is Spark-private. Use
+    * for hash-checking hash-bucketed pipelines end-to-end; production
+    * paths keep `xxhash64` (no string round-trip, codegen'd).
+    */
+  def md5WordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
   /** SimHash near-dup pairs: bucket by 4×16-bit bands (any pair within
     * Hamming distance 3 shares at least one intact band), verify with
-    * bit_count(xor) ≤ maxHamming.
+    * bit_count(xor) ≤ maxHamming. `wordHash` is the per-word 64-bit hash
+    * (default `xxhash64`; pass [[md5WordHash]] for an oracle-replayable
+    * run of the identical banding + verification pipeline).
     */
   def simhashDedupPairs(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      wordHash: Column => Column = w => xxhash64(w)): DataFrame = {
     val sh = df
       .select(col(idCol),
-        transform(array_distinct(words(col(textCol))), w => xxhash64(w)).as("_h"))
+        transform(filter(array_distinct(words(col(textCol))), w => length(w) > 0),
+          wordHash).as("_h"))
       .select(col(idCol), simhashFromHashes(col("_h")).as("sh"))
     val banded = sh.select(col(idCol), col("sh"),
       posexplode(array((0 until 4).map(j =>

@@ -256,11 +256,16 @@ object TextAnalysis {
     slice(array_sort(array_distinct(
       call_function(graft.functions.WindowMinima.FnName, hs, lit(window)))), 1, k)
 
+  /** `wordHash` defaults to `xxhash64` (production); pass
+    * [[Dedup.md5WordHash]] to make the identical windowing/minima/k-smallest
+    * pipeline replayable by an external SQL engine.
+    */
   def fingerprints(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      wordHash: Column => Column = w => xxhash64(w)): DataFrame = {
     graft.functions.WindowMinima.register(df.sparkSession)
     df.select(col(idCol),
-        transform(split(col(textCol), "\\s+"), s => xxhash64(s)).as("_h"))
+        transform(split(col(textCol), "\\s+"), wordHash).as("_h"))
       .select(col(idCol), fingerprintFromHashes(col("_h")).as("fingerprint"))
   }
 

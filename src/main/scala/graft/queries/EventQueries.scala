@@ -71,30 +71,59 @@ object EventQueries {
         .orderBy("event_type"),
       Some("SELECT event_type, count(DISTINCT user_id) AS uniq FROM events GROUP BY event_type ORDER BY event_type")),
 
-    // HLL sketch variant (SURVEY §2.4 "approx_count_distinct"); sketch
-    // internals differ per engine → rows-only check, no oracle.
+    // Approx-sketch gates carry a *bounded-error verdict* instead of the
+    // raw estimate: sketch internals are engine-specific, so the oracle
+    // can't replay the estimate itself — but it CAN replay the exact
+    // value and the claim "the estimate landed within 5% of exact"
+    // (emitted as a boolean the oracle asserts as TRUE). A drifting or
+    // broken sketch flips the boolean and fails the hash match, so the
+    // gate is verdict-bearing, not rows-only. HLL++ at default rsd 0.05.
     Q("q_approx_unique_users",
       (s, d) => ev(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_uniq"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_uniq"),
+          countDistinct(col("user_id")).as("uniq_exact"))
+        .select(col("event_type"), col("uniq_exact"),
+          (abs(col("approx_uniq") - col("uniq_exact")) <=
+            col("uniq_exact") * lit(0.05)).as("within_tolerance"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_exact,
+             |TRUE AS within_tolerance
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
-    // sketch family beyond HLL++: DataSketches HLL (hll_sketch_agg) and
-    // approximate percentiles. Sketch internals are engine-specific →
-    // rows-only; exact twins (q_unique_users*, q_value_percentiles) are
-    // the hash-checked counterparts.
+    // DataSketches HLL (lgK=12 default, ~1.6% rsd) under the same 5%
+    // verdict bound.
     Q("q_hll_sketch",
       (s, d) => ev(s, d).groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"),
+          countDistinct(col("user_id")).as("uniq_exact"))
+        .select(col("event_type"), col("uniq_exact"),
+          (abs(col("hll_users") - col("uniq_exact")) <=
+            col("uniq_exact") * lit(0.05)).as("within_tolerance"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_exact,
+             |TRUE AS within_tolerance
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // approx_percentile (accuracy 1000) vs the exact discrete percentile
+    // — value-relative 5% bound per group; p50/p95 sit ~35/~150 so the
+    // bound is far from the zero-value degenerate case.
     Q("q_approx_percentiles",
       (s, d) => ev(s, d).groupBy("event_type")
         .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"))
+          percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50e"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95e"))
+        .select(col("event_type"),
+          round(col("p50e"), 3).as("p50_exact"),
+          round(col("p95e"), 3).as("p95_exact"),
+          (abs(col("p50_approx") - col("p50e")) <= col("p50e") * lit(0.05)).as("p50_within"),
+          (abs(col("p95_approx") - col("p95e")) <= col("p95e") * lit(0.05)).as("p95_within"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+             |round(quantile_disc(value, 0.5), 3) AS p50_exact,
+             |round(quantile_disc(value, 0.95), 3) AS p95_exact,
+             |TRUE AS p50_within, TRUE AS p95_within
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
     // gap-based sessionization (30 min), exact microsecond durations.
     Q("q_sessionize",

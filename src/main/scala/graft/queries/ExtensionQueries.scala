@@ -214,10 +214,34 @@ object ExtensionQueries {
              |WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
+    // SimHash near-dup pairs over the engine-replayable md5-prefix word
+    // hash: the SPARK side runs the production banding pipeline
+    // (4×16-bit bands → bucket join → bit_count(xor) verify); the ORACLE
+    // recomputes the same simhashes from first principles and compares
+    // ALL O(n²) pairs directly — a hash match therefore proves the
+    // banding loses no pair within Hamming ≤ 3 (pigeonhole: 3 flipped
+    // bits cannot touch all 4 bands). Production keeps xxhash64 word
+    // hashes (ExpressionPropertySpec covers the fold); only the word
+    // hash differs here, the pipeline is shared code.
     Q("dedup_simhash",
-      (s, d) => Dedup.simhashDedupPairs(Tables.documents(s, d), maxHamming = 3)
+      (s, d) => Dedup.simhashDedupPairs(Tables.documents(s, d), maxHamming = 3,
+          wordHash = Dedup.md5WordHash)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH t AS (SELECT doc_id, list_filter(list_distinct(string_split_regex(text, '\s+')), w -> len(w) > 0) AS ws FROM documents),
+             |hx AS (SELECT doc_id, unnest(ws) AS w FROM t),
+             |hh AS (SELECT doc_id, list_reduce(list_transform(range(1, 16),
+             |         i -> strpos('0123456789abcdef', substring(md5(w), CAST(i AS INT), 1)) - 1),
+             |         (a, b) -> a * 16 + b) AS h FROM hx),
+             |bits AS (SELECT doc_id, j,
+             |           count(*) FILTER (WHERE (h >> CAST(j AS INT)) & 1 = 1) AS n1, count(*) AS n
+             |         FROM hh, range(60) r(j) GROUP BY doc_id, j),
+             |sh AS (SELECT doc_id, CAST(sum(CASE WHEN 2 * n1 > n THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+             |       FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "))),
 
     // end-to-end training-data pipeline composition: quality-filter the
     // corpus, then near-dup-dedup the survivors, then language-ID the
@@ -422,12 +446,26 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // hashed winnowing fingerprint over the engine-replayable md5-prefix
+    // word hash (Dedup.md5WordHash): the native WindowMinima expression,
+    // per-window minima, distinct, and k-smallest all run exactly as in
+    // production — only the word hash differs (xxhash64 is Spark-private)
+    // — and the oracle recomputes the whole pipeline from first
+    // principles, so the hashed variant is hash-checked end-to-end
+    // instead of rows-only.
     Q("text_fingerprint",
-      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))
-        .select(col("doc_id"), concat_ws(",", transform(col("fingerprint"),
-          h => conv(h.cast("string"), 10, 16))).as("fp"))
-        .orderBy("doc_id"),
-      None),
+      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d),
+          wordHash = Dedup.md5WordHash)
+        .select(col("doc_id"), posexplode(col("fingerprint")).as(Seq("pos", "minh")))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents),
+             |h AS (SELECT doc_id, list_transform(w, x -> list_reduce(list_transform(range(1, 16),
+             |        i -> strpos('0123456789abcdef', substring(md5(x), CAST(i AS INT), 1)) - 1),
+             |        (a, b) -> a * 16 + b)) AS hs FROM t),
+             |fp AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(greatest(len(hs) - 3, 1)),
+             |         i -> list_aggregate(hs[i + 1:i + 4], 'min'))))[1:8] AS f FROM h)
+             |SELECT * FROM (SELECT doc_id, unnest(range(len(f))) AS pos, unnest(f) AS minh FROM fp)
+             |ORDER BY doc_id, pos""".stripMargin.replace("\n", " "))),
 
     // winnowing with lexicographic word minima instead of hash minima —
     // same windowing/distinct/k-smallest logic, but every step has a
