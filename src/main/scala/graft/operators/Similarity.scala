@@ -258,15 +258,18 @@ object Similarity {
     * argmin runs over attributes).
     */
   private def pqEncode(corpus: DataFrame, cb: Array[Array[Array[Double]]],
-      dsub: Int, idCol: String, vecCol: String, outId: String): DataFrame = {
+      dsub: Int, idCol: String, vecCol: String, outId: String,
+      extra: Seq[(String, Column)] = Nil): DataFrame = {
     val m = cb.length
-    val withSv = corpus.select(col(idCol).as(outId) +: (0 until m).map(j =>
-      slice(col(vecCol), j * dsub + 1, dsub).as(s"_sv$j")): _*)
-    val withSs = withSv.select(col(outId) +: (0 until m).flatMap(j =>
+    val extraCols = extra.map { case (n, c) => c.as(n) }
+    val extraRefs = extra.map { case (n, _) => col(n) }
+    val withSv = corpus.select((col(idCol).as(outId) +: extraCols) ++
+      (0 until m).map(j => slice(col(vecCol), j * dsub + 1, dsub).as(s"_sv$j")): _*)
+    val withSs = withSv.select((col(outId) +: extraRefs) ++ (0 until m).flatMap(j =>
       Seq(col(s"_sv$j"), dot(col(s"_sv$j"), col(s"_sv$j")).as(s"_ss$j"))): _*)
-    withSs.select(col(outId),
+    withSs.select((col(outId) +: extraRefs) :+
       array((0 until m).map(j =>
-        pqCodeExpr(cb(j), col(s"_sv$j"), col(s"_ss$j"))): _*).as("codes"))
+        pqCodeExpr(cb(j), col(s"_sv$j"), col(s"_ss$j"))): _*).as("codes"): _*)
   }
 
   /** Per-sub-space Lloyd refinement of the PQ codebook: each round
@@ -335,36 +338,107 @@ object Similarity {
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("q2", dot(col("qv"), col("qv"))))
+    // one stable output column name (`cos`) regardless of `refine`, so a
+    // tuning change can never break downstream column references: at
+    // refine=0 `cos` holds the ADC (reconstruction) cosine, otherwise
+    // the exact re-ranked cosine.
     val scored = q.join(encX, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_adc",
+      .withColumn("cos",
         dot(col("qv"), col("_xhat")) / sqrt(col("q2") * col("_x2")))
-      .select("query_id", "neighbor_id", "cos_adc")
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_adc").desc, col("neighbor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     val adcRanked = scored.withColumn("rank", row_number().over(w))
 
     if (refine <= 0)
       adcRanked.filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
-          round(col("cos_adc"), 6).as("cos_adc"))
-    else {
-      // exact re-rank of the ADC short-list: full vectors are read for
-      // k×refine candidates per query only
-      val shortlist = adcRanked.filter(col("rank") <= k * refine)
-        .select("query_id", "neighbor_id")
-      val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-        .withColumn("c2", dot(col("cv"), col("cv")))
-      val exact = shortlist
-        .join(vecs, "neighbor_id")
-        .join(q.select(col("query_id"), col("qv"), col("q2")), "query_id")
-        .withColumn("cos", dot(col("qv"), col("cv")) / sqrt(col("q2") * col("c2")))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(w2))
-        .filter(col("rank") <= k)
+          round(col("cos"), 6).as("cos"))
+    else refineShortlist(adcRanked, corpus, queries, k, refine, idCol, vecCol)
+  }
+
+  /** Exact re-rank of an ADC short-list: full vectors are read for
+    * `k × refine` candidates per query only, then one exact cosine and a
+    * per-query ranking window. Shared by `pqTopK` and `ivfPqTopK`.
+    */
+  private def refineShortlist(adcRanked: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, refine: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val shortlist = adcRanked.filter(col("rank") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("c2", dot(col("cv"), col("cv")))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("q2", dot(col("qv"), col("qv"))))
+    val exact = shortlist
+      .join(vecs, "neighbor_id")
+      .join(q, "query_id")
+      .withColumn("cos", dot(col("qv"), col("cv")) / sqrt(col("q2") * col("c2")))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-PQ — the production ANN composition at 100 TB (coarse IVF cells
+    * to prune the corpus, PQ codes to shrink what's scanned): every
+    * vector is assigned to its nearest IVF cell AND encoded to `m`
+    * codebook codes in one scan; queries probe their `nProbe` best cells
+    * and ADC-score ONLY those cells' members against the codebook
+    * reconstruction (`m` bytes per row, never the full vector). With
+    * `refine > 0` the short-list is exactly re-ranked from full vectors.
+    * Both stages reuse the gate-checked pieces (`cellExpr`/`cellsRanked`
+    * for IVF, `pqCodebook`/`pqEncode` for PQ), so the deterministic
+    * seeded configuration is replayable end-to-end by the SQL oracle.
+    * `trainIters`/`pqTrainIters` switch on Lloyd refinement of the cells
+    * / codebook respectively (train on a sample at scale).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 3, m: Int = 8, nCodes: Int = 16,
+      refine: Int = 0, trainIters: Int = 0, pqTrainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(corpus, nCells, dim, trainIters, idCol, vecCol)
+      else seedCentroids(corpus, nCells, idCol, vecCol)
+    val cb =
+      if (pqTrainIters > 0) pqTrainCodebook(corpus, dim, m, nCodes, pqTrainIters, idCol, vecCol)
+      else pqCodebook(corpus, dim, m, nCodes, idCol, vecCol)
+    val dsub = dim / m
+
+    // cell assignment + PQ encoding in ONE scan-stage projection; the
+    // per-row representation entering the join is (id, cell, m codes).
+    val enc = pqEncode(corpus, cb, dsub, idCol, vecCol, "neighbor_id",
+      extra = Seq("cell" -> cellExpr(col(vecCol), centroids)))
+    val cbLit = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val xhat = flatten(transform(col("codes"),
+      (c, j) => element_at(element_at(cbLit, j + 1), c + 1)))
+    val encX = enc
+      .withColumn("_xhat", xhat)
+      .select(col("neighbor_id"), col("cell"), col("_xhat"),
+        dot(col("_xhat"), col("_xhat")).as("_x2"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(transform(slice(cellsRanked(col(vecCol), centroids), 1, nProbe),
+          s => s.getField("i"))).as("cell"))
+      .withColumn("q2", dot(col("qv"), col("qv"))))
+    val scored = q.join(encX, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dot(col("qv"), col("_xhat")) / sqrt(col("q2") * col("_x2")))
+      .select("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val adcRanked = scored.withColumn("rank", row_number().over(w))
+
+    if (refine <= 0)
+      adcRanked.filter(col("rank") <= k)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"))
-    }
+    else refineShortlist(adcRanked, corpus, queries, k, refine, idCol, vecCol)
   }
 
   /** Nearest-cell index expression — the single assignment definition

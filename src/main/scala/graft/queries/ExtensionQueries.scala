@@ -751,11 +751,49 @@ object ExtensionQueries {
              |       FROM a JOIN cb ON cb.sub = a.sub AND cb.code = a.code GROUP BY a.vec_id),
              |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
              |sc AS (SELECT query_id, xh.vec_id AS neighbor_id,
-             |              list_dot_product(qv, xhat) / sqrt(list_dot_product(qv, qv) * list_dot_product(xhat, xhat)) AS cos_adc
+             |              list_dot_product(qv, xhat) / sqrt(list_dot_product(qv, qv) * list_dot_product(xhat, xhat)) AS cos
              |       FROM q JOIN xh ON xh.vec_id <> query_id)
-             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos_adc, 6) AS cos_adc FROM (
-             |  SELECT query_id, neighbor_id, cos_adc,
-             |         row_number() OVER (PARTITION BY query_id ORDER BY cos_adc DESC, neighbor_id) AS rank FROM sc)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 6) AS cos FROM (
+             |  SELECT query_id, neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // IVF-PQ composed: coarse cells prune the corpus, PQ codes shrink
+    // the scan — the production ANN stack. The oracle chains the two
+    // already-verified replays (assignCtesSql for cells + the codebook /
+    // argmin-encode / reconstruct CTEs) and re-ranks candidates by ADC
+    // cosine, so cells, codes, probes and scores are all bit-identical.
+    Q("sim_ivfpq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |${assignCtesSql(16)},
+             |probes AS (SELECT vec_id AS query_id, i AS cell FROM ranked WHERE r <= 3 AND vec_id < 10),
+             |pqcent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+             |           FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT 16)),
+             |subs AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+             |cb AS (SELECT sub, code, pqcent.v[sub*8+1 : sub*8+8] AS cv FROM pqcent CROSS JOIN subs),
+             |cs AS (SELECT vec_id, sub, v[sub*8+1 : sub*8+8] AS sv FROM c CROSS JOIN subs),
+             |dist AS (SELECT vec_id, cs.sub, code,
+             |         list_dot_product(sv, sv) - 2*list_dot_product(sv, cv) + list_dot_product(cv, cv) AS d2
+             |         FROM cs JOIN cb ON cb.sub = cs.sub),
+             |enc AS (SELECT vec_id, sub, code FROM (
+             |         SELECT vec_id, sub, code, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS r
+             |         FROM dist) WHERE r = 1),
+             |xh AS (SELECT enc.vec_id, flatten(list(cb.cv ORDER BY enc.sub)) AS xhat
+             |       FROM enc JOIN cb ON cb.sub = enc.sub AND cb.code = enc.code GROUP BY enc.vec_id),
+             |cand AS (SELECT p.query_id, asg.vec_id AS neighbor_id
+             |         FROM probes p JOIN assign asg ON asg.cell = p.cell AND asg.vec_id <> p.query_id),
+             |sc AS (SELECT query_id, neighbor_id,
+             |              list_dot_product(q.v, xh.xhat) / sqrt(list_dot_product(q.v, q.v) * list_dot_product(xh.xhat, xh.xhat)) AS cos
+             |       FROM cand JOIN c q ON q.vec_id = cand.query_id JOIN xh ON xh.vec_id = cand.neighbor_id)
+             |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cos, 6) AS cos FROM (
+             |  SELECT query_id, neighbor_id, cos,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       headline = true),
 

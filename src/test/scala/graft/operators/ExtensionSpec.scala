@@ -402,10 +402,35 @@ class ExtensionSpec extends SparkTestBase {
     val out = Similarity.pqTopK(emb, q, k = 5, dim = 64).cache()
     assert(out.count() == 50)
     assert(out.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
-    assert(out.filter(col("cos_adc") < -1.000001 || col("cos_adc") > 1.000001).count() == 0)
+    assert(out.filter(col("cos") < -1.000001 || col("cos") > 1.000001).count() == 0)
     val again = Similarity.pqTopK(emb, q, k = 5, dim = 64)
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     out.unpersist()
+  }
+
+  test("ivf-pq with full-coverage refine equals plain ivf exactly") {
+    // refine large enough that the ADC short-list covers every probed
+    // cell member → the exact re-rank over the same candidate set must
+    // reproduce ivfTopK verbatim; proves the composition (shared cells,
+    // shared probes, refine plumbing) loses nothing vs its parts.
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, dim = 64)
+    val ivfpq = Similarity.ivfPqTopK(emb, q, k = 5, dim = 64, refine = 1000)
+    assert(ivfpq.exceptAll(ivf).count() == 0 && ivf.exceptAll(ivfpq).count() == 0)
+  }
+
+  test("ivf-pq adc recovers a useful share of true nearest neighbors") {
+    val q = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, q, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val out = Similarity.ivfPqTopK(emb, q, k = 5, dim = 64)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(out, "query_id")
+      .filter(col("true_nn") === col("neighbor_id")).count()
+    // two stacked approximations (3/16 cells probed + ADC scores) on
+    // near-isotropic synthetic embeddings — the worst case for both;
+    // recovering a quarter of true top-1s in the top-5 is the floor.
+    assert(hits >= 5, s"ivf-pq recall too low: $hits/20")
   }
 
   test("pq with full-coverage refine equals brute force exactly") {
