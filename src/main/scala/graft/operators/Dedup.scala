@@ -142,15 +142,35 @@ object Dedup {
     * dedup operators over one corpus is the common shape in both the
     * correctness gate and a real pipeline).
     */
+  /** Eagerly drop a localCheckpoint-backed DataFrame's cached RDD blocks
+    * (the `LogicalRDD` leaf holds the checkpointed RDD). Evicted memo
+    * entries must not wait for driver GC + ContextCleaner — a
+    * long-running ingestion loop calling dedup per batch would
+    * accumulate executor storage unboundedly in the meantime. Best
+    * effort: a plan without such a leaf is a no-op.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private type CoreKey = (SparkSession, String, Int, Int, Int, Double)
   // insertion-ordered with true FIFO eviction: a long-lived session
   // sweeping many corpora must not pin checkpoint blocks forever;
-  // dropped entries' RDDs are reclaimed by the ContextCleaner once
-  // unreferenced.
+  // evicted entries' checkpointed RDDs are unpersisted eagerly.
   private val coreMemo =
     new java.util.LinkedHashMap[CoreKey, (DataFrame, DataFrame)](16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[CoreKey, (DataFrame, DataFrame)]): Boolean = size > 8
+          e: java.util.Map.Entry[CoreKey, (DataFrame, DataFrame)]): Boolean = {
+        val evict = size > 8
+        if (evict) {
+          unpersistCheckpoint(e.getValue._1)
+          unpersistCheckpoint(e.getValue._2)
+        }
+        evict
+      }
     }
 
   /** Cache key for an input frame, or None when the plan's leaves aren't
@@ -484,34 +504,65 @@ object Dedup {
     * never shuffles a document.
     *
     * Candidates come from PREFIX FILTERING (the AllPairs/PPJoin
-    * principle): under any global total order on shingles — here the
-    * 64-bit shingle hash — two sets with Jaccard ≥ t must share an
-    * element within the first `|x| − ⌈t·|x|⌉ + 1` elements of each, so
-    * only those short prefixes are exploded and joined. That kills the
-    * stopword blowup of a naive posting join (every corpus doc sharing
-    * "the" with every benchmark doc) while provably missing nothing;
-    * candidates are then verified exactly on the full sorted hash sets
-    * with the codegen'd `sorted_intersect_count`. Counts are identical
-    * to string shingles up to 64-bit hash collisions (the same trade
-    * minhash verification makes).
+    * principle): under ANY global total order on shingles, two sets with
+    * Jaccard ≥ t must share an element within the first
+    * `|x| − ⌈t·|x|⌉ + 1` elements of each (if the prefixes were
+    * disjoint, the intersection would fit inside a suffix of size
+    * `⌈t·|x|⌉ − 1` — too small), so only those short prefixes are
+    * exploded and joined. The lemma is order-agnostic, and we exploit
+    * that: the order is `(in-ref-vocabulary, hash)` with membership
+    * tested by a Bloom filter over the reference's shingles — shingles
+    * ABSENT from the reference sort first, so a clean corpus document's
+    * prefix is typically all non-reference shingles and contributes ZERO
+    * candidate rows. Join cost collapses from
+    * Σ_s cPost(s)·rPost(s) over stopword-heavy prefixes to roughly the
+    * true contamination rate. Exactness is unaffected by Bloom false
+    * positives: both sides order by the SAME bloom function, and any
+    * consistent total order satisfies the lemma (this is the
+    * provably-safe form of a df-cut on prefix postings — a hard cut
+    * could drop a qualifying pair whose only shared prefix element is
+    * frequent). Note the synthetic gate corpus cannot SHOW the win: its
+    * vocabulary is 31 words and ref/corpus vocabularies are identical,
+    * so every shingle is in-ref and the order degenerates to the old
+    * hash order — on a real corpus (large vocabulary, rare words) the
+    * non-ref-first prefixes are where clean documents drop out.
+    * Candidates are then verified exactly on the full sorted
+    * hash sets with the codegen'd `sorted_intersect_count`. Counts are
+    * identical to string shingles up to 64-bit hash collisions (the
+    * same trade minhash verification makes).
     */
   def contaminationPairs(corpus: DataFrame, ref: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, refVocabItems: Long = 1L << 20,
+      refVocabFpp: Double = 0.03): DataFrame = {
     def sets(df: DataFrame, out: String) = df
       .select(col(idCol).as(out), wordHashes(col(textCol)).as("_wh"))
       .select(col(out),
         array_sort(hashedShinglesFromHashes(col("_wh"), n)).as("shl"))
       .filter(size(col("shl")) > 0)
+    val c = sets(corpus, "corpus_id")
+    val r = sets(ref, "ref_id")
+    // reference-vocabulary Bloom filter (ref is broadcast-small by this
+    // operator's contract, so the build is one cheap action); probes run
+    // inside whole-stage codegen via the native bloom_might_contain.
+    graft.functions.BloomMightContain.register(corpus.sparkSession)
+    val refBloom = r.select(explode(col("shl")).as("s"))
+      .stat.bloomFilter("s", refVocabItems, refVocabFpp)
+    val bloomLit = lit(graft.functions.BloomMightContain.serialize(refBloom))
+    def inRef(s: Column) =
+      call_function(graft.functions.BloomMightContain.FnName, s, bloomLit)
     // prefix length |x| − α + 1 with α = ⌈t·|x|⌉; floor (not ceil) keeps
     // the FP error on the SAFE side — 60·0.8 is 48.0000…03 in binary, and
     // ceil'ing that to 49 would shorten the prefix below the PPJoin
     // guarantee and silently drop qualifying pairs. A one-longer prefix
-    // only costs a few extra candidate postings.
-    def prefix(shl: Column) =
-      slice(shl, lit(1), (size(shl) - floor(size(shl) * threshold) + 1).cast("int"))
-    val c = sets(corpus, "corpus_id")
-    val r = sets(ref, "ref_id")
+    // only costs a few extra candidate postings. Elements are re-sorted
+    // by the global (in_ref, hash) order before slicing — see scaladoc.
+    def prefix(shl: Column) = {
+      val len = (size(shl) - floor(size(shl) * threshold) + 1).cast("int")
+      val ordered = array_sort(transform(shl, s =>
+        struct(when(inRef(s), 1).otherwise(0).as("r"), s.as("s"))))
+      transform(slice(ordered, lit(1), len), st => st.getField("s"))
+    }
     val cPost = c.select(col("corpus_id"), explode(prefix(col("shl"))).as("s"))
     val rPost = broadcast(r.select(col("ref_id"), explode(prefix(col("shl"))).as("s")))
     val cand = cPost.join(rPost, "s").select("corpus_id", "ref_id").distinct()
@@ -601,9 +652,16 @@ object Dedup {
     * so at petabyte scale the string phase stays proportional to real
     * duplication, not the corpus. Counts are exact up to 64-bit hash
     * collisions (the standard trade).
+    *
+    * `broadcastSurvivors` (default true) hints the survivor-hash side of
+    * the text-attach join for broadcast; on a boilerplate-heavy corpus
+    * where duplication is NOT small, set it false to fall back to a
+    * sort-merge join instead of risking a driver/executor OOM on the
+    * broadcast build.
     */
   def duplicateSpans(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame = {
+      idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2,
+      broadcastSurvivors: Boolean = true): DataFrame = {
     // phase 1: census on hash-composed grams only — no gram string is
     // ever built, and the two aggregations shuffle pure longs
     val counts = df
@@ -631,9 +689,10 @@ object Dedup {
       // estimate degrades this to a sort-merge join that shuffles EVERY
       // gram string — the exact cost this rewrite exists to avoid. The
       // survivor hash set is duplication-bounded (8 bytes per
-      // duplicated gram); if it outgrows broadcast at extreme
-      // duplication rates, fall back to the un-hinted join consciously.
-      .join(broadcast(counts.select("_gh")), "_gh")
+      // duplicated gram); at extreme duplication rates callers opt out
+      // via broadcastSurvivors = false (no code edit needed).
+      .join(if (broadcastSurvivors) broadcast(counts.select("_gh"))
+            else counts.select("_gh"), "_gh")
       .groupBy("_gh").agg(min("gram").as("gram"))
     counts.join(texts, "_gh")
       .select("gram", "n_docs", "n_occurrences")
@@ -655,8 +714,16 @@ object Dedup {
     * and, duplication being contamination-bounded, typically broadcasts
     * the cut side under AQE (bucket the corpus by `idCol` to co-locate
     * it outright at 100 TB). The word filter itself is a per-row
-    * projection. Census counts are exact up to 64-bit gram-hash
-    * collisions — the standard trade.
+    * projection.
+    *
+    * Hash-collision caveat: unlike the advisory [[duplicateSpans]]
+    * census (where a 64-bit collision merely inflates a count), this
+    * operator is DESTRUCTIVE — a gram whose hash collides with a
+    * genuinely duplicated gram gets its span CUT from legitimate
+    * documents. At 64 bits the expected collision count stays ≪ 1 up to
+    * billions of distinct grams (birthday bound ~2^32 grams for even
+    * odds); where exactness matters more than that, verify survivor
+    * grams by text for the affected documents before rewriting.
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2): DataFrame = {
@@ -734,7 +801,11 @@ object Dedup {
   private val incMemo =
     new java.util.LinkedHashMap[IncKey, DataFrame](16, 0.75f, false) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[IncKey, DataFrame]): Boolean = size > 8
+          e: java.util.Map.Entry[IncKey, DataFrame]): Boolean = {
+        val evict = size > 8
+        if (evict) unpersistCheckpoint(e.getValue)
+        evict
+      }
     }
 
   def incrementalKeepers(existing: DataFrame, delta: DataFrame,

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling: media as opaque
   * `binary` columns with typed metadata, processed batch-at-a-time inside
-  * partitions. The Spark-side plumbing — schema, partition sizing,
-  * batch shape, typed encoders — is real and tested; the actual codec
-  * step is STUBBED (this container ships no image/audio libraries) behind
-  * `decodeStub`, a deterministic fake with the same signature a JNI/FFmpeg
-  * decoder would have. Swapping in a real decoder changes one function.
+  * partitions. IMAGE decode is REAL — the JDK ships `javax.imageio`
+  * (PNG/BMP/GIF/JPEG readers, zero extra dependencies), so
+  * `decodeImage` parses actual pixels; audio/video decode and payloads
+  * ImageIO cannot parse fall back to `decodeStub`, a deterministic fake
+  * with the same signature a JNI/FFmpeg decoder would have (this
+  * container ships no audio/video codec libraries). Swapping in a real
+  * A/V decoder changes one function.
   *
   * Scale notes: media bytes never enter a shuffle — decode/feature
   * extraction happens in the same stage as the scan (`mapPartitions`),
@@ -19,6 +21,13 @@ import org.apache.spark.sql.functions._
   * payload bytes.
   */
 object Multimodal {
+
+  // in-memory streams only: ImageIO's default disk cache would write a
+  // temp file per decode inside executor tasks.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Formats routed through the real ImageIO decoder. */
+  private val ImageFormats = Set("image", "png", "bmp", "gif", "jpeg")
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
   final case class MediaFeatures(
@@ -47,6 +56,63 @@ object Multimodal {
     (w, h, frames, math.round(mean * 1000000d) / 1000000d)
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` — parses actual
+    * pixels for PNG/BMP/GIF/JPEG payloads. Returns `(width, height,
+    * frames=1, mean_intensity)` where mean intensity is the mean of all
+    * RGB channel values (exact integer accumulation, one rounding at
+    * the end, mirroring `decodeStub`'s contract). `None` when the
+    * payload is not a decodable image, so callers can fall back.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var s = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val mean = if (w.toLong * h == 0) 0.0 else s.toDouble / (3.0 * w * h)
+      Some((w, h, 1, math.round(mean * 1000000d) / 1000000d))
+    }
+  }
+
+  /** Encode a constant-gray `w × h` image with the JDK's ImageIO writers
+    * (`codec` = "png" | "bmp" | ...) — the deterministic fixture
+    * generator for the real-decode gate and specs.
+    */
+  def encodeImage(w: Int, h: Int, gray: Int, codec: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, codec, out), s"no ImageIO writer for $codec")
+    out.toByteArray
+  }
+
+  /** Decode dispatch: image formats go through the real ImageIO path
+    * (stub fallback for undecodable payloads); audio/video stay stubbed.
+    */
+  def decode(bytes: Array[Byte], format: String): (Int, Int, Int, Double) =
+    if (ImageFormats(format)) decodeImage(bytes).getOrElse(decodeStub(bytes, format))
+    else decodeStub(bytes, format)
+
   /** Batch feature extraction: one pass per partition, rows processed in
     * `batchSize` groups (the arrow-batch shape a Pandas-UDF pipeline
     * would use), media bytes dropped before anything downstream.
@@ -56,7 +122,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
-          val (w, h, f, mean) = decodeStub(row.media, row.format)
+          val (w, h, f, mean) = decode(row.media, row.format)
           MediaFeatures(row.doc_id, row.format, row.media.length.toLong, w, h, f, mean)
         }
       }

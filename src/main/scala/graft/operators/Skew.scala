@@ -23,6 +23,10 @@ object Skew {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    // the salt only needs DISPERSION, not stability: it is consumed
+    // entirely inside this two-phase aggregate (the exact merge removes
+    // it), so its layout-dependence (partition id + row position) is
+    // harmless — do not reuse this salt for anything keyed across jobs.
     val salted = df.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     salted

@@ -956,6 +956,37 @@ object ExtensionQueries {
              |    / greatest(n, 1), 6), 3) AS mean_intensity
              |FROM b ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // REAL image decode (JDK javax.imageio): PNG/BMP fixtures are
+    // encoded with (doc_id)-derived dimensions and a constant gray
+    // fill, round-tripped through the actual codec readers on the
+    // executors, and the oracle predicts width/height/frames/mean
+    // intensity arithmetically — so a green row proves real pixels were
+    // parsed, not the stub (the stub's dimensions are byte-length
+    // functions and could not match this oracle).
+    Q("multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select("doc_id").as[Long].map { id =>
+          val w = 8 + (id % 16).toInt
+          val h = 8 + (id % 12).toInt
+          val gray = (id % 256).toInt
+          val codec = if (id % 2 == 0) "png" else "bmp"
+          Multimodal.MediaRow(id, Multimodal.encodeImage(w, h, gray, codec), codec)
+        }
+        Multimodal.extractFeatures(media).toDF()
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("frames"), col("mean_intensity"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+             |CAST(8 + doc_id % 16 AS INT) AS width,
+             |CAST(8 + doc_id % 12 AS INT) AS height,
+             |CAST(1 AS INT) AS frames,
+             |CAST(doc_id % 256 AS DOUBLE) AS mean_intensity
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes
     // them from octet_length alone.

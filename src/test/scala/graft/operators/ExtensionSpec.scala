@@ -293,6 +293,24 @@ class ExtensionSpec extends SparkTestBase {
     assert(w == 16 + 11 % 640 && fr == 1 + 11 % 24 && m > 0)
   }
 
+  test("multimodal: real ImageIO decode parses pixels, stub only as fallback") {
+    // encode → decode round-trip through the actual JDK codec readers
+    for (codec <- Seq("png", "bmp")) {
+      val bytes = Multimodal.encodeImage(20, 11, 137, codec)
+      val Some((w, h, fr, mean)) = Multimodal.decodeImage(bytes)
+      assert((w, h, fr) == (20, 11, 1), s"$codec dims wrong: ($w,$h,$fr)")
+      assert(mean == 137.0, s"$codec constant-gray mean must be exact: $mean")
+    }
+    // non-image payloads fall back to the deterministic stub
+    val garbage = "not an image".getBytes("UTF-8")
+    assert(Multimodal.decodeImage(garbage).isEmpty)
+    assert(Multimodal.decode(garbage, "image") ==
+      Multimodal.decodeStub(garbage, "image"))
+    // audio/video never route through ImageIO
+    assert(Multimodal.decode(garbage, "video") ==
+      Multimodal.decodeStub(garbage, "video"))
+  }
+
   test("multimodal resize and frame sampling keep batch plumbing intact") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val resized = Multimodal.resize(media, 32, 32)
