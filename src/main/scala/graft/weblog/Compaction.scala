@@ -1,8 +1,9 @@
 package graft.weblog
 
+import java.nio.charset.StandardCharsets.UTF_8
 import java.time.LocalDateTime
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,15 +14,23 @@ import org.apache.spark.sql.functions._
   * web_log_json WHERE year=… AND month=… AND day=… AND hour=…`
   * (`athena_ctas.py:30-39`) fire-and-forget with 10s sleeps between
   * statements. Our job is synchronous and collapses the tmp-table dance
-  * (C3) into write-to-staging + rename swap (SURVEY §3.2): the hour is
-  * fully written in staging before it becomes visible, and a re-run of
-  * the same hour is idempotent (the old dir is renamed aside to a trash
-  * dir, staging renamed in, trash deleted — so the dest-missing window is
-  * two metadata renames, not a data rewrite). Caveat: rename is atomic
-  * only on HDFS/local filesystems; on object stores (S3) rename is
-  * copy+delete, so a concurrent reader can observe a partial or missing
-  * hour during the swap — there, readers should go through the catalog
-  * (C2 registers the partition only after the swap completes).
+  * (C3) into an OBJECT-STORE-SAFE manifest commit (SURVEY §3.2): the
+  * hour is fully written in staging, its files move into the hour
+  * directory under version-unique names (each file becomes visible
+  * atomically — a PUT on S3, a rename on HDFS; existing names are never
+  * overwritten), then ONE versioned manifest file
+  * (`_graft_manifest_v<n>`, underscore-hidden from Spark's data
+  * listing) is created listing exactly the new file set — the commit
+  * point — and only then are the previous version's files deleted.
+  * A reader that resolves the newest manifest ([[readCompactedHour]])
+  * therefore sees the complete OLD hour before the commit point and the
+  * complete NEW hour after it — never a missing or partial hour, even
+  * on stores with non-atomic rename (CompactionCommitSpec interleaves
+  * reads between every commit step to prove it). Re-running an hour is
+  * idempotent: a new version supersedes and garbage-collects the old.
+  * Raw directory listers get the same correctness on rename-atomic
+  * filesystems and should go through the manifest/catalog on S3 (C2
+  * registers the partition after the commit point).
   *
   * Scale: the scan is partition-pruned *by construction* (we read only the
   * hour's directory); `targetFiles` implements the small-file merge that
@@ -30,6 +39,89 @@ import org.apache.spark.sql.functions._
   * table size.
   */
 object Compaction {
+
+  private val ManifestPrefix = "_graft_manifest_v"
+
+  /** Move staged part-files into the hour dir under version-unique names
+    * (never colliding with the live version's names). Each move is an
+    * atomic single-object operation; the files are dormant until a
+    * manifest references them.
+    */
+  private[weblog] def importStaged(fs: FileSystem, stagingDir: Path,
+      destDir: Path, version: Long): Seq[String] = {
+    fs.mkdirs(destDir)
+    val parts = fs.listStatus(stagingDir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    parts.zipWithIndex.map { case (s, i) =>
+      val name = f"part-v$version-$i%05d${suffixOf(s.getPath.getName)}"
+      if (!fs.rename(s.getPath, new Path(destDir, name)))
+        throw new java.io.IOException(s"import failed: ${s.getPath} -> $destDir/$name")
+      name
+    }.toSeq
+  }
+
+  private def suffixOf(name: String): String = {
+    val i = name.indexOf('.')
+    if (i < 0) ".parquet" else name.substring(i)
+  }
+
+  /** THE commit point: create `_graft_manifest_v<version>` listing the
+    * version's files. A manifest is never overwritten (create-new is
+    * atomic on S3 and HDFS alike); readers resolve the highest version.
+    */
+  private[weblog] def writeManifest(fs: FileSystem, destDir: Path,
+      version: Long, files: Seq[String]): Unit = {
+    val out = fs.create(new Path(destDir, s"$ManifestPrefix$version"), false)
+    try out.write(files.mkString("\n").getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Newest (version, files) for an hour dir, if any manifest exists. */
+  private[weblog] def currentManifest(fs: FileSystem,
+      destDir: Path): Option[(Long, Seq[String])] = {
+    if (!fs.exists(destDir)) return None
+    val manifests = fs.listStatus(destDir)
+      .filter(_.getPath.getName.startsWith(ManifestPrefix))
+      .flatMap(s => s.getPath.getName.stripPrefix(ManifestPrefix).toLongOption
+        .map(_ -> s.getPath))
+    if (manifests.isEmpty) None
+    else {
+      val (v, p) = manifests.maxBy(_._1)
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val files = new String(bytes, UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      Some((v, files))
+    }
+  }
+
+  /** Drop every data file and manifest not belonging to the newest
+    * version — run AFTER the commit point, so a concurrent
+    * manifest-resolving reader never loses its current version's files
+    * to anything but this (post-commit) GC.
+    */
+  private[weblog] def cleanupStale(fs: FileSystem, destDir: Path): Unit =
+    currentManifest(fs, destDir).foreach { case (v, files) =>
+      val keep = files.toSet + s"$ManifestPrefix$v"
+      fs.listStatus(destDir)
+        .filter(s => s.isFile && !keep.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+
+  /** Manifest-resolving read of one compacted hour — the reader side of
+    * the commit protocol (complete-old or complete-new, never partial).
+    * Falls back to a plain directory read where no manifest exists.
+    */
+  def readCompactedHour(spark: SparkSession, parquetPath: String,
+      hp: HourPartition): DataFrame = {
+    val destDir = new Path(s"$parquetPath/${hp.relPath}")
+    val fs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentManifest(fs, destDir) match {
+      case Some((_, files)) =>
+        spark.read.parquet(files.map(f => new Path(destDir, f).toString): _*)
+      case None => spark.read.parquet(destDir.toString)
+    }
+  }
 
   final case class HourPartition(year: Int, month: Int, day: Int, hour: Int) {
     def relPath: String = s"year=$year/month=$month/day=$day/hour=$hour"
@@ -78,15 +170,14 @@ object Compaction {
       .parquet(stagingDir.toString)
 
     val n = spark.read.parquet(stagingDir.toString).count()
-    // Swap: old dir aside -> staging in -> drop old. Idempotent re-run of
-    // the hour; see the object-store caveat in the class scaladoc.
-    val trashDir = new Path(s"$parquetPath/.trash_${hp.year}_${hp.month}_${hp.day}_${hp.hour}")
-    fs.delete(trashDir, true)
-    fs.mkdirs(destDir.getParent)
-    val hadOld = fs.exists(destDir) && fs.rename(destDir, trashDir)
-    if (!fs.rename(stagingDir, destDir))
-      throw new java.io.IOException(s"swap failed: $stagingDir -> $destDir")
-    if (hadOld) fs.delete(trashDir, true)
+    // Manifest commit: files in (dormant) -> manifest (commit point) ->
+    // GC the superseded version. See the class scaladoc for why each
+    // step is safe under non-atomic-rename stores.
+    val version = System.nanoTime()
+    val files = importStaged(fs, stagingDir, destDir, version)
+    writeManifest(fs, destDir, version, files)
+    cleanupStale(fs, destDir)
+    fs.delete(stagingDir, true)
     n
   }
 
