@@ -38,7 +38,54 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Self-scaled dedup probe: the same operators on the sf corpus and on
+    // a 10× NEAR-duplicated version of it (each doc replicated 10 times
+    // with a distinct tail word, so copies are genuine near-dups that
+    // exercise LSH banding + verification, not the exact-set collapse).
+    // Both scales read freshly written scratch parquet (cold memo keys,
+    // identical I/O path), timed on their FIRST run — JIT/codegen are
+    // already warm from the headline loop — so the ratio isolates how the
+    // operator's cost grows with corpus size: near-linear (≈10, minus
+    // fixed overheads; pair output grows faster by design, being
+    // quadratic in per-cluster duplication) is the scale story the
+    // banded/bucketed design claims.
+    val scaling: Seq[(String, Double)] = try {
+      import org.apache.spark.sql.functions._
+      val scratch = java.nio.file.Files.createTempDirectory("graft_scale").toString
+      // capped base so the probe's 10× leg stays a bounded slice of the
+      // bench budget at any sf — the point is the RATIO, not the size
+      val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") < 2000)
+      base.write.mode("overwrite").parquet(s"$scratch/docs1x")
+      base.crossJoin(spark.range(10).select(col("id").as("rep")))
+        .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+        .write.mode("overwrite").parquet(s"$scratch/docs10x")
+      def cold(f: () => Long): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      def read(p: String) = spark.read.parquet(s"$scratch/$p")
+      val out = Seq(
+        "minhash_keepers_1x" ->
+          cold(() => operators.Dedup.minhashKeepers(read("docs1x")).count()),
+        "minhash_keepers_10x" ->
+          cold(() => operators.Dedup.minhashKeepers(read("docs10x")).count()),
+        "span_removal_1x" ->
+          cold(() => operators.Dedup.removeDuplicateSpans(read("docs1x")).count()),
+        "span_removal_10x" ->
+          cold(() => operators.Dedup.removeDuplicateSpans(read("docs10x")).count()))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+      val ratios = Seq(
+        "minhash_keepers_ratio" -> out(1)._2 / out(0)._2,
+        "span_removal_ratio" -> out(3)._2 / out(2)._2)
+      out ++ ratios
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }
+    val sc = scaling.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scaling":$sc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
