@@ -314,22 +314,21 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the distinct-word hash set (per-row, no shuffle):
-    * bit j is 1 iff more word hashes have bit j set than not.
+    * bit j is 1 iff more word hashes have bit j set than not. Callers
+    * must have a session — register via [[graft.functions.SimhashFromHashes]]
+    * (the public operators here do it for you).
     */
   def simhash(text: Column): Column =
     simhashFromHashes(transform(array_distinct(words(text)), w => xxhash64(w)))
 
-  /** SimHash of a materialized word-hash array (pass an attribute here on
-    * the hot path — the 64 bit-balance folds each re-scan their input).
+  /** SimHash of a materialized word-hash array — one compiled pass over
+    * all 64 bit balances via the native `simhash_from_hashes` expression
+    * (the 64-fold HOF version it replaces re-scanned the array once per
+    * bit, interpreted; ExpressionPropertySpec pins equality to the
+    * strict-majority model).
     */
-  def simhashFromHashes(hashes: Column): Column = {
-    val bitCols = (0 until 64).map { j =>
-      val bal = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bal > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhashFromHashes(hashes: Column): Column =
+    call_function(graft.functions.SimhashFromHashes.FnName, hashes)
 
   /** Engine-replayable 60-bit word hash: the first 15 hex digits of the
     * word's MD5 as a bigint. MD5 is a cross-engine standard, so an
@@ -350,6 +349,7 @@ object Dedup {
   def simhashDedupPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
       wordHash: Column => Column = w => xxhash64(w)): DataFrame = {
+    graft.functions.SimhashFromHashes.register(df.sparkSession)
     val sh = df
       .select(col(idCol),
         transform(filter(array_distinct(words(col(textCol))), w => length(w) > 0),

@@ -104,6 +104,32 @@ object EventQueries {
              |TRUE AS within_tolerance
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // sketch MERGEABILITY — the property that makes sketches usable on a
+    // cluster (partial sketches per partition/day, one cheap union at
+    // the top instead of re-scanning): per-day HLL sketches unioned
+    // across the month must estimate the month's distincts within the
+    // same 5% verdict bound. A union that double-counts or drops
+    // registers flips the boolean.
+    Q("q_hll_union",
+      (s, d) => {
+        val e = ev(s, d)
+        val merged = e
+          .groupBy(col("event_type"), dayofmonth(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+        val exact = e.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("uniq_exact"))
+        merged.join(exact, "event_type")
+          .select(col("event_type"), col("uniq_exact"),
+            (abs(col("merged") - col("uniq_exact")) <=
+              col("uniq_exact") * lit(0.05)).as("within_tolerance"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_exact,
+             |TRUE AS within_tolerance
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
     // approx_percentile (accuracy 1000) vs the exact discrete percentile
     // — value-relative 5% bound per group; p50/p95 sit ~35/~150 so the
     // bound is far from the zero-value degenerate case.

@@ -227,6 +227,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("ivf-pq: corpus vectors and reconstructions never hash-shuffle") {
+    val p = plan("sim_ivfpq_topk")
+    // the query side (with its exploded probe cells) broadcasts — the
+    // corpus side must stay in its scan stage through the cell join
+    assert(p.contains("BroadcastExchange"), s"query side must broadcast:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("embedding#") && !l.contains("_xhat#") && !l.contains("qv#"),
+        s"ivf-pq shuffled a vector: $l")
+    }
+  }
+
   test("chunking is a pure scan-stage explode — no exchange at all") {
     val p = plan("text_chunks")
     // the gate's ORDER BY adds one range exchange for output
