@@ -77,10 +77,14 @@ object EventQueries {
     // value and the claim "the estimate landed within 5% of exact"
     // (emitted as a boolean the oracle asserts as TRUE). A drifting or
     // broken sketch flips the boolean and fails the hash match, so the
-    // gate is verdict-bearing, not rows-only. HLL++ at default rsd 0.05.
+    // gate is verdict-bearing, not rows-only. HLL++ at rsd 0.01 — the
+    // 5% verdict bound is then 5 standard errors, safely clear of the
+    // sketch's legitimate noise at every scale factor (the default
+    // rsd 0.05 makes the bound exactly 1 sigma, which a correct sketch
+    // exceeds ~a third of the time once dense estimation kicks in).
     Q("q_approx_unique_users",
       (s, d) => ev(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_uniq"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_uniq"),
           countDistinct(col("user_id")).as("uniq_exact"))
         .select(col("event_type"), col("uniq_exact"),
           (abs(col("approx_uniq") - col("uniq_exact")) <=
