@@ -744,8 +744,18 @@ object Dedup {
     val cuts = grams.join(dup, "_gh")
       .groupBy(col("_id").as(idCol))
       .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
-    // covered = union of [start, start + n) ranges; positions past the
-    // end (a truncated short-doc gram) are ignored by the length guard
+    rebuildWithoutSpans(df, cuts, textCol, idCol, n)
+  }
+
+  /** Shared rewrite tail for span-cut operators: given per-document
+    * sorted cut-start lists (`_starts`), remove every covered word
+    * position and re-join the survivors. Covered = union of
+    * [start, start + n) ranges; positions past the end (a truncated
+    * short-doc gram) are ignored by the length guard. Left join: docs
+    * without cuts pass through unchanged.
+    */
+  private def rebuildWithoutSpans(df: DataFrame, cuts: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
     val covered = array_distinct(flatten(transform(
       coalesce(col("_starts"), array().cast("array<int>")),
       s => sequence(s, s + lit(n - 1)))))
@@ -757,6 +767,40 @@ object Dedup {
           (_, i) => !array_contains(col("_cov"), i)), " ").as("clean_text"),
         size(col("_w")).as("n_words"),
         size(filter(col("_cov"), p => p < size(col("_w")))).as("n_removed"))
+  }
+
+  /** Span-level benchmark decontamination — the surgical counterpart of
+    * [[decontaminate]] (which drops whole documents): every corpus word
+    * position covered by an occurrence of a word n-gram that ALSO
+    * occurs in the reference (benchmark/eval) set is cut, and the
+    * surviving words re-joined — the "remove the benchmark text, keep
+    * the document" rule used when contaminated documents are too
+    * valuable to drop wholesale. Returns (idCol, clean_text, n_words,
+    * n_removed) for every corpus document.
+    *
+    * Scale: the reference's distinct gram hashes are BROADCAST
+    * (benchmarks are KB–MB against a 100 TB corpus), hit detection is a
+    * broadcast join on 8-byte hashes against the corpus's scan-stage
+    * posting stream, and cut lists collapse to one short row per
+    * AFFECTED document — the corpus never shuffles text. Destructive
+    * under 64-bit gram-hash collisions like [[removeDuplicateSpans]]
+    * (same caveat, same bound).
+    */
+  def removeContaminatedSpans(corpus: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 13): DataFrame = {
+    val refGrams = ref
+      .select(wordHashes(col(textCol)).as("_wh"))
+      .select(explode(hashedNgramsAll(col("_wh"), n)).as("_gh"))
+      .distinct()
+    val grams = corpus
+      .select(col(idCol).as("_id"), wordHashes(col(textCol)).as("_wh"))
+      .select(col("_id"),
+        posexplode(hashedNgramsAll(col("_wh"), n)).as(Seq("_pos", "_gh")))
+    val cuts = grams.join(broadcast(refGrams), "_gh")
+      .groupBy(col("_id").as(idCol))
+      .agg(sort_array(collect_set(col("_pos"))).as("_starts"))
+    rebuildWithoutSpans(corpus, cuts, textCol, idCol, n)
   }
 
   /** The corpus minus every document contaminated by the reference set

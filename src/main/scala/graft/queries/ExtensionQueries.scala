@@ -583,6 +583,41 @@ object ExtensionQueries {
       Some(ngram13OverlapOracleSql),
       headline = true),
 
+    // surgical span-level decontamination: positions covered by any
+    // reference 13-gram are CUT, the document survives. The oracle
+    // rebuilds ref grams on TEXT, derives covered positions, and
+    // re-joins survivors with an ordered string_agg — the whole rewrite
+    // is hash-checked end-to-end (the span-cut twin of decon_ngram13's
+    // detect-only rule).
+    Q("decon_span_removal",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.removeContaminatedSpans(
+            docs.filter(col("doc_id") % 17 =!= 0),
+            docs.filter(col("doc_id") % 17 === 0), n = 13)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents WHERE doc_id % 17 <> 0),
+             |rt AS (SELECT string_split_regex(text, '\s+') AS w FROM documents WHERE doc_id % 17 = 0),
+             |p AS (SELECT doc_id, w, CAST(unnest(range(greatest(len(w)-12, 1))) AS INT) AS pos FROM t),
+             |g AS (SELECT doc_id, pos, array_to_string(w[pos+1:pos+13], ' ') AS gram FROM p),
+             |rp AS (SELECT w, CAST(unnest(range(greatest(len(w)-12, 1))) AS INT) AS pos FROM rt),
+             |rg AS (SELECT DISTINCT array_to_string(w[pos+1:pos+13], ' ') AS gram FROM rp),
+             |hits AS (SELECT doc_id, pos FROM g JOIN rg USING (gram)),
+             |cov AS (SELECT DISTINCT doc_id, pos + CAST(unnest(range(13)) AS INT) AS cpos FROM hits),
+             |wpos AS (SELECT doc_id, CAST(unnest(range(len(w))) AS INT) AS pos, unnest(w) AS word FROM t),
+             |keep AS (SELECT wp.doc_id, wp.pos, wp.word FROM wpos wp
+             |         LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.cpos
+             |         WHERE cov.doc_id IS NULL),
+             |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text FROM keep GROUP BY doc_id),
+             |nrem AS (SELECT cov.doc_id, count(*) AS n_removed FROM cov JOIN t ON t.doc_id = cov.doc_id
+             |         WHERE cpos < len(w) GROUP BY cov.doc_id)
+             |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+             |       CAST(len(t.w) AS INT) AS n_words,
+             |       CAST(coalesce(nrem.n_removed, 0) AS INT) AS n_removed
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id LEFT JOIN nrem ON t.doc_id = nrem.doc_id
+             |ORDER BY t.doc_id""".stripMargin.replace("\n", " "))),
+
     // span-level duplication census: the oracle rebuilds the same word
     // 13-grams (with duplicates) and counts documents/occurrences
     // directly on the gram text, so the hash-keyed Spark aggregation is

@@ -68,13 +68,21 @@ object Compaction {
   }
 
   /** THE commit point: create `_graft_manifest_v<version>` listing the
-    * version's files. A manifest is never overwritten (create-new is
-    * atomic on S3 and HDFS alike); readers resolve the highest version.
+    * version's files. Written to a hidden tmp name first, then renamed
+    * to the final (new, never-overwritten) name: on HDFS/local,
+    * `fs.create` makes a file VISIBLE before its content is flushed, so
+    * a direct create would expose an empty/partial manifest — the
+    * rename-to-fresh-name publishes it complete; on S3 the equivalent
+    * upload is a single atomic PUT. Readers resolve the highest version.
     */
   private[weblog] def writeManifest(fs: FileSystem, destDir: Path,
       version: Long, files: Seq[String]): Unit = {
-    val out = fs.create(new Path(destDir, s"$ManifestPrefix$version"), false)
+    val tmp = new Path(destDir, s".$ManifestPrefix$version.tmp")
+    val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes(UTF_8)) finally out.close()
+    val fin = new Path(destDir, s"$ManifestPrefix$version")
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
   }
 
   /** Newest (version, files) for an hour dir, if any manifest exists. */
@@ -98,7 +106,11 @@ object Compaction {
   /** Drop every data file and manifest not belonging to the newest
     * version — run AFTER the commit point, so a concurrent
     * manifest-resolving reader never loses its current version's files
-    * to anything but this (post-commit) GC.
+    * to anything but this (post-commit) GC. A reader that resolved the
+    * OLD manifest just before the commit can still race this deletion
+    * mid-scan — the standard snapshot-GC trade; production deployments
+    * delay GC by a retention period (run `cleanupStale` from a later
+    * job) exactly as Iceberg/Delta retention does.
     */
   private[weblog] def cleanupStale(fs: FileSystem, destDir: Path): Unit =
     currentManifest(fs, destDir).foreach { case (v, files) =>

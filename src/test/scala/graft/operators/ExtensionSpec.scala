@@ -388,6 +388,30 @@ class ExtensionSpec extends SparkTestBase {
     assert(out(5L)._2 == "")
   }
 
+  test("contaminated-span removal cuts exactly the reference-covered words") {
+    import spark.implicits._
+    val bench = (1 to 13).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"intro $bench outro words"),       // benchmark quoted mid-doc
+      (2L, "clean document with no benchmark content inside it at all ok"),
+      (3L, s"$bench"),                         // pure benchmark copy → emptied
+      (4L, s"alpha beta $bench $bench gamma")  // two occurrences, one doc
+    ).toDF("doc_id", "text")
+    val ref = Seq((100L, s"some benchmark prompt $bench answer text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(corpus, ref, n = 13)
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "intro outro words" && out(1L)._4 == 13)
+    assert(out(2L)._2 == "clean document with no benchmark content inside it at all ok"
+      && out(2L)._4 == 0)
+    assert(out(3L)._2 == "" && out(3L)._4 == 13)
+    assert(out(4L)._2 == "alpha beta gamma" && out(4L)._4 == 26)
+    // disjoint reference → identity rewrite
+    val id = Dedup.removeContaminatedSpans(corpus,
+      Seq((100L, "totally unrelated reference material")).toDF("doc_id", "text"))
+    assert(id.filter(col("n_removed") =!= 0).count() == 0)
+  }
+
   test("span removal is consistent with the duplicate-span census") {
     // every document containing a census gram loses words; all others
     // keep their exact text (round-trips the corpus)
