@@ -155,6 +155,31 @@ object EventQueries {
              |TRUE AS p50_within, TRUE AS p95_within
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // Count–Min heavy hitters (the frequency-sketch family next to HLL
+    // and approx-percentile): exact top-10 users vs single-pass CMS
+    // estimates. Verdicts are CMS's two guarantees — estimate never
+    // undercounts (hard), and overcount ≤ eps·N (probabilistic, but
+    // deterministic under the fixed seed). `operators/Sketches`.
+    Q("q_cms_topk",
+      (s, d) => graft.operators.Sketches.heavyHitters(ev(s, d), "user_id", k = 10),
+      Some("""SELECT user_id, count(*) AS cnt_exact,
+             |TRUE AS est_ge_exact, TRUE AS est_within_bound
+             |FROM events GROUP BY user_id
+             |ORDER BY cnt_exact DESC, user_id LIMIT 10""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // CMS MERGEABILITY — per-day sketches (built near the scan, the way
+    // a cluster would) unioned counter-wise into the month. The union is
+    // exactly equal to the single-pass sketch (SketchesSpec asserts
+    // bit-equality), so the same verdict bound holds.
+    Q("q_cms_union",
+      (s, d) => graft.operators.Sketches.heavyHittersMerged(
+        ev(s, d), "user_id", dayofmonth(col("ts")), k = 10),
+      Some("""SELECT user_id, count(*) AS cnt_exact,
+             |TRUE AS est_ge_exact, TRUE AS est_within_bound
+             |FROM events GROUP BY user_id
+             |ORDER BY cnt_exact DESC, user_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
     // gap-based sessionization (30 min), exact microsecond durations.
     Q("q_sessionize",
       (s, d) => Sessionize.sessions(ev(s, d))

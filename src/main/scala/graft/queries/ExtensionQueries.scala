@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 
 /** The training-data-pipeline extension operators (BASELINE.json north
   * star) exposed through the correctness gate: dedup family, similarity
@@ -1040,6 +1040,44 @@ object ExtensionQueries {
              |  FROM v)
              |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
              |       CAST(greatest(least(n, frame_idx * fsize + fsize) - frame_idx * fsize, 0) AS INT) AS frame_bytes
-             |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")))
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " "))),
+
+    // Z-order layout key (`operators/Layout`): the Morton interleave of
+    // range-bucketed (user_id, event-hour) that writeZOrdered clusters
+    // files by, so row-group stats prune on BOTH dimensions. Pure
+    // integer/double arithmetic — DuckDB replays bucket + interleave
+    // bit-for-bit; LayoutSpec measures the per-file-span locality claim.
+    Q("layout_zorder",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
+        val bounds = e.agg(
+          min("user_id").as("ulo"), max("user_id").as("uhi"),
+          min("hour").as("hlo"), max("hour").as("hhi"))
+        e.crossJoin(broadcast(bounds))
+          .select(
+            col("event_id"),
+            Layout.zorderKey(
+              col("user_id"), col("ulo"), col("uhi"),
+              col("hour"), col("hlo"), col("hhi"), bits = 8).as("zkey"))
+          .orderBy("event_id")
+      },
+      Some {
+        val interleave = (0 until 8).map { i =>
+          s"((((ub >> $i) & 1) << ${2 * i + 1}) | (((hb >> $i) & 1) << ${2 * i}))"
+        }.mkString(" | ")
+        s"""WITH b AS (
+           |  SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+           |         min(epoch_us(ts) // 3600000000) AS hlo,
+           |         max(epoch_us(ts) // 3600000000) AS hhi
+           |  FROM events),
+           |k AS (
+           |  SELECT event_id,
+           |         CAST(floor((user_id - ulo) * 256.0 / (uhi - ulo + 1)) AS BIGINT) AS ub,
+           |         CAST(floor((epoch_us(ts) // 3600000000 - hlo) * 256.0 / (hhi - hlo + 1)) AS BIGINT) AS hb
+           |  FROM events, b)
+           |SELECT event_id, CAST($interleave AS BIGINT) AS zkey
+           |FROM k ORDER BY event_id""".stripMargin.replace("\n", " ")
+      })
   )
 }
