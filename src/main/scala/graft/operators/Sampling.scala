@@ -38,6 +38,49 @@ object Sampling {
       .drop("_m")
   }
 
+  /** Engine-replayable uniform in [0,1): the top 60 bits of md5(key),
+    * scaled by 2^-60. Unlike `rand()` (layout-dependent) or `xxhash64`
+    * (Spark-private seed), any engine recomputes the identical value, so
+    * a sample drawn from it is auditable end-to-end. Production paths
+    * that never need cross-engine replay can swap in xxhash64.
+    */
+  def hashUniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") /
+      lit(math.pow(2, 60))
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): key
+    * each row by u^(1/w) with u = [[hashUniform]], keep the k largest.
+    * Rows are kept with probability proportional to `weightCol` (e.g.
+    * length- or quality-proportional subsampling), yet the draw is fully
+    * deterministic and replayable. Top-k is TakeOrderedAndProject — a
+    * per-partition heap + single k-row merge, no global sort, no
+    * shuffle of the corpus. Ties (~2^-60) break on the key column.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame =
+    df.withColumn("_wk",
+        pow(hashUniform(col(keyCol)), lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("_wk").desc, col(keyCol))
+      .limit(k)
+      .drop("_wk")
+
+  /** Per-source document cap — the "at most N pages per domain" rule of
+    * web-corpus curation (C4/RefinedWeb-style), preferring rows with the
+    * highest `prefCol` (quality proxy), ties broken on `idCol` so the
+    * kept set is unique and layout-independent. The rank-≤-N filter is
+    * rewritten by Spark's WindowGroupLimit to a per-partition top-N
+    * before the window sort — per-source state is O(N), so one giant
+    * domain can't skew the stage.
+    */
+  def capPerSource(df: DataFrame, sourceCol: String, prefCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(prefCol).desc, col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Token-budget corpus mixing: per source, keep documents in
     * deterministic id order until the source's token budget is reached —
     * the "data mixture weights" step of a training pipeline, expressed

@@ -906,6 +906,43 @@ object ExtensionQueries {
              |   OR (lang = 'fr' AND doc_id % 5 = 0) ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis, keys
+    // u^(1/w) on a replayable md5 uniform, w = doc length): the draw is
+    // deterministic enough for DuckDB to redo it bit-for-bit. Top-k is
+    // TakeOrderedAndProject — no global sort at any scale.
+    Q("corpus_sample_weighted",
+      (s, d) => graft.operators.Sampling.weightedSample(
+          Tables.documents(s, d), "doc_id", "n_chars", k = 200)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, source, n_chars,
+             |         list_reduce(list_transform(range(1, 16),
+             |           i -> strpos('0123456789abcdef',
+             |                  substring(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+             |           (a, b) -> a * 16 + b) AS hv
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, source, n_chars,
+             |         pow(CAST(hv AS DOUBLE) / 1152921504606846976.0, 1.0 / n_chars) AS wk
+             |  FROM h)
+             |SELECT doc_id, source, n_chars
+             |FROM (SELECT * FROM k ORDER BY wk DESC, doc_id LIMIT 200)
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // per-source cap ("at most N pages per domain", C4/RefinedWeb rule),
+    // preferring the longest documents, ties on doc_id. The rank filter
+    // becomes a WindowGroupLimit per-partition top-N — O(N) state per
+    // source, so a mega-domain can't skew the stage.
+    Q("corpus_domain_cap",
+      (s, d) => graft.operators.Sampling.capPerSource(
+          Tables.documents(s, d), "source", "n_chars", "doc_id", n = 10)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 10 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // sequence packing for pretraining batches: per-source token-budget
     // bins in one window pass (boundary-straddle semantics — exactly the
     // SQL the oracle runs; the exact-greedy variant is spec-tested).

@@ -170,6 +170,14 @@ class PlanSpec extends SparkTestBase {
       s"n_docs should broadcast, not collect:\n$p")
   }
 
+  test("domain cap rank filter is a per-source WindowGroupLimit; weighted sample avoids a global sort") {
+    val p = plan("corpus_domain_cap")
+    assert(p.contains("WindowGroupLimit [source"),
+      s"expected a source-partitioned WindowGroupLimit:\n$p")
+    // the weighted draw's top-k must stay a heap-merge, not a full sort
+    assert(plan("corpus_sample_weighted").contains("TakeOrderedAndProject"))
+  }
+
   test("span census aggregates key on the 64-bit gram hash, not the gram text") {
     val p = plan("dedup_spans")
     val keyed = p.linesIterator.filter(_.contains("Aggregate(key")).toSeq

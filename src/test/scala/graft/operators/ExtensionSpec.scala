@@ -272,6 +272,32 @@ class ExtensionSpec extends SparkTestBase {
     assert(kept.length == 10) // ids 0,10,...,90: even (stratum a) and %5==0
   }
 
+  test("weighted sample is deterministic, k-sized, and length-biased") {
+    val a = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 100)
+    val b = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 100)
+    assert(a.select("doc_id").collect().toSeq == b.select("doc_id").collect().toSeq)
+    assert(a.count() == 100)
+    // u^(1/w) keys favor large w: sampled docs should be longer on average
+    val sampledMean = a.agg(avg("n_chars")).collect()(0).getDouble(0)
+    val corpusMean = docs.agg(avg("n_chars")).collect()(0).getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighting had no effect: $sampledMean <= $corpusMean")
+  }
+
+  test("per-source cap keeps exactly the top-N by preference, and is idempotent") {
+    val capped = Sampling.capPerSource(docs, "source", "n_chars", "doc_id", n = 10)
+    val bySource = capped.groupBy("source").count().collect()
+    assert(bySource.forall(_.getLong(1) <= 10))
+    // kept set == direct top-10 per source by (n_chars desc, doc_id)
+    val expected = docs.select("doc_id", "source", "n_chars").collect()
+      .groupBy(_.getString(1)).values.flatMap { rs =>
+        rs.sortBy(r => (-r.getLong(2), r.getLong(0))).take(10)
+      }.map(_.getLong(0)).toSet
+    assert(capped.select("doc_id").collect().map(_.getLong(0)).toSet == expected)
+    val twice = Sampling.capPerSource(capped, "source", "n_chars", "doc_id", n = 10)
+    assert(twice.count() == capped.count())
+  }
+
   test("word winnowing: window minima, distinct, k smallest") {
     import spark.implicits._
     graft.functions.WindowMinima.register(spark)
