@@ -472,6 +472,29 @@ object Similarity {
       .select(col(idCol), col("cell"))
   }
 
+  /** Incremental IVF index refresh — the continuous-ingestion pattern
+    * (mirroring `Dedup.incrementalKeepers` for the vector index): the
+    * centroids are derived from the ARCHIVE alone and frozen, so a new
+    * delta batch is a scan-stage assignment of only |delta| vectors —
+    * re-running Lloyd over the archived corpus per batch would dwarf the
+    * ingest itself, and moving centroids would invalidate every stored
+    * cell assignment. Freezing makes index maintenance append-only:
+    * archive rows keep yesterday's cells byte-for-byte (ExtensionSpec
+    * asserts this), the union is immediately probeable by [[ivfTopK]]'s
+    * machinery, and a periodic full re-train is an explicit offline
+    * rebuild, not a side effect of ingest.
+    */
+  def ivfAssignIncremental(archive: DataFrame, delta: DataFrame, dim: Int,
+      nCells: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(archive.sparkSession)
+    val centroids = seedCentroids(archive, nCells, idCol, vecCol)
+    def assign(df: DataFrame, isDelta: Boolean) =
+      df.select(col(idCol), cellExpr(col(vecCol), centroids).as("cell"),
+        lit(isDelta).as("is_delta"))
+    assign(archive, isDelta = false).unionByName(assign(delta, isDelta = true))
+  }
+
   /** IVF ANN: centroids default to the deterministic id-ordered sample
     * (`trainIters = 0` — the gate-checked configuration, exactly
     * replayable in SQL); `trainIters > 0` refines them with that many

@@ -56,9 +56,9 @@ object ExtensionQueries {
     * diversity-sample and curated-pipeline oracles. Expects an existing
     * CTE `c(vec_id, v)`; emits `cent`, `scored`, `ranked`, `assign`.
     */
-  private def assignCtesSql(nCells: Int): String =
+  private def assignCtesSql(nCells: Int, centPred: String = "TRUE"): String =
     s"""cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i, v
-       |         FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT $nCells)),
+       |         FROM (SELECT vec_id, v FROM c WHERE $centPred ORDER BY vec_id LIMIT $nCells)),
        |scored AS (SELECT c.vec_id, cent.i,
        |                  list_dot_product(c.v, cent.v) / sqrt(list_dot_product(c.v, c.v) * list_dot_product(cent.v, cent.v)) AS s
        |           FROM c, cent),
@@ -381,6 +381,23 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       },
       Some(ivfOracleSql(k = 5, nCells = 16, nProbe = 3, queryPred = "vec_id < 10"))),
+
+    // incremental IVF index refresh: centroids frozen on the archive
+    // (vec_id % 4 != 0), the delta batch assigned against them — the
+    // append-only nightly-ingest pattern. The oracle derives the same
+    // archive-only centroids in SQL and replays both assignments.
+    Q("sim_ivf_incremental",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfAssignIncremental(
+            emb.filter(col("vec_id") % 4 =!= 0),
+            emb.filter(col("vec_id") % 4 === 0), dim = 64)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |${assignCtesSql(16, centPred = "vec_id % 4 <> 0")}
+              |SELECT vec_id, CAST(cell AS INT) AS cell, vec_id % 4 = 0 AS is_delta
+              |FROM assign ORDER BY vec_id""".stripMargin.replace("\n", " "))),
 
     // diversity-balanced subsampling (SemDeDup-style cell caps): the
     // oracle replays the deterministic centroid assignment (the IVF

@@ -272,6 +272,20 @@ class ExtensionSpec extends SparkTestBase {
     assert(kept.length == 10) // ids 0,10,...,90: even (stratum a) and %5==0
   }
 
+  test("incremental IVF: delta ingest never moves archive assignments") {
+    val archive = emb.filter(col("vec_id") % 4 =!= 0)
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val before = Similarity.ivfAssignIncremental(archive, delta.limit(0), dim = 64)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val after = Similarity.ivfAssignIncremental(archive, delta, dim = 64)
+    val archiveAfter = after.filter(!col("is_delta"))
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(archiveAfter == before, "frozen centroids must keep archive cells stable")
+    // every vector lands in exactly one cell; the union is complete
+    assert(after.count() == emb.count())
+    assert(after.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("weighted sample is deterministic, k-sized, and length-biased") {
     val a = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 100)
     val b = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 100)
