@@ -515,6 +515,92 @@ object TpchQueries {
              |FROM cset, a
              |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_bal
              |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replace("\n", " ")))
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q8 shape: a nation's market share inside a region by order
+    // year — the widest join in the canon (lineitem × part × supplier ×
+    // nation×2 × orders × customer × region). Every dimension broadcasts;
+    // the two fact tables shuffle once on the order key. The share is
+    // one double division over two exact decimal sums (dratio), so the
+    // result is partition-order independent and replays bit-for-bit.
+    Q("q_market_share",
+      (s, d) => {
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+        val zero = lit(0).cast(DecimalType(18, 2))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(year(col("o_orderdate")).as("o_year"),
+            (dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("volume"),
+            col("supp_nation"))
+          .groupBy("o_year")
+          .agg(dratio(
+            sum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(zero)),
+            sum(col("volume"))).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |         CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             |         n2.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA')
+             |SELECT o_year,
+             |round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |  / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+             |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // TPC-H Q21 shape (receipt/commit dates absent in this schema, so
+    // "late" is shipped >90 days after the order): suppliers who were
+    // the ONLY late supplier in a multi-supplier finished order — the
+    // exists + not-exists pair correlated on the same fact table,
+    // expressed as one semi and one anti join on the order key.
+    Q("q_waiting_suppliers",
+      (s, d) => {
+        val base = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        val l1 = base.filter(col("late"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val others = base
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = base.filter(col("late"))
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        l1.join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+          .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+          .join(broadcast(Tables.supplier(s, d)), col("sk") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |AND EXISTS (SELECT 1 FROM lineitem l2
+             |            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |                  AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " ")))
   )
 }
