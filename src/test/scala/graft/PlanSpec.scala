@@ -170,6 +170,15 @@ class PlanSpec extends SparkTestBase {
       s"n_docs should broadcast, not collect:\n$p")
   }
 
+  test("market share (Q8) broadcasts every dimension; at most the fact-fact join shuffles") {
+    val p = plan("q_market_share")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    val shuffled = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(bhj >= 6, s"expected >=6 broadcast joins in the 7-table plan:\n$p")
+    assert(shuffled <= 1, s"only lineitem×orders may shuffle:\n$p")
+  }
+
   test("domain cap rank filter is a per-source WindowGroupLimit; weighted sample avoids a global sort") {
     val p = plan("corpus_domain_cap")
     assert(p.contains("WindowGroupLimit [source"),
