@@ -155,6 +155,69 @@ object EventQueries {
              |TRUE AS p50_within, TRUE AS p95_within
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
+    // one-pass table profile (ANALYZE-style): count, exact distincts,
+    // time range, null rate, value sum — all fused into a single
+    // map-side-combinable aggregate over one scan, the data-profiling
+    // step a catalog runs per table.
+    Q("q_table_profile",
+      (s, d) => ev(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        tsStr(min(col("ts"))).as("ts_min"),
+        tsStr(max(col("ts"))).as("ts_max"),
+        sum(col("props").isNull.cast("long")).as("n_null_props"),
+        dsum(col("value")).as("sum_value")),
+      Some("""SELECT count(*) AS n_rows,
+             |count(DISTINCT user_id) AS n_users,
+             |count(DISTINCT event_type) AS n_types,
+             |strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+             |strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
+             |CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+             |round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 3) AS sum_value
+             |FROM events""".stripMargin.replace("\n", " "))),
+
+    // hourly traffic spike detection: flag hours whose count exceeds the
+    // trailing-24h mean by 3 sigma. Aggregate-then-window idiom: the
+    // window input is one row per HOUR (O(hours) regardless of corpus
+    // size), so the unpartitioned ordered window is correct here — the
+    // heavy lifting happened in the map-side-combinable count. The
+    // 3-sigma test is rewritten division- and sqrt-free over integer
+    // sums ((n·c − s)² > 9·(n·q − s²)), so both engines compare exact
+    // integers — no float drift can flip a flag.
+    Q("q_anomaly_hours",
+      (s, d) => {
+        val hourly = ev(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy("hour").rowsBetween(-24, -1)
+        hourly
+          .withColumn("n", count(col("cnt")).over(w))
+          .withColumn("s", sum(col("cnt")).over(w))
+          .withColumn("q", sum(col("cnt") * col("cnt")).over(w))
+          .withColumn("dev", col("n") * col("cnt") - col("s"))
+          .select(tsStr(col("hour")).as("hour"), col("cnt"),
+            (col("n") >= 12 && col("dev") > 0 &&
+              col("dev") * col("dev") >
+                lit(9) * (col("n") * col("q") - col("s") * col("s")))
+              .as("is_spike"))
+          .orderBy("hour")
+      },
+      Some("""WITH h AS (
+             |  SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |w AS (
+             |  SELECT hour, cnt,
+             |         count(cnt) OVER win AS n,
+             |         sum(cnt) OVER win AS s,
+             |         sum(cnt * cnt) OVER win AS q
+             |  FROM h
+             |  WINDOW win AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+             |       (n >= 12 AND (n * cnt - s) > 0
+             |        AND (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)) AS is_spike
+             |FROM w ORDER BY hour""".stripMargin.replace("\n", " "))),
+
     // Count–Min heavy hitters (the frequency-sketch family next to HLL
     // and approx-percentile): exact top-10 users vs single-pass CMS
     // estimates. Verdicts are CMS's two guarantees — estimate never
