@@ -55,6 +55,12 @@ object Sampling {
     * deterministic and replayable. Top-k is TakeOrderedAndProject — a
     * per-partition heap + single k-row merge, no global sort, no
     * shuffle of the corpus. Ties (~2^-60) break on the key column.
+    *
+    * Cross-engine caveat: `pow` may differ by an ulp between libm
+    * implementations, so two keys within ~1e-15 of each other could in
+    * principle rank differently in another engine; with 60-bit uniforms
+    * the chance any such near-tie exists is ~n²·1e-15 — negligible at
+    * gate scale and deterministic within Spark regardless.
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame =
