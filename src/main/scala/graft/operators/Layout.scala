@@ -69,6 +69,10 @@ object Layout {
         min(col(colA).cast("long")).as("alo"), max(col(colA).cast("long")).as("ahi"),
         min(col(colB).cast("long")).as("blo"), max(col(colB).cast("long")).as("bhi"))
       .collect()(0)
+    if (b.isNullAt(0)) { // empty input: no bounds — write the empty set as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = zorderKey(
       col(colA), lit(b.getLong(0)), lit(b.getLong(1)),
       col(colB), lit(b.getLong(2)), lit(b.getLong(3)), bits)

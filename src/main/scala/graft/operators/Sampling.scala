@@ -45,8 +45,7 @@ object Sampling {
     * that never need cross-engine replay can swap in xxhash64.
     */
   def hashUniform(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") /
-      lit(math.pow(2, 60))
+    Dedup.md5WordHash(key.cast("string")) / lit(math.pow(2, 60))
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis): key
     * each row by u^(1/w) with u = [[hashUniform]], keep the k largest.
@@ -64,7 +63,11 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       k: Int): DataFrame =
-    df.withColumn("_wk",
+    // w ≤ 0 is undefined in the E-S scheme (1/w flips the key ordering:
+    // a negative weight would beat every valid row, w = 0 could never be
+    // drawn) — such rows are excluded rather than silently mis-ranked.
+    df.filter(col(weightCol) > 0)
+      .withColumn("_wk",
         pow(hashUniform(col(keyCol)), lit(1.0) / col(weightCol).cast("double")))
       .orderBy(col("_wk").desc, col(keyCol))
       .limit(k)

@@ -484,7 +484,7 @@ object Similarity {
     * machinery, and a periodic full re-train is an explicit offline
     * rebuild, not a side effect of ingest.
     */
-  def ivfAssignIncremental(archive: DataFrame, delta: DataFrame, dim: Int,
+  def ivfAssignIncremental(archive: DataFrame, delta: DataFrame,
       nCells: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     DotVec.register(archive.sparkSession)

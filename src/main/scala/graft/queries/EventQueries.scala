@@ -178,10 +178,15 @@ object EventQueries {
              |FROM events""".stripMargin.replace("\n", " "))),
 
     // hourly traffic spike detection: flag hours whose count exceeds the
-    // trailing-24h mean by 3 sigma. Aggregate-then-window idiom: the
-    // window input is one row per HOUR (O(hours) regardless of corpus
-    // size), so the unpartitioned ordered window is correct here — the
-    // heavy lifting happened in the map-side-combinable count. The
+    // trailing-24-WALL-CLOCK-hour mean by 3 sigma. Aggregate-then-window
+    // idiom: the window input is one row per observed hour (O(hours)
+    // regardless of corpus size), so the unpartitioned ordered window is
+    // correct here — the heavy lifting happened in the map-side count.
+    // The frame is RANGE over the integer epoch-hour, so a gap in
+    // traffic narrows the baseline to hours actually inside [h−24, h−1]
+    // rather than silently reaching further back (zero-traffic hours
+    // have no row and thus can't be flagged themselves — by design; the
+    // n ≥ 12 guard suppresses verdicts on too-thin baselines). The
     // 3-sigma test is rewritten division- and sqrt-free over integer
     // sums ((n·c − s)² > 9·(n·q − s²)), so both engines compare exact
     // integers — no float drift can flip a flag.
@@ -190,7 +195,8 @@ object EventQueries {
         val hourly = ev(s, d)
           .groupBy(date_trunc("hour", col("ts")).as("hour"))
           .agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy("hour").rowsBetween(-24, -1)
+          .withColumn("hh", expr("unix_micros(hour) div 3600000000"))
+        val w = Window.orderBy("hh").rangeBetween(-24, -1)
         hourly
           .withColumn("n", count(col("cnt")).over(w))
           .withColumn("s", sum(col("cnt")).over(w))
@@ -204,15 +210,17 @@ object EventQueries {
           .orderBy("hour")
       },
       Some("""WITH h AS (
-             |  SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
-             |  FROM events GROUP BY 1),
+             |  SELECT date_trunc('hour', ts) AS hour,
+             |         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hh,
+             |         count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
              |w AS (
              |  SELECT hour, cnt,
              |         count(cnt) OVER win AS n,
              |         sum(cnt) OVER win AS s,
              |         sum(cnt * cnt) OVER win AS q
              |  FROM h
-             |  WINDOW win AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |  WINDOW win AS (ORDER BY hh RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
              |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
              |       (n >= 12 AND (n * cnt - s) > 0
              |        AND (n * cnt - s) * (n * cnt - s) > 9 * (n * q - s * s)) AS is_spike

@@ -391,7 +391,7 @@ object ExtensionQueries {
         val emb = Tables.embeddings(s, d)
         Similarity.ivfAssignIncremental(
             emb.filter(col("vec_id") % 4 =!= 0),
-            emb.filter(col("vec_id") % 4 === 0), dim = 64)
+            emb.filter(col("vec_id") % 4 === 0))
           .orderBy("vec_id")
       },
       Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -543,7 +543,7 @@ object TpchQueries {
             col("supp_nation"))
           .groupBy("o_year")
           .agg(dratio(
-            sum(when(col("supp_nation") === "NATION_5", col("volume")).otherwise(zero)),
+            sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(zero)),
             sum(col("volume"))).as("mkt_share"))
           .orderBy("o_year")
       },
@@ -560,7 +560,7 @@ object TpchQueries {
              |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
              |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA')
              |SELECT o_year,
-             |round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              |  / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
              |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", " ")),
       headline = true),

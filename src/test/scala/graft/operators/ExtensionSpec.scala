@@ -275,9 +275,9 @@ class ExtensionSpec extends SparkTestBase {
   test("incremental IVF: delta ingest never moves archive assignments") {
     val archive = emb.filter(col("vec_id") % 4 =!= 0)
     val delta = emb.filter(col("vec_id") % 4 === 0)
-    val before = Similarity.ivfAssignIncremental(archive, delta.limit(0), dim = 64)
+    val before = Similarity.ivfAssignIncremental(archive, delta.limit(0))
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val after = Similarity.ivfAssignIncremental(archive, delta, dim = 64)
+    val after = Similarity.ivfAssignIncremental(archive, delta)
     val archiveAfter = after.filter(!col("is_delta"))
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(archiveAfter == before, "frozen centroids must keep archive cells stable")

@@ -78,6 +78,17 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("z-ordered write of an empty frame produces an empty dataset, not a crash") {
+    val dir = Files.createTempDirectory("graft_layout_empty").toString
+    try {
+      val empty = withHour(Tables.events(spark, sf0001)).filter(lit(false))
+      Layout.writeZOrdered(empty, s"$dir/z", "user_id", "hour")
+      assert(spark.read.parquet(s"$dir/z").count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("interleaved key de-interleaves back to its bucket inputs") {
     import spark.implicits._
     val pairs = (for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong))
