@@ -9,7 +9,7 @@ object SparkEntry {
   /** The full verified query canon (SURVEY.md §2.4 + extensions). */
   def canon: Seq[Q] =
     EventQueries.all ++ TpchQueries.all ++ WebLogQueries.all ++
-      AdvancedQueries.all ++ ExtensionQueries.all
+      AdvancedQueries.all ++ JourneyQueries.all ++ ExtensionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

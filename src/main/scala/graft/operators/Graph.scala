@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Link-analysis over a weighted directed graph, DataFrame-first (no
+  * GraphX): PageRank by power iteration, with each iteration one
+  * edges⋈ranks join + one hash aggregate on the destination key — the
+  * textbook distributed formulation. Connected components live in
+  * [[Dedup.clusters]]; this file covers ranked importance (e.g. the
+  * click-graph of page→next-page transitions a web-analytics lake
+  * derives from sessionized events).
+  *
+  * Scale notes: ranks are one row per node (node_id, decimal) — always a
+  * tiny fraction of the edge set; the per-iteration join shuffles edges
+  * on `src` once and contributions on `dst` once, both key-only rows
+  * (ids + one decimal). Lineage is cut per iteration with an eager
+  * `localCheckpoint` so the plan stays O(1) per iteration instead of
+  * growing exponentially (the standard iterative-DataFrame hazard; on a
+  * cluster use reliable checkpointing). The dangling mass joins in as a
+  * broadcast 1-row aggregate; the node count is the single O(1) driver
+  * scalar, read once up front.
+  *
+  * Cross-engine determinism (FIXTURES.md §4): per-edge contributions are
+  * computed in IEEE double (bit-identical in any engine), rounded to 12
+  * decimals, summed as DECIMAL(18,12) (exact, order-independent), and the
+  * new rank is re-rounded to 12 decimals — so a SQL oracle replaying the
+  * same iteration count reproduces every rank byte-for-byte.
+  */
+object Graph {
+
+  private val Dec = DecimalType(18, 12)
+
+  /** Round to 12 decimals as `round(x·10¹²)/10¹²` — three IEEE ops plus a
+    * nearest-integer round, each bit-identical across engines. A plain
+    * `round(x, 12)` is NOT portable at the ulp level: Spark rounds the
+    * double's shortest decimal rendering exactly while DuckDB rounds the
+    * scaled double, and the two disagree within one ulp of a half-way
+    * point (observed: 3 of 100 ranks off by 1e-12 at sf0.01). The oracle
+    * spells the same scaled form.
+    */
+  private def round12(c: Column): Column =
+    round(c * lit(1e12)) / lit(1e12)
+
+  /** PageRank over weighted edges `(src: long, dst: long, weight: long)`.
+    * Returns `(node, pr)` with `pr` a 12-decimal double. Dangling mass
+    * (nodes with no out-edges) is redistributed uniformly each iteration,
+    * so total rank stays ~1 and results match the canonical formulation.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(
+      col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      col("weight").cast("long").as("weight"))
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+
+    val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
+      .localCheckpoint(true)
+    // edges pre-joined with their source's total out-weight: static across
+    // iterations, checkpoint once.
+    val eOut = e.join(outW, "src").localCheckpoint(true)
+    val dangling = nodes.join(outW, nodes("node") === outW("src"), "left_anti")
+      .localCheckpoint(true)
+
+    val base = (1.0 - damping) / n
+    var ranks = nodes
+      .withColumn("pr", round12(lit(1.0) / lit(n.toDouble)).cast(Dec))
+      .localCheckpoint(true)
+
+    for (_ <- 1 to iters) {
+      // exact decimal sum of IEEE-double per-edge terms → order-independent
+      val contrib = eOut
+        .join(ranks, eOut("src") === ranks("node"))
+        .select(col("dst"),
+          round12(col("pr").cast("double") * col("weight").cast("double") /
+            col("out_w").cast("double")).cast(Dec).as("term"))
+        .groupBy("dst").agg(sum(col("term")).as("contrib"))
+      // dangling mass rides along as a broadcast 1-row aggregate — no
+      // per-iteration driver action; the checkpoint below is the only one.
+      val dangOverN = dangling.select(col("node").as("_dnode"))
+        .join(ranks, col("_dnode") === col("node"))
+        .agg((coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double") /
+          lit(n.toDouble)).as("_dang_over_n"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangOverN))
+        .select(col("node"),
+          round12(lit(base) + lit(damping) *
+            (coalesce(col("contrib").cast("double"), lit(0.0)) +
+              col("_dang_over_n"))).cast(Dec).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("pr").cast("double").as("pr"))
+  }
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Graph, Journey}
+import Qutil._
+
+/** User-journey analytics gates: ordered funnel, weekly cohort retention,
+  * per-entry-page bounce rate, session page-transition probabilities, and
+  * PageRank over the click graph — the classic web-analytics repertoire
+  * on top of the reference's sessionized event model
+  * (`web-analytics-parquet/cdk_stacks/athena_workgroup.py:46-47`).
+  *
+  * Determinism follows FIXTURES.md §4; PageRank additionally rounds every
+  * per-edge contribution to 12 decimals and sums in DECIMAL(18,12) so the
+  * DuckDB oracle replays all five power iterations byte-for-byte (see
+  * `operators/Graph.scala`).
+  */
+object JourneyQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private def pageCol = get_json_object(col("props"), "$.k").cast("bigint")
+
+  /** Shared oracle prefix: sessionized events with the page key, plus the
+    * within-session click-graph edges `(src, dst, w)`.
+    */
+  private val edgesCte =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS BIGINT) AS page,
+      |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id, page,
+      |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM g),
+      |nx AS (
+      |  SELECT user_id, session_seq, page,
+      |         lead(page) OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS next_page
+      |  FROM s),
+      |e AS (SELECT page AS src, next_page AS dst, count(*) AS w
+      |      FROM nx WHERE next_page IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
+  /** The 5 unrolled PageRank iterations as DuckDB CTEs (matching
+    * `Graph.pageRank(iters = 5, damping = 0.85)` bit-for-bit: IEEE-double
+    * terms rounded to 12 decimals via the portable `round(x·10¹²)/10¹²`
+    * form — see `Graph.round12` for why a plain `round(x, 12)` diverges
+    * by one ulp between engines — then summed as DECIMAL(18,12), with
+    * uniform dangling redistribution).
+    */
+  private def pagerankOracle(iters: Int): String = {
+    def r12(x: String) = s"round(($x) * 1e12, 0) / 1e12"
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"p${i - 1}"
+      val term = r12("CAST(p.pr AS DOUBLE) * CAST(e.w AS DOUBLE) / o.out_w")
+      val rank = r12("(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)" +
+        s" + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))" +
+        s" + (SELECT dang FROM d$i) / (SELECT n FROM nn))")
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(sum(CAST($term AS DECIMAL(18,12))) AS DOUBLE) AS contrib
+         |  FROM e JOIN $p p ON e.src = p.node JOIN ow o ON e.src = o.src GROUP BY 1),
+         |d$i AS (
+         |  SELECT coalesce(CAST(sum(p.pr) AS DOUBLE), CAST(0 AS DOUBLE)) AS dang
+         |  FROM $p p LEFT JOIN ow o ON p.node = o.src WHERE o.src IS NULL),
+         |p$i AS (
+         |  SELECT n.node, CAST($rank AS DECIMAL(18,12)) AS pr
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    val init = r12("CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)")
+    s"""$edgesCte,
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS out_w FROM e GROUP BY 1),
+       |p0 AS (SELECT node, CAST($init AS DECIMAL(18,12)) AS pr FROM nodes),
+       |$iterCtes
+       |SELECT node, CAST(pr AS DOUBLE) AS pr FROM p$iters ORDER BY node""".stripMargin
+      .replace("\n", " ")
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ordered first-touch funnel: view → click → purchase. Stage i+1 must
+    // strictly follow the user's earliest stage-i completion.
+    Q("q_funnel",
+      (s, d) => Journey.funnel(ev(s, d), Seq(
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase")),
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+             |t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+             |SELECT (SELECT count(*) FROM t1) AS n_stage1,
+             |       (SELECT count(*) FROM t2) AS n_stage2,
+             |       (SELECT count(*) FROM t3) AS n_stage3,
+             |       round(CAST((SELECT count(*) FROM t2) AS DOUBLE)
+             |         / CAST((SELECT count(*) FROM t1) AS DOUBLE), 6) AS conv_1_2,
+             |       round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+             |         / CAST((SELECT count(*) FROM t2) AS DOUBLE), 6) AS conv_2_3""".stripMargin
+        .replace("\n", " ")),
+      headline = true),
+
+    // weekly cohort retention triangle (cohort = Monday week of first event).
+    Q("q_retention_cohorts",
+      (s, d) => Journey.retentionCohorts(ev(s, d))
+        .select(
+          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort_week", "week_offset"),
+      Some("""WITH fs AS (
+             |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+             |  FROM events GROUP BY 1),
+             |aw AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+             |  FROM events)
+             |SELECT strftime(fs.cohort_week, '%Y-%m-%d') AS cohort_week,
+             |       CAST(date_diff('day', fs.cohort_week, aw.active_week) // 7 AS INT) AS week_offset,
+             |       count(DISTINCT aw.user_id) AS n_users
+             |FROM aw JOIN fs ON aw.user_id = fs.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "))),
+
+    // per-entry-page bounce rate (bounce = single-event session).
+    Q("q_bounce_rate",
+      (s, d) => Journey.bounceRate(ev(s, d), pageCol).orderBy("entry_page"),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, CAST(props->>'$.k' AS BIGINT) AS page,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts, event_id, page,
+             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g),
+             |r AS (
+             |  SELECT user_id, session_seq, page,
+             |         row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+             |  FROM s),
+             |sess AS (
+             |  SELECT user_id, session_seq,
+             |         max(CASE WHEN rn = 1 THEN page END) AS entry_page,
+             |         count(*) AS n_events
+             |  FROM r GROUP BY 1, 2)
+             |SELECT entry_page, count(*) AS n_sessions,
+             |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+             |       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+             |FROM sess GROUP BY 1 ORDER BY entry_page""".stripMargin.replace("\n", " "))),
+
+    // session click-graph transition probabilities.
+    Q("q_page_transitions",
+      (s, d) => Journey.pageTransitions(ev(s, d), pageCol)
+        .orderBy("page", "next_page"),
+      Some(s"""$edgesCte
+              |SELECT src AS page, dst AS next_page, w AS cnt,
+              |       round(CAST(w AS DOUBLE)
+              |         / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+              |FROM e ORDER BY page, next_page""".stripMargin.replace("\n", " "))),
+
+    // PageRank over the click graph: 5 power iterations, damping 0.85,
+    // dangling mass redistributed uniformly.
+    Q("q_pagerank",
+      (s, d) => Graph.pageRank(
+        Journey.transitionEdges(ev(s, d), pageCol)
+          .select(col("page").as("src"), col("next_page").as("dst"),
+            col("cnt").as("weight")),
+        iters = 5, damping = 0.85)
+        .orderBy("node"),
+      Some(pagerankOracle(5)),
+      headline = true)
+  )
+}

@@ -283,4 +283,19 @@ class PlanSpec extends SparkTestBase {
     val p = plan("q_small_qty_revenue")
     assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
   }
+
+  test("page transitions: JSON page key extracted in the scan stage, props never shuffles") {
+    val p = plan("q_page_transitions")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("props#"), s"raw props JSON crossed an exchange: $l")
+    }
+  }
+
+  test("funnel stages aggregate then join on user_id — no event-wide shuffle of payloads") {
+    val p = plan("q_funnel")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("props#") && !l.contains("value#"),
+        s"funnel shuffled non-key event payload: $l")
+    }
+  }
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Hand-computed invariants for the user-journey operators (the
+  * per-row ground truth is the DuckDB oracle; these pin semantics on a
+  * corpus small enough to reason about by hand).
+  */
+class JourneySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // user 1: view→click→purchase (full funnel, strictly ordered)
+  // user 2: click before view, no purchase → stalls at stage 1
+  // user 3: view only
+  // user 4: view→purchase (skips click) → purchase must NOT count
+  private lazy val handEvents = Seq(
+    (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0L),
+    (2L, 1L, ts("2024-01-01 10:05:00"), "click", 1L),
+    (3L, 1L, ts("2024-01-01 10:10:00"), "purchase", 2L),
+    (4L, 2L, ts("2024-01-01 09:00:00"), "click", 0L),
+    (5L, 2L, ts("2024-01-01 11:00:00"), "view", 1L),
+    (6L, 3L, ts("2024-01-01 12:00:00"), "view", 0L),
+    (7L, 4L, ts("2024-01-01 13:00:00"), "view", 0L),
+    (8L, 4L, ts("2024-01-01 13:30:00"), "purchase", 1L)
+  ).toDF("event_id", "user_id", "ts", "event_type", "page")
+
+  test("funnel is strictly ordered: later stages need an earlier-stage prefix") {
+    val row = Journey.funnel(handEvents, Seq(
+      col("event_type") === "view",
+      col("event_type") === "click",
+      col("event_type") === "purchase")).collect()(0)
+    assert(row.getAs[Long]("n_stage1") == 4) // users 1,2,3,4 viewed
+    assert(row.getAs[Long]("n_stage2") == 1) // only user 1 clicked AFTER viewing
+    assert(row.getAs[Long]("n_stage3") == 1) // only user 1 purchased after that
+    assert(row.getAs[Double]("conv_1_2") == 0.25)
+  }
+
+  test("funnel stage frame shrinks monotonically on real data") {
+    val row = Journey.funnel(Tables.events(spark, sf0001), Seq(
+      col("event_type") === "view",
+      col("event_type") === "click",
+      col("event_type") === "purchase")).collect()(0)
+    val (n1, n2, n3) = (row.getAs[Long]("n_stage1"),
+      row.getAs[Long]("n_stage2"), row.getAs[Long]("n_stage3"))
+    assert(n1 >= n2 && n2 >= n3 && n1 > 0)
+  }
+
+  test("retention cohorts: offsets start at 0 and cohort sizes match week-0 counts") {
+    val r = Journey.retentionCohorts(Tables.events(spark, sf0001))
+    // every user's first-seen week is by construction an active week →
+    // week_offset 0 exists for every cohort, and its n_users is the
+    // cohort's total distinct users (everyone is active in week 0).
+    assert(r.filter(col("week_offset") < 0).count() == 0)
+    val week0 = r.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("w0"))
+    val cohortSizes = Tables.events(spark, sf0001)
+      .groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+      .groupBy("cohort_week").agg(countDistinct("user_id").as("total"))
+    val bad = week0.join(cohortSizes, "cohort_week")
+      .filter(col("w0") =!= col("total")).count()
+    assert(bad == 0)
+  }
+
+  test("bounce rate: bounces ≤ sessions and session totals reconcile") {
+    val events = Tables.events(spark, sf0001)
+    val page = get_json_object(col("props"), "$.k").cast("bigint")
+    val br = Journey.bounceRate(events, page)
+    assert(br.filter(col("n_bounces") > col("n_sessions")).count() == 0)
+    val totalSessions = br.agg(sum("n_sessions")).collect()(0).getLong(0)
+    assert(totalSessions == Sessionize.sessions(events).count())
+  }
+
+  test("page transitions: probabilities sum to 1 per source page") {
+    val events = Tables.events(spark, sf0001)
+    val page = get_json_object(col("props"), "$.k").cast("bigint")
+    val t = Journey.pageTransitions(events, page)
+    val bad = t.groupBy("page").agg(sum("prob").as("p"))
+      .filter(abs(col("p") - 1.0) > 0.001).count()
+    assert(bad == 0)
+    // edge counts reconcile with non-terminal event count per session
+    val nEdges = t.agg(sum("cnt")).collect()(0).getLong(0)
+    val sess = Sessionize.sessions(events)
+    val expected = sess.agg(sum(col("n_events") - 1)).collect()(0).getLong(0)
+    assert(nEdges == expected)
+  }
+}
