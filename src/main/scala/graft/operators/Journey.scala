@@ -125,6 +125,115 @@ object Journey {
         sum(col("cnt")).over(wSrc).cast("double"), 6))
   }
 
+  /** Top session paths: the most frequent within-session event-type
+    * n-grams (default trigrams), the classic "what do users do next"
+    * path-mining view. The n-gram build is `lead` inside the existing
+    * user/session window (no extra shuffle past sessionize); the final
+    * top-k compiles to TakeOrderedAndProject — per-partition heaps, no
+    * global sort.
+    */
+  def sessionPaths(events: DataFrame, len: Int = 3, k: Int = 20): DataFrame = {
+    require(len >= 2, "a path needs at least 2 steps")
+    val w = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = (1 until len).foldLeft(
+      Sessionize.withSessionIds(events).withColumn("_s0", col("event_type"))) {
+      (df, i) => df.withColumn(s"_s$i", lead(col("event_type"), i).over(w))
+    }
+    steps
+      .filter((1 until len).map(i => col(s"_s$i").isNotNull).reduce(_ && _))
+      .withColumn("path",
+        concat_ws(">", (0 until len).map(i => col(s"_s$i")): _*))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Portable 6-decimal rounding (`round(x·10⁶)/10⁶`) — same reasoning
+    * as `Graph.round12`: a plain `round(x, 6)` can differ from another
+    * engine's by one ulp at half-way points.
+    */
+  private def round6p(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+
+  /** Deterministic A/B experiment readout: users are split into two arms
+    * by the parity of the replayable 60-bit md5 key hash
+    * (`Dedup.md5WordHash` — any engine can reproduce the assignment), a
+    * user converts if any event matches `convPred`, and the arms are
+    * compared with the standard two-proportion pooled z-test. One output
+    * row. One shuffle (per-user conversion aggregate); the z arithmetic
+    * runs on a single row.
+    */
+  def abTest(events: DataFrame, convPred: Column,
+      userCol: String = "user_id"): DataFrame = {
+    val u = col(userCol)
+    val users = events.groupBy(u)
+      .agg(max(when(convPred, 1L).otherwise(0L)).as("_conv"))
+      .withColumn("_arm",
+        when(pmod(Dedup.md5WordHash(u.cast("string")), lit(2L)) === 0, "A")
+          .otherwise("B"))
+    val agg = users.agg(
+      count(when(col("_arm") === "A", 1)).as("n_a"),
+      count(when(col("_arm") === "B", 1)).as("n_b"),
+      sum(when(col("_arm") === "A", col("_conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("_arm") === "B", col("_conv")).otherwise(0L)).as("conv_b"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (ca, cb) = (col("conv_a").cast("double"), col("conv_b").cast("double"))
+    val p = (ca + cb) / (na + nb)
+    // zero pooled variance (nobody or everybody converts) or an empty arm
+    // leaves the test undefined — emit z = 0 / not-significant (and a
+    // null rate for an empty arm) rather than dividing by zero, which
+    // ANSI mode rightly rejects.
+    val z = when(na > 0.0 && nb > 0.0 && p * (lit(1.0) - p) > 0.0,
+      (ca / na - cb / nb) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)))
+      .otherwise(lit(0.0))
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(na > 0.0, round6p(ca / na)).as("rate_a"),
+      when(nb > 0.0, round6p(cb / nb)).as("rate_b"),
+      round6p(z).as("z_score"),
+      (abs(round6p(z)) > 1.96).as("significant"))
+  }
+
+  /** Linear (equal-credit) multi-touch attribution: each conversion's
+    * value is split evenly across the user's matching touch events in
+    * the preceding `windowHours`; conversions with no touch credit a
+    * `-1` ("direct") bucket in full. Output: per touch-key row counts
+    * and exactly-summed credited value (credits are rounded to 6
+    * decimals and summed as DECIMAL(18,6), so the total is
+    * order-independent and engine-replayable).
+    *
+    * The touch⋈conversion join keys on `user_id` (co-partitioned on a
+    * user-bucketed lake) with a time-range refinement, so its cost is
+    * per-user touches × conversions inside the window — clickstream
+    * users are small, and the per-conversion credit window is
+    * O(touches-in-window) state.
+    */
+  def linearAttribution(events: DataFrame, touchPred: Column,
+      convPred: Column, touchKey: Column,
+      windowHours: Int = 24): DataFrame = {
+    val winUs = windowHours * 3600L * 1000000L
+    val conv = events.filter(convPred).select(
+      col("user_id").as("_cu"), col("event_id").as("_cid"),
+      unix_micros(col("ts")).as("_cts"), col("value").as("_cval"))
+    val touch = events.filter(touchPred).select(
+      col("user_id").as("_tu"), unix_micros(col("ts")).as("_tts"),
+      touchKey.as("_tkey"))
+    val joined = conv.join(touch,
+      col("_cu") === col("_tu") && col("_tts") < col("_cts") &&
+        col("_tts") >= col("_cts") - lit(winUs), "left")
+    val perConv = Window.partitionBy(col("_cid"))
+    joined
+      .withColumn("_n", count(col("_tu")).over(perConv))
+      .withColumn("touch_key", coalesce(col("_tkey"), lit(-1L)))
+      .withColumn("_credit",
+        round6p(when(col("_n") === 0, col("_cval").cast("double"))
+          .otherwise(col("_cval").cast("double") / col("_n").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("touch_key")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("_credit")).cast("double").as("credited"))
+  }
+
   /** Per-entry-page bounce rate: sessions are attributed to their first
     * page; a bounce is a single-event session. One row per entry page.
     */

@@ -165,6 +165,98 @@ object JourneyQueries {
               |         / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
               |FROM e ORDER BY page, next_page""".stripMargin.replace("\n", " "))),
 
+    // top within-session event-type trigram paths ("what users do next").
+    Q("q_session_paths",
+      (s, d) => Journey.sessionPaths(ev(s, d), len = 3, k = 20),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g),
+             |p AS (
+             |  SELECT event_type AS s0,
+             |         lead(event_type, 1) OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS s1,
+             |         lead(event_type, 2) OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS s2
+             |  FROM s)
+             |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS cnt
+             |FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+             |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    // deterministic A/B readout: md5-parity arms, pooled two-proportion z.
+    // Conversion = any high-value purchase (~21% of users at every SF, so
+    // the variance term is live and the z-test is real).
+    Q("q_ab_test",
+      (s, d) => Journey.abTest(ev(s, d),
+        col("event_type") === "purchase" && col("value") > 200),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         max(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS conv,
+             |         list_reduce(list_transform(range(1, 16),
+             |           i -> strpos('0123456789abcdef', substring(md5(CAST(user_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+             |           (a, b) -> a * 16 + b) % 2 AS par
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT CAST(count(CASE WHEN par = 0 THEN 1 END) AS BIGINT) AS n_a,
+             |         CAST(count(CASE WHEN par = 1 THEN 1 END) AS BIGINT) AS n_b,
+             |         CAST(sum(CASE WHEN par = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             |         CAST(sum(CASE WHEN par = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+             |  FROM u),
+             |z AS (
+             |  SELECT n_a, n_b, conv_a, conv_b,
+             |         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p1,
+             |         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p2,
+             |         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p
+             |  FROM a),
+             |zz AS (
+             |  SELECT n_a, n_b, conv_a, conv_b, p1, p2,
+             |         CASE WHEN p * (CAST(1.0 AS DOUBLE) - p) > 0 THEN
+             |           round((p1 - p2) / sqrt(p * (CAST(1.0 AS DOUBLE) - p)
+             |             * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |               + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) * 1e6, 0) / 1e6
+             |         ELSE CAST(0 AS DOUBLE) END AS z
+             |  FROM z)
+             |SELECT n_a, n_b, conv_a, conv_b,
+             |       round(p1 * 1e6, 0) / 1e6 AS rate_a,
+             |       round(p2 * 1e6, 0) / 1e6 AS rate_b,
+             |       z AS z_score, abs(z) > 1.96 AS significant
+             |FROM zz""".stripMargin.replace("\n", " "))),
+
+    // linear multi-touch attribution: purchase value split evenly over the
+    // user's view/click touches in the trailing 24 h (page -1 = direct).
+    Q("q_linear_attribution",
+      (s, d) => Journey.linearAttribution(ev(s, d),
+          col("event_type").isin("view", "click"),
+          col("event_type") === "purchase",
+          pageCol, windowHours = 24)
+        .orderBy("touch_key"),
+      Some("""WITH p AS (
+             |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (
+             |  SELECT user_id, epoch_us(ts) AS tts, CAST(props->>'$.k' AS BIGINT) AS page
+             |  FROM events WHERE event_type IN ('view', 'click')),
+             |j AS (
+             |  SELECT p.pid, p.value, t.user_id AS tu, t.page
+             |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+             |    AND t.tts < p.pts AND t.tts >= p.pts - 86400000000),
+             |c AS (
+             |  SELECT pid, value, coalesce(page, -1) AS touch_key,
+             |         count(tu) OVER (PARTITION BY pid) AS n
+             |  FROM j),
+             |cr AS (
+             |  SELECT touch_key,
+             |         CAST(round((CASE WHEN n = 0 THEN CAST(value AS DOUBLE)
+             |           ELSE CAST(value AS DOUBLE) / CAST(n AS DOUBLE) END) * 1e6, 0) / 1e6
+             |           AS DECIMAL(18,6)) AS credit
+             |  FROM c)
+             |SELECT touch_key, CAST(count(*) AS BIGINT) AS n_credits,
+             |       CAST(sum(credit) AS DOUBLE) AS credited
+             |FROM cr GROUP BY 1 ORDER BY touch_key""".stripMargin.replace("\n", " "))),
+
     // PageRank over the click graph: 5 power iterations, damping 0.85,
     // dangling mass redistributed uniformly.
     Q("q_pagerank",

@@ -77,6 +77,65 @@ class JourneySpec extends SparkTestBase {
     assert(totalSessions == Sessionize.sessions(events).count())
   }
 
+  test("session paths: trigram counts on a hand corpus") {
+    // one user, one session: view,click,purchase,view → exactly two trigrams
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "click"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (4L, 1L, ts("2024-01-01 10:03:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val paths = Journey.sessionPaths(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paths == Map("view>click>purchase" -> 1L, "click>purchase>view" -> 1L))
+  }
+
+  test("ab test: zero pooled variance yields z = 0, not a divide error") {
+    // users 1 (arm A) and 3 (arm B) both convert → p = 1 → variance 0 →
+    // defined fallback instead of an ANSI divide error
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase"),
+      (2L, 3L, ts("2024-01-01 11:00:00"), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val row = Journey.abTest(ev, col("event_type") === "purchase").collect()(0)
+    assert(row.getAs[Double]("z_score") == 0.0)
+    assert(!row.getAs[Boolean]("significant"))
+  }
+
+  test("ab test: arms partition users and z tracks the rate difference") {
+    val events = Tables.events(spark, sf0001)
+    val row = Journey.abTest(events,
+      col("event_type") === "purchase" && col("value") > 200).collect()(0)
+    val users = events.select("user_id").distinct().count()
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") == users)
+    assert(row.getAs[Long]("conv_a") <= row.getAs[Long]("n_a"))
+    assert(row.getAs[Long]("conv_b") <= row.getAs[Long]("n_b"))
+    val z = row.getAs[Double]("z_score")
+    val diff = row.getAs[Double]("rate_a") - row.getAs[Double]("rate_b")
+    assert(z * diff >= 0, s"z=$z must have the sign of rate_a-rate_b=$diff")
+  }
+
+  test("linear attribution: equal split, direct bucket, value conservation") {
+    // user 1: touches on pages 10,20 then a 12.00 purchase → 6.00 each
+    // user 2: purchase 5.00 with no touches → direct (-1)
+    // user 3: touch 2 days before the purchase → outside 24h → direct
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), "view", 0.0, 10L),
+      (2L, 1L, ts("2024-01-01 09:30:00"), "click", 0.0, 20L),
+      (3L, 1L, ts("2024-01-01 10:00:00"), "purchase", 12.0, 30L),
+      (4L, 2L, ts("2024-01-01 11:00:00"), "purchase", 5.0, 40L),
+      (5L, 3L, ts("2024-01-01 01:00:00"), "view", 0.0, 50L),
+      (6L, 3L, ts("2024-01-03 02:00:00"), "purchase", 8.0, 60L)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "page")
+    val out = Journey.linearAttribution(ev,
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", col("page"), windowHours = 24)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(10L) == ((1L, 6.0)) && out(20L) == ((1L, 6.0)))
+    assert(out(-1L) == ((2L, 13.0)))
+    assert(math.abs(out.values.map(_._2).sum - 25.0) < 1e-9)
+  }
+
   test("page transitions: probabilities sum to 1 per source page") {
     val events = Tables.events(spark, sf0001)
     val page = get_json_object(col("props"), "$.k").cast("bigint")
