@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Graph, Journey}
+import graft.operators.{Graph, Journey, Markov}
 import Qutil._
 
 /** User-journey analytics gates: ordered funnel, weekly cohort retention,
@@ -40,7 +40,7 @@ object JourneyQueries {
       |  SELECT user_id, session_seq, page,
       |         lead(page) OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS next_page
       |  FROM s),
-      |e AS (SELECT page AS src, next_page AS dst, count(*) AS w
+      |e AS MATERIALIZED (SELECT page AS src, next_page AS dst, count(*) AS w
       |      FROM nx WHERE next_page IS NOT NULL GROUP BY 1, 2)""".stripMargin
 
   /** The 5 unrolled PageRank iterations as DuckDB CTEs (matching
@@ -65,18 +65,102 @@ object JourneyQueries {
          |d$i AS (
          |  SELECT coalesce(CAST(sum(p.pr) AS DOUBLE), CAST(0 AS DOUBLE)) AS dang
          |  FROM $p p LEFT JOIN ow o ON p.node = o.src WHERE o.src IS NULL),
-         |p$i AS (
+         |p$i AS MATERIALIZED (
          |  SELECT n.node, CAST($rank AS DECIMAL(18,12)) AS pr
          |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
     }.mkString(",\n")
     val init = r12("CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)")
     s"""$edgesCte,
-       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS out_w FROM e GROUP BY 1),
        |p0 AS (SELECT node, CAST($init AS DECIMAL(18,12)) AS pr FROM nodes),
        |$iterCtes
        |SELECT node, CAST(pr AS DOUBLE) AS pr FROM p$iters ORDER BY node""".stripMargin
+      .replace("\n", " ")
+  }
+
+  /** The `iters` unrolled Markov-attribution chain steps as DuckDB CTEs,
+    * matching `Markov.removalAttribution(iters, channel = page % 16)`
+    * bit-for-bit (same IEEE-double term order, same
+    * `round(x·10¹²)/10¹²` grid, same DECIMAL(18,12) sums).
+    *
+    * Iteration CTEs are `MATERIALIZED`: DuckDB 1.0 inlines CTEs at each
+    * reference, and every step references its predecessor twice (moves +
+    * carry), so an unhinted chain re-evaluates the whole journey subtree
+    * 2^iters times (observed: >300 s at sf0.01 vs 0.7 s hinted).
+    */
+  private def markovOracle(iters: Int): String = {
+    def r12(x: String) = s"round(($x) * 1e12, 0) / 1e12"
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"mv${i - 1}"
+      val term = r12("CAST(p.mass AS DOUBLE) * ev.cnt / ev.out_w")
+      s"""mv$i AS MATERIALIZED (
+         |  SELECT removed, state,
+         |         CAST(${r12("CAST(sum(term) AS DOUBLE)")} AS DECIMAL(18,12)) AS mass
+         |  FROM (
+         |    SELECT ev.removed, ev.dst AS state,
+         |           CAST($term AS DECIMAL(18,12)) AS term
+         |    FROM ev JOIN $p p ON p.removed = ev.removed AND p.state = ev.src
+         |    WHERE ev.dst <> -3
+         |    UNION ALL
+         |    SELECT removed, state, mass AS term FROM $p WHERE state = -2)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cv AS (
+       |  SELECT user_id AS cu, min(epoch_us(ts)) AS cts
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |tc AS MATERIALIZED (
+       |  SELECT e.user_id AS u, epoch_us(e.ts) AS tts, e.event_id AS eid,
+       |         CAST(props->>'$$.k' AS BIGINT) % 16 AS ch,
+       |         cv.cts IS NOT NULL AS converted
+       |  FROM events e LEFT JOIN cv ON e.user_id = cv.cu
+       |  WHERE e.event_type IN ('view', 'click')
+       |    AND (cv.cts IS NULL OR epoch_us(e.ts) < cv.cts)),
+       |sq AS (
+       |  SELECT u, ch, lead(ch) OVER w AS nxt, row_number() OVER w AS rn, converted
+       |  FROM tc WINDOW w AS (PARTITION BY u ORDER BY tts, eid)),
+       |ed0 AS (
+       |  SELECT ch AS src,
+       |         coalesce(nxt, CASE WHEN converted THEN -2 ELSE -3 END) AS dst
+       |  FROM sq
+       |  UNION ALL SELECT -1, ch FROM sq WHERE rn = 1
+       |  UNION ALL SELECT -1, -2 FROM cv
+       |            WHERE cu NOT IN (SELECT DISTINCT u FROM tc)),
+       |e AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS DOUBLE) AS cnt
+       |      FROM ed0 GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(cnt) AS DOUBLE) AS out_w FROM e GROUP BY 1),
+       |chans AS (SELECT src AS ch FROM e WHERE src >= 0
+       |          UNION SELECT dst FROM e WHERE dst >= 0),
+       |vars AS (SELECT ch AS removed FROM chans
+       |         UNION ALL SELECT CAST(-4 AS BIGINT)),
+       |ev AS MATERIALIZED (SELECT v.removed, e.src, e.dst, e.cnt, ow.out_w
+       |       FROM vars v CROSS JOIN e JOIN ow ON e.src = ow.src
+       |       WHERE e.src <> v.removed AND e.dst <> v.removed),
+       |mv0 AS (SELECT removed, CAST(-1 AS BIGINT) AS state,
+       |               CAST(1.0 AS DECIMAL(18,12)) AS mass FROM vars),
+       |$iterCtes,
+       |pc AS (SELECT removed, CAST(mass AS DOUBLE) AS p
+       |       FROM mv$iters WHERE state = -2),
+       |pf AS (SELECT coalesce((SELECT p FROM pc WHERE removed = -4),
+       |                       CAST(0 AS DOUBLE)) AS p_full),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_conv FROM cv),
+       |re AS (
+       |  SELECT c.ch AS channel,
+       |         coalesce(pc.p, CAST(0 AS DOUBLE)) AS p_without,
+       |         ${r12("pf.p_full - coalesce(pc.p, CAST(0 AS DOUBLE))")}
+       |           AS removal_effect
+       |  FROM chans c LEFT JOIN pc ON c.ch = pc.removed CROSS JOIN pf),
+       |tot AS (SELECT CAST(sum(CAST(removal_effect AS DECIMAL(18,12)))
+       |                    AS DOUBLE) AS total FROM re)
+       |SELECT channel, p_without, removal_effect,
+       |       CASE WHEN tot.total > 0 THEN
+       |         round(removal_effect / tot.total * 1e6, 0) / 1e6 END AS share,
+       |       CASE WHEN tot.total > 0 THEN
+       |         round((round(removal_effect / tot.total * 1e6, 0) / 1e6)
+       |           * CAST(nc.n_conv AS DOUBLE) * 1e6, 0) / 1e6
+       |       END AS attributed_conversions
+       |FROM re CROSS JOIN tot CROSS JOIN nc ORDER BY channel""".stripMargin
       .replace("\n", " ")
   }
 
@@ -184,7 +268,8 @@ object JourneyQueries {
              |  FROM s)
              |SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS cnt
              |FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL
-             |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""".stripMargin.replace("\n", " "))),
+             |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // deterministic A/B readout: md5-parity arms, pooled two-proportion z.
     // Conversion = any high-value purchase (~21% of users at every SF, so
@@ -223,7 +308,8 @@ object JourneyQueries {
              |       round(p1 * 1e6, 0) / 1e6 AS rate_a,
              |       round(p2 * 1e6, 0) / 1e6 AS rate_b,
              |       z AS z_score, abs(z) > 1.96 AS significant
-             |FROM zz""".stripMargin.replace("\n", " "))),
+             |FROM zz""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // linear multi-touch attribution: purchase value split evenly over the
     // user's view/click touches in the trailing 24 h (page -1 = direct).
@@ -255,7 +341,20 @@ object JourneyQueries {
              |  FROM c)
              |SELECT touch_key, CAST(count(*) AS BIGINT) AS n_credits,
              |       CAST(sum(credit) AS DOUBLE) AS credited
-             |FROM cr GROUP BY 1 ORDER BY touch_key""".stripMargin.replace("\n", " "))),
+             |FROM cr GROUP BY 1 ORDER BY touch_key""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // Markov removal-effect attribution: first-order chain over 16
+    // channels (page % 16), 6 chain steps, all removal variants iterated
+    // as one grid. The oracle replays journeys, transition counts, and
+    // every iteration byte-for-byte.
+    Q("q_markov_attribution",
+      (s, d) => Markov.removalAttribution(ev(s, d),
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase",
+        pmod(pageCol, lit(16L)), iters = 6),
+      Some(markovOracle(6)),
+      headline = true),
 
     // PageRank over the click graph: 5 power iterations, damping 0.85,
     // dangling mass redistributed uniformly.

@@ -136,6 +136,50 @@ class JourneySpec extends SparkTestBase {
     assert(math.abs(out.values.map(_._2).sum - 25.0) < 1e-9)
   }
 
+  test("markov attribution: removal effects match the hand-solved chain") {
+    // journeys: u1 = A→conv, u2 = B→drop, u3 = A→B→conv  (A=0, B=1)
+    // chain: S→A 2/3, S→B 1/3; A→C 1/2, A→B 1/2; B→C 1/2, B→∅ 1/2
+    // p_full = 2/3; remove A → 1/6 (RE 1/2); remove B → 1/3 (RE 1/3)
+    // shares over RE-sum 5/6: A 0.6, B 0.4; n_conv = 2 → 1.2 / 0.8
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 0L),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "purchase", 99L),
+      (3L, 2L, ts("2024-01-01 11:00:00"), "view", 1L),
+      (4L, 3L, ts("2024-01-01 12:00:00"), "view", 0L),
+      (5L, 3L, ts("2024-01-01 12:05:00"), "click", 1L),
+      (6L, 3L, ts("2024-01-01 12:10:00"), "purchase", 99L)
+    ).toDF("event_id", "user_id", "ts", "event_type", "page")
+    val out = Markov.removalAttribution(ev,
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", col("page"), iters = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (pA, reA, shA, atA) = out(0L)
+    val (pB, reB, shB, atB) = out(1L)
+    assert(math.abs(pA - 1.0 / 6) < 1e-9 && math.abs(reA - 0.5) < 1e-9)
+    assert(math.abs(pB - 1.0 / 3) < 1e-9 && math.abs(reB - 1.0 / 3) < 1e-9)
+    assert(math.abs(shA - 0.6) < 1e-9 && math.abs(atA - 1.2) < 1e-9)
+    assert(math.abs(shB - 0.4) < 1e-9 && math.abs(atB - 0.8) < 1e-9)
+  }
+
+  test("markov attribution: removal never increases conversion probability") {
+    val events = Tables.events(spark, sf0001)
+    val page = get_json_object(col("props"), "$.k").cast("bigint")
+    val rows = Markov.removalAttribution(events,
+      col("event_type").isin("view", "click"),
+      col("event_type") === "purchase",
+      pmod(page, lit(16L)), iters = 6).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    val pFull = rows.map(r => r.getDouble(1) + r.getDouble(2)).max
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= pFull + 1e-9,
+        s"removing channel ${r.getLong(0)} raised conversion probability")
+      assert(r.getDouble(2) >= -1e-9)
+    }
+    if (!rows.exists(r => r.isNullAt(3)))
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
   test("page transitions: probabilities sum to 1 per source page") {
     val events = Tables.events(spark, sf0001)
     val page = get_json_object(col("props"), "$.k").cast("bigint")
