@@ -180,6 +180,17 @@ class JourneySpec extends SparkTestBase {
       assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
   }
 
+  test("markov attribution: the vocabulary guard rejects an oversized grid") {
+    val events = Tables.events(spark, sf0001)
+    val page = get_json_object(col("props"), "$.k").cast("bigint")
+    val e = intercept[IllegalArgumentException] {
+      Markov.removalAttribution(events,
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase", page, iters = 2, maxChannels = 8)
+    }
+    assert(e.getMessage.contains("maxChannels"))
+  }
+
   test("page transitions: probabilities sum to 1 per source page") {
     val events = Tables.events(spark, sf0001)
     val page = get_json_object(col("props"), "$.k").cast("bigint")
