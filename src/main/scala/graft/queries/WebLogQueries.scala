@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
-import graft.streaming.{Ingest, StatefulSessionizer}
+import graft.streaming.{Ingest, StatefulFunnel, StatefulSessionizer}
 import graft.weblog._
 import Qutil._
 
@@ -374,6 +374,55 @@ object WebLogQueries {
              |FROM sess
              |WHERE k < nk
              |   OR epoch_us(session_end) + 1800000000 <= (SELECT max(epoch_us(ts)) FROM e) - 3600000000
-             |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")))
+             |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "))),
+
+    // §2.5 streaming funnel-completion detection: flatMapGroupsWithState
+    // emits one append-mode row the instant a user finishes
+    // view→click→purchase with strict first-touch ordering — the
+    // real-time "act on conversion" shape. The oracle replays the batch
+    // funnel and keeps fully-completed users only.
+    Q("weblog_stream_funnel",
+      (s, d) => {
+        val raw = scratch(s, "stream_funnel_raw", d)
+        val src = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")).between(3, 9))
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src, raw)
+        val stream = s.readStream
+          .schema("value STRING")
+          .option("recursiveFileLookup", "true")
+          .text(raw)
+          .withColumnRenamed("value", "payload")
+        val typed = Validator.parsed(
+          Validator.validate(stream, "payload", "B").filter(col("valid")),
+          "payload", "B")
+        val qname = s"wsfn_${math.abs(d.hashCode)}"
+        val q = StatefulFunnel.completions(typed, Seq("view", "click", "purchase"))
+          .toDF().writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(col("user_id"),
+            tsStr(col("stage_ts")(0)).as("t_view"),
+            tsStr(col("stage_ts")(1)).as("t_click"),
+            tsStr(col("stage_ts")(2)).as("t_purchase"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS uid,
+             |                 date_trunc('second', ts) AS ts, event_type
+             |          FROM events WHERE day(ts) BETWEEN 3 AND 9),
+             |s1 AS (SELECT uid, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT e.uid, min(e.ts) AS t2 FROM e JOIN s1 ON e.uid = s1.uid
+             |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.uid, min(e.ts) AS t3 FROM e JOIN s2 ON e.uid = s2.uid
+             |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+             |SELECT s3.uid AS user_id,
+             |       strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t_view,
+             |       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
+             |       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
+             |FROM s3 JOIN s2 ON s3.uid = s2.uid JOIN s1 ON s3.uid = s1.uid
+             |ORDER BY user_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -71,6 +71,48 @@ class StatefulSpec extends SparkTestBase {
     } finally StateStores.useDefault(spark)
   }
 
+  private def recEv(user: String, event: String, hhmmss: String) =
+    s"""{"user_id": "$user", "session_id": "s", "event": "$event", "ip": "1.1.1.1",
+       | "hostname": "h", "os": "l", "timestamp": "2024-03-07T${hhmmss}Z",
+       | "uri": "https://x"}""".stripMargin.replace("\n", "")
+
+  test("streaming funnel emits one completion at the strict-order unlock, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val done = StatefulFunnel.completions(typedStream(source),
+      Seq("view", "click", "purchase"))
+    val q = done.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("funnel_done").start()
+
+    // u1: view+click in batch 1 (no completion yet), purchase in batch 2
+    // u2: purchase BEFORE any view/click → never completes
+    // u3: click before view, then purchase → click doesn't count → no completion
+    source.addData(
+      recEv("u1", "view", "08:00:00"), recEv("u1", "click", "08:05:00"),
+      recEv("u2", "purchase", "08:00:00"),
+      recEv("u3", "click", "08:00:00"), recEv("u3", "view", "08:10:00"))
+    q.processAllAvailable()
+    assert(spark.table("funnel_done").count() == 0)
+    source.addData(
+      recEv("u1", "purchase", "08:30:00"),
+      recEv("u3", "purchase", "08:30:00"))
+    q.processAllAvailable()
+    // a second full pass for u1 must NOT re-emit (tombstone)
+    source.addData(
+      recEv("u1", "view", "09:00:00"), recEv("u1", "click", "09:05:00"),
+      recEv("u1", "purchase", "09:10:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_done").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("u1"), rows.mkString(";"))
+    val times = rows(0).getSeq[java.sql.Timestamp](1).map(_.getTime)
+    val base = java.time.Instant.parse("2024-03-07T08:00:00Z").toEpochMilli
+    assert(times == Seq(base, base + 5 * 60000L, base + 30 * 60000L),
+      times.mkString(","))
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
