@@ -32,16 +32,10 @@ object Graph {
 
   private val Dec = DecimalType(18, 12)
 
-  /** Round to 12 decimals as `round(x·10¹²)/10¹²` — three IEEE ops plus a
-    * nearest-integer round, each bit-identical across engines. A plain
-    * `round(x, 12)` is NOT portable at the ulp level: Spark rounds the
-    * double's shortest decimal rendering exactly while DuckDB rounds the
-    * scaled double, and the two disagree within one ulp of a half-way
-    * point (observed: 3 of 100 ranks off by 1e-12 at sf0.01). The oracle
-    * spells the same scaled form.
+  /** Ulp-portable 12-decimal grid — see [[PortableRound]] for why a
+    * plain `round(x, 12)` diverges between engines.
     */
-  private def round12(c: Column): Column =
-    round(c * lit(1e12)) / lit(1e12)
+  private def round12(c: Column): Column = PortableRound.r12(c)
 
   /** PageRank over weighted edges `(src: long, dst: long, weight: long)`.
     * Returns `(node, pr)` with `pr` a 12-decimal double. Dangling mass

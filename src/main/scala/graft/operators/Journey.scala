@@ -149,11 +149,8 @@ object Journey {
       .limit(k)
   }
 
-  /** Portable 6-decimal rounding (`round(x·10⁶)/10⁶`) — same reasoning
-    * as `Graph.round12`: a plain `round(x, 6)` can differ from another
-    * engine's by one ulp at half-way points.
-    */
-  private def round6p(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+  /** Ulp-portable 6-decimal grid — see [[PortableRound]]. */
+  private def round6p(c: Column): Column = PortableRound.r6(c)
 
   /** Deterministic A/B experiment readout: users are split into two arms
     * by the parity of the replayable 60-bit md5 key hash

@@ -49,8 +49,8 @@ object Markov {
   /** The unmodified-chain variant key in the removal grid. */
   val NoRemoval = -4L
 
-  private def round12(c: Column): Column = round(c * lit(1e12)) / lit(1e12)
-  private def round6p(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+  private def round12(c: Column): Column = PortableRound.r12(c)
+  private def round6p(c: Column): Column = PortableRound.r6(c)
 
   /** Removal-effect attribution over `events`. A user's journey is the
     * ordered sequence of `touchPred` events strictly before their first
@@ -89,6 +89,9 @@ object Markov {
       .filter(col("_cts").isNull || col("_ts") < col("_cts"))
       .select(col("_u"), col("_ts"), col("_eid"), col("_ch"),
         col("_cts").isNotNull.as("_converted"))
+      // the one event-scale frame: checkpoint so the two window passes,
+      // the anti-join, and the guard aggregate don't re-scan events
+      .localCheckpoint(true)
 
     val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_eid"))
     val seq = touches

@@ -298,7 +298,8 @@ object JourneyQueries {
              |  FROM a),
              |zz AS (
              |  SELECT n_a, n_b, conv_a, conv_b, p1, p2,
-             |         CASE WHEN p * (CAST(1.0 AS DOUBLE) - p) > 0 THEN
+             |         CASE WHEN n_a > 0 AND n_b > 0
+             |                   AND p * (CAST(1.0 AS DOUBLE) - p) > 0 THEN
              |           round((p1 - p2) / sqrt(p * (CAST(1.0 AS DOUBLE) - p)
              |             * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
              |               + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) * 1e6, 0) / 1e6
