@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Graph, Journey, Markov}
+import graft.operators.{Engagement, Graph, Journey, Markov}
 import Qutil._
 
 /** User-journey analytics gates: ordered funnel, weekly cohort retention,
@@ -356,6 +356,35 @@ object JourneyQueries {
         pmod(pageCol, lit(16L)), iters = 6),
       Some(markovOracle(6)),
       headline = true),
+
+    // rolling DAU/WAU/MAU with stickiness: distinct (user, day) collapse,
+    // then contribution-explode into trailing windows — never a
+    // window over raw events.
+    Q("q_rolling_active",
+      (s, d) => Engagement.rollingActive(ev(s, d)),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+             |dy AS (SELECT d AS day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+             |       FROM ud GROUP BY 1),
+             |w7 AS (SELECT dy.day, CAST(count(DISTINCT ud.u) AS BIGINT) AS wau
+             |       FROM dy JOIN ud ON ud.d BETWEEN dy.day - 6 AND dy.day GROUP BY 1),
+             |w28 AS (SELECT dy.day, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+             |        FROM dy JOIN ud ON ud.d BETWEEN dy.day - 27 AND dy.day GROUP BY 1)
+             |SELECT dy.day AS day, dau, wau, mau,
+             |       round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) * 1e6, 0) / 1e6 AS stickiness_w,
+             |       round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) * 1e6, 0) / 1e6 AS stickiness_m
+             |FROM dy JOIN w7 ON dy.day = w7.day JOIN w28 ON dy.day = w28.day
+             |ORDER BY dy.day""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // power-user curve: users bucketed by lifetime event count.
+    Q("q_activity_histogram",
+      (s, d) => Engagement.activityHistogram(ev(s, d), bucketWidth = 10),
+      Some("""WITH n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+             |          FROM events GROUP BY 1)
+             |SELECT CAST(floor(n / 10) * 10 AS BIGINT) AS bucket_lo,
+             |       CAST(count(*) AS BIGINT) AS n_users,
+             |       CAST(sum(n) AS BIGINT) AS n_events
+             |FROM n GROUP BY 1 ORDER BY bucket_lo""".stripMargin.replace("\n", " "))),
 
     // PageRank over the click graph: 5 power iterations, damping 0.85,
     // dangling mass redistributed uniformly.

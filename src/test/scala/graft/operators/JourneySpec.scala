@@ -191,6 +191,32 @@ class JourneySpec extends SparkTestBase {
     assert(e.getMessage.contains("maxChannels"))
   }
 
+  test("rolling active users: trailing windows and stickiness by hand") {
+    // day1: u1,u2 · day2: u1 · day9: u3 (outside day2's 7-day window,
+    // inside its own; day9's WAU window [day3..day9] holds only u3)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 2L, ts("2024-01-01 11:00:00"), "view"),
+      (3L, 1L, ts("2024-01-02 10:00:00"), "view"),
+      (4L, 3L, ts("2024-01-09 10:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val rows = Engagement.rollingActive(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("2024-01-01") == ((2L, 2L, 2L, 1.0)))
+    assert(rows("2024-01-02") == ((1L, 2L, 2L, 0.5)))
+    assert(rows("2024-01-09") == ((1L, 1L, 3L, 1.0))) // mau still sees u1,u2
+  }
+
+  test("activity histogram conserves users and events") {
+    val events = Tables.events(spark, sf0001)
+    val rows = Engagement.activityHistogram(events, bucketWidth = 10).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      events.select("user_id").distinct().count())
+    assert(rows.map(_.getLong(2)).sum == events.count())
+    assert(rows.forall(r => r.getLong(0) % 10 == 0))
+  }
+
   test("page transitions: probabilities sum to 1 per source page") {
     val events = Tables.events(spark, sf0001)
     val page = get_json_object(col("props"), "$.k").cast("bigint")
