@@ -54,6 +54,63 @@ object Engagement {
       .orderBy("day")
   }
 
+  /** New-vs-returning split per activity day: a user is "new" on their
+    * first-ever active day, "returning" after. Two aggregates over the
+    * collapsed (user, day) frame — first-seen per user, then the
+    * per-day split.
+    */
+  def newVsReturning(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .distinct()
+      .localCheckpoint(true)
+    val first = ud.groupBy(col("_u").as("_fu")).agg(min(col("_d")).as("_first"))
+    ud.join(first, col("_u") === col("_fu"))
+      .groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("dau"),
+        count(when(col("_d") === col("_first"), 1)).as("new_users"))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .orderBy("day")
+  }
+
+  /** Cohort lifetime-value curve: users cohorted by the Monday week of
+    * their first event; one row per (cohort_week, week_offset) with the
+    * cohort size, that week's revenue, the running cumulative revenue,
+    * and cumulative LTV per cohort user. Revenue accumulates as
+    * DECIMAL(18,2) (exact, order-independent); the running sum windows
+    * over the aggregated (cohorts × offsets) frame, never raw events.
+    */
+  def cohortLtv(events: DataFrame, valueCol: String = "value",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val u = col(userCol)
+    val firstSeen = events.groupBy(u.as("_fu"))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+      .localCheckpoint(true)
+    val sized = firstSeen.groupBy(col("cohort_week").as("_cw"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val rev = events
+      .select(u.as("_u"), to_date(date_trunc("week", col(tsCol))).as("_w"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("_v"))
+      .join(firstSeen, col("_u") === col("_fu"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("_w"), col("cohort_week")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .agg(sum(col("_v")).as("_rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+    rev.withColumn("_cum", sum(col("_rev")).over(w))
+      .join(sized, col("cohort_week") === col("_cw"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("cohort_size"),
+        col("_rev").cast("double").as("revenue"),
+        col("_cum").cast("double").as("cum_revenue"),
+        PortableRound.r6(col("_cum").cast("double") /
+          col("cohort_size").cast("double")).as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Power-user curve: users bucketed by their total event count
     * (`floor(n / bucketWidth) · bucketWidth` lower bounds), with the
     * user and event mass per bucket. Two cascaded aggregates — the

@@ -376,6 +376,42 @@ object JourneyQueries {
              |ORDER BY dy.day""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // new-vs-returning split per activity day.
+    Q("q_new_vs_returning",
+      (s, d) => Engagement.newVsReturning(ev(s, d)),
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT u, min(d) AS fd FROM ud GROUP BY 1)
+             |SELECT ud.d AS day, CAST(count(*) AS BIGINT) AS dau,
+             |       CAST(count(CASE WHEN ud.d = f.fd THEN 1 END) AS BIGINT) AS new_users,
+             |       CAST(count(*) - count(CASE WHEN ud.d = f.fd THEN 1 END) AS BIGINT) AS returning
+             |FROM ud JOIN f ON ud.u = f.u
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
+
+    // cohort lifetime-value curve: weekly cohorts, exact DECIMAL(18,2)
+    // revenue, running cumulative LTV per cohort user.
+    Q("q_cohort_ltv",
+      (s, d) => Engagement.cohortLtv(ev(s, d)),
+      Some("""WITH f AS (
+             |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+             |  FROM events GROUP BY 1),
+             |sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1),
+             |r AS (
+             |  SELECT f.cw,
+             |         CAST(date_diff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS wo,
+             |         sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+             |  FROM events e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2),
+             |c AS (SELECT cw, wo, rev,
+             |             sum(rev) OVER (PARTITION BY cw ORDER BY wo) AS cum
+             |      FROM r)
+             |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week, c.wo AS week_offset,
+             |       sz.cohort_size,
+             |       CAST(rev AS DOUBLE) AS revenue,
+             |       CAST(cum AS DOUBLE) AS cum_revenue,
+             |       round(CAST(cum AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE) * 1e6, 0) / 1e6 AS ltv_per_user
+             |FROM c JOIN sz ON c.cw = sz.cw
+             |ORDER BY cohort_week, week_offset""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // power-user curve: users bucketed by lifetime event count.
     Q("q_activity_histogram",
       (s, d) => Engagement.activityHistogram(ev(s, d), bucketWidth = 10),

@@ -217,6 +217,35 @@ class JourneySpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(0) % 10 == 0))
   }
 
+  test("new vs returning: first-ever day is new, later days return") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 2L, ts("2024-01-01 11:00:00"), "view"),
+      (3L, 1L, ts("2024-01-02 10:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val rows = Engagement.newVsReturning(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("2024-01-01") == ((2L, 2L, 0L)))
+    assert(rows("2024-01-02") == ((1L, 0L, 1L)))
+  }
+
+  test("cohort ltv: revenue conserves and cumulative curve is monotone") {
+    val events = Tables.events(spark, sf0001)
+    val rows = Engagement.cohortLtv(events).collect()
+    val total = rows.map(_.getDouble(3)).sum
+    val exact = events.agg(
+      sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(total - exact) < 1e-6, s"$total != $exact")
+    rows.groupBy(_.getString(0)).foreach { case (_, cr) =>
+      val sorted = cr.sortBy(_.getInt(1))
+      val cums = sorted.map(_.getDouble(4))
+      assert(cums.zip(cums.drop(1)).forall { case (a, b) => b >= a })
+      assert(math.abs(cums.last - sorted.map(_.getDouble(3)).sum) < 1e-6)
+    }
+  }
+
   test("page transitions: probabilities sum to 1 per source page") {
     val events = Tables.events(spark, sf0001)
     val page = get_json_object(col("props"), "$.k").cast("bigint")
