@@ -82,4 +82,23 @@ object Layout {
       .drop("_zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` as a Spark bucketed (and optionally sort-clustered)
+    * catalog table — the "user-bucketed lake" SCALE.md's co-location
+    * claims assume. A scan of a table bucketed on `k` reports
+    * `HashPartitioning(k, numBuckets)`, so every downstream
+    * aggregate, window, or join keyed on `k` (against another table
+    * with the SAME bucket count) satisfies its distribution without an
+    * Exchange: the shuffle happens once at write time, then never
+    * again. BucketingSpec proves the zero-exchange plans for the
+    * aggregate, sessionize-window, and self-join shapes.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(numBuckets >= 1, "need at least one bucket")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
