@@ -231,6 +231,31 @@ object Journey {
         sum(col("_credit")).cast("double").as("credited"))
   }
 
+  /** Stage-to-stage conversion lag: for each adjacent funnel step, the
+    * completer count and the p50/p90/max seconds between the user's
+    * stage completions. Percentiles are DISCRETE (an actual observed
+    * lag, no interpolation arithmetic), and lags are exact micros
+    * divided once by 1e6 — both engine-replayable. Each step is one
+    * aggregate over the (already user-collapsed) stage-times frame.
+    */
+  def funnelTiming(events: DataFrame, stages: Seq[Column],
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, "timing needs at least two stages")
+    val times = funnelStageTimes(events, stages, userCol, tsCol)
+      .localCheckpoint(true) // feeds one aggregate per step
+    (1 until stages.size).map { i =>
+      times.filter(col(s"t${i + 1}").isNotNull)
+        .select(((unix_micros(col(s"t${i + 1}")) - unix_micros(col(s"t$i")))
+          .cast("double") / lit(1e6)).as("_lag"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _lag)").as("p50_s"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY _lag)").as("p90_s"),
+          max(col("_lag")).as("max_s"))
+        .select(lit(s"$i->${i + 1}").as("step"), col("n_users"),
+          col("p50_s"), col("p90_s"), col("max_s"))
+    }.reduce(_ union _).orderBy("step")
+  }
+
   /** Per-entry-page bounce rate: sessions are attributed to their first
     * page; a bounce is a single-event session. One row per entry page.
     */

@@ -193,6 +193,34 @@ object JourneyQueries {
         .replace("\n", " ")),
       headline = true),
 
+    // stage-to-stage conversion lag percentiles (discrete, replayable).
+    Q("q_funnel_timing",
+      (s, d) => Journey.funnelTiming(ev(s, d), Seq(
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase")),
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+             |t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1),
+             |l12 AS (SELECT CAST(epoch_us(t2.t2) - epoch_us(t1.t1) AS DOUBLE) / 1e6 AS lag
+             |        FROM t2 JOIN t1 ON t2.user_id = t1.user_id),
+             |l23 AS (SELECT CAST(epoch_us(t3.t3) - epoch_us(t2.t2) AS DOUBLE) / 1e6 AS lag
+             |        FROM t3 JOIN t2 ON t3.user_id = t2.user_id)
+             |SELECT '1->2' AS step, CAST(count(*) AS BIGINT) AS n_users,
+             |       quantile_disc(lag, 0.5) AS p50_s, quantile_disc(lag, 0.9) AS p90_s,
+             |       max(lag) AS max_s FROM l12
+             |UNION ALL
+             |SELECT '2->3', CAST(count(*) AS BIGINT),
+             |       quantile_disc(lag, 0.5), quantile_disc(lag, 0.9), max(lag) FROM l23
+             |ORDER BY step""".stripMargin.replace("\n", " "))),
+
     // weekly cohort retention triangle (cohort = Monday week of first event).
     Q("q_retention_cohorts",
       (s, d) => Journey.retentionCohorts(ev(s, d))

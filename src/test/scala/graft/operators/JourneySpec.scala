@@ -217,6 +217,17 @@ class JourneySpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(0) % 10 == 0))
   }
 
+  test("funnel timing: discrete lags on the hand funnel") {
+    // only user 1 completes both steps: view→click 5min, click→purchase 5min
+    val rows = Journey.funnelTiming(handEvents, Seq(
+      col("event_type") === "view",
+      col("event_type") === "click",
+      col("event_type") === "purchase")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1->2", "2->3"))
+    assert(rows.forall(_.getLong(1) == 1L))
+    assert(rows.forall(r => r.getDouble(2) == 300.0 && r.getDouble(4) == 300.0))
+  }
+
   test("new vs returning: first-ever day is new, later days return") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
