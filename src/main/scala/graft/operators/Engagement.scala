@@ -21,31 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object Engagement {
 
+  /** The collapsed (user, day) activity frame every engagement KPI
+    * starts from — one shuffle, output bounded by users × days.
+    */
+  private def userDays(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    events
+      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
+      .distinct()
+      .localCheckpoint(true)
+
   /** One row per observed activity day: `dau`, `wau` (trailing
     * `weekWindow` days), `mau` (trailing `monthWindow` days), and the
     * DAU/WAU, DAU/MAU stickiness ratios (6-decimal, engine-portable).
     * Only days with at least one event are reported.
+    *
+    * One contribution-explode to the `monthWindow` horizon feeds all
+    * three distinct counts as conditional aggregates of the same
+    * frame — a single shuffle, no joins.
     */
   def rollingActive(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", weekWindow: Int = 7,
       monthWindow: Int = 28): DataFrame = {
     require(weekWindow >= 1 && monthWindow >= weekWindow,
       "windows must be positive and month ≥ week")
-    val ud = events
-      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
-      .distinct()
-      .localCheckpoint(true) // users × days; feeds all three rollups
-
-    def rolled(w: Int, name: String): DataFrame =
-      ud.select(col("_u"),
-          explode(sequence(col("_d"), date_add(col("_d"), w - 1))).as("day"))
-        .groupBy("day").agg(countDistinct(col("_u")).as(name))
-
-    val dau = ud.groupBy(col("_d").as("day"))
-      .agg(countDistinct(col("_u")).as("dau"))
-    dau
-      .join(rolled(weekWindow, "wau"), "day")
-      .join(rolled(monthWindow, "mau"), "day")
+    userDays(events, userCol, tsCol)
+      .select(col("_u"), col("_d"),
+        explode(sequence(col("_d"), date_add(col("_d"), monthWindow - 1)))
+          .as("day"))
+      .groupBy("day")
+      .agg(
+        countDistinct(when(col("day") === col("_d"), col("_u"))).as("dau"),
+        countDistinct(when(datediff(col("day"), col("_d")) < weekWindow,
+          col("_u"))).as("wau"),
+        countDistinct(col("_u")).as("mau"))
+      .filter(col("dau") > 0) // report only days with direct activity
       .select(col("day"), col("dau"), col("wau"), col("mau"),
         PortableRound.r6(col("dau").cast("double") / col("wau").cast("double"))
           .as("stickiness_w"),
@@ -61,10 +71,7 @@ object Engagement {
     */
   def newVsReturning(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
-    val ud = events
-      .select(col(userCol).as("_u"), to_date(col(tsCol)).as("_d"))
-      .distinct()
-      .localCheckpoint(true)
+    val ud = userDays(events, userCol, tsCol)
     val first = ud.groupBy(col("_u").as("_fu")).agg(min(col("_d")).as("_first"))
     ud.join(first, col("_u") === col("_fu"))
       .groupBy(col("_d").as("day"))
@@ -83,14 +90,13 @@ object Engagement {
     */
   def cohortLtv(events: DataFrame, valueCol: String = "value",
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
-    val u = col(userCol)
-    val firstSeen = events.groupBy(u.as("_fu"))
-      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val firstSeen = Journey.firstSeenWeek(events, userCol, tsCol)
+      .withColumnRenamed(userCol, "_fu")
       .localCheckpoint(true)
     val sized = firstSeen.groupBy(col("cohort_week").as("_cw"))
       .agg(count(lit(1)).as("cohort_size"))
     val rev = events
-      .select(u.as("_u"), to_date(date_trunc("week", col(tsCol))).as("_w"),
+      .select(col(userCol).as("_u"), to_date(date_trunc("week", col(tsCol))).as("_w"),
         col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("_v"))
       .join(firstSeen, col("_u") === col("_fu"))
       .groupBy(col("cohort_week"),

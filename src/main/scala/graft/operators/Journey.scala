@@ -76,12 +76,20 @@ object Journey {
     * — both key on columns with bounded cardinality after the first
     * user-level aggregate.
     */
+  /** One row per user with the Monday-truncated week of their first
+    * event — the cohort frame shared by [[retentionCohorts]] and
+    * [[Engagement.cohortLtv]] (and mirrored by both oracles).
+    */
+  private[operators] def firstSeenWeek(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame =
+    events.groupBy(col(userCol))
+      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+
   def retentionCohorts(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
     val u = col(userCol)
     val week = to_date(date_trunc("week", col(tsCol)))
-    val firstSeen = events.groupBy(u)
-      .agg(to_date(date_trunc("week", min(col(tsCol)))).as("cohort_week"))
+    val firstSeen = firstSeenWeek(events, userCol, tsCol)
     val active = events.select(u, week.as("active_week")).distinct()
     active.join(firstSeen, userCol)
       .groupBy(col("cohort_week"),
@@ -251,9 +259,9 @@ object Journey {
           expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY _lag)").as("p50_s"),
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY _lag)").as("p90_s"),
           max(col("_lag")).as("max_s"))
-        .select(lit(s"$i->${i + 1}").as("step"), col("n_users"),
-          col("p50_s"), col("p90_s"), col("max_s"))
-    }.reduce(_ union _).orderBy("step")
+        .select(lit(i).as("step_idx"), lit(s"$i->${i + 1}").as("step"),
+          col("n_users"), col("p50_s"), col("p90_s"), col("max_s"))
+    }.reduce(_ union _).orderBy("step_idx") // numeric: 10+ stages stay in funnel order
   }
 
   /** Per-entry-page bounce rate: sessions are attributed to their first

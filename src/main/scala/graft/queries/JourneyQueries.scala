@@ -213,13 +213,13 @@ object JourneyQueries {
              |        FROM t2 JOIN t1 ON t2.user_id = t1.user_id),
              |l23 AS (SELECT CAST(epoch_us(t3.t3) - epoch_us(t2.t2) AS DOUBLE) / 1e6 AS lag
              |        FROM t3 JOIN t2 ON t3.user_id = t2.user_id)
-             |SELECT '1->2' AS step, CAST(count(*) AS BIGINT) AS n_users,
+             |SELECT 1 AS step_idx, '1->2' AS step, CAST(count(*) AS BIGINT) AS n_users,
              |       quantile_disc(lag, 0.5) AS p50_s, quantile_disc(lag, 0.9) AS p90_s,
              |       max(lag) AS max_s FROM l12
              |UNION ALL
-             |SELECT '2->3', CAST(count(*) AS BIGINT),
+             |SELECT 2, '2->3', CAST(count(*) AS BIGINT),
              |       quantile_disc(lag, 0.5), quantile_disc(lag, 0.9), max(lag) FROM l23
-             |ORDER BY step""".stripMargin.replace("\n", " "))),
+             |ORDER BY step_idx""".stripMargin.replace("\n", " "))),
 
     // weekly cohort retention triangle (cohort = Monday week of first event).
     Q("q_retention_cohorts",

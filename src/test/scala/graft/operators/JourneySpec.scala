@@ -223,9 +223,9 @@ class JourneySpec extends SparkTestBase {
       col("event_type") === "view",
       col("event_type") === "click",
       col("event_type") === "purchase")).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("1->2", "2->3"))
-    assert(rows.forall(_.getLong(1) == 1L))
-    assert(rows.forall(r => r.getDouble(2) == 300.0 && r.getDouble(4) == 300.0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("1->2", "2->3"))
+    assert(rows.forall(_.getLong(2) == 1L))
+    assert(rows.forall(r => r.getDouble(3) == 300.0 && r.getDouble(5) == 300.0))
   }
 
   test("new vs returning: first-ever day is new, later days return") {
