@@ -376,6 +376,41 @@ object WebLogQueries {
              |   OR epoch_us(session_end) + 1800000000 <= (SELECT max(epoch_us(ts)) FROM e) - 3600000000
              |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "))),
 
+    // §2.5 streaming DAU: keyed (user, day) dedup inside a 25h watermark
+    // (exact — same-day repeats are ≤24h apart, so dedup state is always
+    // live), then a complete-mode daily count. The real-time twin of the
+    // batch rolling-active dau.
+    Q("weblog_stream_dau",
+      (s, d) => {
+        val raw = scratch(s, "stream_dau_raw", d)
+        val src = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")).between(3, 9))
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src, raw)
+        val stream = s.readStream
+          .schema("value STRING")
+          .option("recursiveFileLookup", "true")
+          .text(raw)
+          .withColumnRenamed("value", "payload")
+        val typed = Validator.parsed(
+          Validator.validate(stream, "payload", "B").filter(col("valid")),
+          "payload", "B")
+        val qname = s"wsdau_${math.abs(d.hashCode)}"
+        val q = Ingest.streamingDau(typed)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(col("day"), col("dau"))
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+             |FROM events WHERE day(ts) BETWEEN 3 AND 9
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
+
     // §2.5 streaming funnel-completion detection: flatMapGroupsWithState
     // emits one append-mode row the instant a user finishes
     // view→click→purchase with strict first-touch ordering — the

@@ -112,6 +112,24 @@ object Ingest {
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming DAU (the real-time twin of `Engagement.rollingActive`'s
+    * dau column): collapse the stream to one (user, day) row via keyed
+    * dedup, then count per day. The 25-hour watermark makes the daily
+    * dedup EXACT with bounded state: same-day duplicates are at most
+    * 24 h of event time apart, so the key's dedup state is always still
+    * live when a repeat arrives, while state older than the watermark
+    * (≈ two days of users) is evicted. Complete-mode aggregate —
+    * day-count output is tiny.
+    */
+  def streamingDau(parsed: DataFrame,
+      watermark: String = "25 hours"): DataFrame =
+    parsed
+      .withWatermark("event_ts", watermark)
+      .withColumn("day", to_date(col("event_ts")))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+
   /** Stream-stream interval join (§2.5): purchases joined to the same
     * user's views within the trailing `window`, both sides watermarked so
     * the join state is bounded — Spark buffers only rows younger than

@@ -113,6 +113,33 @@ class StatefulSpec extends SparkTestBase {
       times.mkString(","))
   }
 
+  private def recDay(user: String, date: String, hhmmss: String) =
+    s"""{"user_id": "$user", "session_id": "s", "event": "view", "ip": "1.1.1.1",
+       | "hostname": "h", "os": "l", "timestamp": "${date}T${hhmmss}Z",
+       | "uri": "https://x"}""".stripMargin.replace("\n", "")
+
+  test("streaming dau dedups (user, day) across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = Ingest.streamingDau(typedStream(source))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_dau").start()
+    source.addData(
+      recDay("u1", "2024-03-07", "08:00:00"),
+      recDay("u1", "2024-03-07", "09:00:00"))
+    q.processAllAvailable()
+    source.addData(
+      recDay("u1", "2024-03-07", "20:00:00"), // same user+day, 12h later
+      recDay("u2", "2024-03-07", "21:00:00"),
+      recDay("u1", "2024-03-08", "08:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_dau").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(out == Map("2024-03-07" -> 2L, "2024-03-08" -> 1L), out.toString)
+  }
+
   test("dropDuplicatesWithinWatermark collapses replayed keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
