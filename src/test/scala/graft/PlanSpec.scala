@@ -298,4 +298,23 @@ class PlanSpec extends SparkTestBase {
         s"funnel shuffled non-key event payload: $l")
     }
   }
+
+  test("engagement KPIs never shuffle event payloads") {
+    // all engagement shuffles carry (user/day/bucket)-sized keys only;
+    // props JSON and the value column must never cross an exchange
+    Seq("q_rolling_active", "q_new_vs_returning", "q_activity_histogram")
+      .foreach { name =>
+        val p = plan(name)
+        p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+          assert(!l.contains("props#"), s"$name shuffled props: $l")
+          assert(!l.contains("value#"), s"$name shuffled value: $l")
+        }
+      }
+  }
+
+  test("activity histogram is exactly two cascaded hash aggregates") {
+    val p = plan("q_activity_histogram")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected user + bucket exchanges only:\n$p")
+  }
 }
