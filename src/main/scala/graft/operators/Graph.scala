@@ -95,4 +95,75 @@ object Graph {
     }
     ranks.select(col("node"), col("pr").cast("double").as("pr"))
   }
+
+  /** Personalized PageRank: teleport (and dangling mass) goes to a
+    * restart distribution instead of uniform — "importance as seen
+    * from these nodes" (e.g. rank pages by relevance to where
+    * conversions happen). `restart` is `(node, w ≥ 0)` integral
+    * weights; rows for nodes outside the graph are ignored and graph
+    * nodes absent from `restart` get weight 0. Ranks start AT the
+    * normalized restart vector and iterate
+    * `r·(1−d) + d·(contrib + dang·r)`.
+    *
+    * Same scale shape as [[pageRank]] (one edges⋈ranks shuffle + one
+    * dst aggregate per iteration, per-iteration lineage cut); same
+    * determinism recipe (IEEE terms on the 12-decimal grid,
+    * DECIMAL(18,12) sums), so a SQL oracle replays it exactly. The
+    * driver scalar here is the restart mass total (O(1)).
+    */
+  def personalizedPageRank(edges: DataFrame, restart: DataFrame,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(
+      col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"),
+      col("weight").cast("long").as("weight"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
+      .localCheckpoint(true)
+    val eOut = e.join(outW, "src").localCheckpoint(true)
+    val dangling = nodes.join(outW, nodes("node") === outW("src"), "left_anti")
+      .localCheckpoint(true)
+
+    val rw = restart
+      .select(col("node").cast("long").as("_rn"), col("w").cast("long").as("_w"))
+      .groupBy("_rn").agg(sum("_w").as("_w"))
+    val rOnGraph = nodes.join(rw, nodes("node") === col("_rn"), "left")
+      .select(col("node"), coalesce(col("_w"), lit(0L)).as("_w"))
+      .localCheckpoint(true)
+    val totalW = rOnGraph.agg(sum(col("_w"))).collect()(0).getLong(0)
+    require(totalW > 0, "restart mass must touch at least one graph node")
+    val rFrame = rOnGraph
+      .select(col("node"),
+        round12(col("_w").cast("double") / lit(totalW.toDouble))
+          .cast(Dec).as("r"))
+      .localCheckpoint(true)
+
+    var ranks = rFrame.select(col("node"), col("r").as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = eOut
+        .join(ranks, eOut("src") === ranks("node"))
+        .select(col("dst"),
+          round12(col("pr").cast("double") * col("weight").cast("double") /
+            col("out_w").cast("double")).cast(Dec).as("term"))
+        .groupBy("dst").agg(sum(col("term")).as("contrib"))
+      val dang = dangling.select(col("node").as("_dnode"))
+        .join(ranks, col("_dnode") === col("node"))
+        .agg(coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double")
+          .as("_dang"))
+      ranks = rFrame
+        .join(contrib, rFrame("node") === contrib("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(rFrame("node"),
+          round12(lit(1.0 - damping) * col("r").cast("double") +
+            lit(damping) *
+              (coalesce(col("contrib").cast("double"), lit(0.0)) +
+                col("_dang") * col("r").cast("double"))).cast(Dec).as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("pr").cast("double").as("pr"))
+  }
 }

@@ -80,6 +80,46 @@ object JourneyQueries {
       .replace("\n", " ")
   }
 
+  /** Personalized-PageRank oracle: the same unrolled-iteration recipe as
+    * `pagerankOracle`, with teleport and dangling mass going to the
+    * normalized purchase-page restart vector instead of uniform.
+    */
+  private def pprOracle(iters: Int): String = {
+    def r12(x: String) = s"round(($x) * 1e12, 0) / 1e12"
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"pp${i - 1}"
+      val term = r12("CAST(p.pr AS DOUBLE) * CAST(e.w AS DOUBLE) / o.out_w")
+      val rank = r12("(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(rr.r AS DOUBLE)" +
+        s" + CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))" +
+        s" + (SELECT dang FROM dd$i) * CAST(rr.r AS DOUBLE))")
+      s"""cc$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(sum(CAST($term AS DECIMAL(18,12))) AS DOUBLE) AS contrib
+         |  FROM e JOIN $p p ON e.src = p.node JOIN ow o ON e.src = o.src GROUP BY 1),
+         |dd$i AS (
+         |  SELECT coalesce(CAST(sum(p.pr) AS DOUBLE), CAST(0 AS DOUBLE)) AS dang
+         |  FROM $p p LEFT JOIN ow o ON p.node = o.src WHERE o.src IS NULL),
+         |pp$i AS MATERIALIZED (
+         |  SELECT rr.node, CAST($rank AS DECIMAL(18,12)) AS pr
+         |  FROM rr LEFT JOIN cc$i c ON rr.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS out_w FROM e GROUP BY 1),
+       |rw AS (SELECT CAST(props->>'$$.k' AS BIGINT) AS rn,
+       |              CAST(count(*) AS BIGINT) AS w
+       |       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |rj AS MATERIALIZED (SELECT n.node, CAST(coalesce(rw.w, 0) AS BIGINT) AS w
+       |      FROM nodes n LEFT JOIN rw ON n.node = rw.rn),
+       |rr AS MATERIALIZED (SELECT node,
+       |       CAST(${r12("CAST(w AS DOUBLE) / (SELECT CAST(sum(w) AS DOUBLE) FROM rj)")} AS DECIMAL(18,12)) AS r
+       |      FROM rj),
+       |pp0 AS (SELECT node, r AS pr FROM rr),
+       |$iterCtes
+       |SELECT node, CAST(pr AS DOUBLE) AS pr FROM pp$iters ORDER BY node""".stripMargin
+      .replace("\n", " ")
+  }
+
   /** The `iters` unrolled Markov-attribution chain steps as DuckDB CTEs,
     * matching `Markov.removalAttribution(iters, channel = page % 16)`
     * bit-for-bit (same IEEE-double term order, same
@@ -460,6 +500,22 @@ object JourneyQueries {
         iters = 5, damping = 0.85)
         .orderBy("node"),
       Some(pagerankOracle(5)),
-      headline = true)
+      headline = true),
+
+    // personalized PageRank: teleport to the purchase-page restart
+    // vector — "which pages matter from where conversions happen".
+    Q("q_ppr_conversion",
+      (s, d) => {
+        val e = ev(s, d)
+        Graph.personalizedPageRank(
+          Journey.transitionEdges(e, pageCol)
+            .select(col("page").as("src"), col("next_page").as("dst"),
+              col("cnt").as("weight")),
+          e.filter(col("event_type") === "purchase")
+            .groupBy(pageCol.as("node")).agg(count(lit(1)).as("w")),
+          iters = 5, damping = 0.85)
+          .orderBy("node")
+      },
+      Some(pprOracle(5)))
   )
 }

@@ -41,6 +41,39 @@ class GraphSpec extends SparkTestBase {
     assert(pr(2L) > pr(3L))
   }
 
+  test("personalized pagerank with uniform restart matches plain pagerank") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 4L, 1L))
+      .toDF("src", "dst", "weight") // node 4 dangles
+    val restart = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("node", "w")
+    val pr = prMap(Graph.pageRank(edges, iters = 5))
+    val ppr = prMap(Graph.personalizedPageRank(edges, restart, iters = 5))
+    pr.foreach { case (n, v) => assert(math.abs(ppr(n) - v) < 1e-9, s"node $n") }
+  }
+
+  test("personalized pagerank: hand-computed two-iteration values on a cycle") {
+    // 1→2→3→1, all teleport mass on node 1; init = restart = (1, 0, 0)
+    // iter1: p1 = .15·1 + .85·p3₀ = .15 ; p2 = .85·p1₀ = .85 ; p3 = 0
+    // iter2: p1 = .15 + .85·0 = .15 ; p2 = .85·.15 = .1275 ; p3 = .85·.85 = .7225
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "weight")
+    val restart = Seq((1L, 1L)).toDF("node", "w")
+    val ppr = prMap(Graph.personalizedPageRank(edges, restart, iters = 2))
+    assert(math.abs(ppr(1L) - 0.15) < 1e-12)
+    assert(math.abs(ppr(2L) - 0.1275) < 1e-12)
+    assert(math.abs(ppr(3L) - 0.7225) < 1e-12)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9) // teleport conserves mass
+  }
+
+  test("personalized pagerank rejects restart mass outside the graph") {
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
+    val restart = Seq((99L, 5L)).toDF("node", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, restart, iters = 2)
+    }
+    assert(e.getMessage.contains("restart mass"))
+  }
+
   test("total rank is conserved on the real click graph") {
     val events = Tables.events(spark, sf0001)
     val page = get_json_object(col("props"), "$.k").cast("bigint")
