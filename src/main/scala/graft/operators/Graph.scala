@@ -37,26 +37,22 @@ object Graph {
     */
   private def round12(c: Column): Column = PortableRound.r12(c)
 
-  /** PageRank over weighted edges `(src: long, dst: long, weight: long)`.
-    * Returns `(node, pr)` with `pr` a 12-decimal double. Dangling mass
-    * (nodes with no out-edges) is redistributed uniformly each iteration,
-    * so total rank stays ~1 and results match the canonical formulation.
+  /** The static per-graph frames both rank operators iterate over:
+    * checkpointed node set, edges pre-joined with their source's total
+    * out-weight, and the dangling (no out-edge) nodes.
     */
-  def pageRank(edges: DataFrame, iters: Int = 5,
-      damping: Double = 0.85): DataFrame = {
-    val spark = edges.sparkSession
+  private case class GraphFrames(
+      nodes: DataFrame, eOut: DataFrame, dangling: DataFrame)
+
+  private def prep(edges: DataFrame): GraphFrames = {
     val e = edges.select(
       col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
       col("weight").cast("long").as("weight"))
-
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0, "pageRank needs a non-empty graph")
-
     val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
       .localCheckpoint(true)
     // edges pre-joined with their source's total out-weight: static across
@@ -64,28 +60,47 @@ object Graph {
     val eOut = e.join(outW, "src").localCheckpoint(true)
     val dangling = nodes.join(outW, nodes("node") === outW("src"), "left_anti")
       .localCheckpoint(true)
+    GraphFrames(nodes, eOut, dangling)
+  }
+
+  /** Per-destination in-mass: exact decimal sum of IEEE-double per-edge
+    * terms → order-independent. Shared by both rank operators (and
+    * mirrored term-for-term by both oracles).
+    */
+  private def contributions(eOut: DataFrame, ranks: DataFrame): DataFrame =
+    eOut
+      .join(ranks, eOut("src") === ranks("node"))
+      .select(col("dst"),
+        round12(col("pr").cast("double") * col("weight").cast("double") /
+          col("out_w").cast("double")).cast(Dec).as("term"))
+      .groupBy("dst").agg(sum(col("term")).as("contrib"))
+
+  /** PageRank over weighted edges `(src: long, dst: long, weight: long)`.
+    * Returns `(node, pr)` with `pr` a 12-decimal double. Dangling mass
+    * (nodes with no out-edges) is redistributed uniformly each iteration,
+    * so total rank stays ~1 and results match the canonical formulation.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val g = prep(edges)
+    val n = g.nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
 
     val base = (1.0 - damping) / n
-    var ranks = nodes
+    var ranks = g.nodes
       .withColumn("pr", round12(lit(1.0) / lit(n.toDouble)).cast(Dec))
       .localCheckpoint(true)
 
     for (_ <- 1 to iters) {
-      // exact decimal sum of IEEE-double per-edge terms → order-independent
-      val contrib = eOut
-        .join(ranks, eOut("src") === ranks("node"))
-        .select(col("dst"),
-          round12(col("pr").cast("double") * col("weight").cast("double") /
-            col("out_w").cast("double")).cast(Dec).as("term"))
-        .groupBy("dst").agg(sum(col("term")).as("contrib"))
+      val contrib = contributions(g.eOut, ranks)
       // dangling mass rides along as a broadcast 1-row aggregate — no
       // per-iteration driver action; the checkpoint below is the only one.
-      val dangOverN = dangling.select(col("node").as("_dnode"))
+      val dangOverN = g.dangling.select(col("node").as("_dnode"))
         .join(ranks, col("_dnode") === col("node"))
         .agg((coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double") /
           lit(n.toDouble)).as("_dang_over_n"))
-      ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks = g.nodes
+        .join(contrib, g.nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangOverN))
         .select(col("node"),
           round12(lit(base) + lit(damping) *
@@ -113,27 +128,17 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, restart: DataFrame,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(
-      col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"),
-      col("weight").cast("long").as("weight"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
-      .localCheckpoint(true)
-    val eOut = e.join(outW, "src").localCheckpoint(true)
-    val dangling = nodes.join(outW, nodes("node") === outW("src"), "left_anti")
-      .localCheckpoint(true)
-
+    val g = prep(edges)
     val rw = restart
       .select(col("node").cast("long").as("_rn"), col("w").cast("long").as("_w"))
       .groupBy("_rn").agg(sum("_w").as("_w"))
-    val rOnGraph = nodes.join(rw, nodes("node") === col("_rn"), "left")
+    val rOnGraph = g.nodes.join(rw, g.nodes("node") === col("_rn"), "left")
       .select(col("node"), coalesce(col("_w"), lit(0L)).as("_w"))
       .localCheckpoint(true)
-    val totalW = rOnGraph.agg(sum(col("_w"))).collect()(0).getLong(0)
+    // coalesce: an empty graph aggregates to NULL, which must surface as
+    // the require message below, not a NullPointerException
+    val totalW = rOnGraph.agg(coalesce(sum(col("_w")), lit(0L)))
+      .collect()(0).getLong(0)
     require(totalW > 0, "restart mass must touch at least one graph node")
     val rFrame = rOnGraph
       .select(col("node"),
@@ -144,13 +149,8 @@ object Graph {
     var ranks = rFrame.select(col("node"), col("r").as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = eOut
-        .join(ranks, eOut("src") === ranks("node"))
-        .select(col("dst"),
-          round12(col("pr").cast("double") * col("weight").cast("double") /
-            col("out_w").cast("double")).cast(Dec).as("term"))
-        .groupBy("dst").agg(sum(col("term")).as("contrib"))
-      val dang = dangling.select(col("node").as("_dnode"))
+      val contrib = contributions(g.eOut, ranks)
+      val dang = g.dangling.select(col("node").as("_dnode"))
         .join(ranks, col("_dnode") === col("node"))
         .agg(coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double")
           .as("_dang"))

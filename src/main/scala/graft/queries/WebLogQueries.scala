@@ -52,6 +52,27 @@ object WebLogQueries {
   private def payloads(s: SparkSession, d: String, corrupted: Boolean): DataFrame =
     Tables.events(s, d).withColumn("payload", payloadCol(corrupted))
 
+  /** Shared §2.5 stream shim: stage the day-filtered payloads as a raw
+    * JSON zone, then read it back as a validated, parsed dialect-B file
+    * stream — the scaffolding every single-stream gate shares.
+    * `duplicate` doubles the staged payloads (at-least-once delivery).
+    */
+  private def typedFileStream(s: SparkSession, d: String, name: String,
+      dayFilter: Column, duplicate: Boolean = false): DataFrame = {
+    val raw = scratch(s, name, d)
+    val src = payloads(s, d, corrupted = false).filter(dayFilter)
+      .withColumn("ingest_ts", col("ts"))
+    Zones.writeRawJson(if (duplicate) src.unionAll(src) else src, raw)
+    val stream = s.readStream
+      .schema("value STRING")
+      .option("recursiveFileLookup", "true")
+      .text(raw)
+      .withColumnRenamed("value", "payload")
+    Validator.parsed(
+      Validator.validate(stream, "payload", "B").filter(col("valid")),
+      "payload", "B")
+  }
+
   private def scratch(s: SparkSession, name: String, d: String): String = {
     val safe = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_q", s"${name}_$safe").toString
@@ -159,19 +180,8 @@ object WebLogQueries {
     // (AvailableNow trigger, complete-mode memory sink).
     Q("weblog_stream_hourly",
       (s, d) => {
-        val raw = scratch(s, "stream_raw", d)
-        val src = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")) === 2)
-          .withColumn("ingest_ts", col("ts"))
-        Zones.writeRawJson(src, raw)
-        val stream = s.readStream
-          .schema("value STRING")
-          .option("recursiveFileLookup", "true")
-          .text(raw)
-          .withColumnRenamed("value", "payload")
-        val typed = Validator.parsed(
-          Validator.validate(stream, "payload", "B").filter(col("valid")),
-          "payload", "B")
+        val typed = typedFileStream(s, d, "stream_raw",
+          dayofmonth(col("ts")) === 2)
         val qname = s"wsh_${math.abs(d.hashCode)}"
         val q = Ingest.hourlyEventCounts(typed)
           .writeStream.outputMode("complete")
@@ -194,19 +204,8 @@ object WebLogQueries {
     // and the hourly counts must equal the oracle's DISTINCT-key counts.
     Q("weblog_stream_dedup",
       (s, d) => {
-        val raw = scratch(s, "stream_dedup_raw", d)
-        val src = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")) === 4)
-          .withColumn("ingest_ts", col("ts"))
-        Zones.writeRawJson(src.unionAll(src), raw) // duplicated delivery
-        val stream = s.readStream
-          .schema("value STRING")
-          .option("recursiveFileLookup", "true")
-          .text(raw)
-          .withColumnRenamed("value", "payload")
-        val typed = Validator.parsed(
-          Validator.validate(stream, "payload", "B").filter(col("valid")),
-          "payload", "B")
+        val typed = typedFileStream(s, d, "stream_dedup_raw",
+          dayofmonth(col("ts")) === 4, duplicate = true)
         val qname = s"wsd_${math.abs(d.hashCode)}"
         // append mode: the dedup operator emits each first-seen key once
         // (state bounded by the watermark); hourly counts then batch-agg
@@ -278,19 +277,8 @@ object WebLogQueries {
     // break at gap ≥ 30min mirrors session_window's exclusive end.
     Q("weblog_stream_sessions",
       (s, d) => {
-        val raw = scratch(s, "stream_sess_raw", d)
-        val src = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")) === 3)
-          .withColumn("ingest_ts", col("ts"))
-        Zones.writeRawJson(src, raw)
-        val stream = s.readStream
-          .schema("value STRING")
-          .option("recursiveFileLookup", "true")
-          .text(raw)
-          .withColumnRenamed("value", "payload")
-        val typed = Validator.parsed(
-          Validator.validate(stream, "payload", "B").filter(col("valid")),
-          "payload", "B")
+        val typed = typedFileStream(s, d, "stream_sess_raw",
+          dayofmonth(col("ts")) === 3)
         val qname = s"wss_${math.abs(d.hashCode)}"
         val q = Ingest.sessionWindows(typed, gap = "30 minutes")
           .writeStream.outputMode("complete")
@@ -326,19 +314,8 @@ object WebLogQueries {
     // passes session_end + gap.
     Q("weblog_stream_stateful",
       (s, d) => {
-        val raw = scratch(s, "stream_state_raw", d)
-        val src = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")) === 3)
-          .withColumn("ingest_ts", col("ts"))
-        Zones.writeRawJson(src, raw)
-        val stream = s.readStream
-          .schema("value STRING")
-          .option("recursiveFileLookup", "true")
-          .text(raw)
-          .withColumnRenamed("value", "payload")
-        val typed = Validator.parsed(
-          Validator.validate(stream, "payload", "B").filter(col("valid")),
-          "payload", "B")
+        val typed = typedFileStream(s, d, "stream_state_raw",
+          dayofmonth(col("ts")) === 3)
         val qname = s"wstf_${math.abs(d.hashCode)}"
         val q = StatefulSessionizer.closedSessions(typed,
             gapSeconds = 1800, watermark = "1 hour")
@@ -382,19 +359,8 @@ object WebLogQueries {
     // batch rolling-active dau.
     Q("weblog_stream_dau",
       (s, d) => {
-        val raw = scratch(s, "stream_dau_raw", d)
-        val src = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")).between(3, 9))
-          .withColumn("ingest_ts", col("ts"))
-        Zones.writeRawJson(src, raw)
-        val stream = s.readStream
-          .schema("value STRING")
-          .option("recursiveFileLookup", "true")
-          .text(raw)
-          .withColumnRenamed("value", "payload")
-        val typed = Validator.parsed(
-          Validator.validate(stream, "payload", "B").filter(col("valid")),
-          "payload", "B")
+        val typed = typedFileStream(s, d, "stream_dau_raw",
+          dayofmonth(col("ts")).between(3, 9))
         val qname = s"wsdau_${math.abs(d.hashCode)}"
         val q = Ingest.streamingDau(typed)
           .writeStream.outputMode("complete")
@@ -418,19 +384,8 @@ object WebLogQueries {
     // funnel and keeps fully-completed users only.
     Q("weblog_stream_funnel",
       (s, d) => {
-        val raw = scratch(s, "stream_funnel_raw", d)
-        val src = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")).between(3, 9))
-          .withColumn("ingest_ts", col("ts"))
-        Zones.writeRawJson(src, raw)
-        val stream = s.readStream
-          .schema("value STRING")
-          .option("recursiveFileLookup", "true")
-          .text(raw)
-          .withColumnRenamed("value", "payload")
-        val typed = Validator.parsed(
-          Validator.validate(stream, "payload", "B").filter(col("valid")),
-          "payload", "B")
+        val typed = typedFileStream(s, d, "stream_funnel_raw",
+          dayofmonth(col("ts")).between(3, 9))
         val qname = s"wsfn_${math.abs(d.hashCode)}"
         val q = StatefulFunnel.completions(typed, Seq("view", "click", "purchase"))
           .toDF().writeStream.outputMode("append")

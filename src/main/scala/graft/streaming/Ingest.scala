@@ -114,12 +114,14 @@ object Ingest {
 
   /** Streaming DAU (the real-time twin of `Engagement.rollingActive`'s
     * dau column): collapse the stream to one (user, day) row via keyed
-    * dedup, then count per day. The 25-hour watermark makes the daily
-    * dedup EXACT with bounded state: same-day duplicates are at most
-    * 24 h of event time apart, so the key's dedup state is always still
-    * live when a repeat arrives, while state older than the watermark
-    * (≈ two days of users) is evicted. Complete-mode aggregate —
-    * day-count output is tiny.
+    * dedup, then count per day. The 25-hour watermark bounds dedup
+    * state (≈ two days of users) while still catching every same-day
+    * repeat whose arrival disorder stays under the watermark — with
+    * in-order ingest (the raw-zone replay assumption all §2.5 gates
+    * share) the count matches the batch COUNT DISTINCT exactly; an
+    * event arriving more than the watermark late is dropped upstream
+    * of the dedup, the standard streaming-lateness trade.
+    * Complete-mode aggregate — day-count output is tiny.
     */
   def streamingDau(parsed: DataFrame,
       watermark: String = "25 hours"): DataFrame =
