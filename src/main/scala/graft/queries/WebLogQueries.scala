@@ -175,6 +175,59 @@ object WebLogQueries {
              |  ORDER BY event_id) = 1
              |ORDER BY timestamp, user_id""".stripMargin.replace("\n", " "))),
 
+    // S10 time travel: snapshot commits are create-only, so the version
+    // chain is table history. Base-load day 1 (version N−1), commit an
+    // update rewriting hour<12 hostnames (version N), then read BOTH the
+    // historical snapshot via readAt(N−1) — which must show the
+    // pre-update state — and the live snapshot, as labeled summaries.
+    Q("weblog_time_travel",
+      (s, d) => {
+        val path = scratch(s, "timetravel", d) + "/t"
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        val base = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(1L).as("seq"))
+        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"))
+        t.write(base, "seq")
+        val v1 = t.currentVersion.get
+        val updates = base.filter(hour(to_timestamp(col("timestamp"),
+            WebLogSchema.TsPattern)) < 12)
+          .withColumn("hostname", lit("updated.example"))
+          .withColumn("seq", lit(2L))
+        t.write(updates, "seq")
+        def summarize(df: DataFrame, label: String) =
+          df.groupBy(col("event"), col("hostname"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(lit(label).as("snapshot"), col("event"), col("hostname"), col("cnt"))
+        summarize(t.readAt(v1), "historical")
+          .unionAll(summarize(t.read, "current"))
+          .orderBy("snapshot", "event", "hostname")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS event, hour(ts) AS h
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1)
+             |SELECT 'historical' AS snapshot, event, 'orig.example' AS hostname,
+             |       count(*) AS cnt
+             |FROM base GROUP BY 2
+             |UNION ALL
+             |SELECT 'current' AS snapshot, event,
+             |       CASE WHEN h < 12 THEN 'updated.example' ELSE 'orig.example' END AS hostname,
+             |       count(*) AS cnt
+             |FROM base GROUP BY 2, 3
+             |ORDER BY snapshot, event, hostname""".stripMargin.replace("\n", " "))),
+
     // §3.1 streaming: real Structured Streaming file source over the raw
     // zone → validate → parse → event-time tumbling hourly counts
     // (AvailableNow trigger, complete-mode memory sink).

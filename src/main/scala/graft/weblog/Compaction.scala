@@ -1,6 +1,5 @@
 package graft.weblog
 
-import java.nio.charset.StandardCharsets.UTF_8
 import java.time.LocalDateTime
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -40,68 +39,22 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  private val ManifestPrefix = "_graft_manifest_v"
-
   /** Move staged part-files into the hour dir under version-unique names
-    * (never colliding with the live version's names). Each move is an
-    * atomic single-object operation; the files are dormant until a
-    * manifest references them.
+    * — see [[Manifests.importStaged]] (shared with the upsert table).
     */
   private[weblog] def importStaged(fs: FileSystem, stagingDir: Path,
-      destDir: Path, version: Long): Seq[String] = {
-    fs.mkdirs(destDir)
-    val parts = fs.listStatus(stagingDir)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-    parts.zipWithIndex.map { case (s, i) =>
-      val name = f"part-v$version-$i%05d${suffixOf(s.getPath.getName)}"
-      if (!fs.rename(s.getPath, new Path(destDir, name)))
-        throw new java.io.IOException(s"import failed: ${s.getPath} -> $destDir/$name")
-      name
-    }.toSeq
-  }
+      destDir: Path, version: Long): Seq[String] =
+    Manifests.importStaged(fs, stagingDir, destDir, version)
 
-  private def suffixOf(name: String): String = {
-    val i = name.indexOf('.')
-    if (i < 0) ".parquet" else name.substring(i)
-  }
-
-  /** THE commit point: create `_graft_manifest_v<version>` listing the
-    * version's files. Written to a hidden tmp name first, then renamed
-    * to the final (new, never-overwritten) name: on HDFS/local,
-    * `fs.create` makes a file VISIBLE before its content is flushed, so
-    * a direct create would expose an empty/partial manifest — the
-    * rename-to-fresh-name publishes it complete; on S3 the equivalent
-    * upload is a single atomic PUT. Readers resolve the highest version.
-    */
+  /** THE commit point — see [[Manifests.write]]. */
   private[weblog] def writeManifest(fs: FileSystem, destDir: Path,
-      version: Long, files: Seq[String]): Unit = {
-    val tmp = new Path(destDir, s".$ManifestPrefix$version.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(UTF_8)) finally out.close()
-    val fin = new Path(destDir, s"$ManifestPrefix$version")
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
-  }
+      version: Long, files: Seq[String]): Unit =
+    Manifests.write(fs, destDir, version, files)
 
   /** Newest (version, files) for an hour dir, if any manifest exists. */
   private[weblog] def currentManifest(fs: FileSystem,
-      destDir: Path): Option[(Long, Seq[String])] = {
-    if (!fs.exists(destDir)) return None
-    val manifests = fs.listStatus(destDir)
-      .filter(_.getPath.getName.startsWith(ManifestPrefix))
-      .flatMap(s => s.getPath.getName.stripPrefix(ManifestPrefix).toLongOption
-        .map(_ -> s.getPath))
-    if (manifests.isEmpty) None
-    else {
-      val (v, p) = manifests.maxBy(_._1)
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      val files = new String(bytes, UTF_8).split("\n").toSeq.filter(_.nonEmpty)
-      Some((v, files))
-    }
-  }
+      destDir: Path): Option[(Long, Seq[String])] =
+    Manifests.resolve(fs, destDir)
 
   /** Drop every data file and manifest not belonging to the newest
     * version — run AFTER the commit point, so a concurrent
@@ -114,7 +67,7 @@ object Compaction {
     */
   private[weblog] def cleanupStale(fs: FileSystem, destDir: Path): Unit =
     currentManifest(fs, destDir).foreach { case (v, files) =>
-      val keep = files.toSet + s"$ManifestPrefix$v"
+      val keep = files.toSet + s"${Manifests.Prefix}$v"
       fs.listStatus(destDir)
         .filter(s => s.isFile && !keep.contains(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, false))

@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * MATCHED THEN INSERT *` (`firehose_to_iceberg.py:111-117`;
   * operation choice `firehose_to_iceberg_transformer.py:114-115`).
   *
-  * Emulation: partitioned parquet. The user-visible partition column is
+  * Emulation: partitioned parquet + the versioned-manifest commit
+  * protocol ([[Manifests]]). The user-visible partition column is
   * `event` (like the reference's `PARTITIONED BY (event)`, `README.md:181`),
-  * but `event` alone has ~6 values, so a merge that dynamic-overwrites
-  * whole event partitions would rewrite table_size/6 per micro-batch — at
-  * 100 TB, effectively the whole table. Real Iceberg MERGE rewrites only
-  * the data files containing matched keys; we emulate that rewrite unit by
+  * but `event` alone has ~6 values, so a merge that rewrote whole event
+  * partitions would rewrite table_size/6 per micro-batch — at 100 TB,
+  * effectively the whole table. Real Iceberg MERGE rewrites only the
+  * data files containing matched keys; we emulate that rewrite unit by
   * sub-bucketing keyed tables one level deeper:
   * `event=X/gbucket=pmod(xxhash64(unique_keys), numBuckets)`. A merge then
   * touches only the `(event, gbucket)` leaves that contain batch keys, so
@@ -34,16 +35,39 @@ import org.apache.spark.sql.functions._
   * the incoming batch on the unique keys, (2) order-aware merge of the
   * *affected leaves only* — per key, the max-`orderCol` row across stored
   * ∪ incoming wins, so a replayed/out-of-order batch can never clobber
-  * newer data, (3) dynamic-partition-overwrite of exactly those leaves.
+  * newer data, (3) a SNAPSHOT COMMIT: the merged leaves' files land under
+  * version-unique names (dormant), then one table-root manifest publishes
+  * the new snapshot = (previous files outside the affected leaves) +
+  * (the rewritten leaves' new files). Iceberg-like reader semantics
+  * follow for free:
+  *  - **Snapshot isolation**: a reader that resolved version N reads a
+  *    complete, immutable file set — an in-flight upsert (staging,
+  *    import, even the manifest publish itself) cannot show it a
+  *    half-rewritten leaf (IcebergCommitSpec interleaves reads between
+  *    every commit step to prove it).
+  *  - **Time travel**: manifests are create-only, so `readAt(version)`
+  *    reads any retained historical snapshot.
+  *  - **Retention GC**: each commit expires snapshots beyond
+  *    `retainVersions` and deletes files referenced by no retained
+  *    manifest (Iceberg's `expire_snapshots`); `vacuum()` runs the same
+  *    policy on demand. A reader more than `retainVersions` commits
+  *    stale can race GC — the standard retention trade; size
+  *    `retainVersions` to the read horizon.
+  * Writers are single-writer-at-a-time (the reference's Firehose is a
+  * single delivery stream per table); readers need no coordination.
   */
 final case class IcebergLikeTable(
     spark: SparkSession,
     path: String,
     partitionCol: String = "event",
     uniqueKeys: Seq[String] = Nil,
-    numBuckets: Int = 16) {
+    numBuckets: Int = 16,
+    retainVersions: Int = 8) {
 
-  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  require(retainVersions >= 1, "retainVersions must keep at least the live snapshot")
+
+  private def root = new Path(path)
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Internal sub-bucket column (keyed tables only). Must not start with
     * `_`/`.` — Spark's file index treats such directories as hidden.
@@ -58,25 +82,116 @@ final case class IcebergLikeTable(
     else df.withColumn(bucketCol,
       pmod(xxhash64(uniqueKeys.map(col): _*), lit(numBuckets.toLong)).cast("int"))
 
-  def exists: Boolean = fs.exists(new Path(path))
+  def exists: Boolean = fs.exists(root)
 
-  /** User-facing read: the internal bucket column is layout, not schema. */
+  /** Committed snapshot versions, ascending (within retention). */
+  def versions: Seq[Long] = Manifests.versions(fs, root)
+
+  /** The live snapshot version, if the table has committed at all. */
+  def currentVersion: Option[Long] = versions.lastOption
+
+  /** The live snapshot's data files, relative to the table root. Falls
+    * back to a recursive directory walk only for pre-manifest tables
+    * (data written before any manifest existed), so a first upsert on
+    * such a table still carries every existing file into its snapshot.
+    */
+  private def liveFiles: Seq[String] =
+    Manifests.resolve(fs, root).map(_._2).getOrElse(walkDataFiles())
+
+  private def walkDataFiles(): Seq[String] = {
+    if (!exists) return Nil
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (s.isDirectory) walk(s.getPath)
+        else Seq(s.getPath)
+      }
+    val rootUri = root.toUri.getPath
+    walk(root).map(_.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")).sorted
+  }
+
+  /** Read an explicit snapshot file set; `basePath` recovers the
+    * partition columns from the relative leaf paths, and the resulting
+    * file index still partition-prunes on `event`/`gbucket` filters.
+    */
+  private def readFileSet(files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, s"empty snapshot under $path")
+    spark.read.option("basePath", path)
+      .parquet(files.map(f => s"$path/$f"): _*)
+  }
+
+  /** User-facing read of the live snapshot: the internal bucket column
+    * is layout, not schema.
+    */
   def read: DataFrame =
-    if (uniqueKeys.isEmpty) spark.read.parquet(path)
-    else spark.read.parquet(path).drop(bucketCol)
+    if (uniqueKeys.isEmpty) readRaw else readRaw.drop(bucketCol)
 
-  /** Raw read including the layout columns (merge/maintenance internals). */
-  private def readRaw: DataFrame = spark.read.parquet(path)
+  /** Time travel: read a retained historical snapshot by version. */
+  def readAt(version: Long): DataFrame = {
+    val files = Manifests.at(fs, root, version).getOrElse(
+      throw new NoSuchElementException(
+        s"snapshot v$version not found (expired or never committed) under $path"))
+    val df = readFileSet(files)
+    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+  }
+
+  /** Raw live read including the layout columns (merge/maintenance
+    * internals).
+    */
+  private def readRaw: DataFrame = readFileSet(liveFiles)
 
   /** T3: the routing decision the transformer stamps on every record. */
   def operation: String = if (uniqueKeys.isEmpty) "insert" else "update"
 
-  /** S10 append path (`operation='insert'`). */
-  def append(df: DataFrame): Unit =
-    withBucket(df).write.mode("append")
+  /** Stage `df` partitioned by the layout columns, import the staged tree
+    * under version-unique names, and commit `carryOver ++ imported` as a
+    * new snapshot. The single manifest create is the commit point.
+    */
+  private def commitStaged(df: DataFrame, carryOver: Seq[String]): Seq[String] = {
+    val version = nextVersion()
+    val staging = new Path(root.getParent, s".staging_v$version")
+    df.write.mode("overwrite")
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
-      .parquet(path)
+      .parquet(staging.toString)
+    val imported = Manifests.importStagedTree(fs, staging, root, version)
+    Manifests.write(fs, root, version, carryOver ++ imported)
+    fs.delete(staging, true)
+    expireSnapshots()
+    imported
+  }
+
+  /** Strictly increasing commit version (nanoTime ties broken upward —
+    * the single-writer invariant makes this safe).
+    */
+  private def nextVersion(): Long =
+    math.max(System.nanoTime(), currentVersion.getOrElse(0L) + 1L)
+
+  /** Retention GC (Iceberg `expire_snapshots`): drop manifests beyond
+    * `retainVersions` and every data file referenced by no retained
+    * manifest. Runs after each commit point, never before it.
+    */
+  def vacuum(keepLast: Int = retainVersions): Unit = {
+    val all = versions
+    if (all.size <= keepLast) return
+    val (expired, retained) = all.splitAt(all.size - keepLast)
+    val referenced = retained.flatMap(v => Manifests.at(fs, root, v).getOrElse(Nil)).toSet
+    expired.foreach { v =>
+      Manifests.at(fs, root, v).getOrElse(Nil)
+        .filterNot(referenced)
+        .foreach(f => fs.delete(new Path(root, f), false))
+      fs.delete(new Path(root, s"${Manifests.Prefix}$v"), false)
+    }
+  }
+
+  private def expireSnapshots(): Unit = vacuum(retainVersions)
+
+  /** S10 append path (`operation='insert'`). Appends never invalidate
+    * prior files, so every retained snapshot stays fully readable.
+    */
+  def append(df: DataFrame): Unit =
+    commitStaged(withBucket(df), carryOver = liveFiles)
 
   /** S10 upsert path (`operation='update'`). `orderCol` decides
     * last-write-wins — both for duplicate keys inside the batch AND
@@ -97,11 +212,9 @@ final case class IcebergLikeTable(
       .filter(col("_rn") === 1)
       .drop("_rn"))
 
-    if (!exists) {
-      deduped.write.mode("append")
-        .partitionBy(partCols: _*)
-        .option("compression", "snappy")
-        .parquet(path)
+    val previous = liveFiles
+    if (previous.isEmpty) {
+      commitStaged(deduped, carryOver = Nil)
       return
     }
 
@@ -115,7 +228,7 @@ final case class IcebergLikeTable(
       col(partitionCol) === lit(e) && col(bucketCol) === lit(b)
     }.reduce(_ || _)
     // both predicate columns are partition columns → partition pruning
-    // makes this read list only the affected leaf directories.
+    // makes this read touch only the affected leaves' files.
     val old = readRaw.filter(leafPred)
     // keep the max-orderCol row per key across (stored ∪ incoming); the
     // shuffle is on the unique keys of the hot leaves only, same as
@@ -130,17 +243,39 @@ final case class IcebergLikeTable(
       .filter(col("_rn") === 1)
       .drop("_rn", "_is_new")
 
-    // Parquet can't overwrite a path that feeds the same plan — stage the
-    // merged leaves, then dynamic-overwrite only those leaves.
-    val staging = s"$path/../.staging_merge_${System.nanoTime()}"
-    merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+    // Snapshot commit: stage the rewritten leaves, import, publish a
+    // manifest carrying over every live file OUTSIDE the affected leaves.
+    // Readers on the previous version keep their complete file set until
+    // retention expires it.
+    val imported = commitStagedMerge(merged, previous, pairs)
+    require(imported.nonEmpty, "merge of a non-empty batch produced no files")
+  }
+
+  private def commitStagedMerge(merged: DataFrame, previous: Seq[String],
+      pairs: Seq[(Any, Int)]): Seq[String] = {
+    // a leaf's relative dir is exactly how partitionBy lays it out; the
+    // staged import reproduces the same relative dirs, so carry-over is
+    // "previous files whose leaf is not rewritten". Leaf names derive
+    // from the imported tree (never string-formatted from values, so
+    // partition-value escaping can't diverge).
+    val version = nextVersion()
+    val staging = new Path(root.getParent, s".staging_v$version")
+    merged.write.mode("overwrite")
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
-      .parquet(path)
-    fs.delete(new Path(staging), true)
+      .parquet(staging.toString)
+    val imported = Manifests.importStagedTree(fs, staging, root, version)
+    val rewrittenLeaves = imported.map(leafOf).toSet
+    val carryOver = previous.filterNot(f => rewrittenLeaves.contains(leafOf(f)))
+    Manifests.write(fs, root, version, carryOver ++ imported)
+    fs.delete(staging, true)
+    expireSnapshots()
+    imported
+  }
+
+  private def leafOf(relFile: String): String = {
+    val i = relFile.lastIndexOf('/')
+    if (i < 0) "" else relFile.substring(0, i)
   }
 
   /** Route a batch per the deployment's T3 metadata: upsert iff keys. */
@@ -150,38 +285,33 @@ final case class IcebergLikeTable(
   /** C7: small-file maintenance — the reference declares
     * `optimize_rewrite_delete_file_threshold='10'`
     * (`web-analytics-iceberg/README.md:187`) and delegates the rewrite to
-    * Athena's OPTIMIZE. Here: leaf partitions whose data-file count
-    * exceeds `fileThreshold` are rewritten via dynamic partition
-    * overwrite. Returns the rewritten leaf partition paths. Cost is
+    * Athena's OPTIMIZE. Here: leaf partitions whose live-snapshot file
+    * count exceeds `fileThreshold` are rewritten and committed as a new
+    * snapshot (same manifest protocol — concurrent readers are
+    * undisturbed). Returns the rewritten leaf partition paths. Cost is
     * proportional to the hot leaves, never the table.
     */
   def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] = {
     if (!exists) return Nil
-    val prefix = s"$partitionCol="
-    val hot = Zones.partitionStats(spark, path)
-      .filter(col("partition").startsWith(prefix) && col("n_files") > fileThreshold)
-      .select("partition").collect().map(_.getString(0)).toSeq
+    val previous = liveFiles
+    if (previous.isEmpty) return Nil
+    val hot = previous.groupBy(leafOf).filter(_._2.size > fileThreshold).keys.toSeq.sorted
     if (hot.isEmpty) return Nil
-    // a leaf path is `event=X` or `event=X/gbucket=N` — rebuild the
-    // partition-pruning predicate from its segments.
-    val hotPred = hot.map { leaf =>
-      leaf.split("/").toSeq.map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        col(k) === lit(v)
-      }.reduce(_ && _)
-    }.reduce(_ || _)
-    val staging = s"$path/../.staging_maintain_${System.nanoTime()}"
-    readRaw.filter(hotPred)
+    val hotSet = hot.toSet
+    val hotFiles = previous.filter(f => hotSet.contains(leafOf(f)))
+    val version = nextVersion()
+    val staging = new Path(root.getParent, s".staging_v$version")
+    readFileSet(hotFiles)
       .repartition(targetFiles * hot.size, partCols.map(col): _*)
-      .write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging)
-      .coalesce(math.max(targetFiles * hot.size, 1))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
-      .parquet(path)
-    fs.delete(new Path(staging), true)
-    hot.map(_.stripPrefix(prefix))
+      .parquet(staging.toString)
+    val imported = Manifests.importStagedTree(fs, staging, root, version)
+    val carryOver = previous.filterNot(f => hotSet.contains(leafOf(f)))
+    Manifests.write(fs, root, version, carryOver ++ imported)
+    fs.delete(staging, true)
+    expireSnapshots()
+    hot.map(_.stripPrefix(s"$partitionCol="))
   }
 }
