@@ -113,6 +113,52 @@ class StatefulSpec extends SparkTestBase {
       times.mkString(","))
   }
 
+  test("funnel state expires on the retention TTL; replayed old events cannot re-emit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    // short horizon so the test can cross it: 10 min watermark, 1 h TTL
+    val done = StatefulFunnel.completions(typedStream(source),
+      Seq("view", "click", "purchase"),
+      watermark = "10 minutes", retention = "1 hour")
+    val q = done.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("funnel_ttl").start()
+
+    // u1 completes at 08:00/08:05/08:10 → one emission, then a tombstone
+    val original = Seq(
+      recEv("u1", "view", "08:00:00"), recEv("u1", "click", "08:05:00"),
+      recEv("u1", "purchase", "08:10:00"))
+    source.addData(original: _*)
+    q.processAllAvailable()
+    assert(spark.table("funnel_ttl").count() == 1)
+
+    // advance the watermark far past 08:10 + 1h: the tombstone (and any
+    // in-progress state) must expire via the event-time timeout
+    source.addData(recEv("u9", "view", "12:00:00"))
+    q.processAllAvailable()
+    source.addData(recEv("u9", "view", "12:30:00"))
+    q.processAllAvailable()
+
+    // at-least-once replay of u1's ORIGINAL events, long after expiry:
+    // they are older than the watermark, so the late-event filter drops
+    // them before the operator — no state rebuild, no re-emission.
+    source.addData(original: _*)
+    q.processAllAvailable()
+    assert(spark.table("funnel_ttl").count() == 1,
+      "expired tombstone + late replay must not re-emit")
+
+    // a genuinely NEW post-expiry completion (fresh event times) emits
+    // again — proof the state entry was really removed, and the
+    // documented retention/exactness trade.
+    source.addData(
+      recEv("u1", "view", "12:40:00"), recEv("u1", "click", "12:45:00"),
+      recEv("u1", "purchase", "12:50:00"))
+    q.processAllAvailable()
+    q.stop()
+    val users = spark.table("funnel_ttl").collect().map(_.getString(0)).toSeq
+    assert(users == Seq("u1", "u1"), s"post-expiry fresh completion must emit: $users")
+  }
+
   private def recDay(user: String, date: String, hhmmss: String) =
     s"""{"user_id": "$user", "session_id": "s", "event": "view", "ip": "1.1.1.1",
        | "hostname": "h", "os": "l", "timestamp": "${date}T${hhmmss}Z",
