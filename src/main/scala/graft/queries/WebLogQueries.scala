@@ -430,6 +430,55 @@ object WebLogQueries {
              |FROM events WHERE day(ts) BETWEEN 3 AND 9
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
 
+    // §2.5 streaming approximate engagement: per-day HLL user sketches
+    // maintained in the streaming aggregation state store (state is
+    // O(days × sketch_size), not O(users) like exact DAU dedup), then
+    // rolling 7/28-day WAU/MAU by sketch union over the emitted day
+    // rows. Verdict-bearing like the batch sketch gates: the oracle
+    // recomputes the exact rolling distincts and expects the bounded-
+    // error booleans TRUE (HLL lgK=12 ≈ 1.6% rsd, 5% bound).
+    Q("weblog_stream_engagement",
+      (s, d) => {
+        val typed = typedFileStream(s, d, "stream_eng_raw",
+          dayofmonth(col("ts")).between(10, 23))
+        val qname = s"wseng_${math.abs(d.hashCode)}"
+        val q = Ingest.streamingEngagementSketches(typed)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val est = Ingest.rollingFromDaySketches(s.table(qname))
+        val exact = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")).between(10, 23))
+          .select(col("user_id").as("_u"), to_date(col("ts")).as("_d"))
+          .distinct()
+        val exactRolling = exact.select(col("_d").as("day")).distinct()
+          .join(exact, datediff(col("day"), col("_d")).between(0, 27))
+          .groupBy("day")
+          .agg(
+            countDistinct(when(col("day") === col("_d"), col("_u"))).as("dau"),
+            countDistinct(when(datediff(col("day"), col("_d")) < 7, col("_u")))
+              .as("wau"),
+            countDistinct(col("_u")).as("mau"))
+        est.join(exactRolling, "day")
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            (abs(col("dau_est") - col("dau")) <= col("dau") * lit(0.05)).as("dau_ok"),
+            (abs(col("wau_est") - col("wau")) <= col("wau") * lit(0.05)).as("wau_ok"),
+            (abs(col("mau_est") - col("mau")) <= col("mau") * lit(0.05)).as("mau_ok"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |            FROM events WHERE day(ts) BETWEEN 10 AND 23),
+             |dy AS (SELECT DISTINCT d AS day FROM ud)
+             |SELECT dy.day AS day,
+             |       CAST(count(DISTINCT CASE WHEN ud.d = dy.day THEN ud.u END) AS BIGINT) AS dau,
+             |       CAST(count(DISTINCT CASE WHEN ud.d > dy.day - 7 THEN ud.u END) AS BIGINT) AS wau,
+             |       CAST(count(DISTINCT ud.u) AS BIGINT) AS mau,
+             |       TRUE AS dau_ok, TRUE AS wau_ok, TRUE AS mau_ok
+             |FROM dy JOIN ud ON ud.d BETWEEN dy.day - 27 AND dy.day
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
+
     // §2.5 streaming funnel-completion detection: flatMapGroupsWithState
     // emits one append-mode row the instant a user finishes
     // view→click→purchase with strict first-touch ordering — the

@@ -132,6 +132,45 @@ object Ingest {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
 
+  /** §2.5 streaming approximate engagement, part 1: per-day HLL user
+    * sketches maintained in the STREAMING AGGREGATION STATE STORE — the
+    * state entry per day is the DataSketches HLL buffer itself
+    * (`hll_sketch_agg`'s aggregation buffer), not a user set, so state
+    * is O(days × sketch_size) ≈ KBs/day regardless of user count. This
+    * is the approximate twin of [[streamingDau]] (whose dedup state is
+    * O(users)): at 100 TB/day the sketch path is the one that holds.
+    * Complete-mode output: one (day, user_sketch) row per observed day.
+    */
+  def streamingEngagementSketches(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn("day", to_date(col("event_ts")))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"))
+
+  /** Part 2, the readout: rolling DAU/WAU/MAU estimates from the
+    * emitted per-day sketches by sketch UNION (`hll_union_agg` — the
+    * mergeability q_hll_union gate-proves), never re-scanning events.
+    * Input is tiny (one row per day), so the trailing-window self-join
+    * is O(days × monthWindow).
+    */
+  def rollingFromDaySketches(daySketches: DataFrame, weekWindow: Int = 7,
+      monthWindow: Int = 28): DataFrame = {
+    require(weekWindow >= 1 && monthWindow >= weekWindow,
+      "windows must be positive and month ≥ week")
+    val contrib = daySketches
+      .select(col("day").as("_d"), col("user_sketch").as("_sk"))
+    daySketches.select(col("day"))
+      .join(contrib, datediff(col("day"), col("_d")).between(0, monthWindow - 1))
+      .groupBy(col("day"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(
+          when(col("day") === col("_d"), col("_sk")))).as("dau_est"),
+        hll_sketch_estimate(hll_union_agg(
+          when(datediff(col("day"), col("_d")) < weekWindow, col("_sk"))))
+          .as("wau_est"),
+        hll_sketch_estimate(hll_union_agg(col("_sk"))).as("mau_est"))
+  }
+
   /** Stream-stream interval join (§2.5): purchases joined to the same
     * user's views within the trailing `window`, both sides watermarked so
     * the join state is bounded — Spark buffers only rows younger than
