@@ -30,6 +30,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+
+  /** The TPC-H `partsupp` table, derived deterministically because the
+    * driver's testdata ships no partsupp parquet (a data limitation, not
+    * an engine one — see COVERAGE.md). Rows are the fact table's
+    * DISTINCT `(l_partkey, l_suppkey)` pairs — preserving TPC-H's
+    * referential integrity, every lineitem row finds its partsupp row —
+    * with `ps_availqty`/`ps_supplycost` as pure integer functions of the
+    * key pair, replayed verbatim by the DuckDB oracles
+    * (`TpchQueries.PartsuppCte`), so the partsupp gates stay hash-exact.
+    * Cost: one distinct-shuffle over the two key columns; a real
+    * deployment materializes this table once instead.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    lineitem(spark, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        ((col("ps_partkey") * 7 + col("ps_suppkey") * 13) % 9999 + 1)
+          .cast("int").as("ps_availqty"),
+        ((col("ps_partkey") * 31 + col("ps_suppkey") * 7919) % 1000 + 1)
+          .as("ps_supplycost"))
+  }
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")

@@ -20,6 +20,18 @@ object TpchQueries {
 
   private val one = lit(1.0).cast(DecimalType(3, 2))
 
+  /** The oracle-side replay of [[Tables.partsupp]] — identical integer
+    * formulas over the same DISTINCT fact-key pairs, so the partsupp
+    * family (Q2/Q9/Q11/Q16/Q20 shapes) stays hash-exact despite the
+    * testdata shipping no partsupp parquet.
+    */
+  val PartsuppCte: String =
+    """partsupp AS (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         CAST((l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS INTEGER) AS ps_availqty,
+      |         (l_partkey * 31 + l_suppkey * 7919) % 1000 + 1 AS ps_supplycost
+      |  FROM lineitem)""".stripMargin.replace("\n", " ")
+
   val all: Seq[Q] = Seq(
 
     // TPC-H Q1 shape: pricing summary over the fact table, decimal-exact.
@@ -601,6 +613,173 @@ object TpchQueries {
              |AND NOT EXISTS (SELECT 1 FROM lineitem l3
              |                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
              |                  AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
-             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " ")))
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q2 shape: min-cost supplier per part within a region. The
+    // candidate (part, supplier, cost) frame joins partsupp to
+    // broadcast-filtered region suppliers; the per-part minimum is one
+    // key-shuffled aggregate re-joined on (part, cost) — never a
+    // correlated re-scan per part.
+    Q("q_min_cost_supplier",
+      (s, d) => {
+        val euroSup = broadcast(Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+        val cost = Tables.partsupp(s, d)
+          .join(euroSup, col("ps_suppkey") === col("s_suppkey"))
+        val minCost = cost.groupBy(col("ps_partkey").as("mc_part"))
+          .agg(min(col("ps_supplycost")).as("min_cost"))
+        cost
+          .join(minCost, col("ps_partkey") === col("mc_part") &&
+            col("ps_supplycost") === col("min_cost"))
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_size") <= 15 && col("p_type") === "LARGE")),
+            col("ps_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("ps_supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some(s"""WITH $PartsuppCte,
+             |cost AS (SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+             |         FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+             |         JOIN nation ON s_nationkey = n_nationkey
+             |         JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+             |mc AS (SELECT ps_partkey AS mc_part, min(ps_supplycost) AS min_cost
+             |       FROM cost GROUP BY 1)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+             |FROM cost JOIN mc ON ps_partkey = mc_part AND ps_supplycost = min_cost
+             |JOIN part ON p_partkey = ps_partkey AND p_size <= 15 AND p_type = 'LARGE'
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q9 shape: product-type profit by nation and year. Facts
+    // join on their keys (lineitem⋈partsupp on the composite pair,
+    // lineitem⋈orders on orderkey); part filter and supplier→nation are
+    // broadcast. Profit is exact decimal, rounded only at the boundary.
+    Q("q_product_profit",
+      (s, d) => {
+        val supNation = broadcast(Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("ns_suppkey"), col("n_name")))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("bolt"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.partsupp(s, d),
+            col("l_partkey") === col("ps_partkey") &&
+              col("l_suppkey") === col("ps_suppkey"))
+          .join(supNation, col("l_suppkey") === col("ns_suppkey"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"),
+            (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) -
+              col("ps_supplycost") * dec(col("l_quantity"))).as("amount"))
+          .groupBy("nation", "o_year")
+          .agg(round(sum(col("amount")).cast("double"), 3).as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""WITH $PartsuppCte
+             |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |  - ps_supplycost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 3) AS profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
+             |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q11 shape: important stock — per-part inventory value for
+    // one nation's suppliers, kept when above a fraction of the total.
+    // Value is exact integer arithmetic; the grand total is a broadcast
+    // 1-row aggregate, not a correlated rescan.
+    Q("q_important_stock",
+      (s, d) => {
+        val natSup = broadcast(Tables.supplier(s, d)
+          .join(Tables.nation(s, d).filter(col("n_name") === "NATION_7"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as("ns_suppkey")))
+        val scoped = Tables.partsupp(s, d)
+          .join(natSup, col("ps_suppkey") === col("ns_suppkey"))
+          .select(col("ps_partkey"),
+            (col("ps_supplycost") * col("ps_availqty")).as("v"))
+        val total = scoped.agg(sum(col("v")).as("total"))
+        scoped.groupBy("ps_partkey").agg(sum(col("v")).as("value"))
+          .crossJoin(broadcast(total))
+          .filter(col("value") > col("total") * lit(0.0005))
+          .select(col("ps_partkey"), col("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some(s"""WITH $PartsuppCte,
+             |scoped AS (SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+             |           FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+             |           JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7')
+             |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value
+             |FROM scoped GROUP BY 1
+             |HAVING CAST(sum(v) AS BIGINT) > (SELECT CAST(sum(v) AS BIGINT) FROM scoped) * 0.0005
+             |ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    // after excluding flagged suppliers (negative balances standing in
+    // for the comment filter the schema lacks) — broadcast anti-join,
+    // then one distinct-count aggregate.
+    Q("q_supplier_part_counts",
+      (s, d) => {
+        val excluded = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("bad_supp"))
+        Tables.partsupp(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
+            col("ps_partkey") === col("p_partkey"))
+          .join(broadcast(excluded), col("ps_suppkey") === col("bad_supp"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some(s"""WITH $PartsuppCte
+             |SELECT p_brand, p_type, p_size,
+             |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM partsupp JOIN part ON p_partkey = ps_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+             |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin.replace("\n", " "))),
+
+    // TPC-H Q20 shape: suppliers holding excess stock of 'small%' parts
+    // relative to what they actually shipped in 1996 — the shipped
+    // quantities aggregate once per (part, supplier) and join back to
+    // partsupp on the composite key; no correlated per-row re-scan.
+    Q("q_promotion_suppliers",
+      (s, d) => {
+        val parts = broadcast(Tables.part(s, d)
+          .filter(col("p_name").startsWith("small")).select(col("p_partkey")))
+        val shipped = Tables.lineitem(s, d)
+          .filter(year(col("l_shipdate")) === 1996)
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey").as("sq_part"), col("l_suppkey").as("sq_supp"))
+          .agg(sum(dec(col("l_quantity"))).cast("double").as("qty"))
+        Tables.partsupp(s, d)
+          .join(parts, col("ps_partkey") === col("p_partkey"), "left_semi")
+          .join(shipped, col("ps_partkey") === col("sq_part") &&
+            col("ps_suppkey") === col("sq_supp"))
+          .filter(col("ps_availqty").cast("double") > col("qty") * lit(0.5))
+          .select(col("ps_suppkey")).distinct()
+          .join(broadcast(Tables.supplier(s, d)), col("ps_suppkey") === col("s_suppkey"))
+          .select(col("s_name")).orderBy("s_name")
+      },
+      Some(s"""WITH $PartsuppCte
+             |SELECT s_name FROM supplier WHERE s_suppkey IN (
+             |  SELECT ps_suppkey FROM partsupp
+             |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+             |    AND CAST(ps_availqty AS DOUBLE) > 0.5 * (
+             |      SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |      FROM lineitem
+             |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+             |        AND year(l_shipdate) = 1996))
+             |ORDER BY s_name""".stripMargin.replace("\n", " ")))
   )
 }
