@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed batch-at-a-time inside
   * partitions. IMAGE decode is REAL — the JDK ships `javax.imageio`
   * (PNG/BMP/GIF/JPEG readers, zero extra dependencies), so
-  * `decodeImage` parses actual pixels; audio/video decode and payloads
-  * ImageIO cannot parse fall back to `decodeStub`, a deterministic fake
-  * with the same signature a JNI/FFmpeg decoder would have (this
-  * container ships no audio/video codec libraries). Swapping in a real
-  * A/V decoder changes one function.
+  * `decodeImage` parses actual pixels. AUDIO decode is REAL for WAV —
+  * the JDK ships `javax.sound.sampled` (RIFF/WAVE PCM parsing, zero
+  * extra dependencies), so `decodeWav` parses actual sample frames.
+  * Only VIDEO (and payloads the JDK codecs cannot parse) falls back to
+  * `decodeStub`, a deterministic fake with the same signature a
+  * JNI/FFmpeg decoder would have (this container ships no video codec
+  * libraries). Swapping in a real video decoder changes one function.
   *
   * Scale notes: media bytes never enter a shuffle — decode/feature
   * extraction happens in the same stage as the scan (`mapPartitions`),
@@ -106,11 +108,110 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Decode dispatch: image formats go through the real ImageIO path
-    * (stub fallback for undecodable payloads); audio/video stay stubbed.
+  /** Formats routed through the real WAV decoder. */
+  private val AudioFormats = Set("audio", "wav")
+
+  /** REAL WAV decode via the JDK's `javax.sound.sampled` — parses the
+    * RIFF/WAVE header and PCM sample frames. Returns `(sample_rate,
+    * channels, n_frames, mean_abs)` where `mean_abs` is the mean
+    * absolute 16-bit sample value across all channels (exact integer
+    * accumulation, one rounding at the end, like `decodeImage`). `None`
+    * when the payload is not decodable 16-bit PCM WAV, so callers can
+    * fall back.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          var s = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            val sample =
+              if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            s += math.abs(sample.toLong)
+            i += 2
+          }
+          val n = data.length / 2
+          val mean = if (n == 0) 0.0 else s.toDouble / n
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, ais.getFrameLength,
+            math.round(mean * 1000000d) / 1000000d))
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a constant-amplitude 16-bit PCM WAV (`nFrames` sample frames
+    * at `sampleRate`, every sample = `amplitude`) with the JDK's WAVE
+    * writer — the deterministic fixture generator for the real-decode
+    * audio gate and specs.
+    */
+  def encodeWav(sampleRate: Int, nFrames: Int, amplitude: Short,
+      channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels,
+      /* signed = */ true, /* bigEndian = */ false)
+    val data = new Array[Byte](nFrames * 2 * channels)
+    var i = 0
+    while (i < data.length) {
+      data(i) = (amplitude & 0xff).toByte
+      data(i + 1) = ((amplitude >> 8) & 0xff).toByte
+      i += 2
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long,
+      duration_sec: Double,
+      mean_abs: Double)
+
+  /** Batched REAL audio feature extraction over WAV payloads (same
+    * mapPartitions shape as `extractFeatures`; rows whose payload is not
+    * decodable WAV are dropped — callers route undecodable audio through
+    * the stubbed generic path instead). `duration_sec` is
+    * frames / sample_rate, 6-decimal portable rounding.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+      decodeWav(row.media).map { case (rate, channels, frames, meanAbs) =>
+        val dur = if (rate == 0) 0.0 else frames.toDouble / rate
+        AudioFeatures(row.doc_id, row.media.length.toLong, rate, channels,
+          frames, math.round(dur * 1000000d) / 1000000d, meanAbs)
+      }
+    }))
+  }
+
+  /** Decode dispatch: image formats go through the real ImageIO path and
+    * audio formats through the real WAV path (stub fallback for payloads
+    * the JDK codecs cannot parse); only video stays stubbed. The WAV
+    * quad maps the audio notions onto the generic schema: width =
+    * sample rate, height = channels, frames = sample frames, intensity =
+    * mean absolute sample ([[extractAudioFeatures]] is the typed path).
     */
   def decode(bytes: Array[Byte], format: String): (Int, Int, Int, Double) =
     if (ImageFormats(format)) decodeImage(bytes).getOrElse(decodeStub(bytes, format))
+    else if (AudioFormats(format))
+      decodeWav(bytes).map { case (rate, ch, frames, mean) =>
+        (rate, ch, frames.toInt, mean)
+      }.getOrElse(decodeStub(bytes, format))
     else decodeStub(bytes, format)
 
   /** Batch feature extraction: one pass per partition, rows processed in

@@ -1076,6 +1076,35 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // REAL audio decode: 16-bit PCM WAV fixtures (constant amplitude,
+    // rate/frames/channels deterministic per doc_id) are encoded with the
+    // JDK's WAVE writer, decoded back with javax.sound.sampled, and the
+    // oracle predicts every decoded field analytically — sample rate and
+    // channels from the header, duration from frames/rate, mean absolute
+    // sample = the constant amplitude.
+    Q("multimodal_audio",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select("doc_id").as[Long].map { id =>
+          val rate = 8000 + (id % 4).toInt * 4000
+          val frames = 1600 + (id % 100).toInt * 16
+          val amp = (id % 1000).toShort
+          val channels = 1 + (id % 2).toInt
+          Multimodal.MediaRow(id, Multimodal.encodeWav(rate, frames, amp, channels), "wav")
+        }
+        Multimodal.extractAudioFeatures(media).toDF()
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("n_samples"), col("duration_sec"), col("mean_abs"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+             |CAST(1 + doc_id % 2 AS INT) AS channels,
+             |CAST(1600 + (doc_id % 100) * 16 AS BIGINT) AS n_samples,
+             |round(CAST(1600 + (doc_id % 100) * 16 AS DOUBLE) / (8000 + (doc_id % 4) * 4000) * 1e6, 0) / 1e6 AS duration_sec,
+             |CAST(doc_id % 1000 AS DOUBLE) AS mean_abs
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes
     // them from octet_length alone.

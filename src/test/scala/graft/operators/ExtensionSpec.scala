@@ -351,6 +351,26 @@ class ExtensionSpec extends SparkTestBase {
       Multimodal.decodeStub(garbage, "video"))
   }
 
+  test("multimodal: real WAV decode parses sample frames, stub only as fallback") {
+    // mono and stereo encode → decode round-trips through javax.sound
+    val mono = Multimodal.encodeWav(16000, 3200, 250.toShort)
+    val Some((rate, ch, frames, mean)) = Multimodal.decodeWav(mono)
+    assert((rate, ch, frames) == (16000, 1, 3200L))
+    assert(mean == 250.0, s"constant-amplitude mean must be exact: $mean")
+    val stereo = Multimodal.encodeWav(8000, 1600, 999.toShort, channels = 2)
+    val Some((rate2, ch2, frames2, mean2)) = Multimodal.decodeWav(stereo)
+    assert((rate2, ch2, frames2) == (8000, 2, 1600L))
+    assert(mean2 == 999.0)
+    // dispatch maps the audio quad (rate, channels, frames, mean_abs)
+    assert(Multimodal.decode(mono, "audio") == (16000, 1, 3200, 250.0))
+    // non-WAV payloads fall back to the deterministic stub — the stub's
+    // remaining legitimate domain is video plus undecodable payloads
+    val garbage = "not a wav".getBytes("UTF-8")
+    assert(Multimodal.decodeWav(garbage).isEmpty)
+    assert(Multimodal.decode(garbage, "audio") ==
+      Multimodal.decodeStub(garbage, "audio"))
+  }
+
   test("multimodal resize and frame sampling keep batch plumbing intact") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val resized = Multimodal.resize(media, 32, 32)
