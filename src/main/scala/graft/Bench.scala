@@ -37,7 +37,11 @@ object Bench {
       val steady = timeOnce(name)
       name -> (if (warm < 0 || steady < 0) -1.0 else math.min(warm, steady))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the stdout JSON line compact — r4's
+    // full-precision doubles grew the line past the driver's captured
+    // tail and cost the round its machine-readable numbers
+    def r3(v: Double): Double = math.round(v * 1000d) / 1000d
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -84,10 +88,17 @@ object Bench {
       out ++ ratios
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }
-    val sc = scaling.map { case (k, v) => "\"" + k + "\":" + v }
+    val sc = scaling.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scaling":$sc,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"scaling":$sc,"sf":"$sfDir"}"""
+    // belt and braces for the driver: the same JSON object lands in a
+    // repo file (survives any stdout truncation) AND is the last stdout
+    // line (no output after it can push it out of a captured tail).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(json)
     spark.stop()
   }
 }
