@@ -400,7 +400,7 @@ object Dedup {
     // cheaper than copying them.
     val edgesPlan = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val edges = if (pairsMaterialized) edgesPlan else edgesPlan.localCheckpoint()
+    val edges = if (pairsMaterialized) edgesPlan else Checkpoints.cut(edgesPlan)
     // counting the (materialized) edge frame is cheap; the collect below
     // is bounded by driverSolveMaxEdges undirected edges of two longs
     // (the src<dst filter keeps one direction of each symmetrized pair).
@@ -430,9 +430,9 @@ object Dedup {
       import spark.implicits._
       return nodes.toSeq.map(id => (id, find(id))).toDF("id", "cluster")
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
+    var labels = Checkpoints.cut(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
     // one propagation round: every node takes the min label among itself
     // and its neighbors; extra columns (the convergence marker) ride along
     def step(l: DataFrame): DataFrame = {
@@ -453,8 +453,8 @@ object Dedup {
       // round" still implies a fixpoint, at half the checkpoint/count
       // actions (the loop's real cost — each round's join work is cheap
       // next to eagerly materializing its result).
-      val next = step(step(labels.withColumn("_old", col("cluster"))))
-        .localCheckpoint()
+      val next = Checkpoints.cut(
+        step(step(labels.withColumn("_old", col("cluster")))))
       val changed = next.filter(col("cluster") =!= col("_old")).count()
       labels = next.drop("_old")
       converged = changed == 0

@@ -16,9 +16,11 @@ import org.apache.spark.sql.types.DecimalType
   * tiny fraction of the edge set; the per-iteration join shuffles edges
   * on `src` once and contributions on `dst` once, both key-only rows
   * (ids + one decimal). Lineage is cut per iteration with an eager
-  * `localCheckpoint` so the plan stays O(1) per iteration instead of
-  * growing exponentially (the standard iterative-DataFrame hazard; on a
-  * cluster use reliable checkpointing). The dangling mass joins in as a
+  * [[Checkpoints.cut]] so the plan stays O(1) per iteration instead of
+  * growing exponentially (the standard iterative-DataFrame hazard);
+  * set `spark.graft.checkpoint.reliable=true` with a configured
+  * checkpoint dir for the executor-loss-safe reliable variant on a
+  * real cluster. The dangling mass joins in as a
   * broadcast 1-row aggregate; the node count is the single O(1) driver
   * scalar, read once up front.
   *
@@ -52,14 +54,14 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     // edges pre-joined with their source's total out-weight: static across
     // iterations, checkpoint once.
-    val eOut = e.join(outW, "src").localCheckpoint(true)
+    val eOut = e.join(outW, "src").transform(Checkpoints.cut)
     val dangling = nodes.join(outW, nodes("node") === outW("src"), "left_anti")
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     GraphFrames(nodes, eOut, dangling)
   }
 
@@ -89,7 +91,7 @@ object Graph {
     val base = (1.0 - damping) / n
     var ranks = g.nodes
       .withColumn("pr", round12(lit(1.0) / lit(n.toDouble)).cast(Dec))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
 
     for (_ <- 1 to iters) {
       val contrib = contributions(g.eOut, ranks)
@@ -106,7 +108,7 @@ object Graph {
           round12(lit(base) + lit(damping) *
             (coalesce(col("contrib").cast("double"), lit(0.0)) +
               col("_dang_over_n"))).cast(Dec).as("pr"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
     }
     ranks.select(col("node"), col("pr").cast("double").as("pr"))
   }
@@ -134,7 +136,7 @@ object Graph {
       .groupBy("_rn").agg(sum("_w").as("_w"))
     val rOnGraph = g.nodes.join(rw, g.nodes("node") === col("_rn"), "left")
       .select(col("node"), coalesce(col("_w"), lit(0L)).as("_w"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     // coalesce: an empty graph aggregates to NULL, which must surface as
     // the require message below, not a NullPointerException
     val totalW = rOnGraph.agg(coalesce(sum(col("_w")), lit(0L)))
@@ -144,10 +146,10 @@ object Graph {
       .select(col("node"),
         round12(col("_w").cast("double") / lit(totalW.toDouble))
           .cast(Dec).as("r"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
 
     var ranks = rFrame.select(col("node"), col("r").as("pr"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     for (_ <- 1 to iters) {
       val contrib = contributions(g.eOut, ranks)
       val dang = g.dangling.select(col("node").as("_dnode"))
@@ -162,7 +164,7 @@ object Graph {
             lit(damping) *
               (coalesce(col("contrib").cast("double"), lit(0.0)) +
                 col("_dang") * col("r").cast("double"))).cast(Dec).as("pr"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
     }
     ranks.select(col("node"), col("pr").cast("double").as("pr"))
   }

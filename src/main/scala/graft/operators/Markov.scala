@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.DecimalType
   * `(channels+1) × edges` rows, never a per-channel re-run. The only
   * driver scalars are the vocabulary guard and the converted-user
   * count (both O(1)); lineage is cut per iteration with an eager
-  * `localCheckpoint` exactly like [[Graph.pageRank]].
+  * [[Checkpoints.cut]] exactly like [[Graph.pageRank]] (same
+  * `spark.graft.checkpoint.reliable` knob for cluster runs).
   *
   * Cross-engine determinism (FIXTURES.md §4, the [[Graph]] recipe):
   * per-edge terms are computed in IEEE double, rounded to 12 decimals
@@ -79,7 +80,7 @@ object Markov {
     val conv = events.filter(convPred)
       .groupBy(col("user_id").as("_cu"))
       .agg(min(unix_micros(col("ts"))).as("_cts"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
 
     // pre-conversion touches, in deterministic order
     val touches = events.filter(touchPred)
@@ -91,7 +92,7 @@ object Markov {
         col("_cts").isNotNull.as("_converted"))
       // the one event-scale frame: checkpoint so the two window passes,
       // the anti-join, and the guard aggregate don't re-scan events
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
 
     val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_eid"))
     val seq = touches
@@ -112,13 +113,13 @@ object Markov {
 
     val edges = touchEdges.union(startEdges).union(directEdges)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
     val outW = edges.groupBy("src").agg(sum("cnt").as("out_w"))
-    val eOut = edges.join(outW, "src").localCheckpoint(true)
+    val eOut = edges.join(outW, "src").transform(Checkpoints.cut)
 
     val chans = edges.select(col("src").as("ch"))
       .union(edges.select(col("dst").as("ch")))
-      .filter(col("ch") >= 0).distinct().localCheckpoint(true)
+      .filter(col("ch") >= 0).distinct().transform(Checkpoints.cut)
 
     // O(1) driver guards: grid size and the channel/sentinel contract
     val guard = touches.agg(
@@ -137,7 +138,7 @@ object Markov {
       .union(spark.range(1).select(lit(NoRemoval).as("removed")))
     val ev = variants.crossJoin(eOut)
       .filter(col("src") =!= col("removed") && col("dst") =!= col("removed"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.cut)
 
     var v = variants.select(col("removed"), lit(Start).as("state"),
       lit(1.0).cast(Dec).as("mass"))
@@ -154,7 +155,7 @@ object Markov {
       v = moves.union(carry)
         .groupBy(col("removed"), col("state"))
         .agg(round12(sum(col("term")).cast("double")).cast(Dec).as("mass"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
     }
 
     val pConv = v.filter(col("state") === lit(Conversion))
