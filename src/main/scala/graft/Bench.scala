@@ -32,7 +32,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.headline.map { name =>
+    // local iteration only (driver sets neither): run a subset of the
+    // headline canon, and/or skip the scaling probe
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val noScaling = sys.env.contains("SPARK_GRAFT_BENCH_NO_SCALING")
+
+    val results = SparkEntry.headline
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
       val warm = timeOnce(name)    // pays JIT + codegen + file listing
       val steady = timeOnce(name)
       name -> (if (warm < 0 || steady < 0) -1.0 else math.min(warm, steady))
@@ -56,7 +63,7 @@ object Bench {
     // fixed overheads; pair output grows faster by design, being
     // quadratic in per-cluster duplication) is the scale story the
     // banded/bucketed design claims.
-    val scaling: Seq[(String, Double)] = try {
+    val scaling: Seq[(String, Double)] = if (noScaling) Nil else try {
       import org.apache.spark.sql.functions._
       val scratch = java.nio.file.Files.createTempDirectory("graft_scale").toString
       // capped base so the probe's 10× leg stays a bounded slice of the
