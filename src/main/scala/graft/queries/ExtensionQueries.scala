@@ -1103,7 +1103,8 @@ object ExtensionQueries {
              |CAST(1600 + (doc_id % 100) * 16 AS BIGINT) AS n_samples,
              |round(CAST(1600 + (doc_id % 100) * 16 AS DOUBLE) / (8000 + (doc_id % 4) * 4000) * 1e6, 0) / 1e6 AS duration_sec,
              |CAST(doc_id % 1000 AS DOUBLE) AS mean_abs
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes

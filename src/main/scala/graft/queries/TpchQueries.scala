@@ -652,7 +652,8 @@ object TpchQueries {
              |SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
              |FROM cost JOIN mc ON ps_partkey = mc_part AND ps_supplycost = min_cost
              |JOIN part ON p_partkey = ps_partkey AND p_size <= 15 AND p_type = 'LARGE'
-             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin.replace("\n", " "))),
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // TPC-H Q9 shape: product-type profit by nation and year. Facts
     // join on their keys (lineitem⋈partsupp on the composite pair,
@@ -689,7 +690,8 @@ object TpchQueries {
              |JOIN supplier ON s_suppkey = l_suppkey
              |JOIN nation ON n_nationkey = s_nationkey
              |JOIN orders ON o_orderkey = l_orderkey
-             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin.replace("\n", " "))),
+             |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // TPC-H Q11 shape: important stock — per-part inventory value for
     // one nation's suppliers, kept when above a fraction of the total.
@@ -698,7 +700,7 @@ object TpchQueries {
     Q("q_important_stock",
       (s, d) => {
         val natSup = broadcast(Tables.supplier(s, d)
-          .join(Tables.nation(s, d).filter(col("n_name") === "NATION_7"),
+          .join(Tables.nation(s, d).filter(col("n_name") === "NATION_3"),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey").as("ns_suppkey")))
         val scoped = Tables.partsupp(s, d)
@@ -715,7 +717,7 @@ object TpchQueries {
       Some(s"""WITH $PartsuppCte,
              |scoped AS (SELECT ps_partkey, ps_supplycost * ps_availqty AS v
              |           FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
-             |           JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7')
+             |           JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3')
              |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value
              |FROM scoped GROUP BY 1
              |HAVING CAST(sum(v) AS BIGINT) > (SELECT CAST(sum(v) AS BIGINT) FROM scoped) * 0.0005

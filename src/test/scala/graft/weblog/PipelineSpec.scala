@@ -182,7 +182,9 @@ class PipelineSpec extends SparkTestBase {
   test("C7 maintenance: hot partitions rewritten to few files, data unchanged") {
     import spark.implicits._
     val path = tmpDir("maint") + "/t"
-    val t = IcebergLikeTable(spark, path, "event", Nil)
+    // retainVersions=1: the disk-level file counts below only reflect
+    // the live snapshot when superseded versions GC immediately
+    val t = IcebergLikeTable(spark, path, "event", Nil, retainVersions = 1)
     // 15 tiny appends -> 'view' partition accumulates >10 files
     (1 to 15).foreach { i =>
       t.append(Seq((s"u$i", s"2024-03-01T10:00:${f"$i%02d"}Z", "view", i.toLong))
