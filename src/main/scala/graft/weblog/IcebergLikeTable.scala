@@ -47,6 +47,9 @@ import org.apache.spark.sql.functions._
   *    every commit step to prove it).
   *  - **Time travel**: manifests are create-only, so `readAt(version)`
   *    reads any retained historical snapshot.
+  *  - **Add-column schema evolution**: a batch carrying a new column
+  *    merges cleanly (stored rows read null for it; see the merge's
+  *    `allowMissingColumns` note), like Iceberg's ADD COLUMN.
   *  - **Retention GC**: each commit expires snapshots beyond
   *    `retainVersions` and deletes files referenced by no retained
   *    manifest (Iceberg's `expire_snapshots`); `vacuum()` runs the same
@@ -114,10 +117,15 @@ final case class IcebergLikeTable(
   /** Read an explicit snapshot file set; `basePath` recovers the
     * partition columns from the relative leaf paths, and the resulting
     * file index still partition-prunes on `event`/`gbucket` filters.
+    * `mergeSchema` unions per-file schemas so files written before a
+    * column was added read as null for it (add-column schema evolution;
+    * real Iceberg resolves this from table metadata instead of footers —
+    * stamping the schema into the manifest is the equivalent follow-up
+    * if footer reads ever show up at scale).
     */
   private def readFileSet(files: Seq[String]): DataFrame = {
     require(files.nonEmpty, s"empty snapshot under $path")
-    spark.read.option("basePath", path)
+    spark.read.option("basePath", path).option("mergeSchema", "true")
       .parquet(files.map(f => s"$path/$f"): _*)
   }
 
@@ -218,7 +226,6 @@ final case class IcebergLikeTable(
       return
     }
 
-    val cols = readRaw.columns
     // affected (event, bucket) leaves only — bounded by the batch's
     // distinct key-derived pairs (≤ |event| × numBuckets), never by table
     // size; this collect is O(pairs), not O(data).
@@ -235,10 +242,15 @@ final case class IcebergLikeTable(
     // the anti-join it replaces, but order-aware. Ties on orderCol break
     // toward the INCOMING row (MERGE semantics: an exact re-send with the
     // same sequence but corrected content must still win).
+    // allowMissingColumns = add-column schema evolution: a batch with a
+    // NEW column null-fills stored rows; a batch missing a column
+    // null-fills its own rows (and a winning batch row then overwrites
+    // the stored value with null — standard MERGE UPDATE * semantics).
     val mergeW = Window.partitionBy(keyCols: _*)
       .orderBy(col(orderCol).desc, col("_is_new").desc)
     val merged = old.withColumn("_is_new", lit(0))
-      .unionByName(deduped.selectExpr(cols: _*).withColumn("_is_new", lit(1)))
+      .unionByName(deduped.withColumn("_is_new", lit(1)),
+        allowMissingColumns = true)
       .withColumn("_rn", row_number().over(mergeW))
       .filter(col("_rn") === 1)
       .drop("_rn", "_is_new")

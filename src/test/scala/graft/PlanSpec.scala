@@ -179,6 +179,25 @@ class PlanSpec extends SparkTestBase {
     assert(shuffled <= 1, s"only lineitem×orders may shuffle:\n$p")
   }
 
+  test("partsupp family: dims broadcast, composite fact join is the only heavy shuffle") {
+    // Q9 shape — part / supplier→nation dims broadcast; the composite
+    // (l_partkey, l_suppkey) partsupp join and lineitem×orders are the
+    // only joins allowed to shuffle
+    val q9 = plan("q_product_profit")
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 2,
+      s"part + supplier-nation must broadcast:\n$q9")
+    // Q2 shape — region suppliers broadcast, min-cost agg re-join keys
+    // on ps_partkey, part filter broadcast
+    val q2 = plan("q_min_cost_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(q2).size >= 2,
+      s"euro suppliers + filtered part must broadcast:\n$q2")
+    // Q11 shape — the grand total joins as a broadcast 1-row aggregate,
+    // never a correlated rescan
+    val q11 = plan("q_important_stock")
+    assert(q11.contains("BroadcastNestedLoopJoin") || q11.contains("BroadcastHashJoin"),
+      s"the total must broadcast:\n$q11")
+  }
+
   test("domain cap rank filter is a per-source WindowGroupLimit; weighted sample avoids a global sort") {
     val p = plan("corpus_domain_cap")
     assert(p.contains("WindowGroupLimit [source"),

@@ -102,6 +102,30 @@ class IcebergCommitSpec extends SparkTestBase {
     assert(table.read.count() == 61)
   }
 
+  test("add-column schema evolution: old rows read null, history intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ice-evolve").toString
+    val table = IcebergLikeTable(spark, s"$dir/t", "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+    table.write(base(40), "seq")
+    val v1 = table.currentVersion.get
+    // the update batch carries a NEW column the table never had
+    val upd = base(40).filter($"user_id".substr(2, 10).cast("int") < 10)
+      .withColumn("country", lit("DE"))
+      .withColumn("seq", lit(2L))
+    table.write(upd, "seq")
+
+    val live = table.read
+    assert(live.columns.contains("country"))
+    val byCountry = live.groupBy("country").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byCountry == Map(Some("DE") -> 10L, None -> 30L),
+      s"stored rows must read null for the added column: $byCountry")
+    assert(live.count() == 40)
+    // time travel predates the column entirely
+    assert(!table.readAt(v1).columns.contains("country"))
+  }
+
   test("retention GC expires old snapshots but never the live one") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ice-gc").toString
