@@ -137,8 +137,12 @@ object Compaction {
     val n = spark.read.parquet(stagingDir.toString).count()
     // Manifest commit: files in (dormant) -> manifest (commit point) ->
     // GC the superseded version. See the class scaladoc for why each
-    // step is safe under non-atomic-rename stores.
-    val version = System.nanoTime()
+    // step is safe under non-atomic-rename stores. The version must
+    // EXCEED the live one or readers keep resolving the old manifest —
+    // nanoTime alone can regress across JVM restarts (its origin is
+    // arbitrary), so a re-compaction from a fresh job ties upward.
+    val version = math.max(System.nanoTime(),
+      currentManifest(fs, destDir).map(_._1 + 1L).getOrElse(0L))
     val files = importStaged(fs, stagingDir, destDir, version)
     writeManifest(fs, destDir, version, files)
     cleanupStale(fs, destDir)

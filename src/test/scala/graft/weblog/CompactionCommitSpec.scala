@@ -80,4 +80,27 @@ class CompactionCommitSpec extends SparkTestBase {
       .map(_.getPath.getName).count(_.startsWith("_graft_manifest_v"))
     assert(manifests == 1, "superseded manifest must be GC'd")
   }
+
+  test("re-compaction from a clock that regressed still supersedes the live version") {
+    // nanoTime's origin is arbitrary across JVM restarts: simulate a
+    // restarted job whose nanoTime runs BELOW the live manifest version
+    // by pre-committing a manifest with a far-future version. The next
+    // compactHour must still win (version ties upward), or readers
+    // would silently keep resolving the stale manifest forever.
+    val root = Files.createTempDirectory("commit-clock").toString
+    val hour = java.time.LocalDateTime.of(2024, 3, 5, 6, 0)
+    val hp = Compaction.HourPartition.of(hour)
+    val src = Generator.frame(spark, 50, seed = 11, hour)
+    Zones.writeRawJson(
+      Validator.validate(src, "payload", "B").filter(col("valid")), s"$root/raw")
+    val destDir = new Path(s"$root/pq/${hp.relPath}")
+    val fs = destDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val future = System.nanoTime() + 1000L * 3600 * 1000000000L // +1000h
+    fs.mkdirs(destDir)
+    Compaction.writeManifest(fs, destDir, future, Nil)
+    val n = Compaction.compactHour(spark, s"$root/raw", s"$root/pq", hp)
+    assert(n > 0)
+    assert(Compaction.readCompactedHour(spark, s"$root/pq", hp).count() == n,
+      "the fresh compaction must supersede the future-versioned manifest")
+  }
 }
