@@ -17,6 +17,14 @@ import org.apache.spark.sql.DataFrame
   *    executor loss replays from durable storage, the posture a
   *    1000-executor run wants. Same results, same plans downstream (both
   *    cuts scan a materialized RDD); CheckpointSpec pins that.
+  *
+  * Storage note for the reliable path: Spark deletes reliable
+  * checkpoint data only when `spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true` (set it at session build — it cannot change
+  * at runtime) AND the RDD is GC'd; otherwise each iteration leaves one
+  * durable copy of its working frame under the checkpoint dir. Long-
+  * running drivers should set the cleaner conf or point the dir at a
+  * storage-lifecycle-managed path (e.g. an S3 prefix with expiry).
   */
 object Checkpoints {
 

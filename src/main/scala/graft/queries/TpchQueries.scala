@@ -710,7 +710,10 @@ object TpchQueries {
         val total = scoped.agg(sum(col("v")).as("total"))
         scoped.groupBy("ps_partkey").agg(sum(col("v")).as("value"))
           .crossJoin(broadcast(total))
-          .filter(col("value") > col("total") * lit(0.0005))
+          // value > total × 0.0005, division- and float-free (value ×
+          // 2000 > total): both engines compare exact integers, so no
+          // boundary row can flip on double rounding
+          .filter(col("value") * lit(2000L) > col("total"))
           .select(col("ps_partkey"), col("value"))
           .orderBy(col("value").desc, col("ps_partkey"))
       },
@@ -720,7 +723,7 @@ object TpchQueries {
              |           JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3')
              |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value
              |FROM scoped GROUP BY 1
-             |HAVING CAST(sum(v) AS BIGINT) > (SELECT CAST(sum(v) AS BIGINT) FROM scoped) * 0.0005
+             |HAVING CAST(sum(v) AS BIGINT) * 2000 > (SELECT CAST(sum(v) AS BIGINT) FROM scoped)
              |ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", " "))),
 
     // TPC-H Q16 shape: distinct supplier counts per (brand, type, size)

@@ -41,7 +41,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulFunnel {
 
   case class FunnelEvent(user_id: String, event: String, event_ts: Timestamp)
-  case class FunnelState(times: Seq[Long], done: Boolean)
+  case class FunnelState(times: Seq[Long], done: Boolean, lastSeen: Long)
   case class Completion(user_id: String, stage_ts: Seq[Timestamp])
 
   /** Detect funnel completions on a parsed weblog stream (needs
@@ -85,17 +85,32 @@ object StatefulFunnel {
       return Iterator.empty
     }
     val n = stages.size
-    val prev = state.getOption.getOrElse(FunnelState(Seq.fill(n)(Unset), done = false))
-    if (prev.done) return Iterator.empty // already emitted; swallow the rest
+    val prev = state.getOption
+      .getOrElse(FunnelState(Seq.fill(n)(Unset), done = false, lastSeen = Long.MinValue))
+    // lastSeen only ever advances (a batch of older-but-in-watermark
+    // events must not shrink the retention window), and it keeps
+    // advancing for a DONE user too — the tombstone's lifetime follows
+    // the user's last activity, so an active user's tombstone cannot
+    // expire under them (which would let an in-watermark redelivery
+    // re-emit their completion).
+    val buffer = Seq.newBuilder[FunnelEvent]
+    val batchMax = events.foldLeft(prev.lastSeen) { (acc, e) =>
+      val t = e.event_ts.getTime
+      if (!prev.done) buffer += e
+      math.max(acc, t)
+    }
+    if (prev.done) {
+      state.update(prev.copy(lastSeen = batchMax))
+      state.setTimeoutTimestamp(batchMax + retentionMs)
+      return Iterator.empty // already emitted; swallow the rest
+    }
 
     val times = prev.times.toArray
     var done = false
-    var lastSeen = Long.MinValue
-    val it = events.toSeq.sortBy(_.event_ts.getTime).iterator
+    val it = buffer.result().sortBy(_.event_ts.getTime).iterator
     while (!done && it.hasNext) {
       val e = it.next()
       val t = e.event_ts.getTime
-      lastSeen = math.max(lastSeen, t)
       val i = stages.indexOf(e.event)
       if (i == 0) {
         if (t < times(0)) times(0) = t
@@ -104,9 +119,9 @@ object StatefulFunnel {
       }
       done = times(n - 1) != Unset
     }
-    state.update(FunnelState(times.toSeq, done))
-    if (lastSeen != Long.MinValue)
-      state.setTimeoutTimestamp(lastSeen + retentionMs)
+    state.update(FunnelState(times.toSeq, done, batchMax))
+    if (batchMax != Long.MinValue)
+      state.setTimeoutTimestamp(batchMax + retentionMs)
     if (done) Iterator.single(Completion(userId, times.toSeq.map(new Timestamp(_))))
     else Iterator.empty
   }

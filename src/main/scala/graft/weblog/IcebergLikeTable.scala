@@ -93,13 +93,17 @@ final case class IcebergLikeTable(
   /** The live snapshot version, if the table has committed at all. */
   def currentVersion: Option[Long] = versions.lastOption
 
-  /** The live snapshot's data files, relative to the table root. Falls
-    * back to a recursive directory walk only for pre-manifest tables
-    * (data written before any manifest existed), so a first upsert on
-    * such a table still carries every existing file into its snapshot.
+  /** The live (version, files) pair, resolved in ONE metadata round trip
+    * per operation — (0, Nil) for a table that has never committed. Data
+    * files on disk but in no manifest are dormant by protocol (debris of
+    * a crashed commit at worst) and are never read; [[vacuum]] sweeps
+    * them.
     */
-  private def liveFiles: Seq[String] =
-    Manifests.resolve(fs, root).map(_._2).getOrElse(walkDataFiles())
+  private def resolveLive(): (Long, Seq[String]) =
+    Manifests.resolve(fs, root).getOrElse((0L, Nil))
+
+  /** The live snapshot's data files, relative to the table root. */
+  private def liveFiles: Seq[String] = resolveLive()._2
 
   private def walkDataFiles(): Seq[String] = {
     if (!exists) return Nil
@@ -152,35 +156,44 @@ final case class IcebergLikeTable(
   /** T3: the routing decision the transformer stamps on every record. */
   def operation: String = if (uniqueKeys.isEmpty) "insert" else "update"
 
-  /** Stage `df` partitioned by the layout columns, import the staged tree
-    * under version-unique names, and commit `carryOver ++ imported` as a
-    * new snapshot. The single manifest create is the commit point.
+  /** THE commit choreography, shared by append, upsert, and maintain:
+    * stage `df` partitioned by the layout columns, import the staged
+    * tree under version-unique names (dormant), then publish
+    * `carryOver(imported) ++ imported` as one manifest create — the
+    * commit point. `carryOver` sees the imported relative paths so
+    * leaf-rewrite commits can derive "previous files outside the
+    * rewritten leaves" from the actual import (never string-formatted
+    * from partition values, so value escaping can't diverge).
     */
-  private def commitStaged(df: DataFrame, carryOver: Seq[String]): Seq[String] = {
-    val version = nextVersion()
+  private def commit(df: DataFrame, baseVersion: Long)(
+      carryOver: Seq[String] => Seq[String]): Seq[String] = {
+    val version = nextVersion(baseVersion)
     val staging = new Path(root.getParent, s".staging_v$version")
     df.write.mode("overwrite")
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(staging.toString)
     val imported = Manifests.importStagedTree(fs, staging, root, version)
-    Manifests.write(fs, root, version, carryOver ++ imported)
+    Manifests.write(fs, root, version, carryOver(imported) ++ imported)
     fs.delete(staging, true)
     expireSnapshots()
     imported
   }
 
-  /** Strictly increasing commit version (nanoTime ties broken upward —
-    * the single-writer invariant makes this safe).
+  /** Strictly increasing commit version (nanoTime ties broken upward
+    * past the live version — nanoTime's origin is arbitrary across JVM
+    * restarts; the single-writer invariant makes this safe).
     */
-  private def nextVersion(): Long =
-    math.max(System.nanoTime(), currentVersion.getOrElse(0L) + 1L)
+  private def nextVersion(after: Long): Long =
+    math.max(System.nanoTime(), after + 1L)
 
-  /** Retention GC (Iceberg `expire_snapshots`): drop manifests beyond
-    * `retainVersions` and every data file referenced by no retained
-    * manifest. Runs after each commit point, never before it.
+  /** Retention GC, cheap per-commit half (Iceberg `expire_snapshots`):
+    * drop manifests beyond `keepLast` and the expired versions' files
+    * that no retained manifest still references. Manifest-driven only —
+    * no directory walk — so it stays O(retained manifests) metadata I/O
+    * on the ingest hot path. Runs after each commit point, never before.
     */
-  def vacuum(keepLast: Int = retainVersions): Unit = {
+  private def expireSnapshots(keepLast: Int = retainVersions): Unit = {
     val all = versions
     if (all.size <= keepLast) return
     val (expired, retained) = all.splitAt(all.size - keepLast)
@@ -193,13 +206,30 @@ final case class IcebergLikeTable(
     }
   }
 
-  private def expireSnapshots(): Unit = vacuum(retainVersions)
+  /** Full GC (explicit maintenance): [[expireSnapshots]] plus an orphan
+    * sweep — a directory walk deleting every data file referenced by NO
+    * retained manifest, which also clears debris from a commit that
+    * crashed between its staged import and its manifest create. The
+    * walk is why this is an on-demand op, not per-commit. Safe under
+    * the single-writer invariant (no import can be in flight while the
+    * writer runs vacuum); with concurrent readers, the same retention
+    * caveat as expireSnapshots applies.
+    */
+  def vacuum(keepLast: Int = retainVersions): Unit = {
+    expireSnapshots(keepLast)
+    val referenced = versions
+      .flatMap(v => Manifests.at(fs, root, v).getOrElse(Nil)).toSet
+    walkDataFiles().filterNot(referenced)
+      .foreach(f => fs.delete(new Path(root, f), false))
+  }
 
   /** S10 append path (`operation='insert'`). Appends never invalidate
     * prior files, so every retained snapshot stays fully readable.
     */
-  def append(df: DataFrame): Unit =
-    commitStaged(withBucket(df), carryOver = liveFiles)
+  def append(df: DataFrame): Unit = {
+    val (liveVersion, previous) = resolveLive()
+    commit(withBucket(df), liveVersion)(_ => previous)
+  }
 
   /** S10 upsert path (`operation='update'`). `orderCol` decides
     * last-write-wins — both for duplicate keys inside the batch AND
@@ -220,23 +250,27 @@ final case class IcebergLikeTable(
       .filter(col("_rn") === 1)
       .drop("_rn"))
 
-    val previous = liveFiles
-    if (previous.isEmpty) {
-      commitStaged(deduped, carryOver = Nil)
-      return
-    }
-
+    val (liveVersion, previous) = resolveLive()
     // affected (event, bucket) leaves only — bounded by the batch's
     // distinct key-derived pairs (≤ |event| × numBuckets), never by table
     // size; this collect is O(pairs), not O(data).
     val pairs = deduped.select(partitionCol, bucketCol).distinct()
       .collect().map(r => (r.get(0), r.getInt(1))).toSeq
+    // an empty (or fully-invalidated) micro-batch commits nothing — the
+    // reduce below would otherwise throw on zero pairs and kill the
+    // foreachBatch streaming query (Ingest.startIcebergIngest).
+    if (pairs.isEmpty) return
+    if (previous.isEmpty) {
+      commit(deduped, liveVersion)(_ => Nil)
+      return
+    }
+
     val leafPred: Column = pairs.map { case (e, b) =>
       col(partitionCol) === lit(e) && col(bucketCol) === lit(b)
     }.reduce(_ || _)
     // both predicate columns are partition columns → partition pruning
     // makes this read touch only the affected leaves' files.
-    val old = readRaw.filter(leafPred)
+    val old = readFileSet(previous).filter(leafPred)
     // keep the max-orderCol row per key across (stored ∪ incoming); the
     // shuffle is on the unique keys of the hot leaves only, same as
     // the anti-join it replaces, but order-aware. Ties on orderCol break
@@ -256,33 +290,14 @@ final case class IcebergLikeTable(
       .drop("_rn", "_is_new")
 
     // Snapshot commit: stage the rewritten leaves, import, publish a
-    // manifest carrying over every live file OUTSIDE the affected leaves.
-    // Readers on the previous version keep their complete file set until
-    // retention expires it.
-    val imported = commitStagedMerge(merged, previous, pairs)
+    // manifest carrying over every live file OUTSIDE the rewritten
+    // leaves. Readers on the previous version keep their complete file
+    // set until retention expires it.
+    val imported = commit(merged, liveVersion) { imp =>
+      val rewrittenLeaves = imp.map(leafOf).toSet
+      previous.filterNot(f => rewrittenLeaves.contains(leafOf(f)))
+    }
     require(imported.nonEmpty, "merge of a non-empty batch produced no files")
-  }
-
-  private def commitStagedMerge(merged: DataFrame, previous: Seq[String],
-      pairs: Seq[(Any, Int)]): Seq[String] = {
-    // a leaf's relative dir is exactly how partitionBy lays it out; the
-    // staged import reproduces the same relative dirs, so carry-over is
-    // "previous files whose leaf is not rewritten". Leaf names derive
-    // from the imported tree (never string-formatted from values, so
-    // partition-value escaping can't diverge).
-    val version = nextVersion()
-    val staging = new Path(root.getParent, s".staging_v$version")
-    merged.write.mode("overwrite")
-      .partitionBy(partCols: _*)
-      .option("compression", "snappy")
-      .parquet(staging.toString)
-    val imported = Manifests.importStagedTree(fs, staging, root, version)
-    val rewrittenLeaves = imported.map(leafOf).toSet
-    val carryOver = previous.filterNot(f => rewrittenLeaves.contains(leafOf(f)))
-    Manifests.write(fs, root, version, carryOver ++ imported)
-    fs.delete(staging, true)
-    expireSnapshots()
-    imported
   }
 
   private def leafOf(relFile: String): String = {
@@ -305,25 +320,16 @@ final case class IcebergLikeTable(
     */
   def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] = {
     if (!exists) return Nil
-    val previous = liveFiles
+    val (liveVersion, previous) = resolveLive()
     if (previous.isEmpty) return Nil
     val hot = previous.groupBy(leafOf).filter(_._2.size > fileThreshold).keys.toSeq.sorted
     if (hot.isEmpty) return Nil
     val hotSet = hot.toSet
     val hotFiles = previous.filter(f => hotSet.contains(leafOf(f)))
-    val version = nextVersion()
-    val staging = new Path(root.getParent, s".staging_v$version")
-    readFileSet(hotFiles)
-      .repartition(targetFiles * hot.size, partCols.map(col): _*)
-      .write.mode("overwrite")
-      .partitionBy(partCols: _*)
-      .option("compression", "snappy")
-      .parquet(staging.toString)
-    val imported = Manifests.importStagedTree(fs, staging, root, version)
-    val carryOver = previous.filterNot(f => hotSet.contains(leafOf(f)))
-    Manifests.write(fs, root, version, carryOver ++ imported)
-    fs.delete(staging, true)
-    expireSnapshots()
+    commit(
+      readFileSet(hotFiles)
+        .repartition(targetFiles * hot.size, partCols.map(col): _*),
+      liveVersion)(_ => previous.filterNot(f => hotSet.contains(leafOf(f))))
     hot.map(_.stripPrefix(s"$partitionCol="))
   }
 }

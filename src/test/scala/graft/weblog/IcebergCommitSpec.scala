@@ -154,6 +154,45 @@ class IcebergCommitSpec extends SparkTestBase {
     assert(onDisk == live, s"unreferenced files survived GC: ${onDisk -- live}")
   }
 
+  test("vacuum sweeps crashed-commit orphans; empty micro-batches commit nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ice-orphan").toString
+    val path = s"$dir/t"
+    val table = IcebergLikeTable(spark, path, "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+    table.write(base(30), "seq")
+    val v1 = table.currentVersion.get
+
+    // simulate a commit that crashed between import and manifest create:
+    // files land in the leaves but no manifest references them
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$dir/crashed_staging")
+    base(30).withColumn("hostname", lit("crashed"))
+      .withColumn("gbucket",
+        pmod(xxhash64($"user_id", $"timestamp"), lit(4L)).cast("int"))
+      .write.partitionBy("event", "gbucket").parquet(staging.toString)
+    val orphans = Manifests.importStagedTree(fs, staging, new Path(path), 777L)
+    assert(orphans.nonEmpty)
+    // dormant: no reader sees them; a retried upsert ignores them
+    assert(table.read.count() == 30)
+
+    // an EMPTY batch (e.g. a fully-invalidated micro-batch) is a no-op —
+    // no new version, no crash on the empty-pairs reduce
+    table.write(base(0), "seq")
+    assert(table.currentVersion.contains(v1), "empty batch must not commit")
+
+    // vacuum sweeps the orphans but never a retained snapshot's files
+    table.vacuum()
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val onDisk = walk(new java.io.File(path))
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.toString.stripPrefix(path).stripPrefix("/")).toSet
+    assert(orphans.forall(o => !onDisk.contains(o)), "orphans must be swept")
+    assert(table.read.count() == 30)
+    assert(table.readAt(v1).count() == 30)
+  }
+
   test("maintain compacts hot leaves via a snapshot commit") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ice-maint").toString
