@@ -76,6 +76,10 @@ object Bench {
           concat(col("text"), lit(" rep"), col("rep")).as("text"))
         .write.mode("overwrite").parquet(s"$scratch/docs10x")
       def cold(f: () => Long): Double = {
+        // drain the headline canon's garbage first: a GC pause landing
+        // inside one leg skews the RATIO (r5 observed 13.6× vs ~3.3×
+        // for the same code with/without accumulated session pressure)
+        System.gc()
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }
       def read(p: String) = spark.read.parquet(s"$scratch/$p")
