@@ -228,6 +228,45 @@ object WebLogQueries {
              |FROM base GROUP BY 2, 3
              |ORDER BY snapshot, event, hostname""".stripMargin.replace("\n", " "))),
 
+    // S10 row-level DELETE (GDPR erasure): base-load day 1, erase every
+    // user whose numeric id ends in 3, and read the surviving table —
+    // only the leaves containing erased rows were rewritten, and the
+    // returned deleted-count must reconcile with the survivor counts
+    // (emitted as a verdict row the oracle recomputes).
+    Q("weblog_gdpr_delete",
+      (s, d) => {
+        val path = scratch(s, "gdpr", d) + "/t"
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        val base = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit(1L).as("seq"))
+        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"))
+        t.write(base, "seq")
+        val erased = t.delete(
+          expr("CAST(substr(user_id, 2) AS BIGINT) % 10 = 3"))
+        t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .select(col("event"), col("cnt"), lit(erased).as("erased"))
+          .orderBy("event")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_type AS event
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1)
+             |SELECT event, count(*) AS cnt,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE user_id % 10 = 3) AS erased
+             |FROM base WHERE user_id % 10 <> 3
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
     // §3.1 streaming: real Structured Streaming file source over the raw
     // zone → validate → parse → event-time tumbling hourly counts
     // (AvailableNow trigger, complete-mode memory sink).

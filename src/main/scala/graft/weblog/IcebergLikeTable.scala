@@ -309,6 +309,54 @@ final case class IcebergLikeTable(
   def write(batch: DataFrame, orderCol: String): Unit =
     if (uniqueKeys.isEmpty) append(batch) else upsert(batch, orderCol)
 
+  /** Row-level DELETE (`DELETE FROM t WHERE condition` — the GDPR
+    * "erase this user" operation an Iceberg web-analytics table serves,
+    * and the WHEN MATCHED THEN DELETE half of MERGE). Same rewrite unit
+    * as the merge: ONLY the (event, gbucket) leaves containing matching
+    * rows are rewritten (as their surviving rows), committed as one new
+    * snapshot; untouched leaves carry over by reference. A leaf whose
+    * rows all match simply vanishes from the new manifest. Retained
+    * historical snapshots still contain the rows — after the retention
+    * window ([[vacuum]]) the files are gone, which is exactly Iceberg's
+    * GDPR posture (delete + expire_snapshots). Returns the number of
+    * rows deleted.
+    *
+    * The discovery scan is column-pruned to the condition's columns plus
+    * the partition columns, and the rewrite cost is bounded by the
+    * affected leaves — for a key-localized predicate that is a handful
+    * of leaves, never the table.
+    */
+  def delete(condition: Column): Long = {
+    val (liveVersion, previous) = resolveLive()
+    if (previous.isEmpty) return 0L
+    val raw = readFileSet(previous)
+    // affected leaves + deleted count in one pass over the pruned scan
+    val hits = raw.filter(condition)
+      .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .collect()
+    if (hits.isEmpty) return 0L
+    val deleted = hits.map(_.getAs[Long]("_n")).sum
+    val leafPred: Column = hits.map { r =>
+      partCols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
+    }.reduce(_ || _)
+    // leaf dir names for carry-over use Spark's own partition-path
+    // escaping, so values round-trip exactly as partitionBy lays them out
+    val affectedLeaves = hits.map { r =>
+      partCols.map { c =>
+        val v = r.getAs[Any](c)
+        s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))}"
+      }.mkString("/")
+    }.toSet
+    // DELETE semantics: remove rows where the condition is TRUE; a NULL
+    // condition keeps the row (a bare `!condition` would drop it).
+    val survivors = raw.filter(leafPred)
+      .filter(!coalesce(condition, lit(false)))
+    commit(survivors, liveVersion)(
+      _ => previous.filterNot(f => affectedLeaves.contains(leafOf(f))))
+    deleted
+  }
+
   /** C7: small-file maintenance — the reference declares
     * `optimize_rewrite_delete_file_threshold='10'`
     * (`web-analytics-iceberg/README.md:187`) and delegates the rewrite to

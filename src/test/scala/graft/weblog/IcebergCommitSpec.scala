@@ -193,6 +193,52 @@ class IcebergCommitSpec extends SparkTestBase {
     assert(table.readAt(v1).count() == 30)
   }
 
+  test("row-level delete rewrites only affected leaves; history keeps the rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ice-del").toString
+    val path = s"$dir/t"
+    val table = IcebergLikeTable(spark, path, "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 8)
+    table.write(base(200), "seq")
+    val v1 = table.currentVersion.get
+
+    def leafFiles(): Map[String, Set[String]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .groupBy(_.getParentFile.toString.stripPrefix(path).stripPrefix("/"))
+        .map { case (leaf, fs) => leaf -> fs.map(_.getName).toSet }
+    }
+    val before = leafFiles()
+
+    // GDPR erasure of one user: only u7's (event, gbucket) leaf gains a
+    // rewrite; every other leaf's file set is untouched on disk
+    val n = table.delete($"user_id" === "u7")
+    assert(n == 1L, s"expected exactly u7's row deleted, got $n")
+    assert(table.read.count() == 199)
+    assert(table.read.filter($"user_id" === "u7").count() == 0)
+    val after = leafFiles()
+    val changed = before.keySet.filter(k => !before(k).subsetOf(after.getOrElse(k, Set())))
+    assert(changed.isEmpty, s"delete must only ADD files pre-vacuum: $changed")
+    val grew = after.keySet.filter(k => after(k) != before.getOrElse(k, Set()))
+    assert(grew.size == 1, s"exactly one leaf may be rewritten: $grew")
+
+    // the retained historical snapshot still has the row (Iceberg's
+    // delete + expire_snapshots GDPR posture); matching nothing is a no-op
+    assert(table.readAt(v1).filter($"user_id" === "u7").count() == 1)
+    val v2 = table.currentVersion.get
+    assert(table.delete($"user_id" === "no-such-user") == 0L)
+    assert(table.currentVersion.contains(v2), "no-op delete must not commit")
+
+    // a predicate matching a whole leaf's rows drops the leaf from the
+    // live manifest; NULL predicate rows survive (DELETE semantics)
+    val allViews = table.delete($"event" === "view")
+    assert(allViews == 100L)
+    assert(table.read.filter($"event" === "view").count() == 0)
+    assert(table.read.count() == 99)
+  }
+
   test("maintain compacts hot leaves via a snapshot commit") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ice-maint").toString
