@@ -66,6 +66,60 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("upsert/delete sequences agree with a last-write-wins reference model") {
+    // model-based check of the snapshot-commit merge path: random
+    // operation sequences (keyed upserts with colliding keys and replayed
+    // sequence numbers, predicate deletes) against a driver-side Map fold
+    // with MERGE semantics — stored row survives iff its seq is strictly
+    // greater than an incoming write's (ties: incoming wins).
+    import spark.implicits._
+    type Key = (String, String)
+    val keys: Vector[Key] = (for {
+      u <- 0 until 12; t <- 0 until 3
+    } yield (s"u$u", f"2024-05-01T12:0$t%d:00Z")).toVector
+
+    val batchGen: Gen[Map[Key, (String, Long)]] = for {
+      n <- Gen.chooseNum(1, 10)
+      ks <- Gen.pick(n, keys)
+      hosts <- Gen.listOfN(n, Gen.oneOf("a.example", "b.example", "c.example"))
+      seqs <- Gen.listOfN(n, Gen.chooseNum(1L, 4L))
+    } yield ks.zip(hosts.zip(seqs)).toMap
+    val opGen: Gen[Either[Map[Key, (String, Long)], Set[String]]] =
+      Gen.frequency(
+        3 -> batchGen.map(Left(_)),
+        1 -> Gen.someOf((0 until 12).map(u => s"u$u")).map(s => Right(s.toSet)))
+
+    forAll(Gen.listOfN(5, opGen), n = 3) { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("ice-prop").toString
+      val table = IcebergLikeTable(spark, s"$dir/t", "event",
+        uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+      var model = Map.empty[Key, (String, Long)]
+      ops.foreach {
+        case Left(batch) =>
+          val df = batch.toSeq.map { case ((u, ts), (h, q)) =>
+            (u, ts, if (u.hashCode % 2 == 0) "view" else "click", h, q)
+          }.toDF("user_id", "timestamp", "event", "hostname", "seq")
+          table.write(df, "seq")
+          model = batch.foldLeft(model) { case (m, (k, (h, q))) =>
+            m.get(k) match {
+              case Some((_, storedQ)) if storedQ > q => m
+              case _ => m.updated(k, (h, q))
+            }
+          }
+        case Right(users) =>
+          table.delete($"user_id".isin(users.toSeq: _*))
+          model = model.filterNot { case ((u, _), _) => users.contains(u) }
+      }
+      val got =
+        if (model.isEmpty) Map.empty[Key, (String, Long)]
+        else table.read.select("user_id", "timestamp", "hostname", "seq")
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getString(2), r.getLong(3))).toMap
+      assert(got == model,
+        s"diverged: extra=${got.toSet -- model.toSet} missing=${model.toSet -- got.toSet}")
+    }
+  }
+
   test("valid records round-trip through parse unchanged (multiset property)") {
     val df = Generator.frame(spark, 400, seed = 13, hour, invalidEvery = 8)
     val (ok, _) = Validator.route(Validator.validate(df, "payload", "B"))
