@@ -93,6 +93,42 @@ class IcebergIngestSpec extends SparkTestBase {
     assert(table.read.count() == 200)
   }
 
+  test("manifest-resolved reads keep partition pruning and filter pushdown") {
+    import spark.implicits._
+    // the snapshot reader hands Spark an explicit file list (not a
+    // directory); the 100 TB contract is that partition pruning on the
+    // layout columns and parquet filter pushdown on data columns both
+    // still reach the scan — otherwise every leaf of a huge table would
+    // be read for a one-leaf query.
+    val dir = Files.createTempDirectory("ice-prune").toString
+    val table = IcebergLikeTable(spark, s"$dir/t", "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+    val base = (0 until 100).map(i =>
+      (s"u$i", f"2024-03-05T06:${i % 60}%02d:00Z", if (i % 2 == 0) "view" else "click", "h"))
+      .toDF("user_id", "timestamp", "event", "hostname")
+      .withColumn("seq", lit(1L))
+    table.write(base, "seq")
+
+    val pruned = table.read.filter($"event" === "view" && $"user_id" === "u8")
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*event[^\\]]*\\].*"),
+      s"event must prune partitions in the manifest read:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*user_id[^\\]]*\\].*"),
+      s"user_id must push to parquet:\n$plan")
+    // and the pruning actually cuts the scanned file set
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    val all = table.read.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.length < all.selectedPartitions.length,
+      s"pruned scan must touch fewer leaves: ${scan.selectedPartitions.length}")
+  }
+
   test("out-of-order replay: an older batch cannot clobber newer rows") {
     import spark.implicits._
     // batch-major `_seq` struct ordering: a stale replay (lower batch id)
