@@ -707,13 +707,18 @@ object TpchQueries {
           .join(natSup, col("ps_suppkey") === col("ns_suppkey"))
           .select(col("ps_partkey"),
             (col("ps_supplycost") * col("ps_availqty")).as("v"))
-        val total = scoped.agg(sum(col("v")).as("total"))
+        // TPC-H scales Q11's fraction by 1/SF because a FIXED fraction
+        // of the total goes degenerate as the part count grows (r5
+        // measured: 678 rows at sf0.01, zero at sf0.1). A data-relative
+        // threshold — parts above 2× the MEAN part value — keeps the
+        // query meaningful at every scale, and `value × n_parts >
+        // 2 × total` is division- and float-free: both engines compare
+        // exact integers, so no boundary row can flip on rounding.
+        val total = scoped.agg(sum(col("v")).as("total"),
+          countDistinct(col("ps_partkey")).as("n_parts"))
         scoped.groupBy("ps_partkey").agg(sum(col("v")).as("value"))
           .crossJoin(broadcast(total))
-          // value > total × 0.0005, division- and float-free (value ×
-          // 2000 > total): both engines compare exact integers, so no
-          // boundary row can flip on double rounding
-          .filter(col("value") * lit(2000L) > col("total"))
+          .filter(col("value") * col("n_parts") > col("total") * lit(2L))
           .select(col("ps_partkey"), col("value"))
           .orderBy(col("value").desc, col("ps_partkey"))
       },
@@ -723,7 +728,8 @@ object TpchQueries {
              |           JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3')
              |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value
              |FROM scoped GROUP BY 1
-             |HAVING CAST(sum(v) AS BIGINT) * 2000 > (SELECT CAST(sum(v) AS BIGINT) FROM scoped)
+             |HAVING CAST(sum(v) AS BIGINT) * (SELECT CAST(count(DISTINCT ps_partkey) AS BIGINT) FROM scoped)
+             |     > 2 * (SELECT CAST(sum(v) AS BIGINT) FROM scoped)
              |ORDER BY value DESC, ps_partkey""".stripMargin.replace("\n", " "))),
 
     // TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
