@@ -16,16 +16,23 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy flag) and
-    * convert with *integer* division — double division at ~1.7e18 nanos
-    * would lose microsecond precision — to TimestampType (micros, UTC),
-    * matching DuckDB's truncate-to-micros behavior.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's reader rejects
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as raw nanos via the legacy
+    * flag, then converted with *integer* division (double division at
+    * ~1.7e18 nanos would lose microsecond precision) — and plain
+    * timestamp[us] (TIMESTAMP_NTZ). Both normalize to TimestampType
+    * (micros, UTC session), matching DuckDB's read of the same file.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = apply(spark, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    df.withColumn("ts", ts)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -125,8 +125,8 @@ class IcebergIngestSpec extends SparkTestBase {
     val all = table.read.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: FileSourceScanExec => f
     }.get
-    assert(scan.selectedPartitions.length < all.selectedPartitions.length,
-      s"pruned scan must touch fewer leaves: ${scan.selectedPartitions.length}")
+    assert(scan.selectedPartitions.partitionCount < all.selectedPartitions.partitionCount,
+      s"pruned scan must touch fewer leaves: ${scan.selectedPartitions.partitionCount}")
   }
 
   test("out-of-order replay: an older batch cannot clobber newer rows") {
