@@ -267,6 +267,80 @@ object WebLogQueries {
              |FROM base WHERE user_id % 10 <> 3
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // S10 incremental/CDC read (Iceberg changelog scan / Delta CDF):
+    // base-load day 1 (v1); ONE upsert commits hour<12 hostname updates
+    // plus day-2 early-morning inserts (v2); a row-level DELETE erases
+    // clicks (v3). changesBetween(v1,v2) must emit exactly the update
+    // pre/post pairs and the inserts, changesBetween(v2,v3) exactly the
+    // deletes — and every row the leaf rewrites carried through
+    // unchanged (day-1 hour≥12 rows sharing a rewritten leaf) must be
+    // suppressed by the value-equality check, or the counts drift.
+    Q("weblog_changes",
+      (s, d) => {
+        val path = scratch(s, "changes", d) + "/t"
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(dayPred: Column) = payloads(s, d, corrupted = false)
+          .filter(dayPred)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(1L).as("seq"))
+        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"))
+        t.write(keyed(dayofmonth(col("ts")) === 1), "seq")
+        val v1 = t.currentVersion.get
+        val updates = keyed(dayofmonth(col("ts")) === 1)
+          .filter(hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern)) < 12)
+          .withColumn("hostname", lit("updated.example"))
+          .withColumn("seq", lit(2L))
+        val inserts = keyed(dayofmonth(col("ts")) === 2)
+          .filter(hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern)) < 6)
+          .withColumn("hostname", lit("new.example"))
+        t.write(updates.unionByName(inserts), "seq")
+        val v2 = t.currentVersion.get
+        t.delete(col("event") === "click")
+        val v3 = t.currentVersion.get
+        def summarize(df: DataFrame, step: String) =
+          df.groupBy(col("_change_type"), col("event"), col("hostname"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(lit(step).as("step"), col("_change_type").as("change_type"),
+              col("event"), col("hostname"), col("cnt"))
+        summarize(t.changesBetween(v1, v2), "v1_v2")
+          .unionAll(summarize(t.changesBetween(v2, v3), "v2_v3"))
+          .orderBy("step", "change_type", "event", "hostname")
+      },
+      Some("""WITH k AS (
+             |  SELECT user_id, event_type AS event, day(ts) AS d, hour(ts) AS h
+             |  FROM events WHERE day(ts) <= 2
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1),
+             |upd AS (SELECT event FROM k WHERE d = 1 AND h < 12),
+             |ins AS (SELECT event FROM k WHERE d = 2 AND h < 6),
+             |live AS (
+             |  SELECT event,
+             |         CASE WHEN h < 12 THEN 'updated.example' ELSE 'orig.example' END AS hostname
+             |  FROM k WHERE d = 1
+             |  UNION ALL
+             |  SELECT event, 'new.example' AS hostname FROM k WHERE d = 2 AND h < 6)
+             |SELECT 'v1_v2' AS step, 'insert' AS change_type, event,
+             |       'new.example' AS hostname, count(*) AS cnt FROM ins GROUP BY 3
+             |UNION ALL
+             |SELECT 'v1_v2', 'update_preimage', event, 'orig.example', count(*)
+             |FROM upd GROUP BY 3
+             |UNION ALL
+             |SELECT 'v1_v2', 'update_postimage', event, 'updated.example', count(*)
+             |FROM upd GROUP BY 3
+             |UNION ALL
+             |SELECT 'v2_v3', 'delete', event, hostname, count(*)
+             |FROM live WHERE event = 'click' GROUP BY 3, 4
+             |ORDER BY step, change_type, event, hostname""".stripMargin.replace("\n", " "))),
+
     // §3.1 streaming: real Structured Streaming file source over the raw
     // zone → validate → parse → event-time tumbling hourly counts
     // (AvailableNow trigger, complete-mode memory sink).

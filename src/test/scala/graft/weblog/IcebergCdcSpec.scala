@@ -1,0 +1,148 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.SparkTestBase
+
+/** Incremental/CDC reads over the snapshot-commit table
+  * (`IcebergLikeTable.changesBetween` / `appendsBetween`): the changelog
+  * between two retained versions must contain exactly the net row
+  * changes — updates as pre/post pairs, carried-through rewrite rows
+  * suppressed — and must read only the leaves whose file set changed.
+  */
+class IcebergCdcSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshTable(keys: Seq[String] = Seq("user_id", "timestamp")) = {
+    val dir = Files.createTempDirectory("ice-cdc").toString
+    IcebergLikeTable(spark, s"$dir/t", "event", uniqueKeys = keys, numBuckets = 4)
+  }
+
+  private def rows(n: Int, host: String, event: String = "view", prefix: String = "u") =
+    (0 until n).map(i =>
+      (s"$prefix$i", f"2024-03-05T06:${i % 60}%02d:${i / 60}%02dZ", event, host, 1L))
+      .toDF("user_id", "timestamp", "event", "hostname", "seq")
+
+  test("changelog: update pre/post pairs, inserts, carried rows suppressed") {
+    val t = freshTable()
+    t.write(rows(10, "orig"), "seq")
+    val v1 = t.currentVersion.get
+    // update u0..u2, insert u90..u91; u3..u9 share rewritten leaves but
+    // carry through value-identical and MUST NOT appear in the changelog
+    val batch =
+      rows(3, "upd").withColumn("seq", lit(2L))
+        .unionByName(Seq(
+          ("u90", "2024-03-05T07:00:00Z", "view", "new", 1L),
+          ("u91", "2024-03-05T07:01:00Z", "view", "new", 1L))
+          .toDF("user_id", "timestamp", "event", "hostname", "seq"))
+    t.write(batch, "seq")
+    val v2 = t.currentVersion.get
+
+    val changes = t.changesBetween(v1, v2)
+      .select("_change_type", "user_id", "hostname", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expected =
+      (0 until 3).flatMap(i => Seq(
+        ("update_preimage", s"u$i", "orig", v2),
+        ("update_postimage", s"u$i", "upd", v2))).toSet ++
+        Set(("insert", "u90", "new", v2), ("insert", "u91", "new", v2))
+    assert(changes === expected)
+  }
+
+  test("changelog: row-level delete emits delete rows only") {
+    val t = freshTable()
+    t.write(rows(6, "h", "view").unionByName(rows(4, "h", "click", prefix = "c")), "seq")
+    val v1 = t.currentVersion.get
+    assert(t.delete(col("event") === "click") === 4L)
+    val v2 = t.currentVersion.get
+    val changes = t.changesBetween(v1, v2)
+    assert(changes.groupBy("_change_type").count().collect().toSeq ===
+      Seq(Row("delete", 4L)))
+    assert(changes.select("event").distinct().collect() === Array(Row("click")))
+  }
+
+  test("identical re-send and maintain() rewrite contribute zero change rows") {
+    val t = freshTable()
+    // multi-task staging → several files per (event, bucket) leaf; AQE
+    // would coalesce this tiny shuffle to one task (one file per leaf),
+    // so pin it off for the write
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.write(rows(32, "h").repartition(8), "seq")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val v1 = t.currentVersion.get
+    // identical re-send (same key, value, AND seq): the merge rewrites
+    // the touched leaf, but no row changes value — changelog empty
+    t.write(rows(1, "h"), "seq")
+    val v2 = t.currentVersion.get
+    assert(t.changesBetween(v1, v2).count() === 0L)
+    // small-file compaction rewrites leaves without changing rows
+    assert(t.maintain(fileThreshold = 1).nonEmpty, "maintain must rewrite")
+    val v3 = t.currentVersion.get
+    assert(t.changesBetween(v2, v3).count() === 0L)
+  }
+
+  test("changelog only reads leaves whose file set changed") {
+    val t = freshTable()
+    t.write(rows(64, "orig"), "seq")
+    val v1 = t.currentVersion.get
+    t.write(rows(1, "upd").withColumn("seq", lit(2L)), "seq")
+    val v2 = t.currentVersion.get
+    val scanned = t.changesBetween(v1, v2).queryExecution.executedPlan
+      .collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+    val live = Manifests.resolve(
+      new org.apache.hadoop.fs.Path(t.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(t.path)).get._2.size
+    assert(scanned < live,
+      s"diff must not read the whole table: scanned $scanned of $live live files")
+  }
+
+  test("add-column evolution: preimage reads null for the new column") {
+    val t = freshTable()
+    t.write(rows(2, "orig"), "seq")
+    val v1 = t.currentVersion.get
+    t.write(rows(1, "upd").withColumn("seq", lit(2L))
+      .withColumn("country", lit("DE")), "seq")
+    val v2 = t.currentVersion.get
+    val byType = t.changesBetween(v1, v2)
+      .select("_change_type", "user_id", "country")
+      .collect().map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(byType === Set(
+      ("update_preimage", "u0", None),
+      ("update_postimage", "u0", Some("DE"))))
+  }
+
+  test("appendsBetween: exact new rows for append-only tables; rewrites refuse") {
+    val t = freshTable(keys = Nil)
+    t.append(rows(3, "a"))
+    val v1 = t.currentVersion.get
+    t.append(rows(2, "b").withColumn("user_id", concat(lit("x"), col("user_id"))))
+    val v2 = t.currentVersion.get
+    val added = t.appendsBetween(v1, v2)
+    assert(added.count() === 2L)
+    assert(added.select("hostname").distinct().collect() === Array(Row("b")))
+    assert(added.select("_commit_version").distinct().collect() === Array(Row(v2)))
+
+    val keyed = freshTable()
+    keyed.write(rows(4, "h"), "seq")
+    val kv1 = keyed.currentVersion.get
+    keyed.write(rows(1, "h2").withColumn("seq", lit(2L)), "seq")
+    val kv2 = keyed.currentVersion.get
+    intercept[IllegalArgumentException](keyed.appendsBetween(kv1, kv2))
+  }
+
+  test("expired or unknown versions fail loudly") {
+    val t = freshTable()
+    t.write(rows(2, "h"), "seq")
+    val v = t.currentVersion.get
+    intercept[NoSuchElementException](t.changesBetween(v - 999, v))
+  }
+}
