@@ -53,6 +53,67 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Sign-quantized binary code: bit `i` set iff `vec[i] > 0`, packed
+    * into ⌈dim/64⌉ longs — a 32× (float) compression of the vector. The
+    * standard binary-quantization ANN primitive: Hamming distance between
+    * codes approximates angular distance, and `bit_count(xor)` over
+    * packed words is the cheapest distance evaluation there is (pure
+    * codegen'd integer ops, no floating point).
+    */
+  def binaryCode(vec: Column, dim: Int): Column = {
+    val words = (dim + 63) / 64
+    transform(sequence(lit(0), lit(words - 1)), w =>
+      aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
+        val idx = w * lit(64) + j // 0-based dim index
+        val bit = when(idx < lit(dim) &&
+            element_at(vec, (idx + lit(1)).cast("int")) > lit(0),
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+        acc.bitwiseOR(bit)
+      }))
+  }
+
+  /** Hamming distance between two packed binary codes. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("int")
+
+  /** Binary-quantization ANN: rank the corpus per query by packed-code
+    * Hamming distance (integer-only scan over 32×-compressed codes),
+    * keep a `k × oversample` shortlist, then exact-cosine rerank ONLY the
+    * shortlist. The scan stage shuffles `(id, code-words, hamming)` —
+    * never a vector; full vectors rejoin by id for the O(k·oversample)
+    * rerank, the same shortlist-then-verify shape as the PQ/IVF stack.
+    * Output: (query_id, rank, neighbor_id, hamming, cos).
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      oversample: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
+    def coded(df: DataFrame, id: String, code: String): DataFrame =
+      df.select(col(idCol).as(id),
+        binaryCode(col(vecCol), dim).as(code))
+    val q = broadcast(coded(queries, "query_id", "qc"))
+    val c = coded(corpus, "neighbor_id", "cc")
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hamming(col("qc"), col("cc")))
+      .withColumn("_hr", row_number().over(shortW))
+      .filter(col("_hr") <= k * oversample)
+      .select("query_id", "neighbor_id", "hamming")
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .join(vecs.toDF("neighbor_id", "cv"), "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming"), round(col("cos"), 6).as("cos"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold. Exact O(n²) variant
     * for modest corpora / verification; at scale use `lshNearDupPairs`.
     */

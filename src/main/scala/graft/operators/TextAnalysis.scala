@@ -212,6 +212,50 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Unigram language-model perplexity scoring — the CCNet/KenLM-style
+    * quality filter: train an add-one-smoothed unigram LM on the corpus
+    * itself (token count / corpus total, vocabulary-smoothed), then
+    * score every document by its mean per-token negative log-likelihood
+    * and perplexity. Low-perplexity documents look like the corpus;
+    * high-perplexity ones are outliers (boilerplate, noise, other
+    * languages) — the classic "keep what looks like the reference
+    * corpus" signal.
+    *
+    * Determinism across engines (FIXTURES.md §4): each distinct
+    * (token, corpus-count) surprisal `ln((cnt+1)/(T+V))` is computed
+    * once in double (both engines evaluate the identical double
+    * division, ln agrees within 1 ulp), rounded to 6 decimals and cast
+    * to DECIMAL — so the per-document sum is exact-decimal,
+    * order-independent arithmetic, and only the final mean/exp is a
+    * rounded double.
+    *
+    * Scale: token explode → (doc,token) count with map-side combine →
+    * one token-keyed join against the vocabulary → doc aggregate. The
+    * corpus totals join in as a broadcast single-row aggregate; no
+    * driver action, no vector of state — at 100 TB the vocabulary join
+    * is the only wide exchange.
+    */
+  def unigramPerplexity(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tc = df.select(col(idCol), explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tc.groupBy("token").agg(sum("tf").cast("long").as("cnt"))
+    val totals = vocab.agg(sum("cnt").cast("long").as("T"), count(lit(1)).as("V"))
+    tc.join(vocab, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("l", round(log((col("cnt") + lit(1)).cast("double") /
+        (col("T") + col("V")).cast("double")), 6).cast(DecimalType(18, 6)))
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf").cast(DecimalType(18, 6)) * col("l")).as("s"))
+      .select(col(idCol), col("n_tokens"),
+        round((-col("s")).cast("double") / col("n_tokens"), 6).as("avg_nll"),
+        round(exp((-col("s")).cast("double") / col("n_tokens")), 3).as("ppl"))
+  }
+
   /** Fixed-size document chunking with overlap — the pretraining /
     * retrieval prep op: each document becomes ⌈max(n−size,0)/stride⌉+1
     * chunks of `size` words starting every `stride` words (the last

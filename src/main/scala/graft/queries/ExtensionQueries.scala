@@ -325,6 +325,37 @@ object ExtensionQueries {
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // binary-quantization ANN: sign-bit codes packed into longs (32×
+    // compression), integer-only Hamming scan, exact-cosine rerank of a
+    // k×5 shortlist. The oracle recomputes the Hamming distances from
+    // the RAW vectors (sign disagreements per dimension), so a hash
+    // match also proves the packed-word bit_count(xor) path exact.
+    Q("sim_binary_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, dim = 64, oversample = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 10),
+             |h AS (SELECT query_id, c.vec_id AS neighbor_id, qv, v,
+             |        CAST(list_sum(list_transform(range(1, 65),
+             |          i -> CASE WHEN (qv[i] > 0) <> (v[i] > 0) THEN 1 ELSE 0 END)) AS INT) AS hamming
+             |      FROM q JOIN c ON query_id <> c.vec_id),
+             |short AS (SELECT query_id, neighbor_id, hamming, qv, v,
+             |            row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
+             |          FROM h),
+             |scored AS (SELECT query_id, neighbor_id, hamming,
+             |             list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v)) AS cos
+             |           FROM short WHERE hr <= 25),
+             |ranked AS (SELECT query_id, neighbor_id, hamming, cos,
+             |             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |           FROM scored)
+             |SELECT query_id, rank, neighbor_id, hamming, round(cos, 6) AS cos
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     Q("sim_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("id_a", "id_b"),
@@ -890,6 +921,31 @@ object ExtensionQueries {
              |      FROM sc)
              |SELECT doc_id, rank, token, tf, df, score FROM r WHERE rank <= 3
              |ORDER BY doc_id, rank""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // unigram-LM perplexity quality scoring (CCNet/KenLM-style): the LM
+    // is trained on the corpus itself (add-one smoothing over the
+    // vocabulary), every document scored by mean token surprisal +
+    // perplexity. The oracle retrains the same LM independently in SQL;
+    // per-token surprisals are rounded-then-DECIMAL so both engines sum
+    // exactly (order-independent) — a hash match proves LM training and
+    // scoring end-to-end.
+    Q("text_perplexity",
+      (s, d) => TextAnalysis.unigramPerplexity(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+             |tc AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+             |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tc GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS T, count(*) AS V FROM vocab),
+             |term AS (SELECT doc_id, tf,
+             |           CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(T + V AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l
+             |         FROM tc JOIN vocab USING (token) CROSS JOIN tot),
+             |d AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             |        sum(CAST(tf AS DECIMAL(18,6)) * l) AS s
+             |      FROM term GROUP BY 1)
+             |SELECT doc_id, n_tokens, round(CAST(-s AS DOUBLE) / n_tokens, 6) AS avg_nll,
+             |       round(exp(CAST(-s AS DOUBLE) / n_tokens), 3) AS ppl
+             |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
     // token-budget data mixing: per-source floors in deterministic id

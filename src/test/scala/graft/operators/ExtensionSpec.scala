@@ -106,6 +106,64 @@ class ExtensionSpec extends SparkTestBase {
     assert(ranks.filter(col("mx") =!= 5 || col("n") =!= 5).count() == 0)
   }
 
+  test("binary codes: packed hamming equals per-dimension sign disagreement") {
+    val withCodes = emb.limit(50)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.binaryCode(col("embedding"), 64).as("code"))
+    val a = withCodes.select(col("vec_id").as("ida"), col("embedding").as("va"), col("code").as("ca"))
+    val b = withCodes.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("code").as("cb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+      .withColumn("packed", Similarity.hamming(col("ca"), col("cb")))
+      .withColumn("naive", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) =>
+          when((x > 0) =!= (y > 0), lit(1)).otherwise(lit(0))),
+        lit(0), (acc, x) => acc + x))
+    assert(pairs.filter(col("packed") =!= col("naive")).count() === 0)
+    // 64 dims → exactly one packed word
+    assert(withCodes.filter(size(col("code")) =!= 1).count() === 0)
+  }
+
+  test("binary topk with a full-corpus shortlist matches brute force exactly") {
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val viaBinary = Similarity.binaryTopK(emb, q, k = 5, dim = 64, oversample = n)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    assert(viaBinary.exceptAll(exact).count() === 0 &&
+      exact.exceptAll(viaBinary).count() === 0)
+  }
+
+  test("binary topk recall: hamming shortlist finds the true nearest often") {
+    val q = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, q, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val approx = Similarity.binaryTopK(emb, q, k = 1, dim = 64, oversample = 10)
+      .select(col("query_id"), col("neighbor_id").as("bin_nn"))
+    val hits = truth.join(approx, "query_id")
+      .filter(col("true_nn") === col("bin_nn")).count()
+    assert(hits >= 12, s"binary-quantization recall@1 too low: $hits/20")
+  }
+
+  test("unigram perplexity: exact values on a hand corpus, outliers score high") {
+    import spark.implicits._
+    // counts: a=2, b=1, c=1 → T=4, V=3, denominator 7
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramPerplexity(docs).orderBy("doc_id").collect()
+    val pa = 3.0 / 7; val pb = 2.0 / 7; val pc = 2.0 / 7
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val nll1 = -(r6(math.log(pa)) * 2 + r6(math.log(pb))) / 3
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === nll1.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2 is a single token with p=2/7 → ppl is exactly 7/2
+    assert(out(1).getDouble(3) === 3.5)
+    // an all-rare-tokens document must out-score a common-tokens one
+    val mixed = Seq((1L, "the the the cat"), (2L, "the cat sat"),
+      (3L, "zzz qqq vvv")).toDF("doc_id", "text")
+    val ppl = TextAnalysis.unigramPerplexity(mixed)
+      .select("doc_id", "ppl").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppl(3L) > ppl(2L) && ppl(3L) > ppl(1L))
+  }
+
   test("IVF topk hits the true nearest neighbor for most queries") {
     val truth = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), k = 1)
       .select(col("query_id"), col("neighbor_id").as("true_nn"))
