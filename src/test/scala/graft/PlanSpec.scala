@@ -289,6 +289,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("binary ANN: hamming scan shuffles codes and ids, never a vector") {
+    val p = plan("sim_binary_topk")
+    // queries broadcast for the code scan AND the rerank
+    assert(p.contains("BroadcastExchange"), s"query side must broadcast:\n$p")
+    // the shortlist window + rerank join may hash-shuffle, but only
+    // (ids, packed code words, hamming) — never an embedding
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("embedding#") && !l.contains("qv#") && !l.contains("cv#"),
+        s"binary ANN shuffled a vector: $l")
+    }
+  }
+
+  test("perplexity: token join is the only wide exchange; totals broadcast") {
+    val p = plan("text_perplexity")
+    assert(p.contains("BroadcastExchange"),
+      s"corpus totals must broadcast as a single-row aggregate:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"token counts must combine map-side:\n$p")
+    // no exchange may carry raw document text — tokens hash, text stays
+    // in the scan stage
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"perplexity shuffled document text: $l")
+    }
+  }
+
   test("forecast revenue is a pushed-filter scan plus one partial aggregate") {
     val p = plan("q_forecast_revenue")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),

@@ -139,6 +139,45 @@ class IcebergCdcSpec extends SparkTestBase {
     intercept[IllegalArgumentException](keyed.appendsBetween(kv1, kv2))
   }
 
+  test("streaming micro-batch commits produce a consumable changelog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ice-cdc-stream").toString
+    val t = IcebergLikeTable(spark, s"$dir/t", "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+    val hour = java.time.LocalDateTime.of(2024, 3, 5, 6, 0)
+    val source = MemoryStream[String]
+    val stream = source.toDF().withColumnRenamed("value", "payload")
+      .withColumn("ingest_ts", lit("2024-03-05 06:00:00").cast("timestamp"))
+    val q = graft.streaming.Ingest.startIcebergIngest(
+      stream, t, s"$dir/err", s"$dir/ckpt", triggerSeconds = 1)
+    source.addData((0L until 20L).map(i => Generator.payload(7, i, hour)): _*)
+    q.processAllAvailable()
+    val v1 = t.currentVersion.get
+    // second micro-batch: 10 at-least-once replays + 10 new records
+    source.addData((10L until 30L).map(i => Generator.payload(7, i, hour)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val v2 = t.currentVersion.get
+
+    val changes = t.changesBetween(v1, v2)
+    val byType = changes.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") === 10L)
+    // a replayed record wins the merge tie and refreshes its _seq — the
+    // stored row really did change, so CDC surfaces an update pair...
+    assert(byType.getOrElse("update_preimage", 0L) ===
+      byType.getOrElse("update_postimage", 0L))
+    // ...whose user-visible columns are identical (only _seq moved)
+    val visible = changes.filter(col("_change_type").startsWith("update"))
+      .drop("_seq", "_commit_version")
+      .groupBy(changes.columns.filterNot(c =>
+        c == "_seq" || c == "_commit_version" || c == "_change_type").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    assert(visible.filter(col("n") =!= 2).count() === 0,
+      "every update pre/post pair must agree on user-visible columns")
+  }
+
   test("expired or unknown versions fail loudly") {
     val t = freshTable()
     t.write(rows(2, "h"), "seq")
