@@ -364,6 +364,39 @@ object WebLogQueries {
              |FROM events WHERE day(ts) = 2
              |GROUP BY 1, 2 ORDER BY hour, event""".stripMargin.replace("\n", " "))),
 
+    // §2.5 event-time windows in APPEND mode — the bounded-state
+    // production posture (complete mode above holds every window in
+    // state forever; append holds only windows the watermark hasn't
+    // closed). A window row is emitted exactly once, when the watermark
+    // (max event time − 2h) passes its end — so the final output is the
+    // hours finalized at end-of-stream, which the oracle recomputes
+    // from max(ts) directly. The AvailableNow no-data final batch is
+    // what flushes the last closable windows; the last 2h of the day
+    // stay open and must NOT appear.
+    Q("weblog_stream_hourly_append",
+      (s, d) => {
+        val typed = typedFileStream(s, d, "stream_append_raw",
+          dayofmonth(col("ts")) === 5)
+        val qname = s"wsha_${math.abs(d.hashCode)}"
+        val q = Ingest.hourlyEventCounts(typed, watermark = "2 hours")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname)
+          .select(tsStr(col("hour_start")).as("hour"), col("event"), col("cnt"))
+          .orderBy("hour", "event")
+      },
+      Some("""WITH src AS (SELECT date_trunc('second', ts) AS ts, event_type
+             |            FROM events WHERE day(ts) = 5),
+             |wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM src)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |       event_type AS event, count(*) AS cnt
+             |FROM src CROSS JOIN wm
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+             |GROUP BY 1, 2 ORDER BY hour, event""".stripMargin.replace("\n", " "))),
+
     // §2.5 in-stream keyed dedup on a real file stream: the raw zone is
     // written with every payload DUPLICATED (at-least-once delivery),
     // dropDuplicatesWithinWatermark collapses them inside the watermark,

@@ -178,6 +178,42 @@ class IcebergCdcSpec extends SparkTestBase {
       "every update pre/post pair must agree on user-visible columns")
   }
 
+  test("applying the changelog to a snapshot reconstructs the next snapshot") {
+    // the CDC contract, model-based: for every consecutive version pair
+    // across a mixed history (upserts, inserts, a delete, a compaction),
+    // state(v_{i+1}) == state(v_i) − (deleted ∪ update keys) ∪
+    // (inserts ∪ update postimages), as exact multisets.
+    val t = freshTable()
+    t.write(rows(24, "h0"), "seq")
+    t.write(rows(6, "h1").withColumn("seq", lit(2L))
+      .unionByName(rows(5, "h1", prefix = "n")), "seq")
+    t.delete(col("user_id").startsWith("n"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.write(rows(4, "h2").withColumn("seq", lit(3L)).repartition(8), "seq")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    t.maintain(fileThreshold = 1)
+    val vs = t.versions
+    assert(vs.size >= 4)
+    vs.zip(vs.tail).foreach { case (v1, v2) =>
+      val before = t.readAt(v1)
+      val after = t.readAt(v2)
+      val ch = t.changesBetween(v1, v2).cache()
+      val keys = Seq("user_id", "timestamp")
+      val removedKeys = ch
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .select(keys.map(col): _*)
+      val added = ch
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(before.columns.map(col): _*)
+      val rebuilt = before.join(removedKeys, keys, "left_anti")
+        .unionByName(added)
+      assert(rebuilt.exceptAll(after).count() === 0 &&
+        after.exceptAll(rebuilt).count() === 0,
+        s"changelog v$v1→v$v2 must reconstruct the snapshot")
+      ch.unpersist()
+    }
+  }
+
   test("expired or unknown versions fail loudly") {
     val t = freshTable()
     t.write(rows(2, "h"), "seq")
