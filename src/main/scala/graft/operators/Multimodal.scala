@@ -199,18 +199,120 @@ object Multimodal {
     }))
   }
 
-  /** Decode dispatch: image formats go through the real ImageIO path and
-    * audio formats through the real WAV path (stub fallback for payloads
-    * the JDK codecs cannot parse); only video stays stubbed. The WAV
-    * quad maps the audio notions onto the generic schema: width =
-    * sample rate, height = channels, frames = sample frames, intensity =
-    * mean absolute sample ([[extractAudioFeatures]] is the typed path).
+  /** Formats routed through the real AVI container parser. */
+  private val VideoFormats = Set("video", "avi")
+
+  /** REAL video-container metadata decode — a pure-JDK RIFF/AVI parser
+    * (no codec dependency exists in this environment, so frame PIXEL
+    * decode stays stubbed, but the container walk is real: `RIFF`/`AVI `
+    * magic, chunk traversal with word alignment, `LIST hdrl` descent,
+    * and the 56-byte `avih` main header). Returns `(width, height,
+    * total_frames, micro_sec_per_frame)`; `None` when the payload is
+    * not a parsable AVI, so callers can fall back.
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+      else {
+        var result: Option[(Int, Int, Int, Long)] = None
+        var off = 12
+        while (result.isEmpty && off + 8 <= bytes.length) {
+          val sz = u32(off + 4).toInt
+          if (fourcc(off) == "LIST" && off + 12 <= bytes.length &&
+              fourcc(off + 8) == "hdrl") {
+            val end = math.min(off + 8 + sz, bytes.length)
+            var in = off + 12
+            while (result.isEmpty && in + 8 <= end) {
+              val csz = u32(in + 4).toInt
+              if (fourcc(in) == "avih" && csz >= 40 && in + 8 + csz <= bytes.length) {
+                result = Some((u32(in + 8 + 32).toInt, u32(in + 8 + 36).toInt,
+                  u32(in + 8 + 16).toInt, u32(in + 8)))
+              }
+              in += 8 + csz + (csz & 1)
+            }
+          }
+          off += 8 + sz + (sz & 1)
+        }
+        result
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode a minimal AVI container (RIFF + `LIST hdrl`/`avih` + empty
+    * `LIST movi`) — the deterministic fixture generator for the real
+    * container-decode video gate and specs.
+    */
+  def encodeAvi(width: Int, height: Int, totalFrames: Int,
+      microSecPerFrame: Long): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(100)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = buf.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    cc("RIFF"); buf.putInt(92); cc("AVI ")
+    cc("LIST"); buf.putInt(68); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt(microSecPerFrame.toInt) // dwMicroSecPerFrame
+    buf.putInt(0); buf.putInt(0); buf.putInt(0) // maxBytesPerSec, padding, flags
+    buf.putInt(totalFrames); buf.putInt(0) // dwTotalFrames, dwInitialFrames
+    buf.putInt(1); buf.putInt(0) // dwStreams, dwSuggestedBufferSize
+    buf.putInt(width); buf.putInt(height)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0) // dwReserved
+    cc("LIST"); buf.putInt(4); cc("movi")
+    buf.array()
+  }
+
+  final case class VideoFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      fps: Double,
+      duration_sec: Double)
+
+  /** Batched REAL video-container feature extraction over AVI payloads
+    * (same mapPartitions shape as `extractFeatures`; undecodable rows
+    * are dropped — callers route them through the stubbed generic path
+    * instead). `fps` = 1e6/µs-per-frame, `duration_sec` =
+    * frames × µs-per-frame / 1e6 — both exact-integer-derived with one
+    * 6-decimal portable rounding.
+    */
+  def extractVideoFeatures(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+      decodeAvi(row.media).map { case (w, h, frames, uspf) =>
+        val fps = if (uspf == 0) 0.0 else math.round(1e6 / uspf * 1000000d) / 1000000d
+        val dur = math.round(frames.toLong * uspf / 1e6 * 1000000d) / 1000000d
+        VideoFeatures(row.doc_id, row.media.length.toLong, w, h, frames, fps, dur)
+      }
+    }))
+  }
+
+  /** Decode dispatch: image formats go through the real ImageIO path,
+    * audio formats through the real WAV path, and video formats through
+    * the real AVI container parser (stub fallback for payloads the
+    * parsers cannot read — only frame PIXEL decode remains stubbed,
+    * there being no video codec in the JDK). The non-image quads map
+    * their notions onto the generic schema: WAV → (rate, channels,
+    * sample frames, mean |sample|); AVI → (width, height, frames, fps)
+    * ([[extractAudioFeatures]]/[[extractVideoFeatures]] are the typed
+    * paths).
     */
   def decode(bytes: Array[Byte], format: String): (Int, Int, Int, Double) =
     if (ImageFormats(format)) decodeImage(bytes).getOrElse(decodeStub(bytes, format))
     else if (AudioFormats(format))
       decodeWav(bytes).map { case (rate, ch, frames, mean) =>
         (rate, ch, frames.toInt, mean)
+      }.getOrElse(decodeStub(bytes, format))
+    else if (VideoFormats(format))
+      decodeAvi(bytes).map { case (w, h, frames, uspf) =>
+        val fps = if (uspf == 0) 0.0 else math.round(1e6 / uspf * 1000000d) / 1000000d
+        (w, h, frames, fps)
       }.getOrElse(decodeStub(bytes, format))
     else decodeStub(bytes, format)
 

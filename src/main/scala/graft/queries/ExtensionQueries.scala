@@ -1162,6 +1162,36 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // REAL video-container decode (pure-JDK RIFF/AVI parser — magic,
+    // aligned chunk walk, LIST-hdrl descent, avih main header) over
+    // generated AVI fixtures; the oracle predicts width/height/frames/
+    // fps/duration analytically from the generation formulas, which the
+    // byte-level stub could never match. Frame PIXEL decode remains the
+    // one honest stub (no video codec exists in the JDK).
+    Q("multimodal_video",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select("doc_id").as[Long].map { id =>
+          val w = 160 + (id % 16).toInt * 8
+          val h = 90 + (id % 9).toInt * 8
+          val frames = 24 + (id % 240).toInt
+          val uspf = 20000L + (id % 5) * 10000L
+          Multimodal.MediaRow(id, Multimodal.encodeAvi(w, h, frames, uspf), "avi")
+        }
+        Multimodal.extractVideoFeatures(media).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_frames"), col("fps"), col("duration_sec"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(160 + (doc_id % 16) * 8 AS INT) AS width,
+             |CAST(90 + (doc_id % 9) * 8 AS INT) AS height,
+             |CAST(24 + doc_id % 240 AS INT) AS n_frames,
+             |round(1e6 / (20000 + (doc_id % 5) * 10000) * 1e6, 0) / 1e6 AS fps,
+             |round(CAST((24 + doc_id % 240) * (20000 + (doc_id % 5) * 10000) AS DOUBLE) / 1e6 * 1e6, 0) / 1e6 AS duration_sec
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes
     // them from octet_length alone.

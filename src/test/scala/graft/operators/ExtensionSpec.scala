@@ -429,6 +429,26 @@ class ExtensionSpec extends SparkTestBase {
       Multimodal.decodeStub(garbage, "audio"))
   }
 
+  test("multimodal: real AVI container decode, stub only for undecodable video") {
+    val avi = Multimodal.encodeAvi(640, 360, 240, 33333L)
+    val Some((w, h, frames, uspf)) = Multimodal.decodeAvi(avi)
+    assert((w, h, frames, uspf) == (640, 360, 240, 33333L))
+    // dispatch maps the video quad (width, height, frames, fps)
+    assert(Multimodal.decode(avi, "video") == (640, 360, 240, 30.0003))
+    // typed path: fps and duration derived from the header exactly
+    import spark.implicits._
+    val vf = Multimodal.extractVideoFeatures(
+      Seq(Multimodal.MediaRow(1L, avi, "avi")).toDS()).collect()
+    assert(vf.length == 1)
+    assert(vf(0).fps == 30.0003 && vf(0).duration_sec == 7.99992)
+    // truncated container and non-RIFF payloads fall back
+    assert(Multimodal.decodeAvi(java.util.Arrays.copyOf(avi, 30)).isEmpty)
+    val garbage = "definitely not an avi".getBytes("UTF-8")
+    assert(Multimodal.decodeAvi(garbage).isEmpty)
+    assert(Multimodal.decode(garbage, "video") ==
+      Multimodal.decodeStub(garbage, "video"))
+  }
+
   test("multimodal resize and frame sampling keep batch plumbing intact") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val resized = Multimodal.resize(media, 32, 32)
