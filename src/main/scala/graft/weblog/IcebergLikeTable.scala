@@ -245,6 +245,25 @@ final case class IcebergLikeTable(
     base.withColumn("_commit_version", lit(toVersion))
   }
 
+  /** Roll the live table back to a retained historical snapshot
+    * (Iceberg's `rollback_to_snapshot`): commits a NEW version whose
+    * file list is the historical manifest's. History stays create-only
+    * — nothing is deleted by the rollback itself, so the rolled-over
+    * versions remain readable until retention expires them, and
+    * [[changesBetween]] from the bad version to the rollback commit
+    * emits exactly the inverse changes (the un-do, CDC-consumable).
+    * O(1) data I/O at any table size: no file is moved or rewritten,
+    * the commit is one manifest create. Returns the new live version.
+    */
+  def rollbackTo(version: Long): Long = {
+    val files = manifestAt(version)
+    val (liveVersion, _) = resolveLive()
+    val newVersion = nextVersion(liveVersion)
+    Manifests.write(fs, root, newVersion, files)
+    expireSnapshots()
+    newVersion
+  }
+
   private def manifestAt(version: Long): Seq[String] =
     Manifests.at(fs, root, version).getOrElse(
       throw new NoSuchElementException(

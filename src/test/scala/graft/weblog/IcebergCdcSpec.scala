@@ -214,6 +214,31 @@ class IcebergCdcSpec extends SparkTestBase {
     }
   }
 
+  test("rollback commits the historical file set; CDC shows the inverse") {
+    val t = freshTable()
+    t.write(rows(12, "good"), "seq")
+    val v1 = t.currentVersion.get
+    t.write(rows(4, "bad").withColumn("seq", lit(2L))
+      .unionByName(rows(3, "bad", prefix = "x")), "seq")
+    val v2 = t.currentVersion.get
+    val v3 = t.rollbackTo(v1)
+    assert(t.currentVersion.get === v3)
+    // live state is exactly the v1 snapshot again (no file was rewritten)
+    assert(t.read.exceptAll(t.readAt(v1)).count() === 0 &&
+      t.readAt(v1).exceptAll(t.read).count() === 0)
+    // the bad version stays readable until retention expires it
+    assert(t.readAt(v2).filter(col("hostname") === "bad").count() === 7L)
+    // the rollback's changelog is the inverse of the bad commit's:
+    // updates swap pre/post images, the bad inserts become deletes
+    val undo = t.changesBetween(v2, v3)
+      .groupBy("_change_type", "hostname").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(undo(("update_preimage", "bad")) === 4L)
+    assert(undo(("update_postimage", "good")) === 4L)
+    assert(undo(("delete", "bad")) === 3L)
+    assert(!undo.keys.exists(_._1 == "insert"))
+  }
+
   test("expired or unknown versions fail loudly") {
     val t = freshTable()
     t.write(rows(2, "h"), "seq")
