@@ -75,6 +75,13 @@ object Bench {
         .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
           concat(col("text"), lit(" rep"), col("rep")).as("text"))
         .write.mode("overwrite").parquet(s"$scratch/docs10x")
+      // embedding twin for the binary-ANN leg: the Hamming scan is
+      // corpus-size-linear by construction; the probe verifies it
+      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      emb.write.mode("overwrite").parquet(s"$scratch/emb1x")
+      emb.crossJoin(spark.range(10).select(col("id").as("rep")))
+        .select((col("vec_id") * 10 + col("rep")).as("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(s"$scratch/emb10x")
       def cold(f: () => Long): Double = {
         // drain the headline canon's garbage first: a GC pause landing
         // inside one leg skews the RATIO (r5 observed 13.6× vs ~3.3×
@@ -91,11 +98,18 @@ object Bench {
         "span_removal_1x" ->
           cold(() => operators.Dedup.removeDuplicateSpans(read("docs1x")).count()),
         "span_removal_10x" ->
-          cold(() => operators.Dedup.removeDuplicateSpans(read("docs10x")).count()))
+          cold(() => operators.Dedup.removeDuplicateSpans(read("docs10x")).count()),
+        "binary_topk_1x" ->
+          cold(() => operators.Similarity.binaryTopK(read("emb1x"),
+            read("emb1x").filter(col("vec_id") < 10), k = 5, dim = 64).count()),
+        "binary_topk_10x" ->
+          cold(() => operators.Similarity.binaryTopK(read("emb10x"),
+            read("emb10x").filter(col("vec_id") < 10), k = 5, dim = 64).count()))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
       val ratios = Seq(
         "minhash_keepers_ratio" -> out(1)._2 / out(0)._2,
-        "span_removal_ratio" -> out(3)._2 / out(2)._2)
+        "span_removal_ratio" -> out(3)._2 / out(2)._2,
+        "binary_topk_ratio" -> out(5)._2 / out(4)._2)
       out ++ ratios
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }
