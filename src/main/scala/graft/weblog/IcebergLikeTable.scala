@@ -170,7 +170,12 @@ final case class IcebergLikeTable(
     *
     * Keyed tables only — key-less tables are append-only (appends never
     * invalidate files), so their incremental read is just the new files;
-    * [[appendsBetween]] serves that path.
+    * [[appendsBetween]] serves that path. Caveat (same scoping as the
+    * merge itself): key uniqueness is enforced per `(event, gbucket)`
+    * leaf, so a key that was re-sent under a DIFFERENT event value has
+    * one live row per event; if both such leaves change in the window,
+    * the key joins many-to-many and its change rows should be read
+    * per-event (include `event` in the consumer's key).
     */
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     require(uniqueKeys.nonEmpty,
