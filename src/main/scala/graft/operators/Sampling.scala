@@ -105,6 +105,34 @@ object Sampling {
     * with duplicate ids the running sum's tie order, and therefore which
     * boundary doc is kept, would be layout-dependent.
     */
+  /** Leakage-safe train/val/test splitting: the split is a pure hash of
+    * a GROUP key, so every row sharing the key — all pages of a domain,
+    * all members of a near-dup cluster — lands in the SAME split. That
+    * grouping is what prevents test-set leakage: splitting i.i.d. by row
+    * puts one copy of a duplicated document in train and another in
+    * test. A scan-stage projection: no shuffle, no RNG state, identical
+    * assignment on any partition layout and any re-run (rows added later
+    * join the same split as their group), and the replayable md5 uniform
+    * ([[hashUniform]]) lets any engine audit the assignment. Cumulative
+    * bounds are accumulated in BigDecimal so `0.8 + 0.1` is the literal
+    * `0.9` in every engine, not double drift. Fractions must sum to 1.
+    */
+  def assignSplit(df: DataFrame, groupCol: String,
+      fractions: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "split fractions must be positive")
+    require((fractions.map(f => BigDecimal.valueOf(f._2)).sum - 1).abs < BigDecimal("1e-9"),
+      "split fractions must sum to 1")
+    val u = hashUniform(col(groupCol))
+    val bounds = fractions.map(f => BigDecimal.valueOf(f._2))
+      .scanLeft(BigDecimal(0))(_ + _).tail.map(_.toDouble)
+    val assigned = fractions.zip(bounds).init
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), ub), acc) =>
+        when(u < lit(ub), lit(name)).otherwise(acc)
+      }
+    df.withColumn(splitCol, assigned)
+  }
+
   def mixByTokenBudget(df: DataFrame, sourceCol: String, idCol: String,
       tokensCol: String, budgets: Map[String, Long]): DataFrame = {
     val b: Column = budgets.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>

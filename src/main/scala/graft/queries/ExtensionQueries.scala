@@ -1002,6 +1002,70 @@ object ExtensionQueries {
              |FROM (SELECT * FROM k ORDER BY wk DESC, doc_id LIMIT 200)
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
+    // leakage-safe split by domain: every page of a source lands in the
+    // same train/val/test split (hash-of-group assignment, no RNG); the
+    // oracle replays the md5 uniform and the exact cumulative bounds.
+    Q("corpus_split",
+      (s, d) => graft.operators.Sampling.assignSplit(
+          Tables.documents(s, d), "source",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "source", "split").orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, source,
+             |         list_reduce(list_transform(range(1, 16),
+             |           i -> strpos('0123456789abcdef',
+             |                  substring(md5(source), CAST(i AS INT), 1)) - 1),
+             |           (a, b) -> a * 16 + b) AS hv
+             |  FROM documents)
+             |SELECT doc_id, source,
+             |       CASE WHEN CAST(hv AS DOUBLE) / 1152921504606846976.0 < 0.8 THEN 'train'
+             |            WHEN CAST(hv AS DOUBLE) / 1152921504606846976.0 < 0.9 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // leakage-safe split by NEAR-DUP CLUSTER — the training-data version:
+    // near-duplicate documents must never straddle train and test, so
+    // the split key is the connected-component label of the MinHash
+    // near-dup graph (singletons key on themselves). The oracle rebuilds
+    // the exact pair graph + components with a recursive CTE, then
+    // replays the same hash split on the cluster label — end-to-end
+    // hash-checked leakage safety.
+    Q("corpus_split_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashDedupPairs(docs, threshold = 0.8)
+          .select("id_a", "id_b")
+        val labels = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+        graft.operators.Sampling.assignSplit(
+            docs.join(labels, Seq("doc_id"), "left_outer")
+              .withColumn("cluster", coalesce(col("cluster"), col("doc_id"))),
+            "cluster", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "cluster", "split").orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |good AS (SELECT id_a, id_b FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |         WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b, id_a FROM good),
+             |reach(id, r) AS (SELECT src, src FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |lab AS (SELECT d.doc_id, coalesce(comp.cluster, d.doc_id) AS cluster
+             |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id),
+             |h AS (SELECT doc_id, cluster,
+             |        list_reduce(list_transform(range(1, 16),
+             |          i -> strpos('0123456789abcdef',
+             |                 substring(md5(CAST(cluster AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+             |          (a, b) -> a * 16 + b) AS hv
+             |      FROM lab)
+             |SELECT doc_id, cluster,
+             |       CASE WHEN CAST(hv AS DOUBLE) / 1152921504606846976.0 < 0.8 THEN 'train'
+             |            WHEN CAST(hv AS DOUBLE) / 1152921504606846976.0 < 0.9 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // per-source cap ("at most N pages per domain", C4/RefinedWeb rule),
     // preferring the longest documents, ties on doc_id. The rank filter
     // becomes a WindowGroupLimit per-partition top-N — O(N) state per

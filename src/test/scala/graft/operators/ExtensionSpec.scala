@@ -144,6 +144,42 @@ class ExtensionSpec extends SparkTestBase {
     assert(hits >= 12, s"binary-quantization recall@1 too low: $hits/20")
   }
 
+  test("leakage-safe split: group-keyed, deterministic, roughly proportioned") {
+    import graft.operators.Sampling
+    val split = Sampling.assignSplit(docs, "source",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // every group lands wholly in one split — the leakage-safety contract
+    assert(split.groupBy("source")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() === 0)
+    // deterministic across evaluations
+    val again = Sampling.assignSplit(docs, "source",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).count() === 0)
+    // all three splits realized; train is the (group-level) majority
+    val bySplit = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    // invalid fractions refuse
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(docs, "source", Seq("a" -> 0.5, "b" -> 0.4)))
+    // near-dup-cluster keying: members of a pair never straddle splits
+    val pairs = Dedup.minhashDedupPairs(docs, threshold = 0.8).select("id_a", "id_b")
+    val labels = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+    val byCluster = Sampling.assignSplit(
+      docs.join(labels, Seq("doc_id"), "left_outer")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id"))),
+      "cluster", Seq("train" -> 0.9, "test" -> 0.1))
+    val sOf = byCluster.select(col("doc_id"), col("split"))
+    assert(pairs
+      .join(sOf.toDF("id_a", "sa"), "id_a")
+      .join(sOf.toDF("id_b", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count() === 0,
+      "a near-dup pair must never straddle train and test")
+  }
+
   test("unigram perplexity: exact values on a hand corpus, outliers score high") {
     import spark.implicits._
     // counts: a=2, b=1, c=1 → T=4, V=3, denominator 7
