@@ -948,6 +948,39 @@ object ExtensionQueries {
              |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // perplexity AS the filter — the CCNet recipe end-to-end: train the
+    // unigram LM on the corpus, score every doc, keep the at-or-below-
+    // median half ("looks like the corpus"). The oracle retrains the LM,
+    // rescores, recomputes the median (quantile_cont ≡ Spark median on
+    // identical rounded inputs), and refilters — the full selection is
+    // hash-checked, not just the scores.
+    Q("pipeline_perplexity_corpus",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = TextAnalysis.unigramPerplexity(docs)
+        val med = scored.agg(round(median(col("ppl")), 6).as("med"))
+        scored.crossJoin(broadcast(med))
+          .filter(col("ppl") <= col("med"))
+          .join(docs.select("doc_id", "lang", "source"), "doc_id")
+          .select("doc_id", "lang", "source", "ppl")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+             |tc AS (SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+             |vocab AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tc GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS T, count(*) AS V FROM vocab),
+             |term AS (SELECT doc_id, tf,
+             |           CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / CAST(T + V AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l
+             |         FROM tc JOIN vocab USING (token) CROSS JOIN tot),
+             |sc AS (SELECT doc_id,
+             |         round(exp(CAST(-sum(CAST(tf AS DECIMAL(18,6)) * l) AS DOUBLE)
+             |               / CAST(sum(tf) AS BIGINT)), 3) AS ppl
+             |       FROM term GROUP BY 1),
+             |m AS (SELECT round(median(ppl), 6) AS med FROM sc)
+             |SELECT doc_id, lang, source, ppl
+             |FROM sc CROSS JOIN m JOIN documents USING (doc_id)
+             |WHERE ppl <= med ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
     // token-budget data mixing: per-source floors in deterministic id
     // order — the mixture-weights step, reproducible and auditable; the
     // oracle replays the same cumsum-window rule.

@@ -314,6 +314,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("split assignment is a pure scan-stage projection — no hash exchange") {
+    val p = plan("corpus_split")
+    // the gate's ORDER BY adds one range exchange for output
+    // determinism; the assignment itself must add none
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash-of-group split must not shuffle:\n$p")
+  }
+
   test("forecast revenue is a pushed-filter scan plus one partial aggregate") {
     val p = plan("q_forecast_revenue")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
