@@ -221,22 +221,33 @@ object Multimodal {
       else {
         var result: Option[(Int, Int, Int, Long)] = None
         var off = 12
-        while (result.isEmpty && off + 8 <= bytes.length) {
+        var malformed = false
+        while (result.isEmpty && !malformed && off + 8 <= bytes.length) {
+          // u32 sizes above Int.MaxValue wrap negative; a negative (or
+          // otherwise non-advancing) size would loop forever — bail out.
           val sz = u32(off + 4).toInt
-          if (fourcc(off) == "LIST" && off + 12 <= bytes.length &&
-              fourcc(off + 8) == "hdrl") {
-            val end = math.min(off + 8 + sz, bytes.length)
-            var in = off + 12
-            while (result.isEmpty && in + 8 <= end) {
-              val csz = u32(in + 4).toInt
-              if (fourcc(in) == "avih" && csz >= 40 && in + 8 + csz <= bytes.length) {
-                result = Some((u32(in + 8 + 32).toInt, u32(in + 8 + 36).toInt,
-                  u32(in + 8 + 16).toInt, u32(in + 8)))
+          if (sz < 0) malformed = true
+          else {
+            if (fourcc(off) == "LIST" && off + 12 <= bytes.length &&
+                fourcc(off + 8) == "hdrl") {
+              val end = math.min(off + 8 + sz, bytes.length)
+              var in = off + 12
+              while (result.isEmpty && !malformed && in + 8 <= end) {
+                val csz = u32(in + 4).toInt
+                if (csz < 0) malformed = true
+                else {
+                  if (fourcc(in) == "avih" && csz >= 40 && in + 8 + csz <= bytes.length) {
+                    result = Some((u32(in + 8 + 32).toInt, u32(in + 8 + 36).toInt,
+                      u32(in + 8 + 16).toInt, u32(in + 8)))
+                  }
+                  val nextIn = in + 8 + csz + (csz & 1)
+                  if (nextIn <= in) malformed = true else in = nextIn
+                }
               }
-              in += 8 + csz + (csz & 1)
             }
+            val next = off + 8 + sz + (sz & 1)
+            if (next <= off) malformed = true else off = next
           }
-          off += 8 + sz + (sz & 1)
         }
         result
       }

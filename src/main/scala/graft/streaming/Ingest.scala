@@ -84,7 +84,13 @@ object Ingest {
           .withColumn("_seq", struct(
             lit(batchId).as("batch"),
             monotonically_increasing_id().as("mid")))
-        table.write(parsed, "_seq")
+        // (checkpoint, batchId) is the exactly-once replay mark: the
+        // checkpoint dir is stable across restarts and unique per query,
+        // so a batch replayed after a crash between the table commit and
+        // the checkpoint write is skipped, not re-appended (the
+        // at-least-once gap of the reference's Firehose delivery,
+        // firehose.py:131-133).
+        table.write(parsed, "_seq", Some((checkpoint, batchId)))
         Zones.writeErrors(bad, errorZone)
         ()
       }

@@ -1,9 +1,10 @@
 package graft.weblog
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Iceberg-style append/upsert table without an Iceberg runtime
   * (reference operators S10/T3, SURVEY.md §2.1). The reference's Firehose
@@ -56,8 +57,19 @@ import org.apache.spark.sql.functions._
   *    policy on demand. A reader more than `retainVersions` commits
   *    stale can race GC — the standard retention trade; size
   *    `retainVersions` to the read horizon.
-  * Writers are single-writer-at-a-time (the reference's Firehose is a
-  * single delivery stream per table); readers need no coordination.
+  *  - **Optimistic concurrency** (Iceberg's commit model): versions are
+  *    sequential, so writers racing from the same base claim the SAME
+  *    manifest name; the create-only CAS ([[Manifests.write]]) lets
+  *    exactly one win, and the loser re-resolves, redoes its merge, and
+  *    retries ([[withCommitRetry]]) — no lost update. The reference
+  *    needs only one writer (a single Firehose stream per table,
+  *    `firehose_to_iceberg.py:111-117`), but compaction/GDPR/maintenance
+  *    jobs beside the ingest writer make the guard worth having.
+  *  - **Exactly-once append under replay**: an `appendId = (streamId,
+  *    batchId)` records a per-stream high-water mark in the manifest
+  *    metadata atomically with the commit; a replayed micro-batch is
+  *    skipped (see [[append]]).
+  * Readers need no coordination.
   */
 final case class IcebergLikeTable(
     spark: SparkSession,
@@ -93,17 +105,96 @@ final case class IcebergLikeTable(
   /** The live snapshot version, if the table has committed at all. */
   def currentVersion: Option[Long] = versions.lastOption
 
-  /** The live (version, files) pair, resolved in ONE metadata round trip
-    * per operation — (0, Nil) for a table that has never committed. Data
-    * files on disk but in no manifest are dormant by protocol (debris of
-    * a crashed commit at worst) and are never read; [[vacuum]] sweeps
-    * them.
+  /** The live (version, snapshot) pair, resolved in ONE metadata round
+    * trip per operation — (0, empty) for a table that has never
+    * committed. Data files on disk but in no manifest are dormant by
+    * protocol (debris of a crashed or conflict-losing commit at worst)
+    * and are never read; [[vacuum]] sweeps them.
     */
-  private def resolveLive(): (Long, Seq[String]) =
-    Manifests.resolve(fs, root).getOrElse((0L, Nil))
+  private def resolveLive(): (Long, Manifests.Snapshot) =
+    Manifests.resolveSnapshot(fs, root)
+      .getOrElse((0L, Manifests.Snapshot(Nil, Map.empty)))
 
-  /** The live snapshot's data files, relative to the table root. */
-  private def liveFiles: Seq[String] = resolveLive()._2
+  /** Manifest metadata key holding the table schema (StructType JSON) —
+    * read planning resolves schema from here, not from parquet footers.
+    */
+  private val SchemaKey = "schema"
+
+  /** Manifest metadata key prefix for per-stream append high-water
+    * marks (exactly-once micro-batch replay; see [[append]]).
+    */
+  private val HwmPrefix = "hwm."
+
+  private def storedSchema(meta: Map[String, String]): Option[StructType] =
+    meta.get(SchemaKey).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** URL-encoding keeps arbitrary stream ids (checkpoint paths) inside
+    * the manifest header's single-line, '='-free key grammar, injectively.
+    */
+  private def hwmKey(streamId: String): String =
+    HwmPrefix + java.net.URLEncoder.encode(streamId, "UTF-8")
+
+  private def hwmOf(meta: Map[String, String]): Map[String, String] =
+    meta.view.filterKeys(_.startsWith(HwmPrefix)).toMap
+
+  /** True iff this (streamId, batchId) append was already committed —
+    * the batch is a micro-batch replay and must be skipped.
+    */
+  private def alreadyApplied(meta: Map[String, String],
+      appendId: Option[(String, Long)]): Boolean =
+    appendId.exists { case (stream, batch) =>
+      meta.get(hwmKey(stream)).flatMap(_.toLongOption).exists(_ >= batch)
+    }
+
+  /** The committed table schema for this commit: stored data fields
+    * first (in stored order), genuinely new data fields appended, layout
+    * /partition fields last — the same column order a footer-merged read
+    * produced, so stamping the schema is invisible to readers. Shared
+    * names must type-match: schema evolution is add-column-only.
+    */
+  private def commitSchema(prev: Option[StructType], df: StructType): StructType = {
+    prev.foreach { p =>
+      val pTypes = p.fields.map(f => f.name -> f.dataType).toMap
+      df.fields.foreach { f =>
+        pTypes.get(f.name).foreach { t =>
+          require(nullableOf(t) == nullableOf(f.dataType),
+            s"schema evolution is add-column-only: column '${f.name}' is $t " +
+              s"in the table but ${f.dataType} in this commit")
+        }
+      }
+    }
+    def dataFields(s: StructType): Array[StructField] =
+      s.fields.filterNot(f => partCols.contains(f.name))
+    val prevData = prev.map(dataFields).getOrElse(Array.empty[StructField])
+    val prevNames = prevData.map(_.name).toSet
+    val newData = dataFields(df).filterNot(f => prevNames.contains(f.name))
+    val partFields = partCols.map { c =>
+      df.fields.find(_.name == c)
+        .orElse(prev.flatMap(_.fields.find(_.name == c)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"commit is missing partition column '$c'"))
+    }
+    // everything nullable: evolved reads null-fill rows written before a
+    // column existed, so no field can promise non-null across versions
+    StructType((prevData ++ newData ++ partFields)
+      .map(f => StructField(f.name, nullableOf(f.dataType), nullable = true)))
+  }
+
+  /** Recursively nullable twin of a type — nullability is a property of
+    * the rows a field happened to hold, not of table identity, so
+    * stored-vs-commit comparison and the stamped schema both normalize.
+    */
+  private def nullableOf(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        StructField(f.name, nullableOf(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      org.apache.spark.sql.types.ArrayType(nullableOf(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      org.apache.spark.sql.types.MapType(
+        nullableOf(m.keyType), nullableOf(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 
   private def walkDataFiles(): Seq[String] = {
     if (!exists) return Nil
@@ -121,37 +212,46 @@ final case class IcebergLikeTable(
   /** Read an explicit snapshot file set; `basePath` recovers the
     * partition columns from the relative leaf paths, and the resulting
     * file index still partition-prunes on `event`/`gbucket` filters.
-    * `mergeSchema` unions per-file schemas so files written before a
-    * column was added read as null for it (add-column schema evolution;
-    * real Iceberg resolves this from table metadata instead of footers —
-    * stamping the schema into the manifest is the equivalent follow-up
-    * if footer reads ever show up at scale).
+    *
+    * Schema comes from the manifest stamp (like real Iceberg's table
+    * metadata): planning opens ZERO parquet footers, an O(1) win over
+    * footer-merge that matters at millions of files, and files written
+    * before a column was added read null for it (add-column evolution)
+    * because the parquet reader matches fields by name. Manifests from
+    * before the stamp existed (no `schema` meta) fall back to the old
+    * `mergeSchema` footer union. A snapshot whose file list is empty
+    * (e.g. a [[delete]] erased every row) reads as an empty, correctly
+    * typed DataFrame when the schema is stamped.
     */
-  private def readFileSet(files: Seq[String]): DataFrame = {
-    require(files.nonEmpty, s"empty snapshot under $path")
-    spark.read.option("basePath", path).option("mergeSchema", "true")
-      .parquet(files.map(f => s"$path/$f"): _*)
+  private def readFileSet(files: Seq[String],
+      schema: Option[StructType]): DataFrame = schema match {
+    case Some(s) if files.isEmpty =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    case Some(s) =>
+      spark.read.option("basePath", path).schema(s)
+        .parquet(files.map(f => s"$path/$f"): _*)
+    case None =>
+      require(files.nonEmpty, s"empty snapshot under $path")
+      spark.read.option("basePath", path).option("mergeSchema", "true")
+        .parquet(files.map(f => s"$path/$f"): _*)
   }
+
+  private def readSnapshot(snap: Manifests.Snapshot): DataFrame =
+    readFileSet(snap.files, storedSchema(snap.meta))
 
   /** User-facing read of the live snapshot: the internal bucket column
     * is layout, not schema.
     */
-  def read: DataFrame =
-    if (uniqueKeys.isEmpty) readRaw else readRaw.drop(bucketCol)
-
-  /** Time travel: read a retained historical snapshot by version. */
-  def readAt(version: Long): DataFrame = {
-    val files = Manifests.at(fs, root, version).getOrElse(
-      throw new NoSuchElementException(
-        s"snapshot v$version not found (expired or never committed) under $path"))
-    val df = readFileSet(files)
+  def read: DataFrame = {
+    val df = readSnapshot(resolveLive()._2)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
 
-  /** Raw live read including the layout columns (merge/maintenance
-    * internals).
-    */
-  private def readRaw: DataFrame = readFileSet(liveFiles)
+  /** Time travel: read a retained historical snapshot by version. */
+  def readAt(version: Long): DataFrame = {
+    val df = readSnapshot(snapshotAt(version))
+    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+  }
 
   /** Incremental/CDC read (Iceberg's changelog scan, Delta's CDF): the
     * row-level changes between two retained snapshots, emitted as
@@ -180,9 +280,13 @@ final case class IcebergLikeTable(
   def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     require(uniqueKeys.nonEmpty,
       "changesBetween requires declared unique_keys; use appendsBetween for append-only tables")
-    val (oldFiles, newFiles) = changedLeafFiles(fromVersion, toVersion)
-    val oldDf = if (oldFiles.isEmpty) None else Some(readFileSet(oldFiles).drop(bucketCol))
-    val newDf = if (newFiles.isEmpty) None else Some(readFileSet(newFiles).drop(bucketCol))
+    val fromSnap = snapshotAt(fromVersion)
+    val toSnap = snapshotAt(toVersion)
+    val (oldFiles, newFiles) = changedLeafFiles(fromSnap.files, toSnap.files)
+    val oldDf = if (oldFiles.isEmpty) None
+      else Some(readFileSet(oldFiles, storedSchema(fromSnap.meta)).drop(bucketCol))
+    val newDf = if (newFiles.isEmpty) None
+      else Some(readFileSet(newFiles, storedSchema(toSnap.meta)).drop(bucketCol))
 
     def tagged(df: DataFrame, tag: String): DataFrame =
       df.select(lit(tag).as("_change_type") +: df.columns.map(col): _*)
@@ -190,15 +294,30 @@ final case class IcebergLikeTable(
 
     (oldDf, newDf) match {
       case (None, None) =>
-        // no leaf changed at all — an empty, correctly-typed changelog
-        tagged(read.limit(0), "insert")
+        // no leaf changed at all — an empty, correctly-typed changelog.
+        // Typed from the toVersion schema stamp, so this works even when
+        // the live manifest holds zero files (a delete() erased all rows)
+        val base =
+          if (storedSchema(toSnap.meta).isDefined)
+            readSnapshot(toSnap.copy(files = Nil))
+          else readSnapshot(toSnap).limit(0) // legacy unstamped manifest
+        tagged(base.drop(bucketCol), "insert")
       case (None, Some(n)) => tagged(n, "insert")
       case (Some(o), None) => tagged(o, "delete")
       case (Some(o), Some(n)) =>
         // align schemas across the snapshots (add-column evolution): a
-        // column only one side carries reads null on the other
+        // column only one side carries reads null on the other. Shared
+        // names must agree on type — add-column-only is the contract,
+        // and a silent preference would miscompare rather than fail.
         val fields = (o.schema.fields ++ n.schema.fields)
-          .groupBy(_.name).view.mapValues(_.head).toMap
+          .groupBy(_.name).view.mapValues { fs =>
+            val types = fs.map(f => nullableOf(f.dataType)).distinct
+            require(types.size == 1,
+              s"column '${fs.head.name}' has diverging types across " +
+                s"snapshots v$fromVersion..v$toVersion (${types.mkString(" vs ")}); " +
+                "schema evolution is add-column-only")
+            fs.head
+          }.toMap
         val allCols = (o.columns ++ n.columns.filterNot(o.columns.contains)).toSeq
         def aligned(df: DataFrame): DataFrame = df.select(allCols.map { c =>
           if (df.columns.contains(c)) col(c)
@@ -236,15 +355,18 @@ final case class IcebergLikeTable(
     * rows) by requiring the window to be rewrite-free.
     */
   def appendsBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    val from = manifestAt(fromVersion).toSet
-    val to = manifestAt(toVersion)
-    require(from.subsetOf(to.toSet),
+    val from = snapshotAt(fromVersion).files.toSet
+    val toSnap = snapshotAt(toVersion)
+    require(from.subsetOf(toSnap.files.toSet),
       s"snapshot window v$fromVersion..v$toVersion removed files (a rewrite " +
         "or delete ran); use a keyed table + changesBetween for row-level CDC")
-    val added = to.filterNot(from)
-    val base = if (added.isEmpty) read.limit(0)
-    else {
-      val df = readFileSet(added)
+    val added = toSnap.files.filterNot(from)
+    val base = {
+      val df =
+        if (added.nonEmpty) readFileSet(added, storedSchema(toSnap.meta))
+        else if (storedSchema(toSnap.meta).isDefined)
+          readSnapshot(toSnap.copy(files = Nil))
+        else readSnapshot(toSnap).limit(0) // legacy unstamped manifest
       if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
     }
     base.withColumn("_commit_version", lit(toVersion))
@@ -260,26 +382,30 @@ final case class IcebergLikeTable(
     * O(1) data I/O at any table size: no file is moved or rewritten,
     * the commit is one manifest create. Returns the new live version.
     */
-  def rollbackTo(version: Long): Long = {
-    val files = manifestAt(version)
-    val (liveVersion, _) = resolveLive()
+  def rollbackTo(version: Long): Long = withCommitRetry {
+    val target = snapshotAt(version)
+    val (liveVersion, live) = resolveLive()
     val newVersion = nextVersion(liveVersion)
-    Manifests.write(fs, root, newVersion, files)
+    // roll back to the target's files AND schema (a rollback across an
+    // add-column commit restores the pre-evolution schema); the append
+    // high-water marks are the LIVE ones — the stream's replay cursor
+    // is independent of which snapshot the data rolled to.
+    val meta = hwmOf(live.meta) ++
+      target.meta.get(SchemaKey).map(SchemaKey -> _)
+    Manifests.write(fs, root, newVersion, target.files, meta)
     expireSnapshots()
     newVersion
   }
 
-  private def manifestAt(version: Long): Seq[String] =
-    Manifests.at(fs, root, version).getOrElse(
+  private def snapshotAt(version: Long): Manifests.Snapshot =
+    Manifests.snapshotAt(fs, root, version).getOrElse(
       throw new NoSuchElementException(
         s"snapshot v$version not found (expired or never committed) under $path"))
 
   /** The per-snapshot files of leaves whose file set differs between two
     * retained snapshots — the only leaves that can contain row changes.
     */
-  private def changedLeafFiles(fromVersion: Long, toVersion: Long): (Seq[String], Seq[String]) = {
-    val from = manifestAt(fromVersion)
-    val to = manifestAt(toVersion)
+  private def changedLeafFiles(from: Seq[String], to: Seq[String]): (Seq[String], Seq[String]) = {
     val fromByLeaf = from.groupBy(leafOf).view.mapValues(_.toSet).toMap
     val toByLeaf = to.groupBy(leafOf).view.mapValues(_.toSet).toMap
     val changed = (fromByLeaf.keySet ++ toByLeaf.keySet).filter { l =>
@@ -291,36 +417,73 @@ final case class IcebergLikeTable(
   /** T3: the routing decision the transformer stamps on every record. */
   def operation: String = if (uniqueKeys.isEmpty) "insert" else "update"
 
-  /** THE commit choreography, shared by append, upsert, and maintain:
-    * stage `df` partitioned by the layout columns, import the staged
-    * tree under version-unique names (dormant), then publish
-    * `carryOver(imported) ++ imported` as one manifest create — the
-    * commit point. `carryOver` sees the imported relative paths so
-    * leaf-rewrite commits can derive "previous files outside the
-    * rewritten leaves" from the actual import (never string-formatted
-    * from partition values, so value escaping can't diverge).
+  /** THE commit choreography, shared by append, upsert, delete, and
+    * maintain: stage `df` partitioned by the layout columns, import the
+    * staged tree under version-and-writer-unique names (dormant), then
+    * publish `carryOver(imported) ++ imported` plus the metadata header
+    * (schema stamp, carried-forward append high-water marks) as one
+    * manifest create — the commit point. `carryOver` sees the imported
+    * relative paths so leaf-rewrite commits can derive "previous files
+    * outside the rewritten leaves" from the actual import (never
+    * string-formatted from partition values, so value escaping can't
+    * diverge).
+    *
+    * Concurrency: the manifest create is a CAS on the version name
+    * ([[Manifests.write]]); losing the race throws
+    * [[Manifests.CommitConflictException]] after deleting this writer's
+    * imported files — callers ([[withCommitRetry]]) re-resolve the live
+    * snapshot and redo their merge against it, so no update is lost.
     */
-  private def commit(df: DataFrame, baseVersion: Long)(
+  private def commit(df: DataFrame, baseVersion: Long,
+      baseMeta: Map[String, String], extraMeta: Map[String, String] = Map.empty)(
       carryOver: Seq[String] => Seq[String]): Seq[String] = {
     val version = nextVersion(baseVersion)
-    val staging = new Path(root.getParent, s".staging_v$version")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(root.getParent, s".staging_v${version}_$token")
     df.write.mode("overwrite")
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(staging.toString)
-    val imported = Manifests.importStagedTree(fs, staging, root, version)
-    Manifests.write(fs, root, version, carryOver(imported) ++ imported)
-    fs.delete(staging, true)
-    expireSnapshots()
-    imported
+    val meta = hwmOf(baseMeta) ++ extraMeta +
+      (SchemaKey -> commitSchema(storedSchema(baseMeta), df.schema).json)
+    try {
+      val imported = Manifests.importStagedTree(fs, staging, root, s"v$version-$token")
+      try Manifests.write(fs, root, version, carryOver(imported) ++ imported, meta)
+      catch {
+        case e: Manifests.CommitConflictException =>
+          // lost the race: un-import our dormant files and let the
+          // caller retry against the winner's snapshot
+          imported.foreach(f => fs.delete(new Path(root, f), false))
+          throw e
+      }
+      expireSnapshots()
+      imported
+    } finally fs.delete(staging, true)
   }
 
-  /** Strictly increasing commit version (nanoTime ties broken upward
-    * past the live version — nanoTime's origin is arbitrary across JVM
-    * restarts; the single-writer invariant makes this safe).
+  /** Sequential commit versions (Iceberg's sequence numbers): racing
+    * writers that resolved the same base compute the SAME next version,
+    * which is what makes the manifest-name CAS detect the conflict.
     */
-  private def nextVersion(after: Long): Long =
-    math.max(System.nanoTime(), after + 1L)
+  private def nextVersion(after: Long): Long = after + 1L
+
+  /** Optimistic-concurrency retry: run `body` (which must re-resolve
+    * the live snapshot itself — every public op does); on a lost commit
+    * race, rerun it against the winner's snapshot, up to 5 attempts.
+    */
+  private def withCommitRetry[T](body: => T): T = {
+    val maxAttempts = 5
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: Manifests.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Retention GC, cheap per-commit half (Iceberg `expire_snapshots`):
     * drop manifests beyond `keepLast` and the expired versions' files
@@ -356,14 +519,47 @@ final case class IcebergLikeTable(
       .flatMap(v => Manifests.at(fs, root, v).getOrElse(Nil)).toSet
     walkDataFiles().filterNot(referenced)
       .foreach(f => fs.delete(new Path(root, f), false))
+    // commit-lock debris: a lock whose manifest was never published is
+    // a writer that crashed between claim and publish — clear it so the
+    // version name is claimable again (safe under vacuum's no-in-flight
+    // precondition).
+    if (exists) fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(s".${Manifests.Prefix}") && n.endsWith(".lock"))
+      .foreach { n =>
+        val v = n.stripPrefix(s".${Manifests.Prefix}").stripSuffix(".lock")
+        if (v.toLongOption.exists(ver =>
+            !fs.exists(new Path(root, s"${Manifests.Prefix}$ver"))))
+          fs.delete(new Path(root, n), false)
+      }
   }
 
   /** S10 append path (`operation='insert'`). Appends never invalidate
     * prior files, so every retained snapshot stays fully readable.
     */
-  def append(df: DataFrame): Unit = {
-    val (liveVersion, previous) = resolveLive()
-    commit(withBucket(df), liveVersion)(_ => previous)
+  def append(df: DataFrame): Unit = append(df, None)
+
+  /** Append with exactly-once micro-batch replay semantics (the gap an
+    * at-least-once delivery — the reference's Firehose retries,
+    * `web-analytics-parquet/cdk_stacks/firehose.py:131-133` — leaves
+    * open for key-less tables): `appendId = (streamId, batchId)` records
+    * a per-stream high-water mark in the manifest metadata at the commit
+    * point, atomically with the data. A batch replayed after a crash
+    * between the commit and the checkpoint write resolves
+    * `batchId <= hwm` and is skipped, so the table is byte-identical to
+    * a single delivery — real Iceberg sinks dedupe replayed epochs the
+    * same way (batch id in snapshot summary). The mark is carried
+    * forward by every commit (upsert/delete/maintain included), so it
+    * survives unrelated table activity; marks from different streams are
+    * independent.
+    */
+  def append(df: DataFrame, appendId: Option[(String, Long)]): Unit =
+    withCommitRetry { appendOnce(df, appendId) }
+
+  private def appendOnce(df: DataFrame, appendId: Option[(String, Long)]): Unit = {
+    val (liveVersion, snap) = resolveLive()
+    if (alreadyApplied(snap.meta, appendId)) return
+    val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
+    commit(withBucket(df), liveVersion, snap.meta, extra)(_ => snap.files)
   }
 
   /** S10 upsert path (`operation='update'`). `orderCol` decides
@@ -376,7 +572,21 @@ final case class IcebergLikeTable(
     * overwrite the newer rows — the exact failure mode of an
     * incoming-always-wins merge under out-of-order replay.
     */
-  def upsert(batch: DataFrame, orderCol: String): Unit = {
+  def upsert(batch: DataFrame, orderCol: String): Unit =
+    upsert(batch, orderCol, None)
+
+  /** Upsert with the same replay high-water mark as [[append]]. The
+    * order-aware merge is already replay-IDEMPOTENT (a replayed batch
+    * can't clobber newer rows), but the mark makes the replay a clean
+    * SKIP: no leaf rewrite, no new snapshot — exactly-once work, not
+    * just exactly-once effect.
+    */
+  def upsert(batch: DataFrame, orderCol: String,
+      appendId: Option[(String, Long)]): Unit =
+    withCommitRetry { upsertOnce(batch, orderCol, appendId) }
+
+  private def upsertOnce(batch: DataFrame, orderCol: String,
+      appendId: Option[(String, Long)]): Unit = {
     require(uniqueKeys.nonEmpty, "upsert requires declared unique_keys")
     val keyCols = uniqueKeys.map(col)
     val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol).desc)
@@ -385,7 +595,10 @@ final case class IcebergLikeTable(
       .filter(col("_rn") === 1)
       .drop("_rn"))
 
-    val (liveVersion, previous) = resolveLive()
+    val (liveVersion, snap) = resolveLive()
+    if (alreadyApplied(snap.meta, appendId)) return
+    val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
+    val previous = snap.files
     // affected (event, bucket) leaves only — bounded by the batch's
     // distinct key-derived pairs (≤ |event| × numBuckets), never by table
     // size; this collect is O(pairs), not O(data).
@@ -396,7 +609,7 @@ final case class IcebergLikeTable(
     // foreachBatch streaming query (Ingest.startIcebergIngest).
     if (pairs.isEmpty) return
     if (previous.isEmpty) {
-      commit(deduped, liveVersion)(_ => Nil)
+      commit(deduped, liveVersion, snap.meta, extra)(_ => Nil)
       return
     }
 
@@ -405,7 +618,7 @@ final case class IcebergLikeTable(
     }.reduce(_ || _)
     // both predicate columns are partition columns → partition pruning
     // makes this read touch only the affected leaves' files.
-    val old = readFileSet(previous).filter(leafPred)
+    val old = readSnapshot(snap).filter(leafPred)
     // keep the max-orderCol row per key across (stored ∪ incoming); the
     // shuffle is on the unique keys of the hot leaves only, same as
     // the anti-join it replaces, but order-aware. Ties on orderCol break
@@ -428,7 +641,7 @@ final case class IcebergLikeTable(
     // manifest carrying over every live file OUTSIDE the rewritten
     // leaves. Readers on the previous version keep their complete file
     // set until retention expires it.
-    val imported = commit(merged, liveVersion) { imp =>
+    val imported = commit(merged, liveVersion, snap.meta, extra) { imp =>
       val rewrittenLeaves = imp.map(leafOf).toSet
       previous.filterNot(f => rewrittenLeaves.contains(leafOf(f)))
     }
@@ -442,7 +655,15 @@ final case class IcebergLikeTable(
 
   /** Route a batch per the deployment's T3 metadata: upsert iff keys. */
   def write(batch: DataFrame, orderCol: String): Unit =
-    if (uniqueKeys.isEmpty) append(batch) else upsert(batch, orderCol)
+    write(batch, orderCol, None)
+
+  /** Routed write carrying the exactly-once replay mark (see
+    * [[append]]); the streaming ingest passes its (checkpoint, batchId).
+    */
+  def write(batch: DataFrame, orderCol: String,
+      appendId: Option[(String, Long)]): Unit =
+    if (uniqueKeys.isEmpty) append(batch, appendId)
+    else upsert(batch, orderCol, appendId)
 
   /** Row-level DELETE (`DELETE FROM t WHERE condition` — the GDPR
     * "erase this user" operation an Iceberg web-analytics table serves,
@@ -461,10 +682,14 @@ final case class IcebergLikeTable(
     * affected leaves — for a key-localized predicate that is a handful
     * of leaves, never the table.
     */
-  def delete(condition: Column): Long = {
-    val (liveVersion, previous) = resolveLive()
+  def delete(condition: Column): Long =
+    withCommitRetry { deleteOnce(condition) }
+
+  private def deleteOnce(condition: Column): Long = {
+    val (liveVersion, snap) = resolveLive()
+    val previous = snap.files
     if (previous.isEmpty) return 0L
-    val raw = readFileSet(previous)
+    val raw = readSnapshot(snap)
     // affected leaves + deleted count in one pass over the pruned scan
     val hits = raw.filter(condition)
       .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("_n"))
@@ -487,7 +712,7 @@ final case class IcebergLikeTable(
     // condition keeps the row (a bare `!condition` would drop it).
     val survivors = raw.filter(leafPred)
       .filter(!coalesce(condition, lit(false)))
-    commit(survivors, liveVersion)(
+    commit(survivors, liveVersion, snap.meta)(
       _ => previous.filterNot(f => affectedLeaves.contains(leafOf(f))))
     deleted
   }
@@ -501,18 +726,22 @@ final case class IcebergLikeTable(
     * undisturbed). Returns the rewritten leaf partition paths. Cost is
     * proportional to the hot leaves, never the table.
     */
-  def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] = {
+  def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] =
+    withCommitRetry { maintainOnce(fileThreshold, targetFiles) }
+
+  private def maintainOnce(fileThreshold: Int, targetFiles: Int): Seq[String] = {
     if (!exists) return Nil
-    val (liveVersion, previous) = resolveLive()
+    val (liveVersion, snap) = resolveLive()
+    val previous = snap.files
     if (previous.isEmpty) return Nil
     val hot = previous.groupBy(leafOf).filter(_._2.size > fileThreshold).keys.toSeq.sorted
     if (hot.isEmpty) return Nil
     val hotSet = hot.toSet
     val hotFiles = previous.filter(f => hotSet.contains(leafOf(f)))
     commit(
-      readFileSet(hotFiles)
+      readFileSet(hotFiles, storedSchema(snap.meta))
         .repartition(targetFiles * hot.size, partCols.map(col): _*),
-      liveVersion)(_ => previous.filterNot(f => hotSet.contains(leafOf(f))))
+      liveVersion, snap.meta)(_ => previous.filterNot(f => hotSet.contains(leafOf(f))))
     hot.map(_.stripPrefix(s"$partitionCol="))
   }
 }

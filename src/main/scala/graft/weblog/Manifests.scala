@@ -28,23 +28,88 @@ object Manifests {
 
   val Prefix = "_graft_manifest_v"
 
-  /** Publish `_graft_manifest_v<version>` listing the snapshot's files
-    * (paths relative to `dir`). Written to a hidden tmp name first, then
-    * renamed to the final (new, never-overwritten) name: on HDFS/local,
-    * `fs.create` makes a file VISIBLE before its content is flushed, so
-    * a direct create would expose an empty/partial manifest — the
-    * rename-to-fresh-name publishes it complete; on S3 the equivalent
-    * upload is a single atomic PUT.
+  /** A committed snapshot: its data files plus the key→value metadata
+    * stamped at commit (`schema` = the table schema as StructType JSON,
+    * resolved at read planning instead of O(files) parquet footers;
+    * `hwm.<stream>` = per-stream append high-water marks for
+    * exactly-once micro-batch replay). Metadata lines serialize as
+    * `#key=value` ahead of the file list; manifests written before the
+    * header existed parse with empty meta.
     */
-  def write(fs: FileSystem, dir: Path, version: Long, files: Seq[String]): Unit = {
+  final case class Snapshot(files: Seq[String], meta: Map[String, String])
+
+  /** A concurrent writer published (or is publishing) this version
+    * first — the optimistic-concurrency lost-race signal. Callers
+    * re-resolve the live snapshot, redo their merge against it, and
+    * retry ([[graft.weblog.IcebergLikeTable]] does this automatically).
+    */
+  final class CommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Publish `_graft_manifest_v<version>` listing the snapshot's files
+    * (paths relative to `dir`) plus the metadata header. Written to a
+    * hidden tmp name first, then renamed to the final (new,
+    * never-overwritten) name: on HDFS/local, `fs.create` makes a file
+    * VISIBLE before its content is flushed, so a direct create would
+    * expose an empty/partial manifest — the rename-to-fresh-name
+    * publishes it complete; on S3 the equivalent upload is a single
+    * atomic PUT.
+    *
+    * Optimistic-concurrency guard: the version name is claimed FIRST via
+    * a create-if-absent lock file (`.<manifest>.lock`) — the atomic
+    * primitive every store has (O_EXCL create locally, conditional PUT
+    * on S3). Two writers that raced from the same base version compute
+    * the same next version, so exactly one claim succeeds; the loser
+    * gets [[CommitConflictException]] and must re-resolve + retry its
+    * merge — no lost update. The lock is deleted after the rename; a
+    * lock left by a writer that crashed pre-publish is debris that
+    * [[IcebergLikeTable.vacuum]] sweeps (locks with no published
+    * manifest).
+    */
+  def write(fs: FileSystem, dir: Path, version: Long, files: Seq[String],
+      meta: Map[String, String] = Map.empty): Unit = {
     fs.mkdirs(dir)
-    val tmp = new Path(dir, s".$Prefix$version.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(files.mkString("\n").getBytes(UTF_8)) finally out.close()
+    meta.foreach { case (k, v) =>
+      require(!k.contains('\n') && !k.contains('=') && !v.contains('\n'),
+        s"manifest meta key/value must be single-line, '='-free key: $k")
+    }
     val fin = new Path(dir, s"$Prefix$version")
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+    if (fs.exists(fin))
+      throw new CommitConflictException(
+        s"version $version already committed under $dir")
+    // per-writer tmp name: racing writers target the SAME version, so a
+    // shared tmp would let one truncate the other's in-flight content
+    val tmp = new Path(dir,
+      s".$Prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    val out = fs.create(tmp, true)
+    try out.write((header ++ files).mkString("\n").getBytes(UTF_8))
+    finally out.close()
+    val lock = lockPath(dir, version)
+    val claimed = try { fs.create(lock, false).close(); true }
+    catch { case _: java.io.IOException => false }
+    if (!claimed) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"lost commit race for version $version under $dir")
+    }
+    // we own the claim from here: publish, then release. Re-check the
+    // final name under the lock — a writer that published this version
+    // and already released its lock must still lose us the race (rename
+    // on a local fs would otherwise silently overwrite).
+    try {
+      if (fs.exists(fin)) {
+        fs.delete(tmp, false)
+        throw new CommitConflictException(
+          s"version $version published concurrently under $dir")
+      }
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"manifest publish failed: $tmp -> $fin")
+    } finally fs.delete(lock, false)
   }
+
+  private[weblog] def lockPath(dir: Path, version: Long): Path =
+    new Path(dir, s".$Prefix$version.lock")
 
   /** All committed versions under `dir`, ascending. */
   def versions(fs: FileSystem, dir: Path): Seq[Long] =
@@ -55,19 +120,34 @@ object Manifests {
       .sorted
 
   /** The file list committed as `version`, if that manifest exists. */
-  def at(fs: FileSystem, dir: Path, version: Long): Option[Seq[String]] = {
+  def at(fs: FileSystem, dir: Path, version: Long): Option[Seq[String]] =
+    snapshotAt(fs, dir, version).map(_.files)
+
+  /** The full snapshot (files + metadata) committed as `version`. */
+  def snapshotAt(fs: FileSystem, dir: Path, version: Long): Option[Snapshot] = {
     val p = new Path(dir, s"$Prefix$version")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
-      Some(new String(bytes, UTF_8).split("\n").toSeq.filter(_.nonEmpty))
+      val lines = new String(bytes, UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+      val (header, files) = lines.partition(_.startsWith("#"))
+      val meta = header.map { l =>
+        val kv = l.stripPrefix("#")
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap
+      Some(Snapshot(files, meta))
     }
   }
 
   /** Newest committed (version, files) under `dir`, if any. */
   def resolve(fs: FileSystem, dir: Path): Option[(Long, Seq[String])] =
-    versions(fs, dir).lastOption.flatMap(v => at(fs, dir, v).map(v -> _))
+    resolveSnapshot(fs, dir).map { case (v, s) => (v, s.files) }
+
+  /** Newest committed (version, snapshot) under `dir`, if any. */
+  def resolveSnapshot(fs: FileSystem, dir: Path): Option[(Long, Snapshot)] =
+    versions(fs, dir).lastOption.flatMap(v => snapshotAt(fs, dir, v).map(v -> _))
 
   private def suffixOf(name: String): String = {
     val i = name.indexOf('.')
@@ -100,7 +180,18 @@ object Manifests {
     * (e.g. `event=view/gbucket=3/part-v17-00002.snappy.parquet`).
     */
   def importStagedTree(fs: FileSystem, stagingDir: Path, tableRoot: Path,
-      version: Long): Seq[String] = {
+      version: Long): Seq[String] =
+    importStagedTree(fs, stagingDir, tableRoot, s"v$version")
+
+  /** As above with an explicit name token: optimistic-concurrency
+    * writers racing from the same base version stage under the SAME next
+    * version, so the imported (dormant) file names need a per-writer
+    * token to stay collision-free — the manifest CAS, not the import,
+    * decides the winner; the loser's files are unreferenced debris that
+    * [[IcebergLikeTable.vacuum]] sweeps.
+    */
+  def importStagedTree(fs: FileSystem, stagingDir: Path, tableRoot: Path,
+      nameToken: String): Seq[String] = {
     def dataFiles(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { s =>
         val n = s.getPath.getName
@@ -112,7 +203,7 @@ object Manifests {
     val parts = dataFiles(stagingDir).sortBy(_.toString)
     parts.zipWithIndex.map { case (p, i) =>
       val rel = p.getParent.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
-      val name = f"part-v$version-$i%05d${suffixOf(p.getName)}"
+      val name = f"part-$nameToken-$i%05d${suffixOf(p.getName)}"
       val relPath = if (rel.isEmpty) name else s"$rel/$name"
       val dest = new Path(tableRoot, relPath)
       fs.mkdirs(dest.getParent)

@@ -1,0 +1,164 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-6 table-layer guarantees:
+  *
+  *  - **Exactly-once append under micro-batch replay**: the
+  *    `(streamId, batchId)` high-water mark is committed atomically with
+  *    the data, so a batch replayed after a crash between commit and
+  *    checkpoint write (the reference's Firehose delivery is
+  *    at-least-once, `web-analytics-parquet/cdk_stacks/firehose.py:131-133`)
+  *    leaves the table byte-identical.
+  *  - **Optimistic-concurrency commits**: sequential versions + the
+  *    create-only manifest CAS serialize racing writers; the loser
+  *    retries against the winner's snapshot — no lost update.
+  *  - **Schema from the manifest stamp**: read planning never opens
+  *    parquet footers, and an all-rows-deleted table still reads (and
+  *    CDC-reads) as an empty, correctly-typed DataFrame.
+  */
+class IcebergExactlyOnceSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def dir() = Files.createTempDirectory("ice-eo").toString
+
+  private def rows(n: Int, host: String, offset: Int = 0) =
+    (offset until offset + n).map(i =>
+      (s"u$i", f"2024-03-05T06:${i % 60}%02d:00Z", "view", host, 1L))
+      .toDF("user_id", "timestamp", "event", "hostname", "seq")
+
+  private def fingerprint(t: IcebergLikeTable): (Long, Seq[String]) = {
+    val fs = new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (v, snap) = Manifests.resolveSnapshot(fs, new Path(t.path)).get
+    (v, snap.files.sorted)
+  }
+
+  test("replayed append batch commits once: table stays byte-identical") {
+    val t = IcebergLikeTable(spark, s"${dir()}/t", "event")
+    t.append(rows(5, "a"), Some(("ckpt-1", 0L)))
+    t.append(rows(5, "b", offset = 5), Some(("ckpt-1", 1L)))
+    val before = fingerprint(t)
+    // crash-replay: same batch id, same data, delivered again
+    t.append(rows(5, "b", offset = 5), Some(("ckpt-1", 1L)))
+    assert(fingerprint(t) === before, "replay must be a no-op commit")
+    assert(t.read.count() === 10)
+    // an OLDER batch replayed after a newer one committed is also skipped
+    t.append(rows(5, "a"), Some(("ckpt-1", 0L)))
+    assert(fingerprint(t) === before)
+  }
+
+  test("replay mark survives unrelated commits and is per-stream") {
+    val t = IcebergLikeTable(spark, s"${dir()}/t", "event")
+    t.append(rows(4, "a"), Some(("s1", 7L)))
+    // unrelated table activity must carry the mark forward
+    t.maintain(fileThreshold = 0)
+    t.append(rows(4, "a"), Some(("s1", 7L))) // replay after maintain
+    assert(t.read.count() === 4)
+    // a different stream's batch 7 is NOT a replay
+    t.append(rows(4, "b", offset = 10), Some(("s2", 7L)))
+    assert(t.read.count() === 8)
+    // and s1's next batch proceeds normally
+    t.append(rows(2, "c", offset = 20), Some(("s1", 8L)))
+    assert(t.read.count() === 10)
+  }
+
+  test("keyed upsert replay is skipped without a leaf rewrite") {
+    val t = IcebergLikeTable(spark, s"${dir()}/t", "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+    t.write(rows(6, "orig"), "seq", Some(("q", 0L)))
+    val before = fingerprint(t)
+    t.write(rows(6, "orig"), "seq", Some(("q", 0L)))
+    assert(fingerprint(t) === before, "replayed upsert batch must not commit")
+  }
+
+  test("manifest CAS: publishing the same version twice is a conflict") {
+    val d = new Path(s"${dir()}/m")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Manifests.write(fs, d, 1L, Seq("f1"))
+    intercept[Manifests.CommitConflictException] {
+      Manifests.write(fs, d, 1L, Seq("f2"))
+    }
+    // the winner's manifest is untouched
+    assert(Manifests.at(fs, d, 1L).get === Seq("f1"))
+    // a lock left by a crashed writer also blocks the version
+    fs.create(Manifests.lockPath(d, 2L), false).close()
+    intercept[Manifests.CommitConflictException] {
+      Manifests.write(fs, d, 2L, Seq("f3"))
+    }
+  }
+
+  test("two concurrent writers: both commits land, no lost update") {
+    val t = IcebergLikeTable(spark, s"${dir()}/t", "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+    t.write(rows(8, "base"), "seq")
+    // two writers merge DISJOINT key sets concurrently from the same base
+    val b1 = rows(4, "w1").withColumn("seq", lit(2L))
+    val b2 = rows(4, "w2", offset = 4).withColumn("seq", lit(2L))
+    val threads = Seq(b1, b2).map { b =>
+      new Thread(() => t.upsert(b, "seq"))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val hosts = t.read.groupBy("hostname").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hosts === Map("w1" -> 4L, "w2" -> 4L),
+      s"one writer's update was lost: $hosts")
+  }
+
+  test("read planning resolves schema from the manifest, not footers") {
+    val t = IcebergLikeTable(spark, s"${dir()}/t", "event")
+    t.append(rows(4, "a"))
+    t.append(rows(4, "b", offset = 4))
+    val fs = new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Manifests.resolve(fs, new Path(t.path)).get._2
+    assert(files.size >= 2)
+    // corrupt every data file: schema access (pure planning) must still
+    // succeed because it never opens a footer — under mergeSchema it
+    // would throw on the first corrupt footer
+    files.foreach { f =>
+      val out = fs.create(new Path(t.path, f), true)
+      try out.write("not parquet".getBytes) finally out.close()
+    }
+    // data fields in commit order, the partition column last (the same
+    // order a footer-merged read produced)
+    val schema = t.read.schema
+    assert(schema.fieldNames.toSeq ===
+      Seq("user_id", "timestamp", "hostname", "seq", "event"))
+  }
+
+  test("delete-all leaves a readable empty table and a working changelog") {
+    val t = IcebergLikeTable(spark, s"${dir()}/t", "event",
+      uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+    t.write(rows(6, "h"), "seq")
+    val v1 = t.currentVersion.get
+    assert(t.delete(lit(true)) === 6L)
+    val v2 = t.currentVersion.get
+    // live manifest holds zero files — read is empty but typed
+    assert(t.read.count() === 0)
+    assert(t.read.schema.fieldNames.contains("hostname"))
+    // ADVICE regression: a no-changed-leaves changelog window over the
+    // empty live snapshot must return empty, not crash
+    assert(t.changesBetween(v2, v2).count() === 0)
+    // and the delete window emits exactly the delete rows
+    val del = t.changesBetween(v1, v2)
+    assert(del.count() === 6)
+    assert(del.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+    // a fresh append works after total erasure
+    t.append(rows(2, "again", offset = 50))
+    assert(t.read.count() === 2)
+  }
+
+  test("versions are sequential from 1") {
+    val t = IcebergLikeTable(spark, s"${dir()}/t", "event")
+    t.append(rows(2, "a"))
+    t.append(rows(2, "b", offset = 2))
+    assert(t.versions === Seq(1L, 2L))
+  }
+}
