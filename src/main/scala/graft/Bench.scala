@@ -103,8 +103,12 @@ object Bench {
           cold(() => operators.Similarity.binaryTopK(read("emb1x"),
             read("emb1x").filter(col("vec_id") < 10), k = 5, dim = 64).count()),
         "binary_topk_10x" ->
+          // rep-0 copies of the SAME ten originals as the 1x leg
+          // (vec_id maps to vec_id*10+rep), so both legs run identical
+          // query workloads and the ratio is apples-to-apples
           cold(() => operators.Similarity.binaryTopK(read("emb10x"),
-            read("emb10x").filter(col("vec_id") < 10), k = 5, dim = 64).count()))
+            read("emb10x").filter(col("vec_id") % 10 === 0 && col("vec_id") < 100),
+            k = 5, dim = 64).count()))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
       val ratios = Seq(
         "minhash_keepers_ratio" -> out(1)._2 / out(0)._2,

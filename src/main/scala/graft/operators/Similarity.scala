@@ -80,10 +80,20 @@ object Similarity {
   /** Binary-quantization ANN: rank the corpus per query by packed-code
     * Hamming distance (integer-only scan over 32×-compressed codes),
     * keep a `k × oversample` shortlist, then exact-cosine rerank ONLY the
-    * shortlist. The scan stage shuffles `(id, code-words, hamming)` —
-    * never a vector; full vectors rejoin by id for the O(k·oversample)
-    * rerank, the same shortlist-then-verify shape as the PQ/IVF stack.
-    * Output: (query_id, rank, neighbor_id, hamming, cos).
+    * shortlist. Two-phase shortlist, `TakeOrderedAndProject`-style: the
+    * scan stage first truncates to the `k·oversample` best per
+    * (query, scan-partition) — a window keyed on `spark_partition_id()`,
+    * so the exchange feeding it is BALANCED (parallelism = queries ×
+    * partitions) and carries only `(query_id, neighbor_id, hamming)`,
+    * codes and vectors projected away. Only then does the global
+    * per-query ranking run, over O(partitions × k·oversample) rows per
+    * query instead of the whole corpus — the single-reducer-per-query
+    * corpus-sized partition the one-window shape degenerates to at scale
+    * can't occur. Every true global-top row is inside its own
+    * partition's top `k·oversample`, so the two-phase shortlist is
+    * exactly the one-phase one. Full vectors rejoin by id for the
+    * O(k·oversample) rerank, the same shortlist-then-verify shape as the
+    * PQ/IVF stack. Output: (query_id, rank, neighbor_id, hamming, cos).
     */
   def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       oversample: Int = 5,
@@ -94,10 +104,16 @@ object Similarity {
         binaryCode(col(vecCol), dim).as(code))
     val q = broadcast(coded(queries, "query_id", "qc"))
     val c = coded(corpus, "neighbor_id", "cc")
+    val localW = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("hamming"), col("neighbor_id"))
     val shortW = Window.partitionBy(col("query_id"))
       .orderBy(col("hamming"), col("neighbor_id"))
     val shortlist = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming", hamming(col("qc"), col("cc")))
+      .withColumn("_pid", spark_partition_id())
+      .select("query_id", "neighbor_id", "hamming", "_pid")
+      .withColumn("_lr", row_number().over(localW))
+      .filter(col("_lr") <= k * oversample)
       .withColumn("_hr", row_number().over(shortW))
       .filter(col("_hr") <= k * oversample)
       .select("query_id", "neighbor_id", "hamming")

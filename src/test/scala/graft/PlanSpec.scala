@@ -294,10 +294,35 @@ class PlanSpec extends SparkTestBase {
     // queries broadcast for the code scan AND the rerank
     assert(p.contains("BroadcastExchange"), s"query side must broadcast:\n$p")
     // the shortlist window + rerank join may hash-shuffle, but only
-    // (ids, packed code words, hamming) — never an embedding
+    // (ids, hamming) — never an embedding or a packed code
     p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
       assert(!l.contains("embedding#") && !l.contains("qv#") && !l.contains("cv#"),
         s"binary ANN shuffled a vector: $l")
+    }
+  }
+
+  test("binary ANN: two-phase shortlist — no per-query exchange of the full scan") {
+    val p = plan("sim_binary_topk")
+    val exchanges = p.linesIterator.toSeq.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning"))
+    // the scan must first truncate per (query, scan-partition): a
+    // balanced exchange keyed on spark_partition_id feeds the local
+    // window, and codes are projected away before it
+    val pidExchanges = exchanges.filter(_._1.contains("_pid#"))
+    assert(pidExchanges.nonEmpty,
+      s"hamming scan must pre-truncate per (query_id, spark_partition_id):\n$p")
+    pidExchanges.foreach { case (l, _) =>
+      assert(!l.contains("qc#") && !l.contains("cc#"),
+        s"local-shortlist exchange must not carry packed codes: $l")
+    }
+    // every per-query-only exchange (the global shortlist ranking and
+    // the final rerank window) must sit ABOVE the _pid exchange in the
+    // plan — i.e. consume the truncated shortlist, never the raw scan.
+    // Formatted plans print root-first, so "above" = smaller line index.
+    val deepestPid = pidExchanges.map(_._2).max
+    exchanges.filterNot(_._1.contains("_pid#")).foreach { case (l, i) =>
+      assert(i < deepestPid,
+        s"a per-query exchange consumes the full scan (single reducer per query at scale): $l\n$p")
     }
   }
 
