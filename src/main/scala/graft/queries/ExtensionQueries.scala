@@ -1289,6 +1289,39 @@ object ExtensionQueries {
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // REAL video frame-PIXEL decode — MJPEG-in-AVI, the one codec the
+    // JDK can decode (the movi `00dc` chunks are plain JPEGs, read by
+    // javax.imageio). Fixtures carry per-frame constant-gray JPEG frames
+    // with (doc_id, frame_idx)-derived grays; constant-gray JPEG
+    // round-trips EXACTLY through the JDK codec (DC-only blocks,
+    // verified for all 256 grays and multiple dimensions), so the oracle
+    // predicts every decoded per-frame mean analytically — dims from the
+    // container, mean from the gray formula. A green row proves the
+    // container walk found each frame chunk AND real pixels were parsed.
+    Q("multimodal_mjpeg",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select("doc_id").as[Long].map { id =>
+          val w = 16 + (id % 4).toInt * 8
+          val h = 16 + (id % 3).toInt * 8
+          val grays = (0 until (1 + (id % 4).toInt))
+            .map(k => ((id * 37 + k * 101) % 256).toInt)
+          Multimodal.MediaRow(id,
+            Multimodal.encodeMjpegAvi(w, h, grays, 40000L), "avi")
+        }
+        Multimodal.extractVideoFrames(media).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("width"),
+            col("height"), col("mean_intensity"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(1 + doc_id % 4)) AS k FROM documents)
+             |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+             |CAST(16 + (doc_id % 4) * 8 AS INT) AS width,
+             |CAST(16 + (doc_id % 3) * 8 AS INT) AS height,
+             |CAST((doc_id * 37 + k * 101) % 256 AS DOUBLE) AS mean_intensity
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes
     // them from octet_length alone.

@@ -485,6 +485,30 @@ class ExtensionSpec extends SparkTestBase {
       Multimodal.decodeStub(garbage, "video"))
   }
 
+  test("multimodal: real MJPEG frame-pixel decode from the AVI movi chunks") {
+    // constant-gray JPEG round-trips exactly through the JDK codec
+    // (DC-only blocks), so decoded per-frame means equal the grays
+    val grays = Seq(0, 17, 128, 255)
+    val avi = Multimodal.encodeMjpegAvi(24, 16, grays, 40000L)
+    val frames = Multimodal.decodeAviFrames(avi)
+    assert(frames.map(_._1) == Seq(0, 1, 2, 3))
+    assert(frames.forall { case (_, w, h, _) => w == 24 && h == 16 })
+    assert(frames.map(_._4) == grays.map(_.toDouble))
+    // the same payload's container header still parses (frames advertised)
+    assert(Multimodal.decodeAvi(avi).map(_._3).contains(grays.length))
+    // typed Dataset path: one row per frame, small quads only
+    import spark.implicits._
+    val vf = Multimodal.extractVideoFrames(
+      Seq(Multimodal.MediaRow(7L, avi, "avi")).toDS()).collect().sortBy(_.frame_idx)
+    assert(vf.map(f => (f.doc_id, f.frame_idx, f.width, f.height, f.mean_intensity)).toSeq ==
+      grays.zipWithIndex.map { case (g, i) => (7L, i, 24, 16, g.toDouble) })
+    // header-only AVI (no movi payload) and garbage yield zero frames
+    assert(Multimodal.decodeAviFrames(Multimodal.encodeAvi(64, 48, 10, 33333L)).isEmpty)
+    assert(Multimodal.decodeAviFrames("nope".getBytes("UTF-8")).isEmpty)
+    // truncated mid-movi payload must terminate (malformed-size guards)
+    assert(Multimodal.decodeAviFrames(java.util.Arrays.copyOf(avi, avi.length / 2)).length <= grays.length)
+  }
+
   test("multimodal resize and frame sampling keep batch plumbing intact") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val resized = Multimodal.resize(media, 32, 32)
