@@ -625,6 +625,64 @@ object WebLogQueries {
              |FROM dy JOIN ud ON ud.d BETWEEN dy.day - 27 AND dy.day
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
 
+    // §2.5 the BOUNDED twin of weblog_stream_engagement: day sketches as
+    // an event-time tumbling window under a 2-day watermark in APPEND
+    // mode — each day emits exactly once when the watermark passes its
+    // end, and state holds only the open days inside the retention
+    // horizon (the production posture at unbounded stream length; the
+    // complete-mode gate above keeps all days in state forever). Both
+    // the estimate and the exact rolling distincts are computed over the
+    // finalized-day set only, which the oracle derives from max(ts)
+    // exactly like the hourly append gate.
+    Q("weblog_stream_engagement_append",
+      (s, d) => {
+        val typed = typedFileStream(s, d, "stream_engb_raw",
+          dayofmonth(col("ts")).between(10, 23))
+        val qname = s"wsengb_${math.abs(d.hashCode)}"
+        val q = Ingest.streamingEngagementSketchesBounded(typed, watermark = "2 days")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val emitted = s.table(qname)
+        val est = Ingest.rollingFromDaySketches(emitted)
+        val emittedDays = emitted.select(col("day").as("_d")).distinct()
+        val exact = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")).between(10, 23))
+          .select(col("user_id").as("_u"), to_date(col("ts")).as("_d"))
+          .distinct()
+          .join(emittedDays, "_d")
+        val exactRolling = exact.select(col("_d").as("day")).distinct()
+          .join(exact, datediff(col("day"), col("_d")).between(0, 27))
+          .groupBy("day")
+          .agg(
+            countDistinct(when(col("day") === col("_d"), col("_u"))).as("dau"),
+            countDistinct(when(datediff(col("day"), col("_d")) < 7, col("_u")))
+              .as("wau"),
+            countDistinct(col("_u")).as("mau"))
+        est.join(exactRolling, "day")
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            (abs(col("dau_est") - col("dau")) <= col("dau") * lit(0.05)).as("dau_ok"),
+            (abs(col("wau_est") - col("wau")) <= col("wau") * lit(0.05)).as("wau_ok"),
+            (abs(col("mau_est") - col("mau")) <= col("mau") * lit(0.05)).as("mau_ok"))
+          .orderBy("day")
+      },
+      Some("""WITH src AS (SELECT user_id, date_trunc('second', ts) AS ts
+             |            FROM events WHERE day(ts) BETWEEN 10 AND 23),
+             |wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM src),
+             |ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |       FROM src CROSS JOIN wm
+             |       WHERE CAST(ts AS DATE) + INTERVAL 1 DAY <= w),
+             |dy AS (SELECT DISTINCT d AS day FROM ud)
+             |SELECT dy.day AS day,
+             |       CAST(count(DISTINCT CASE WHEN ud.d = dy.day THEN ud.u END) AS BIGINT) AS dau,
+             |       CAST(count(DISTINCT CASE WHEN ud.d > dy.day - 7 THEN ud.u END) AS BIGINT) AS wau,
+             |       CAST(count(DISTINCT ud.u) AS BIGINT) AS mau,
+             |       TRUE AS dau_ok, TRUE AS wau_ok, TRUE AS mau_ok
+             |FROM dy JOIN ud ON ud.d BETWEEN dy.day - 27 AND dy.day
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " "))),
+
     // §2.5 streaming funnel-completion detection: flatMapGroupsWithState
     // emits one append-mode row the instant a user finishes
     // view→click→purchase with strict first-touch ordering — the

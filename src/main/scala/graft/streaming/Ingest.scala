@@ -153,6 +153,24 @@ object Ingest {
       .groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("user_sketch"))
 
+  /** Bounded twin of [[streamingEngagementSketches]]: the day sketches
+    * as an event-time tumbling window under a watermark, run in APPEND
+    * mode — each day's HLL row is emitted exactly once, when the
+    * watermark (max event time − `watermark`) passes the day end, and
+    * the state store holds only the still-open days inside the
+    * retention horizon (complete mode above re-emits every day each
+    * batch and keeps all days in state forever; this is the production
+    * posture at unbounded stream length). Downstream
+    * [[rollingFromDaySketches]] consumes the emitted rows unchanged.
+    */
+  def streamingEngagementSketchesBounded(parsed: DataFrame,
+      watermark: String = "2 days"): DataFrame =
+    parsed
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), "1 day"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"))
+      .select(to_date(col("window.start")).as("day"), col("user_sketch"))
+
   /** Part 2, the readout: rolling DAU/WAU/MAU estimates from the
     * emitted per-day sketches by sketch UNION (`hll_union_agg` — the
     * mergeability q_hll_union gate-proves), never re-scanning events.
