@@ -267,6 +267,72 @@ object WebLogQueries {
              |FROM base WHERE user_id % 10 <> 3
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // The full GDPR sweep ACROSS ZONES (operators/Erasure): the same
+    // day-1 events live in the raw JSON zone, a compacted parquet hour,
+    // and a keyed Iceberg-like table; one sweep erases every user whose
+    // numeric id ends in 3 from all three (copy-on-write file rewrite /
+    // manifest-commit leaf rewrite / row-level DELETE respectively).
+    // Output: per-zone surviving and erased row counts, which the oracle
+    // recomputes from the generation formulas.
+    Q("weblog_gdpr_sweep",
+      (s, d) => {
+        val raw = scratch(s, "gsweep_raw", d)
+        val pq = scratch(s, "gsweep_pq", d)
+        val src = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("ingest_ts", col("ts"))
+        Zones.writeRawJson(src, raw)
+        Compaction.compactHour(s, raw, pq, Compaction.HourPartition(2024, 1, 1, 0))
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        val base = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit(1L).as("seq"))
+        val t = IcebergLikeTable(s, scratch(s, "gsweep_ice", d) + "/t", "event",
+          Seq("user_id", "timestamp"))
+        t.write(base, "seq")
+        val erasedIds = Tables.events(s, d)
+          .select(col("user_id")).distinct()
+          .filter(col("user_id") % 10 === 3)
+          .collect().map(r => s"u${r.getLong(0)}").toSet
+        val rep = Erasure.eraseUser(s, raw, pq, t, erasedIds)
+        val rawLeft = s.read.option("recursiveFileLookup", "true").textFile(raw).count()
+        val pqLeft = Compaction.readCompactedHour(s, pq,
+          Compaction.HourPartition(2024, 1, 1, 0)).count()
+        val iceLeft = t.read.count()
+        import s.implicits._
+        Seq(
+          ("compacted", pqLeft, rep.compacted.erasedRows),
+          ("iceberg", iceLeft, rep.table.erasedRows),
+          ("raw", rawLeft, rep.raw.erasedRows))
+          .toDF("zone", "rows_left", "rows_erased")
+          .orderBy("zone")
+      },
+      Some("""WITH d1 AS (SELECT user_id, ts, event_id FROM events WHERE day(ts) = 1),
+             |keyed AS (SELECT user_id FROM d1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1)
+             |SELECT 'compacted' AS zone,
+             |  (SELECT count(*) FROM d1 WHERE hour(ts) = 0 AND user_id % 10 <> 3) AS rows_left,
+             |  (SELECT count(*) FROM d1 WHERE hour(ts) = 0 AND user_id % 10 = 3) AS rows_erased
+             |UNION ALL
+             |SELECT 'iceberg',
+             |  (SELECT count(*) FROM keyed WHERE user_id % 10 <> 3),
+             |  (SELECT count(*) FROM keyed WHERE user_id % 10 = 3)
+             |UNION ALL
+             |SELECT 'raw',
+             |  (SELECT count(*) FROM d1 WHERE user_id % 10 <> 3),
+             |  (SELECT count(*) FROM d1 WHERE user_id % 10 = 3)
+             |ORDER BY zone""".stripMargin.replace("\n", " "))),
+
     // S10 incremental/CDC read (Iceberg changelog scan / Delta CDF):
     // base-load day 1 (v1); ONE upsert commits hour<12 hostname updates
     // plus day-2 early-morning inserts (v2); a row-level DELETE erases

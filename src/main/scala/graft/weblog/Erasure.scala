@@ -1,0 +1,182 @@
+package graft.weblog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end GDPR user erasure across all three storage zones (the
+  * reference keeps raw JSON, compacted parquet, and an Iceberg table of
+  * the same events — a right-to-be-forgotten request must reach all
+  * three; the reference itself ships no erasure tooling, so the
+  * semantics here follow Iceberg's copy-on-write row-level DELETE).
+  *
+  * Zone mechanics differ by format:
+  *
+  *  - RAW zone (hive-hour JSON-lines, S7): affected FILES are discovered
+  *    with one distributed scan (only file names return to the driver —
+  *    a GDPR request touches the hours one user was active, so the list
+  *    is bounded), then each affected file is rewritten copy-on-write IN
+  *    PLACE by an executor task: surviving lines go to a dot-hidden temp
+  *    sibling (invisible to Spark's listing), which then replaces the
+  *    original under the SAME name — a PUT-overwrite on object stores
+  *    (atomic per object), a delete+rename on HDFS/local. Keeping the
+  *    name means concurrent listers never see a changed file set.
+  *
+  *  - COMPACTED zone (manifest-committed parquet hours, C1/C3): each
+  *    affected hour is rewritten through the SAME staged-import +
+  *    versioned-manifest commit as compaction itself — manifest readers
+  *    see complete-old or complete-new, never partial; re-compacting an
+  *    hour later is unaffected (it supersedes the erasure version like
+  *    any other commit).
+  *
+  *  - ICEBERG-like table (S10): delegates to the table's own row-level
+  *    [[IcebergLikeTable.delete]] (leaf-scoped copy-on-write rewrite,
+  *    snapshot-committed, CDC-visible).
+  *
+  * Scale: both discoveries are full scans of the zone (unavoidable — the
+  * user can appear in any hour), but they shuffle only file names /
+  * leaf paths; rewrite cost is proportional to the user's activity
+  * footprint, not the zone size. Erasure jobs batch many user ids into
+  * one sweep for exactly this reason — `userIds` is a set.
+  */
+object Erasure {
+
+  final case class ZoneReport(affectedUnits: Long, erasedRows: Long)
+  final case class SweepReport(raw: ZoneReport, compacted: ZoneReport,
+      table: ZoneReport)
+
+  /** JSON-line predicate: does this raw payload belong to one of the
+    * erased users? Missing/other field values never match (erasure must
+    * not over-delete).
+    */
+  private def rawMatch(userField: String, userIds: Set[String]): Column = {
+    val u = get_json_object(col("value"), s"$$.$userField")
+    u.isNotNull && u.isin(userIds.toSeq: _*)
+  }
+
+  /** Executor-side twin of [[rawMatch]]: extract the user field with
+    * Jackson (on Spark's classpath) — `None` for non-JSON lines or
+    * non-string fields, so they are always kept.
+    */
+  private def userOf(mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      field: String, line: String): Option[String] =
+    try {
+      val node = mapper.readTree(line)
+      Option(node).map(_.get(field)).filter(f => f != null && f.isTextual)
+        .map(_.asText)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Erase `userIds` from the raw JSON-lines zone. Returns affected file
+    * count and erased line count.
+    */
+  def eraseRaw(spark: SparkSession, rawPath: String, userIds: Set[String],
+      userField: String = "user_id"): ZoneReport = {
+    require(userIds.nonEmpty, "no user ids to erase")
+    val lines = spark.read
+      .option("recursiveFileLookup", "true")
+      .textFile(rawPath)
+      .toDF("value")
+    val hit = rawMatch(userField, userIds)
+    // one distributed scan; only (file name, match count) rows collect
+    val affected = lines
+      .groupBy(input_file_name().as("file"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("matches"))
+      .filter(col("matches") > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val erased = affected.map(_._2).sum
+    if (affected.nonEmpty) {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val field = userField
+      val ids = userIds
+      // per-file copy-on-write rewrite, distributed over executor tasks
+      spark.sparkContext
+        .parallelize(affected.map(_._1).toSeq, math.min(affected.length, 32))
+        .foreach { uri =>
+          val path = new Path(new java.net.URI(uri))
+          val fs = path.getFileSystem(conf.value)
+          val tmp = new Path(path.getParent, s".erase_${path.getName}")
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(path), java.nio.charset.StandardCharsets.UTF_8))
+          val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (!userOf(mapper, field, line).exists(ids.contains)) {
+                out.write(line); out.newLine()
+              }
+              line = in.readLine()
+            }
+          } finally { in.close(); out.close() }
+          // replace under the SAME name: PUT-overwrite on object stores,
+          // delete+rename elsewhere (Hadoop rename won't clobber)
+          fs.delete(path, false)
+          if (!fs.rename(tmp, path))
+            throw new java.io.IOException(s"erasure rename failed for $path")
+        }
+    }
+    ZoneReport(affected.length.toLong, erased)
+  }
+
+  /** Erase `userIds` from the compacted parquet zone: discover affected
+    * hour leaves with one distributed scan, then rewrite each through
+    * the compaction manifest-commit protocol (staged import → versioned
+    * manifest → GC). Returns affected leaf count and erased row count.
+    */
+  def eraseCompacted(spark: SparkSession, parquetPath: String,
+      userIds: Set[String], userField: String = "user_id",
+      targetFiles: Int = 1): ZoneReport = {
+    require(userIds.nonEmpty, "no user ids to erase")
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(parquetPath)
+    val hit = col(userField).isNotNull && col(userField).isin(userIds.toSeq: _*)
+    val affected = df
+      .groupBy(regexp_replace(input_file_name(), "/[^/]*$", "").as("leaf"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("matches"))
+      .filter(col("matches") > 0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val fs = new Path(parquetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { case (leafUri, _) =>
+      val destDir = new Path(new java.net.URI(leafUri))
+      val survivors = Manifests.resolve(fs, destDir) match {
+        case Some((_, files)) =>
+          spark.read.parquet(files.map(f => new Path(destDir, f).toString): _*)
+        case None => spark.read.parquet(destDir.toString)
+      }
+      val kept = survivors.filter(!(col(userField).isin(userIds.toSeq: _*)))
+      val staging = new Path(destDir.getParent, s".erase_${destDir.getName}")
+      fs.delete(staging, true)
+      kept.repartition(targetFiles)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(staging.toString)
+      val version = math.max(System.nanoTime(),
+        Manifests.resolve(fs, destDir).map(_._1 + 1L).getOrElse(0L))
+      val files = Manifests.importStaged(fs, staging, destDir, version)
+      Manifests.write(fs, destDir, version, files)
+      Compaction.cleanupStale(fs, destDir)
+      fs.delete(staging, true)
+    }
+    ZoneReport(affected.length.toLong, affected.map(_._2).sum)
+  }
+
+  /** The full three-zone sweep: raw JSON, compacted parquet, and the
+    * Iceberg-like table, in that order (upstream zones first, so a
+    * crash-and-rerun can only leave the user in zones the sweep will
+    * reach again — re-running is idempotent in every zone).
+    */
+  def eraseUser(spark: SparkSession, rawPath: String, parquetPath: String,
+      table: IcebergLikeTable, userIds: Set[String],
+      userField: String = "user_id"): SweepReport = {
+    val raw = eraseRaw(spark, rawPath, userIds, userField)
+    val compacted = eraseCompacted(spark, parquetPath, userIds, userField)
+    val erased = table.delete(col(userField).isin(userIds.toSeq: _*))
+    SweepReport(raw, compacted, ZoneReport(if (erased > 0) 1L else 0L, erased))
+  }
+}
