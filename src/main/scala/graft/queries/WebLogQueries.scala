@@ -267,6 +267,41 @@ object WebLogQueries {
              |FROM base WHERE user_id % 10 <> 3
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // Manifest-stamped per-file column bounds + planning-time FILE
+    // SKIPPING (FileStats/readWhere — Iceberg's manifest-entry stats):
+    // seven day-batches appended to a key-less table, one file per
+    // (day, event) by construction, then a day=3 readWhere. The gate
+    // emits the planner's own file counts: files_scanned must equal
+    // day 3's event-type count (all other days' files pruned at PLANNING
+    // time, before any task or footer I/O) while the rows match the
+    // oracle's filter exactly — all four numbers SQL-derivable.
+    Q("weblog_stats_skipping",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "statskip", d) + "/t", "event",
+          Nil, statsColumns = Seq("day"))
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+          dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 7)
+        for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+        val total = t.filesFor(lit(true)).size
+        val hit = t.filesFor(col("day") === 3).size
+        t.readWhere(col("day") === 3)
+          .agg(count(lit(1)).as("rows_day"),
+            countDistinct(col("user_id")).as("users_day"))
+          .select(lit(total).as("files_total"), lit(hit).as("files_scanned"),
+            col("rows_day"), col("users_day"))
+      },
+      Some("""WITH e AS (SELECT event_type, user_id, day(ts) AS day
+             |          FROM events WHERE day(ts) <= 7)
+             |SELECT
+             |  (SELECT CAST(count(*) AS INT)
+             |   FROM (SELECT DISTINCT day, event_type FROM e)) AS files_total,
+             |  (SELECT CAST(count(DISTINCT event_type) AS INT) FROM e WHERE day = 3) AS files_scanned,
+             |  (SELECT count(*) FROM e WHERE day = 3) AS rows_day,
+             |  (SELECT count(DISTINCT user_id) FROM e WHERE day = 3) AS users_day""".stripMargin.replace("\n", " "))),
+
     // The full GDPR sweep ACROSS ZONES (operators/Erasure): the same
     // day-1 events live in the raw JSON zone, a compacted parquet hour,
     // and a keyed Iceberg-like table; one sweep erases every user whose

@@ -77,7 +77,8 @@ final case class IcebergLikeTable(
     partitionCol: String = "event",
     uniqueKeys: Seq[String] = Nil,
     numBuckets: Int = 16,
-    retainVersions: Int = 8) {
+    retainVersions: Int = 8,
+    statsColumns: Seq[String] = Nil) {
 
   require(retainVersions >= 1, "retainVersions must keep at least the live snapshot")
 
@@ -124,6 +125,57 @@ final case class IcebergLikeTable(
     * marks (exactly-once micro-batch replay; see [[append]]).
     */
   private val HwmPrefix = "hwm."
+
+  /** Manifest metadata key holding per-file column min/max bounds
+    * ([[FileStats]]) — the planning-time file-skipping stats. Stamped
+    * for `statsColumns` (default: the unique keys) of supported types.
+    */
+  private val StatsKey = "stats"
+
+  private def statsCols: Seq[String] =
+    (if (statsColumns.nonEmpty) statsColumns else uniqueKeys).distinct
+
+  /** Per-file bounds for this commit: fresh stats for the imported
+    * files (ONE aggregate over just-written data, grouped by file — cost
+    * bounded by the batch, never the table), merged with the carried
+    * files' stats from the base manifest, restricted to the committed
+    * file list so expired files never accumulate.
+    */
+  private def statsMeta(baseMeta: Map[String, String], fileList: Seq[String],
+      imported: Seq[String], schema: StructType): Map[String, String] = {
+    val cols = statsCols.filter(c =>
+      schema.fields.exists(f => f.name == c && FileStats.supported(f.dataType)))
+    if (cols.isEmpty) return Map.empty
+    val prior = baseMeta.get(StatsKey).map(FileStats.fromJson)
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val fresh: FileStats.Stats =
+      if (imported.isEmpty) Map.empty
+      else {
+        val byName = imported.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+        val aggs = cols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"_lo_$c"),
+          max(col(c)).cast("string").as(s"_hi_$c")))
+        readFileSet(imported, Some(schema))
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .flatMap { r =>
+            val uri = r.getString(0)
+            val name = uri.substring(uri.lastIndexOf('/') + 1)
+            byName.get(name).map { rel =>
+              rel -> cols.flatMap { c =>
+                (Option(r.getAs[String](s"_lo_$c")), Option(r.getAs[String](s"_hi_$c"))) match {
+                  case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+                  case _ => None // all-null column in this file: no bounds
+                }
+              }.toMap
+            }
+          }.toMap
+      }
+    val keep = fileList.toSet
+    val merged = (prior.view.filterKeys(keep).toMap ++ fresh).filter(_._2.nonEmpty)
+    if (merged.isEmpty) Map.empty else Map(StatsKey -> FileStats.toJson(merged))
+  }
 
   private def storedSchema(meta: Map[String, String]): Option[StructType] =
     meta.get(SchemaKey).map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -246,6 +298,69 @@ final case class IcebergLikeTable(
     val df = readSnapshot(resolveLive()._2)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
+
+  /** Predicate-pruned read of the live snapshot: file skipping on the
+    * manifest-stamped per-file bounds ([[FileStats]]) BEFORE the Spark
+    * scan is planned — files whose [min, max] boxes cannot satisfy
+    * `condition` never reach the file index, never schedule a task,
+    * never open a footer. Equivalent to `read.filter(condition)` row
+    * for row (the full condition is still applied to the survivors);
+    * the stats only remove provably-empty files. Tables whose manifests
+    * predate the stats stamp (or columns outside `statsColumns`) prune
+    * nothing and stay correct.
+    *
+    * At 100 TB this is the point-lookup / time-slice path: a predicate
+    * on a stamped column touches the handful of files whose bounds
+    * overlap it, not every file of the partition.
+    */
+  def readWhere(condition: Column): DataFrame = {
+    val (_, snap) = resolveLive()
+    val schema = storedSchema(snap.meta)
+    val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val kept = (schema, analyzedPredicate(schema, condition)) match {
+      case (Some(s), Some(e)) =>
+        snap.files.filter(f =>
+          stats.get(f).forall(cols => FileStats.mayMatch(cols, s, e)))
+      case _ => snap.files
+    }
+    val df = readFileSet(kept, schema).filter(condition)
+    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+  }
+
+  /** The live files a [[readWhere]] of `condition` would scan — the
+    * observable face of stats pruning (specs assert on it; operators
+    * can use it to size a lookup).
+    */
+  def filesFor(condition: Column): Seq[String] = {
+    val (_, snap) = resolveLive()
+    val schema = storedSchema(snap.meta)
+    val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    (schema, analyzedPredicate(schema, condition)) match {
+      case (Some(s), Some(e)) =>
+        snap.files.filter(f =>
+          stats.get(f).forall(cols => FileStats.mayMatch(cols, s, e)))
+      case _ => snap.files
+    }
+  }
+
+  /** Resolve `condition` against the stamped schema (an empty frame —
+    * no I/O) so the attribute references are typed; None when the
+    * condition does not analyze (e.g. references a column the table
+    * lacks — readWhere then reads everything and lets the real filter
+    * raise the error).
+    */
+  private def analyzedPredicate(schema: Option[StructType],
+      condition: Column): Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    schema.flatMap { s =>
+      try {
+        val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        empty.filter(condition).queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Time travel: read a retained historical snapshot by version. */
   def readAt(version: Long): DataFrame = {
@@ -444,11 +559,13 @@ final case class IcebergLikeTable(
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(staging.toString)
-    val meta = hwmOf(baseMeta) ++ extraMeta +
-      (SchemaKey -> commitSchema(storedSchema(baseMeta), df.schema).json)
+    val schema = commitSchema(storedSchema(baseMeta), df.schema)
+    val meta = hwmOf(baseMeta) ++ extraMeta + (SchemaKey -> schema.json)
     try {
       val imported = Manifests.importStagedTree(fs, staging, root, s"v$version-$token")
-      try Manifests.write(fs, root, version, carryOver(imported) ++ imported, meta)
+      val fileList = carryOver(imported) ++ imported
+      try Manifests.write(fs, root, version, fileList,
+        meta ++ statsMeta(baseMeta, fileList, imported, schema))
       catch {
         case e: Manifests.CommitConflictException =>
           // lost the race: un-import our dormant files and let the

@@ -1,0 +1,136 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Manifest-stamped per-file column bounds + planning-time file
+  * skipping ([[FileStats]], [[IcebergLikeTable.readWhere]]): appends
+  * with disjoint value ranges produce files a predicate can prove
+  * empty, and readWhere must drop exactly those — while staying
+  * row-identical to read.filter for every predicate shape, including
+  * the ones stats cannot decide.
+  */
+class IcebergStatsSpec extends SparkTestBase {
+
+  private def tmpTable(): IcebergLikeTable =
+    IcebergLikeTable(spark,
+      Files.createTempDirectory("stats_tbl").toString + "/t",
+      "event", Nil, statsColumns = Seq("n", "user_id"))
+
+  /** 5 append batches, batch b carrying n ∈ [b·100, b·100+99] and
+    * zero-padded user ids "u0000".."u0499" — one file per batch in the
+    * single `event=e` leaf, disjoint bounds per file.
+    */
+  private def loaded(): IcebergLikeTable = {
+    import spark.implicits._
+    val t = tmpTable()
+    for (b <- 0 until 5) {
+      val df = (b * 100 until (b + 1) * 100)
+        .map(i => (i.toLong, f"u$i%04d", "e"))
+        .toDF("n", "user_id", "event")
+        .coalesce(1)
+      t.append(df)
+    }
+    t
+  }
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("equality, range, OR and IN predicates prune to the covering files") {
+    val t = loaded()
+    val all = t.filesFor(lit(true))
+    assert(all.size == 5)
+
+    assert(t.filesFor(col("n") === 250).size == 1)
+    assert(t.filesFor(col("n") > 450).size == 1)
+    assert(t.filesFor(col("n") >= 100 && col("n") < 300).size == 2)
+    assert(t.filesFor(col("n") === 50 || col("n") === 450).size == 2)
+    assert(t.filesFor(col("n").isin(150, 350)).size == 2)
+    assert(t.filesFor(lit(250) === col("n")).size == 1)
+    // string bounds compare as UTF-8 bytes
+    assert(t.filesFor(col("user_id") === "u0250").size == 1)
+    assert(t.filesFor(col("user_id") > "u0449").size == 1)
+    // a provably-empty predicate scans zero files
+    assert(t.filesFor(col("n") === 9999).isEmpty)
+    // undecidable shapes keep everything (sound)
+    assert(t.filesFor(col("n") % 2 === 0).size == 5)
+    assert(t.filesFor(!(col("n") === 250)).size == 5)
+  }
+
+  test("readWhere is row-identical to read.filter and scans fewer files") {
+    val t = loaded()
+    for (cond <- Seq(col("n") === 250, col("n") >= 100 && col("n") < 300,
+        col("user_id") === "u0042", col("n") % 2 === 0, col("n") === 9999)) {
+      sameRows(t.readWhere(cond), t.read.filter(cond))
+    }
+    assert(t.readWhere(col("n") === 250).inputFiles.length == 1)
+    assert(t.read.filter(col("n") === 250).inputFiles.length == 5)
+    assert(t.readWhere(col("n") === 9999).count() == 0)
+  }
+
+  test("stats survive carry-over commits and rewrites recompute them") {
+    import spark.implicits._
+    val t = loaded()
+    // another append: the 5 prior files' stats carry over untouched
+    t.append(Seq((900L, "u0900", "e")).toDF("n", "user_id", "event").coalesce(1))
+    assert(t.filesFor(col("n") === 250).size == 1)
+    assert(t.filesFor(col("n") === 900).size == 1)
+    // maintain() compacts the 6-file leaf into one file whose recomputed
+    // bounds span everything — pruning keeps exactly that file
+    assert(t.maintain(fileThreshold = 2, targetFiles = 1).nonEmpty)
+    assert(t.filesFor(lit(true)).size == 1)
+    assert(t.filesFor(col("n") === 250).size == 1)
+    assert(t.filesFor(col("n") === 9999).isEmpty)
+    sameRows(t.readWhere(col("n") === 250), t.read.filter(col("n") === 250))
+    assert(t.read.count() == 501)
+  }
+
+  test("keyed tables: sound under hash bucketing, out-of-range lookups prune all") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("stats_keyed").toString + "/t",
+      "event", Seq("user_id"), numBuckets = 4)
+    val base = (0 until 200)
+      .map(i => (f"u$i%04d", "e", 1L))
+      .toDF("user_id", "event", "seq")
+    t.write(base, "seq")
+    val all = t.filesFor(lit(true))
+    assert(all.size == 4)
+    // hash bucketing spreads keys uniformly, so every bucket file's
+    // [min,max] spans ~the full key range and a mid-range point lookup
+    // cannot min/max-prune — that lookup's file cut is gbucket PARTITION
+    // pruning inside the scan (the hash is recomputable from the key);
+    // stats must merely stay sound here
+    val hit = t.filesFor(col("user_id") === "u0042")
+    assert(hit.size == all.size)
+    sameRows(t.readWhere(col("user_id") === "u0042"),
+      t.read.filter(col("user_id") === "u0042"))
+    // an out-of-range key is provably absent from every file's bounds:
+    // planning-time prune to ZERO files, no scan at all
+    sameRows(t.readWhere(col("user_id") === "zzzz"),
+      t.read.filter(col("user_id") === "zzzz"))
+    assert(t.readWhere(col("user_id") === "zzzz").count() == 0)
+    assert(t.filesFor(col("user_id") === "zzzz").isEmpty)
+  }
+
+  test("all-null stat columns, missing columns and legacy manifests never prune") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("stats_null").toString + "/t",
+      "event", Nil, statsColumns = Seq("maybe"))
+    t.append(Seq((1L, "e")).toDF("n", "event")
+      .withColumn("maybe", lit(null).cast("string")).coalesce(1))
+    // the only file has an all-null stats column: no bounds, no pruning
+    assert(t.filesFor(col("maybe") === "x").size == 1)
+    sameRows(t.readWhere(col("maybe") === "x"),
+      t.read.filter(col("maybe") === "x"))
+    // predicates on unstamped columns keep everything
+    assert(t.filesFor(col("n") === 999).size == 1)
+  }
+}
