@@ -251,6 +251,62 @@ object EventQueries {
              |FROM events GROUP BY user_id
              |ORDER BY cnt_exact DESC, user_id LIMIT 10""".stripMargin.replace("\n", " "))),
 
+    // KMV/theta sketches (operators/ThetaSketch): SET ALGEBRA over
+    // distinct sketches — the audience-overlap question ("users who did
+    // A AND B / A OR B / A but NOT B") that HLL cannot answer, per
+    // event-type pair. Verdict-bearing like the other sketch gates:
+    // exact pairwise distincts recomputed in DuckDB, estimates bound to
+    // 5% OF THE UNION (the honest theta error form — intersection error
+    // scales with the union, not the intersection). Sub-k groups make
+    // the sketch the exact hash set, so at the verify scale the bound
+    // holds with zero slack and a drifting estimator flips the hash.
+    Q("q_theta_overlap",
+      (s, d) => {
+        import graft.operators.ThetaSketch._
+        val e = ev(s, d)
+        val sk = e.groupBy("event_type")
+          .agg(kmv(col("user_id")).as("sk"))
+        val pairs = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+          .crossJoin(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b")))
+          .filter(col("type_a") < col("type_b"))
+        val ud = e.select(col("event_type"), col("user_id")).distinct()
+        val exact = ud.select(col("event_type").as("type_a"), col("user_id"))
+          .join(ud.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(countDistinct(col("user_id")).as("inter_exact"))
+        val sizes = ud.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("nu"))
+        pairs.join(exact, Seq("type_a", "type_b"))
+          .join(sizes.select(col("event_type").as("type_a"), col("nu").as("na")), "type_a")
+          .join(sizes.select(col("event_type").as("type_b"), col("nu").as("nb")), "type_b")
+          .select(col("type_a"), col("type_b"),
+            col("inter_exact"),
+            (col("na") + col("nb") - col("inter_exact")).as("union_exact"),
+            (col("na") - col("inter_exact")).as("diff_exact"),
+            kmvIntersectEstimate(col("sk_a"), col("sk_b")).as("ie"),
+            kmvUnionEstimate(col("sk_a"), col("sk_b")).as("ue"),
+            kmvDifferenceEstimate(col("sk_a"), col("sk_b")).as("de"))
+          .select(col("type_a"), col("type_b"),
+            col("inter_exact"), col("union_exact"), col("diff_exact"),
+            (abs(col("ie") - col("inter_exact")) <= col("union_exact") * lit(0.05)).as("inter_ok"),
+            (abs(col("ue") - col("union_exact")) <= col("union_exact") * lit(0.05)).as("union_ok"),
+            (abs(col("de") - col("diff_exact")) <= col("union_exact") * lit(0.05)).as("diff_ok"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT event_type, user_id FROM events),
+             |sz AS (SELECT event_type, count(*) AS nu FROM ud GROUP BY 1),
+             |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |             count(*) AS inter_exact
+             |      FROM ud a JOIN ud b ON a.user_id = b.user_id
+             |      WHERE a.event_type < b.event_type GROUP BY 1, 2)
+             |SELECT i.type_a, i.type_b, CAST(i.inter_exact AS BIGINT) AS inter_exact,
+             |       CAST(sa.nu + sb.nu - i.inter_exact AS BIGINT) AS union_exact,
+             |       CAST(sa.nu - i.inter_exact AS BIGINT) AS diff_exact,
+             |       TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+             |FROM i JOIN sz sa ON sa.event_type = i.type_a
+             |       JOIN sz sb ON sb.event_type = i.type_b
+             |ORDER BY type_a, type_b""".stripMargin.replace("\n", " "))),
+
     // gap-based sessionization (30 min), exact microsecond durations.
     Q("q_sessionize",
       (s, d) => Sessionize.sessions(ev(s, d))
