@@ -163,30 +163,61 @@ object FileStats {
     case _ => None
   }
 
+  /** Membership oracle for point predicates: `(column, value, type) =>
+    * Some(false)` when the value is PROVABLY absent from the file (a
+    * Bloom filter's no-false-negative direction); anything else keeps
+    * the file. The default knows nothing.
+    */
+  type Membership = (String, Any, DataType) => Option[Boolean]
+  val NoMembership: Membership = (_, _, _) => None
+
   def mayMatch(cols: Map[String, (String, String)], schema: StructType,
-      e: Expression): Boolean = e match {
-    case And(l, r) => mayMatch(cols, schema, l) && mayMatch(cols, schema, r)
-    case Or(l, r) => mayMatch(cols, schema, l) || mayMatch(cols, schema, r)
+      e: Expression): Boolean = mayMatch(cols, schema, e, NoMembership)
+
+  def mayMatch(cols: Map[String, (String, String)], schema: StructType,
+      e: Expression, member: Membership): Boolean = e match {
+    case And(l, r) =>
+      mayMatch(cols, schema, l, member) && mayMatch(cols, schema, r, member)
+    case Or(l, r) =>
+      mayMatch(cols, schema, l, member) || mayMatch(cols, schema, r, member)
     case op: BinaryComparison => (attrOf(op.left), attrOf(op.right)) match {
       case (Some(a), None) if op.right.foldable =>
-        (boundsOf(cols, schema, a.name), constOf(op.right)) match {
+        val intervalOk = (boundsOf(cols, schema, a.name), constOf(op.right)) match {
           case (Some((lo, hi, dt)), Some(c)) => intervalMayMatch(lo, hi, c, dt, op)
           case _ => true
         }
+        val bloomOk = op match {
+          case _: EqualTo | _: EqualNullSafe =>
+            (constOf(op.right), schema.fields.find(_.name == a.name)) match {
+              case (Some(c), Some(f)) => member(a.name, c, f.dataType).getOrElse(true)
+              case _ => true
+            }
+          case _ => true
+        }
+        intervalOk && bloomOk
       case (None, Some(_)) if op.left.foldable =>
-        mayMatch(cols, schema, flip(op))
+        mayMatch(cols, schema, flip(op), member)
       case _ => true
     }
     case In(v, list) if attrOf(v).isDefined && list.forall(_.foldable) =>
-      boundsOf(cols, schema, attrOf(v).get.name) match {
-        case Some((lo, hi, dt)) => list.exists { l =>
-          constOf(l) match {
-            case Some(c) =>
-              intervalMayMatch(lo, hi, c, dt, EqualTo(v, Literal(null)))
-            case None => true // a null in the IN list — undecidable, keep
-          }
+      val a = attrOf(v).get
+      val bounds = boundsOf(cols, schema, a.name)
+      val field = schema.fields.find(_.name == a.name)
+      list.exists { l =>
+        constOf(l) match {
+          case Some(c) =>
+            val intervalOk = bounds match {
+              case Some((lo, hi, dt)) =>
+                intervalMayMatch(lo, hi, c, dt, EqualTo(v, Literal(null)))
+              case None => true
+            }
+            val bloomOk = field match {
+              case Some(f) => member(a.name, c, f.dataType).getOrElse(true)
+              case None => true
+            }
+            intervalOk && bloomOk
+          case None => true // a null in the IN list — undecidable, keep
         }
-        case None => true
       }
     case _ => true
   }

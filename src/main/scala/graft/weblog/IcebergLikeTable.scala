@@ -78,7 +78,10 @@ final case class IcebergLikeTable(
     uniqueKeys: Seq[String] = Nil,
     numBuckets: Int = 16,
     retainVersions: Int = 8,
-    statsColumns: Seq[String] = Nil) {
+    statsColumns: Seq[String] = Nil,
+    bloomColumns: Seq[String] = Nil,
+    bloomExpectedItems: Long = 100000L,
+    bloomFpp: Double = 0.01) {
 
   require(retainVersions >= 1, "retainVersions must keep at least the live snapshot")
 
@@ -175,6 +178,54 @@ final case class IcebergLikeTable(
     val keep = fileList.toSet
     val merged = (prior.view.filterKeys(keep).toMap ++ fresh).filter(_._2.nonEmpty)
     if (merged.isEmpty) Map.empty else Map(StatsKey -> FileStats.toJson(merged))
+  }
+
+  /** Manifest metadata key listing the live Bloom SIDECAR file names
+    * (comma-joined) — see [[BloomStats]]; loaded lazily at readWhere
+    * planning, GC'd with the snapshots that reference them.
+    */
+  private val BloomKey = "bloomfiles"
+
+  private def bloomSidecarsOf(meta: Map[String, String]): Seq[String] =
+    meta.get(BloomKey).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Write the per-file Bloom sidecar for this commit's imported files;
+    * returns the metadata entry (carried sidecar names + the new one).
+    * One aggregate over the just-written files, like the stats stamp.
+    * A carried sidecar whose commit's data files have ALL left the
+    * snapshot is dropped from the reference list (sidecar and data
+    * names share the `v<version>-<token>` tag, so liveness is a string
+    * check against `fileList` — no sidecar reads), which caps the
+    * sidecar count at the live-commit count; GC deletes the files once
+    * their last referencing manifest expires.
+    */
+  private def bloomMeta(baseMeta: Map[String, String], fileList: Seq[String],
+      imported: Seq[String], schema: StructType, version: Long,
+      token: String): Map[String, String] = {
+    val cols = bloomColumns.distinct.filter(c => schema.fields.exists(_.name == c))
+    val liveNames = fileList.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val carried = bloomSidecarsOf(baseMeta).filter { n =>
+      val tag = n.stripPrefix("_graft_bloom_").split("_", 2)
+      tag.length == 2 && liveNames.exists(_.startsWith(s"part-${tag(0)}-${tag(1)}-"))
+    }
+    if (cols.isEmpty || imported.isEmpty)
+      return if (carried.isEmpty) Map.empty else Map(BloomKey -> carried.mkString(","))
+    val byName = imported.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val aggs = cols.map(c =>
+      BloomStats.bloomAgg(xxhash64(col(c)), bloomExpectedItems, bloomFpp).as(s"_bf_$c"))
+    val perFile: BloomStats.Sidecar = readFileSet(imported, Some(schema))
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        val uri = r.getString(0)
+        byName.get(uri.substring(uri.lastIndexOf('/') + 1)).map { rel =>
+          rel -> cols.map(c => c -> r.getAs[Array[Byte]](s"_bf_$c")).toMap
+        }
+      }.toMap
+    val name = s"_graft_bloom_v${version}_$token"
+    BloomStats.write(fs, new Path(root, name), perFile)
+    Map(BloomKey -> (carried :+ name).mkString(","))
   }
 
   private def storedSchema(meta: Map[String, String]): Option[StructType] =
@@ -316,15 +367,8 @@ final case class IcebergLikeTable(
   def readWhere(condition: Column): DataFrame = {
     val (_, snap) = resolveLive()
     val schema = storedSchema(snap.meta)
-    val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
-      .getOrElse(Map.empty[String, Map[String, (String, String)]])
-    val kept = (schema, analyzedPredicate(schema, condition)) match {
-      case (Some(s), Some(e)) =>
-        snap.files.filter(f =>
-          stats.get(f).forall(cols => FileStats.mayMatch(cols, s, e)))
-      case _ => snap.files
-    }
-    val df = readFileSet(kept, schema).filter(condition)
+    val df = readFileSet(prunedFiles(snap, schema, condition), schema)
+      .filter(condition)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
 
@@ -334,16 +378,40 @@ final case class IcebergLikeTable(
     */
   def filesFor(condition: Column): Seq[String] = {
     val (_, snap) = resolveLive()
-    val schema = storedSchema(snap.meta)
-    val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
-      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    prunedFiles(snap, storedSchema(snap.meta), condition)
+  }
+
+  /** Min/max interval pruning ([[FileStats]]) plus Bloom point-lookup
+    * pruning ([[BloomStats]]) of a snapshot's file list. Sidecars load
+    * once per call; filters deserialize lazily per (file, col).
+    */
+  private def prunedFiles(snap: Manifests.Snapshot,
+      schema: Option[StructType], condition: Column): Seq[String] =
     (schema, analyzedPredicate(schema, condition)) match {
       case (Some(s), Some(e)) =>
-        snap.files.filter(f =>
-          stats.get(f).forall(cols => FileStats.mayMatch(cols, s, e)))
+        val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
+          .getOrElse(Map.empty[String, Map[String, (String, String)]])
+        val sidecars = bloomSidecarsOf(snap.meta)
+        lazy val blooms: BloomStats.Sidecar =
+          sidecars.map(n => BloomStats.read(fs, new Path(root, n)))
+            .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)
+        val filterCache = scala.collection.mutable.Map.empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
+        snap.files.filter { f =>
+          val member: FileStats.Membership =
+            if (sidecars.isEmpty) FileStats.NoMembership
+            else (colName, value, dt) =>
+              blooms.get(f).flatMap(_.get(colName)).map { bytes =>
+                filterCache.getOrElseUpdate((f, colName), BloomStats.filterOf(bytes))
+                  .mightContainLong(BloomStats.hashOf(value, dt))
+              }
+          val intervalOk = stats.get(f)
+            .forall(cols => FileStats.mayMatch(cols, s, e, member))
+          // files with no stats entry still get the bloom check
+          intervalOk && (stats.contains(f) ||
+            FileStats.mayMatch(Map.empty, s, e, member))
+        }
       case _ => snap.files
     }
-  }
 
   /** Resolve `condition` against the stamped schema (an empty frame —
     * no I/O) so the attribute references are typed; None when the
@@ -502,11 +570,15 @@ final case class IcebergLikeTable(
     val (liveVersion, live) = resolveLive()
     val newVersion = nextVersion(liveVersion)
     // roll back to the target's files AND schema (a rollback across an
-    // add-column commit restores the pre-evolution schema); the append
-    // high-water marks are the LIVE ones — the stream's replay cursor
-    // is independent of which snapshot the data rolled to.
+    // add-column commit restores the pre-evolution schema), plus the
+    // target's file stats and bloom sidecar references (they describe
+    // the rolled-to files); the append high-water marks are the LIVE
+    // ones — the stream's replay cursor is independent of which
+    // snapshot the data rolled to.
     val meta = hwmOf(live.meta) ++
-      target.meta.get(SchemaKey).map(SchemaKey -> _)
+      target.meta.get(SchemaKey).map(SchemaKey -> _) ++
+      target.meta.get(StatsKey).map(StatsKey -> _) ++
+      target.meta.get(BloomKey).map(BloomKey -> _)
     Manifests.write(fs, root, newVersion, target.files, meta)
     expireSnapshots()
     newVersion
@@ -564,13 +636,16 @@ final case class IcebergLikeTable(
     try {
       val imported = Manifests.importStagedTree(fs, staging, root, s"v$version-$token")
       val fileList = carryOver(imported) ++ imported
+      val bloom = bloomMeta(baseMeta, fileList, imported, schema, version, token)
       try Manifests.write(fs, root, version, fileList,
-        meta ++ statsMeta(baseMeta, fileList, imported, schema))
+        meta ++ statsMeta(baseMeta, fileList, imported, schema) ++ bloom)
       catch {
         case e: Manifests.CommitConflictException =>
-          // lost the race: un-import our dormant files and let the
-          // caller retry against the winner's snapshot
+          // lost the race: un-import our dormant files (and this
+          // writer's bloom sidecar) and let the caller retry against
+          // the winner's snapshot
           imported.foreach(f => fs.delete(new Path(root, f), false))
+          fs.delete(new Path(root, s"_graft_bloom_v${version}_$token"), false)
           throw e
       }
       expireSnapshots()
@@ -612,11 +687,16 @@ final case class IcebergLikeTable(
     val all = versions
     if (all.size <= keepLast) return
     val (expired, retained) = all.splitAt(all.size - keepLast)
-    val referenced = retained.flatMap(v => Manifests.at(fs, root, v).getOrElse(Nil)).toSet
+    val retainedSnaps = retained.flatMap(v => Manifests.snapshotAt(fs, root, v))
+    val referenced = retainedSnaps.flatMap(_.files).toSet
+    val referencedSidecars = retainedSnaps.flatMap(s => bloomSidecarsOf(s.meta)).toSet
     expired.foreach { v =>
-      Manifests.at(fs, root, v).getOrElse(Nil)
-        .filterNot(referenced)
-        .foreach(f => fs.delete(new Path(root, f), false))
+      Manifests.snapshotAt(fs, root, v).foreach { s =>
+        s.files.filterNot(referenced)
+          .foreach(f => fs.delete(new Path(root, f), false))
+        bloomSidecarsOf(s.meta).filterNot(referencedSidecars)
+          .foreach(n => fs.delete(new Path(root, n), false))
+      }
       fs.delete(new Path(root, s"${Manifests.Prefix}$v"), false)
     }
   }
@@ -632,10 +712,16 @@ final case class IcebergLikeTable(
     */
   def vacuum(keepLast: Int = retainVersions): Unit = {
     expireSnapshots(keepLast)
-    val referenced = versions
-      .flatMap(v => Manifests.at(fs, root, v).getOrElse(Nil)).toSet
+    val snaps = versions.flatMap(v => Manifests.snapshotAt(fs, root, v))
+    val referenced = snaps.flatMap(_.files).toSet
     walkDataFiles().filterNot(referenced)
       .foreach(f => fs.delete(new Path(root, f), false))
+    // bloom-sidecar debris: a sidecar no retained manifest references is
+    // a crashed or conflict-losing commit's leftover
+    val referencedSidecars = snaps.flatMap(s => bloomSidecarsOf(s.meta)).toSet
+    if (exists) fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith("_graft_bloom_") && !referencedSidecars.contains(n))
+      .foreach(n => fs.delete(new Path(root, n), false))
     // commit-lock debris: a lock whose manifest was never published is
     // a writer that crashed between claim and publish — clear it so the
     // version name is claimable again (safe under vacuum's no-in-flight
@@ -677,6 +763,41 @@ final case class IcebergLikeTable(
     if (alreadyApplied(snap.meta, appendId)) return
     val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
     commit(withBucket(df), liveVersion, snap.meta, extra)(_ => snap.files)
+  }
+
+  /** Range-CLUSTERED append: rows range-partitioned and sorted on
+    * `clusterCols` before the write, so each emitted file covers a
+    * narrow, non-overlapping slice of the cluster-column domain — the
+    * layout that makes the manifest bounds ([[FileStats]]) sharp. With
+    * the default hash-derived task layout every file spans ~the full
+    * value range and [[readWhere]] can only prune what partition values
+    * already cut; after a clustered append a point/range predicate on
+    * the cluster columns prunes to the covering files alone
+    * (IcebergStatsSpec pins 1-of-N). This is Iceberg's
+    * write-distribution-mode=range + sort-order story: cluster on the
+    * columns queries slice by (time, tenant, severity), and the
+    * planning-time skip does the rest. Cost: one range exchange of the
+    * batch (sampling + shuffle), never the table.
+    *
+    * `nFiles` bounds the number of range slices (the partitionBy split
+    * happens inside each range task, so a leaf holds at most `nFiles`
+    * files per clustered append). Stats stamping follows the table's
+    * `statsColumns` declaration — declare the cluster columns there or
+    * the narrow bounds are never recorded.
+    */
+  def appendClustered(df: DataFrame, clusterCols: Seq[String],
+      nFiles: Int = 16, appendId: Option[(String, Long)] = None): Unit = {
+    require(clusterCols.nonEmpty, "appendClustered needs cluster columns")
+    val shaped = withBucket(df)
+      .repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    withCommitRetry {
+      val (liveVersion, snap) = resolveLive()
+      if (!alreadyApplied(snap.meta, appendId)) {
+        val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
+        commit(shaped, liveVersion, snap.meta, extra)(_ => snap.files)
+      }
+    }
   }
 
   /** S10 upsert path (`operation='update'`). `orderCol` decides

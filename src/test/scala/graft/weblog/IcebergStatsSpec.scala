@@ -119,6 +119,91 @@ class IcebergStatsSpec extends SparkTestBase {
     assert(t.filesFor(col("user_id") === "zzzz").isEmpty)
   }
 
+  test("range-clustered append makes point predicates prune to one file") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("stats_clustered").toString + "/t",
+      "event", Nil, statsColumns = Seq("n"))
+    val df = (0 until 1000).map(i => (i.toLong, "e")).toDF("n", "event")
+    t.appendClustered(df, Seq("n"), nFiles = 8)
+    val all = t.filesFor(lit(true))
+    assert(all.size == 8)
+    // non-overlapping range slices: a point predicate covers exactly one
+    assert(t.filesFor(col("n") === 500).size == 1)
+    // a narrow range predicate covers 1-2 adjacent slices, never all
+    assert(t.filesFor(col("n") >= 100 && col("n") <= 150).size <= 2)
+    sameRows(t.readWhere(col("n") === 500), t.read.filter(col("n") === 500))
+    assert(t.read.count() == 1000)
+    // contrast: the same rows appended unclustered from 8 hash tasks
+    // span the domain per file — the point predicate prunes nothing
+    val u = IcebergLikeTable(spark,
+      Files.createTempDirectory("stats_unclustered").toString + "/t",
+      "event", Nil, statsColumns = Seq("n"))
+    u.append(df.repartition(8))
+    assert(u.filesFor(col("n") === 500).size == u.filesFor(lit(true)).size)
+  }
+
+  test("bloom sidecars prune point lookups that min/max cannot") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("bloom_tbl").toString + "/t",
+      "event", Nil, statsColumns = Seq("n"),
+      bloomColumns = Seq("user_id"), bloomExpectedItems = 1000L)
+    // each batch holds ids spread across the WHOLE id range (id % 5 == b)
+    // — every file's [min,max] box spans the domain, interval pruning
+    // keeps all 5; only the bloom knows which file holds a given id
+    for (b <- 0 until 5) {
+      val df = (0 until 500).filter(_ % 5 == b)
+        .map(i => (i.toLong, f"u$i%04d", "e"))
+        .toDF("n", "user_id", "event").coalesce(1)
+      t.append(df)
+    }
+    assert(t.filesFor(lit(true)).size == 5)
+    // n=42 is in batch 2 (42 % 5 = 2): interval prune keeps all 5 files
+    // (each file spans ~[b, 495+b]), the bloom cuts to its file (+fp)
+    val hit = t.filesFor(col("user_id") === "u0042")
+    assert(hit.size <= 2, s"bloom should prune, got $hit")
+    assert(hit.nonEmpty)
+    sameRows(t.readWhere(col("user_id") === "u0042"),
+      t.read.filter(col("user_id") === "u0042"))
+    assert(t.readWhere(col("user_id") === "u0042").count() == 1)
+    // absent key: every bloom answers no — zero files at planning time
+    assert(t.filesFor(col("user_id") === "zzzz").isEmpty)
+    // IN lists get the same treatment per element
+    assert(t.filesFor(col("user_id").isin("u0042", "u0043")).size <= 4)
+    sameRows(t.readWhere(col("user_id").isin("u0042", "u0043")),
+      t.read.filter(col("user_id").isin("u0042", "u0043")))
+    // range predicates never consult the bloom (sound fallthrough)
+    assert(t.filesFor(col("user_id") >= "u0000").size == 5)
+    // combined: bloom point cut AND interval cut compose under AND
+    assert(t.filesFor(col("user_id") === "u0042" && col("n") === 9999L).isEmpty)
+  }
+
+  test("bloom sidecar files are reference-tracked and GC'd with snapshots") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloom_gc").toString + "/t"
+    val t = IcebergLikeTable(spark, dir, "event", Nil,
+      bloomColumns = Seq("user_id"), bloomExpectedItems = 100L,
+      retainVersions = 2)
+    for (b <- 0 until 5)
+      t.append(Seq((b.toLong, s"u$b", "e")).toDF("n", "user_id", "event").coalesce(1))
+    t.vacuum()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecarsOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_graft_bloom_")).toSet
+    // every sidecar on disk is referenced by a retained manifest, and
+    // the retained snapshots' lookups still work end to end
+    val referenced = t.versions
+      .flatMap(v => Manifests.snapshotAt(fs, new org.apache.hadoop.fs.Path(dir), v))
+      .flatMap(s => s.meta.get("bloomfiles").toSeq.flatMap(_.split(",")))
+      .toSet
+    assert(sidecarsOnDisk == referenced.filter(_.nonEmpty))
+    assert(t.filesFor(col("user_id") === "u4").size == 1)
+    assert(t.filesFor(col("user_id") === "nope").isEmpty)
+    assert(t.read.count() == 5)
+  }
+
   test("all-null stat columns, missing columns and legacy manifests never prune") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
