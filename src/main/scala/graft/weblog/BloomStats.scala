@@ -35,7 +35,7 @@ object BloomStats {
 
   /** Driver-side twin of the executors' `xxhash64(col)` (seed 42). */
   def hashOf(value: Any, dt: DataType): Long =
-    XxHash64(Seq(Literal(value, dt))).eval(InternalRow.empty).asInstanceOf[Long]
+    XxHash64(Seq(Literal(value, dt)), 42L).eval(InternalRow.empty).asInstanceOf[Long]
 
   /** Mutable per-file buffer; lives as a JVM object within a partition
     * (serialized only at shuffle/spill, java-serialization — the
