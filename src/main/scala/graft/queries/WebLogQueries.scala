@@ -368,6 +368,58 @@ object WebLogQueries {
              |  (SELECT count(*) FROM d1 WHERE user_id % 10 = 3)
              |ORDER BY zone""".stripMargin.replace("\n", " "))),
 
+    // Incrementally-maintained materialized aggregate (weblog/
+    // MaterializedAgg): a per-user count+sum rollup refreshed from the
+    // source table's CDC after EVERY commit — base load, a value-
+    // rewriting update, then a row-level delete — never a full rescan
+    // (the refresh cursor rides the view's own exactly-once commit
+    // mark). The final view must equal the oracle's full recompute of
+    // the end state.
+    Q("weblog_matview",
+      (s, d) => {
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(seq: Long) = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            (col("event_id") % 100).as("value"),
+            lit(seq).as("seq"))
+        val src = IcebergLikeTable(s, scratch(s, "mv_src", d) + "/t", "event",
+          Seq("user_id", "timestamp"))
+        val tgt = IcebergLikeTable(s, scratch(s, "mv_tgt", d) + "/t", "view",
+          Seq("user_id"))
+        val mv = MaterializedAgg(src, tgt, Seq("user_id"), Seq("value"))
+        src.write(keyed(1L), "seq")
+        mv.refresh()
+        val updates = keyed(2L)
+          .filter(hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern)) < 12)
+          .withColumn("value", col("value") + 1000L)
+        src.write(updates, "seq")
+        mv.refresh()
+        src.delete(col("event") === "click")
+        mv.refresh()
+        mv.read.select("user_id", "cnt", "sum_value").orderBy("user_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT 'u' || CAST(user_id AS VARCHAR) AS uid, event_type AS event,
+             |         hour(ts) AS h, CAST(event_id % 100 AS BIGINT) AS value
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1),
+             |fin AS (SELECT uid, event,
+             |               CASE WHEN h < 12 THEN value + 1000 ELSE value END AS value
+             |        FROM base WHERE event <> 'click')
+             |SELECT uid AS user_id, count(*) AS cnt,
+             |       CAST(sum(value) AS BIGINT) AS sum_value
+             |FROM fin GROUP BY 1 ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
     // S10 incremental/CDC read (Iceberg changelog scan / Delta CDF):
     // base-load day 1 (v1); ONE upsert commits hour<12 hostname updates
     // plus day-2 early-morning inserts (v2); a row-level DELETE erases

@@ -240,6 +240,14 @@ final case class IcebergLikeTable(
   private def hwmOf(meta: Map[String, String]): Map[String, String] =
     meta.view.filterKeys(_.startsWith(HwmPrefix)).toMap
 
+  /** The committed per-stream append high-water mark, if any — the
+    * replay cursor [[append]]'s `appendId` maintains. Incremental
+    * consumers (e.g. [[MaterializedAgg]]) read their own cursor from
+    * here: it was committed atomically with the data they derived.
+    */
+  def appendHighWaterMark(streamId: String): Option[Long] =
+    resolveLive()._2.meta.get(hwmKey(streamId)).flatMap(_.toLongOption)
+
   /** True iff this (streamId, batchId) append was already committed —
     * the batch is a micro-batch replay and must be skipped.
     */

@@ -1,0 +1,140 @@
+package graft.weblog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate table (materialized view) over an
+  * [[IcebergLikeTable]] source: a keyed summary — group dimensions →
+  * COUNT plus additive SUMs, the self-maintainable aggregate class —
+  * refreshed from the source's CDC instead of rescanned.
+  *
+  * `refresh()` reads ONLY `changesBetween(cursor, live)` (leaf-pruned:
+  * O(changed leaves), never O(source)); folds the change rows into
+  * per-group deltas (+1/+value for inserts and update postimages,
+  * −1/−value for deletes and update preimages); joins the deltas
+  * against the CURRENT target rows of the affected groups only (a
+  * [[IcebergLikeTable.readWhere]]-prunable point set, bounded by the
+  * delta's distinct groups); and upserts the new absolute rows.
+  *
+  * The refresh CURSOR is the source snapshot version, recorded through
+  * the target's own exactly-once append mark (`appendId = (source
+  * identity, source version)`) — committed ATOMICALLY with the derived
+  * rows, so a crash between refresh and any external bookkeeping
+  * cannot double-apply: re-running the same refresh resolves
+  * `version <= hwm` and is skipped, and the next refresh resumes from
+  * the committed cursor. This is exactly Iceberg's
+  * incremental-processing recipe (consume a snapshot range, record the
+  * consumed watermark in the derived table's snapshot).
+  *
+  * Scale: refresh cost is O(changed rows + affected groups), never
+  * O(source) and never O(view) — a 100 TB fact table with a key-local
+  * commit refreshes its rollup by reading a handful of leaves and
+  * rewriting the touched group rows' leaves.
+  */
+final case class MaterializedAgg(
+    source: IcebergLikeTable,
+    target: IcebergLikeTable,
+    groupCols: Seq[String],
+    sumCols: Seq[String] = Nil,
+    countCol: String = "cnt") {
+
+  require(groupCols.nonEmpty, "a materialized aggregate needs group columns")
+  require(target.uniqueKeys == groupCols,
+    s"target unique keys ${target.uniqueKeys} must equal the group columns $groupCols")
+
+  private def cursorId: String = s"matview:${source.path}"
+
+  /** The source version this view has folded in (None = never refreshed). */
+  def refreshedThrough: Option[Long] = target.appendHighWaterMark(cursorId)
+
+  private def sumName(c: String): String = s"sum_$c"
+
+  /** Fold source changes since the last refresh into the target.
+    * Returns the (from, to] source-version window applied, or None when
+    * the source has no newer snapshot. `partitionValue` is the target's
+    * partition-column value for new group rows (the view is usually
+    * single-partition; pass a column-derived value via the group cols
+    * when it is not).
+    */
+  /** Above this many affected groups the refresh joins the full view
+    * instead of a point-pruned read (the adaptive point: a huge refresh
+    * is closer to a rebuild anyway).
+    */
+  private val PointLookupGroups = 1000
+
+  def refresh(partitionValue: String = "all"): Option[(Long, Long)] = {
+    val live = source.currentVersion.getOrElse(return None)
+    val from = refreshedThrough.getOrElse(0L)
+    if (live <= from) return None
+
+    // the initial materialization is necessarily a full scan (there is
+    // no snapshot v0 to diff from); every later refresh reads only the
+    // changed leaves
+    val changes =
+      if (from == 0L) source.read.withColumn("_change_type", lit("insert"))
+      else if (source.uniqueKeys.nonEmpty) source.changesBetween(from, live)
+      else source.appendsBetween(from, live)
+        .withColumn("_change_type", lit("insert"))
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltaAggs = sum(sign).as("_dcnt") +:
+      sumCols.map(c => sum(sign * coalesce(col(c), lit(0))).as(s"_d_${sumName(c)}"))
+    val deltas = changes
+      .groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+
+    // affected-group predicate when the delta is small: turns the
+    // current-values join and the zero-count delete into
+    // stats/bloom-prunable point reads instead of view scans
+    val groupPred: Option[Column] =
+      if (groupCols.size != 1 || target.currentVersion.isEmpty) None
+      else {
+        val g = deltas.select(col(groupCols.head)).limit(PointLookupGroups + 1)
+          .collect().map(_.get(0))
+        if (g.length > PointLookupGroups) None
+        else Some(col(groupCols.head).isin(g.toSeq: _*))
+      }
+
+    val merged =
+      if (target.currentVersion.isEmpty)
+        deltas.select(
+          groupCols.map(col) ++
+            (col("_dcnt").as(countCol) +:
+              sumCols.map(c => col(s"_d_${sumName(c)}").as(sumName(c)))): _*)
+      else {
+        val cur = groupPred.map(target.readWhere).getOrElse(target.read)
+        deltas.join(cur, groupCols, "left_outer")
+          .select(
+            groupCols.map(col) ++
+              ((coalesce(col(countCol), lit(0L)) + col("_dcnt")).as(countCol) +:
+                sumCols.map(c =>
+                  (coalesce(col(sumName(c)), lit(0L)) + col(s"_d_${sumName(c)}"))
+                    .as(sumName(c)))): _*)
+      }
+    val rows = merged
+      .withColumn(target.partitionCol, lit(partitionValue))
+      .withColumn("_seq", lit(live))
+    target.upsert(rows, "_seq", Some((cursorId, live)))
+    // groups whose count folded to zero left the source entirely —
+    // only possible on keyed sources (appends never retract), and only
+    // among the affected groups, so the erase scan is scoped when the
+    // point predicate is available
+    if (source.uniqueKeys.nonEmpty) {
+      val zero = col(countCol) === 0L
+      target.delete(groupPred.map(_ && zero).getOrElse(zero))
+    }
+    Some((from, live))
+  }
+
+  /** The view as a DataFrame (group cols + count + sums). */
+  def read: DataFrame = target.read.drop(target.partitionCol).drop("_seq")
+
+  /** Ground-truth twin: the same aggregate recomputed from the full
+    * source scan (spec/gate comparison surface).
+    */
+  def fullRecompute: DataFrame = {
+    val aggs = count(lit(1)).as(countCol) +:
+      sumCols.map(c => sum(coalesce(col(c), lit(0))).as(sumName(c)))
+    source.read.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

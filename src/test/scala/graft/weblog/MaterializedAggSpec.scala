@@ -1,0 +1,98 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Incremental materialized aggregate: refreshes fold ONLY the source's
+  * CDC window and must equal a full recompute after every refresh,
+  * under inserts, updates, deletes, replays and zero-count groups.
+  */
+class MaterializedAggSpec extends SparkTestBase {
+
+  private def keyedSource(): IcebergLikeTable =
+    IcebergLikeTable(spark,
+      Files.createTempDirectory("mv_src").toString + "/t",
+      "event", Seq("user_id", "ts"))
+
+  private def viewTable(): IcebergLikeTable =
+    IcebergLikeTable(spark,
+      Files.createTempDirectory("mv_tgt").toString + "/t",
+      "view", Seq("user_id"))
+
+  private def rows(n: Range, event: String, value: Long, seq: Long): DataFrame = {
+    import spark.implicits._
+    n.map(i => (s"u${i % 7}", f"2024-01-01T${i % 24}%02d:00:${i % 60}%02dZ-$i",
+      event, value + i % 3, seq))
+      .toDF("user_id", "ts", "event", "value", "seq")
+  }
+
+  private def assertMatches(mv: MaterializedAgg): Unit = {
+    val got = mv.read.select("user_id", "cnt", "sum_value")
+    val want = mv.fullRecompute
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"view ${got.collect().toSeq} != recompute ${want.collect().toSeq}")
+  }
+
+  test("refresh equals full recompute through inserts, updates and deletes") {
+    val src = keyedSource()
+    val mv = MaterializedAgg(src, viewTable(), Seq("user_id"), Seq("value"))
+    assert(mv.refresh().isEmpty) // empty source: nothing to do
+
+    src.write(rows(0 until 40, "view", 10L, 1L), "seq")
+    val w1 = mv.refresh()
+    assert(w1.isDefined && mv.refreshedThrough.contains(src.currentVersion.get))
+    assertMatches(mv)
+
+    // update: same keys, different values (pre/postimage pairs)
+    src.write(rows(0 until 20, "view", 50L, 2L), "seq")
+    // insert: new keys
+    src.write(rows(100 until 120, "click", 5L, 3L), "seq")
+    assert(mv.refresh().isDefined)
+    assertMatches(mv)
+
+    // delete a slice of rows
+    src.delete(col("value") >= 50L)
+    assert(mv.refresh().isDefined)
+    assertMatches(mv)
+
+    // no new source commits: refresh is a no-op
+    assert(mv.refresh().isEmpty)
+    assertMatches(mv)
+  }
+
+  test("zero-count groups are erased from the view") {
+    val src = keyedSource()
+    val mv = MaterializedAgg(src, viewTable(), Seq("user_id"), Seq("value"))
+    import spark.implicits._
+    val only = Seq(("lonely", "2024-01-01T00:00:00Z", "view", 3L, 1L))
+      .toDF("user_id", "ts", "event", "value", "seq")
+    src.write(rows(0 until 10, "view", 10L, 1L).unionByName(only), "seq")
+    assert(mv.refresh().isDefined)
+    assert(mv.read.filter(col("user_id") === "lonely").count() == 1)
+    src.delete(col("user_id") === "lonely")
+    assert(mv.refresh().isDefined)
+    // the group vanished from the source, so it must vanish from the view
+    assert(mv.read.filter(col("user_id") === "lonely").count() == 0)
+    assertMatches(mv)
+  }
+
+  test("append-only sources fold appends; count-only views work") {
+    import spark.implicits._
+    val src = IcebergLikeTable(spark,
+      Files.createTempDirectory("mv_app").toString + "/t", "event", Nil)
+    val mv = MaterializedAgg(src, viewTable(), Seq("user_id"))
+    src.append(rows(0 until 30, "view", 1L, 1L).drop("seq"))
+    assert(mv.refresh().isDefined)
+    val got1 = mv.read.select("user_id", "cnt")
+    assert(got1.exceptAll(mv.fullRecompute).count() == 0)
+    src.append(rows(30 until 60, "click", 1L, 1L).drop("seq"))
+    assert(mv.refresh().isDefined)
+    val got2 = mv.read.select("user_id", "cnt")
+    assert(got2.exceptAll(mv.fullRecompute).count() == 0 &&
+      mv.fullRecompute.exceptAll(got2).count() == 0)
+  }
+}
