@@ -305,7 +305,8 @@ object EventQueries {
              |       TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
              |FROM i JOIN sz sa ON sa.event_type = i.type_a
              |       JOIN sz sb ON sb.event_type = i.type_b
-             |ORDER BY type_a, type_b""".stripMargin.replace("\n", " "))),
+             |ORDER BY type_a, type_b""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // gap-based sessionization (30 min), exact microsecond durations.
     Q("q_sessionize",

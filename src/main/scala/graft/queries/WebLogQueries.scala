@@ -300,7 +300,8 @@ object WebLogQueries {
              |   FROM (SELECT DISTINCT day, event_type FROM e)) AS files_total,
              |  (SELECT CAST(count(DISTINCT event_type) AS INT) FROM e WHERE day = 3) AS files_scanned,
              |  (SELECT count(*) FROM e WHERE day = 3) AS rows_day,
-             |  (SELECT count(DISTINCT user_id) FROM e WHERE day = 3) AS users_day""".stripMargin.replace("\n", " "))),
+             |  (SELECT count(DISTINCT user_id) FROM e WHERE day = 3) AS users_day""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // The full GDPR sweep ACROSS ZONES (operators/Erasure): the same
     // day-1 events live in the raw JSON zone, a compacted parquet hour,
@@ -367,6 +368,37 @@ object WebLogQueries {
              |  (SELECT count(*) FROM d1 WHERE user_id % 10 <> 3),
              |  (SELECT count(*) FROM d1 WHERE user_id % 10 = 3)
              |ORDER BY zone""".stripMargin.replace("\n", " "))),
+
+    // The table as a first-class Catalyst relation (weblog/
+    // GraftFileIndex + IcebergLikeTable.toDF): manifest-resolved file
+    // index, partition/stats/bloom pruning inside Spark's scan
+    // planning, stock vectorized parquet scan. The gate queries the
+    // RELATION with a day filter + aggregate — the standard DataFrame
+    // path a user takes — and must match the oracle exactly
+    // (GraftRelationSpec pins the numFiles pruning separately).
+    Q("weblog_relation",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "rel", d) + "/t", "event",
+          Nil, statsColumns = Seq("day"))
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+          dayofmonth(col("ts")).as("day"),
+          (col("event_id") % 100).as("value"))
+          .filter(col("day") <= 7)
+        for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+        t.toDF.filter(col("day") === 3)
+          .groupBy("event")
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("user_id")).as("users"),
+            sum(col("value")).as("sum_value"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, count(*) AS cnt,
+             |CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+             |CAST(sum(event_id % 100) AS BIGINT) AS sum_value
+             |FROM events WHERE day(ts) = 3
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
     // Incrementally-maintained materialized aggregate (weblog/
     // MaterializedAgg): a per-user count+sum rollup refreshed from the

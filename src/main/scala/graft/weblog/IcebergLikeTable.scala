@@ -93,7 +93,7 @@ final case class IcebergLikeTable(
     */
   val bucketCol = "gbucket"
 
-  private def partCols: Seq[String] =
+  private[weblog] def partCols: Seq[String] =
     if (uniqueKeys.isEmpty) Seq(partitionCol) else Seq(partitionCol, bucketCol)
 
   private def withBucket(df: DataFrame): DataFrame =
@@ -115,7 +115,7 @@ final case class IcebergLikeTable(
     * protocol (debris of a crashed or conflict-losing commit at worst)
     * and are never read; [[vacuum]] sweeps them.
     */
-  private def resolveLive(): (Long, Manifests.Snapshot) =
+  private[weblog] def resolveLive(): (Long, Manifests.Snapshot) =
     Manifests.resolveSnapshot(fs, root)
       .getOrElse((0L, Manifests.Snapshot(Nil, Map.empty)))
 
@@ -133,7 +133,7 @@ final case class IcebergLikeTable(
     * ([[FileStats]]) — the planning-time file-skipping stats. Stamped
     * for `statsColumns` (default: the unique keys) of supported types.
     */
-  private val StatsKey = "stats"
+  private[weblog] val StatsKey = "stats"
 
   private def statsCols: Seq[String] =
     (if (statsColumns.nonEmpty) statsColumns else uniqueKeys).distinct
@@ -184,9 +184,9 @@ final case class IcebergLikeTable(
     * (comma-joined) — see [[BloomStats]]; loaded lazily at readWhere
     * planning, GC'd with the snapshots that reference them.
     */
-  private val BloomKey = "bloomfiles"
+  private[weblog] val BloomKey = "bloomfiles"
 
-  private def bloomSidecarsOf(meta: Map[String, String]): Seq[String] =
+  private[weblog] def bloomSidecarsOf(meta: Map[String, String]): Seq[String] =
     meta.get(BloomKey).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
   /** Write the per-file Bloom sidecar for this commit's imported files;
@@ -228,7 +228,7 @@ final case class IcebergLikeTable(
     Map(BloomKey -> (carried :+ name).mkString(","))
   }
 
-  private def storedSchema(meta: Map[String, String]): Option[StructType] =
+  private[weblog] def storedSchema(meta: Map[String, String]): Option[StructType] =
     meta.get(SchemaKey).map(j => DataType.fromJson(j).asInstanceOf[StructType])
 
   /** URL-encoding keeps arbitrary stream ids (checkpoint paths) inside
@@ -355,6 +355,21 @@ final case class IcebergLikeTable(
     */
   def read: DataFrame = {
     val df = readSnapshot(resolveLive()._2)
+    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+  }
+
+  /** The live snapshot as a first-class Catalyst relation backed by
+    * [[GraftFileIndex]]: filters applied to the returned DataFrame are
+    * pruned by the manifest (partitions), the stamped bounds and the
+    * bloom sidecars INSIDE Spark's scan planning, and the surviving
+    * scan is the stock vectorized parquet reader — the standard
+    * `DataFrame`-native alternative to [[readWhere]]'s explicit API.
+    * Requires at least one commit (the schema stamp). The relation is
+    * pinned to the snapshot resolved here (snapshot isolation for the
+    * DataFrame's lifetime).
+    */
+  def toDF: DataFrame = {
+    val df = GraftFileIndex.relation(spark, this)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
 

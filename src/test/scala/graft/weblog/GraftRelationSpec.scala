@@ -1,0 +1,104 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The table as a Catalyst relation ([[GraftFileIndex]]): manifest
+  * resolution, partition pruning, stats/bloom file skipping — all
+  * inside Spark's own scan planning, observed through the scan
+  * operator's own numFiles metric.
+  */
+class GraftRelationSpec extends SparkTestBase {
+
+  /** Files the executed scan actually read. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    scan.metrics("numFiles").value
+  }
+
+  private def sameRows(a: DataFrame, b: DataFrame): Unit =
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+
+  test("relation prunes partitions, stats intervals and bloom points in-plan") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_tbl").toString + "/t",
+      "event", Nil, statsColumns = Seq("n"), bloomColumns = Seq("user_id"),
+      bloomExpectedItems = 1000L)
+    // 4 appends × 2 event partitions; batch b carries n ∈ [b·100, …)
+    // and ids spread over the whole range (id % 4 == b) so only the
+    // bloom can answer point lookups
+    for (b <- 0 until 4) {
+      val df = (0 until 400).filter(_ % 4 == b)
+        .map(i => (i.toLong + b * 1000, f"u$i%04d", if (i % 8 < 4) "e0" else "e1"))
+        .toDF("n", "user_id", "event")
+        .repartition(1)
+      t.append(df)
+    }
+    val df = t.toDF
+    assert(df.count() == 400)
+    // 4 commits × 2 partitions = 8 files
+    assert(scannedFiles(df) == 8)
+
+    // partition pruning: one event partition = 4 files
+    assert(scannedFiles(df.filter(col("event") === "e0")) == 4)
+    sameRows(df.filter(col("event") === "e0"),
+      t.read.filter(col("event") === "e0"))
+
+    // stats interval pruning: batch 2's n range lives in 2 files
+    assert(scannedFiles(df.filter(col("n") >= 2000L && col("n") < 3000L)) == 2)
+
+    // bloom point pruning: one id lives in one commit (2 files), and
+    // combined with the partition cut it is a single file
+    assert(scannedFiles(df.filter(col("user_id") === "u0042")) <= 2)
+    assert(scannedFiles(
+      df.filter(col("user_id") === "u0042" && col("event") === "e0")) <= 1)
+    sameRows(df.filter(col("user_id") === "u0042"),
+      t.read.filter(col("user_id") === "u0042"))
+
+    // absent values prune to an empty scan but stay row-correct
+    assert(df.filter(col("user_id") === "zzzz").count() == 0)
+    assert(df.filter(col("n") === 99999L).count() == 0)
+
+    // the filters surface in the plan text like any file source
+    val explained = df.filter(col("event") === "e0" && col("n") === 2000L)
+      .queryExecution.executedPlan.toString
+    assert(explained.contains("PartitionFilters") || explained.contains("Scan parquet"))
+  }
+
+  test("keyed tables hide gbucket and stay row-identical through the relation") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_keyed").toString + "/t",
+      "event", Seq("user_id"), numBuckets = 4)
+    t.write((0 until 100).map(i => (f"u$i%03d", "e", 1L))
+      .toDF("user_id", "event", "seq"), "seq")
+    val df = t.toDF
+    assert(!df.columns.contains(t.bucketCol))
+    sameRows(df, t.read)
+    sameRows(df.filter(col("user_id") === "u042"),
+      t.read.filter(col("user_id") === "u042"))
+  }
+
+  test("the relation is snapshot-pinned; refresh follows new commits") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_snap").toString + "/t", "event", Nil)
+    t.append(Seq((1L, "e")).toDF("n", "event"))
+    val df = t.toDF
+    assert(df.count() == 1)
+    t.append(Seq((2L, "e")).toDF("n", "event"))
+    // pinned: the old relation still sees its snapshot
+    assert(df.count() == 1)
+    // a fresh relation sees the new one
+    assert(t.toDF.count() == 2)
+  }
+}
