@@ -400,6 +400,69 @@ object WebLogQueries {
              |FROM events WHERE day(ts) = 3
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // Pull-based CDC consumption (weblog/ChangeFeed): a consumer with a
+    // durable acked cursor polls the table across three commits (base
+    // load, hostname update, click delete) — each poll delivers exactly
+    // the window since the last ack, and an unacked poll re-delivers.
+    // Output: per-(poll, change_type) counts, which the oracle
+    // recomputes from the same keyed-payload formulas as weblog_changes.
+    Q("weblog_changefeed",
+      (s, d) => {
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(seq: Long) = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(seq).as("seq"))
+        val t = IcebergLikeTable(s, scratch(s, "feed", d) + "/t", "event",
+          Seq("user_id", "timestamp"))
+        val feed = ChangeFeed(t, "gate")
+        import s.implicits._
+        def summarize(poll: Int, b: ChangeFeed#Batch) =
+          b.changes.groupBy("_change_type").agg(count(lit(1)).as("cnt"))
+            .select(lit(poll).as("poll"), col("_change_type"), col("cnt"))
+
+        t.write(keyed(1L), "seq")
+        val b1 = feed.poll().get
+        val s1 = summarize(1, b1)
+        val s1rows = s1.collect() // consume BEFORE ack (at-least-once contract)
+        b1.ack()
+        val updates = keyed(2L)
+          .filter(hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern)) < 12)
+          .withColumn("hostname", lit("updated.example"))
+        t.write(updates, "seq")
+        t.delete(col("event") === "click")
+        val b2 = feed.poll().get
+        val s2 = summarize(2, b2)
+        val out = s.createDataFrame(
+          s.sparkContext.parallelize(s1rows.toSeq), s1.schema)
+          .unionByName(s2)
+        b2.ack()
+        out.orderBy("poll", "_change_type")
+      },
+      Some("""WITH base AS (
+             |  SELECT 'u' || CAST(user_id AS VARCHAR) AS uid, event_type AS event,
+             |         hour(ts) AS h
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1)
+             |SELECT 1 AS poll, 'insert' AS _change_type, count(*) AS cnt FROM base
+             |UNION ALL
+             |SELECT 2, 'delete', count(*) FROM base WHERE event = 'click'
+             |UNION ALL
+             |SELECT 2, 'update_preimage', count(*) FROM base WHERE h < 12 AND event <> 'click'
+             |UNION ALL
+             |SELECT 2, 'update_postimage', count(*) FROM base WHERE h < 12 AND event <> 'click'
+             |ORDER BY poll, _change_type""".stripMargin.replace("\n", " "))),
+
     // Incrementally-maintained materialized aggregate (weblog/
     // MaterializedAgg): a per-user count+sum rollup refreshed from the
     // source table's CDC after EVERY commit — base load, a value-

@@ -1,0 +1,86 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pull-based CDC consumption with consumer-committed cursors:
+  * at-least-once delivery, re-delivery without ack, independent
+  * consumers, initial load, and append-only sources.
+  */
+class ChangeFeedSpec extends SparkTestBase {
+
+  private def keyedTable(): IcebergLikeTable =
+    IcebergLikeTable(spark,
+      Files.createTempDirectory("feed_src").toString + "/t",
+      "event", Seq("k"))
+
+  private def batchOf(ids: Range, v: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    ids.map(i => (s"k$i", "e", v, v)).toDF("k", "event", "value", "seq")
+  }
+
+  test("poll delivers since cursor; ack advances; no ack re-delivers") {
+    val t = keyedTable()
+    val feed = ChangeFeed(t, "primary")
+    assert(feed.poll().isEmpty) // empty table
+
+    t.write(batchOf(0 until 10, 1L), "seq")
+    val b1 = feed.poll().get
+    // initial load: the whole table as inserts
+    assert(b1.changes.filter(col("_change_type") === "insert").count() == 10)
+    // not acked yet: a second poll re-delivers the same window
+    val again = feed.poll().get
+    assert(again.fromVersion == b1.fromVersion && again.toVersion == b1.toVersion)
+    b1.ack()
+    assert(feed.cursor == b1.toVersion)
+    assert(feed.poll().isEmpty) // fully caught up
+
+    // an update commit: pre+post images for the changed keys only
+    t.write(batchOf(0 until 3, 2L), "seq")
+    val b2 = feed.poll().get
+    assert(b2.fromVersion == b1.toVersion)
+    assert(b2.changes.filter(col("_change_type") === "update_postimage")
+      .count() == 3)
+    assert(b2.changes.filter(col("_change_type") === "update_preimage")
+      .count() == 3)
+    b2.ack()
+
+    // a delete commit: deletes only
+    t.delete(col("k") === "k5")
+    val b3 = feed.poll().get
+    assert(b3.changes.filter(col("_change_type") === "delete").count() == 1)
+    assert(b3.changes.count() == 1)
+    b3.ack()
+    assert(feed.poll().isEmpty)
+  }
+
+  test("independent consumers keep independent cursors") {
+    val t = keyedTable()
+    t.write(batchOf(0 until 5, 1L), "seq")
+    val fast = ChangeFeed(t, "fast")
+    val slow = ChangeFeed(t, "slow")
+    fast.poll().get.ack()
+    t.write(batchOf(5 until 8, 2L), "seq")
+    // fast sees only the new window; slow still sees everything
+    assert(fast.poll().get.changes.count() == 3)
+    assert(slow.poll().get.changes.count() == 8)
+  }
+
+  test("append-only tables feed their appended rows") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("feed_app").toString + "/t", "event", Nil)
+    val feed = ChangeFeed(t, "app")
+    t.append(Seq((1L, "e")).toDF("n", "event"))
+    feed.poll().get.ack()
+    t.append(Seq((2L, "e"), (3L, "e")).toDF("n", "event"))
+    val b = feed.poll().get
+    assert(b.changes.count() == 2)
+    assert(b.changes.filter(col("_change_type") === "insert").count() == 2)
+    b.ack()
+    assert(feed.poll().isEmpty)
+  }
+}
