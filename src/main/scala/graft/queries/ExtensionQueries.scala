@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 
 /** The training-data-pipeline extension operators (BASELINE.json north
   * star) exposed through the correctness gate: dedup family, similarity
@@ -1162,6 +1162,38 @@ object ExtensionQueries {
              |                            ORDER BY q.score DESC, d.doc_id) AS rn
              |  FROM documents d JOIN q USING (doc_id) LEFT JOIN comp c ON c.id = d.doc_id)
              |WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    // REAL BPE encoding (operators/Bpe): the corpus encoded with a
+    // fixed training-shaped merge list, replayed in DuckDB as unrolled
+    // merge-order replaces over a boundary-safe `(c)(c)` rendering —
+    // SQL replace's left-to-right non-overlapping semantics IS BPE's
+    // leftmost-first merge, and the paren wrapping makes cross-token
+    // matches impossible. Hash-green = the rank-priority encoder equals
+    // the sequential merge application byte-for-byte on every document
+    // (the trainer itself is spec-verified on the textbook corpus).
+    Q("text_bpe_encode",
+      (s, d) => {
+        val enc = Bpe.encode(s, Tables.documents(s, d), Bpe.EnglishMerges)
+        enc.select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 5)).as("sample"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val chain = Bpe.EnglishMerges.foldLeft("s") { case (acc, (a, b)) =>
+          s"replace($acc, '($a)($b)', '($a$b)')"
+        }
+        s"""WITH w AS (SELECT doc_id,
+           |  array_to_string(list_transform(
+           |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''),
+           |    x -> regexp_replace(x, '(.)', '(\\1)', 'g')), ' ') AS s
+           |  FROM documents),
+           |m AS (SELECT doc_id, $chain AS s FROM w)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(s, '\\(([a-z]+)\\)', 1)) AS INT) AS n_tokens,
+           |  array_to_string(list_slice(regexp_extract_all(s, '\\(([a-z]+)\\)', 1), 1, 5), ' ') AS sample
+           |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      },
+      headline = true),
 
     // ---- multimodal ----
 
