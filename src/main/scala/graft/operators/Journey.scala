@@ -157,6 +157,46 @@ object Journey {
       .limit(k)
   }
 
+  /** Letter alphabet for session-sequence patterns: one distinct
+    * character per event type (initials collide: visit/view, list/like).
+    */
+  val eventLetters: Seq[(String, String)] = Seq(
+    "visit" -> "i", "view" -> "v", "list" -> "l",
+    "like" -> "k", "cart" -> "c", "purchase" -> "p")
+
+  /** CEP-style sequence-pattern matching over sessions — the
+    * MATCH_RECOGNIZE / Flink-CEP question ("which sessions follow this
+    * behavioral shape?") composed from Spark primitives instead of a
+    * state-machine runtime: each session collapses to its ordered
+    * event-letter string (ONE aggregation; the string is O(session
+    * length), deterministic order by (ts, event_id)), and every
+    * pattern is a regex over that tiny string — a broadcast join of
+    * the pattern list against the session strings, never a re-scan of
+    * events per pattern. `patterns` = (name, regex over the
+    * [[eventLetters]] alphabet); regexes must stay in the
+    * Java-regex/RE2 common subset so any engine replays them.
+    */
+  def sessionPatterns(events: DataFrame,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "no patterns to match")
+    val letter = eventLetters.foldLeft(lit("x")) { case (acc, (t, c)) =>
+      when(col("event_type") === t, lit(c)).otherwise(acc)
+    }
+    val strs = Sessionize.withSessionIds(events)
+      .withColumn("_letter", letter)
+      .groupBy("user_id", "session_seq")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, _letter))), x -> x._letter), '')")
+        .as("sq"))
+    import events.sparkSession.implicits._
+    val pats = patterns.toDF("pattern", "re")
+    strs.join(broadcast(pats), expr("sq rlike re"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("pattern")
+  }
+
   /** Ulp-portable 6-decimal grid — see [[PortableRound]]. */
   private def round6p(c: Column): Column = PortableRound.r6(c)
 

@@ -339,6 +339,47 @@ object JourneyQueries {
              |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // CEP-style sequence-pattern matching over sessions (Trino
+    // MATCH_RECOGNIZE / Flink CEP re-expressed Spark-first): sessions
+    // collapse to ordered event-letter strings, behavioral shapes are
+    // regexes over them — browse-then-buy, cart abandonment, instant
+    // purchase, window shopping, repeat buying. The oracle rebuilds the
+    // same strings with string_agg and matches the same regexes.
+    Q("q_session_patterns",
+      (s, d) => Journey.sessionPatterns(ev(s, d), Seq(
+        "browse_then_buy" -> "v.*c.*p",
+        "cart_abandoned" -> "c[^p]*$",
+        "instant_purchase" -> "^[ivlk]{0,2}p",
+        "window_shopper" -> "^[vlki]+$",
+        "repeat_buyer" -> "p.*p")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE event_type WHEN 'visit' THEN 'i' WHEN 'view' THEN 'v'
+             |              WHEN 'list' THEN 'l' WHEN 'like' THEN 'k'
+             |              WHEN 'cart' THEN 'c' WHEN 'purchase' THEN 'p'
+             |              ELSE 'x' END AS letter,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+             |  FROM events),
+             |s AS (
+             |  SELECT user_id, ts, event_id, letter,
+             |         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM g),
+             |strs AS (
+             |  SELECT user_id, session_seq, string_agg(letter, '' ORDER BY ts, event_id) AS sq
+             |  FROM s GROUP BY 1, 2),
+             |p(pattern, re) AS (VALUES
+             |  ('browse_then_buy', 'v.*c.*p'),
+             |  ('cart_abandoned', 'c[^p]*$'),
+             |  ('instant_purchase', '^[ivlk]{0,2}p'),
+             |  ('window_shopper', '^[vlki]+$'),
+             |  ('repeat_buyer', 'p.*p'))
+             |SELECT pattern, count(*) AS n_sessions,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM strs JOIN p ON regexp_matches(sq, re)
+             |GROUP BY 1 ORDER BY pattern""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // deterministic A/B readout: md5-parity arms, pooled two-proportion z.
     // Conversion = any high-value purchase (~21% of users at every SF, so
     // the variance term is live and the z-test is real).

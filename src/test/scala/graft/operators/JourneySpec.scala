@@ -90,6 +90,36 @@ class JourneySpec extends SparkTestBase {
     assert(paths == Map("view>click>purchase" -> 1L, "click>purchase>view" -> 1L))
   }
 
+  test("session patterns: CEP shapes match hand-built sessions exactly") {
+    // u1 s1: view,cart,purchase  -> browse_then_buy, NOT cart_abandoned
+    // u1 s2 (>30m later): cart   -> cart_abandoned
+    // u2 s1: purchase,purchase   -> repeat_buyer + instant_purchase
+    // u3 s1: view,list           -> window_shopper
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "cart"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "purchase"),
+      (4L, 1L, ts("2024-01-01 12:00:00"), "cart"),
+      (5L, 2L, ts("2024-01-01 10:00:00"), "purchase"),
+      (6L, 2L, ts("2024-01-01 10:05:00"), "purchase"),
+      (7L, 3L, ts("2024-01-01 10:00:00"), "view"),
+      (8L, 3L, ts("2024-01-01 10:01:00"), "list")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Journey.sessionPatterns(ev, Seq(
+      "browse_then_buy" -> "v.*c.*p",
+      "cart_abandoned" -> "c[^p]*$",
+      "instant_purchase" -> "^[ivlk]{0,2}p",
+      "window_shopper" -> "^[vlki]+$",
+      "repeat_buyer" -> "p.*p")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("browse_then_buy", 1L, 1L),
+      ("cart_abandoned", 1L, 1L),
+      ("instant_purchase", 1L, 1L),
+      ("repeat_buyer", 1L, 1L),
+      ("window_shopper", 1L, 1L)))
+  }
+
   test("ab test: zero pooled variance yields z = 0, not a divide error") {
     // users 1 (arm A) and 3 (arm B) both convert → p = 1 → variance 0 →
     // defined fallback instead of an ANSI divide error
