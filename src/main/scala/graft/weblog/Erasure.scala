@@ -111,11 +111,20 @@ object Erasure {
               line = in.readLine()
             }
           } finally { in.close(); out.close() }
-          // replace under the SAME name: PUT-overwrite on object stores,
-          // delete+rename elsewhere (Hadoop rename won't clobber)
-          fs.delete(path, false)
-          if (!fs.rename(tmp, path))
+          // replace under the SAME name: a PUT-overwrite on object
+          // stores. Where rename won't clobber (HDFS/local), park the
+          // original under a dot-hidden backup first so no crash
+          // window can LOSE data: worst case the file is temporarily
+          // absent from listings, with both copies still on disk.
+          val backup = new Path(path.getParent, s".pre_erase_${path.getName}")
+          fs.delete(backup, false)
+          if (!fs.rename(path, backup))
+            throw new java.io.IOException(s"erasure backup failed for $path")
+          if (!fs.rename(tmp, path)) {
+            fs.rename(backup, path) // restore; the rewrite is retryable
             throw new java.io.IOException(s"erasure rename failed for $path")
+          }
+          fs.delete(backup, false)
         }
     }
     ZoneReport(affected.length.toLong, erased)

@@ -111,12 +111,18 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
     */
   private def partitionMatches(filters: Seq[Expression], row: InternalRow): Boolean =
     filters.forall { e =>
-      val bound = e.transform {
-        case a: AttributeReference =>
-          val i = partitionSchema.fieldIndex(a.name)
-          BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+      try {
+        val bound = e.transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+        }
+        bound.eval(row) == true
+      } catch {
+        // a filter shape we cannot bind/evaluate keeps the leaf — the
+        // real filter still applies at scan time, so this stays sound
+        case scala.util.control.NonFatal(_) => true
       }
-      bound.eval(row) == true
     }
 
   override def listFiles(partitionFilters: Seq[Expression],

@@ -79,9 +79,12 @@ final case class MaterializedAgg(
       .otherwise(-1L)
     val deltaAggs = sum(sign).as("_dcnt") +:
       sumCols.map(c => sum(sign * coalesce(col(c), lit(0))).as(s"_d_${sumName(c)}"))
+    // cached: the delta frame is consumed up to three times (group
+    // collect, merge, upsert) and is small — O(affected groups)
     val deltas = changes
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .persist()
 
     // affected-group predicate when the delta is small: turns the
     // current-values join and the zero-count delete into
@@ -114,7 +117,8 @@ final case class MaterializedAgg(
     val rows = merged
       .withColumn(target.partitionCol, lit(partitionValue))
       .withColumn("_seq", lit(live))
-    target.upsert(rows, "_seq", Some((cursorId, live)))
+    try target.upsert(rows, "_seq", Some((cursorId, live)))
+    finally deltas.unpersist()
     // groups whose count folded to zero left the source entirely —
     // only possible on keyed sources (appends never retract), and only
     // among the affected groups, so the erase scan is scoped when the
