@@ -1002,6 +1002,44 @@ object ExtensionQueries {
              |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // the same mixing rule budgeted in REAL BPE tokens (training
+    // budgets are token budgets, and whitespace counts mis-weight
+    // sources with different word lengths): Bpe.encode supplies
+    // n_tokens, the mix replays identically, and the oracle recomputes
+    // the BPE token counts through the same unrolled replace chain as
+    // text_bpe_encode before applying the cumsum rule.
+    Q("corpus_mix_bpe",
+      (s, d) => {
+        val toks = Bpe.encode(s, Tables.documents(s, d), Bpe.EnglishMerges)
+          .select(col("doc_id"), col("n_tokens"))
+        graft.operators.Sampling.mixByTokenBudget(
+          Tables.documents(s, d).join(toks, "doc_id"),
+          "source", "doc_id", "n_tokens",
+          Map("src1" -> 500L, "src3" -> 400L, "src5" -> 8000L, "src8" -> 250L))
+          .select("doc_id", "source", "n_tokens").orderBy("doc_id")
+      },
+      Some {
+        val chain = Bpe.EnglishMerges.foldLeft("s") { case (acc, (a, b)) =>
+          s"replace($acc, '($a)($b)', '($a$b)')"
+        }
+        s"""WITH w AS (SELECT doc_id, source,
+           |  array_to_string(list_transform(
+           |    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''),
+           |    x -> regexp_replace(x, '(.)', '(\\1)', 'g')), ' ') AS s
+           |  FROM documents),
+           |tk AS (SELECT doc_id, source,
+           |  CAST(len(regexp_extract_all($chain, '\\(([a-z]+)\\)', 1)) AS INT) AS n_tokens
+           |  FROM w),
+           |c AS (SELECT doc_id, source, n_tokens,
+           |        CASE source WHEN 'src1' THEN 500 WHEN 'src3' THEN 400
+           |                    WHEN 'src5' THEN 8000 WHEN 'src8' THEN 250 END AS budget,
+           |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+           |      FROM tk)
+           |SELECT doc_id, source, n_tokens FROM c
+           |WHERE budget IS NOT NULL AND cum < budget
+           |ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
     Q("corpus_sample_stratified",
       (s, d) => graft.operators.Sampling.stratified(
           Tables.documents(s, d), "lang", "doc_id",
