@@ -43,6 +43,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q_pricing_summary").contains("partial_sum"))
   }
 
+  test("kmv theta sketches aggregate object buffers map-side") {
+    // the sketch buffer is a typed object aggregate: partial sketches
+    // build next to the scan (ObjectHashAggregate partial stage) and
+    // only k-hash buffers cross the exchange — never per-key rows
+    val p = plan("q_theta_overlap")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_kmvagg") || p.toLowerCase.contains("partial_kmv"))
+  }
+
   test("sessionization shuffles once on user_id") {
     val p = plan("q_sessionize")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange hashpartitioning(user_id"))
