@@ -182,10 +182,26 @@ object Erasure {
     */
   def eraseUser(spark: SparkSession, rawPath: String, parquetPath: String,
       table: IcebergLikeTable, userIds: Set[String],
-      userField: String = "user_id"): SweepReport = {
+      userField: String = "user_id"): SweepReport =
+    eraseUser(spark, rawPath, parquetPath, table, userIds, userField,
+      immediate = false)
+
+  /** As above; `immediate = true` additionally collapses the table's
+    * snapshot history to the live (post-delete) version and sweeps the
+    * expired files — the rows are physically gone NOW, not after the
+    * retention window (Iceberg's delete + expire_snapshots run
+    * back-to-back). The cost is losing time travel across the erasure
+    * point, which is exactly what a hard GDPR erasure requires; the
+    * raw and compacted zones keep no history, so they are always
+    * immediate.
+    */
+  def eraseUser(spark: SparkSession, rawPath: String, parquetPath: String,
+      table: IcebergLikeTable, userIds: Set[String],
+      userField: String, immediate: Boolean): SweepReport = {
     val raw = eraseRaw(spark, rawPath, userIds, userField)
     val compacted = eraseCompacted(spark, parquetPath, userIds, userField)
     val erased = table.delete(col(userField).isin(userIds.toSeq: _*))
+    if (immediate) table.vacuum(keepLast = 1)
     SweepReport(raw, compacted, ZoneReport(if (erased > 0) 1L else 0L, erased))
   }
 }

@@ -453,6 +453,17 @@ final case class IcebergLikeTable(
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  /** Predicate-pruned TIME TRAVEL: [[readWhere]] against a retained
+    * historical snapshot — the stats/bloom stamps live in each
+    * manifest, so file skipping composes with `readAt` for free.
+    */
+  def readWhereAt(version: Long, condition: Column): DataFrame = {
+    val snap = snapshotAt(version)
+    val df = readFileSet(prunedFiles(snap, storedSchema(snap.meta), condition),
+      storedSchema(snap.meta)).filter(condition)
+    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+  }
+
   /** Time travel: read a retained historical snapshot by version. */
   def readAt(version: Long): DataFrame = {
     val df = readSnapshot(snapshotAt(version))

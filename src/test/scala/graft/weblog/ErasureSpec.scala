@@ -134,6 +134,23 @@ class ErasureSpec extends SparkTestBase {
     assert(after == beforeSurvivors)
   }
 
+  test("immediate mode leaves no retained snapshot containing the user") {
+    val (raw, pq, t, _) = buildZones()
+    val preVersions = t.versions
+    assert(preVersions.nonEmpty)
+    val rep = Erasure.eraseUser(spark, raw, pq, t, Set("u3"), "user_id",
+      immediate = true)
+    assert(rep.table.erasedRows == 20L)
+    // history collapsed to the post-delete snapshot: the pre-erasure
+    // versions are expired, and the ONE retained snapshot is clean
+    assert(t.versions.size == 1)
+    preVersions.foreach { v =>
+      assert(intercept[Exception](t.readAt(v).count()) != null)
+    }
+    assert(t.read.filter(col("user_id") === "u3").count() == 0)
+    assert(t.read.count() == 180)
+  }
+
   test("malformed and user-field-free lines are always kept") {
     import spark.implicits._
     val raw = tmpDir("erasure_mixed")

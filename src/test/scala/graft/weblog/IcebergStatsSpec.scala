@@ -204,6 +204,20 @@ class IcebergStatsSpec extends SparkTestBase {
     assert(t.read.count() == 5)
   }
 
+  test("predicate pruning composes with time travel") {
+    val t = loaded()
+    val v1 = t.currentVersion.get
+    import spark.implicits._
+    // a later append extends the live range; the historical snapshot
+    // must still prune within ITS OWN manifest stamps
+    t.append(Seq((900L, "u0900", "e")).toDF("n", "user_id", "event").coalesce(1))
+    sameRows(t.readWhereAt(v1, col("n") === 250),
+      t.readAt(v1).filter(col("n") === 250))
+    assert(t.readWhereAt(v1, col("n") === 250).inputFiles.length == 1)
+    assert(t.readWhereAt(v1, col("n") === 900).count() == 0)
+    assert(t.readWhere(col("n") === 900).count() == 1)
+  }
+
   test("all-null stat columns, missing columns and legacy manifests never prune") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
