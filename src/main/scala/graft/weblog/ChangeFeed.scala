@@ -46,7 +46,10 @@ final case class ChangeFeed(table: IcebergLikeTable, name: String) {
     else {
       val in = fs.open(cursorPath)
       val bytes = try in.readAllBytes() finally in.close()
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      // a torn/corrupt cursor file degrades to a full re-delivery (the
+      // at-least-once direction), never a crash or a skipped window
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLongOption.getOrElse(0L)
     }
 
   private def commitCursor(v: Long): Unit = {
