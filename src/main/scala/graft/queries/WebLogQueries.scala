@@ -400,6 +400,47 @@ object WebLogQueries {
              |FROM events WHERE day(ts) = 3
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // Metadata tables (Iceberg's table.snapshots / table.files): after
+    // three deterministic day-appends, the snapshots table must show
+    // the sequential versions with cumulative file counts and full
+    // schema/stats coverage, and the files table one covered row per
+    // (day, event) file — all counts SQL-predictable.
+    Q("weblog_meta_tables",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "meta", d) + "/t", "event",
+          Nil, statsColumns = Seq("day"))
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 3)
+        for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+        val snaps = t.snapshots
+          .select(lit("snapshot").as("kind"), col("version").cast("long").as("k"),
+            col("n_files").as("n"),
+            (col("has_schema") && col("has_stats")).as("covered"))
+        val files = t.files
+          .groupBy("leaf")
+          .agg(count(lit(1)).as("n"),
+            min(col("n_stat_cols") > 0).as("covered"))
+          .select(lit("leaf_files").as("kind"),
+            dense_rank().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("leaf"))).cast("long").as("k"),
+            col("n"), col("covered"))
+        snaps.unionByName(files).orderBy("kind", "k")
+      },
+      Some("""WITH d AS (SELECT DISTINCT day(ts) AS day, event_type FROM events WHERE day(ts) <= 3),
+             |per AS (SELECT day, count(*) AS n_leaves FROM d GROUP BY 1),
+             |snap AS (SELECT CAST(day AS BIGINT) AS k,
+             |                CAST(sum(n_leaves) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+             |         FROM per),
+             |leaves AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+             |SELECT 'leaf_files' AS kind,
+             |       CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS k, n,
+             |       TRUE AS covered FROM leaves
+             |UNION ALL
+             |SELECT 'snapshot', k, n, TRUE FROM snap
+             |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
+
     // Pull-based CDC consumption (weblog/ChangeFeed): a consumer with a
     // durable acked cursor polls the table across three commits (base
     // load, hostname update, click delete) — each poll delivers exactly

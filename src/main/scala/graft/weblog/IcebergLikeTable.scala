@@ -635,6 +635,43 @@ final case class IcebergLikeTable(
     (from.filter(f => changed(leafOf(f))), to.filter(f => changed(leafOf(f))))
   }
 
+  /** Metadata TABLE (Iceberg's `table.snapshots`): one row per retained
+    * snapshot — version, file count, whether the schema stamp / stats /
+    * bloom sidecars are present, and the per-stream append high-water
+    * marks. Pure manifest reads, no data I/O.
+    */
+  def snapshots: DataFrame = {
+    import spark.implicits._
+    versions.flatMap(v => Manifests.snapshotAt(fs, root, v).map(v -> _))
+      .map { case (v, s) =>
+        (v, s.files.size.toLong, s.meta.contains(SchemaKey),
+          s.meta.contains(StatsKey), bloomSidecarsOf(s.meta).size,
+          hwmOf(s.meta).size)
+      }
+      .toDF("version", "n_files", "has_schema", "has_stats",
+        "n_bloom_sidecars", "n_stream_marks")
+  }
+
+  /** Metadata TABLE (Iceberg's `table.files`): one row per live data
+    * file — relative path, leaf partition, and whether bounds / bloom
+    * entries cover it. Manifest + sidecar reads only; no data file is
+    * opened.
+    */
+  def files: DataFrame = {
+    import spark.implicits._
+    val (_, snap) = resolveLive()
+    val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val blooms = bloomSidecarsOf(snap.meta)
+      .map(n => BloomStats.read(fs, new Path(root, n)))
+      .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)
+    snap.files.map { f =>
+      val leaf = leafOf(f)
+      (f, leaf, stats.get(f).map(_.size).getOrElse(0),
+        blooms.get(f).map(_.size).getOrElse(0))
+    }.toDF("file", "leaf", "n_stat_cols", "n_bloom_cols")
+  }
+
   /** T3: the routing decision the transformer stamps on every record. */
   def operation: String = if (uniqueKeys.isEmpty) "insert" else "update"
 
