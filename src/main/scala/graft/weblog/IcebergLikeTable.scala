@@ -1036,9 +1036,24 @@ final case class IcebergLikeTable(
     * proportional to the hot leaves, never the table.
     */
   def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] =
-    withCommitRetry { maintainOnce(fileThreshold, targetFiles) }
+    withCommitRetry { maintainOnce(fileThreshold, targetFiles, Nil) }
 
-  private def maintainOnce(fileThreshold: Int, targetFiles: Int): Seq[String] = {
+  /** [[maintain]] that also RANGE-CLUSTERS the rewritten leaves on
+    * `clusterCols` (Iceberg's rewrite_data_files with a sort order):
+    * streaming ingest accumulates small files whose stamped bounds all
+    * span the hot value range, and this one maintenance pass both
+    * compacts them AND makes the recomputed bounds sharp, so
+    * [[readWhere]]/[[toDF]] point lookups prune again. The exchange is
+    * the hot leaves' rows only, never the table.
+    */
+  def maintainClustered(clusterCols: Seq[String], fileThreshold: Int = 10,
+      targetFiles: Int = 1): Seq[String] = {
+    require(clusterCols.nonEmpty, "maintainClustered needs cluster columns")
+    withCommitRetry { maintainOnce(fileThreshold, targetFiles, clusterCols) }
+  }
+
+  private def maintainOnce(fileThreshold: Int, targetFiles: Int,
+      clusterCols: Seq[String]): Seq[String] = {
     if (!exists) return Nil
     val (liveVersion, snap) = resolveLive()
     val previous = snap.files
@@ -1047,10 +1062,16 @@ final case class IcebergLikeTable(
     if (hot.isEmpty) return Nil
     val hotSet = hot.toSet
     val hotFiles = previous.filter(f => hotSet.contains(leafOf(f)))
-    commit(
-      readFileSet(hotFiles, storedSchema(snap.meta))
-        .repartition(targetFiles * hot.size, partCols.map(col): _*),
-      liveVersion, snap.meta)(_ => previous.filterNot(f => hotSet.contains(leafOf(f))))
+    val hotDf = readFileSet(hotFiles, storedSchema(snap.meta))
+    val shaped =
+      if (clusterCols.isEmpty)
+        hotDf.repartition(targetFiles * hot.size, partCols.map(col): _*)
+      else hotDf
+        .repartitionByRange(targetFiles * hot.size,
+          (partCols ++ clusterCols).map(col): _*)
+        .sortWithinPartitions((partCols ++ clusterCols).map(col): _*)
+    commit(shaped, liveVersion, snap.meta)(
+      _ => previous.filterNot(f => hotSet.contains(leafOf(f))))
     hot.map(_.stripPrefix(s"$partitionCol="))
   }
 }

@@ -141,6 +141,15 @@ class IcebergStatsSpec extends SparkTestBase {
       "event", Nil, statsColumns = Seq("n"))
     u.append(df.repartition(8))
     assert(u.filesFor(col("n") === 500).size == u.filesFor(lit(true)).size)
+    // ...until CLUSTERED maintenance compacts the leaf with a sort
+    // order: the rewritten files get sharp, non-overlapping bounds and
+    // point predicates prune again
+    assert(u.maintainClustered(Seq("n"), fileThreshold = 2, targetFiles = 4).nonEmpty)
+    val after = u.filesFor(lit(true))
+    assert(after.size >= 2)
+    assert(u.filesFor(col("n") === 500).size == 1)
+    sameRows(u.readWhere(col("n") === 500), u.read.filter(col("n") === 500))
+    assert(u.read.count() == 1000)
   }
 
   test("bloom sidecars prune point lookups that min/max cannot") {
