@@ -86,7 +86,17 @@ object FileStats {
           case other => other.toString.toLong
         }
         Some(java.lang.Long.compare(bound.toLong, v))
-      case FloatType | DoubleType =>
+      case FloatType =>
+        // float bounds render as shortest-round-trip strings ("0.1"):
+        // parsing them as DOUBLE yields a different real than the
+        // stored float (0.1f != 0.1d) and could prune a file that
+        // contains the value — parse back through Float, exact
+        val v = value match {
+          case n: Number => n.floatValue()
+          case other => other.toString.toFloat
+        }
+        Some(java.lang.Float.compare(bound.toFloat, v))
+      case DoubleType =>
         val v = value match {
           case n: Number => n.doubleValue()
           case other => other.toString.toDouble

@@ -69,6 +69,14 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
       fs.listStatus(dir).filter(s => names.contains(s.getPath.getName))
         .map(s => s"$leaf${s.getPath.getName}" -> s).toSeq
     }
+    // every manifest file must have a status — a missing one (e.g. a
+    // reader older than the retention window racing GC) must surface,
+    // not silently shrink the scan
+    val missing = snap.files.filterNot(statusOf.contains)
+    if (missing.nonEmpty)
+      throw new java.io.FileNotFoundException(
+        s"snapshot v$v references ${missing.size} file(s) no longer on disk " +
+          s"(retention race?); first: ${missing.head}")
     State(v, snap, schema, stats, blooms, statusOf)
   }
 

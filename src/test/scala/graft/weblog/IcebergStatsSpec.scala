@@ -227,6 +227,25 @@ class IcebergStatsSpec extends SparkTestBase {
     assert(t.readWhere(col("n") === 900).count() == 1)
   }
 
+  test("float bounds round-trip exactly — 0.1f point lookups never lose rows") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("stats_float").toString + "/t",
+      "event", Nil, statsColumns = Seq("f"))
+    // shortest-round-trip float strings ("0.1") parse to a DIFFERENT
+    // real as doubles (0.1f != 0.1d) — the bound compare must go back
+    // through Float or a single-value file gets pruned unsoundly
+    // 0.1f is file 1's MAX: under a double-parsed bound the interval
+    // check reads [_, 0.1d] with 0.1d < (0.1f as double) and drops the
+    // file — the exact unsound case
+    t.append(Seq((0.05f, "e"), (0.1f, "e")).toDF("f", "event").coalesce(1))
+    t.append(Seq((0.7f, "e"), (0.9f, "e")).toDF("f", "event").coalesce(1))
+    assert(t.filesFor(lit(0.1f) === col("f")).size == 1)
+    sameRows(t.readWhere(col("f") === 0.1f), t.read.filter(col("f") === 0.1f))
+    assert(t.readWhere(col("f") === 0.1f).count() == 1)
+    assert(t.readWhere(col("f") > 0.1f && col("f") < 0.8f).count() == 1)
+  }
+
   test("all-null stat columns, missing columns and legacy manifests never prune") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
