@@ -36,30 +36,43 @@ final case class ChangeFeed(table: IcebergLikeTable, name: String) {
 
   private def root = new Path(table.path)
   private def fs = root.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
-  private def cursorPath = new Path(root, s".graft_feed_$name")
+  private def cursorPrefix = s".graft_feed_${name}_v"
+
+  /** The cursor is encoded in the FILE NAME (`.graft_feed_<name>_v<n>`),
+    * and a commit CREATES the new name before deleting older ones — a
+    * delete-then-rename onto one fixed name would have a crash window
+    * with NO readable cursor, re-delivering the entire table from
+    * version 0 (and double-counting for consumers that fold
+    * increments). Here every crash point leaves at least the previous
+    * cursor file on disk, and `cursor` reads the max.
+    */
+  private def cursorVersions: Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(cursorPrefix))
+      .flatMap(_.stripPrefix(cursorPrefix).toLongOption)
+      .sorted
 
   /** The committed cursor: the source version this feed has acked
     * through (0 = from the beginning).
     */
-  def cursor: Long =
-    if (!fs.exists(cursorPath)) 0L
-    else {
-      val in = fs.open(cursorPath)
-      val bytes = try in.readAllBytes() finally in.close()
-      // a torn/corrupt cursor file degrades to a full re-delivery (the
-      // at-least-once direction), never a crash or a skipped window
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLongOption.getOrElse(0L)
-    }
+  def cursor: Long = cursorVersions.lastOption.getOrElse(0L)
 
   private def commitCursor(v: Long): Unit = {
-    val tmp = new Path(root, s".graft_feed_$name.tmp")
+    val prior = cursorVersions
+    val fin = new Path(root, s"$cursorPrefix$v")
+    // hidden-tmp + rename to a fresh (per-version) name: the rename
+    // target never pre-exists, so no overwrite semantics are needed
+    val tmp = new Path(root, s"$cursorPrefix$v.tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(cursorPath, false)
-    if (!fs.rename(tmp, cursorPath))
+    try out.write(Array.emptyByteArray) finally out.close()
+    if (!fs.exists(fin) && !fs.rename(tmp, fin))
       throw new java.io.IOException(s"cursor commit failed for feed $name")
+    fs.delete(tmp, false)
+    // housekeeping AFTER the new cursor is durable; a crash here leaves
+    // extra files whose max is still the right cursor
+    prior.filter(_ < v).foreach(p =>
+      fs.delete(new Path(root, s"$cursorPrefix$p"), false))
   }
 
   final case class Batch(fromVersion: Long, toVersion: Long,

@@ -130,6 +130,33 @@ object Erasure {
     ZoneReport(affected.length.toLong, erased)
   }
 
+  /** The compacted zone's LIVE data files: every leaf directory's
+    * manifest-resolved file set ([[Manifests.resolve]]), falling back to
+    * the leaf's plain parquet listing where no manifest was ever
+    * committed (a zone written without the compaction protocol). One
+    * driver-side walk, O(leaves) metadata round trips — the same cost
+    * the per-leaf rewrite loop already pays.
+    */
+  private def liveLeafFiles(fs: org.apache.hadoop.fs.FileSystem,
+      zoneRoot: Path): Seq[String] = {
+    if (!fs.exists(zoneRoot)) return Nil
+    def walk(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p).toSeq
+      val dirs = children.filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(s => walk(s.getPath))
+    }
+    walk(zoneRoot).flatMap { leaf =>
+      Manifests.resolve(fs, leaf) match {
+        case Some((_, files)) => files.map(f => new Path(leaf, f).toString)
+        case None => fs.listStatus(leaf).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+          .map(_.getPath.toString)
+      }
+    }
+  }
+
   /** Erase `userIds` from the compacted parquet zone: discover affected
     * hour leaves with one distributed scan, then rewrite each through
     * the compaction manifest-commit protocol (staged import → versioned
@@ -139,9 +166,16 @@ object Erasure {
       userIds: Set[String], userField: String = "user_id",
       targetFiles: Int = 1): ZoneReport = {
     require(userIds.nonEmpty, "no user ids to erase")
-    val df = spark.read
-      .option("recursiveFileLookup", "true")
-      .parquet(parquetPath)
+    val fs = new Path(parquetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // discover over the MANIFEST-RESOLVED file set per leaf (the same
+    // resolution the rewrite uses): a recursive directory listing would
+    // also read superseded, dormant files no manifest references, and
+    // the compliance report would count rows that were already
+    // logically deleted
+    val liveFiles = liveLeafFiles(fs, new Path(parquetPath))
+    if (liveFiles.isEmpty) return ZoneReport(0L, 0L)
+    val df = spark.read.parquet(liveFiles: _*)
     val hit = col(userField).isNotNull && col(userField).isin(userIds.toSeq: _*)
     val affected = df
       .groupBy(regexp_replace(input_file_name(), "/[^/]*$", "").as("leaf"))
@@ -149,8 +183,6 @@ object Erasure {
       .filter(col("matches") > 0)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val fs = new Path(parquetPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.foreach { case (leafUri, _) =>
       val destDir = new Path(new java.net.URI(leafUri))
       val survivors = Manifests.resolve(fs, destDir) match {
@@ -158,7 +190,12 @@ object Erasure {
           spark.read.parquet(files.map(f => new Path(destDir, f).toString): _*)
         case None => spark.read.parquet(destDir.toString)
       }
-      val kept = survivors.filter(!(col(userField).isin(userIds.toSeq: _*)))
+      // DELETE semantics: erase rows where the membership test is TRUE;
+      // a NULL user field evaluates the isin to NULL, and a bare `!`
+      // would silently drop those bystander rows — the exact guard
+      // IcebergLikeTable.delete documents
+      val kept = survivors.filter(
+        !coalesce(col(userField).isin(userIds.toSeq: _*), lit(false)))
       val staging = new Path(destDir.getParent, s".erase_${destDir.getName}")
       fs.delete(staging, true)
       kept.repartition(targetFiles)

@@ -976,20 +976,23 @@ final case class IcebergLikeTable(
 
   /** Row-level DELETE (`DELETE FROM t WHERE condition` — the GDPR
     * "erase this user" operation an Iceberg web-analytics table serves,
-    * and the WHEN MATCHED THEN DELETE half of MERGE). Same rewrite unit
-    * as the merge: ONLY the (event, gbucket) leaves containing matching
-    * rows are rewritten (as their surviving rows), committed as one new
-    * snapshot; untouched leaves carry over by reference. A leaf whose
-    * rows all match simply vanishes from the new manifest. Retained
+    * and the WHEN MATCHED THEN DELETE half of MERGE). The rewrite unit
+    * is the FILE: discovery runs over the stats/bloom-pruned candidate
+    * files, and only files that actually contain matching rows are
+    * rewritten (as their surviving rows), committed as one new
+    * snapshot; every other file — including siblings in the same leaf —
+    * carries over by reference. A file whose rows all match simply
+    * vanishes from the new manifest. Retained
     * historical snapshots still contain the rows — after the retention
     * window ([[vacuum]]) the files are gone, which is exactly Iceberg's
     * GDPR posture (delete + expire_snapshots). Returns the number of
     * rows deleted.
     *
     * The discovery scan is column-pruned to the condition's columns plus
-    * the partition columns, and the rewrite cost is bounded by the
-    * affected leaves — for a key-localized predicate that is a handful
-    * of leaves, never the table.
+    * the partition columns AND file-skipped by the manifest stats/bloom
+    * stamps, so the rewrite cost is bounded by the files that might
+    * contain matches — for a key-localized predicate on a stamped
+    * column that is a handful of files, never the table.
     */
   def delete(condition: Column): Long =
     withCommitRetry { deleteOnce(condition) }
@@ -998,31 +1001,38 @@ final case class IcebergLikeTable(
     val (liveVersion, snap) = resolveLive()
     val previous = snap.files
     if (previous.isEmpty) return 0L
-    val raw = readSnapshot(snap)
-    // affected leaves + deleted count in one pass over the pruned scan
-    val hits = raw.filter(condition)
-      .groupBy(partCols.map(col): _*).agg(count(lit(1)).as("_n"))
+    val schema = storedSchema(snap.meta)
+    // the discovery scan composes the table's OWN file skipping: on a
+    // stats/bloom-stamped key, a GDPR point delete opens the handful of
+    // candidate files whose bounds/filters might contain the key, never
+    // the whole snapshot
+    val candidates = prunedFiles(snap, schema, condition)
+    if (candidates.isEmpty) return 0L
+    // per-FILE hit counts in one pass over the candidates: the rewrite
+    // unit is the files that actually contain matches — a survivor file
+    // in the same leaf carries over untouched (Iceberg's copy-on-write
+    // rewrites matched data files, not whole partitions)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val hits = readFileSet(candidates, schema)
+      .filter(condition)
+      .groupBy(input_file_name().as("_f")).agg(count(lit(1)).as("_n"))
       .collect()
+      .map { r =>
+        val p = new java.net.URI(r.getString(0)).getPath
+        p.stripPrefix(rootUri).stripPrefix("/") -> r.getLong(1)
+      }
     if (hits.isEmpty) return 0L
-    val deleted = hits.map(_.getAs[Long]("_n")).sum
-    val leafPred: Column = hits.map { r =>
-      partCols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _)
-    }.reduce(_ || _)
-    // leaf dir names for carry-over use Spark's own partition-path
-    // escaping, so values round-trip exactly as partitionBy lays them out
-    val affectedLeaves = hits.map { r =>
-      partCols.map { c =>
-        val v = r.getAs[Any](c)
-        s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(String.valueOf(v))}"
-      }.mkString("/")
-    }.toSet
+    val deleted = hits.map(_._2).sum
+    val affectedFiles = hits.map(_._1).toSet
+    require(affectedFiles.subsetOf(previous.toSet),
+      s"delete discovery resolved files outside the snapshot: " +
+        s"${affectedFiles.diff(previous.toSet).take(3).mkString(", ")}")
     // DELETE semantics: remove rows where the condition is TRUE; a NULL
     // condition keeps the row (a bare `!condition` would drop it).
-    val survivors = raw.filter(leafPred)
+    val survivors = readFileSet(affectedFiles.toSeq.sorted, schema)
       .filter(!coalesce(condition, lit(false)))
     commit(survivors, liveVersion, snap.meta)(
-      _ => previous.filterNot(f => affectedLeaves.contains(leafOf(f))))
+      _ => previous.filterNot(affectedFiles))
     deleted
   }
 

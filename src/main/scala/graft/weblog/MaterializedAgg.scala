@@ -88,14 +88,23 @@ final case class MaterializedAgg(
 
     // affected-group predicate when the delta is small: turns the
     // current-values join and the zero-count delete into
-    // stats/bloom-prunable point reads instead of view scans
+    // stats/bloom-prunable point reads instead of view scans. NULL is a
+    // legal group value (groupBy keeps a null group), and `isin` can
+    // never match it — membership must test it explicitly or a null-key
+    // group would silently escape the point read and the cleanup.
     val groupPred: Option[Column] =
       if (groupCols.size != 1 || target.currentVersion.isEmpty) None
       else {
         val g = deltas.select(col(groupCols.head)).limit(PointLookupGroups + 1)
           .collect().map(_.get(0))
         if (g.length > PointLookupGroups) None
-        else Some(col(groupCols.head).isin(g.toSeq: _*))
+        else {
+          val (nulls, values) = g.partition(_ == null)
+          val base =
+            if (values.isEmpty) lit(false)
+            else col(groupCols.head).isin(values.toSeq: _*)
+          Some(if (nulls.isEmpty) base else base || col(groupCols.head).isNull)
+        }
       }
 
     val merged =
@@ -105,13 +114,20 @@ final case class MaterializedAgg(
             (col("_dcnt").as(countCol) +:
               sumCols.map(c => col(s"_d_${sumName(c)}").as(sumName(c)))): _*)
       else {
+        // null-safe equality per group column: an equi-join would never
+        // match a null-key group, read its current count as 0, and
+        // overwrite the absolute row with the delta alone
         val cur = groupPred.map(target.readWhere).getOrElse(target.read)
-        deltas.join(cur, groupCols, "left_outer")
+          .select((groupCols.map(c => col(c).as(s"_cur_$c")) :+
+            col(countCol).as(s"_cur_$countCol")) ++
+            sumCols.map(c => col(sumName(c)).as(s"_cur_${sumName(c)}")): _*)
+        val on = groupCols.map(c => col(c) <=> col(s"_cur_$c")).reduce(_ && _)
+        deltas.join(cur, on, "left_outer")
           .select(
             groupCols.map(col) ++
-              ((coalesce(col(countCol), lit(0L)) + col("_dcnt")).as(countCol) +:
+              ((coalesce(col(s"_cur_$countCol"), lit(0L)) + col("_dcnt")).as(countCol) +:
                 sumCols.map(c =>
-                  (coalesce(col(sumName(c)), lit(0L)) + col(s"_d_${sumName(c)}"))
+                  (coalesce(col(s"_cur_${sumName(c)}"), lit(0L)) + col(s"_d_${sumName(c)}"))
                     .as(sumName(c)))): _*)
       }
     val rows = merged
@@ -122,7 +138,11 @@ final case class MaterializedAgg(
     // groups whose count folded to zero left the source entirely —
     // only possible on keyed sources (appends never retract), and only
     // among the affected groups, so the erase scan is scoped when the
-    // point predicate is available
+    // point predicate is available. This delete is a SEPARATE commit
+    // from the cursor-bearing upsert; a crash between the two leaves
+    // count-0 rows behind (the replayed refresh is skipped by the
+    // high-water mark), which is why [[read]] filters them out — the
+    // zero rows are representational housekeeping, never user-visible.
     if (source.uniqueKeys.nonEmpty) {
       val zero = col(countCol) === 0L
       target.delete(groupPred.map(_ && zero).getOrElse(zero))
@@ -130,8 +150,13 @@ final case class MaterializedAgg(
     Some((from, live))
   }
 
-  /** The view as a DataFrame (group cols + count + sums). */
+  /** The view as a DataFrame (group cols + count + sums). Count-0 rows
+    * — groups that left the source, retained only if a crash separated
+    * the refresh commit from its cleanup delete — are filtered here, so
+    * `read` equals [[fullRecompute]] even inside that crash window.
+    */
   def read: DataFrame = target.read.drop(target.partitionCol).drop("_seq")
+    .filter(col(countCol) =!= 0L)
 
   /** Ground-truth twin: the same aggregate recomputed from the full
     * source scan (spec/gate comparison surface).

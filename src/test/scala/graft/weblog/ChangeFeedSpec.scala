@@ -69,6 +69,33 @@ class ChangeFeedSpec extends SparkTestBase {
     assert(slow.poll().get.changes.count() == 8)
   }
 
+  test("a readable cursor survives every commit crash point") {
+    val t = keyedTable()
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(t.path)
+    val feed = ChangeFeed(t, "crashy")
+    t.write(batchOf(0 until 4, 1L), "seq")
+    feed.poll().get.ack()
+    val v1 = feed.cursor
+    assert(v1 > 0L)
+    // simulate a crash between publishing the new cursor file and
+    // sweeping the old one: both versioned files on disk — the cursor
+    // must read the max, and a re-ack must clean up the leftover
+    val leftover = new org.apache.hadoop.fs.Path(root, s".graft_feed_crashy_v${v1 - 1}")
+    fs.create(leftover, true).close()
+    assert(feed.cursor == v1, "max of the versioned cursor files wins")
+    t.write(batchOf(0 until 2, 2L), "seq")
+    val b = feed.poll().get
+    assert(b.fromVersion == v1)
+    b.ack()
+    assert(feed.cursor == b.toVersion)
+    // commit swept every older cursor file
+    val cursorFiles = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(".graft_feed_crashy_v"))
+    assert(cursorFiles.toSeq == Seq(s".graft_feed_crashy_v${b.toVersion}"))
+  }
+
   test("append-only tables feed their appended rows") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,

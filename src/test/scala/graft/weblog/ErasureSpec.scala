@@ -151,6 +151,60 @@ class ErasureSpec extends SparkTestBase {
     assert(t.read.count() == 180)
   }
 
+  test("compacted-zone sweep keeps NULL-user rows co-located with matches") {
+    import spark.implicits._
+    // a leaf whose files mix the erased user, other users, and rows with
+    // a NULL user field: `isin` evaluates to NULL for those, and a bare
+    // negation would silently drop them — the worst failure class a GDPR
+    // tool can have (destroying bystander data)
+    val pq = tmpDir("erasure_nulls")
+    val leaf = new org.apache.hadoop.fs.Path(pq, "year=2024/month=01/day=01/hour=00")
+    val fs = leaf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = Seq(
+      (Option("u1"), "view"), (Option("u1"), "click"),
+      (Option("u2"), "view"), (Option.empty[String], "view"),
+      (Option.empty[String], "click"))
+      .toDF("user_id", "event")
+    val staging = new org.apache.hadoop.fs.Path(pq, ".stage")
+    rows.repartition(1).write.parquet(staging.toString)
+    val files = Manifests.importStaged(fs, staging, leaf, 1L)
+    Manifests.write(fs, leaf, 1L, files)
+    fs.delete(staging, true)
+
+    val report = Erasure.eraseCompacted(spark, pq, Set("u1"))
+    assert(report == Erasure.ZoneReport(1L, 2L))
+    val left = spark.read.parquet(leaf.toString)
+    assert(left.count() == 3)
+    assert(left.filter(col("user_id").isNull).count() == 2,
+      "NULL-user bystander rows must survive the sweep")
+    assert(left.filter(col("user_id") === "u2").count() == 1)
+  }
+
+  test("compacted-zone report counts manifest-resolved rows, not superseded files") {
+    import spark.implicits._
+    val pq = tmpDir("erasure_superseded")
+    val leaf = new org.apache.hadoop.fs.Path(pq, "hour=00")
+    val fs = leaf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commitRows(df: org.apache.spark.sql.DataFrame, version: Long): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(pq, s".stage_$version")
+      df.repartition(1).write.parquet(staging.toString)
+      val files = Manifests.importStaged(fs, staging, leaf, version)
+      Manifests.write(fs, leaf, version, files)
+      fs.delete(staging, true)
+    }
+    // v1 holds 4 u9 rows; v2 supersedes it with 1 — the v1 file stays on
+    // disk (GC not run), and a recursive listing would count it
+    commitRows(Seq.fill(4)(("u9", "view")).toDF("user_id", "event"), 1L)
+    commitRows(Seq(("u9", "view"), ("u2", "view")).toDF("user_id", "event"), 2L)
+    val report = Erasure.eraseCompacted(spark, pq, Set("u9"))
+    assert(report == Erasure.ZoneReport(1L, 1L),
+      "the compliance report must count live rows only")
+    val resolved = Manifests.resolve(fs, leaf).get._2
+    val live = spark.read.parquet(
+      resolved.map(f => new org.apache.hadoop.fs.Path(leaf, f).toString): _*)
+    assert(live.select("user_id").as[String].collect().toSeq == Seq("u2"))
+  }
+
   test("malformed and user-field-free lines are always kept") {
     import spark.implicits._
     val raw = tmpDir("erasure_mixed")

@@ -213,6 +213,50 @@ class IcebergStatsSpec extends SparkTestBase {
     assert(t.read.count() == 5)
   }
 
+  test("delete rewrites only the stats/bloom-candidate files") {
+    import spark.implicits._
+    // clustered layout: 8 files with disjoint n-ranges, so a point
+    // delete has exactly one candidate file
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("stats_delete").toString + "/t",
+      "event", Nil, statsColumns = Seq("n"))
+    val df = (0 until 1000).map(i => (i.toLong, "e")).toDF("n", "event")
+    t.appendClustered(df, Seq("n"), nFiles = 8)
+    val before = t.filesFor(lit(true)).toSet
+    val candidates = t.filesFor(col("n") === 500L).toSet
+    assert(candidates.size == 1)
+    assert(t.delete(col("n") === 500L) == 1L)
+    val after = t.filesFor(lit(true)).toSet
+    // every non-candidate file carried over BY REFERENCE (same name) —
+    // the discovery scan composed the table's own file skipping, so the
+    // rewrite never touched them
+    assert((before -- candidates).subsetOf(after),
+      "non-candidate files must carry over under their exact names")
+    assert((after -- before).size <= 1, "only the hit file is rewritten")
+    assert(!after.exists(candidates.contains),
+      "the hit file must leave the manifest")
+    assert(t.read.count() == 999)
+    assert(t.read.filter(col("n") === 500L).count() == 0)
+
+    // bloom candidates bound the same way for a hash-spread layout
+    val b = IcebergLikeTable(spark,
+      Files.createTempDirectory("bloom_delete").toString + "/t",
+      "event", Nil, bloomColumns = Seq("user_id"), bloomExpectedItems = 1000L)
+    for (k <- 0 until 5) {
+      val part = (0 until 500).filter(_ % 5 == k)
+        .map(i => (i.toLong, f"u$i%04d", "e"))
+        .toDF("n", "user_id", "event").coalesce(1)
+      b.append(part)
+    }
+    val bBefore = b.filesFor(lit(true)).toSet
+    val bCand = b.filesFor(col("user_id") === "u0042").toSet
+    assert(bCand.size <= 2)
+    assert(b.delete(col("user_id") === "u0042") == 1L)
+    val bAfter = b.filesFor(lit(true)).toSet
+    assert((bBefore -- bCand).subsetOf(bAfter))
+    assert(b.read.count() == 499)
+  }
+
   test("predicate pruning composes with time travel") {
     val t = loaded()
     val v1 = t.currentVersion.get

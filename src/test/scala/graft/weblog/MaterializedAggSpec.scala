@@ -80,6 +80,61 @@ class MaterializedAggSpec extends SparkTestBase {
     assertMatches(mv)
   }
 
+  test("NULL group keys refresh correctly across commits") {
+    import spark.implicits._
+    val src = keyedSource()
+    val mv = MaterializedAgg(src, viewTable(), Seq("user_id"), Seq("value"))
+    def batch(rows: Seq[(Option[String], String, Long)], seq: Long) =
+      rows.map { case (u, ts, v) => (u.orNull, ts, "view", v, seq) }
+        .toDF("user_id", "ts", "event", "value", "seq")
+    src.write(batch(Seq(
+      (None, "t1", 5L), (None, "t2", 7L), (Some("u1"), "t1", 1L)), 1L), "seq")
+    assert(mv.refresh().isDefined)
+    assertMatches(mv)
+    assert(mv.read.filter(col("user_id").isNull).select("cnt")
+      .as[Long].head() == 2L)
+    // a second refresh joins deltas against the EXISTING null-group row:
+    // an equi-join would read its current count as 0 and clobber the
+    // absolute value with the delta alone
+    src.write(batch(Seq((None, "t3", 11L)), 2L), "seq")
+    assert(mv.refresh().isDefined)
+    assertMatches(mv)
+    assert(mv.read.filter(col("user_id").isNull)
+      .select("cnt", "sum_value").as[(Long, Long)].head() == ((3L, 23L)))
+    // delete every null-key row: the null group must leave the view too
+    src.delete(col("user_id").isNull)
+    assert(mv.refresh().isDefined)
+    assert(mv.read.filter(col("user_id").isNull).count() == 0)
+    assertMatches(mv)
+  }
+
+  test("count-0 rows left by a crash between refresh and cleanup stay invisible") {
+    import spark.implicits._
+    val src = keyedSource()
+    val tgt = viewTable()
+    val mv = MaterializedAgg(src, tgt, Seq("user_id"), Seq("value"))
+    src.write(rows(0 until 10, "view", 10L, 1L), "seq")
+    assert(mv.refresh().isDefined)
+    // simulate the crash window: the refresh upsert committed a
+    // zero-count group row, the follow-up cleanup delete never ran (and
+    // the replayed refresh is skipped by the high-water mark)
+    // the zero row carries the crashed refresh's own cursor version in
+    // _seq, exactly as refresh() would have written it
+    val ghost = Seq(("ghost", 0L, 0L, "all", mv.refreshedThrough.get))
+      .toDF("user_id", "cnt", "sum_value", "view", "_seq")
+    tgt.upsert(ghost, "_seq")
+    assert(mv.read.filter(col("user_id") === "ghost").count() == 0,
+      "a zero-count row must never be user-visible")
+    assertMatches(mv)
+    // later activity on the group folds against the retained zero row
+    src.write(Seq(("ghost", "2024-01-01T00:00:00Z", "view", 7L, 2L))
+      .toDF("user_id", "ts", "event", "value", "seq"), "seq")
+    assert(mv.refresh().isDefined)
+    assert(mv.read.filter(col("user_id") === "ghost")
+      .select("cnt", "sum_value").as[(Long, Long)].head() == ((1L, 7L)))
+    assertMatches(mv)
+  }
+
   test("append-only sources fold appends; count-only views work") {
     import spark.implicits._
     val src = IcebergLikeTable(spark,
