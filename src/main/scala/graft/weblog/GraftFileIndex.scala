@@ -30,9 +30,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The index is pinned to the snapshot resolved at construction
   * (snapshot isolation for the DataFrame's whole lifetime; `refresh()`
-  * re-resolves). Planning cost: the manifest resolve plus one
-  * `listStatus` per LEAF directory (for file sizes — still O(leaves)
-  * round trips, not O(files), and no parquet footer is ever opened).
+  * re-resolves). Planning cost: the manifest resolve ONLY — file sizes
+  * come from the manifest entries stamped at import, so building the
+  * relation makes ZERO `listStatus` round trips and opens no parquet
+  * footer (legacy manifests without size stamps fall back to one
+  * `listStatus` per leaf; `listStatusCalls` counts them, specs pin 0).
   */
 final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
   extends FileIndex {
@@ -40,9 +42,15 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
   private val root = new Path(table.path)
   private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Directory-listing round trips made while loading the current
+    * state: 0 for size-stamped manifests — the observable face of
+    * manifest-resolved planning.
+    */
+  @volatile private[weblog] var listStatusCalls: Int = 0
+
   private final case class State(
       version: Long,
-      snap: Manifests.Snapshot,
+      files: Seq[String],
       schema: StructType,
       stats: FileStats.Stats,
       blooms: BloomStats.Sidecar,
@@ -56,19 +64,30 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
       throw new IllegalStateException(
         s"GraftFileIndex needs a schema-stamped manifest under ${table.path} " +
           "(any commit made by this library version stamps it)"))
-    val stats = snap.meta.get(table.StatsKey).map(FileStats.fromJson)
-      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val stats = snap.statsOf
     val blooms = table.bloomSidecarsOf(snap.meta)
       .map(n => BloomStats.read(fs, new Path(root, n)))
       .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)
-    // one listStatus per leaf for file sizes; never opens a data file
-    val byLeaf = snap.files.groupBy(f => f.take(f.lastIndexOf('/') + 1))
-    val statusOf = byLeaf.flatMap { case (leaf, files) =>
+    var listCalls = 0
+    val (stamped, unstamped) = snap.entries.partition(_.size >= 0L)
+    // stamped entries: FileStatus synthesized from the manifest — no
+    // filesystem round trip at all (mod time 0 is fine: the scan keys
+    // on path + length, and the snapshot's files are immutable)
+    val fromManifest = stamped.map { e =>
+      e.path -> new FileStatus(e.size, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(root, e.path))
+    }
+    // legacy entries (pre-stamp manifests): one listStatus per leaf
+    val byLeaf = unstamped.map(_.path)
+      .groupBy(f => f.take(f.lastIndexOf('/') + 1))
+    val fromListing = byLeaf.flatMap { case (leaf, files) =>
       val dir = if (leaf.isEmpty) root else new Path(root, leaf.dropRight(1))
       val names = files.map(f => f.drop(leaf.length)).toSet
+      listCalls += 1
       fs.listStatus(dir).filter(s => names.contains(s.getPath.getName))
         .map(s => s"$leaf${s.getPath.getName}" -> s).toSeq
     }
+    val statusOf = (fromManifest ++ fromListing).toMap
     // every manifest file must have a status — a missing one (e.g. a
     // reader older than the retention window racing GC) must surface,
     // not silently shrink the scan
@@ -77,7 +96,8 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
       throw new java.io.FileNotFoundException(
         s"snapshot v$v references ${missing.size} file(s) no longer on disk " +
           s"(retention race?); first: ${missing.head}")
-    State(v, snap, schema, stats, blooms, statusOf)
+    listStatusCalls = listCalls
+    State(v, snap.files, schema, stats, blooms, statusOf)
   }
 
   override def rootPaths: Seq[Path] = Seq(root)
@@ -136,7 +156,7 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val s = state
-    val byLeaf = s.snap.files.groupBy(f => f.take(f.lastIndexOf('/') + 1))
+    val byLeaf = s.files.groupBy(f => f.take(f.lastIndexOf('/') + 1))
     byLeaf.toSeq.sortBy(_._1).flatMap { case (leaf, files) =>
       val values = partitionValues(leaf)
       if (!partitionMatches(partitionFilters, values)) None
@@ -158,7 +178,7 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
   }
 
   override def inputFiles: Array[String] =
-    state.snap.files.map(f => new Path(root, f).toString).toArray
+    state.files.map(f => new Path(root, f).toString).toArray
 
   override def refresh(): Unit = { state = load() }
 

@@ -69,6 +69,19 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    batchId)` records a per-stream high-water mark in the manifest
   *    metadata atomically with the commit; a replayed micro-batch is
   *    skipped (see [[append]]).
+  *  - **Sharded metadata** (Iceberg's manifest-list → manifest split):
+  *    the version manifest is one short `@ref` line per leaf pointing
+  *    at an immutable per-leaf manifest that carries the leaf's file
+  *    entries — path, byte size, row count, column bounds
+  *    ([[Manifests.FileEntry]]). A key-local commit writes O(changed
+  *    leaves' files) metadata and re-references the rest; resolution
+  *    reads only leaf manifests not already in the JVM-wide immutable
+  *    cache, so a hot ingest loop pays O(changed leaves) metadata I/O
+  *    per commit instead of rewriting and re-parsing the full file
+  *    list — the property that keeps the driver off the critical path
+  *    at millions of files. Size/row-count stamps mean read planning
+  *    makes zero `listStatus` calls ([[GraftFileIndex]]) and
+  *    `count(*)` can resolve from metadata alone ([[rowCount]]).
   * Readers need no coordination.
   */
 final case class IcebergLikeTable(
@@ -109,15 +122,63 @@ final case class IcebergLikeTable(
   /** The live snapshot version, if the table has committed at all. */
   def currentVersion: Option[Long] = versions.lastOption
 
+  /** A resolved table snapshot: the version manifest's metadata plus
+    * the data-file entries expanded from its referenced leaf manifests
+    * ([[Manifests.LeafPrefix]] — the sharded, Iceberg-style
+    * manifest-list layout) or, for legacy monolithic manifests, parsed
+    * from the raw file lines with stats recovered from the old `stats`
+    * meta key. `refsByLeaf` is the reuse map commits consult: an
+    * untouched leaf's manifest is re-referenced, never rewritten.
+    */
+  private[weblog] final case class TableSnapshot(
+      entries: Seq[Manifests.FileEntry],
+      meta: Map[String, String],
+      refs: Seq[String]) {
+    def files: Seq[String] = entries.map(_.path)
+    lazy val entryOf: Map[String, Manifests.FileEntry] =
+      entries.map(e => e.path -> e).toMap
+    lazy val statsOf: FileStats.Stats =
+      entries.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
+  }
+
+  /** Expand a raw version manifest into a [[TableSnapshot]]: `@ref`
+    * lines resolve through the (immutable, JVM-cached) leaf manifests —
+    * a hot loop re-reads only refs it has not seen, O(changed leaves)
+    * metadata I/O per resolution; plain lines are legacy monolithic
+    * entries (size/rowCount unknown, stats from the old meta key).
+    */
+  private def expand(snap: Manifests.Snapshot): TableSnapshot = {
+    val (refLines, plain) = snap.files.partition(_.startsWith(Manifests.RefMark))
+    val refs = refLines.map(_.stripPrefix(Manifests.RefMark))
+    val legacyStats = snap.meta.get(StatsKey).map(FileStats.fromJson)
+      .getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val legacy = plain.map(f =>
+      Manifests.FileEntry(f, -1L, -1L, legacyStats.getOrElse(f, Map.empty)))
+    val expanded = refs.flatMap(n => Manifests.readLeafManifest(fs, root, n))
+    TableSnapshot(legacy ++ expanded, snap.meta, refs)
+  }
+
+  /** The refs of a snapshot keyed by the leaf they describe (one leaf
+    * manifest covers exactly one leaf by construction), with the
+    * entry-path set each contributes — the commit-time reuse index.
+    */
+  private def refsByLeaf(snap: TableSnapshot): Map[String, (String, Set[String])] =
+    snap.refs.map { n =>
+      val entries = Manifests.readLeafManifest(fs, root, n)
+      val leaf = entries.headOption.map(e => leafOf(e.path)).getOrElse("")
+      leaf -> (n, entries.map(_.path).toSet)
+    }.toMap
+
   /** The live (version, snapshot) pair, resolved in ONE metadata round
     * trip per operation — (0, empty) for a table that has never
     * committed. Data files on disk but in no manifest are dormant by
     * protocol (debris of a crashed or conflict-losing commit at worst)
     * and are never read; [[vacuum]] sweeps them.
     */
-  private[weblog] def resolveLive(): (Long, Manifests.Snapshot) =
+  private[weblog] def resolveLive(): (Long, TableSnapshot) =
     Manifests.resolveSnapshot(fs, root)
-      .getOrElse((0L, Manifests.Snapshot(Nil, Map.empty)))
+      .map { case (v, s) => (v, expand(s)) }
+      .getOrElse((0L, TableSnapshot(Nil, Map.empty, Nil)))
 
   /** Manifest metadata key holding the table schema (StructType JSON) —
     * read planning resolves schema from here, not from parquet footers.
@@ -129,55 +190,54 @@ final case class IcebergLikeTable(
     */
   private val HwmPrefix = "hwm."
 
-  /** Manifest metadata key holding per-file column min/max bounds
-    * ([[FileStats]]) — the planning-time file-skipping stats. Stamped
-    * for `statsColumns` (default: the unique keys) of supported types.
+  /** LEGACY manifest metadata key for monolithic per-file column
+    * bounds. Current commits stamp bounds into the per-leaf manifest
+    * entries instead ([[Manifests.FileEntry]]); this key is only read
+    * when expanding a manifest written before the sharded layout.
     */
   private[weblog] val StatsKey = "stats"
 
   private def statsCols: Seq[String] =
     (if (statsColumns.nonEmpty) statsColumns else uniqueKeys).distinct
 
-  /** Per-file bounds for this commit: fresh stats for the imported
-    * files (ONE aggregate over just-written data, grouped by file — cost
-    * bounded by the batch, never the table), merged with the carried
-    * files' stats from the base manifest, restricted to the committed
-    * file list so expired files never accumulate.
+  /** Per-imported-file metadata in ONE aggregate over the just-written
+    * batch, grouped by file: row count (always — it feeds the manifest
+    * entry and manifest-only `count(*)`), min/max bounds for the
+    * supported `statsColumns`, and the per-column Bloom filters for
+    * `bloomColumns`. Cost is bounded by the batch, never the table, and
+    * folding all three into one pass means a commit re-reads its batch
+    * exactly once.
     */
-  private def statsMeta(baseMeta: Map[String, String], fileList: Seq[String],
-      imported: Seq[String], schema: StructType): Map[String, String] = {
-    val cols = statsCols.filter(c =>
+  private def importedFileMeta(imported: Seq[String], schema: StructType):
+      Map[String, (Long, Map[String, (String, String)], Map[String, Array[Byte]])] = {
+    if (imported.isEmpty) return Map.empty
+    val sCols = statsCols.filter(c =>
       schema.fields.exists(f => f.name == c && FileStats.supported(f.dataType)))
-    if (cols.isEmpty) return Map.empty
-    val prior = baseMeta.get(StatsKey).map(FileStats.fromJson)
-      .getOrElse(Map.empty[String, Map[String, (String, String)]])
-    val fresh: FileStats.Stats =
-      if (imported.isEmpty) Map.empty
-      else {
-        val byName = imported.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-        val aggs = cols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"_lo_$c"),
-          max(col(c)).cast("string").as(s"_hi_$c")))
-        readFileSet(imported, Some(schema))
-          .groupBy(input_file_name().as("_f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .flatMap { r =>
-            val uri = r.getString(0)
-            val name = uri.substring(uri.lastIndexOf('/') + 1)
-            byName.get(name).map { rel =>
-              rel -> cols.flatMap { c =>
-                (Option(r.getAs[String](s"_lo_$c")), Option(r.getAs[String](s"_hi_$c"))) match {
-                  case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
-                  case _ => None // all-null column in this file: no bounds
-                }
-              }.toMap
+    val bCols = bloomColumns.distinct.filter(c => schema.fields.exists(_.name == c))
+    val byName = imported.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val aggs = (count(lit(1)).as("_rc") +:
+      sCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"_lo_$c"),
+        max(col(c)).cast("string").as(s"_hi_$c")))) ++
+      bCols.map(c =>
+        BloomStats.bloomAgg(xxhash64(col(c)), bloomExpectedItems, bloomFpp).as(s"_bf_$c"))
+    readFileSet(imported, Some(schema))
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .flatMap { r =>
+        val uri = r.getString(0)
+        byName.get(uri.substring(uri.lastIndexOf('/') + 1)).map { rel =>
+          val stats = sCols.flatMap { c =>
+            (Option(r.getAs[String](s"_lo_$c")), Option(r.getAs[String](s"_hi_$c"))) match {
+              case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+              case _ => None // all-null column in this file: no bounds
             }
           }.toMap
-      }
-    val keep = fileList.toSet
-    val merged = (prior.view.filterKeys(keep).toMap ++ fresh).filter(_._2.nonEmpty)
-    if (merged.isEmpty) Map.empty else Map(StatsKey -> FileStats.toJson(merged))
+          val blooms = bCols.map(c => c -> r.getAs[Array[Byte]](s"_bf_$c")).toMap
+          rel -> ((r.getAs[Long]("_rc"), stats, blooms))
+        }
+      }.toMap
   }
 
   /** Manifest metadata key listing the live Bloom SIDECAR file names
@@ -200,29 +260,15 @@ final case class IcebergLikeTable(
     * their last referencing manifest expires.
     */
   private def bloomMeta(baseMeta: Map[String, String], fileList: Seq[String],
-      imported: Seq[String], schema: StructType, version: Long,
+      perFile: BloomStats.Sidecar, version: Long,
       token: String): Map[String, String] = {
-    val cols = bloomColumns.distinct.filter(c => schema.fields.exists(_.name == c))
     val liveNames = fileList.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
     val carried = bloomSidecarsOf(baseMeta).filter { n =>
       val tag = n.stripPrefix("_graft_bloom_").split("_", 2)
       tag.length == 2 && liveNames.exists(_.startsWith(s"part-${tag(0)}-${tag(1)}-"))
     }
-    if (cols.isEmpty || imported.isEmpty)
+    if (perFile.isEmpty)
       return if (carried.isEmpty) Map.empty else Map(BloomKey -> carried.mkString(","))
-    val byName = imported.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-    val aggs = cols.map(c =>
-      BloomStats.bloomAgg(xxhash64(col(c)), bloomExpectedItems, bloomFpp).as(s"_bf_$c"))
-    val perFile: BloomStats.Sidecar = readFileSet(imported, Some(schema))
-      .groupBy(input_file_name().as("_f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .flatMap { r =>
-        val uri = r.getString(0)
-        byName.get(uri.substring(uri.lastIndexOf('/') + 1)).map { rel =>
-          rel -> cols.map(c => c -> r.getAs[Array[Byte]](s"_bf_$c")).toMap
-        }
-      }.toMap
     val name = s"_graft_bloom_v${version}_$token"
     BloomStats.write(fs, new Path(root, name), perFile)
     Map(BloomKey -> (carried :+ name).mkString(","))
@@ -347,7 +393,7 @@ final case class IcebergLikeTable(
         .parquet(files.map(f => s"$path/$f"): _*)
   }
 
-  private def readSnapshot(snap: Manifests.Snapshot): DataFrame =
+  private def readSnapshot(snap: TableSnapshot): DataFrame =
     readFileSet(snap.files, storedSchema(snap.meta))
 
   /** User-facing read of the live snapshot: the internal bucket column
@@ -408,12 +454,11 @@ final case class IcebergLikeTable(
     * pruning ([[BloomStats]]) of a snapshot's file list. Sidecars load
     * once per call; filters deserialize lazily per (file, col).
     */
-  private def prunedFiles(snap: Manifests.Snapshot,
+  private def prunedFiles(snap: TableSnapshot,
       schema: Option[StructType], condition: Column): Seq[String] =
     (schema, analyzedPredicate(schema, condition)) match {
       case (Some(s), Some(e)) =>
-        val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
-          .getOrElse(Map.empty[String, Map[String, (String, String)]])
+        val stats = snap.statsOf
         val sidecars = bloomSidecarsOf(snap.meta)
         lazy val blooms: BloomStats.Sidecar =
           sidecars.map(n => BloomStats.read(fs, new Path(root, n)))
@@ -516,7 +561,7 @@ final case class IcebergLikeTable(
         // the live manifest holds zero files (a delete() erased all rows)
         val base =
           if (storedSchema(toSnap.meta).isDefined)
-            readSnapshot(toSnap.copy(files = Nil))
+            readSnapshot(toSnap.copy(entries = Nil))
           else readSnapshot(toSnap).limit(0) // legacy unstamped manifest
         tagged(base.drop(bucketCol), "insert")
       case (None, Some(n)) => tagged(n, "insert")
@@ -582,7 +627,7 @@ final case class IcebergLikeTable(
       val df =
         if (added.nonEmpty) readFileSet(added, storedSchema(toSnap.meta))
         else if (storedSchema(toSnap.meta).isDefined)
-          readSnapshot(toSnap.copy(files = Nil))
+          readSnapshot(toSnap.copy(entries = Nil))
         else readSnapshot(toSnap).limit(0) // legacy unstamped manifest
       if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
     }
@@ -613,13 +658,18 @@ final case class IcebergLikeTable(
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
       target.meta.get(StatsKey).map(StatsKey -> _) ++
       target.meta.get(BloomKey).map(BloomKey -> _)
-    Manifests.write(fs, root, newVersion, target.files, meta)
+    // sharded targets roll back by RE-REFERENCING their (immutable)
+    // leaf manifests; legacy monolithic targets re-list their files
+    val lines =
+      if (target.refs.nonEmpty) target.refs.map(Manifests.RefMark + _)
+      else target.files
+    Manifests.write(fs, root, newVersion, lines, meta)
     expireSnapshots()
     newVersion
   }
 
-  private def snapshotAt(version: Long): Manifests.Snapshot =
-    Manifests.snapshotAt(fs, root, version).getOrElse(
+  private def snapshotAt(version: Long): TableSnapshot =
+    Manifests.snapshotAt(fs, root, version).map(expand).getOrElse(
       throw new NoSuchElementException(
         s"snapshot v$version not found (expired or never committed) under $path"))
 
@@ -642,10 +692,11 @@ final case class IcebergLikeTable(
     */
   def snapshots: DataFrame = {
     import spark.implicits._
-    versions.flatMap(v => Manifests.snapshotAt(fs, root, v).map(v -> _))
+    versions.flatMap(v => Manifests.snapshotAt(fs, root, v).map(s => v -> expand(s)))
       .map { case (v, s) =>
-        (v, s.files.size.toLong, s.meta.contains(SchemaKey),
-          s.meta.contains(StatsKey), bloomSidecarsOf(s.meta).size,
+        (v, s.entries.size.toLong, s.meta.contains(SchemaKey),
+          s.entries.exists(_.stats.nonEmpty) || s.meta.contains(StatsKey),
+          bloomSidecarsOf(s.meta).size,
           hwmOf(s.meta).size)
       }
       .toDF("version", "n_files", "has_schema", "has_stats",
@@ -660,16 +711,27 @@ final case class IcebergLikeTable(
   def files: DataFrame = {
     import spark.implicits._
     val (_, snap) = resolveLive()
-    val stats = snap.meta.get(StatsKey).map(FileStats.fromJson)
-      .getOrElse(Map.empty[String, Map[String, (String, String)]])
     val blooms = bloomSidecarsOf(snap.meta)
       .map(n => BloomStats.read(fs, new Path(root, n)))
       .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)
-    snap.files.map { f =>
-      val leaf = leafOf(f)
-      (f, leaf, stats.get(f).map(_.size).getOrElse(0),
-        blooms.get(f).map(_.size).getOrElse(0))
-    }.toDF("file", "leaf", "n_stat_cols", "n_bloom_cols")
+    snap.entries.map { e =>
+      val leaf = leafOf(e.path)
+      (e.path, leaf, e.size, e.rowCount, e.stats.size,
+        blooms.get(e.path).map(_.size).getOrElse(0))
+    }.toDF("file", "leaf", "size_bytes", "row_count", "n_stat_cols",
+      "n_bloom_cols")
+  }
+
+  /** Manifest-only `count(*)`: the live row count resolved from the
+    * stamped per-file entries alone — zero data I/O, zero tasks. None
+    * when any live entry predates the row-count stamp (legacy
+    * manifests), in which case callers fall back to a real count.
+    */
+  def rowCount: Option[Long] = {
+    val (_, snap) = resolveLive()
+    if (snap.entries.forall(_.rowCount >= 0L))
+      Some(snap.entries.map(_.rowCount).sum)
+    else None
   }
 
   /** T3: the routing decision the transformer stamps on every record. */
@@ -693,7 +755,7 @@ final case class IcebergLikeTable(
     * snapshot and redo their merge against it, so no update is lost.
     */
   private def commit(df: DataFrame, baseVersion: Long,
-      baseMeta: Map[String, String], extraMeta: Map[String, String] = Map.empty)(
+      base: TableSnapshot, extraMeta: Map[String, String] = Map.empty)(
       carryOver: Seq[String] => Seq[String]): Seq[String] = {
     val version = nextVersion(baseVersion)
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -702,20 +764,59 @@ final case class IcebergLikeTable(
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(staging.toString)
-    val schema = commitSchema(storedSchema(baseMeta), df.schema)
-    val meta = hwmOf(baseMeta) ++ extraMeta + (SchemaKey -> schema.json)
+    val schema = commitSchema(storedSchema(base.meta), df.schema)
+    val meta = hwmOf(base.meta) ++ extraMeta + (SchemaKey -> schema.json)
     try {
-      val imported = Manifests.importStagedTree(fs, staging, root, s"v$version-$token")
-      val fileList = carryOver(imported) ++ imported
-      val bloom = bloomMeta(baseMeta, fileList, imported, schema, version, token)
-      try Manifests.write(fs, root, version, fileList,
-        meta ++ statsMeta(baseMeta, fileList, imported, schema) ++ bloom)
+      val importedWithSize =
+        Manifests.importStagedTree(fs, staging, root, s"v$version-$token")
+      val imported = importedWithSize.map(_._1)
+      // one pass over the just-written files: row counts, column
+      // bounds, bloom filters — the manifest entry stamps
+      val fileMeta = importedFileMeta(imported, schema)
+      val fresh: Map[String, Manifests.FileEntry] =
+        importedWithSize.map { case (p, size) =>
+          val (rows, stats) = fileMeta.get(p)
+            .map { case (r, s, _) => (r, s) }
+            .getOrElse((-1L, Map.empty[String, (String, String)]))
+          p -> Manifests.FileEntry(p, size, rows, stats)
+        }.toMap
+      val perFileBlooms: BloomStats.Sidecar = fileMeta.collect {
+        case (p, (_, _, b)) if b.nonEmpty => p -> b
+      }
+      val carriedPaths = carryOver(imported)
+      val fileList = carriedPaths ++ imported
+      val bloom = bloomMeta(base.meta, fileList, perFileBlooms, version, token)
+      // SHARDED metadata commit: group the snapshot's entries by leaf;
+      // an untouched leaf re-references its existing (immutable) leaf
+      // manifest, a changed leaf gets exactly one fresh manifest — so
+      // a key-local commit writes O(changed leaves' files) metadata
+      // while the version manifest stays one short `@ref` line per leaf
+      val entries = carriedPaths.map(p => base.entryOf.getOrElse(p,
+        Manifests.FileEntry(p, -1L, -1L, Map.empty))) ++
+        imported.map(fresh)
+      val baseRefs = refsByLeaf(base)
+      val newLeafManifests = scala.collection.mutable.ArrayBuffer.empty[String]
+      val refs = entries.groupBy(e => leafOf(e.path)).toSeq.sortBy(_._1)
+        .zipWithIndex.map { case ((leaf, leafEntries), i) =>
+          baseRefs.get(leaf) match {
+            case Some((ref, basePaths))
+                if basePaths == leafEntries.map(_.path).toSet => ref
+            case _ =>
+              val name = f"${Manifests.LeafPrefix}v$version-$token-$i%05d"
+              Manifests.writeLeafManifest(fs, root, name, leafEntries)
+              newLeafManifests += name
+              name
+          }
+        }
+      try Manifests.write(fs, root, version,
+        refs.map(Manifests.RefMark + _), meta ++ bloom)
       catch {
         case e: Manifests.CommitConflictException =>
           // lost the race: un-import our dormant files (and this
-          // writer's bloom sidecar) and let the caller retry against
-          // the winner's snapshot
+          // writer's leaf manifests and bloom sidecar) and let the
+          // caller retry against the winner's snapshot
           imported.foreach(f => fs.delete(new Path(root, f), false))
+          newLeafManifests.foreach(n => fs.delete(new Path(root, n), false))
           fs.delete(new Path(root, s"_graft_bloom_v${version}_$token"), false)
           throw e
       }
@@ -758,14 +859,20 @@ final case class IcebergLikeTable(
     val all = versions
     if (all.size <= keepLast) return
     val (expired, retained) = all.splitAt(all.size - keepLast)
-    val retainedSnaps = retained.flatMap(v => Manifests.snapshotAt(fs, root, v))
+    val retainedSnaps = retained
+      .flatMap(v => Manifests.snapshotAt(fs, root, v)).map(expand)
     val referenced = retainedSnaps.flatMap(_.files).toSet
     val referencedSidecars = retainedSnaps.flatMap(s => bloomSidecarsOf(s.meta)).toSet
+    val referencedRefs = retainedSnaps.flatMap(_.refs).toSet
     expired.foreach { v =>
-      Manifests.snapshotAt(fs, root, v).foreach { s =>
+      Manifests.snapshotAt(fs, root, v).map(expand).foreach { s =>
         s.files.filterNot(referenced)
           .foreach(f => fs.delete(new Path(root, f), false))
         bloomSidecarsOf(s.meta).filterNot(referencedSidecars)
+          .foreach(n => fs.delete(new Path(root, n), false))
+        // leaf manifests referenced by no retained version expire with
+        // their snapshot (they are immutable, so sharing is by name)
+        s.refs.filterNot(referencedRefs)
           .foreach(n => fs.delete(new Path(root, n), false))
       }
       fs.delete(new Path(root, s"${Manifests.Prefix}$v"), false)
@@ -783,7 +890,7 @@ final case class IcebergLikeTable(
     */
   def vacuum(keepLast: Int = retainVersions): Unit = {
     expireSnapshots(keepLast)
-    val snaps = versions.flatMap(v => Manifests.snapshotAt(fs, root, v))
+    val snaps = versions.flatMap(v => Manifests.snapshotAt(fs, root, v)).map(expand)
     val referenced = snaps.flatMap(_.files).toSet
     walkDataFiles().filterNot(referenced)
       .foreach(f => fs.delete(new Path(root, f), false))
@@ -792,6 +899,12 @@ final case class IcebergLikeTable(
     val referencedSidecars = snaps.flatMap(s => bloomSidecarsOf(s.meta)).toSet
     if (exists) fs.listStatus(root).map(_.getPath.getName)
       .filter(n => n.startsWith("_graft_bloom_") && !referencedSidecars.contains(n))
+      .foreach(n => fs.delete(new Path(root, n), false))
+    // leaf-manifest debris: written by a commit that crashed before (or
+    // lost) its version-manifest CAS
+    val referencedRefs = snaps.flatMap(_.refs).toSet
+    if (exists) fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(Manifests.LeafPrefix) && !referencedRefs.contains(n))
       .foreach(n => fs.delete(new Path(root, n), false))
     // commit-lock debris: a lock whose manifest was never published is
     // a writer that crashed between claim and publish — clear it so the
@@ -833,7 +946,7 @@ final case class IcebergLikeTable(
     val (liveVersion, snap) = resolveLive()
     if (alreadyApplied(snap.meta, appendId)) return
     val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
-    commit(withBucket(df), liveVersion, snap.meta, extra)(_ => snap.files)
+    commit(withBucket(df), liveVersion, snap, extra)(_ => snap.files)
   }
 
   /** Range-CLUSTERED append: rows range-partitioned and sorted on
@@ -866,7 +979,7 @@ final case class IcebergLikeTable(
       val (liveVersion, snap) = resolveLive()
       if (!alreadyApplied(snap.meta, appendId)) {
         val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
-        commit(shaped, liveVersion, snap.meta, extra)(_ => snap.files)
+        commit(shaped, liveVersion, snap, extra)(_ => snap.files)
       }
     }
   }
@@ -918,7 +1031,7 @@ final case class IcebergLikeTable(
     // foreachBatch streaming query (Ingest.startIcebergIngest).
     if (pairs.isEmpty) return
     if (previous.isEmpty) {
-      commit(deduped, liveVersion, snap.meta, extra)(_ => Nil)
+      commit(deduped, liveVersion, snap, extra)(_ => Nil)
       return
     }
 
@@ -950,7 +1063,7 @@ final case class IcebergLikeTable(
     // manifest carrying over every live file OUTSIDE the rewritten
     // leaves. Readers on the previous version keep their complete file
     // set until retention expires it.
-    val imported = commit(merged, liveVersion, snap.meta, extra) { imp =>
+    val imported = commit(merged, liveVersion, snap, extra) { imp =>
       val rewrittenLeaves = imp.map(leafOf).toSet
       previous.filterNot(f => rewrittenLeaves.contains(leafOf(f)))
     }
@@ -1031,7 +1144,7 @@ final case class IcebergLikeTable(
     // condition keeps the row (a bare `!condition` would drop it).
     val survivors = readFileSet(affectedFiles.toSeq.sorted, schema)
       .filter(!coalesce(condition, lit(false)))
-    commit(survivors, liveVersion, snap.meta)(
+    commit(survivors, liveVersion, snap)(
       _ => previous.filterNot(affectedFiles))
     deleted
   }
@@ -1080,7 +1193,7 @@ final case class IcebergLikeTable(
         .repartitionByRange(targetFiles * hot.size,
           (partCols ++ clusterCols).map(col): _*)
         .sortWithinPartitions((partCols ++ clusterCols).map(col): _*)
-    commit(shaped, liveVersion, snap.meta)(
+    commit(shaped, liveVersion, snap)(
       _ => previous.filterNot(f => hotSet.contains(leafOf(f))))
     hot.map(_.stripPrefix(s"$partitionCol="))
   }

@@ -28,6 +28,106 @@ object Manifests {
 
   val Prefix = "_graft_manifest_v"
 
+  /** Name prefix of the immutable PER-LEAF manifest files the table
+    * format shards its file metadata into (see [[IcebergLikeTable]]):
+    * the version manifest holds `@<name>` reference lines instead of
+    * raw file paths, and each referenced leaf manifest lists one leaf
+    * partition's data files with their size, row count and column
+    * bounds — Iceberg's manifest-list → manifest split. A commit that
+    * touches k leaves writes k new leaf manifests and re-references the
+    * rest, so commit metadata I/O is O(changed leaves' files), never
+    * O(table files).
+    */
+  val LeafPrefix = "_graft_leafman_"
+
+  /** A reference line in a version manifest pointing at a leaf
+    * manifest (vs a legacy raw file path, which never starts with `@`
+    * — relative data paths start with a partition segment or `part-`).
+    */
+  val RefMark = "@"
+
+  /** One data file's manifest entry: path relative to the table root,
+    * byte size and row count (both stamped at import so planning never
+    * lists directories and `count(*)` can resolve from metadata alone;
+    * -1 = unknown, from legacy manifests), and the per-column [min,max]
+    * bounds used for planning-time file skipping ([[FileStats]]).
+    */
+  final case class FileEntry(path: String, size: Long, rowCount: Long,
+      stats: Map[String, (String, String)])
+
+  /** Leaf manifests are immutable (written once under a writer-unique
+    * name, never modified), so their parsed content is cached JVM-wide:
+    * a hot commit loop re-resolves only the leaf manifests it has not
+    * seen — O(changed leaves) reads per snapshot resolution, not
+    * O(leaves).
+    */
+  private val leafCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+  private val LeafCacheMax = 65536
+
+  private def entryMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Write an immutable leaf manifest (JSONL: one entry per line).
+    * Hidden-tmp + rename publish; the name carries the writer token, so
+    * two writers can never collide and no CAS is needed — the version
+    * manifest's CAS decides which references become live.
+    */
+  def writeLeafManifest(fs: FileSystem, dir: Path, name: String,
+      entries: Seq[FileEntry]): Unit = {
+    require(name.startsWith(LeafPrefix), s"not a leaf manifest name: $name")
+    val m = entryMapper
+    val lines = entries.sortBy(_.path).map { e =>
+      val node = m.createObjectNode()
+      node.put("p", e.path)
+      node.put("s", e.size)
+      node.put("r", e.rowCount)
+      if (e.stats.nonEmpty) {
+        val st = node.putObject("t")
+        e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val arr = st.putArray(c); arr.add(lo); arr.add(hi)
+        }
+      }
+      m.writeValueAsString(node)
+    }
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes(UTF_8))
+    finally out.close()
+    val fin = new Path(dir, name)
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"leaf manifest publish failed: $fin")
+  }
+
+  /** Read (and cache) a leaf manifest's entries. */
+  def readLeafManifest(fs: FileSystem, dir: Path, name: String): Seq[FileEntry] = {
+    val key = new Path(dir, name).toString
+    val cached = leafCache.get(key)
+    if (cached != null) return cached
+    val in = fs.open(new Path(dir, name))
+    val bytes = try in.readAllBytes() finally in.close()
+    val m = entryMapper
+    val entries = new String(bytes, UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val node = m.readTree(line)
+        val stats =
+          if (!node.has("t")) Map.empty[String, (String, String)]
+          else {
+            val b = Map.newBuilder[String, (String, String)]
+            node.get("t").properties().forEach { e =>
+              val arr = e.getValue
+              if (arr.isArray && arr.size == 2)
+                b += e.getKey -> (arr.get(0).asText, arr.get(1).asText)
+            }
+            b.result()
+          }
+        FileEntry(node.get("p").asText, node.get("s").asLong,
+          node.get("r").asLong, stats)
+      }
+    if (leafCache.size >= LeafCacheMax) leafCache.clear()
+    leafCache.put(key, entries)
+    entries
+  }
+
   /** A committed snapshot: its data files plus the key→value metadata
     * stamped at commit (`schema` = the table schema as StructType JSON,
     * resolved at read planning instead of O(files) parquet footers;
@@ -180,7 +280,7 @@ object Manifests {
     * (e.g. `event=view/gbucket=3/part-v17-00002.snappy.parquet`).
     */
   def importStagedTree(fs: FileSystem, stagingDir: Path, tableRoot: Path,
-      version: Long): Seq[String] =
+      version: Long): Seq[(String, Long)] =
     importStagedTree(fs, stagingDir, tableRoot, s"v$version")
 
   /** As above with an explicit name token: optimistic-concurrency
@@ -188,20 +288,24 @@ object Manifests {
     * version, so the imported (dormant) file names need a per-writer
     * token to stay collision-free — the manifest CAS, not the import,
     * decides the winner; the loser's files are unreferenced debris that
-    * [[IcebergLikeTable.vacuum]] sweeps.
+    * [[IcebergLikeTable.vacuum]] sweeps. Returns (relative path, byte
+    * size) per imported file — the size is captured from the staging
+    * listing the walk already made, so stamping it into the manifest
+    * costs zero extra round trips.
     */
   def importStagedTree(fs: FileSystem, stagingDir: Path, tableRoot: Path,
-      nameToken: String): Seq[String] = {
-    def dataFiles(p: Path): Seq[Path] =
+      nameToken: String): Seq[(String, Long)] = {
+    def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { s =>
         val n = s.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
         else if (s.isDirectory) dataFiles(s.getPath)
-        else Seq(s.getPath)
+        else Seq(s)
       }
     val stagingUri = stagingDir.toUri.getPath
-    val parts = dataFiles(stagingDir).sortBy(_.toString)
-    parts.zipWithIndex.map { case (p, i) =>
+    val parts = dataFiles(stagingDir).sortBy(_.getPath.toString)
+    parts.zipWithIndex.map { case (s, i) =>
+      val p = s.getPath
       val rel = p.getParent.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
       val name = f"part-$nameToken-$i%05d${suffixOf(p.getName)}"
       val relPath = if (rel.isEmpty) name else s"$rel/$name"
@@ -209,7 +313,7 @@ object Manifests {
       fs.mkdirs(dest.getParent)
       if (!fs.rename(p, dest))
         throw new java.io.IOException(s"import failed: $p -> $dest")
-      relPath
+      relPath -> s.getLen
     }.toSeq
   }
 }

@@ -88,6 +88,50 @@ class GraftRelationSpec extends SparkTestBase {
       t.read.filter(col("user_id") === "u042"))
   }
 
+  test("relation planning makes zero listStatus calls on stamped manifests") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_nolist").toString + "/t",
+      "event", Nil, statsColumns = Seq("n"))
+    for (b <- 0 until 3)
+      t.append((b * 10 until (b + 1) * 10).map(i => (i.toLong, "e"))
+        .toDF("n", "event").coalesce(1))
+    val index = new GraftFileIndex(spark, t)
+    // sizes come from the manifest entries stamped at import — planning
+    // never lists a directory and never opens a footer
+    assert(index.listStatusCalls == 0,
+      s"expected zero listStatus round trips, got ${index.listStatusCalls}")
+    val (_, snap) = t.resolveLive()
+    assert(snap.entries.forall(e => e.size > 0L && e.rowCount == 10L))
+    assert(index.sizeInBytes == snap.entries.map(_.size).sum)
+    // and the stamped sizes drive a correct scan end to end
+    val df = GraftFileIndex.relation(spark, t)
+    assert(df.count() == 30)
+    sameRows(df, t.read)
+  }
+
+  test("manifest-only count(*): rowCount matches the real count across ops") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_count").toString + "/t",
+      "event", Seq("user_id"), numBuckets = 4)
+    assert(t.rowCount.contains(0L))
+    t.write((0 until 50).map(i => (s"u$i", "e", 1L))
+      .toDF("user_id", "event", "seq"), "seq")
+    assert(t.rowCount.contains(50L))
+    assert(t.rowCount.get == t.read.count())
+    // upsert: 5 updates (u45-u49) + 10 inserts (u50-u59)
+    t.write((45 until 60).map(i => (s"u$i", "e", 2L))
+      .toDF("user_id", "event", "seq"), "seq")
+    assert(t.rowCount.contains(60L))
+    assert(t.rowCount.get == t.read.count())
+    t.delete(col("user_id") === "u7")
+    assert(t.rowCount.contains(59L))
+    assert(t.rowCount.get == t.read.count())
+    t.maintain(fileThreshold = 1)
+    assert(t.rowCount.contains(59L))
+  }
+
   test("the relation is snapshot-pinned; refresh follows new commits") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,

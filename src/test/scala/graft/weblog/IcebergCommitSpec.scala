@@ -149,8 +149,7 @@ class IcebergCommitSpec extends SparkTestBase {
     val onDisk = walk(new java.io.File(s"$dir/t"))
       .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(_.toString.stripPrefix(s"$dir/t").stripPrefix("/")).toSet
-    val fs = new Path(s"$dir/t").getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = Manifests.resolve(fs, new Path(s"$dir/t")).get._2.toSet
+    val live = table.resolveLive()._2.files.toSet
     assert(onDisk == live, s"unreferenced files survived GC: ${onDisk -- live}")
   }
 
@@ -188,7 +187,7 @@ class IcebergCommitSpec extends SparkTestBase {
     val onDisk = walk(new java.io.File(path))
       .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
       .map(_.toString.stripPrefix(path).stripPrefix("/")).toSet
-    assert(orphans.forall(o => !onDisk.contains(o)), "orphans must be swept")
+    assert(orphans.forall(o => !onDisk.contains(o._1)), "orphans must be swept")
     assert(table.read.count() == 30)
     assert(table.readAt(v1).count() == 30)
   }
@@ -254,8 +253,7 @@ class IcebergCommitSpec extends SparkTestBase {
     assert(rewritten.nonEmpty, "expected hot leaves to be rewritten")
     assert(hostCounts(table.read) == before, "maintain must not change content")
     // live snapshot now has <= threshold files per rewritten leaf
-    val fs = new Path(s"$dir/t").getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = Manifests.resolve(fs, new Path(s"$dir/t")).get._2
+    val live = table.resolveLive()._2.files
     val perLeaf = live.groupBy(f => f.substring(0, f.lastIndexOf('/')))
     assert(perLeaf.values.forall(_.size <= 2),
       s"leaf still hot after maintain: ${perLeaf.view.mapValues(_.size).toMap}")

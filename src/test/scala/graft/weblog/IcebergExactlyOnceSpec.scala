@@ -34,8 +34,7 @@ class IcebergExactlyOnceSpec extends SparkTestBase {
       .toDF("user_id", "timestamp", "event", "hostname", "seq")
 
   private def fingerprint(t: IcebergLikeTable): (Long, Seq[String]) = {
-    val fs = new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (v, snap) = Manifests.resolveSnapshot(fs, new Path(t.path)).get
+    val (v, snap) = t.resolveLive()
     (v, snap.files.sorted)
   }
 
@@ -116,7 +115,7 @@ class IcebergExactlyOnceSpec extends SparkTestBase {
     t.append(rows(4, "a"))
     t.append(rows(4, "b", offset = 4))
     val fs = new Path(t.path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Manifests.resolve(fs, new Path(t.path)).get._2
+    val files = t.resolveLive()._2.files
     assert(files.size >= 2)
     // corrupt every data file: schema access (pure planning) must still
     // succeed because it never opens a footer — under mergeSchema it
