@@ -504,6 +504,80 @@ object WebLogQueries {
              |SELECT 2, 'update_postimage', count(*) FROM base WHERE h < 12 AND event <> 'click'
              |ORDER BY poll, _change_type""".stripMargin.replace("\n", " "))),
 
+    // Table-as-stream-source (weblog/TableStream): a downstream job
+    // readStream-style follows the source table through three commit
+    // groups — base load; hour<12 update + click delete; hour>=20
+    // re-upsert (which also re-inserts the deleted late clicks) —
+    // maintaining a live REPLICA via AvailableNow drains of the change
+    // feed (foreachBatch semantics, exactly-once via the mirror's
+    // appendId mark). Output: drained-window count + the mirror's final
+    // per-(event, hostname) census, which the oracle recomputes from
+    // the deterministic end state.
+    Q("weblog_table_stream",
+      (s, d) => {
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(seq: Long) = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(seq).as("seq"))
+        def hr = hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern))
+        val src = IcebergLikeTable(s, scratch(s, "tstream_src", d) + "/t",
+          "event", Seq("user_id", "timestamp"))
+        val tgt = IcebergLikeTable(s, scratch(s, "tstream_tgt", d) + "/t",
+          "event", Seq("user_id", "timestamp"))
+        import s.implicits._
+        var drained = 0L
+        // commit group 1: base load → one drained window
+        src.write(keyed(1L), "seq")
+        drained += TableStream.mirrorInto(src, tgt, "gate")
+        // commit group 2: morning hostname update + click delete → one window
+        src.write(keyed(2L).filter(hr < 12)
+          .withColumn("hostname", lit("updated.example")), "seq")
+        src.delete(col("event") === "click")
+        drained += TableStream.mirrorInto(src, tgt, "gate")
+        // commit group 3: late-hour re-upsert (re-inserts late clicks)
+        src.write(keyed(3L).filter(hr >= 20)
+          .withColumn("hostname", lit("late.example")), "seq")
+        drained += TableStream.mirrorInto(src, tgt, "gate")
+        // caught up: an extra drain must be a no-op
+        drained += TableStream.mirrorInto(src, tgt, "gate")
+        val census = tgt.read
+          .groupBy(col("event"), col("hostname"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(lit("mirror").as("kind"),
+            concat(col("event"), lit("/"), col("hostname")).as("k"), col("cnt"))
+        census.unionByName(Seq(("batches", "drained", drained))
+          .toDF("kind", "k", "cnt"))
+          .orderBy("kind", "k")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS event, hour(ts) AS h
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1),
+             |final AS (
+             |  SELECT event,
+             |         CASE WHEN h >= 20 THEN 'late.example'
+             |              WHEN h < 12 THEN 'updated.example'
+             |              ELSE 'orig.example' END AS hostname
+             |  FROM base
+             |  WHERE event <> 'click' OR h >= 20)
+             |SELECT 'mirror' AS kind, event || '/' || hostname AS k,
+             |       CAST(count(*) AS BIGINT) AS cnt
+             |FROM final GROUP BY 1, 2
+             |UNION ALL
+             |SELECT 'batches', 'drained', 3
+             |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
+
     // Incrementally-maintained materialized aggregate (weblog/
     // MaterializedAgg): a per-user count+sum rollup refreshed from the
     // source table's CDC after EVERY commit — base load, a value-
