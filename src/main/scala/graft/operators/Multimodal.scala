@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * the JDK ships `javax.sound.sampled` (RIFF/WAVE PCM parsing, zero
   * extra dependencies), so `decodeWav` parses actual sample frames.
   * VIDEO container metadata decode is REAL (`decodeAvi`, a pure-JDK
-  * RIFF/AVI parser) and frame-PIXEL decode is REAL for MJPEG-in-AVI
-  * (`decodeAviFrames` — the `movi` `00dc` chunks are plain JPEGs, read
-  * by `javax.imageio`). Only non-MJPEG video codecs (and payloads the
-  * JDK codecs cannot parse) fall back to `decodeStub`, a deterministic
-  * fake with the same signature a JNI/FFmpeg decoder would have (this
-  * container ships no other video codec libraries).
+  * RIFF/AVI parser) and frame-PIXEL decode is REAL for both codecs the
+  * JDK can handle: MJPEG-in-AVI (`decodeAviFrames` — the `movi` `00dc`
+  * chunks are plain JPEGs, read by `javax.imageio`) and RAW-DIB AVI
+  * (`00db` chunks of bare uncompressed BGR rows, decoded against the
+  * `strf` BITMAPINFOHEADER with pure arithmetic). Only compressed
+  * non-MJPEG video codecs (and payloads the JDK codecs cannot parse)
+  * fall back to `decodeStub`, a deterministic fake with the same
+  * signature a JNI/FFmpeg decoder would have (this container ships no
+  * other video codec libraries).
   *
   * Scale notes: media bytes never enter a shuffle — decode/feature
   * extraction happens in the same stage as the scan (`mapPartitions`),
@@ -297,15 +300,140 @@ object Multimodal {
     buf.array()
   }
 
-  /** REAL video frame-PIXEL decode for MJPEG-in-AVI — the one codec the
-    * JDK can actually decode (the `movi` `00dc`/`00db` chunks are plain
-    * JPEGs, read by `javax.imageio`). Walks the container with the same
-    * malformed-size guards as [[decodeAvi]] and decodes each video chunk
-    * through [[decodeImage]]. Returns one `(frame_idx, width, height,
-    * mean_intensity)` per decodable frame; empty when the payload is not
-    * an AVI or carries no decodable video chunks (non-MJPEG codecs —
-    * the remaining honest fallback, there being no other video codec in
-    * the JDK).
+  /** Encode a RAW-DIB AVI (uncompressed video): the RIFF/`hdrl`/`avih`
+    * skeleton plus a proper `LIST strl` — `strh` (fccType 'vids',
+    * handler 'DIB ') and `strf` (a 40-byte BITMAPINFOHEADER, 24 bpp,
+    * BI_RGB) — and a `LIST movi` carrying one `00db` chunk per frame:
+    * bottom-up BGR rows, each padded to a 4-byte boundary, exactly the
+    * layout Video-for-Windows wrote. `frameGrays` gives each frame's
+    * constant gray level. The fixture generator for the raw-frame
+    * decode gate and specs.
+    */
+  def encodeRawDibAvi(width: Int, height: Int, frameGrays: Seq[Int],
+      microSecPerFrame: Long): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val frameSize = rowSize * height
+    val moviPayload = frameGrays.length * (8 + frameSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val total = 12 + (8 + hdrlSize) + (8 + 4 + moviPayload)
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit =
+      buf.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    cc("RIFF"); buf.putInt(total - 8); cc("AVI ")
+    cc("LIST"); buf.putInt(hdrlSize); cc("hdrl")
+    cc("avih"); buf.putInt(56)
+    buf.putInt(microSecPerFrame.toInt)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    buf.putInt(frameGrays.length); buf.putInt(0)
+    buf.putInt(1); buf.putInt(0)
+    buf.putInt(width); buf.putInt(height)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    cc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); buf.putInt(56)
+    cc("vids"); cc("DIB ")
+    buf.putInt(0) // dwFlags
+    buf.putShort(0); buf.putShort(0) // wPriority, wLanguage
+    buf.putInt(0) // dwInitialFrames
+    buf.putInt(microSecPerFrame.toInt); buf.putInt(1000000) // dwScale/dwRate
+    buf.putInt(0); buf.putInt(frameGrays.length) // dwStart, dwLength
+    buf.putInt(frameSize); buf.putInt(-1) // dwSuggestedBufferSize, dwQuality
+    buf.putInt(frameSize) // dwSampleSize
+    buf.putShort(0); buf.putShort(0) // rcFrame left, top
+    buf.putShort(width.toShort); buf.putShort(height.toShort)
+    cc("strf"); buf.putInt(40)
+    buf.putInt(40) // biSize
+    buf.putInt(width); buf.putInt(height)
+    buf.putShort(1); buf.putShort(24) // biPlanes, biBitCount
+    buf.putInt(0) // biCompression = BI_RGB
+    buf.putInt(frameSize)
+    buf.putInt(0); buf.putInt(0); buf.putInt(0); buf.putInt(0)
+    cc("LIST"); buf.putInt(4 + moviPayload); cc("movi")
+    frameGrays.foreach { g =>
+      cc("00db"); buf.putInt(frameSize)
+      val row = new Array[Byte](rowSize)
+      java.util.Arrays.fill(row, 0, width * 3, g.toByte)
+      var y = 0
+      while (y < height) { buf.put(row); y += 1 }
+    }
+    buf.array()
+  }
+
+  /** The `strf` BITMAPINFOHEADER of the first video stream, if the
+    * container declares one: (width, height, bitCount, compression).
+    * Raw-DIB decode needs it — a `00db` chunk is BARE pixel data whose
+    * geometry lives only here.
+    */
+  private def videoStreamFormat(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk: RIFF → LIST hdrl → LIST strl → strf
+    def findIn(start: Int, end: Int, want: String, listType: String): Option[Int] = {
+      var off = start
+      while (off + 8 <= end) {
+        val sz = u32(off + 4).toInt
+        if (sz < 0) return None
+        if (fourcc(off) == want &&
+            (listType.isEmpty ||
+              (off + 12 <= end && fourcc(off + 8) == listType)))
+          return Some(off)
+        val next = off + 8 + sz + (sz & 1)
+        if (next <= off) return None
+        off = next
+      }
+      None
+    }
+    try {
+      if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") None
+      else for {
+        hdrl <- findIn(12, bytes.length, "LIST", "hdrl")
+        hdrlEnd = math.min(hdrl + 8 + u32(hdrl + 4).toInt, bytes.length)
+        strl <- findIn(hdrl + 12, hdrlEnd, "LIST", "strl")
+        strlEnd = math.min(strl + 8 + u32(strl + 4).toInt, bytes.length)
+        strf <- findIn(strl + 12, strlEnd, "strf", "")
+        if u32(strf + 4).toInt >= 40 && strf + 8 + 40 <= bytes.length
+      } yield (u32(strf + 12).toInt, u32(strf + 16).toInt,
+        u16(strf + 22), u32(strf + 24).toInt)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Mean channel intensity of a bare 24-bpp bottom-up DIB frame
+    * (`00db` payload): rows are `width*3` BGR bytes padded to 4-byte
+    * boundaries; padding is excluded from the mean. None when the chunk
+    * length does not match the declared geometry.
+    */
+  private def rawDibMean(bytes: Array[Byte], from: Int, len: Int,
+      width: Int, height: Int): Option[Double] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (width <= 0 || height <= 0 || len != rowSize * height) None
+    else {
+      var s = 0L
+      var y = 0
+      while (y < height) {
+        val base = from + y * rowSize
+        var i = 0
+        while (i < width * 3) { s += bytes(base + i) & 0xff; i += 1 }
+        y += 1
+      }
+      val mean = s.toDouble / (3.0 * width * height)
+      Some(math.round(mean * 1000000d) / 1000000d)
+    }
+  }
+
+  /** REAL video frame-PIXEL decode for AVI — both codecs the JDK can
+    * actually decode: MJPEG (`movi` `00dc` chunks are plain JPEGs, read
+    * by `javax.imageio`) and RAW DIB (`00db` chunks are bare
+    * uncompressed BGR rows, decoded against the `strf`
+    * BITMAPINFOHEADER — pure arithmetic, no codec needed). Walks the
+    * container with the same malformed-size guards as [[decodeAvi]].
+    * Returns one `(frame_idx, width, height, mean_intensity)` per
+    * decodable frame; empty when the payload is not an AVI or carries
+    * no decodable video chunks (compressed non-MJPEG codecs — the
+    * remaining honest fallback, there being no such codec in the JDK).
     */
   def decodeAviFrames(bytes: Array[Byte]): Seq[(Int, Int, Int, Double)] = {
     def u32(off: Int): Long =
@@ -316,6 +444,11 @@ object Multimodal {
     try {
       if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") Nil
       else {
+        // raw-DIB geometry, resolved once per container (None for
+        // MJPEG-only files or containers without a strl header)
+        lazy val dibFmt = videoStreamFormat(bytes).collect {
+          case (w, h, 24, 0) => (w, math.abs(h)) // 24 bpp, BI_RGB
+        }
         val frames = Seq.newBuilder[(Int, Int, Int, Double)]
         var idx = 0
         var off = 12
@@ -336,8 +469,21 @@ object Multimodal {
                   val cc = fourcc(in)
                   if ((cc.endsWith("dc") || cc.endsWith("db")) &&
                       in + 8 + csz <= bytes.length) {
-                    decodeImage(java.util.Arrays.copyOfRange(bytes, in + 8, in + 8 + csz))
-                      .foreach { case (w, h, _, mean) => frames += ((idx, w, h, mean)) }
+                    // bare DIB pixels first when the container declares
+                    // them (a '00db' payload is NOT an image file — its
+                    // geometry lives in the strf header); anything else
+                    // goes through the ImageIO codecs
+                    val raw =
+                      if (cc.endsWith("db")) dibFmt.flatMap { case (w, h) =>
+                        rawDibMean(bytes, in + 8, csz, w, h)
+                          .map(mean => (w, h, mean))
+                      } else None
+                    raw match {
+                      case Some((w, h, mean)) => frames += ((idx, w, h, mean))
+                      case None =>
+                        decodeImage(java.util.Arrays.copyOfRange(bytes, in + 8, in + 8 + csz))
+                          .foreach { case (w, h, _, mean) => frames += ((idx, w, h, mean)) }
+                    }
                     idx += 1
                   }
                   val nextIn = in + 8 + csz + (csz & 1)

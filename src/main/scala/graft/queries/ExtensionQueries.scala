@@ -1392,6 +1392,38 @@ object ExtensionQueries {
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // REAL raw-frame pixel decode — uncompressed (RAW-DIB) AVI, the
+    // other codec pure JDK can handle: the movi `00db` chunks are bare
+    // bottom-up BGR rows whose geometry lives in the strf
+    // BITMAPINFOHEADER, decoded with arithmetic alone. Constant-gray
+    // frames mean EXACTLY their gray (no codec round-trip at all), and
+    // widths are chosen so 3·w is never a multiple of 4 — every row
+    // carries alignment padding the decoder must exclude, which the
+    // analytic oracle would catch (zero padding pulls means low).
+    Q("multimodal_rawdib",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select("doc_id").as[Long].map { id =>
+          val w = 17 + (id % 4).toInt * 8
+          val h = 12 + (id % 3).toInt * 8
+          val grays = (0 until (1 + (id % 4).toInt))
+            .map(k => ((id * 53 + k * 97) % 256).toInt)
+          Multimodal.MediaRow(id,
+            Multimodal.encodeRawDibAvi(w, h, grays, 40000L), "avi")
+        }
+        Multimodal.extractVideoFrames(media).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("width"),
+            col("height"), col("mean_intensity"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH f AS (SELECT doc_id, unnest(range(1 + doc_id % 4)) AS k FROM documents)
+             |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+             |CAST(17 + (doc_id % 4) * 8 AS INT) AS width,
+             |CAST(12 + (doc_id % 3) * 8 AS INT) AS height,
+             |CAST((doc_id * 53 + k * 97) % 256 AS DOUBLE) AS mean_intensity
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes
     // them from octet_length alone.

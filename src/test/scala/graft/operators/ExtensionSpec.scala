@@ -509,6 +509,44 @@ class ExtensionSpec extends SparkTestBase {
     assert(Multimodal.decodeAviFrames(java.util.Arrays.copyOf(avi, avi.length / 2)).length <= grays.length)
   }
 
+  test("multimodal: raw-DIB frame-pixel decode (00db chunks, strf geometry)") {
+    // raw frames are bare BGR bytes — a constant-gray frame's mean IS
+    // the gray, exactly, no codec round-trip involved. Width 17 makes
+    // 3·w odd, so every row carries 4-byte-boundary padding the mean
+    // must exclude (padding bytes are zero: including them would pull
+    // the mean below the gray).
+    val grays = Seq(0, 17, 128, 255)
+    val avi = Multimodal.encodeRawDibAvi(17, 12, grays, 40000L)
+    val frames = Multimodal.decodeAviFrames(avi)
+    assert(frames.map(_._1) == Seq(0, 1, 2, 3))
+    assert(frames.forall { case (_, w, h, _) => w == 17 && h == 12 })
+    assert(frames.map(_._4) == grays.map(_.toDouble))
+    // the container header still parses (avih precedes the strl list)
+    assert(Multimodal.decodeAvi(avi).map(v => (v._1, v._2, v._3))
+      .contains((17, 12, grays.length)))
+    // typed Dataset path
+    import spark.implicits._
+    val vf = Multimodal.extractVideoFrames(
+      Seq(Multimodal.MediaRow(9L, avi, "avi")).toDS()).collect().sortBy(_.frame_idx)
+    assert(vf.map(f => (f.frame_idx, f.width, f.height, f.mean_intensity)).toSeq ==
+      grays.zipWithIndex.map { case (g, i) => (i, 17, 12, g.toDouble) })
+    // a non-constant frame: mean is the exact pixel average
+    val rowBytes = ((17 * 3 + 3) / 4) * 4
+    val one = Multimodal.encodeRawDibAvi(17, 12, Seq(10), 40000L)
+    // overwrite the first pixel's three channels (bottom row) with 255
+    val moviData = one.length - rowBytes * 12
+    one(moviData) = 255.toByte; one(moviData + 1) = 255.toByte
+    one(moviData + 2) = 255.toByte
+    val m = Multimodal.decodeAviFrames(one)
+    val want = (10.0 * (17 * 12 - 1) + 255.0) / (17 * 12)
+    assert(m.size == 1 && math.abs(m.head._4 - want) < 1e-4)
+    // truncation terminates under the malformed-size guards
+    assert(Multimodal.decodeAviFrames(java.util.Arrays.copyOf(avi, avi.length / 2)).length <= grays.length)
+    // an MJPEG container (no strl header) is untouched by the DIB path
+    val mj = Multimodal.encodeMjpegAvi(24, 16, Seq(50), 40000L)
+    assert(Multimodal.decodeAviFrames(mj).map(_._4) == Seq(50.0))
+  }
+
   test("multimodal resize and frame sampling keep batch plumbing intact") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val resized = Multimodal.resize(media, 32, 32)
