@@ -190,6 +190,12 @@ final case class IcebergLikeTable(
     */
   private val HwmPrefix = "hwm."
 
+  /** Manifest metadata key holding the commit wall-clock timestamp
+    * (epoch millis), stamped at every commit — [[expireOlderThan]]'s
+    * time-based retention and the `snapshots` metadata table read it.
+    */
+  private val TsKey = "committs"
+
   /** LEGACY manifest metadata key for monolithic per-file column
     * bounds. Current commits stamp bounds into the per-leaf manifest
     * entries instead ([[Manifests.FileEntry]]); this key is only read
@@ -657,7 +663,8 @@ final case class IcebergLikeTable(
     val meta = hwmOf(live.meta) ++
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
       target.meta.get(StatsKey).map(StatsKey -> _) ++
-      target.meta.get(BloomKey).map(BloomKey -> _)
+      target.meta.get(BloomKey).map(BloomKey -> _) +
+      (TsKey -> System.currentTimeMillis().toString)
     // sharded targets roll back by RE-REFERENCING their (immutable)
     // leaf manifests; legacy monolithic targets re-list their files
     val lines =
@@ -697,10 +704,11 @@ final case class IcebergLikeTable(
         (v, s.entries.size.toLong, s.meta.contains(SchemaKey),
           s.entries.exists(_.stats.nonEmpty) || s.meta.contains(StatsKey),
           bloomSidecarsOf(s.meta).size,
-          hwmOf(s.meta).size)
+          hwmOf(s.meta).size,
+          s.meta.get(TsKey).flatMap(_.toLongOption))
       }
       .toDF("version", "n_files", "has_schema", "has_stats",
-        "n_bloom_sidecars", "n_stream_marks")
+        "n_bloom_sidecars", "n_stream_marks", "commit_ts")
   }
 
   /** Metadata TABLE (Iceberg's `table.files`): one row per live data
@@ -765,7 +773,8 @@ final case class IcebergLikeTable(
       .option("compression", "snappy")
       .parquet(staging.toString)
     val schema = commitSchema(storedSchema(base.meta), df.schema)
-    val meta = hwmOf(base.meta) ++ extraMeta + (SchemaKey -> schema.json)
+    val meta = hwmOf(base.meta) ++ extraMeta +
+      (SchemaKey -> schema.json) + (TsKey -> System.currentTimeMillis().toString)
     try {
       val importedWithSize =
         Manifests.importStagedTree(fs, staging, root, s"v$version-$token")
@@ -851,14 +860,47 @@ final case class IcebergLikeTable(
 
   /** Retention GC, cheap per-commit half (Iceberg `expire_snapshots`):
     * drop manifests beyond `keepLast` and the expired versions' files
-    * that no retained manifest still references. Manifest-driven only —
-    * no directory walk — so it stays O(retained manifests) metadata I/O
-    * on the ingest hot path. Runs after each commit point, never before.
+    * that no retained manifest still references. TAGGED versions are
+    * never expired (Iceberg's refs semantics — a tag pins its snapshot
+    * past count-based retention). Manifest-driven only — no directory
+    * walk — so it stays O(retained manifests) metadata I/O on the
+    * ingest hot path. Runs after each commit point, never before.
     */
   private def expireSnapshots(keepLast: Int = retainVersions): Unit = {
     val all = versions
     if (all.size <= keepLast) return
-    val (expired, retained) = all.splitAt(all.size - keepLast)
+    val tagged = tags.values.toSet
+    val (older, recent) = all.splitAt(all.size - keepLast)
+    expireVersions(older.filterNot(tagged), older.filter(tagged) ++ recent)
+  }
+
+  /** TIME-based retention (Iceberg's `expire_snapshots(older_than)`):
+    * expire every snapshot whose commit timestamp (stamped in the
+    * manifest at commit) is older than `cutoffMillis` — always keeping
+    * the live snapshot, tagged versions, and snapshots whose manifests
+    * predate the timestamp stamp. Returns the expired versions.
+    */
+  def expireOlderThan(cutoffMillis: Long): Seq[Long] = {
+    val all = versions
+    val live = all.lastOption.getOrElse(return Nil)
+    val tagged = tags.values.toSet
+    val expired = all.filter { v =>
+      v != live && !tagged(v) &&
+        Manifests.snapshotAt(fs, root, v)
+          .flatMap(_.meta.get(TsKey)).flatMap(_.toLongOption)
+          .exists(_ < cutoffMillis)
+    }
+    if (expired.nonEmpty)
+      expireVersions(expired, all.filterNot(expired.contains))
+    expired
+  }
+
+  /** Shared GC core: delete `expired` versions' manifests plus every
+    * data file / bloom sidecar / leaf manifest they reference that no
+    * `retained` version still does.
+    */
+  private def expireVersions(expired: Seq[Long], retained: Seq[Long]): Unit = {
+    if (expired.isEmpty) return
     val retainedSnaps = retained
       .flatMap(v => Manifests.snapshotAt(fs, root, v)).map(expand)
     val referenced = retainedSnaps.flatMap(_.files).toSet
@@ -878,6 +920,68 @@ final case class IcebergLikeTable(
       fs.delete(new Path(root, s"${Manifests.Prefix}$v"), false)
     }
   }
+
+  /** Tag file name pattern: `.graft_tag_<name>_v<version>` — the same
+    * crash-safe versioned create-only publish as the change-feed
+    * cursors (a readable tag exists at every crash point; max wins).
+    */
+  private def tagFileName(name: String, version: Long): String =
+    s".graft_tag_${name}_v$version"
+
+  /** The table's named snapshot TAGS (Iceberg's refs): tag name → the
+    * pinned version. Tagged snapshots survive both count- and
+    * time-based retention until [[dropTag]].
+    */
+  def tags: Map[String, Long] =
+    if (!exists) Map.empty
+    else fs.listStatus(root).map(_.getPath.getName).toSeq
+      .filter(_.startsWith(".graft_tag_"))
+      .flatMap { n =>
+        val body = n.stripPrefix(".graft_tag_")
+        val i = body.lastIndexOf("_v")
+        if (i <= 0) None
+        else body.drop(i + 2).toLongOption.map(v => body.take(i) -> v)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+
+  /** Pin `version` under `name`. Re-tagging forward (a newer version)
+    * is allowed in place; re-tagging BACKWARD requires [[dropTag]]
+    * first — the max-wins crash recovery could otherwise resurrect the
+    * newer pointer.
+    */
+  def tag(name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z0-9-]+"),
+      s"tag name must be [A-Za-z0-9-]+, got '$name'")
+    require(versions.contains(version),
+      s"cannot tag unknown or expired version $version")
+    tags.get(name).foreach { cur =>
+      require(version >= cur,
+        s"tag '$name' points at v$cur; dropTag before re-tagging backward to v$version")
+    }
+    val fin = new Path(root, tagFileName(name, version))
+    val tmp = new Path(root, s"${tagFileName(name, version)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    if (!fs.exists(fin) && !fs.rename(tmp, fin))
+      throw new java.io.IOException(s"tag publish failed for '$name'")
+    fs.delete(tmp, false)
+    // sweep superseded pointers AFTER the new one is durable
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(s".graft_tag_${name}_v") && n != tagFileName(name, version))
+      .filter(_.stripPrefix(s".graft_tag_${name}_v").toLongOption.exists(_ < version))
+      .foreach(n => fs.delete(new Path(root, n), false))
+  }
+
+  /** Remove a tag; the snapshot it pinned becomes expirable again. */
+  def dropTag(name: String): Unit =
+    if (exists) fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith(s".graft_tag_${name}_v"))
+      .foreach(n => fs.delete(new Path(root, n), false))
+
+  /** Read the snapshot a tag pins (time travel by name). */
+  def readTag(name: String): DataFrame =
+    readAt(tags.getOrElse(name,
+      throw new NoSuchElementException(s"no tag '$name' under $path")))
 
   /** Full GC (explicit maintenance): [[expireSnapshots]] plus an orphan
     * sweep — a directory walk deleting every data file referenced by NO
@@ -1005,14 +1109,56 @@ final case class IcebergLikeTable(
     */
   def upsert(batch: DataFrame, orderCol: String,
       appendId: Option[(String, Long)]): Unit =
-    withCommitRetry { upsertOnce(batch, orderCol, appendId) }
+    withCommitRetry { mergeOnce(batch, None, orderCol, appendId) }
 
-  private def upsertOnce(batch: DataFrame, orderCol: String,
-      appendId: Option[(String, Long)]): Unit = {
-    require(uniqueKeys.nonEmpty, "upsert requires declared unique_keys")
+  /** Full MERGE in ONE snapshot commit — including the
+    * `WHEN MATCHED ... THEN DELETE` clause real Iceberg MERGE carries,
+    * which upsert+delete as two commits cannot give atomically:
+    * `batch` rows update-or-insert by the unique keys; `deleteKeys`
+    * rows (the unique key columns, the partition column — it routes
+    * the tombstone to its leaf — plus `orderCol`) are TOMBSTONES —
+    * the stored row with that key is removed iff the tombstone wins
+    * the order comparison (a replayed OLD delete cannot erase a newer
+    * row; order ties prefer the delete, SQL MERGE's
+    * delete-clause-first convention), and a tombstone for an absent
+    * key is a no-op (WHEN NOT MATCHED: ignore). One snapshot commit
+    * covers both effects: readers see before-or-after, never the
+    * upserted half without the deletes; the commit's CDC diff carries
+    * the update AND delete rows together; and the exactly-once
+    * `appendId` mark covers both (no partial-replay window).
+    */
+  def merge(batch: DataFrame, deleteKeys: DataFrame, orderCol: String,
+      appendId: Option[(String, Long)] = None): Unit =
+    withCommitRetry { mergeOnce(batch, Some(deleteKeys), orderCol, appendId) }
+
+  /** Internal tombstone marker carried through the merge window; never
+    * stored (dropped before the write).
+    */
+  private val TombCol = "_graft_tombstone"
+
+  private def mergeOnce(batch: DataFrame, deleteKeys: Option[DataFrame],
+      orderCol: String, appendId: Option[(String, Long)]): Unit = {
+    require(uniqueKeys.nonEmpty, "upsert/merge requires declared unique_keys")
     val keyCols = uniqueKeys.map(col)
-    val w = Window.partitionBy(keyCols: _*).orderBy(col(orderCol).desc)
-    val deduped = withBucket(batch
+    val tombCols = (uniqueKeys :+ partitionCol :+ orderCol).distinct
+    deleteKeys.foreach { dk =>
+      val missing = tombCols.filterNot(dk.columns.contains)
+      require(missing.isEmpty,
+        s"deleteKeys must carry the unique keys, the partition column and " +
+          s"'$orderCol'; missing: ${missing.mkString(", ")}")
+    }
+    val incoming = deleteKeys match {
+      case None => batch.withColumn(TombCol, lit(false))
+      case Some(dk) => batch.withColumn(TombCol, lit(false))
+        .unionByName(
+          dk.select(tombCols.map(col): _*).withColumn(TombCol, lit(true)),
+          allowMissingColumns = true)
+    }
+    // last-write-wins dedup INSIDE the combined batch; an order tie
+    // between an upsert and a tombstone prefers the tombstone
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col(orderCol).desc, col(TombCol).desc)
+    val deduped = withBucket(incoming
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn"))
@@ -1030,13 +1176,36 @@ final case class IcebergLikeTable(
     // reduce below would otherwise throw on zero pairs and kill the
     // foreachBatch streaming query (Ingest.startIcebergIngest).
     if (pairs.isEmpty) return
-    if (previous.isEmpty) {
-      commit(deduped, liveVersion, snap, extra)(_ => Nil)
-      return
-    }
+
+    // the affected-leaf set comes from the PAIRS, not the files the
+    // rewrite happens to emit: a leaf whose batch rows are all WINNING
+    // TOMBSTONES writes no file, yet must still drop its previous
+    // files from the manifest. Path segments follow Spark's own
+    // partition-path escaping (null/empty → the Hive default name), so
+    // values round-trip exactly as partitionBy lays them out.
+    val affectedLeaves = pairs.map { case (e, b) =>
+      Seq(partitionCol -> e, bucketCol -> (b: Any)).map { case (c, v) =>
+        val seg =
+          if (v == null || String.valueOf(v).isEmpty)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(v))
+        s"$c=$seg"
+      }.mkString("/")
+    }.toSet
+
+    // Snapshot commit: stage the rewritten leaves, import, publish a
+    // manifest carrying over every live file OUTSIDE the affected
+    // leaves. Readers on the previous version keep their complete file
+    // set until retention expires it.
+    def finish(merged: DataFrame): Unit =
+      commit(merged.filter(!col(TombCol)).drop(TombCol), liveVersion, snap,
+        extra)(_ => previous.filterNot(f => affectedLeaves.contains(leafOf(f))))
+
+    if (previous.isEmpty) { finish(deduped); return }
 
     val leafPred: Column = pairs.map { case (e, b) =>
-      col(partitionCol) === lit(e) && col(bucketCol) === lit(b)
+      col(partitionCol) <=> lit(e) && col(bucketCol) <=> lit(b)
     }.reduce(_ || _)
     // both predicate columns are partition columns → partition pruning
     // makes this read touch only the affected leaves' files.
@@ -1053,21 +1222,13 @@ final case class IcebergLikeTable(
     val mergeW = Window.partitionBy(keyCols: _*)
       .orderBy(col(orderCol).desc, col("_is_new").desc)
     val merged = old.withColumn("_is_new", lit(0))
+      .withColumn(TombCol, lit(false))
       .unionByName(deduped.withColumn("_is_new", lit(1)),
         allowMissingColumns = true)
       .withColumn("_rn", row_number().over(mergeW))
       .filter(col("_rn") === 1)
       .drop("_rn", "_is_new")
-
-    // Snapshot commit: stage the rewritten leaves, import, publish a
-    // manifest carrying over every live file OUTSIDE the rewritten
-    // leaves. Readers on the previous version keep their complete file
-    // set until retention expires it.
-    val imported = commit(merged, liveVersion, snap, extra) { imp =>
-      val rewrittenLeaves = imp.map(leafOf).toSet
-      previous.filterNot(f => rewrittenLeaves.contains(leafOf(f)))
-    }
-    require(imported.nonEmpty, "merge of a non-empty batch produced no files")
+    finish(merged)
   }
 
   private def leafOf(relFile: String): String = {

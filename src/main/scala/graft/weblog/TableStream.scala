@@ -21,18 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * [[mirrorInto]] is that composition packaged: it maintains a live
   * REPLICA of a source table by folding each window's row-level
-  * changes into a keyed target — upserts for inserts/update
-  * postimages (ordered by `_commit_version`, so a replayed older
-  * window can never clobber newer rows), key deletes for deletes —
-  * with the upsert carrying the exactly-once mark. Cost per drain is
-  * O(changed leaves) on the source (the changelog diff) plus
-  * O(affected leaves) on the target (the merge), never O(table).
-  *
-  * Scale note: the delete step materializes the window's deleted KEYS
-  * on the driver to build the point predicate (the same bounded-point
-  * posture as [[MaterializedAgg]]'s group lookup) — fine for the
-  * CDC-sized windows this consumes; a backfill-scale delete should run
-  * as its own batch job instead.
+  * changes into a keyed target through ONE
+  * [[IcebergLikeTable.merge]] commit per window — inserts/update
+  * postimages upsert, deletes ride along as key tombstones (both
+  * ordered by `_commit_version`, so a replayed older window can never
+  * clobber newer rows), and the exactly-once mark covers the whole
+  * window. Cost per drain is O(changed leaves) on the source (the
+  * changelog diff) plus O(affected leaves) on the target (the merge),
+  * never O(table); tombstones flow as DataFrame rows, never through
+  * the driver.
   */
 object TableStream {
 
@@ -66,11 +63,15 @@ object TableStream {
     n
   }
 
-  /** Fold one changelog window into a keyed replica table. Exposed so
-    * custom drains (or replays) can apply windows themselves; see
+  /** Fold one changelog window into a keyed replica table — as ONE
+    * snapshot commit: the window's inserts/update postimages upsert and
+    * its deletes ride the same [[IcebergLikeTable.merge]] as key
+    * tombstones, so a reader of the target never sees the upserted
+    * half without the deletes, and the exactly-once `appendId` mark
+    * covers the whole window (no partial-replay crash point). Exposed
+    * so custom drains (or replays) can apply windows themselves; see
     * [[mirrorInto]] for the packaged loop. Idempotent under replay:
-    * the upsert dedupes on `appendId`, the merge orders on
-    * `_commit_version`, and re-deleting absent keys is a no-op.
+    * the merge dedupes on `appendId` and orders on `_commit_version`.
     */
   def applyChanges(target: IcebergLikeTable, consumer: String,
       changes: DataFrame, info: BatchInfo): Unit = {
@@ -80,20 +81,11 @@ object TableStream {
       .drop("_change_type")
     val deletes = changes
       .filter(col("_change_type") === "delete")
-      .select(target.uniqueKeys.map(col): _*)
+      .select((target.uniqueKeys :+ target.partitionCol :+ "_commit_version")
+        .distinct.map(col): _*)
       .distinct()
-    target.upsert(upserts, "_commit_version",
+    target.merge(upserts, deletes, "_commit_version",
       Some((s"mirror:$consumer", info.batchId)))
-    val deletedKeys = deletes.collect()
-    if (deletedKeys.nonEmpty) {
-      val pred = deletedKeys.toSeq.map { r =>
-        // null-safe per-column equality: a NULL key component must
-        // match its stored NULL, not silently never-match
-        target.uniqueKeys.map(k => col(k) <=> lit(r.getAs[Any](k)))
-          .reduce(_ && _)
-      }.reduce(_ || _)
-      target.delete(pred)
-    }
   }
 
   /** Maintain `target` as a replica of `source`: drain every pending
