@@ -256,6 +256,80 @@ object TextAnalysis {
         round(exp((-col("s")).cast("double") / col("n_tokens")), 3).as("ppl"))
   }
 
+  /** Multinomial Naive Bayes text classifier, trained and applied in
+    * one distributed job — the fasttext-shaped quality/domain/language
+    * classifier step of a curation pipeline (CCNet/Dolma both gate
+    * documents on exactly this kind of linear model). Add-one
+    * smoothing; whitespace tokens; tokens outside the training
+    * vocabulary are skipped (standard OOV handling).
+    *
+    * Distributed shape, built for 100 TB: training is one
+    * map-side-combinable (class, token) count over the train split —
+    * no document ever shuffles, only token counts; the MODEL is a
+    * dense (class × vocab) table of smoothed log-likelihoods — a
+    * DataFrame, never a driver structure — capped at `vocabCap`
+    * most-frequent tokens (deterministic ties by token) so its size is
+    * bounded regardless of corpus scale; scoring joins the test
+    * split's (doc, token) counts against the model on `token` (Catalyst
+    * broadcasts the model when it is small) and folds per-(doc, class)
+    * sums. Per-token log-likelihoods are rounded then summed as exact
+    * DECIMALs (the [[unigramPerplexity]] recipe), so scores — and the
+    * argmax — are bit-reproducible across engines and row orders; the
+    * argmax breaks score ties toward the lexicographically smallest
+    * class.
+    *
+    * Returns one row per test document: (idCol, pred, score) — the
+    * winning class and its joint log-probability (rounded double). A
+    * test document with no in-vocabulary token yields no row.
+    */
+  def naiveBayesClassify(train: DataFrame, test: DataFrame, labelCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      vocabCap: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val ct = train.select(col(labelCol).as("cls"),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("cls", "token").agg(count(lit(1)).as("ctk"))
+    // vocabulary cap: the top-`vocabCap` train tokens by total count
+    // (ties by token asc) — TakeOrdered, no global sort materializes
+    val vocab = ct.groupBy("token").agg(sum("ctk").cast("long").as("_tot"))
+      .orderBy(col("_tot").desc, col("token"))
+      .limit(vocabCap)
+      .select("token")
+    val ctCapped = ct.join(vocab, "token")
+    val classTotals = ctCapped.groupBy("cls").agg(sum("ctk").cast("long").as("ctot"))
+    val vsize = vocab.agg(count(lit(1)).as("V"))
+    val nTrain = train.agg(count(lit(1)).as("N"))
+    val prior = train.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("cls"),
+        round(log(col("n_docs").cast("double") / col("N").cast("double")), 6)
+          .cast(dec).as("prior"))
+    // dense model: EVERY (class, vocab token) pair — the smoothed
+    // likelihood of a token a class never saw is (0+1)/(ctot+V), so the
+    // zero-count rows are load-bearing, not padding
+    val model = vocab.crossJoin(classTotals.crossJoin(broadcast(vsize)))
+      .join(ctCapped, Seq("cls", "token"), "left_outer")
+      .select(col("cls"), col("token"),
+        round(log((coalesce(col("ctk"), lit(0L)) + lit(1)).cast("double") /
+          (col("ctot") + col("V")).cast("double")), 6).cast(dec).as("l"))
+    val testTokens = test.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val scores = testTokens.join(model, "token")
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("tf").cast(dec) * col("l")).as("s"))
+      .join(prior, "cls")
+      .select(col(idCol), col("cls"), (col("prior") + col("s")).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_score").desc, col("cls"))
+    scores.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col("cls").as("pred"),
+        round(col("_score").cast("double"), 6).as("score"))
+  }
+
   /** Fixed-size document chunking with overlap — the pretraining /
     * retrieval prep op: each document becomes ⌈max(n−size,0)/stride⌉+1
     * chunks of `size` words starting every `stride` words (the last

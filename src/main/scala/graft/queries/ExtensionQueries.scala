@@ -948,6 +948,49 @@ object ExtensionQueries {
              |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // Multinomial Naive Bayes classifier (TextAnalysis
+    // .naiveBayesClassify) — the fasttext-shaped model-based
+    // gate of a curation pipeline, trained distributed on an 80% split
+    // (label = lang, vocab capped at the 512 most frequent train
+    // tokens) and applied to the held-out 20%. The oracle retrains the
+    // ENTIRE model in SQL — counts, deterministic vocab cap, add-one
+    // smoothed log-likelihoods, decimal-exact score sums, tie-broken
+    // argmax — so a hash match proves training AND inference
+    // end-to-end, not just the plumbing.
+    Q("text_nb_classify",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.naiveBayesClassify(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          labelCol = "lang", vocabCap = 512)
+          .orderBy("doc_id")
+      },
+      Some("""WITH train AS (SELECT lang AS cls, text FROM documents WHERE doc_id % 5 <> 0),
+             |tok AS (SELECT cls, unnest(string_split_regex(text, '\s+')) AS token FROM train),
+             |ct AS (SELECT cls, token, count(*) AS ctk FROM tok WHERE token <> '' GROUP BY 1, 2),
+             |vocab AS (SELECT token FROM (SELECT token, CAST(sum(ctk) AS BIGINT) AS tot FROM ct GROUP BY 1)
+             |          QUALIFY row_number() OVER (ORDER BY tot DESC, token) <= 512),
+             |ctc AS (SELECT ct.* FROM ct JOIN vocab USING (token)),
+             |ctot AS (SELECT cls, CAST(sum(ctk) AS BIGINT) AS ctot FROM ctc GROUP BY 1),
+             |v AS (SELECT count(*) AS V FROM vocab),
+             |ntr AS (SELECT count(*) AS N FROM train),
+             |prior AS (SELECT cls, CAST(round(ln(CAST(count(*) AS DOUBLE) / (SELECT N FROM ntr)), 6) AS DECIMAL(18,6)) AS prior
+             |          FROM train GROUP BY cls),
+             |model AS (SELECT c.cls, t.token,
+             |            CAST(round(ln(CAST(COALESCE(x.ctk, 0) + 1 AS DOUBLE) / CAST(c.ctot + (SELECT V FROM v) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS l
+             |          FROM vocab t CROSS JOIN ctot c
+             |          LEFT JOIN ctc x ON x.cls = c.cls AND x.token = t.token),
+             |tt AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents WHERE doc_id % 5 = 0),
+             |st AS (SELECT doc_id, token, count(*) AS tf FROM tt WHERE token <> '' GROUP BY 1, 2),
+             |sc AS (SELECT s.doc_id, m.cls, any_value(p.prior) + sum(CAST(s.tf AS DECIMAL(18,6)) * m.l) AS score
+             |       FROM st s JOIN model m USING (token) JOIN prior p ON p.cls = m.cls
+             |       GROUP BY 1, 2)
+             |SELECT doc_id, cls AS pred, round(CAST(score AS DOUBLE), 6) AS score
+             |FROM sc QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) = 1
+             |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // perplexity AS the filter — the CCNet recipe end-to-end: train the
     // unigram LM on the corpus, score every doc, keep the at-or-below-
     // median half ("looks like the corpus"). The oracle retrains the LM,

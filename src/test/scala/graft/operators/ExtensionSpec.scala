@@ -853,6 +853,39 @@ class ExtensionSpec extends SparkTestBase {
     }
   }
 
+  test("naive bayes: separable corpus classifies, OOV skipped, cap and ties deterministic") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x y y"),
+      (3L, "b", "z z w"), (4L, "b", "z w w"))
+      .toDF("doc_id", "cls", "text")
+    val test = Seq(
+      (10L, "x y"), (11L, "z"), (12L, "q q q"), (13L, "x z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.naiveBayesClassify(train, test, "cls")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "a")
+    assert(out(11L) == "b")
+    assert(!out.contains(12L), "an all-OOV document yields no row")
+    // "x z": symmetric evidence, equal priors — the score tie breaks
+    // toward the lexicographically smaller class
+    assert(out(13L) == "a")
+
+    // vocab cap 1 keeps only the most frequent train token (ties by
+    // token asc: x,y,z,w all appear 3 times → 'w' wins asc? no: cap
+    // orders by count DESC then token ASC — all tie at 3, 'w' is kept)
+    val capped = TextAnalysis.naiveBayesClassify(train, test, "cls",
+      vocabCap = 1)
+    val cappedOut = capped.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // only docs containing 'w' can score — none of the test docs do
+    assert(cappedOut.isEmpty)
+
+    // training docs classify as their own class on this separable corpus
+    val self = TextAnalysis.naiveBayesClassify(train, train.drop("cls"), "cls")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(self == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
+  }
+
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
