@@ -130,6 +130,96 @@ object Similarity {
         col("hamming"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-dimension (lo, hi) calibration for scalar quantization — ONE
+    * distributed aggregate over the corpus; O(dim) rows return to the
+    * driver (the same bounded-collect posture as the IVF centroids).
+    */
+  private[graft] def sqCalibrate(corpus: DataFrame, dim: Int,
+      vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect()
+    val lo = new Array[Double](dim)
+    val hi = new Array[Double](dim)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      if (d < dim) { lo(d) = r.getDouble(1); hi(d) = r.getDouble(2) }
+    }
+    (lo, hi)
+  }
+
+  /** SQ8 scalar-quantized code: per-dimension affine quantization of
+    * the vector against the calibrated [lo, hi] range —
+    * `round((x − lo_d) / step_d)` clamped to [0, 255] with
+    * `step_d = (hi_d − lo_d)/255` (a degenerate dimension codes 0) — a
+    * 4× (float) compression that, unlike the sign-bit code, preserves
+    * magnitude. Codes are integral doubles so the ADC scan reuses the
+    * native dot expression.
+    */
+  def sqCode(vec: Column, lo: Array[Double], hi: Array[Double]): Column = {
+    val loLit = typedLit(lo.toSeq)
+    val stepLit = typedLit(lo.indices.map(d => (hi(d) - lo(d)) / 255.0))
+    zip_with(
+      zip_with(vec.cast("array<double>"), loLit, (x, l) => x - l),
+      stepLit,
+      (xm, s) => when(s === lit(0d), lit(0d))
+        .otherwise(least(greatest(round(xm / s, 0), lit(0d)), lit(255d))))
+  }
+
+  /** Scalar-quantization (SQ8) ANN — the third compression point of the
+    * production ladder (binary 32× / PQ ~32× / SQ8 4×, best recall):
+    * per-dim calibrated 8-bit codes, an ADC scan that never touches a
+    * float vector — `approx_dot(q, decode(code)) = q·lo + code·(q∘step)`,
+    * so the per-row work is one dot of the code against a PRE-WEIGHTED
+    * query vector (`w = q ∘ step`, computed once per query) plus a
+    * per-query constant — then the same two-phase
+    * per-(query, scan-partition) `k·oversample` shortlist as
+    * [[binaryTopK]] (balanced exchange, no corpus-sized per-query
+    * partition at any scale) and an exact-cosine rerank of the
+    * shortlist alone. Output: (query_id, rank, neighbor_id, cos).
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      oversample: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    DotVec.register(corpus.sparkSession)
+    val (lo, hi) = sqCalibrate(corpus, dim, vecCol)
+    val loLit = typedLit(lo.toSeq)
+    val stepLit = typedLit(lo.indices.map(d => (hi(d) - lo(d)) / 255.0))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("w", zip_with(col("qv"), stepLit, (x, s) => x * s))
+      .withColumn("cq", dot(col("qv"), loLit))
+      .select("query_id", "w", "cq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      sqCode(col(vecCol), lo, hi).as("code"))
+    val localW = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val shortlist = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", col("cq") + dot(col("code"), col("w")))
+      .withColumn("_pid", spark_partition_id())
+      .select("query_id", "neighbor_id", "adc", "_pid")
+      .withColumn("_lr", row_number().over(localW))
+      .filter(col("_lr") <= k * oversample)
+      .withColumn("_hr", row_number().over(shortW))
+      .filter(col("_hr") <= k * oversample)
+      .select("query_id", "neighbor_id")
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold. Exact O(n²) variant
     * for modest corpora / verification; at scale use `lshNearDupPairs`.
     */

@@ -356,6 +356,46 @@ object ExtensionQueries {
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // scalar-quantization (SQ8) ANN: per-dim [lo,hi] calibration over
+    // the corpus, 8-bit affine codes, an ADC scan against pre-weighted
+    // queries (approx_dot = q·lo + code·(q∘step)), k×5 shortlist,
+    // exact-cosine rerank. The oracle recalibrates, re-encodes and
+    // re-scores everything in SQL — a hash match proves the calibrate/
+    // encode/ADC/rerank chain end to end.
+    Q("sim_sq_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.sqTopK(emb, emb.filter(col("vec_id") < 10),
+          k = 5, dim = 64, oversample = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |cal AS (SELECT d, min(x) AS lo, max(x) AS hi
+             |        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d FROM c) GROUP BY d),
+             |calv AS (SELECT list(lo ORDER BY d) AS lo, list((hi - lo) / 255.0 ORDER BY d) AS step FROM cal),
+             |codes AS (SELECT c.vec_id,
+             |            list_transform(range(1, 65), i -> CASE WHEN cv.step[i] = 0 THEN 0.0
+             |              ELSE least(greatest(round((c.v[i] - cv.lo[i]) / cv.step[i]), 0.0), 255.0) END) AS code
+             |          FROM c, calv cv),
+             |q AS (SELECT c.vec_id AS query_id, c.v AS qv,
+             |        list_transform(range(1, 65), i -> c.v[i] * cv.step[i]) AS w,
+             |        list_dot_product(c.v, cv.lo) AS cq
+             |      FROM c, calv cv WHERE c.vec_id < 10),
+             |scored AS (SELECT q.query_id, o.vec_id AS neighbor_id,
+             |             q.cq + list_dot_product(o.code, q.w) AS adc
+             |           FROM q JOIN codes o ON q.query_id <> o.vec_id),
+             |short AS (SELECT query_id, neighbor_id FROM scored
+             |          QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) <= 25),
+             |rer AS (SELECT s.query_id, s.neighbor_id,
+             |          list_dot_product(cq.v, cn.v) / sqrt(list_dot_product(cq.v, cq.v) * list_dot_product(cn.v, cn.v)) AS cos
+             |        FROM short s JOIN c cq ON cq.vec_id = s.query_id
+             |        JOIN c cn ON cn.vec_id = s.neighbor_id)
+             |SELECT query_id,
+             |       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+             |       neighbor_id, round(cos, 6) AS cos
+             |FROM rer QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     Q("sim_cosine_neardup",
       (s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("id_a", "id_b"),

@@ -144,6 +144,48 @@ class ExtensionSpec extends SparkTestBase {
     assert(hits >= 12, s"binary-quantization recall@1 too low: $hits/20")
   }
 
+  test("sq8 codes are integral, clamped, and degenerate dims code zero") {
+    import spark.implicits._
+    val (lo, hi) = Similarity.sqCalibrate(emb, 64)
+    assert(lo.length == 64 && lo.indices.forall(d => lo(d) <= hi(d)))
+    val coded = emb.select(Similarity.sqCode(col("embedding"), lo, hi).as("code"))
+    // every code element integral and within [0, 255]
+    assert(coded.filter(exists(col("code"), x =>
+      x < 0 || x > 255 || x =!= round(x, 0))).count() === 0)
+    // a constant dimension calibrates to step 0 and codes 0
+    val const = Seq((1L, Seq(3.5f, 1.0f)), (2L, Seq(3.5f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val (l2, h2) = Similarity.sqCalibrate(const, 2)
+    assert(l2(0) == 3.5 && h2(0) == 3.5)
+    val c2 = const.select(Similarity.sqCode(col("embedding"), l2, h2).as("code"))
+      .collect().map(_.getSeq[Double](0))
+    assert(c2.forall(_.head == 0.0))
+    assert(c2.map(_(1)).sorted.toSeq == Seq(0.0, 255.0))
+  }
+
+  test("sq topk with a full-corpus shortlist matches brute force exactly") {
+    val q = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val viaSq = Similarity.sqTopK(emb, q, k = 5, dim = 64, oversample = n)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    val exact = Similarity.bruteForceTopK(emb, q, k = 5)
+    assert(viaSq.exceptAll(exact).count() === 0 &&
+      exact.exceptAll(viaSq).count() === 0)
+  }
+
+  test("sq topk recall beats the binary code (8 bits/dim vs 1)") {
+    val q = emb.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(emb, q, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("true_nn"))
+    val approx = Similarity.sqTopK(emb, q, k = 1, dim = 64, oversample = 10)
+      .select(col("query_id"), col("neighbor_id").as("sq_nn"))
+    val hits = truth.join(approx, "query_id")
+      .filter(col("true_nn") === col("sq_nn")).count()
+    // 8-bit affine codes approximate the dot far better than sign bits:
+    // the ADC shortlist should almost always contain the true nearest
+    assert(hits >= 17, s"sq8 recall@1 too low: $hits/20")
+  }
+
   test("leakage-safe split: group-keyed, deterministic, roughly proportioned") {
     import graft.operators.Sampling
     val split = Sampling.assignSplit(docs, "source",
