@@ -256,6 +256,69 @@ object TextAnalysis {
         round(exp((-col("s")).cast("double") / col("n_tokens")), 3).as("ppl"))
   }
 
+  /** Interpolated BIGRAM language-model perplexity (Jelinek–Mercer
+    * smoothing) — the KenLM-shaped upgrade of [[unigramPerplexity]]'s
+    * CCNet filter: `p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·p_uni(w2)`
+    * with the add-one unigram as the backoff, trained on the corpus
+    * itself and scored per document as
+    * `NLL = −[ln p_uni(t1) + Σ ln p(t_i|t_{i−1})] / n`. `c(w1·)` is the
+    * history count (occurrences of w1 that have a successor), so the
+    * bigram MLE is properly normalized.
+    *
+    * Distributed shape: bigram extraction is a scan-stage transform
+    * over the word array (no document shuffles); the model is two
+    * map-side-combinable count aggregates ((w1,w2) and its w1 rollup);
+    * scoring joins per-doc bigram counts against the model on the
+    * bigram key — the one wide exchange, same as the unigram twin.
+    * Per-term logs are rounded then summed as exact DECIMALs, so doc
+    * scores are bit-reproducible across engines and row orders.
+    */
+  def bigramPerplexity(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", lambda: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(lambda > 0 && lambda <= 1, "lambda must be in (0, 1]")
+    val dec = DecimalType(18, 6)
+    val toks = df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), w => w =!= "").as("_w"))
+      .filter(size_(col("_w")) > 0)
+    val uni = toks.select(explode(col("_w")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(sum("cnt").cast("long").as("T"), count(lit(1)).as("V"))
+    val uniP = uni.crossJoin(broadcast(totals))
+      .select(col("token"), ((col("cnt") + lit(1)).cast("double") /
+        (col("T") + col("V")).cast("double")).as("p_uni"))
+    // per-doc bigram instance counts — adjacency built in the scan stage
+    val bi = toks.filter(size_(col("_w")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size_(col("_w")) - 1),
+        i => struct(element_at(col("_w"), i.cast("int")).as("w1"),
+          element_at(col("_w"), (i + 1).cast("int")).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val c12 = bi.groupBy("w1", "w2").agg(sum("tf").cast("long").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
+    val biL = c12.join(c1, "w1")
+      .join(uniP.withColumnRenamed("token", "w2"), "w2")
+      .select(col("w1"), col("w2"),
+        round(log(lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
+          lit(1 - lambda) * col("p_uni")), 6).cast(dec).as("l"))
+    val first = toks
+      .select(col(idCol), element_at(col("_w"), 1).as("token"),
+        size_(col("_w")).as("n"))
+      .join(uniP, "token")
+      .select(col(idCol), col("n"),
+        round(log(col("p_uni")), 6).cast(dec).as("l1"))
+    val biSum = bi.join(biL, Seq("w1", "w2"))
+      .groupBy(col(idCol)).agg(sum(col("tf").cast(dec) * col("l")).as("sb"))
+    first.join(biSum, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n").cast("long").as("n_tokens"),
+        (col("l1") + coalesce(col("sb"), lit(0).cast(dec))).as("s"),
+        col("n"))
+      .select(col(idCol), col("n_tokens"),
+        round((-col("s")).cast("double") / col("n"), 6).as("avg_nll"),
+        round(exp((-col("s")).cast("double") / col("n")), 3).as("ppl"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and applied in
     * one distributed job — the fasttext-shaped quality/domain/language
     * classifier step of a curation pipeline (CCNet/Dolma both gate

@@ -988,6 +988,39 @@ object ExtensionQueries {
              |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // Interpolated BIGRAM LM perplexity (TextAnalysis.bigramPerplexity)
+    // — the KenLM-shaped upgrade of the unigram CCNet filter:
+    // p(w2|w1) = λ·c12/c1 + (1−λ)·p_uni(w2), first token scored by the
+    // unigram, per-term logs rounded-then-DECIMAL so the doc sums are
+    // exact. The oracle retrains both models and rescores every doc.
+    Q("text_bigram_perplexity",
+      (s, d) => TextAnalysis.bigramPerplexity(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w FROM documents),
+             |toks AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+             |uni AS (SELECT token, count(*) AS cnt FROM (SELECT unnest(w) AS token FROM toks) GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS T, count(*) AS V FROM uni),
+             |unip AS (SELECT token, CAST(cnt + 1 AS DOUBLE) / (T + V) AS p_uni FROM uni CROSS JOIN tot),
+             |bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS tf
+             |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2)
+             |       GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+             |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+             |bil AS (SELECT c12.w1, c12.w2,
+             |          CAST(round(ln(0.7 * CAST(c12 AS DOUBLE) / c1 + (1 - 0.7) * p_uni), 6) AS DECIMAL(18,6)) AS l
+             |        FROM c12 JOIN c1 USING (w1) JOIN unip ON unip.token = c12.w2),
+             |f AS (SELECT doc_id, len(w) AS n, CAST(round(ln(p_uni), 6) AS DECIMAL(18,6)) AS l1
+             |      FROM toks JOIN unip ON unip.token = w[1]),
+             |bs AS (SELECT b.doc_id, sum(CAST(tf AS DECIMAL(18,6)) * l) AS sb
+             |       FROM bi b JOIN bil ON bil.w1 = b.w1 AND bil.w2 = b.w2 GROUP BY 1),
+             |d AS (SELECT f.doc_id, f.n, f.l1 + COALESCE(bs.sb, 0) AS s
+             |      FROM f LEFT JOIN bs USING (doc_id))
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |       round(CAST(-s AS DOUBLE) / n, 6) AS avg_nll,
+             |       round(exp(CAST(-s AS DOUBLE) / n), 3) AS ppl
+             |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // Multinomial Naive Bayes classifier (TextAnalysis
     // .naiveBayesClassify) — the fasttext-shaped model-based
     // gate of a curation pipeline, trained distributed on an 80% split

@@ -742,6 +742,113 @@ final case class IcebergLikeTable(
     else None
   }
 
+  /** Manifest-only MIN/MAX of a stats-stamped column (Iceberg's
+    * aggregate pushdown to manifest bounds): exact — per-file [lo, hi]
+    * are true bounds of the file's non-null values, so the min of lows
+    * / max of highs over live files IS the column min/max — provided
+    * EVERY live file carries bounds for the column; a file with no
+    * entry (all-null there, legacy manifest, unstamped column) makes
+    * the answer undecidable from metadata and returns None. Bounds are
+    * returned as their stamped string rendering typed under the column
+    * type; zero data I/O, zero tasks.
+    */
+  def columnMinMax(colName: String): Option[(String, String)] = {
+    val (_, snap) = resolveLive()
+    if (snap.entries.isEmpty) return None
+    val schema = storedSchema(snap.meta).getOrElse(return None)
+    val field = schema.fields.find(_.name == colName).getOrElse(return None)
+    if (!FileStats.supported(field.dataType)) return None
+    val bounds = snap.entries.map(_.stats.get(colName))
+    if (bounds.exists(_.isEmpty)) return None
+    val typed = bounds.flatten
+    def cmp(a: String, b: String): Int = field.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case org.apache.spark.sql.types.FloatType =>
+        java.lang.Float.compare(a.toFloat, b.toFloat)
+      case org.apache.spark.sql.types.DoubleType =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _: org.apache.spark.sql.types.DecimalType =>
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      case _ => java.lang.Long.compare(a.toLong, b.toLong)
+    }
+    try Some((typed.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+      typed.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Manifest-only COUNT for a PARTITION-COLUMN predicate: every row of
+    * a leaf shares its partition values, so a condition that evaluates
+    * decidably against leaf values alone sums the matching leaves'
+    * stamped row counts — zero data I/O. None when the condition
+    * references non-partition columns, fails to analyze/evaluate on any
+    * leaf, or any matching leaf predates the row-count stamp (callers
+    * fall back to `readWhere(condition).count()`).
+    */
+  def rowCountWhere(condition: Column): Option[Long] = {
+    val (_, snap) = resolveLive()
+    val schema = storedSchema(snap.meta).getOrElse(return None)
+    val partSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
+    if (partSchema.size != partCols.size) return None
+    val expr = analyzedPredicate(Some(partSchema), condition).getOrElse(return None)
+    // decidable only if every referenced attribute is a partition column
+    val refs = expr.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }
+    if (!refs.forall(partCols.contains)) return None
+    val byLeaf = snap.entries.groupBy(e => leafOf(e.path))
+    var total = 0L
+    byLeaf.foreach { case (leaf, entries) =>
+      val values = leafPartitionValues(leaf, partSchema).getOrElse(return None)
+      val bound = try {
+        expr.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            val i = partSchema.fieldIndex(a.name)
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, partSchema.fields(i).dataType, nullable = true)
+        }.eval(values)
+      } catch { case scala.util.control.NonFatal(_) => return None }
+      bound match {
+        case true =>
+          if (entries.exists(_.rowCount < 0L)) return None
+          total += entries.map(_.rowCount).sum
+        case false | null => // a NULL predicate keeps no rows — count 0
+        case _ => return None
+      }
+    }
+    Some(total)
+  }
+
+  /** Typed partition values of a leaf path under the partition schema
+    * (Spark's own path escaping); None for an unparseable leaf.
+    */
+  private def leafPartitionValues(leaf: String,
+      partSchema: StructType): Option[org.apache.spark.sql.catalyst.InternalRow] = {
+    val bySegment = leaf.split("/").filter(_.nonEmpty).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) None
+      else Some(seg.take(i) ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.drop(i + 1)))
+    }.toMap
+    try Some(org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      partSchema.fields.toSeq.map { f =>
+        val raw = bySegment.getOrElse(f.name, return None)
+        if (raw == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .DEFAULT_PARTITION_NAME) null
+        else f.dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+          case org.apache.spark.sql.types.IntegerType => raw.toInt
+          case org.apache.spark.sql.types.LongType => raw.toLong
+          case _ => return None
+        }
+      }))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** T3: the routing decision the transformer stamps on every record. */
   def operation: String = if (uniqueKeys.isEmpty) "insert" else "update"
 

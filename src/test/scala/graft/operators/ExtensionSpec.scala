@@ -895,6 +895,35 @@ class ExtensionSpec extends SparkTestBase {
     }
   }
 
+  test("bigram perplexity: hand-exact tiny corpus, single-token docs backoff to unigram") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // unigrams: a:4 b:2 c:1, T=7 V=3 → p_uni(a)=5/10, b=3/10, c=2/10
+    // bigrams: (a,b):2 (a,c):1, history c1(a)=3
+    val pAB = 0.7 * 2.0 / 3.0 + (1 - 0.7) * (3.0 / 10)
+    val pAC = 0.7 * 1.0 / 3.0 + (1 - 0.7) * (2.0 / 10)
+    // 6-dp comparisons tolerate the half-ulp boundary where HALF_UP on
+    // the exact decimal differs from double-arithmetic rounding
+    def approx(a: Double, b: Double): Boolean = math.abs(a - b) <= 6e-7
+    val sDoc1 = r6(math.log(5.0 / 10)) + r6(math.log(pAB))
+    assert(out(1L)._1 == 2L)
+    assert(approx(out(1L)._2, -sDoc1 / 2), s"${out(1L)._2} vs ${-sDoc1 / 2}")
+    assert(out(1L) == out(2L), "identical docs score identically")
+    val sDoc3 = r6(math.log(5.0 / 10)) + r6(math.log(pAC))
+    assert(approx(out(3L)._2, -sDoc3 / 2), s"${out(3L)._2} vs ${-sDoc3 / 2}")
+    // the rarer continuation is more surprising
+    assert(out(3L)._2 > out(1L)._2)
+    // a single-token doc is pure unigram backoff
+    assert(out(4L)._1 == 1L)
+    assert(approx(out(4L)._2, -r6(math.log(5.0 / 10))))
+    // ppl = exp(avg_nll), 3-dp rounded: compare at that resolution
+    assert(math.abs(out(4L)._3 - math.exp(out(4L)._2)) <= 5.1e-4)
+  }
+
   test("naive bayes: separable corpus classifies, OOV skipped, cap and ties deterministic") {
     import spark.implicits._
     val train = Seq(

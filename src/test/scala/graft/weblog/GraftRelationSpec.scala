@@ -132,6 +132,41 @@ class GraftRelationSpec extends SparkTestBase {
     assert(t.rowCount.contains(59L))
   }
 
+  test("metadata-only aggregates: columnMinMax and partition-predicate counts") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_agg").toString + "/t",
+      "event", Nil, statsColumns = Seq("n", "name"))
+    t.append((0 until 100).map(i => (i.toLong, f"u$i%03d", if (i % 2 == 0) "e0" else "e1"))
+      .toDF("n", "name", "event").coalesce(1))
+    t.append((100 until 150).map(i => (i.toLong, f"u$i%03d", "e0"))
+      .toDF("n", "name", "event").coalesce(1))
+    // exact min/max from the manifest bounds — zero data I/O
+    assert(t.columnMinMax("n").contains(("0", "149")))
+    assert(t.columnMinMax("name").contains(("u000", "u149")))
+    // unstamped / unknown columns are undecidable
+    assert(t.columnMinMax("event").isEmpty) // partition col: not stamped
+    assert(t.columnMinMax("nope").isEmpty)
+
+    // partition-only predicates count from stamped row counts
+    assert(t.rowCountWhere(col("event") === "e0").contains(100L))
+    assert(t.rowCountWhere(col("event") === "e1").contains(50L))
+    assert(t.rowCountWhere(col("event").isin("e0", "e1")).contains(150L))
+    assert(t.rowCountWhere(col("event") === "zz").contains(0L))
+    assert(t.rowCountWhere(lit(true)).contains(150L))
+    // data-column predicates are not metadata-answerable
+    assert(t.rowCountWhere(col("n") === 5L).isEmpty)
+    assert(t.rowCountWhere(col("event") === "e0" && col("n") > 10L).isEmpty)
+    // counts agree with the real scans
+    assert(t.rowCountWhere(col("event") === "e0").get ==
+      t.read.filter(col("event") === "e0").count())
+
+    // a delete refreshes bounds and counts through the rewrite
+    t.delete(col("n") >= 140L)
+    assert(t.rowCountWhere(col("event") === "e0").contains(90L))
+    assert(t.columnMinMax("n").contains(("0", "139")))
+  }
+
   test("the relation is snapshot-pinned; refresh follows new commits") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
