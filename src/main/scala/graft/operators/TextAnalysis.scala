@@ -256,6 +256,52 @@ object TextAnalysis {
         round(exp((-col("s")).cast("double") / col("n_tokens")), 3).as("ppl"))
   }
 
+  /** Sparse TF-IDF cosine near-duplicate pairs — the SPARSE-vector
+    * complement of the dense embedding ops ([[Similarity]]): documents
+    * as tf·idf vectors over their own tokens, pairwise cosine computed
+    * through an INVERTED-INDEX self-join (pairs meet only on shared
+    * tokens — no all-pairs product, no dense vectors anywhere).
+    * `maxDf` is the scale lever: tokens in more than `maxDf` documents
+    * are dropped from the vector space (they carry ~zero idf signal
+    * and quadratic posting lists), which caps every posting length and
+    * bounds the join. Weights are rounded-then-DECIMAL
+    * (`round(tf·ln((N+1)/(df+1)), 6)`), so dots and norms are exact
+    * order-independent sums and the emitted cosines are
+    * bit-reproducible. Output: (id_a, id_b, cos) for cosine ≥
+    * `threshold`, id_a < id_b.
+    */
+  def sparseCosinePairs(df: DataFrame, threshold: Double,
+      maxDf: Int = Int.MaxValue, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val tf = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = df.agg(count(lit(1)).as("N"))
+    val w = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("id"), col("token"),
+        round(col("tf").cast("double") *
+          log((col("N") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")), 6)
+          .cast(dec).as("w"))
+    val norms = w.groupBy("id").agg(sum(col("w") * col("w")).as("n2"))
+    val a = w.select(col("id").as("id_a"), col("token"), col("w").as("wa"))
+    val b = w.select(col("id").as("id_b"), col("token"), col("w").as("wb"))
+    a.join(b, Seq("token")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Interpolated BIGRAM language-model perplexity (Jelinek–Mercer
     * smoothing) — the KenLM-shaped upgrade of [[unigramPerplexity]]'s
     * CCNet filter: `p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·p_uni(w2)`

@@ -988,6 +988,35 @@ object ExtensionQueries {
              |FROM d ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // Sparse TF-IDF cosine near-dup pairs (TextAnalysis
+    // .sparseCosinePairs): documents as tf·idf vectors, pairwise cosine
+    // via an inverted-index self-join (pairs meet only on shared
+    // tokens; df > 100 tokens dropped — the posting-length cap). The
+    // oracle rebuilds weights, norms and dots with the same
+    // decimal-exact arithmetic.
+    Q("text_sparse_neardup",
+      (s, d) => TextAnalysis.sparseCosinePairs(Tables.documents(s, d),
+        threshold = 0.6, maxDf = 100)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tf AS (SELECT doc_id AS id, token, count(*) AS tf
+             |            FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+             |            WHERE token <> '' GROUP BY 1, 2),
+             |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+             |n AS (SELECT count(*) AS N FROM documents),
+             |w AS (SELECT id, token,
+             |        CAST(round(CAST(tf AS DOUBLE) * ln(CAST(N + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+             |norms AS (SELECT id, sum(w * w) AS n2 FROM w GROUP BY 1),
+             |dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+             |         FROM w a JOIN w b ON a.token = b.token AND a.id < b.id
+             |         GROUP BY 1, 2),
+             |cosed AS (SELECT id_a, id_b,
+             |            CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+             |          FROM dots JOIN norms na ON na.id = id_a JOIN norms nb ON nb.id = id_b)
+             |SELECT id_a, id_b, round(cos, 6) AS cos FROM cosed
+             |WHERE cos >= 0.6 ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // Interpolated BIGRAM LM perplexity (TextAnalysis.bigramPerplexity)
     // — the KenLM-shaped upgrade of the unigram CCNet filter:
     // p(w2|w1) = λ·c12/c1 + (1−λ)·p_uni(w2), first token scored by the

@@ -834,6 +834,35 @@ object WebLogQueries {
              |  AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR AND v.v_ts <= p.p_ts
              |ORDER BY user_id, p_ts, v_ts""".stripMargin.replace("\n", " "))),
 
+    // §2.5 stream-STATIC enrichment join: the validated event stream
+    // broadcast-joins a static user-segment dimension per micro-batch
+    // (no state, no watermark — the classic fact-stream + dim shape),
+    // then aggregates per segment in complete mode. The oracle replays
+    // the same enrichment as a batch join.
+    Q("weblog_stream_enrich",
+      (s, d) => {
+        val typed = typedFileStream(s, d, "stream_enrich_raw",
+          dayofmonth(col("ts")) === 2)
+        val dim = Tables.events(s, d)
+          .select(col("user_id").as("uid")).distinct()
+          .select(concat(lit("u"), col("uid").cast("string")).as("user_id"),
+            concat(lit("s"), (col("uid") % 5).cast("string")).as("segment"))
+        val qname = s"wse_${math.abs(d.hashCode)}"
+        val q = Ingest.enrich(typed, dim, Seq("user_id"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("cnt"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(qname).orderBy("segment")
+      },
+      Some("""SELECT 's' || CAST(user_id % 5 AS VARCHAR) AS segment,
+             |count(*) AS cnt
+             |FROM events WHERE day(ts) = 2
+             |GROUP BY 1 ORDER BY segment""".stripMargin.replace("\n", " "))),
+
     // §2.5 session windows on a real stream (30-min gap close). The
     // oracle re-derives the same sessions with SQL gap logic: a session
     // break at gap ≥ 30min mirrors session_window's exclusive end.

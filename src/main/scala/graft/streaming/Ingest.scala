@@ -217,6 +217,18 @@ object Ingest {
       .select(col("p_user").as("user_id"), col("p_ts"), col("v_ts"))
   }
 
+  /** §2.5 stream-STATIC enrichment join: every micro-batch of the
+    * stream joins the (small, slowly-changing) static dimension — the
+    * classic fact-stream + dim-table shape. The dim side is explicitly
+    * broadcast, so each batch is a map-side hash join: no streaming
+    * state, no watermark, and the dim is re-resolvable between batches
+    * (Spark re-plans the batch side per micro-batch). `left_outer`
+    * keeps facts whose key the dimension lacks (nulls for dim columns),
+    * matching warehouse enrichment semantics.
+    */
+  def enrich(parsed: DataFrame, dim: DataFrame, on: Seq[String]): DataFrame =
+    parsed.join(broadcast(dim), on, "left_outer")
+
   /** Session windows on the stream (gap-close sessionization, the
     * streaming twin of the batch Sessionize operator).
     */

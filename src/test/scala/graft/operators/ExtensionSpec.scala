@@ -895,6 +895,25 @@ class ExtensionSpec extends SparkTestBase {
     }
   }
 
+  test("sparse cosine: identical docs hit 1, disjoint docs never pair, maxDf drops stopwords") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "alpha beta delta"),
+      (5L, "the the the")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.sparseCosinePairs(corpus, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0, "identical docs must reach cosine 1")
+    assert(!pairs.contains((1L, 3L)), "token-disjoint docs share no posting")
+    assert(!pairs.contains((1L, 5L)))
+    // partial overlap lands strictly between
+    assert(pairs((1L, 4L)) > 0 && pairs((1L, 4L)) < 1)
+    // symmetric overlaps score identically
+    assert(pairs((1L, 4L)) == pairs((2L, 4L)))
+    // maxDf = 1 drops every shared token → no pairs survive at all
+    assert(TextAnalysis.sparseCosinePairs(corpus, 0.0, maxDf = 1).count() == 0)
+  }
+
   test("bigram perplexity: hand-exact tiny corpus, single-token docs backoff to unigram") {
     import spark.implicits._
     val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a"))
