@@ -97,6 +97,34 @@ class MergeSpec extends SparkTestBase {
     assert(t.read.collect().toSet == snapshot)
   }
 
+  test("null partition values route through upsert, merge and tombstones") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("merge_nullpart").toString + "/t",
+      "event", Seq("k"), numBuckets = 2)
+    // rows whose PARTITION VALUE is null land in the Hive default
+    // partition; the merge's leaf routing must find them there
+    val base = Seq(("a", Option("e"), "x", 1L), ("b", Option.empty[String], "x", 1L),
+      ("c", Option.empty[String], "x", 1L))
+      .toDF("k", "event", "hostname", "seq")
+    t.write(base, "seq")
+    assert(t.read.count() == 3)
+    assert(t.read.filter(col("event").isNull).count() == 2)
+    // update one null-event row
+    t.write(Seq(("b", Option.empty[String], "upd", 2L))
+      .toDF("k", "event", "hostname", "seq"), "seq")
+    assert(t.read.filter(col("k") === "b").select("hostname")
+      .as[String].head() == "upd")
+    assert(t.read.count() == 3)
+    // tombstone a null-event key through merge
+    t.merge(Seq.empty[(String, Option[String], String, Long)]
+      .toDF("k", "event", "hostname", "seq"),
+      Seq(("c", Option.empty[String], 3L)).toDF("k", "event", "seq"), "seq")
+    assert(t.read.count() == 2)
+    assert(t.read.filter(col("k") === "c").count() == 0)
+    assert(t.read.filter(col("event").isNull).count() == 1)
+  }
+
   test("deleteKeys missing required columns is rejected") {
     import spark.implicits._
     val t = table()

@@ -120,6 +120,100 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("merge sequences (upserts + tombstones + deletes) agree with the reference model") {
+    // model-based check of the ONE-COMMIT MERGE path: random op
+    // sequences mixing plain upserts, merges that carry tombstones, and
+    // predicate deletes, against a driver-side fold with the documented
+    // semantics — incoming-batch winner per key is max seq with ties
+    // preferring the tombstone; against stored rows the incoming winner
+    // survives iff its seq >= stored (ties: incoming); a winning
+    // tombstone removes the key.
+    import spark.implicits._
+    type Key = (String, String)
+    sealed trait Op
+    case class Up(b: Map[Key, (String, Long)]) extends Op
+    case class Del(users: Set[String]) extends Op
+    case class Mg(up: Map[Key, (String, Long)], del: Map[Key, Long]) extends Op
+
+    val keys: Vector[Key] = (for {
+      u <- 0 until 10; t <- 0 until 3
+    } yield (s"u$u", f"2024-05-01T12:0$t%d:00Z")).toVector
+    def eventOf(u: String): String = if (u.hashCode % 2 == 0) "view" else "click"
+
+    val batchGen: Gen[Map[Key, (String, Long)]] = for {
+      n <- Gen.chooseNum(1, 8)
+      ks <- Gen.pick(n, keys)
+      hosts <- Gen.listOfN(n, Gen.oneOf("a.example", "b.example"))
+      seqs <- Gen.listOfN(n, Gen.chooseNum(1L, 4L))
+    } yield ks.zip(hosts.zip(seqs)).toMap
+    val mergeGen: Gen[Mg] = for {
+      up <- batchGen
+      nd <- Gen.chooseNum(1, 6)
+      dk <- Gen.pick(nd, keys)
+      dq <- Gen.listOfN(nd, Gen.chooseNum(1L, 4L))
+    } yield Mg(up, dk.zip(dq).toMap)
+    val opGen: Gen[Op] = Gen.frequency(
+      2 -> batchGen.map(Up(_)),
+      3 -> mergeGen,
+      1 -> Gen.someOf((0 until 10).map(u => s"u$u")).map(s => Del(s.toSet)))
+
+    def upFold(model: Map[Key, (String, Long)],
+        batch: Map[Key, (String, Long)]): Map[Key, (String, Long)] =
+      batch.foldLeft(model) { case (m, (k, (h, q))) =>
+        m.get(k) match {
+          case Some((_, storedQ)) if storedQ > q => m
+          case _ => m.updated(k, (h, q))
+        }
+      }
+
+    forAll(Gen.listOfN(5, opGen), n = 3) { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("ice-mprop").toString
+      val table = IcebergLikeTable(spark, s"$dir/t", "event",
+        uniqueKeys = Seq("user_id", "timestamp"), numBuckets = 4)
+      var model = Map.empty[Key, (String, Long)]
+      def upDf(b: Map[Key, (String, Long)]) = b.toSeq.map { case ((u, ts), (h, q)) =>
+        (u, ts, eventOf(u), h, q)
+      }.toDF("user_id", "timestamp", "event", "hostname", "seq")
+      ops.foreach {
+        case Up(b) =>
+          table.write(upDf(b), "seq")
+          model = upFold(model, b)
+        case Del(users) =>
+          table.delete($"user_id".isin(users.toSeq: _*))
+          model = model.filterNot { case ((u, _), _) => users.contains(u) }
+        case Mg(up, del) =>
+          val tombs = del.toSeq.map { case ((u, ts), q) => (u, ts, eventOf(u), q) }
+            .toDF("user_id", "timestamp", "event", "seq")
+          table.merge(upDf(up), tombs, "seq")
+          // incoming winner per key, ties prefer the tombstone
+          (up.keySet ++ del.keySet).foreach { k =>
+            val winner: (Option[(String, Long)], Long) = (up.get(k), del.get(k)) match {
+              case (Some((h, q)), Some(dq)) =>
+                if (dq >= q) (None, dq) else (Some((h, q)), q)
+              case (Some((h, q)), None) => (Some((h, q)), q)
+              case (None, Some(dq)) => (None, dq)
+              case (None, None) => throw new IllegalStateException
+            }
+            val storedQ = model.get(k).map(_._2)
+            if (!storedQ.exists(_ > winner._2)) {
+              winner._1 match {
+                case Some((h, q)) => model = model.updated(k, (h, q))
+                case None => model = model.removed(k)
+              }
+            }
+          }
+      }
+      val got =
+        if (model.isEmpty && table.currentVersion.isEmpty)
+          Map.empty[Key, (String, Long)]
+        else table.read.select("user_id", "timestamp", "hostname", "seq")
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getString(2), r.getLong(3))).toMap
+      assert(got == model,
+        s"diverged: extra=${got.toSet -- model.toSet} missing=${model.toSet -- got.toSet}")
+    }
+  }
+
   test("valid records round-trip through parse unchanged (multiset property)") {
     val df = Generator.frame(spark, 400, seed = 13, hour, invalidEvery = 8)
     val (ok, _) = Validator.route(Validator.validate(df, "payload", "B"))
