@@ -196,6 +196,29 @@ final case class IcebergLikeTable(
     */
   private val TsKey = "committs"
 
+  /** Manifest metadata key holding the table's LAYOUT SPEC
+    * (`partitionCol/bucketCol-count/keys`): the physical routing every
+    * keyed merge assumes. Stamped at every commit and VALIDATED against
+    * this instance's declaration before one — re-opening a table with a
+    * different `numBuckets` (or keys/partition column) would otherwise
+    * silently hash keys into the wrong leaves and duplicate rows across
+    * buckets. Change the layout with [[rebucket]], never by
+    * redeclaring.
+    */
+  private val LayoutKey = "layout"
+
+  private def layoutSpec: String =
+    if (uniqueKeys.isEmpty) partitionCol
+    else s"$partitionCol/$bucketCol-$numBuckets/${uniqueKeys.mkString("+")}"
+
+  private def validateLayout(meta: Map[String, String]): Unit =
+    meta.get(LayoutKey).foreach { stored =>
+      require(stored == layoutSpec,
+        s"table at $path was written with layout '$stored' but this instance " +
+          s"declares '$layoutSpec' — keyed routing would corrupt the table; " +
+          "open it with the original declaration (or rebucket() to change it)")
+    }
+
   /** LEGACY manifest metadata key for monolithic per-file column
     * bounds. Current commits stamp bounds into the per-leaf manifest
     * entries instead ([[Manifests.FileEntry]]); this key is only read
@@ -653,6 +676,7 @@ final case class IcebergLikeTable(
   def rollbackTo(version: Long): Long = withCommitRetry {
     val target = snapshotAt(version)
     val (liveVersion, live) = resolveLive()
+    validateLayout(live.meta)
     val newVersion = nextVersion(liveVersion)
     // roll back to the target's files AND schema (a rollback across an
     // add-column commit restores the pre-evolution schema), plus the
@@ -664,7 +688,8 @@ final case class IcebergLikeTable(
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
       target.meta.get(StatsKey).map(StatsKey -> _) ++
       target.meta.get(BloomKey).map(BloomKey -> _) +
-      (TsKey -> System.currentTimeMillis().toString)
+      (TsKey -> System.currentTimeMillis().toString) +
+      (LayoutKey -> layoutSpec)
     // sharded targets roll back by RE-REFERENCING their (immutable)
     // leaf manifests; legacy monolithic targets re-list their files
     val lines =
@@ -879,9 +904,12 @@ final case class IcebergLikeTable(
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(staging.toString)
+    validateLayout(base.meta)
     val schema = commitSchema(storedSchema(base.meta), df.schema)
     val meta = hwmOf(base.meta) ++ extraMeta +
-      (SchemaKey -> schema.json) + (TsKey -> System.currentTimeMillis().toString)
+      (SchemaKey -> schema.json) +
+      (TsKey -> System.currentTimeMillis().toString) +
+      (LayoutKey -> layoutSpec)
     try {
       val importedWithSize =
         Manifests.importStagedTree(fs, staging, root, s"v$version-$token")
@@ -1089,6 +1117,31 @@ final case class IcebergLikeTable(
   def readTag(name: String): DataFrame =
     readAt(tags.getOrElse(name,
       throw new NoSuchElementException(s"no tag '$name' under $path")))
+
+  /** Change a keyed table's bucket count — necessarily a FULL-TABLE
+    * rewrite (gbucket is derived from the keys and baked into every
+    * leaf path), committed as one snapshot under the new layout.
+    * Returns the handle with the new layout; further writes must go
+    * through it (commits via the old declaration fail the layout
+    * check). Single-writer operation, like [[vacuum]].
+    */
+  def rebucket(newBuckets: Int): IcebergLikeTable = {
+    require(uniqueKeys.nonEmpty, "rebucket applies to keyed tables")
+    require(newBuckets >= 1, "need at least one bucket")
+    val t2 = this.copy(numBuckets = newBuckets)
+    val (liveVersion, snap) = resolveLive()
+    validateLayout(snap.meta) // this handle must match the live layout
+    if (snap.entries.isEmpty) return t2
+    val rows = readSnapshot(snap).drop(bucketCol)
+    // the migration commit runs through the NEW handle; the stored
+    // layout stamp is the old spec by construction, so it is cleared
+    // from the base meta for this one commit (every later commit
+    // validates against the new stamp)
+    val (v2, s2) = t2.resolveLive()
+    require(v2 == liveVersion, "table changed under rebucket (single-writer op)")
+    t2.commit(t2.withBucket(rows), v2, s2.copy(meta = s2.meta - LayoutKey))(_ => Nil)
+    t2
+  }
 
   /** Full GC (explicit maintenance): [[expireSnapshots]] plus an orphan
     * sweep — a directory walk deleting every data file referenced by NO

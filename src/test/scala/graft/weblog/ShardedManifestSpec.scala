@@ -111,6 +111,39 @@ class ShardedManifestSpec extends SparkTestBase {
     assert(leafManifestsOnDisk(t) == referenced)
   }
 
+  test("layout drift is rejected at commit; rebucket migrates the table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("shard_layout").toString + "/t"
+    def rows(ids: Range, v: Long) =
+      ids.map(i => (s"k$i", "e", s"h$v", v)).toDF("k", "event", "hostname", "seq")
+    val t4 = IcebergLikeTable(spark, dir, "event", Seq("k"), numBuckets = 4)
+    t4.write(rows(0 until 40, 1L), "seq")
+
+    // a handle declaring a DIFFERENT bucket count must not be able to
+    // commit — its key hashing would route rows into the wrong leaves
+    val wrong = IcebergLikeTable(spark, dir, "event", Seq("k"), numBuckets = 8)
+    intercept[IllegalArgumentException](wrong.write(rows(40 until 45, 2L), "seq"))
+    intercept[IllegalArgumentException](wrong.delete(col("k") === "k0"))
+    // reads are layout-agnostic and stay safe
+    assert(wrong.read.count() == 40)
+    assert(t4.read.count() == 40)
+
+    // rebucket: full rewrite under the new layout, one commit
+    val t8 = t4.rebucket(8)
+    assert(t8.read.count() == 40)
+    // the rewrite actually spread keys over the wider bucket space
+    assert(t8.resolveLive()._2.files.exists(f =>
+      (4 until 8).exists(b => f.contains(s"gbucket=$b/"))))
+    t8.write(rows(40 until 50, 2L), "seq")
+    assert(t8.read.count() == 50)
+    // upserts still merge correctly post-migration
+    t8.write(rows(0 until 5, 3L), "seq")
+    assert(t8.read.count() == 50)
+    assert(t8.read.filter(col("hostname") === "h3").count() == 5)
+    // the OLD handle is now rejected
+    intercept[IllegalArgumentException](t4.write(rows(50 until 51, 4L), "seq"))
+  }
+
   test("legacy monolithic manifests read correctly and migrate on first commit") {
     import spark.implicits._
     val dir = Files.createTempDirectory("shard_legacy").toString + "/t"
