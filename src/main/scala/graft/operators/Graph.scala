@@ -77,6 +77,47 @@ object Graph {
           col("out_w").cast("double")).cast(Dec).as("term"))
       .groupBy("dst").agg(sum(col("term")).as("contrib"))
 
+  /** Multi-source BFS over a directed edge list `(src, dst)`: the
+    * minimum hop distance from ANY source node, explored up to
+    * `maxHops`. Frontier iteration, each hop ONE frontier⋈edges join
+    * plus an anti-join against the visited set — every exchanged row is
+    * (id) or (id, int), never wider; lineage is cut per hop like the
+    * rank loops. Integer-only, so cross-engine determinism is free.
+    * Returns (node, dist) for sources (0) and every node reached
+    * within `maxHops`; unreached nodes emit no row. Termination is
+    * `maxHops` or an empty frontier, whichever first — the empty check
+    * is a limit-1 probe per hop, not a count.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .transform(Checkpoints.cut)
+    var dist = sources.select(col("node").cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0))
+      .transform(Checkpoints.cut)
+    var frontier = dist.select("node")
+    var hop = 0
+    var exhausted = frontier.isEmpty
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .transform(Checkpoints.cut)
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionByName(next.withColumn("dist", lit(hop)))
+          .transform(Checkpoints.cut)
+        frontier = next
+      }
+    }
+    dist
+  }
+
   /** PageRank over weighted edges `(src: long, dst: long, weight: long)`.
     * Returns `(node, pr)` with `pr` a 12-decimal double. Dangling mass
     * (nodes with no out-edges) is redistributed uniformly each iteration,

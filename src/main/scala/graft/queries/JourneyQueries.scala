@@ -543,6 +543,34 @@ object JourneyQueries {
       Some(pagerankOracle(5)),
       headline = true),
 
+    // multi-source BFS reach: minimum click-distance from the decade
+    // pages (node % 10 = 0) over the session transition graph, 4 hops —
+    // "how many clicks from a landing page is everything else". The
+    // oracle replays the frontier search as a recursive CTE with UNION
+    // dedup (bounded by nodes × hops, never path-combinatorial).
+    Q("q_bfs_reach",
+      (s, d) => {
+        val edges = Journey.transitionEdges(ev(s, d), pageCol)
+          .select(col("page").as("src"), col("next_page").as("dst"))
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        Graph.bfsDistances(edges, nodes.filter(col("node") % 10 === 0),
+          maxHops = 4)
+          .orderBy("node")
+      },
+      Some(edgesCte.replace("WITH g AS (", "WITH RECURSIVE g AS (") +
+        """,
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |srcs AS (SELECT node FROM nodes WHERE node % 10 = 0),
+          |walk AS (
+          |  SELECT node, 0 AS dist FROM srcs
+          |  UNION
+          |  SELECT e.dst AS node, w.dist + 1 AS dist
+          |  FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 4)
+          |SELECT node, CAST(min(dist) AS INT) AS dist
+          |FROM walk GROUP BY 1 ORDER BY node""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // personalized PageRank: teleport to the purchase-page restart
     // vector — "which pages matter from where conversions happen".
     Q("q_ppr_conversion",

@@ -74,6 +74,29 @@ class GraphSpec extends SparkTestBase {
     assert(e.getMessage.contains("restart mass"))
   }
 
+  test("bfs distances: hand graph, min over multiple paths, hop cap, empty frontier") {
+    //  1 → 2 → 3 → 4 → 5, plus shortcut 1 → 3 and a cycle 4 → 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    def run(src: Seq[Long], hops: Int): Map[Long, Int] =
+      Graph.bfsDistances(edges, src.toDF("node"), hops)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // from node 1: the shortcut wins over the longer path to 3
+    assert(run(Seq(1L), 4) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+    // the hop cap truncates the search
+    assert(run(Seq(1L), 2) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    assert(run(Seq(1L), 0) == Map(1L -> 0))
+    // multi-source: every node takes its NEAREST source
+    assert(run(Seq(1L, 4L), 4) ==
+      Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1, 5L -> 1))
+    // a sink source exhausts the frontier before the cap (node 5 has no
+    // out-edges) — terminates early, emits just itself
+    assert(run(Seq(5L), 10) == Map(5L -> 0))
+    // cycles never revisit: 4 → 1 → 2 → 3 → (4 already visited)
+    assert(run(Seq(4L), 10) ==
+      Map(4L -> 0, 5L -> 1, 1L -> 1, 2L -> 2, 3L -> 2))
+  }
+
   test("total rank is conserved on the real click graph") {
     val events = Tables.events(spark, sf0001)
     val page = get_json_object(col("props"), "$.k").cast("bigint")
