@@ -578,6 +578,67 @@ object WebLogQueries {
              |SELECT 'batches', 'drained', 3
              |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
 
+    // Write-audit-publish via snapshot branches (Iceberg refs): stage a
+    // morning-hostname fix and a click purge on a BRANCH, audit that
+    // main is untouched while the branch shows the staged state, then
+    // fast-forward main in one O(1) manifest commit. Output: per-
+    // (event, hostname) censuses of main BEFORE and AFTER the publish,
+    // both recomputed by the oracle from the deterministic formulas.
+    Q("weblog_wap",
+      (s, d) => {
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(seq: Long) = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(seq).as("seq"))
+        def hr = hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern))
+        val t = IcebergLikeTable(s, scratch(s, "wap", d) + "/t", "event",
+          Seq("user_id", "timestamp"))
+        t.write(keyed(1L), "seq")
+        // WRITE: stage on the branch
+        val wap = t.createBranch("audit")
+        wap.write(keyed(2L).filter(hr < 12)
+          .withColumn("hostname", lit("fixed.example")), "seq")
+        wap.delete(col("event") === "click")
+        // AUDIT: main's census is still the original
+        def census(df: org.apache.spark.sql.DataFrame, kind: String) =
+          df.groupBy(col("event"), col("hostname"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(lit(kind).as("kind"),
+              concat(col("event"), lit("/"), col("hostname")).as("k"), col("cnt"))
+        val pre = census(t.read, "pre")
+        val preRows = pre.collect() // materialize BEFORE the publish
+        // PUBLISH: one manifest commit
+        t.fastForward(wap)
+        t.dropBranch("audit")
+        s.createDataFrame(s.sparkContext.parallelize(preRows.toSeq), pre.schema)
+          .unionByName(census(t.read, "post"))
+          .orderBy("kind", "k")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS event, hour(ts) AS h
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1)
+             |SELECT 'pre' AS kind, event || '/orig.example' AS k,
+             |       count(*) AS cnt
+             |FROM base GROUP BY 2
+             |UNION ALL
+             |SELECT 'post', event || '/' ||
+             |       CASE WHEN h < 12 THEN 'fixed.example' ELSE 'orig.example' END,
+             |       count(*)
+             |FROM base WHERE event <> 'click' GROUP BY 1, 2
+             |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
+
     // Incrementally-maintained materialized aggregate (weblog/
     // MaterializedAgg): a per-user count+sum rollup refreshed from the
     // source table's CDC after EVERY commit — base load, a value-

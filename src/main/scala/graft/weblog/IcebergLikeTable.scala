@@ -94,7 +94,22 @@ final case class IcebergLikeTable(
     statsColumns: Seq[String] = Nil,
     bloomColumns: Seq[String] = Nil,
     bloomExpectedItems: Long = 100000L,
-    bloomFpp: Double = 0.01) {
+    bloomFpp: Double = 0.01,
+    branch: String = "main") {
+
+  require(branch == "main" || branch.matches("[A-Za-z0-9-]+"),
+    s"branch name must be [A-Za-z0-9-]+, got '$branch'")
+
+  /** This handle's version-chain prefix: the main chain keeps the
+    * original manifest names; a BRANCH (Iceberg refs / the
+    * write-audit-publish staging pattern) is an independent version
+    * chain in the same table root whose manifests reference the same
+    * immutable leaf manifests and data files. All chains share one GC
+    * referenced-set (see [[expireVersions]]), so no chain can sweep a
+    * file another still references.
+    */
+  private def chainPrefix: String =
+    if (branch == "main") Manifests.Prefix else s"_graft_branch_${branch}_v"
 
   require(retainVersions >= 1, "retainVersions must keep at least the live snapshot")
 
@@ -117,7 +132,7 @@ final case class IcebergLikeTable(
   def exists: Boolean = fs.exists(root)
 
   /** Committed snapshot versions, ascending (within retention). */
-  def versions: Seq[Long] = Manifests.versions(fs, root)
+  def versions: Seq[Long] = Manifests.versions(fs, root, chainPrefix)
 
   /** The live snapshot version, if the table has committed at all. */
   def currentVersion: Option[Long] = versions.lastOption
@@ -176,8 +191,9 @@ final case class IcebergLikeTable(
     * and are never read; [[vacuum]] sweeps them.
     */
   private[weblog] def resolveLive(): (Long, TableSnapshot) =
-    Manifests.resolveSnapshot(fs, root)
-      .map { case (v, s) => (v, expand(s)) }
+    Manifests.versions(fs, root, chainPrefix).lastOption
+      .flatMap(v => Manifests.snapshotAt(fs, root, v, chainPrefix)
+        .map(sn => (v, expand(sn))))
       .getOrElse((0L, TableSnapshot(Nil, Map.empty, Nil)))
 
   /** Manifest metadata key holding the table schema (StructType JSON) —
@@ -695,13 +711,13 @@ final case class IcebergLikeTable(
     val lines =
       if (target.refs.nonEmpty) target.refs.map(Manifests.RefMark + _)
       else target.files
-    Manifests.write(fs, root, newVersion, lines, meta)
+    Manifests.write(fs, root, newVersion, lines, meta, chainPrefix)
     expireSnapshots()
     newVersion
   }
 
   private def snapshotAt(version: Long): TableSnapshot =
-    Manifests.snapshotAt(fs, root, version).map(expand).getOrElse(
+    Manifests.snapshotAt(fs, root, version, chainPrefix).map(expand).getOrElse(
       throw new NoSuchElementException(
         s"snapshot v$version not found (expired or never committed) under $path"))
 
@@ -724,7 +740,8 @@ final case class IcebergLikeTable(
     */
   def snapshots: DataFrame = {
     import spark.implicits._
-    versions.flatMap(v => Manifests.snapshotAt(fs, root, v).map(s => v -> expand(s)))
+    versions.flatMap(v =>
+      Manifests.snapshotAt(fs, root, v, chainPrefix).map(s => v -> expand(s)))
       .map { case (v, s) =>
         (v, s.entries.size.toLong, s.meta.contains(SchemaKey),
           s.entries.exists(_.stats.nonEmpty) || s.meta.contains(StatsKey),
@@ -953,7 +970,7 @@ final case class IcebergLikeTable(
           }
         }
       try Manifests.write(fs, root, version,
-        refs.map(Manifests.RefMark + _), meta ++ bloom)
+        refs.map(Manifests.RefMark + _), meta ++ bloom, chainPrefix)
       catch {
         case e: Manifests.CommitConflictException =>
           // lost the race: un-import our dormant files (and this
@@ -1004,7 +1021,8 @@ final case class IcebergLikeTable(
   private def expireSnapshots(keepLast: Int = retainVersions): Unit = {
     val all = versions
     if (all.size <= keepLast) return
-    val tagged = tags.values.toSet
+    // tags pin MAIN-chain snapshots; branch chains expire purely by count
+    val tagged = if (branch == "main") tags.values.toSet else Set.empty[Long]
     val (older, recent) = all.splitAt(all.size - keepLast)
     expireVersions(older.filterNot(tagged), older.filter(tagged) ++ recent)
   }
@@ -1021,7 +1039,7 @@ final case class IcebergLikeTable(
     val tagged = tags.values.toSet
     val expired = all.filter { v =>
       v != live && !tagged(v) &&
-        Manifests.snapshotAt(fs, root, v)
+        Manifests.snapshotAt(fs, root, v, chainPrefix)
           .flatMap(_.meta.get(TsKey)).flatMap(_.toLongOption)
           .exists(_ < cutoffMillis)
     }
@@ -1030,19 +1048,46 @@ final case class IcebergLikeTable(
     expired
   }
 
+  /** Every version-chain prefix present under the table root: the main
+    * chain plus any branches — the GC referenced-set must span them
+    * all, because chains share leaf manifests and data files by name.
+    */
+  private def chainPrefixes(): Seq[String] = {
+    val branchRe = "^(_graft_branch_[A-Za-z0-9-]+_v)\\d+$".r
+    val onDisk =
+      if (!exists) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).flatMap {
+        case branchRe(prefix) => Some(prefix)
+        case _ => None
+      }.distinct
+    (Manifests.Prefix +: onDisk).distinct
+  }
+
+  /** Snapshots of every OTHER chain (all their retained versions) —
+    * the cross-chain half of the GC referenced-set.
+    */
+  private def otherChainSnapshots(): Seq[TableSnapshot] =
+    chainPrefixes().filterNot(_ == chainPrefix).flatMap { pre =>
+      Manifests.versions(fs, root, pre)
+        .flatMap(v => Manifests.snapshotAt(fs, root, v, pre))
+        .map(expand)
+    }
+
   /** Shared GC core: delete `expired` versions' manifests plus every
     * data file / bloom sidecar / leaf manifest they reference that no
-    * `retained` version still does.
+    * `retained` version of THIS chain — and no version of any OTHER
+    * chain — still does.
     */
   private def expireVersions(expired: Seq[Long], retained: Seq[Long]): Unit = {
     if (expired.isEmpty) return
     val retainedSnaps = retained
-      .flatMap(v => Manifests.snapshotAt(fs, root, v)).map(expand)
+      .flatMap(v => Manifests.snapshotAt(fs, root, v, chainPrefix)).map(expand) ++
+      otherChainSnapshots()
     val referenced = retainedSnaps.flatMap(_.files).toSet
     val referencedSidecars = retainedSnaps.flatMap(s => bloomSidecarsOf(s.meta)).toSet
     val referencedRefs = retainedSnaps.flatMap(_.refs).toSet
     expired.foreach { v =>
-      Manifests.snapshotAt(fs, root, v).map(expand).foreach { s =>
+      Manifests.snapshotAt(fs, root, v, chainPrefix).map(expand).foreach { s =>
         s.files.filterNot(referenced)
           .foreach(f => fs.delete(new Path(root, f), false))
         bloomSidecarsOf(s.meta).filterNot(referencedSidecars)
@@ -1052,7 +1097,7 @@ final case class IcebergLikeTable(
         s.refs.filterNot(referencedRefs)
           .foreach(n => fs.delete(new Path(root, n), false))
       }
-      fs.delete(new Path(root, s"${Manifests.Prefix}$v"), false)
+      fs.delete(new Path(root, s"$chainPrefix$v"), false)
     }
   }
 
@@ -1085,6 +1130,7 @@ final case class IcebergLikeTable(
     * newer pointer.
     */
   def tag(name: String, version: Long): Unit = {
+    require(branch == "main", "tags pin main-chain snapshots; tag via the main handle")
     require(name.matches("[A-Za-z0-9-]+"),
       s"tag name must be [A-Za-z0-9-]+, got '$name'")
     require(versions.contains(version),
@@ -1117,6 +1163,82 @@ final case class IcebergLikeTable(
   def readTag(name: String): DataFrame =
     readAt(tags.getOrElse(name,
       throw new NoSuchElementException(s"no tag '$name' under $path")))
+
+  /** The branches present under this table root (chain names other
+    * than main).
+    */
+  def branches: Seq[String] = {
+    val branchRe = "^_graft_branch_([A-Za-z0-9-]+)_v\\d+$".r
+    if (!exists) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).flatMap {
+      case branchRe(name) => Some(name)
+      case _ => None
+    }.distinct.sorted
+  }
+
+  /** Create a BRANCH at this chain's live snapshot (Iceberg refs / the
+    * write-audit-publish staging pattern): an independent version chain
+    * in the same table root whose v1 references the live snapshot's
+    * leaf manifests by name — O(1) data I/O. Returns the branch handle;
+    * commits through it never touch this chain, and GC on either chain
+    * never sweeps files the other references. Publish audited branch
+    * work back with [[fastForward]].
+    */
+  def createBranch(name: String): IcebergLikeTable = {
+    require(name != "main" && name.matches("[A-Za-z0-9-]+"),
+      s"branch name must be [A-Za-z0-9-]+ and not 'main', got '$name'")
+    val b = this.copy(branch = name)
+    require(b.currentVersion.isEmpty, s"branch '$name' already exists under $path")
+    val (v, live) = resolveLive()
+    require(v > 0, "cannot branch a table that has never committed")
+    val lines =
+      if (live.refs.nonEmpty) live.refs.map(Manifests.RefMark + _)
+      else live.files
+    Manifests.write(fs, root, 1L, lines, live.meta, b.chainPrefix)
+    b
+  }
+
+  /** An existing branch's handle (validated lazily by the layout check
+    * at its first commit; reads need no validation).
+    */
+  def forBranch(name: String): IcebergLikeTable = this.copy(branch = name)
+
+  /** FAST-FORWARD publish (the WAP commit): this chain commits the
+    * `from` chain's live snapshot as its own next version — one
+    * manifest create referencing the same leaf manifests, O(1) data
+    * I/O. The published metadata keeps THIS chain's append high-water
+    * marks (stream replay cursors are chain-local) and takes the
+    * branch's schema/stats/bloom stamps (they describe the published
+    * files). Returns the new live version of this chain.
+    */
+  def fastForward(from: IcebergLikeTable): Long = withCommitRetry {
+    require(from.path == path, "fast-forward source must share the table root")
+    val (fromV, fromSnap) = from.resolveLive()
+    require(fromV > 0, s"branch '${from.branch}' has no committed snapshot")
+    val (liveVersion, live) = resolveLive()
+    validateLayout(live.meta)
+    validateLayout(fromSnap.meta)
+    val newVersion = nextVersion(liveVersion)
+    val meta = hwmOf(live.meta) ++
+      fromSnap.meta.view.filterKeys(k => !k.startsWith(HwmPrefix)).toMap +
+      (TsKey -> System.currentTimeMillis().toString)
+    val lines =
+      if (fromSnap.refs.nonEmpty) fromSnap.refs.map(Manifests.RefMark + _)
+      else fromSnap.files
+    Manifests.write(fs, root, newVersion, lines, meta, chainPrefix)
+    expireSnapshots()
+    newVersion
+  }
+
+  /** Delete a branch's manifests; its unshared files become orphans the
+    * next [[vacuum]] sweeps.
+    */
+  def dropBranch(name: String): Unit = {
+    require(name != "main", "cannot drop the main chain")
+    val pre = s"_graft_branch_${name}_v"
+    Manifests.versions(fs, root, pre).foreach(v =>
+      fs.delete(new Path(root, s"$pre$v"), false))
+  }
 
   /** Change a keyed table's bucket count — necessarily a FULL-TABLE
     * rewrite (gbucket is derived from the keys and baked into every
@@ -1154,7 +1276,11 @@ final case class IcebergLikeTable(
     */
   def vacuum(keepLast: Int = retainVersions): Unit = {
     expireSnapshots(keepLast)
-    val snaps = versions.flatMap(v => Manifests.snapshotAt(fs, root, v)).map(expand)
+    // referenced-set spans EVERY chain (main + branches): a branch's
+    // files are live even when no main manifest references them
+    val snaps = versions
+      .flatMap(v => Manifests.snapshotAt(fs, root, v, chainPrefix)).map(expand) ++
+      otherChainSnapshots()
     val referenced = snaps.flatMap(_.files).toSet
     walkDataFiles().filterNot(referenced)
       .foreach(f => fs.delete(new Path(root, f), false))
@@ -1174,14 +1300,16 @@ final case class IcebergLikeTable(
     // a writer that crashed between claim and publish — clear it so the
     // version name is claimable again (safe under vacuum's no-in-flight
     // precondition).
-    if (exists) fs.listStatus(root).map(_.getPath.getName)
-      .filter(n => n.startsWith(s".${Manifests.Prefix}") && n.endsWith(".lock"))
-      .foreach { n =>
-        val v = n.stripPrefix(s".${Manifests.Prefix}").stripSuffix(".lock")
-        if (v.toLongOption.exists(ver =>
-            !fs.exists(new Path(root, s"${Manifests.Prefix}$ver"))))
-          fs.delete(new Path(root, n), false)
-      }
+    chainPrefixes().foreach { pre =>
+      if (exists) fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => n.startsWith(s".$pre") && n.endsWith(".lock"))
+        .foreach { n =>
+          val v = n.stripPrefix(s".$pre").stripSuffix(".lock")
+          if (v.toLongOption.exists(ver =>
+              !fs.exists(new Path(root, s"$pre$ver"))))
+            fs.delete(new Path(root, n), false)
+        }
+    }
   }
 
   /** S10 append path (`operation='insert'`). Appends never invalidate

@@ -167,25 +167,33 @@ object Manifests {
     * manifest).
     */
   def write(fs: FileSystem, dir: Path, version: Long, files: Seq[String],
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty): Unit =
+    write(fs, dir, version, files, meta, Prefix)
+
+  /** As above under an explicit name prefix — version chains other than
+    * the main one (snapshot BRANCHES) publish through the same
+    * create-only CAS protocol with their own prefix.
+    */
+  def write(fs: FileSystem, dir: Path, version: Long, files: Seq[String],
+      meta: Map[String, String], prefix: String): Unit = {
     fs.mkdirs(dir)
     meta.foreach { case (k, v) =>
       require(!k.contains('\n') && !k.contains('=') && !v.contains('\n'),
         s"manifest meta key/value must be single-line, '='-free key: $k")
     }
-    val fin = new Path(dir, s"$Prefix$version")
+    val fin = new Path(dir, s"$prefix$version")
     if (fs.exists(fin))
       throw new CommitConflictException(
         s"version $version already committed under $dir")
     // per-writer tmp name: racing writers target the SAME version, so a
     // shared tmp would let one truncate the other's in-flight content
     val tmp = new Path(dir,
-      s".$Prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      s".$prefix$version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val header = meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val out = fs.create(tmp, true)
     try out.write((header ++ files).mkString("\n").getBytes(UTF_8))
     finally out.close()
-    val lock = lockPath(dir, version)
+    val lock = lockPath(dir, version, prefix)
     val claimed = try { fs.create(lock, false).close(); true }
     catch { case _: java.io.IOException => false }
     if (!claimed) {
@@ -208,15 +216,19 @@ object Manifests {
     } finally fs.delete(lock, false)
   }
 
-  private[weblog] def lockPath(dir: Path, version: Long): Path =
-    new Path(dir, s".$Prefix$version.lock")
+  private[weblog] def lockPath(dir: Path, version: Long,
+      prefix: String = Prefix): Path =
+    new Path(dir, s".$prefix$version.lock")
 
   /** All committed versions under `dir`, ascending. */
-  def versions(fs: FileSystem, dir: Path): Seq[Long] =
+  def versions(fs: FileSystem, dir: Path): Seq[Long] = versions(fs, dir, Prefix)
+
+  /** Committed versions of an explicit chain prefix, ascending. */
+  def versions(fs: FileSystem, dir: Path, prefix: String): Seq[Long] =
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq
-      .flatMap(s => s.getPath.getName.stripPrefix(Prefix).toLongOption
-        .filter(_ => s.getPath.getName.startsWith(Prefix)))
+      .flatMap(s => s.getPath.getName.stripPrefix(prefix).toLongOption
+        .filter(_ => s.getPath.getName.startsWith(prefix)))
       .sorted
 
   /** The file list committed as `version`, if that manifest exists. */
@@ -224,8 +236,13 @@ object Manifests {
     snapshotAt(fs, dir, version).map(_.files)
 
   /** The full snapshot (files + metadata) committed as `version`. */
-  def snapshotAt(fs: FileSystem, dir: Path, version: Long): Option[Snapshot] = {
-    val p = new Path(dir, s"$Prefix$version")
+  def snapshotAt(fs: FileSystem, dir: Path, version: Long): Option[Snapshot] =
+    snapshotAt(fs, dir, version, Prefix)
+
+  /** As above for an explicit chain prefix. */
+  def snapshotAt(fs: FileSystem, dir: Path, version: Long,
+      prefix: String): Option[Snapshot] = {
+    val p = new Path(dir, s"$prefix$version")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

@@ -1,0 +1,103 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Snapshot branches (Iceberg refs) and the write-audit-publish
+  * workflow: a branch is an independent version chain over the same
+  * immutable leaf manifests; branch commits never disturb main, GC on
+  * either chain never sweeps files the other references, and
+  * fast-forward publishes audited branch work as one O(1) manifest
+  * commit.
+  */
+class BranchSpec extends SparkTestBase {
+
+  private def rows(ids: Range, host: String, v: Long) = {
+    import spark.implicits._
+    ids.map(i => (s"k$i", "e", host, v)).toDF("k", "event", "hostname", "seq")
+  }
+
+  test("write-audit-publish: branch commits stay isolated until fast-forward") {
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_wap").toString + "/t",
+      "event", Seq("k"), numBuckets = 4)
+    t.write(rows(0 until 30, "orig", 1L), "seq")
+    val mainV = t.currentVersion.get
+
+    // WRITE: stage changes on a branch — an O(1) create at main's live
+    val wap = t.createBranch("audit")
+    assert(wap.read.count() == 30, "branch v1 equals main's live snapshot")
+    wap.write(rows(0 until 5, "fixed", 2L), "seq")
+    wap.delete(col("k") === "k7")
+
+    // AUDIT: main is untouched, the branch shows the staged state
+    assert(t.currentVersion.contains(mainV))
+    assert(t.read.count() == 30)
+    assert(t.read.filter(col("hostname") === "fixed").count() == 0)
+    assert(wap.read.count() == 29)
+    assert(wap.read.filter(col("hostname") === "fixed").count() == 5)
+    assert(t.branches == Seq("audit"))
+
+    // PUBLISH: fast-forward main to the audited snapshot — one commit
+    val published = t.fastForward(wap)
+    assert(published == mainV + 1)
+    assert(t.read.count() == 29)
+    assert(t.read.filter(col("hostname") === "fixed").count() == 5)
+    assert(t.read.filter(col("k") === "k7").count() == 0)
+    // history: main's pre-publish snapshot is still readable
+    assert(t.readAt(mainV).count() == 30)
+
+    // cleanup: drop the branch, vacuum sweeps nothing main references
+    t.dropBranch("audit")
+    assert(t.branches.isEmpty)
+    t.vacuum()
+    assert(t.read.count() == 29)
+  }
+
+  test("GC on one chain never sweeps files the other references") {
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_gc").toString + "/t",
+      "event", Seq("k"), numBuckets = 2, retainVersions = 1)
+    t.write(rows(0 until 20, "orig", 1L), "seq")
+    val b = t.createBranch("slow")
+    // main rewrites EVERYTHING repeatedly under retention 1: without the
+    // cross-chain referenced-set, main's GC would delete the files the
+    // branch's v1 still references
+    for (v <- 2L to 4L)
+      t.write(rows(0 until 20, s"gen$v", v), "seq")
+    t.vacuum()
+    assert(t.read.filter(col("hostname") === "gen4").count() == 20)
+    assert(b.read.count() == 20, "branch must survive main's GC")
+    assert(b.read.filter(col("hostname") === "orig").count() == 20)
+
+    // and the reverse: branch commits + branch GC keep main intact
+    for (v <- 2L to 4L)
+      b.write(rows(0 until 20, s"br$v", v), "seq")
+    b.vacuum()
+    assert(b.read.filter(col("hostname") === "br4").count() == 20)
+    assert(t.read.filter(col("hostname") === "gen4").count() == 20)
+  }
+
+  test("branch bookkeeping: duplicates rejected, empty tables unbranchable, exactly-once per chain") {
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_book").toString + "/t",
+      "event", Seq("k"), numBuckets = 2)
+    intercept[IllegalArgumentException](t.createBranch("x")) // never committed
+    t.write(rows(0 until 5, "a", 1L), "seq")
+    val b = t.createBranch("x")
+    intercept[IllegalArgumentException](t.createBranch("x")) // duplicate
+    intercept[IllegalArgumentException](t.createBranch("main"))
+    // append high-water marks are chain-local: the same (stream, batch)
+    // applies once per chain
+    b.write(rows(5 until 8, "b", 2L), "seq", Some(("s1", 1L)))
+    b.write(rows(8 until 99, "never", 2L), "seq", Some(("s1", 1L))) // replay: skipped
+    assert(b.read.count() == 8)
+    t.write(rows(5 until 8, "b", 2L), "seq", Some(("s1", 1L)))
+    assert(t.read.count() == 8, "main's chain has its own replay cursor")
+    // tags are main-only
+    intercept[IllegalArgumentException](b.tag("t1", b.currentVersion.get))
+  }
+}
