@@ -237,8 +237,16 @@ object Erasure {
       userField: String, immediate: Boolean): SweepReport = {
     val raw = eraseRaw(spark, rawPath, userIds, userField)
     val compacted = eraseCompacted(spark, parquetPath, userIds, userField)
-    val erased = table.delete(col(userField).isin(userIds.toSeq: _*))
-    if (immediate) table.vacuum(keepLast = 1)
+    val cond = col(userField).isin(userIds.toSeq: _*)
+    // the table AND every branch: a branch is an independent snapshot
+    // chain referencing its own file set — erasing main alone would
+    // leave the user's rows readable through the branch
+    val erased = table.delete(cond) +
+      table.branches.map(b => table.forBranch(b).delete(cond)).sum
+    if (immediate) {
+      table.branches.foreach(b => table.forBranch(b).vacuum(keepLast = 1))
+      table.vacuum(keepLast = 1)
+    }
     SweepReport(raw, compacted, ZoneReport(if (erased > 0) 1L else 0L, erased))
   }
 }

@@ -81,6 +81,34 @@ class BranchSpec extends SparkTestBase {
     assert(t.read.filter(col("hostname") === "gen4").count() == 20)
   }
 
+  test("GDPR erasure reaches branches: no chain retains the erased user") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("br_gdpr").toString
+    val raw = s"$base/raw"
+    val pq = s"$base/pq"
+    val t = IcebergLikeTable(spark, s"$base/t", "event", Seq("user_id", "timestamp"))
+    val rowsDf = (0 until 10).flatMap(u => (0 until 3).map(m =>
+        (s"u$u", f"2024-01-01T00:0$m%d:00Z", "view", 1L)))
+      .toDF("user_id", "timestamp", "event", "seq")
+    // minimal raw/compacted zones so the sweep has all three + table
+    Zones.writeRawJson(rowsDf.select(
+      concat(lit("""{"user_id": """"), col("user_id"), lit(""""}""")).as("payload"),
+      to_timestamp(col("timestamp"), WebLogSchema.TsPattern).as("ingest_ts")), raw)
+    t.write(rowsDf, "seq")
+    val b = t.createBranch("wap")
+    b.write(rowsDf.withColumn("seq", lit(2L)), "seq") // branch has its own copy
+    val rep = Erasure.eraseUser(spark, raw, pq, t, Set("u3"), "user_id",
+      immediate = true)
+    assert(rep.table.erasedRows == 6L, "main AND branch rows erased")
+    assert(t.read.filter(col("user_id") === "u3").count() == 0)
+    assert(t.forBranch("wap").read.filter(col("user_id") === "u3").count() == 0)
+    assert(t.forBranch("wap").read.count() == 27)
+    // immediate mode: no retained snapshot on ANY chain holds the user
+    (t.versions.map(v => t.readAt(v)) ++
+      t.forBranch("wap").versions.map(v => t.forBranch("wap").readAt(v)))
+      .foreach(df => assert(df.filter(col("user_id") === "u3").count() == 0))
+  }
+
   test("branch bookkeeping: duplicates rejected, empty tables unbranchable, exactly-once per chain") {
     val t = IcebergLikeTable(spark,
       Files.createTempDirectory("br_book").toString + "/t",
