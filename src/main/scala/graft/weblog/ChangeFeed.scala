@@ -36,7 +36,15 @@ final case class ChangeFeed(table: IcebergLikeTable, name: String) {
 
   private def root = new Path(table.path)
   private def fs = root.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
-  private def cursorPrefix = s".graft_feed_${name}_v"
+
+  /** Cursor files are CHAIN-scoped: a feed follows one version chain,
+    * so a branch-handle feed and a main feed with the same name must
+    * keep independent cursors ('@' separates chain from name — it is in
+    * neither charset, so the scoping is injective).
+    */
+  private def cursorPrefix =
+    if (table.branch == "main") s".graft_feed_${name}_v"
+    else s".graft_feed_${table.branch}@${name}_v"
 
   /** The cursor is encoded in the FILE NAME (`.graft_feed_<name>_v<n>`),
     * and a commit CREATES the new name before deleting older ones — a
