@@ -578,6 +578,36 @@ object WebLogQueries {
              |SELECT 'batches', 'drained', 3
              |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
 
+    // Snapshot tags + time-based retention (Iceberg refs +
+    // expire_snapshots(older_than)): three day-appends, the day-1
+    // snapshot tagged, then a time-based expiry with a future cutoff —
+    // the tagged snapshot and the live one must survive, the middle one
+    // must expire, and both surviving reads must equal the oracle's
+    // day-scoped counts.
+    Q("weblog_tags",
+      (s, d) => {
+        import s.implicits._
+        val t = IcebergLikeTable(s, scratch(s, "tags", d) + "/t", "event", Nil)
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"), dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 3)
+        for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+        val Seq(v1, v2, v3) = t.versions
+        t.tag("day1", v1)
+        val expired = t.expireOlderThan(System.currentTimeMillis() + 60000L)
+        Seq(
+          ("expired_versions", expired.size.toLong),
+          ("retained_versions", t.versions.size.toLong),
+          ("tagged_rows", t.readTag("day1").count()),
+          ("live_rows", t.read.count()))
+          .toDF("metric", "value").orderBy("metric")
+      },
+      Some("""SELECT 'expired_versions' AS metric, CAST(1 AS BIGINT) AS value
+             |UNION ALL SELECT 'live_rows', CAST(count(*) AS BIGINT) FROM events WHERE day(ts) <= 3
+             |UNION ALL SELECT 'retained_versions', CAST(2 AS BIGINT)
+             |UNION ALL SELECT 'tagged_rows', (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) = 1)
+             |ORDER BY metric""".stripMargin.replace("\n", " "))),
+
     // Write-audit-publish via snapshot branches (Iceberg refs): stage a
     // morning-hostname fix and a click purge on a BRANCH, audit that
     // main is untouched while the branch shows the staged state, then
