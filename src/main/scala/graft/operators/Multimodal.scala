@@ -178,6 +178,103 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Encode a SQUARE-WAVE 16-bit mono PCM WAV: sample i is `+amplitude`
+    * while `⌊i / halfPeriod⌋` is even, `−amplitude` otherwise — the
+    * fixture whose per-frame RMS (= amplitude, exactly) and
+    * zero-crossing rate (a pure integer formula of the window offset)
+    * are analytically predictable.
+    */
+  def encodeSquareWav(sampleRate: Int, nFrames: Int, amplitude: Short,
+      halfPeriod: Int): Array[Byte] = {
+    require(halfPeriod >= 1, "halfPeriod must be >= 1")
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v: Int = if ((i / halfPeriod) % 2 == 0) amplitude else -amplitude
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Per-frame DSP features over 16-bit PCM WAV: RMS and zero-crossing
+    * rate per non-overlapping `frameSize`-sample window (FULL windows
+    * only, the deterministic boundary) — the classic audio-curation
+    * features (silence gates, noise floors, speech/music heuristics).
+    * Returns one `(frame_idx, rms, zcr)` per window; empty for
+    * undecodable payloads. ZCR counts strict sign changes between
+    * consecutive samples over `frameSize − 1` pairs.
+    */
+  def decodeWavFrames(bytes: Array[Byte], frameSize: Int): Seq[(Int, Double, Double)] = {
+    require(frameSize >= 2, "frameSize must be >= 2")
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) Nil
+        else {
+          val data = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          val n = data.length / 2
+          def sample(i: Int): Int =
+            if (big) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xff)).toShort.toInt
+            else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort.toInt
+          val frames = Seq.newBuilder[(Int, Double, Double)]
+          var f = 0
+          while ((f + 1) * frameSize <= n) {
+            val o = f * frameSize
+            var sq = 0.0
+            var changes = 0
+            var j = 0
+            while (j < frameSize) {
+              val x = sample(o + j)
+              sq += x.toDouble * x
+              if (j > 0 && (x < 0) != (sample(o + j - 1) < 0) &&
+                  x != 0 && sample(o + j - 1) != 0) changes += 1
+              j += 1
+            }
+            val rms = math.sqrt(sq / frameSize)
+            val zcr = changes.toDouble / (frameSize - 1)
+            frames += ((f,
+              math.round(rms * 1000000d) / 1000000d,
+              math.round(zcr * 1000000d) / 1000000d))
+            f += 1
+          }
+          frames.result()
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  final case class AudioFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      rms: Double,
+      zcr: Double)
+
+  /** Batched per-frame audio DSP over WAV payloads (same mapPartitions
+    * shape as [[extractFeatures]]): PCM decodes in the scan stage, only
+    * the small (idx, rms, zcr) rows flow on — samples never shuffle.
+    */
+  def extractAudioFrames(media: Dataset[MediaRow], frameSize: Int = 512,
+      batchSize: Int = 64): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { row =>
+      decodeWavFrames(row.media, frameSize).map { case (i, rms, zcr) =>
+        AudioFrame(row.doc_id, i, rms, zcr)
+      }
+    }))
+  }
+
   final case class AudioFeatures(
       doc_id: Long,
       n_bytes: Long,

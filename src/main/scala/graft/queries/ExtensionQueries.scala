@@ -1569,6 +1569,36 @@ object ExtensionQueries {
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // Per-frame audio DSP — RMS + zero-crossing rate over REAL decoded
+    // 16-bit PCM windows (the silence-gate / speech-music features of
+    // an audio curation pipeline). Square-wave fixtures make both
+    // analytically predictable: RMS is EXACTLY the amplitude, and the
+    // ZCR of window f is a pure integer formula of the offset and the
+    // half-period — a green row proves actual sample parsing, not
+    // header plumbing.
+    Q("multimodal_audio_frames",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d).select("doc_id").as[Long].map { id =>
+          Multimodal.MediaRow(id,
+            Multimodal.encodeSquareWav(16000,
+              64 + (id % 3).toInt * 32,
+              (1000 + (id % 16) * 500).toShort,
+              1 + (id % 4).toInt), "audio")
+        }
+        Multimodal.extractAudioFrames(media, frameSize = 32).toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS h,
+             |                  CAST(1000 + (doc_id % 16) * 500 AS DOUBLE) AS a,
+             |                  (64 + (doc_id % 3) * 32) // 32 AS wins
+             |           FROM documents),
+             |f AS (SELECT doc_id, h, a, unnest(range(wins)) AS fi FROM d)
+             |SELECT doc_id, CAST(fi AS INT) AS frame_idx, a AS rms,
+             |       round(CAST((32 * fi + 31) // h - (32 * fi) // h AS DOUBLE) / 31, 6) AS zcr
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // frame sampling over the video rows; sampled-frame byte lengths are
     // a deterministic function of payload size, so the oracle recomputes
     // them from octet_length alone.

@@ -589,6 +589,27 @@ class ExtensionSpec extends SparkTestBase {
     assert(Multimodal.decodeAviFrames(mj).map(_._4) == Seq(50.0))
   }
 
+  test("audio frames: square-wave RMS is the amplitude, ZCR matches the offset formula") {
+    val a: Short = 3000
+    val h = 3
+    val wav = Multimodal.encodeSquareWav(8000, 96, a, h)
+    val frames = Multimodal.decodeWavFrames(wav, frameSize = 32)
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    assert(frames.forall(_._2 == a.toDouble), "constant |x| = amplitude exactly")
+    frames.foreach { case (f, _, zcr) =>
+      val o = 32 * f
+      val want = math.round(((o + 31) / h - o / h).toDouble / 31 * 1e6) / 1e6
+      assert(zcr == want, s"frame $f: $zcr vs $want")
+    }
+    // a constant signal never crosses zero
+    val const = Multimodal.encodeWav(8000, 64, 500.toShort)
+    val cf = Multimodal.decodeWavFrames(const, 32)
+    assert(cf.size == 2 && cf.forall(_._3 == 0.0) && cf.forall(_._2 == 500.0))
+    // the tail partial window is dropped, garbage decodes to nothing
+    assert(Multimodal.decodeWavFrames(Multimodal.encodeWav(8000, 40, 1.toShort), 32).size == 1)
+    assert(Multimodal.decodeWavFrames("nope".getBytes("UTF-8"), 32).isEmpty)
+  }
+
   test("multimodal resize and frame sampling keep batch plumbing intact") {
     val media = Multimodal.mediaFromDocuments(spark, docs)
     val resized = Multimodal.resize(media, 32, 32)
