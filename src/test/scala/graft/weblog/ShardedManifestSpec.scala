@@ -144,6 +144,29 @@ class ShardedManifestSpec extends SparkTestBase {
     intercept[IllegalArgumentException](t4.write(rows(50 until 51, 4L), "seq"))
   }
 
+  test("a conflict-losing commit leaves no leaf-manifest debris; vacuum sweeps crash leftovers") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("shard_debris").toString + "/t",
+      "event", Seq("k"), numBuckets = 2)
+    t.write((0 until 20).map(i => (s"k$i", "e", 1L)).toDF("k", "event", "seq"), "seq")
+    // simulate a crashed commit: a leaf manifest written, version CAS
+    // never published (the commit's conflict path deletes its own leaf
+    // manifests; this is the harder crash-BEFORE-CAS window)
+    val root = new Path(t.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Manifests.writeLeafManifest(fs, root, s"${Manifests.LeafPrefix}v99-deadbeef-00000",
+      Seq(Manifests.FileEntry("event=e/gbucket=0/part-v99-deadbeef-00000.snappy.parquet",
+        1L, 1L, Map.empty)))
+    assert(leafManifestsOnDisk(t).exists(_.contains("deadbeef")))
+    // readers are unaffected (the debris is referenced by no manifest)
+    assert(t.read.count() == 20)
+    t.vacuum()
+    assert(!leafManifestsOnDisk(t).exists(_.contains("deadbeef")),
+      "vacuum must sweep leaf-manifest debris")
+    assert(t.read.count() == 20)
+  }
+
   test("legacy monolithic manifests read correctly and migrate on first commit") {
     import spark.implicits._
     val dir = Files.createTempDirectory("shard_legacy").toString + "/t"
