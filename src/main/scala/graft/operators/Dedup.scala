@@ -471,6 +471,39 @@ object Dedup {
     * not its cluster's representative (min id). Docs outside the pair
     * graph keep themselves.
     */
+  /** Corpus dedup REPORT — the summary every production dedup job emits
+    * alongside its keepers: corpus size, near-dup cluster count and
+    * shape, how many documents deduplication removes. Computed from the
+    * SAME MinHash+LSH pair graph and connected components as the keeper
+    * selection, collapsed to one metric→value row each; the per-cluster
+    * aggregation shuffles only (cluster, 1) rows and the final fold is
+    * a 1-row collect.
+    */
+  def dedupReport(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 1,
+      threshold: Double = 0.8): DataFrame = {
+    import df.sparkSession.implicits._
+    val pairs = minhashDedupPairs(df, textCol, idCol, n, threshold = threshold)
+    val sizes = clusters(pairs).groupBy("cluster").agg(count(lit(1)).as("sz"))
+    val nDocs = df.count()
+    val agg = sizes
+      .agg(count(lit(1)).as("nc"), sum("sz").as("dic"), max("sz").as("lg"))
+      .collect().head
+    val nc = agg.getLong(0)
+    val dic = Option(agg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val lg = Option(agg.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val dup = dic - nc // one keeper survives per cluster
+    Seq(
+      ("corpus_docs", nDocs),
+      ("docs_in_clusters", dic),
+      ("dup_clusters", nc),
+      ("duplicate_docs", dup),
+      ("keeper_docs", nDocs - dup),
+      ("largest_cluster", lg))
+      .toDF("metric", "value")
+      .orderBy("metric")
+  }
+
   def keepers(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val drop = clusters(pairs).filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))

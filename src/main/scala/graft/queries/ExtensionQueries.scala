@@ -194,6 +194,36 @@ object ExtensionQueries {
              |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // the dedup REPORT: corpus size, cluster count/shape and removal
+    // counts from the same pair graph + components as the keepers — the
+    // oracle recomputes the O(n²) graph, its recursive-CTE components
+    // and every aggregate, so a hash match certifies the report numbers
+    // a production dedup job would publish.
+    Q("dedup_report",
+      (s, d) => Dedup.dedupReport(Tables.documents(s, d), threshold = 0.8),
+      Some("""WITH RECURSIVE
+             |dw AS (SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS w FROM documents),
+             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+             |          FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |good AS (SELECT id_a, id_b FROM pairs JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+             |         WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.8),
+             |e AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b, id_a FROM good),
+             |reach(id, r) AS (SELECT src, src FROM e UNION SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+             |cl AS (SELECT cluster, count(*) AS sz FROM comp GROUP BY 1),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+             |               CAST(COALESCE(sum(sz), 0) AS BIGINT) AS dic,
+             |               CAST(COALESCE(max(sz), 0) AS BIGINT) AS lg FROM cl),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+             |SELECT 'corpus_docs' AS metric, n AS value FROM nd
+             |UNION ALL SELECT 'docs_in_clusters', dic FROM agg
+             |UNION ALL SELECT 'dup_clusters', nc FROM agg
+             |UNION ALL SELECT 'duplicate_docs', dic - nc FROM agg
+             |UNION ALL SELECT 'keeper_docs', (SELECT n FROM nd) - (dic - nc) FROM agg
+             |UNION ALL SELECT 'largest_cluster', lg FROM agg
+             |ORDER BY metric""".stripMargin.replace("\n", " "))),
+
     // word-3-gram near-dups (sequence-sensitive): MinHash+LSH on trigram
     // shingles; the oracle rebuilds identical trigram sets with DuckDB
     // list comprehensions and recomputes all pairs exactly.

@@ -90,6 +90,20 @@ class ExtensionSpec extends SparkTestBase {
     assert(aIds != bIds)
   }
 
+  test("dedup report agrees with the keeper selection arithmetically") {
+    val report = Dedup.dedupReport(docs, threshold = 0.8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keeperCount = Dedup.minhashKeepers(docs, threshold = 0.8).count()
+    assert(report("corpus_docs") == docs.count())
+    assert(report("keeper_docs") == keeperCount,
+      "report keepers must equal the actual keeper selection")
+    assert(report("duplicate_docs") ==
+      report("docs_in_clusters") - report("dup_clusters"))
+    assert(report("largest_cluster") >= 2 || report("dup_clusters") == 0)
+    assert(report("corpus_docs") ==
+      report("keeper_docs") + report("duplicate_docs"))
+  }
+
   test("minhashKeepers equals the generic keepers-over-expanded-pairs composition") {
     val viaPairs = Dedup.keepers(docs, Dedup.minhashDedupPairs(docs, threshold = 0.8))
       .select("doc_id").collect().map(_.getLong(0)).toSet
