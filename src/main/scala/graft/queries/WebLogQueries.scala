@@ -578,6 +578,35 @@ object WebLogQueries {
              |SELECT 'batches', 'drained', 3
              |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
 
+    // Metadata-only aggregates: count(*), a partition-predicate count
+    // and column min/max answered from the MANIFEST alone (stamped row
+    // counts + per-file bounds — zero data I/O, zero tasks), checked
+    // against the oracle's real recomputation over the same rows.
+    Q("weblog_metadata_agg",
+      (s, d) => {
+        import s.implicits._
+        val t = IcebergLikeTable(s, scratch(s, "meta_agg", d) + "/t", "event",
+          Nil, statsColumns = Seq("event_id"))
+        val ev = Tables.events(s, d).select(
+          col("event_id"), col("user_id"),
+          col("event_type").as("event"), dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 2)
+        for (day <- 1 to 2) t.append(ev.filter(col("day") === day).coalesce(1))
+        val (lo, hi) = t.columnMinMax("event_id").get
+        Seq(
+          ("event_id_max", hi.toLong),
+          ("event_id_min", lo.toLong),
+          ("row_count", t.rowCount.get),
+          ("rows_view", t.rowCountWhere(col("event") === "view").get))
+          .toDF("metric", "value").orderBy("metric")
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE day(ts) <= 2)
+             |SELECT 'event_id_max' AS metric, CAST(max(event_id) AS BIGINT) AS value FROM e
+             |UNION ALL SELECT 'event_id_min', CAST(min(event_id) AS BIGINT) FROM e
+             |UNION ALL SELECT 'row_count', CAST(count(*) AS BIGINT) FROM e
+             |UNION ALL SELECT 'rows_view', CAST(count(*) AS BIGINT) FROM e WHERE event_type = 'view'
+             |ORDER BY metric""".stripMargin.replace("\n", " "))),
+
     // Snapshot tags + time-based retention (Iceberg refs +
     // expire_snapshots(older_than)): three day-appends, the day-1
     // snapshot tagged, then a time-based expiry with a future cutoff —
