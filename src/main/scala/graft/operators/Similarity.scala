@@ -130,6 +130,28 @@ object Similarity {
         col("hamming"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Seeded Gaussian RANDOM PROJECTION (Johnson–Lindenstrauss): project
+    * `dim`-d embeddings to `outDim` components
+    * `proj_j = (v · g_j) / sqrt(outDim)` using the deterministic seeded
+    * plane generator the LSH family shares — the standard
+    * dimensionality-reduction step before ANN indexing or clustering at
+    * corpus scale (downstream indexes then carry outDim/dim of the
+    * bytes). A pure scan-stage expression: nothing shuffles, no state.
+    * Components are rounded to 6 dp for cross-engine reproducibility.
+    */
+  def randomProject(df: DataFrame, dim: Int, outDim: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, "dims must be positive")
+    DotVec.register(df.sparkSession)
+    val planes = hyperplanes(dim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    val comps = planes.zipWithIndex.map { case (pl, j) =>
+      round(dot(v, typedLit(pl.toSeq)) * lit(scale), 6).as(s"p$j")
+    }
+    df.select(col(idCol) +: comps.toSeq: _*)
+  }
+
   /** Per-dimension (lo, hi) calibration for scalar quantization — ONE
     * distributed aggregate over the corpus; O(dim) rows return to the
     * driver (the same bounded-collect posture as the IVF centroids).

@@ -467,6 +467,24 @@ object ExtensionQueries {
     // centroids as SQL literals: every signature, cell assignment and
     // verified cosine is hash-checked, not just row-counted. Recall
     // invariants vs the brute-force truth live in ScalaTest.
+    // Johnson–Lindenstrauss random projection: 64-d embeddings down to
+    // 8 deterministic Gaussian components (the pre-ANN dimensionality
+    // reduction). The oracle re-derives every component with the SAME
+    // seeded planes embedded as SQL literals — a hash match proves the
+    // projection arithmetic end to end.
+    Q("sim_random_projection",
+      (s, d) => Similarity.randomProject(Tables.embeddings(s, d),
+        dim = 64, outDim = 8, seed = 42L).orderBy("vec_id"),
+      Some {
+        val planes = Similarity.hyperplanes(64, 8, 42L)
+        def arr(p: Array[Double]) = p.mkString("[", ", ", "]")
+        val cols = planes.zipWithIndex.map { case (p, j) =>
+          s"round(list_dot_product(v, ${arr(p)}) * (1.0 / sqrt(8)), 6) AS p$j"
+        }.mkString(", ")
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |SELECT vec_id, $cols FROM c ORDER BY vec_id""".stripMargin.replace("\n", " ")
+      }),
+
     Q("sim_lsh_ann",
       // nBits sized for the corpus's moderate-cosine regime: p_bit at
       // cos=0.45 is ~0.65, so 4 bits × 8 tables gives ~92% recall.

@@ -158,6 +158,26 @@ class ExtensionSpec extends SparkTestBase {
     assert(hits >= 12, s"binary-quantization recall@1 too low: $hits/20")
   }
 
+  test("random projection: deterministic, hand-checked, seed-sensitive") {
+    import spark.implicits._
+    val one = Seq((1L, (0 until 64).map(i => if (i == 3) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(one, dim = 64, outDim = 8, seed = 7L)
+      .collect().head
+    // a one-hot vector projects to exactly plane[j][3] / sqrt(8)
+    val planes = Similarity.hyperplanes(64, 8, 7L)
+    (0 until 8).foreach { j =>
+      val want = math.round(planes(j)(3) / math.sqrt(8.0) * 1e6) / 1e6
+      assert(out.getDouble(1 + j) == want, s"component $j")
+    }
+    // same seed → identical output; different seed → different planes
+    val a = Similarity.randomProject(emb, 64, 8, seed = 42L).collect().toSeq
+    val b = Similarity.randomProject(emb, 64, 8, seed = 42L).collect().toSeq
+    val c = Similarity.randomProject(emb, 64, 8, seed = 43L).collect().toSeq
+    assert(a == b)
+    assert(a != c)
+  }
+
   test("sq8 codes are integral, clamped, and degenerate dims code zero") {
     import spark.implicits._
     val (lo, hi) = Similarity.sqCalibrate(emb, 64)
