@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, reproducible corpus sampling for training-data
@@ -46,6 +47,34 @@ object Sampling {
     */
   def hashUniform(key: Column): Column =
     Dedup.md5WordHash(key.cast("string")) / lit(math.pow(2, 60))
+
+  /** Deterministic TRAINING ORDER: seeded global shuffle + shard layout
+    * — the last step before a corpus feeds distributed dataloaders
+    * (worker w reads shard w in `pos` order; re-running with the same
+    * seed reproduces the exact order, the requirement for resumable and
+    * reproducible training runs). `shard = h(seed‖id) mod nShards`,
+    * `pos` = the rank of an independent `h(seed+ord‖id)` within the
+    * shard. One narrow (id, shard, key) exchange; each shard orders
+    * independently, so parallelism = nShards — size the shard count to
+    * the cluster (thousands at 100 TB) and every window stays a
+    * bounded partition. Hashes are the replayable md5 family
+    * ([[hashUniform]]'s rationale); production paths that never
+    * cross-engine-replay can swap in xxhash64.
+    */
+  def trainingOrder(df: DataFrame, nShards: Int, seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    val shardKey = Dedup.md5WordHash(
+      concat(lit(s"sh$seed:"), col(idCol).cast("string")))
+    val ordKey = Dedup.md5WordHash(
+      concat(lit(s"ord$seed:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_ord"), col(idCol))
+    df.select(col(idCol),
+        pmod(shardKey, lit(nShards.toLong)).cast("int").as("shard"),
+        ordKey.as("_ord"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_ord")
+  }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis): key
     * each row by u^(1/w) with u = [[hashUniform]], keep the k largest.

@@ -1269,6 +1269,25 @@ object ExtensionQueries {
     // leakage-safe split by domain: every page of a source lands in the
     // same train/val/test split (hash-of-group assignment, no RNG); the
     // oracle replays the md5 uniform and the exact cumulative bounds.
+    // Deterministic training order (Sampling.trainingOrder): seeded
+    // global shuffle + shard layout for distributed dataloaders — the
+    // oracle replays both md5 keys digit by digit and re-ranks within
+    // shards, so the exact byte order a training run would consume is
+    // hash-certified.
+    Q("corpus_training_order",
+      (s, d) => graft.operators.Sampling.trainingOrder(
+          Tables.documents(s, d), nShards = 8, seed = 42L)
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |         list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substring(md5('sh42:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1), (a, b) -> a * 16 + b) AS shv,
+             |         list_reduce(list_transform(range(1, 16), i -> strpos('0123456789abcdef', substring(md5('ord42:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1), (a, b) -> a * 16 + b) AS ohv
+             |  FROM documents)
+             |SELECT doc_id, CAST(shv % 8 AS INT) AS shard,
+             |       CAST(row_number() OVER (PARTITION BY shv % 8 ORDER BY ohv, doc_id) - 1 AS BIGINT) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      headline = false),
+
     Q("corpus_split",
       (s, d) => graft.operators.Sampling.assignSplit(
           Tables.documents(s, d), "source",
