@@ -220,6 +220,28 @@ class ExtensionSpec extends SparkTestBase {
     assert(hits >= 17, s"sq8 recall@1 too low: $hits/20")
   }
 
+  test("training order: reproducible, dense per-shard positions, seed-sensitive") {
+    import graft.operators.Sampling
+    val a = Sampling.trainingOrder(docs, nShards = 8, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Sampling.trainingOrder(docs, nShards = 8, seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "same seed must reproduce the exact order")
+    assert(a.map(_._1).toSet.size == a.size, "one row per document")
+    // positions are dense 0..k-1 within every shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // every shard populated, no shard out of range
+    assert(a.map(_._2).toSet.subsetOf((0 until 8).toSet))
+    assert(a.map(_._2).distinct.size == 8)
+    // a different seed yields a different order
+    val c = Sampling.trainingOrder(docs, nShards = 8, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a != c)
+  }
+
   test("leakage-safe split: group-keyed, deterministic, roughly proportioned") {
     import graft.operators.Sampling
     val split = Sampling.assignSplit(docs, "source",
