@@ -46,19 +46,20 @@ object Bench {
     }
     // session-pressure pin: queries that historically flap under the
     // shared JVM's accumulated GC pressure (text_freq_stats oscillated
-    // r4→r6 with an unchanged plan; isolated baseline 0.63 s vs 1.69
-    // in-session) get one extra measurement at the END of the run with
-    // the garbage drained, and report the min — the isolated number is
-    // the plan's cost, the in-session one is the JVM's.
-    val pinned = Set("text_freq_stats")
-    val results = inSession.map { case (name, v) =>
-      if (!pinned(name) || v < 0) name -> v
-      else {
-        System.gc()
-        val iso = timeOnce(name)
-        name -> (if (iso < 0) v else math.min(v, iso))
-      }
-    }
+    // r4→r6 and the PQ family + text_chunks regressed 4-5× in r7, all
+    // with unchanged plans) get one extra measurement at the END of the
+    // run with the garbage drained — reported as a SEPARATE "isolated"
+    // field, never folded into the official time: every query's
+    // headline number is measured under the same policy, so the total
+    // and cross-round comparisons stay consistent, while the isolated
+    // reruns prove whether a regression is the plan's cost or the
+    // session JVM's.
+    val pinned = Seq("text_freq_stats", "sim_pq_topk", "sim_ivfpq_topk",
+      "text_chunks")
+    val results = inSession
+    val isolated = pinned
+      .filter(n => inSession.exists(p => p._1 == n && p._2 >= 0))
+      .map { n => System.gc(); n -> timeOnce(n) }
     // millisecond precision keeps the stdout JSON line compact — r4's
     // full-precision doubles grew the line past the driver's captured
     // tail and cost the round its machine-readable numbers
@@ -134,9 +135,11 @@ object Bench {
       System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }
     val sc = scaling.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
 
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"scaling":$sc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"isolated":$iso,"scaling":$sc,"sf":"$sfDir"}"""
     // The full per-query JSON lands in a repo file (survives any stdout
     // truncation) and is printed for whoever reads the whole log.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")

@@ -61,10 +61,29 @@ final case class ChangeFeed(table: IcebergLikeTable, name: String) {
       .flatMap(_.stripPrefix(cursorPrefix).toLongOption)
       .sorted
 
+  /** The pre-versioned cursor format: one file named
+    * `.graft_feed_<name>` whose CONTENT is the acked version. Read as a
+    * fallback when no versioned cursor exists (an upgraded feed must
+    * not restart from version 0 and re-deliver / double-count the whole
+    * table); deleted once the first versioned cursor is durable.
+    */
+  private def legacyCursorPath =
+    new Path(root, cursorPrefix.stripSuffix("_v"))
+
+  private def legacyCursor: Option[Long] =
+    if (!fs.exists(legacyCursorPath)) None
+    else {
+      val in = fs.open(legacyCursorPath)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      s.trim.toLongOption
+    }
+
   /** The committed cursor: the source version this feed has acked
     * through (0 = from the beginning).
     */
-  def cursor: Long = cursorVersions.lastOption.getOrElse(0L)
+  def cursor: Long =
+    cursorVersions.lastOption.orElse(legacyCursor).getOrElse(0L)
 
   private def commitCursor(v: Long): Unit = {
     val prior = cursorVersions
@@ -78,9 +97,12 @@ final case class ChangeFeed(table: IcebergLikeTable, name: String) {
       throw new java.io.IOException(s"cursor commit failed for feed $name")
     fs.delete(tmp, false)
     // housekeeping AFTER the new cursor is durable; a crash here leaves
-    // extra files whose max is still the right cursor
+    // extra files whose max is still the right cursor. The legacy
+    // content-based cursor file is retired here too — the versioned
+    // cursor now supersedes it at every crash point.
     prior.filter(_ < v).foreach(p =>
       fs.delete(new Path(root, s"$cursorPrefix$p"), false))
+    fs.delete(legacyCursorPath, false)
   }
 
   final case class Batch(fromVersion: Long, toVersion: Long,

@@ -244,6 +244,19 @@ object Erasure {
     val erased = table.delete(cond) +
       table.branches.map(b => table.forBranch(b).delete(cond)).sum
     if (immediate) {
+      // TAGS pin snapshots past retention (expireSnapshots never expires
+      // a tagged version), so a tag created before this sweep would keep
+      // the erased user's rows readable via readTag/readAt indefinitely
+      // while SweepReport claims the purge completed. Hard erasure
+      // re-pins every such tag at the post-delete live snapshot (a
+      // forward re-tag is atomic — drop+retag would lose the name's
+      // pinning on a crash between the two), after which no tagged or
+      // retained snapshot precedes the erasure commit and the vacuum can
+      // physically sweep the pre-delete files.
+      table.currentVersion.foreach { live =>
+        table.tags.filter { case (_, v) => v < live }
+          .keys.toSeq.sorted.foreach(n => table.tag(n, live))
+      }
       table.branches.foreach(b => table.forBranch(b).vacuum(keepLast = 1))
       table.vacuum(keepLast = 1)
     }

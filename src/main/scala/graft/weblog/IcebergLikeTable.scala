@@ -235,6 +235,25 @@ final case class IcebergLikeTable(
           "open it with the original declaration (or rebucket() to change it)")
     }
 
+  /** Manifest metadata key recording a BRANCH's branch-point: the main
+    * chain's live version at [[createBranch]] time, carried forward by
+    * every branch commit — [[fastForward]]'s ancestry check reads it
+    * (real Iceberg's fast_forward fails unless the current ref is an
+    * ancestor of the source; without the check a 'fast-forward' would
+    * silently DISCARD commits that landed on the target after the
+    * branch was cut).
+    */
+  private val BranchBaseKey = "branchbase"
+
+  /** Manifest metadata key stamped by a [[fastForward]] commit naming
+    * the branch it published from: a SECOND fast-forward from the same
+    * branch is still an ancestry-preserving publish (the target's live
+    * snapshot IS the branch's earlier state), while any normal commit
+    * in between drops the key and correctly turns the next
+    * fast-forward into a divergence error.
+    */
+  private val FfKey = "fffrom"
+
   /** LEGACY manifest metadata key for monolithic per-file column
     * bounds. Current commits stamp bounds into the per-leaf manifest
     * entries instead ([[Manifests.FileEntry]]); this key is only read
@@ -701,6 +720,7 @@ final case class IcebergLikeTable(
     // ones — the stream's replay cursor is independent of which
     // snapshot the data rolled to.
     val meta = hwmOf(live.meta) ++
+      live.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
       target.meta.get(StatsKey).map(StatsKey -> _) ++
       target.meta.get(BloomKey).map(BloomKey -> _) +
@@ -923,7 +943,11 @@ final case class IcebergLikeTable(
       .parquet(staging.toString)
     validateLayout(base.meta)
     val schema = commitSchema(storedSchema(base.meta), df.schema)
-    val meta = hwmOf(base.meta) ++ extraMeta +
+    // the branch-point stamp survives every commit on a branch chain —
+    // fastForward's ancestry check must see it no matter how many
+    // commits the branch accumulated (v1 may have expired by retention)
+    val meta = hwmOf(base.meta) ++
+      base.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++ extraMeta +
       (SchemaKey -> schema.json) +
       (TsKey -> System.currentTimeMillis().toString) +
       (LayoutKey -> layoutSpec)
@@ -1194,7 +1218,10 @@ final case class IcebergLikeTable(
     val lines =
       if (live.refs.nonEmpty) live.refs.map(Manifests.RefMark + _)
       else live.files
-    Manifests.write(fs, root, 1L, lines, live.meta, b.chainPrefix)
+    // stamp the branch point (and clear any stale branch/ff markers the
+    // source meta carried) — fastForward's ancestry check reads it
+    val meta = live.meta - BranchBaseKey - FfKey + (BranchBaseKey -> v.toString)
+    Manifests.write(fs, root, 1L, lines, meta, b.chainPrefix)
     b
   }
 
@@ -1216,11 +1243,30 @@ final case class IcebergLikeTable(
     val (fromV, fromSnap) = from.resolveLive()
     require(fromV > 0, s"branch '${from.branch}' has no committed snapshot")
     val (liveVersion, live) = resolveLive()
+    // ANCESTRY check (real Iceberg's fast_forward contract): the
+    // target's live snapshot must be an ancestor of the branch — either
+    // the target is still AT the recorded branch point, or its live
+    // snapshot was itself published by a fast-forward from this same
+    // branch (sequential publishes). Anything else means commits landed
+    // on the target after the branch was cut, and a 'fast-forward'
+    // would silently discard them from the live view. Branches created
+    // before the branch-point stamp existed carry no base and skip the
+    // check (legacy permissiveness, like the unstamped-schema reads).
+    fromSnap.meta.get(BranchBaseKey).flatMap(_.toLongOption).foreach { bp =>
+      val ancestor = liveVersion == bp ||
+        live.meta.get(FfKey).contains(from.branch)
+      if (!ancestor) throw new IllegalStateException(
+        s"not a fast-forward: '${branch}' is at v$liveVersion but branch " +
+          s"'${from.branch}' was cut at v$bp and '${branch}' has committed " +
+          "since; merge the branch (or re-branch and replay) instead")
+    }
     validateLayout(live.meta)
     validateLayout(fromSnap.meta)
     val newVersion = nextVersion(liveVersion)
     val meta = hwmOf(live.meta) ++
-      fromSnap.meta.view.filterKeys(k => !k.startsWith(HwmPrefix)).toMap +
+      fromSnap.meta.view.filterKeys(k => !k.startsWith(HwmPrefix)).toMap -
+      BranchBaseKey - FfKey +
+      (FfKey -> from.branch) +
       (TsKey -> System.currentTimeMillis().toString)
     val lines =
       if (fromSnap.refs.nonEmpty) fromSnap.refs.map(Manifests.RefMark + _)

@@ -61,9 +61,39 @@ object Manifests {
     * seen — O(changed leaves) reads per snapshot resolution, not
     * O(leaves).
     */
-  private val leafCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
   private val LeafCacheMax = 65536
+  private val leafCache: java.util.Map[String, Seq[FileEntry]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[FileEntry]](1024, 0.75f, true) {
+        // LRU eviction, one entry at a time: a wholesale clear() at the
+        // cap would drop the whole JVM's cache on the insertion that
+        // crosses it and force the next resolutions to re-read EVERY
+        // leaf manifest — a thundering herd on exactly the biggest
+        // tables. Access-ordered LinkedHashMap evicts only the coldest
+        // entry, so resolution cost stays O(changed leaves) across a
+        // cap-crossing workload.
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean =
+          size() > leafCacheMax
+      })
+
+  /** Test hook: the leaf-manifest paths actually READ from storage
+    * (cache misses), in order. Wraps no production behavior — specs
+    * snapshot the size and inspect the tail, keyed by their own paths,
+    * so concurrent suites cannot pollute an assertion.
+    */
+  private[weblog] val leafManifestReadLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Test hook: the LRU cap, lowered by specs to exercise eviction
+    * without writing 65k manifests. Production never touches it.
+    */
+  private[weblog] var leafCacheMax: Int = LeafCacheMax
+
+  /** Test hook: reset the JVM-wide cache so an eviction spec starts
+    * from a known state.
+    */
+  private[weblog] def leafCacheClear(): Unit = leafCache.clear()
 
   private def entryMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -103,6 +133,7 @@ object Manifests {
     val key = new Path(dir, name).toString
     val cached = leafCache.get(key)
     if (cached != null) return cached
+    leafManifestReadLog.add(key)
     val in = fs.open(new Path(dir, name))
     val bytes = try in.readAllBytes() finally in.close()
     val m = entryMapper
@@ -123,7 +154,6 @@ object Manifests {
         FileEntry(node.get("p").asText, node.get("s").asLong,
           node.get("r").asLong, stats)
       }
-    if (leafCache.size >= LeafCacheMax) leafCache.clear()
     leafCache.put(key, entries)
     entries
   }
@@ -194,8 +224,23 @@ object Manifests {
     try out.write((header ++ files).mkString("\n").getBytes(UTF_8))
     finally out.close()
     val lock = lockPath(dir, version, prefix)
+    // lost-race vs transient-IO classification: ONLY an already-exists
+    // failure on the create-if-absent means another writer holds the
+    // claim. A generic IOException (storage blip, permission, quota)
+    // must surface AS an IO error — classifying it as a conflict would
+    // misdirect the operator into a retry loop that ends in a bogus
+    // CommitConflictException. The fs.exists fallback covers stores
+    // whose conditional-create reports an existing object with a
+    // store-specific IOException subtype.
     val claimed = try { fs.create(lock, false).close(); true }
-    catch { case _: java.io.IOException => false }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException =>
+        if (try fs.exists(lock) catch { case _: java.io.IOException => false })
+          false
+        else { fs.delete(tmp, false); throw e }
+    }
     if (!claimed) {
       fs.delete(tmp, false)
       throw new CommitConflictException(

@@ -109,6 +109,52 @@ class BranchSpec extends SparkTestBase {
       .foreach(df => assert(df.filter(col("user_id") === "u3").count() == 0))
   }
 
+  test("fast-forward requires ancestry: a diverged target rejects the publish") {
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_ffdiv").toString + "/t",
+      "event", Seq("k"), numBuckets = 4)
+    t.write(rows(0 until 10, "orig", 1L), "seq")
+    val b = t.createBranch("feature")
+    b.write(rows(0 until 2, "branch", 2L), "seq")
+    // main commits AFTER the branch was cut: a 'fast-forward' would
+    // silently discard this commit from the live view
+    t.write(rows(10 until 12, "mainline", 2L), "seq")
+    val e = intercept[IllegalStateException](t.fastForward(b))
+    assert(e.getMessage.contains("not a fast-forward"))
+    assert(t.read.filter(col("hostname") === "mainline").count() == 2,
+      "the live view keeps the concurrent commit")
+  }
+
+  test("sequential publishes from one branch stay fast-forwards; a commit in between breaks ancestry") {
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_ffseq").toString + "/t",
+      "event", Seq("k"), numBuckets = 4)
+    t.write(rows(0 until 10, "orig", 1L), "seq")
+    val wap = t.createBranch("audit")
+    wap.write(rows(0 until 2, "fix1", 2L), "seq")
+    t.fastForward(wap)
+    wap.write(rows(2 until 4, "fix2", 3L), "seq")
+    // the target's live snapshot IS this branch's earlier state — still
+    // an ancestry-preserving publish
+    t.fastForward(wap)
+    assert(t.read.filter(col("hostname") === "fix2").count() == 2)
+    // ...but a normal main commit in between breaks ancestry again
+    t.write(rows(20 until 21, "hot", 4L), "seq")
+    wap.write(rows(4 until 5, "fix3", 5L), "seq")
+    intercept[IllegalStateException](t.fastForward(wap))
+    // the branch survives many commits: the branch-point stamp is
+    // carried past v1's retention expiry, so the check still fires
+    val t2 = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_ffret").toString + "/t",
+      "event", Seq("k"), numBuckets = 2, retainVersions = 2)
+    t2.write(rows(0 until 5, "orig", 1L), "seq")
+    val long = t2.createBranch("long")
+    for (v <- 2L to 6L) long.write(rows(0 until 5, s"gen$v", v), "seq")
+    assert(long.versions.size == 2, "branch v1 expired by retention")
+    t2.write(rows(5 until 6, "mainline", 2L), "seq")
+    intercept[IllegalStateException](t2.fastForward(long))
+  }
+
   test("branch bookkeeping: duplicates rejected, empty tables unbranchable, exactly-once per chain") {
     val t = IcebergLikeTable(spark,
       Files.createTempDirectory("br_book").toString + "/t",

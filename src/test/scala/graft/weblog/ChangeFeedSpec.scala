@@ -96,6 +96,30 @@ class ChangeFeedSpec extends SparkTestBase {
     assert(cursorFiles.toSeq == Seq(s".graft_feed_crashy_v${b.toVersion}"))
   }
 
+  test("legacy content-based cursor files migrate without re-delivery") {
+    val t = keyedTable()
+    t.write(batchOf(0 until 10, 1L), "seq") // v1
+    t.write(batchOf(0 until 3, 2L), "seq")  // v2
+    val root = new org.apache.hadoop.fs.Path(t.path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a cursor from the previous release: version IN the file content
+    val legacy = new org.apache.hadoop.fs.Path(root, ".graft_feed_old")
+    val out = fs.create(legacy, true)
+    out.write("1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val feed = ChangeFeed(t, "old")
+    assert(feed.cursor == 1L,
+      "an upgraded feed must resume from the legacy cursor, not version 0")
+    val b = feed.poll().get
+    assert(b.fromVersion == 1L && b.toVersion == 2L)
+    assert(b.changes.filter(col("_change_type") === "update_postimage")
+      .count() == 3, "no full-table re-delivery on upgrade")
+    b.ack()
+    assert(!fs.exists(legacy),
+      "the legacy cursor is retired once a versioned cursor is durable")
+    assert(feed.cursor == 2L)
+  }
+
   test("append-only tables feed their appended rows") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,

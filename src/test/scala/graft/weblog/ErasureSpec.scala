@@ -151,6 +151,27 @@ class ErasureSpec extends SparkTestBase {
     assert(t.read.count() == 180)
   }
 
+  test("immediate sweep re-pins tags: no tagged snapshot keeps the user readable") {
+    val (raw, pq, t, _) = buildZones()
+    val v1 = t.currentVersion.get
+    // a tag created BEFORE the erasure pins its snapshot past retention;
+    // without re-pinning, readTag would serve the erased rows forever
+    // while the sweep report claims the purge completed
+    t.tag("audit-2024", v1)
+    val rep = Erasure.eraseUser(spark, raw, pq, t, Set("u3"), "user_id",
+      immediate = true)
+    assert(rep.table.erasedRows == 20L)
+    // the tag survives by NAME but now pins the post-delete snapshot
+    assert(t.tags.keySet == Set("audit-2024"))
+    assert(t.readTag("audit-2024").filter(col("user_id") === "u3").count() == 0)
+    assert(t.readTag("audit-2024").count() == 180)
+    // nothing retained or tagged precedes the erasure commit
+    assert(t.versions.size == 1)
+    t.versions.foreach(v =>
+      assert(t.readAt(v).filter(col("user_id") === "u3").count() == 0))
+    intercept[Exception](t.readAt(v1).count())
+  }
+
   test("compacted-zone sweep keeps NULL-user rows co-located with matches") {
     import spark.implicits._
     // a leaf whose files mix the erased user, other users, and rows with
