@@ -267,6 +267,67 @@ object WebLogQueries {
              |FROM base WHERE user_id % 10 <> 3
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // S10 MERGE-ON-READ row-level DELETE (Iceberg v2 equality-delete
+    // files — the reference's optimize_rewrite_delete_file_threshold
+    // knob, web-analytics-iceberg/README.md:187): the same GDPR erasure
+    // as weblog_gdpr_delete but the commit writes per-leaf key-tuple
+    // tombstone files instead of rewriting data files; readers anti-join
+    // them at scan. The gate additionally proves (as SQL-predictable
+    // booleans) that the delete touched ZERO data files, that the
+    // tombstoned read equals the post-compaction read (maintain past the
+    // reference's threshold consumes the delete files), and reconciles
+    // the deleted count — all against the copy-on-write oracle.
+    Q("weblog_mor_delete",
+      (s, d) => {
+        val path = scratch(s, "mordel", d) + "/t"
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        val base = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit(1L).as("seq"))
+        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"))
+        t.write(base, "seq")
+        val dataBefore = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val erased = t.deleteMergeOnRead(
+          expr("CAST(substr(user_id, 2) AS BIGINT) % 10 = 3"))
+        val dataAfter = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val delFiles = t.files.filter(col("is_delete")).count()
+        // pinned to the tombstoned snapshot (read resolves eagerly)
+        val morRead = t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+        t.maintain(fileThreshold = 1000, targetFiles = 1,
+          deleteFileThreshold = 1)
+        val delAfterMaint = t.files.filter(col("is_delete")).count()
+        val compacted = t.read.groupBy("event").agg(count(lit(1)).as("cnt2"))
+        morRead.join(compacted, "event")
+          .select(col("event"), col("cnt"),
+            (col("cnt") === col("cnt2")).as("stable"),
+            lit(erased).as("erased"),
+            lit(dataAfter == dataBefore).as("data_untouched"),
+            lit(delFiles > 0 && delAfterMaint == 0).as("tombstones_compacted"))
+          .orderBy("event")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_type AS event
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1)
+             |SELECT event, count(*) AS cnt, TRUE AS stable,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE user_id % 10 = 3) AS erased,
+             |       TRUE AS data_untouched, TRUE AS tombstones_compacted
+             |FROM base WHERE user_id % 10 <> 3
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // Manifest-stamped per-file column bounds + planning-time FILE
     // SKIPPING (FileStats/readWhere — Iceberg's manifest-entry stats):
     // seven day-batches appended to a key-less table, one file per

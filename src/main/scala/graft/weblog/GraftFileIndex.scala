@@ -50,6 +50,7 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
 
   private final case class State(
       version: Long,
+      snap: IcebergLikeTable.TableSnapshot,
       files: Seq[String],
       schema: StructType,
       stats: FileStats.Stats,
@@ -57,6 +58,12 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
       statusOf: Map[String, FileStatus])
 
   @volatile private var state: State = load()
+
+  /** The snapshot this index is pinned to — [[IcebergLikeTable.toDF]]
+    * applies the SAME snapshot's equality-delete files on top of the
+    * relation, so the pair can never straddle a concurrent commit.
+    */
+  private[weblog] def pinnedSnapshot: IcebergLikeTable.TableSnapshot = state.snap
 
   private def load(): State = {
     val (v, snap) = table.resolveLive()
@@ -69,7 +76,9 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
       .map(n => BloomStats.read(fs, new Path(root, n)))
       .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)
     var listCalls = 0
-    val (stamped, unstamped) = snap.entries.partition(_.size >= 0L)
+    // the relation scans DATA files only — equality-delete files are
+    // manifest metadata applied by toDF's anti-join, never data
+    val (stamped, unstamped) = snap.dataEntries.partition(_.size >= 0L)
     // stamped entries: FileStatus synthesized from the manifest — no
     // filesystem round trip at all (mod time 0 is fine: the scan keys
     // on path + length, and the snapshot's files are immutable)
@@ -88,16 +97,16 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
         .map(s => s"$leaf${s.getPath.getName}" -> s).toSeq
     }
     val statusOf = (fromManifest ++ fromListing).toMap
-    // every manifest file must have a status — a missing one (e.g. a
-    // reader older than the retention window racing GC) must surface,
+    // every manifest data file must have a status — a missing one (e.g.
+    // a reader older than the retention window racing GC) must surface,
     // not silently shrink the scan
-    val missing = snap.files.filterNot(statusOf.contains)
+    val missing = snap.dataFiles.filterNot(statusOf.contains)
     if (missing.nonEmpty)
       throw new java.io.FileNotFoundException(
         s"snapshot v$v references ${missing.size} file(s) no longer on disk " +
           s"(retention race?); first: ${missing.head}")
     listStatusCalls = listCalls
-    State(v, snap.files, schema, stats, blooms, statusOf)
+    State(v, snap, snap.dataFiles, schema, stats, blooms, statusOf)
   }
 
   override def rootPaths: Seq[Path] = Seq(root)
@@ -193,7 +202,16 @@ object GraftFileIndex {
     * partition column of the relation — project it away for users, or
     * filter on it for manual bucket pruning).
     */
-  def relation(spark: SparkSession, table: IcebergLikeTable): DataFrame = {
+  def relation(spark: SparkSession, table: IcebergLikeTable): DataFrame =
+    relationWithSnapshot(spark, table)._1
+
+  /** As above, also returning the snapshot the relation is pinned to —
+    * the caller ([[IcebergLikeTable.toDF]]) applies that SAME
+    * snapshot's equality-delete files so relation and delete set can
+    * never straddle a concurrent commit.
+    */
+  private[weblog] def relationWithSnapshot(spark: SparkSession,
+      table: IcebergLikeTable): (DataFrame, IcebergLikeTable.TableSnapshot) = {
     val index = new GraftFileIndex(spark, table)
     val rel = HadoopFsRelation(
       index,
@@ -202,6 +220,6 @@ object GraftFileIndex {
       None,
       new ParquetFileFormat,
       Map.empty[String, String])(spark)
-    spark.baseRelationToDataFrame(rel)
+    (spark.baseRelationToDataFrame(rel), index.pinnedSnapshot)
   }
 }

@@ -137,24 +137,7 @@ final case class IcebergLikeTable(
   /** The live snapshot version, if the table has committed at all. */
   def currentVersion: Option[Long] = versions.lastOption
 
-  /** A resolved table snapshot: the version manifest's metadata plus
-    * the data-file entries expanded from its referenced leaf manifests
-    * ([[Manifests.LeafPrefix]] — the sharded, Iceberg-style
-    * manifest-list layout) or, for legacy monolithic manifests, parsed
-    * from the raw file lines with stats recovered from the old `stats`
-    * meta key. `refsByLeaf` is the reuse map commits consult: an
-    * untouched leaf's manifest is re-referenced, never rewritten.
-    */
-  private[weblog] final case class TableSnapshot(
-      entries: Seq[Manifests.FileEntry],
-      meta: Map[String, String],
-      refs: Seq[String]) {
-    def files: Seq[String] = entries.map(_.path)
-    lazy val entryOf: Map[String, Manifests.FileEntry] =
-      entries.map(e => e.path -> e).toMap
-    lazy val statsOf: FileStats.Stats =
-      entries.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
-  }
+  import IcebergLikeTable.TableSnapshot
 
   /** Expand a raw version manifest into a [[TableSnapshot]]: `@ref`
     * lines resolve through the (immutable, JVM-cached) leaf manifests —
@@ -458,7 +441,68 @@ final case class IcebergLikeTable(
   }
 
   private def readSnapshot(snap: TableSnapshot): DataFrame =
-    readFileSet(snap.files, storedSchema(snap.meta))
+    applyDeletes(snap, readFileSet(snap.dataFiles, storedSchema(snap.meta)))
+
+  /** A data row's WRITE SEQUENCE, recovered from its physical file name
+    * (`part-v<version>-…` — stamped at import, immutable thereafter):
+    * the per-file scoping that decides which equality-delete files
+    * apply to it. Must be computed ON the scan output (input_file_name
+    * is empty after an exchange).
+    */
+  private def fileSeqExpr: Column =
+    regexp_extract(input_file_name(), "part-v(\\d+)-", 1).cast("long")
+
+  /** A row's LEAF PARTITION path relative to the table root, from the
+    * same physical name — equality deletes are partition-scoped, like
+    * Iceberg's.
+    */
+  private def fileLeafExpr: Column = {
+    val rootUri = java.util.regex.Pattern.quote(
+      root.toUri.getPath.stripSuffix("/"))
+    regexp_extract(input_file_name(), s"$rootUri/(.*)/[^/]*$$", 1)
+  }
+
+  /** MERGE-ON-READ: remove from `df` (a scan over some subset of the
+    * snapshot's DATA files — the helper columns are computed from
+    * input_file_name, so it must sit directly on the parquet scan) the
+    * rows matched by the snapshot's live equality-delete files. A
+    * delete file removes rows that (a) live in the SAME leaf, (b) were
+    * written at a sequence strictly below the delete's commit version,
+    * and (c) match one of its key tuples null-safely — Iceberg v2
+    * equality-delete semantics. Zero cost when the snapshot has no
+    * delete files (the common case): the frame is returned untouched.
+    *
+    * Scale: one broadcast-sized anti-join per delete GENERATION
+    * (distinct commit version, bounded by retention and compacted away
+    * by [[maintain]]); the delete side is the key tuples only — data
+    * rows never shuffle, and the join keys are hashed key columns.
+    */
+  private def applyDeletes(snap: TableSnapshot, df: DataFrame): DataFrame = {
+    val dels = snap.deleteEntries
+    if (dels.isEmpty) return df
+    val seqC = "_graft_fseq"
+    val leafC = "_graft_fleaf"
+    val base = df.withColumn(seqC, fileSeqExpr).withColumn(leafC, fileLeafExpr)
+    val folded = dels.groupBy(_.deleteSeq).toSeq.sortBy(_._1)
+      .foldLeft(base) { case (acc, (dseq, entries)) =>
+        // delete files are read WITHOUT basePath: their columns are
+        // exactly the equality columns (partition values live only in
+        // the path, and the leaf scoping below covers that dimension)
+        val delDf = spark.read.parquet(
+          entries.map(e => s"$path/${e.path}"): _*)
+        val eqCols = delDf.columns.toSeq
+        val d = delDf
+          .withColumn("_graft_dleaf", fileLeafExpr)
+          .select(eqCols.map(c => col(c).as(s"_graft_d_$c")) :+
+            col("_graft_dleaf"): _*)
+        val cond = eqCols.map(c => acc(c) <=> d(s"_graft_d_$c"))
+          .reduce(_ && _) &&
+          acc(leafC) === d("_graft_dleaf") &&
+          acc(seqC) < lit(dseq)
+        acc.join(broadcast(d), cond, "left_anti")
+      }
+    folded.drop(seqC, leafC)
+  }
 
   /** User-facing read of the live snapshot: the internal bucket column
     * is layout, not schema.
@@ -479,8 +523,9 @@ final case class IcebergLikeTable(
     * DataFrame's lifetime).
     */
   def toDF: DataFrame = {
-    val df = GraftFileIndex.relation(spark, this)
-    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+    val (df, snap) = GraftFileIndex.relationWithSnapshot(spark, this)
+    val live = applyDeletes(snap, df)
+    if (uniqueKeys.isEmpty) live else live.drop(bucketCol)
   }
 
   /** Predicate-pruned read of the live snapshot: file skipping on the
@@ -500,7 +545,8 @@ final case class IcebergLikeTable(
   def readWhere(condition: Column): DataFrame = {
     val (_, snap) = resolveLive()
     val schema = storedSchema(snap.meta)
-    val df = readFileSet(prunedFiles(snap, schema, condition), schema)
+    val df = applyDeletes(snap,
+      readFileSet(prunedFiles(snap, schema, condition), schema))
       .filter(condition)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
@@ -528,7 +574,7 @@ final case class IcebergLikeTable(
           sidecars.map(n => BloomStats.read(fs, new Path(root, n)))
             .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)
         val filterCache = scala.collection.mutable.Map.empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
-        snap.files.filter { f =>
+        snap.dataFiles.filter { f =>
           val member: FileStats.Membership =
             if (sidecars.isEmpty) FileStats.NoMembership
             else (colName, value, dt) =>
@@ -542,7 +588,7 @@ final case class IcebergLikeTable(
           intervalOk && (stats.contains(f) ||
             FileStats.mayMatch(Map.empty, s, e, member))
         }
-      case _ => snap.files
+      case _ => snap.dataFiles
     }
 
   /** Resolve `condition` against the stamped schema (an empty frame —
@@ -568,8 +614,9 @@ final case class IcebergLikeTable(
     */
   def readWhereAt(version: Long, condition: Column): DataFrame = {
     val snap = snapshotAt(version)
-    val df = readFileSet(prunedFiles(snap, storedSchema(snap.meta), condition),
-      storedSchema(snap.meta)).filter(condition)
+    val df = applyDeletes(snap,
+      readFileSet(prunedFiles(snap, storedSchema(snap.meta), condition),
+        storedSchema(snap.meta))).filter(condition)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
 
@@ -608,11 +655,19 @@ final case class IcebergLikeTable(
       "changesBetween requires declared unique_keys; use appendsBetween for append-only tables")
     val fromSnap = snapshotAt(fromVersion)
     val toSnap = snapshotAt(toVersion)
-    val (oldFiles, newFiles) = changedLeafFiles(fromSnap.files, toSnap.files)
+    // leaf-change detection spans data AND delete files (a merge-on-read
+    // delete changes rows without touching a single data file); the
+    // reads below open each side's DATA files with its own delete set
+    // applied, so the diff compares post-MOR row states
+    val changed = changedLeaves(fromSnap.files, toSnap.files)
+    val oldFiles = fromSnap.dataFiles.filter(f => changed(leafOf(f)))
+    val newFiles = toSnap.dataFiles.filter(f => changed(leafOf(f)))
     val oldDf = if (oldFiles.isEmpty) None
-      else Some(readFileSet(oldFiles, storedSchema(fromSnap.meta)).drop(bucketCol))
+      else Some(applyDeletes(fromSnap,
+        readFileSet(oldFiles, storedSchema(fromSnap.meta))).drop(bucketCol))
     val newDf = if (newFiles.isEmpty) None
-      else Some(readFileSet(newFiles, storedSchema(toSnap.meta)).drop(bucketCol))
+      else Some(applyDeletes(toSnap,
+        readFileSet(newFiles, storedSchema(toSnap.meta))).drop(bucketCol))
 
     def tagged(df: DataFrame, tag: String): DataFrame =
       df.select(lit(tag).as("_change_type") +: df.columns.map(col): _*)
@@ -681,12 +736,17 @@ final case class IcebergLikeTable(
     * rows) by requiring the window to be rewrite-free.
     */
   def appendsBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    val from = snapshotAt(fromVersion).files.toSet
+    val fromSnap = snapshotAt(fromVersion)
+    val from = fromSnap.dataFiles.toSet
     val toSnap = snapshotAt(toVersion)
-    require(from.subsetOf(toSnap.files.toSet),
+    require(from.subsetOf(toSnap.dataFiles.toSet),
       s"snapshot window v$fromVersion..v$toVersion removed files (a rewrite " +
         "or delete ran); use a keyed table + changesBetween for row-level CDC")
-    val added = toSnap.files.filterNot(from)
+    require(fromSnap.deleteEntries.map(_.path).toSet ==
+      toSnap.deleteEntries.map(_.path).toSet,
+      s"snapshot window v$fromVersion..v$toVersion changed equality-delete " +
+        "files (a merge-on-read delete ran); use changesBetween for row-level CDC")
+    val added = toSnap.dataFiles.filterNot(from)
     val base = {
       val df =
         if (added.nonEmpty) readFileSet(added, storedSchema(toSnap.meta))
@@ -741,16 +801,15 @@ final case class IcebergLikeTable(
       throw new NoSuchElementException(
         s"snapshot v$version not found (expired or never committed) under $path"))
 
-  /** The per-snapshot files of leaves whose file set differs between two
+  /** The leaves whose file set (data or delete) differs between two
     * retained snapshots — the only leaves that can contain row changes.
     */
-  private def changedLeafFiles(from: Seq[String], to: Seq[String]): (Seq[String], Seq[String]) = {
+  private def changedLeaves(from: Seq[String], to: Seq[String]): Set[String] = {
     val fromByLeaf = from.groupBy(leafOf).view.mapValues(_.toSet).toMap
     val toByLeaf = to.groupBy(leafOf).view.mapValues(_.toSet).toMap
-    val changed = (fromByLeaf.keySet ++ toByLeaf.keySet).filter { l =>
+    (fromByLeaf.keySet ++ toByLeaf.keySet).filter { l =>
       fromByLeaf.getOrElse(l, Set.empty) != toByLeaf.getOrElse(l, Set.empty)
     }
-    (from.filter(f => changed(leafOf(f))), to.filter(f => changed(leafOf(f))))
   }
 
   /** Metadata TABLE (Iceberg's `table.snapshots`): one row per retained
@@ -787,9 +846,9 @@ final case class IcebergLikeTable(
     snap.entries.map { e =>
       val leaf = leafOf(e.path)
       (e.path, leaf, e.size, e.rowCount, e.stats.size,
-        blooms.get(e.path).map(_.size).getOrElse(0))
+        blooms.get(e.path).map(_.size).getOrElse(0), e.isDelete)
     }.toDF("file", "leaf", "size_bytes", "row_count", "n_stat_cols",
-      "n_bloom_cols")
+      "n_bloom_cols", "is_delete")
   }
 
   /** Manifest-only `count(*)`: the live row count resolved from the
@@ -799,7 +858,11 @@ final case class IcebergLikeTable(
     */
   def rowCount: Option[Long] = {
     val (_, snap) = resolveLive()
-    if (snap.entries.forall(_.rowCount >= 0L))
+    // live equality-delete files make the count undecidable from
+    // metadata (how many of their tuples actually hit is a data
+    // question) — callers fall back to a real count until maintain()
+    // compacts the deletes away
+    if (snap.deleteEntries.isEmpty && snap.entries.forall(_.rowCount >= 0L))
       Some(snap.entries.map(_.rowCount).sum)
     else None
   }
@@ -817,6 +880,10 @@ final case class IcebergLikeTable(
   def columnMinMax(colName: String): Option[(String, String)] = {
     val (_, snap) = resolveLive()
     if (snap.entries.isEmpty) return None
+    // a live equality delete may have removed the extreme row: bounds
+    // remain valid for PRUNING (over-approximation) but not as an exact
+    // min/max answer
+    if (snap.deleteEntries.nonEmpty) return None
     val schema = storedSchema(snap.meta).getOrElse(return None)
     val field = schema.fields.find(_.name == colName).getOrElse(return None)
     if (!FileStats.supported(field.dataType)) return None
@@ -851,6 +918,7 @@ final case class IcebergLikeTable(
     */
   def rowCountWhere(condition: Column): Option[Long] = {
     val (_, snap) = resolveLive()
+    if (snap.deleteEntries.nonEmpty) return None
     val schema = storedSchema(snap.meta).getOrElse(return None)
     val partSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
     if (partSchema.size != partCols.size) return None
@@ -971,43 +1039,57 @@ final case class IcebergLikeTable(
       val carriedPaths = carryOver(imported)
       val fileList = carriedPaths ++ imported
       val bloom = bloomMeta(base.meta, fileList, perFileBlooms, version, token)
-      // SHARDED metadata commit: group the snapshot's entries by leaf;
-      // an untouched leaf re-references its existing (immutable) leaf
-      // manifest, a changed leaf gets exactly one fresh manifest — so
-      // a key-local commit writes O(changed leaves' files) metadata
-      // while the version manifest stays one short `@ref` line per leaf
       val entries = carriedPaths.map(p => base.entryOf.getOrElse(p,
         Manifests.FileEntry(p, -1L, -1L, Map.empty))) ++
         imported.map(fresh)
-      val baseRefs = refsByLeaf(base)
-      val newLeafManifests = scala.collection.mutable.ArrayBuffer.empty[String]
-      val refs = entries.groupBy(e => leafOf(e.path)).toSeq.sortBy(_._1)
-        .zipWithIndex.map { case ((leaf, leafEntries), i) =>
-          baseRefs.get(leaf) match {
-            case Some((ref, basePaths))
-                if basePaths == leafEntries.map(_.path).toSet => ref
-            case _ =>
-              val name = f"${Manifests.LeafPrefix}v$version-$token-$i%05d"
-              Manifests.writeLeafManifest(fs, root, name, leafEntries)
-              newLeafManifests += name
-              name
-          }
-        }
-      try Manifests.write(fs, root, version,
-        refs.map(Manifests.RefMark + _), meta ++ bloom, chainPrefix)
+      try publishVersion(version, token, entries, meta ++ bloom, base)
       catch {
         case e: Manifests.CommitConflictException =>
           // lost the race: un-import our dormant files (and this
-          // writer's leaf manifests and bloom sidecar) and let the
-          // caller retry against the winner's snapshot
+          // writer's bloom sidecar — publishVersion already removed its
+          // leaf manifests) and let the caller retry against the winner
           imported.foreach(f => fs.delete(new Path(root, f), false))
-          newLeafManifests.foreach(n => fs.delete(new Path(root, n), false))
           fs.delete(new Path(root, s"_graft_bloom_v${version}_$token"), false)
           throw e
       }
       expireSnapshots()
       imported
     } finally fs.delete(staging, true)
+  }
+
+  /** SHARDED metadata publish, shared by every commit shape: group
+    * `entries` by leaf; an untouched leaf re-references its existing
+    * (immutable) leaf manifest, a changed leaf gets exactly one fresh
+    * manifest — a key-local commit writes O(changed leaves' files)
+    * metadata while the version manifest stays one short `@ref` line
+    * per leaf. On a lost CAS race this writer's fresh leaf manifests
+    * are deleted before the conflict propagates; callers clean their
+    * own imports.
+    */
+  private def publishVersion(version: Long, token: String,
+      entries: Seq[Manifests.FileEntry], meta: Map[String, String],
+      base: TableSnapshot): Unit = {
+    val baseRefs = refsByLeaf(base)
+    val newLeafManifests = scala.collection.mutable.ArrayBuffer.empty[String]
+    val refs = entries.groupBy(e => leafOf(e.path)).toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((leaf, leafEntries), i) =>
+        baseRefs.get(leaf) match {
+          case Some((ref, basePaths))
+              if basePaths == leafEntries.map(_.path).toSet => ref
+          case _ =>
+            val name = f"${Manifests.LeafPrefix}v$version-$token-$i%05d"
+            Manifests.writeLeafManifest(fs, root, name, leafEntries)
+            newLeafManifests += name
+            name
+        }
+      }
+    try Manifests.write(fs, root, version,
+      refs.map(Manifests.RefMark + _), meta, chainPrefix)
+    catch {
+      case e: Manifests.CommitConflictException =>
+        newLeafManifests.foreach(n => fs.delete(new Path(root, n), false))
+        throw e
+    }
   }
 
   /** Sequential commit versions (Iceberg's sequence numbers): racing
@@ -1518,14 +1600,7 @@ final case class IcebergLikeTable(
     // partition-path escaping (null/empty → the Hive default name), so
     // values round-trip exactly as partitionBy lays them out.
     val affectedLeaves = pairs.map { case (e, b) =>
-      Seq(partitionCol -> e, bucketCol -> (b: Any)).map { case (c, v) =>
-        val seg =
-          if (v == null || String.valueOf(v).isEmpty)
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(String.valueOf(v))
-        s"$c=$seg"
-      }.mkString("/")
+      leafPathOf(Seq(e, b))
     }.toSet
 
     // Snapshot commit: stage the rewritten leaves, import, publish a
@@ -1569,6 +1644,22 @@ final case class IcebergLikeTable(
     val i = relFile.lastIndexOf('/')
     if (i < 0) "" else relFile.substring(0, i)
   }
+
+  /** The escaped leaf directory path for a tuple of layout-column
+    * values, in `partCols` order (Spark's own partition-path escaping —
+    * null/empty → the Hive default name), exactly as partitionBy lays a
+    * staging tree out — so leaf membership derived from VALUES can
+    * never diverge from the paths the import produced.
+    */
+  private def leafPathOf(values: Seq[Any]): String =
+    partCols.zip(values).map { case (c, v) =>
+      val seg =
+        if (v == null || String.valueOf(v).isEmpty)
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))
+      s"$c=$seg"
+    }.mkString("/")
 
   /** Route a batch per the deployment's T3 metadata: upsert iff keys. */
   def write(batch: DataFrame, orderCol: String): Unit =
@@ -1621,9 +1712,14 @@ final case class IcebergLikeTable(
     // in the same leaf carries over untouched (Iceberg's copy-on-write
     // rewrites matched data files, not whole partitions)
     val rootUri = root.toUri.getPath.stripSuffix("/")
-    val hits = readFileSet(candidates, schema)
+    // the file name is captured ON the scan (before applyDeletes' joins
+    // — input_file_name is empty after an exchange), and the hit count
+    // runs over MOR-LIVE rows only: a row an equality-delete file
+    // already removed must not be re-counted or "re-deleted" here
+    val hits = applyDeletes(snap,
+        readFileSet(candidates, schema).withColumn("_f", input_file_name()))
       .filter(condition)
-      .groupBy(input_file_name().as("_f")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
       .collect()
       .map { r =>
         val p = new java.net.URI(r.getString(0)).getPath
@@ -1636,25 +1732,128 @@ final case class IcebergLikeTable(
       s"delete discovery resolved files outside the snapshot: " +
         s"${affectedFiles.diff(previous.toSet).take(3).mkString(", ")}")
     // DELETE semantics: remove rows where the condition is TRUE; a NULL
-    // condition keeps the row (a bare `!condition` would drop it).
-    val survivors = readFileSet(affectedFiles.toSeq.sorted, schema)
+    // condition keeps the row (a bare `!condition` would drop it). The
+    // survivor read applies the live equality deletes too — a rewritten
+    // file gets a NEW (higher) write sequence, so the old delete files
+    // stop applying to it, and their already-deleted rows must not
+    // resurrect through the rewrite.
+    val survivors = applyDeletes(snap,
+        readFileSet(affectedFiles.toSeq.sorted, schema))
       .filter(!coalesce(condition, lit(false)))
     commit(survivors, liveVersion, snap)(
       _ => previous.filterNot(affectedFiles))
     deleted
   }
 
+  /** MERGE-ON-READ row-level DELETE (Iceberg v2 equality-delete files —
+    * the posture the reference's
+    * `optimize_rewrite_delete_file_threshold='10'` knob provisions for,
+    * `web-analytics-iceberg/README.md:187`): instead of rewriting every
+    * data file containing matches (copy-on-write [[delete]]), the
+    * commit writes one small EQUALITY-DELETE file per affected leaf
+    * holding the unique-key tuples of the matched rows; readers
+    * anti-join them at scan ([[applyDeletes]], sequence-scoped so a
+    * later upsert can re-insert the key), and [[maintain]] compacts
+    * leaves whose delete-file count reaches the reference's threshold.
+    *
+    * At 100 TB this is THE GDPR shape: a point delete of one user is
+    * O(matched keys) tombstone+metadata writes — no data file is
+    * rewritten, no matter how many GB of data files contain the rows —
+    * at the cost of a broadcast anti-join on reads until compaction.
+    * Row-for-row identical to [[delete]]: same survivors, same CDC
+    * changelog (IcebergMorDeleteSpec pins both). Returns rows deleted.
+    */
+  def deleteMergeOnRead(condition: Column): Long =
+    withCommitRetry { morDeleteOnce(condition) }
+
+  private def morDeleteOnce(condition: Column): Long = {
+    require(uniqueKeys.nonEmpty,
+      "merge-on-read delete encodes matched rows by their unique keys; " +
+        "key-less tables use copy-on-write delete()")
+    require(uniqueKeys.forall(k => !partCols.contains(k)),
+      "equality-delete columns must be data columns (partition scoping " +
+        "already covers the layout dimension)")
+    val (liveVersion, snap) = resolveLive()
+    validateLayout(snap.meta)
+    if (snap.dataFiles.isEmpty) return 0L
+    val schema = storedSchema(snap.meta)
+    // same stats/bloom-pruned discovery as the copy-on-write path, over
+    // MOR-LIVE rows (an already-tombstoned row must not be re-counted);
+    // the grouped frame is the delete-file content AND the deleted-row
+    // count in one pass — O(matched keys), never O(table)
+    val candidates = prunedFiles(snap, schema, condition)
+    if (candidates.isEmpty) return 0L
+    val matched = applyDeletes(snap, readFileSet(candidates, schema))
+      .filter(condition)
+      .groupBy((partCols ++ uniqueKeys).map(col): _*)
+      .agg(count(lit(1)).as("_graft_cnt"))
+      .persist()
+    try {
+      val perLeaf = matched.groupBy(partCols.map(col): _*)
+        .agg(sum("_graft_cnt").as("_rows"), count(lit(1)).as("_tuples"))
+        .collect() // O(affected leaves)
+      if (perLeaf.isEmpty) return 0L
+      val deleted = perLeaf.map(_.getAs[Long]("_rows")).sum
+      val version = nextVersion(liveVersion)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      // stage the key tuples partitioned by the layout columns and
+      // import them as eqdel- files beside the data files they mask
+      val staging = new Path(root.getParent, s".staging_v${version}_$token")
+      matched.drop("_graft_cnt")
+        .write.mode("overwrite").partitionBy(partCols: _*)
+        .option("compression", "snappy").parquet(staging.toString)
+      try {
+        val imported = Manifests.importStagedTree(fs, staging, root,
+          s"v$version-$token", "eqdel")
+        val tuplesByLeaf: Map[String, Long] = perLeaf.map { r =>
+          leafPathOf(partCols.map(c => r.getAs[Any](c))) ->
+            r.getAs[Long]("_tuples")
+        }.toMap
+        val delEntries = imported.map { case (p, size) =>
+          Manifests.FileEntry(p, size, tuplesByLeaf.getOrElse(leafOf(p), -1L),
+            Map.empty, deleteSeq = version)
+        }
+        // data files, schema, stats and bloom sidecars are all carried
+        // untouched — the commit is purely additive metadata
+        val meta = hwmOf(snap.meta) ++
+          snap.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
+          snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
+          snap.meta.get(StatsKey).map(StatsKey -> _) ++
+          snap.meta.get(BloomKey).map(BloomKey -> _) +
+          (TsKey -> System.currentTimeMillis().toString) +
+          (LayoutKey -> layoutSpec)
+        try publishVersion(version, token, snap.entries ++ delEntries, meta, snap)
+        catch {
+          case e: Manifests.CommitConflictException =>
+            imported.foreach { case (p, _) =>
+              fs.delete(new Path(root, p), false)
+            }
+            throw e
+        }
+        expireSnapshots()
+        deleted
+      } finally fs.delete(staging, true)
+    } finally matched.unpersist()
+  }
+
   /** C7: small-file maintenance — the reference declares
     * `optimize_rewrite_delete_file_threshold='10'`
     * (`web-analytics-iceberg/README.md:187`) and delegates the rewrite to
-    * Athena's OPTIMIZE. Here: leaf partitions whose live-snapshot file
-    * count exceeds `fileThreshold` are rewritten and committed as a new
-    * snapshot (same manifest protocol — concurrent readers are
-    * undisturbed). Returns the rewritten leaf partition paths. Cost is
+    * Athena's OPTIMIZE. Here: leaf partitions whose live-snapshot DATA
+    * file count exceeds `fileThreshold` — or whose EQUALITY-DELETE file
+    * count reaches `deleteFileThreshold` (the reference's knob: Athena
+    * rewrites data files once their positional-delete count passes the
+    * threshold) — are rewritten with the deletes APPLIED and committed
+    * as a new snapshot (same manifest protocol — concurrent readers are
+    * undisturbed); the consumed delete files leave the manifest with
+    * the rewrite. Returns the rewritten leaf partition paths. Cost is
     * proportional to the hot leaves, never the table.
     */
-  def maintain(fileThreshold: Int = 10, targetFiles: Int = 1): Seq[String] =
-    withCommitRetry { maintainOnce(fileThreshold, targetFiles, Nil) }
+  def maintain(fileThreshold: Int = 10, targetFiles: Int = 1,
+      deleteFileThreshold: Int = 10): Seq[String] =
+    withCommitRetry {
+      maintainOnce(fileThreshold, targetFiles, Nil, deleteFileThreshold)
+    }
 
   /** [[maintain]] that also RANGE-CLUSTERS the rewritten leaves on
     * `clusterCols` (Iceberg's rewrite_data_files with a sort order):
@@ -1665,22 +1864,33 @@ final case class IcebergLikeTable(
     * the hot leaves' rows only, never the table.
     */
   def maintainClustered(clusterCols: Seq[String], fileThreshold: Int = 10,
-      targetFiles: Int = 1): Seq[String] = {
+      targetFiles: Int = 1, deleteFileThreshold: Int = 10): Seq[String] = {
     require(clusterCols.nonEmpty, "maintainClustered needs cluster columns")
-    withCommitRetry { maintainOnce(fileThreshold, targetFiles, clusterCols) }
+    withCommitRetry {
+      maintainOnce(fileThreshold, targetFiles, clusterCols, deleteFileThreshold)
+    }
   }
 
   private def maintainOnce(fileThreshold: Int, targetFiles: Int,
-      clusterCols: Seq[String]): Seq[String] = {
+      clusterCols: Seq[String], deleteFileThreshold: Int): Seq[String] = {
     if (!exists) return Nil
     val (liveVersion, snap) = resolveLive()
     val previous = snap.files
     if (previous.isEmpty) return Nil
-    val hot = previous.groupBy(leafOf).filter(_._2.size > fileThreshold).keys.toSeq.sorted
+    val dataByLeaf = snap.dataFiles.groupBy(leafOf)
+    val delByLeaf = snap.deleteEntries.map(_.path).groupBy(leafOf)
+    val hot = (dataByLeaf.keySet ++ delByLeaf.keySet).filter { l =>
+      dataByLeaf.getOrElse(l, Nil).size > fileThreshold ||
+        delByLeaf.getOrElse(l, Nil).size >= deleteFileThreshold
+    }.toSeq.sorted
     if (hot.isEmpty) return Nil
     val hotSet = hot.toSet
-    val hotFiles = previous.filter(f => hotSet.contains(leafOf(f)))
-    val hotDf = readFileSet(hotFiles, storedSchema(snap.meta))
+    val hotFiles = snap.dataFiles.filter(f => hotSet.contains(leafOf(f)))
+    // the rewrite READS with the hot leaves' equality deletes applied
+    // and the commit DROPS those leaves' delete files (carry-over is
+    // leaf-scoped) — compaction consumes the tombstones, exactly
+    // Iceberg's rewrite_data_files + rewrite_position_delete_files
+    val hotDf = applyDeletes(snap, readFileSet(hotFiles, storedSchema(snap.meta)))
     val shaped =
       if (clusterCols.isEmpty)
         hotDf.repartition(targetFiles * hot.size, partCols.map(col): _*)
@@ -1691,5 +1901,35 @@ final case class IcebergLikeTable(
     commit(shaped, liveVersion, snap)(
       _ => previous.filterNot(f => hotSet.contains(leafOf(f))))
     hot.map(_.stripPrefix(s"$partitionCol="))
+  }
+}
+
+object IcebergLikeTable {
+
+  /** A resolved table snapshot: the version manifest's metadata plus
+    * the file entries expanded from its referenced leaf manifests
+    * ([[Manifests.LeafPrefix]] — the sharded, Iceberg-style
+    * manifest-list layout) or, for legacy monolithic manifests, parsed
+    * from the raw file lines with stats recovered from the old `stats`
+    * meta key.
+    */
+  private[weblog] final case class TableSnapshot(
+      entries: Seq[Manifests.FileEntry],
+      meta: Map[String, String],
+      refs: Seq[String]) {
+    /** EVERY referenced path — data AND equality-delete files. This is
+      * the GC / carry-over surface: retention liveness and leaf-scoped
+      * commit carry-over must span both kinds.
+      */
+    def files: Seq[String] = entries.map(_.path)
+    /** The readable data files (what a scan opens). */
+    def dataEntries: Seq[Manifests.FileEntry] = entries.filterNot(_.isDelete)
+    def dataFiles: Seq[String] = dataEntries.map(_.path)
+    /** The live equality-delete files readers must anti-join. */
+    def deleteEntries: Seq[Manifests.FileEntry] = entries.filter(_.isDelete)
+    lazy val entryOf: Map[String, Manifests.FileEntry] =
+      entries.map(e => e.path -> e).toMap
+    lazy val statsOf: FileStats.Stats =
+      entries.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
   }
 }

@@ -46,14 +46,23 @@ object Manifests {
     */
   val RefMark = "@"
 
-  /** One data file's manifest entry: path relative to the table root,
-    * byte size and row count (both stamped at import so planning never
-    * lists directories and `count(*)` can resolve from metadata alone;
+  /** One file's manifest entry: path relative to the table root, byte
+    * size and row count (both stamped at import so planning never lists
+    * directories and `count(*)` can resolve from metadata alone;
     * -1 = unknown, from legacy manifests), and the per-column [min,max]
     * bounds used for planning-time file skipping ([[FileStats]]).
+    *
+    * `deleteSeq` distinguishes EQUALITY-DELETE files (Iceberg v2's
+    * merge-on-read delete files) from data files: -1 = a data file;
+    * >= 0 = a delete file whose key tuples remove matching rows from
+    * data files of the same leaf written at a version STRICTLY BELOW
+    * `deleteSeq` (the sequence-number scoping that lets a later upsert
+    * re-insert the key without the old tombstone swallowing it).
     */
   final case class FileEntry(path: String, size: Long, rowCount: Long,
-      stats: Map[String, (String, String)])
+      stats: Map[String, (String, String)], deleteSeq: Long = -1L) {
+    def isDelete: Boolean = deleteSeq >= 0L
+  }
 
   /** Leaf manifests are immutable (written once under a writer-unique
     * name, never modified), so their parsed content is cached JVM-wide:
@@ -111,6 +120,7 @@ object Manifests {
       node.put("p", e.path)
       node.put("s", e.size)
       node.put("r", e.rowCount)
+      if (e.isDelete) node.put("q", e.deleteSeq)
       if (e.stats.nonEmpty) {
         val st = node.putObject("t")
         e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
@@ -152,7 +162,8 @@ object Manifests {
             b.result()
           }
         FileEntry(node.get("p").asText, node.get("s").asLong,
-          node.get("r").asLong, stats)
+          node.get("r").asLong, stats,
+          if (node.has("q")) node.get("q").asLong else -1L)
       }
     leafCache.put(key, entries)
     entries
@@ -356,7 +367,18 @@ object Manifests {
     * costs zero extra round trips.
     */
   def importStagedTree(fs: FileSystem, stagingDir: Path, tableRoot: Path,
-      nameToken: String): Seq[(String, Long)] = {
+      nameToken: String): Seq[(String, Long)] =
+    importStagedTree(fs, stagingDir, tableRoot, nameToken, "part")
+
+  /** As above with an explicit file-name prefix: equality-DELETE files
+    * import under `eqdel-` so a directory listing distinguishes them
+    * from data files at a glance (the manifest entry's `deleteSeq` is
+    * the authoritative marker; the name is for operators and for
+    * keeping the data-file name grammar — `part-v<version>-…`, whose
+    * embedded version IS the file's write sequence — unpolluted).
+    */
+  def importStagedTree(fs: FileSystem, stagingDir: Path, tableRoot: Path,
+      nameToken: String, namePrefix: String): Seq[(String, Long)] = {
     def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { s =>
         val n = s.getPath.getName
@@ -369,7 +391,7 @@ object Manifests {
     parts.zipWithIndex.map { case (s, i) =>
       val p = s.getPath
       val rel = p.getParent.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
-      val name = f"part-$nameToken-$i%05d${suffixOf(p.getName)}"
+      val name = f"$namePrefix-$nameToken-$i%05d${suffixOf(p.getName)}"
       val relPath = if (rel.isEmpty) name else s"$rel/$name"
       val dest = new Path(tableRoot, relPath)
       fs.mkdirs(dest.getParent)
