@@ -461,6 +461,45 @@ object WebLogQueries {
              |FROM events WHERE day(ts) = 3
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // Schema evolution beyond add-column (Iceberg's column-id
+    // indirection via parquet field ids): rename a column in a
+    // METADATA-ONLY commit, keep reading pre-rename files by stable id
+    // under the new name, append post-rename data, and time-travel to
+    // the pre-rename snapshot under the OLD name — the live census and
+    // the historical count are both SQL-predictable.
+    Q("weblog_rename",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "rename", d) + "/t", "event", Nil)
+        def day(n: Int, hostCol: String, hostVal: String) =
+          Tables.events(s, d).filter(dayofmonth(col("ts")) === n)
+            .select(col("event_type").as("event"),
+              concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+              lit(hostVal).as(hostCol))
+        t.append(day(1, "host", "orig.example"))
+        val v1 = t.currentVersion.get
+        t.renameColumn("host", "hostname")
+        t.append(day(2, "hostname", "new.example"))
+        val hist = t.readAt(v1)
+        val live = t.read.groupBy("hostname").agg(count(lit(1)).as("cnt"))
+          .select(lit("live").as("kind"), col("hostname").as("k"), col("cnt"))
+        val histRow = hist.agg(count(lit(1)).as("cnt"))
+          .select(lit("historical").as("kind"),
+            // the pre-rename snapshot must still speak the OLD name
+            lit(if (hist.columns.contains("host") &&
+              !hist.columns.contains("hostname")) "host_col" else "WRONG").as("k"),
+            col("cnt"))
+        live.unionByName(histRow).orderBy("kind", "k")
+      },
+      Some("""SELECT 'historical' AS kind, 'host_col' AS k,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) = 1) AS cnt
+             |UNION ALL
+             |SELECT 'live', 'new.example', CAST(count(*) AS BIGINT)
+             |FROM events WHERE day(ts) = 2
+             |UNION ALL
+             |SELECT 'live', 'orig.example', CAST(count(*) AS BIGINT)
+             |FROM events WHERE day(ts) = 1
+             |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
+
     // Metadata tables (Iceberg's table.snapshots / table.files): after
     // three deterministic day-appends, the snapshots table must show
     // the sequential versions with cumulative file counts and full
@@ -638,6 +677,89 @@ object WebLogQueries {
              |UNION ALL
              |SELECT 'batches', 'drained', 3
              |ORDER BY kind, k""".stripMargin.replace("\n", " "))),
+
+    // readStream.format("graft") — the table-as-stream SOURCE
+    // (streaming/GraftSourceProvider): the same three commit groups as
+    // weblog_table_stream, but followed through Structured Streaming's
+    // own engine — checkpointed AvailableNow runs whose foreachBatch
+    // folds each version-window into a replica (offsets ARE table
+    // versions). The mirror's final census must equal the oracle's
+    // batch recompute; the deleted-then-reupserted late clicks prove
+    // deletes ride the stream.
+    Q("weblog_stream_source",
+      (s, d) => {
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(seq: Long) = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(seq).as("seq"))
+        def hr = hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern))
+        val src = IcebergLikeTable(s, scratch(s, "ssource_src", d) + "/t",
+          "event", Seq("user_id", "timestamp"))
+        val tgt = IcebergLikeTable(s, scratch(s, "ssource_tgt", d) + "/t",
+          "event", Seq("user_id", "timestamp"))
+        val cp = scratch(s, "ssource_cp", d)
+        def drain(): Unit = {
+          val fold: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit = {
+            (batch, id) =>
+              val upserts = batch
+                .filter(col("_change_type").isin("insert", "update_postimage"))
+                .drop("_change_type")
+              val deletes = batch
+                .filter(col("_change_type") === "delete")
+                .select(col("user_id"), col("timestamp"), col("event"),
+                  col("_commit_version"))
+                .distinct()
+              tgt.merge(upserts, deletes, "_commit_version",
+                Some(("ssource_gate", id)))
+          }
+          val q = s.readStream.format("graft")
+            .option("path", src.path)
+            .option("uniqueKeys", "user_id,timestamp")
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        src.write(keyed(1L), "seq")
+        drain()
+        src.write(keyed(2L).filter(hr < 12)
+          .withColumn("hostname", lit("updated.example")), "seq")
+        src.delete(col("event") === "click")
+        drain()
+        src.write(keyed(3L).filter(hr >= 20)
+          .withColumn("hostname", lit("late.example")), "seq")
+        drain()
+        tgt.read
+          .groupBy(col("event"), col("hostname"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("event", "hostname")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS event, hour(ts) AS h
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1),
+             |final AS (
+             |  SELECT event,
+             |         CASE WHEN h >= 20 THEN 'late.example'
+             |              WHEN h < 12 THEN 'updated.example'
+             |              ELSE 'orig.example' END AS hostname
+             |  FROM base
+             |  WHERE event <> 'click' OR h >= 20)
+             |SELECT event, hostname, CAST(count(*) AS BIGINT) AS cnt
+             |FROM final GROUP BY 1, 2
+             |ORDER BY event, hostname""".stripMargin.replace("\n", " "))),
 
     // Metadata-only aggregates: count(*), a partition-predicate count
     // and column min/max answered from the MANIFEST alone (stamped row

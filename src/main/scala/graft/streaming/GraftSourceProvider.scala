@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.StreamingFrameBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.weblog.IcebergLikeTable
+
+/** `spark.readStream.format("graft")` — the table's change feed as a
+  * first-class Structured Streaming SOURCE, so downstream jobs follow
+  * an [[IcebergLikeTable]] with standard triggers, checkpoints and
+  * foreachBatch instead of driving [[graft.weblog.TableStream]]'s
+  * drain loop themselves (the composability Iceberg/Delta expose as
+  * streaming table reads).
+  *
+  * Offsets ARE table versions (`LongOffset(version)`, checkpointed by
+  * the engine): the first batch delivers the live snapshot as
+  * `insert` rows, every later batch the row-level changes of its
+  * (start, end] version window — `changesBetween` for keyed tables
+  * (leaf-pruned, O(changed leaves)), `appendsBetween` for append-only
+  * ones. Restart resumes from the checkpointed version; a checkpoint
+  * older than the retention window fails the read with the
+  * changelog's own expired-snapshot error, exactly like Iceberg's
+  * incremental reads — size `retainVersions` to the slowest consumer.
+  *
+  * Options: `path` (table root, required), `uniqueKeys`
+  * (comma-separated; empty = append-only), `partitionCol` (default
+  * `event`), `numBuckets` (default 16), `branch` (default `main`).
+  *
+  * Implemented against the V1 `Source` API (the one `getBatch:
+  * DataFrame` surface — Delta Lake's streaming source uses the same),
+  * which the engine auto-wraps for Trigger.AvailableNow.
+  */
+final class GraftSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def opt(params: Map[String, String], key: String): Option[String] =
+    params.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+
+  private def tableFor(sqlContext: SQLContext,
+      params: Map[String, String]): IcebergLikeTable = {
+    val path = opt(params, "path").getOrElse(throw new IllegalArgumentException(
+      "the graft source needs option 'path' (the table root)"))
+    IcebergLikeTable(
+      sqlContext.sparkSession,
+      path,
+      partitionCol = opt(params, "partitionCol").getOrElse("event"),
+      uniqueKeys = opt(params, "uniqueKeys")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      numBuckets = opt(params, "numBuckets").map(_.toInt).getOrElse(16),
+      branch = opt(params, "branch").getOrElse("main"))
+  }
+
+  /** The change-row schema: the table's user-facing columns (all
+    * nullable, as stamped) plus the CDC envelope.
+    */
+  private def changeSchema(t: IcebergLikeTable): StructType = {
+    val base = t.read.schema
+    StructType(
+      StructField("_change_type", StringType, nullable = true) +:
+        base.fields.toSeq :+
+        StructField("_commit_version", LongType, nullable = true))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      changeSchema(tableFor(sqlContext, parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = tableFor(sqlContext, parameters)
+    new GraftTableSource(sqlContext, table,
+      schema.getOrElse(changeSchema(table)))
+  }
+}
+
+private[streaming] final class GraftTableSource(sqlContext: SQLContext,
+    table: IcebergLikeTable, declared: StructType) extends Source {
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[Offset] =
+    table.currentVersion.map(LongOffset(_))
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset from checkpoint
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val startV = start.map(versionOf)
+    val spark = sqlContext.sparkSession
+    val window: Option[DataFrame] = startV match {
+      case Some(s) if s >= endV => None // no-op window (engine bookkeeping)
+      case None | Some(0L) =>
+        // initial load: the pinned end-version snapshot as inserts
+        Some(table.readAt(endV)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV)))
+      case Some(s) =>
+        Some(
+          if (table.uniqueKeys.nonEmpty) table.changesBetween(s, endV)
+          else table.appendsBetween(s, endV)
+            .withColumn("_change_type", lit("insert")))
+    }
+    window match {
+      case None => StreamingFrameBridge.emptyStreamingFrame(spark, declared)
+      case Some(df) =>
+        // align to the declared column order/types, then re-flag the
+        // plan as streaming (V1 getBatch contract)
+        val aligned = df.select(
+          declared.fields.toSeq.map(f => col(f.name).cast(f.dataType)): _*)
+        StreamingFrameBridge.streamingFrame(spark,
+          aligned.queryExecution.toRdd, declared)
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -29,10 +29,12 @@ import org.apache.spark.sql.DataFrame
   * `retainVersions` to the slowest consumer, exactly as with Iceberg's
   * incremental reads.
   */
-final case class ChangeFeed(table: IcebergLikeTable, name: String) {
+final case class ChangeFeed(table: IcebergLikeTable, name: String,
+    initialChunkLeaves: Int = 256) {
 
   require(name.matches("[A-Za-z0-9_-]+"),
     s"feed name must be [A-Za-z0-9_-]+, got '$name'")
+  require(initialChunkLeaves >= 1, "need at least one leaf per chunk")
 
   private def root = new Path(table.path)
   private def fs = root.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
@@ -98,34 +100,123 @@ final case class ChangeFeed(table: IcebergLikeTable, name: String) {
     fs.delete(tmp, false)
     // housekeeping AFTER the new cursor is durable; a crash here leaves
     // extra files whose max is still the right cursor. The legacy
-    // content-based cursor file is retired here too — the versioned
-    // cursor now supersedes it at every crash point.
+    // content-based cursor file and any initial-load chunk cursors are
+    // retired here too — the versioned cursor supersedes them at every
+    // crash point.
     prior.filter(_ < v).foreach(p =>
       fs.delete(new Path(root, s"$cursorPrefix$p"), false))
     fs.delete(legacyCursorPath, false)
+    chunkCursorFiles().foreach(n => fs.delete(new Path(root, n), false))
+  }
+
+  /** Initial-load CHUNK cursors: a cursor-0 feed on a big table drains
+    * its initial snapshot as BOUNDED leaf-group windows with per-chunk
+    * acks (incremental progress + retry granularity — a 100 TB initial
+    * mirror must not be one giant window). The chunk cursor pins the
+    * snapshot being loaded and the chunk SIZE the load started with
+    * (`.graft_feed_<name>_s<version>_z<size>_c<acked>`), so resuming —
+    * even through a handle constructed with a different
+    * `initialChunkLeaves` — re-slices the SAME deterministic leaf
+    * groups and neither re-delivers nor skips a leaf. Same create-only
+    * max-wins publish as the versioned cursor.
+    */
+  private def chunkPrefix =
+    if (table.branch == "main") s".graft_feed_${name}_s"
+    else s".graft_feed_${table.branch}@${name}_s"
+
+  private val chunkRe = "_s(\\d+)_z(\\d+)_c(\\d+)$".r
+
+  private def chunkCursorFiles(): Seq[String] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(chunkPrefix) &&
+        chunkRe.findFirstIn(n.stripPrefix(chunkPrefix.stripSuffix("_s"))).isDefined)
+
+  /** (pinned version, chunk size, chunks acked) of an in-progress
+    * chunked initial load, if any (max-wins across crash leftovers).
+    */
+  private def chunkCursor: Option[(Long, Int, Int)] =
+    chunkCursorFiles().flatMap { n =>
+      chunkRe.findFirstMatchIn(n.stripPrefix(chunkPrefix.stripSuffix("_s")))
+        .flatMap { m =>
+          for {
+            l <- m.group(1).toLongOption
+            z <- m.group(2).toIntOption
+            k <- m.group(3).toIntOption
+          } yield (l, z, k)
+        }
+    }.sorted.lastOption
+
+  private def chunkCursorName(l: Long, z: Int, k: Int): String =
+    s"$chunkPrefix${l}_z${z}_c$k"
+
+  private def commitChunkCursor(l: Long, z: Int, k: Int): Unit = {
+    val prior = chunkCursorFiles()
+    val fin = new Path(root, chunkCursorName(l, z, k))
+    val tmp = new Path(root, s"${chunkCursorName(l, z, k)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    if (!fs.exists(fin) && !fs.rename(tmp, fin))
+      throw new java.io.IOException(s"chunk cursor commit failed for feed $name")
+    fs.delete(tmp, false)
+    prior.filter(_ != chunkCursorName(l, z, k))
+      .foreach(n => fs.delete(new Path(root, n), false))
   }
 
   final case class Batch(fromVersion: Long, toVersion: Long,
-      changes: DataFrame, ack: () => Unit)
+      changes: DataFrame, ack: () => Unit,
+      chunk: Option[(Int, Int)] = None)
 
   /** The changes since the committed cursor, or None when the table has
     * no newer snapshot. Call `ack()` after durably processing the batch
     * — it advances the cursor to `toVersion`; never acking re-delivers.
-    * A cursor of 0 (new feed) delivers the whole live table as inserts
-    * (the initial load — there is no v0 snapshot to diff from).
+    * A cursor of 0 (new feed) delivers the live table as inserts (the
+    * initial load — there is no v0 snapshot to diff from), CHUNKED into
+    * windows of at most `initialChunkLeaves` leaf partitions: each
+    * chunk is acked independently (`chunk = Some((index, total))`), so
+    * a huge initial mirror makes incremental, crash-resumable progress
+    * instead of betting one giant window; the pinned snapshot must stay
+    * retained for the load's duration (size `retainVersions` to the
+    * slowest consumer, as ever). Once the last chunk is acked the feed
+    * switches to incremental changes from the pinned version.
     */
   def poll(): Option[Batch] = {
     import org.apache.spark.sql.functions._
     val live = table.currentVersion.getOrElse(return None)
     val from = cursor
+    if (from == 0L) return pollInitial(live)
     if (live <= from) return None
     val changes =
-      if (from == 0L)
-        table.read.withColumn("_change_type", lit("insert"))
-          .withColumn("_commit_version", lit(live))
-      else if (table.uniqueKeys.nonEmpty) table.changesBetween(from, live)
+      if (table.uniqueKeys.nonEmpty) table.changesBetween(from, live)
       else table.appendsBetween(from, live)
         .withColumn("_change_type", lit("insert"))
     Some(Batch(from, live, changes, () => commitCursor(live)))
+  }
+
+  /** The bounded-window initial load. The chunk domain is the PINNED
+    * snapshot's sorted leaf list sliced by the PINNED chunk size (both
+    * recorded in the chunk cursor at the first ack), so every resume
+    * re-derives identical chunks; commits that land mid-load are picked
+    * up afterwards as a normal incremental window.
+    */
+  private def pollInitial(live: Long): Option[Batch] = {
+    import org.apache.spark.sql.functions._
+    val (pinned, size, done) = chunkCursor.getOrElse((live, initialChunkLeaves, 0))
+    val leaves = table.dataLeavesAt(pinned)
+    val nChunks = math.max(1, (leaves.size + size - 1) / size)
+    if (done >= nChunks) {
+      // every chunk acked but the versioned cursor write crashed —
+      // finish the promotion, then poll incrementally
+      commitCursor(pinned)
+      return poll()
+    }
+    val slice = leaves.slice(done * size, (done + 1) * size).toSet
+    val changes = table.readLeavesAt(pinned, slice)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(pinned))
+    val ack: () => Unit =
+      if (done + 1 >= nChunks) () => commitCursor(pinned)
+      else () => commitChunkCursor(pinned, size, done + 1)
+    Some(Batch(0L, pinned, changes, ack, Some((done, nChunks))))
   }
 }

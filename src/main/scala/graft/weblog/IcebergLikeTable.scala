@@ -237,6 +237,139 @@ final case class IcebergLikeTable(
     */
   private val FfKey = "fffrom"
 
+  /** Manifest metadata key holding the STABLE COLUMN IDS (JSON
+    * name→id) — Iceberg's column-id indirection, realized through
+    * parquet FIELD IDS: every commit stamps each schema field (and the
+    * staged parquet files) with its id via Spark's native
+    * `parquet.field.id` support, so the reader matches columns by ID,
+    * not name. That makes [[renameColumn]] a metadata-only commit that
+    * still reads every historical file correctly, and a dropped-then-
+    * re-added column a NEW id that never resurrects the old data —
+    * real Iceberg rename/drop semantics with zero custom reader code.
+    */
+  private val ColIdsKey = "colids"
+
+  /** Manifest metadata key recording the version of the FIRST
+    * id-stamped commit: files written before it carry no parquet field
+    * ids (the write version is parsed from the immutable file name),
+    * and [[renameColumn]] refuses until [[maintain]] has rewritten
+    * them — an un-stamped file under a renamed schema would silently
+    * read null.
+    */
+  private val IdsFromKey = "idsfrom"
+
+  private val FieldIdKey = "parquet.field.id"
+
+  private def colIdsOf(meta: Map[String, String]): Map[String, Int] =
+    meta.get(ColIdsKey).map { j =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+      val b = Map.newBuilder[String, Int]
+      m.properties().forEach(e => b += e.getKey -> e.getValue.asInt)
+      b.result()
+    }.getOrElse(Map.empty)
+
+  private def idsJson(ids: Map[String, Int]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    ids.toSeq.sortBy(_._2).foreach { case (n, i) => node.put(n, i) }
+    m.writeValueAsString(node)
+  }
+
+  /** Carry prior ids, assign fresh ones (max+1 onward, field order) to
+    * genuinely new columns.
+    */
+  private def assignIds(prev: Map[String, Int], schema: StructType): Map[String, Int] = {
+    var next = (prev.values ++ Seq(0)).max
+    prev ++ schema.fields.filterNot(f => prev.contains(f.name)).map { f =>
+      next += 1
+      f.name -> next
+    }
+  }
+
+  /** The schema with each field's stable id attached as parquet
+    * field-id metadata (what both the schema stamp and the staged
+    * write carry).
+    */
+  private def withFieldIds(schema: StructType, ids: Map[String, Int]): StructType =
+    StructType(schema.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong(FieldIdKey, ids(f.name).toLong)
+      StructField(f.name, f.dataType, f.nullable, mb.build())
+    })
+
+  /** Field ids are STAMPED into written files (interop with id-aware
+    * engines) but reads deliberately do NOT rely on parquet field-id
+    * matching: Spark's parquet FILTER PUSHDOWN matches row-group stats
+    * by NAME regardless of ids, so an id-matched read of a renamed
+    * column would pair a pushed filter with the WRONG physical column
+    * and silently drop rows (observed: IsNull(renamed) pruning row
+    * groups of the old column). Instead the reader resolves each
+    * file's PHYSICAL column names from the manifest's column history
+    * ([[ColHistKey]]) and requests exactly those — names always match
+    * the footer, so pushdown is safe by construction.
+    */
+  private def ensureFieldIdConfs(): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+
+  /** Manifest metadata key holding each column id's PHYSICAL-NAME
+    * HISTORY: JSON `{id: [[fromVersion, name|null], ...]}` — the name
+    * a file written at version v carries for that column is the entry
+    * with the greatest fromVersion <= v (`null` = released by a drop).
+    * A file older than a column's first entry does not have it (so a
+    * dropped-then-re-added name can never resurrect old values), and a
+    * renamed column keeps its id while gaining a new name entry.
+    * Dropped ids KEEP their history (with a null terminator) — it is
+    * what proves an old same-named physical column belongs to a dead
+    * id. Carried forward by every commit.
+    */
+  private val ColHistKey = "colhist"
+
+  private def colHistOf(meta: Map[String, String]): Map[Int, Seq[(Long, Option[String])]] =
+    meta.get(ColHistKey).map { j =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+      val b = Map.newBuilder[Int, Seq[(Long, Option[String])]]
+      m.properties().forEach { e =>
+        val entries = Seq.newBuilder[(Long, Option[String])]
+        e.getValue.forEach { arr =>
+          entries += ((arr.get(0).asLong,
+            if (arr.get(1).isNull) None else Some(arr.get(1).asText)))
+        }
+        b += e.getKey.toInt -> entries.result()
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
+  private def histJson(hist: Map[Int, Seq[(Long, Option[String])]]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    hist.toSeq.sortBy(_._1).foreach { case (id, entries) =>
+      val arr = node.putArray(id.toString)
+      entries.foreach { case (v, n) =>
+        val pair = arr.addArray()
+        pair.add(v)
+        n match { case Some(s) => pair.add(s); case None => pair.addNull() }
+      }
+    }
+    m.writeValueAsString(node)
+  }
+
+  /** Has this table ever renamed or dropped a column? Only then do
+    * per-epoch physical names diverge and reads take the epoch-union
+    * path; the overwhelmingly common never-evolved table keeps the
+    * single-scan plan bit for bit.
+    */
+  private def hasEvolution(hist: Map[Int, Seq[(Long, Option[String])]]): Boolean =
+    hist.exists(_._2.size > 1)
+
+  /** A data file's write version parsed from its immutable imported
+    * name (`part-v<version>-…`); None for foreign/legacy names.
+    */
+  private def fileVersionOf(relFile: String): Option[Long] = {
+    val name = relFile.substring(relFile.lastIndexOf('/') + 1)
+    "^part-v(\\d+)-".r.findFirstMatchIn(name).flatMap(_.group(1).toLongOption)
+  }
+
   /** LEGACY manifest metadata key for monolithic per-file column
     * bounds. Current commits stamp bounds into the per-leaf manifest
     * entries instead ([[Manifests.FileEntry]]); this key is only read
@@ -428,7 +561,7 @@ final case class IcebergLikeTable(
     * typed DataFrame when the schema is stamped.
     */
   private def readFileSet(files: Seq[String],
-      schema: Option[StructType]): DataFrame = schema match {
+      schema: Option[StructType]): DataFrame = { ensureFieldIdConfs(); schema } match {
     case Some(s) if files.isEmpty =>
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
     case Some(s) =>
@@ -441,7 +574,47 @@ final case class IcebergLikeTable(
   }
 
   private def readSnapshot(snap: TableSnapshot): DataFrame =
-    applyDeletes(snap, readFileSet(snap.dataFiles, storedSchema(snap.meta)))
+    applyDeletes(snap, readFileSetEvolved(snap, snap.dataFiles))
+
+  /** Epoch-aware snapshot read: when the table has renamed/dropped
+    * columns, files from different schema epochs carry different
+    * physical column names — each epoch group is read under ITS
+    * physical names (so parquet filter pushdown matches the footers it
+    * prunes against) and projected back to the current schema, with
+    * columns the epoch predates — including a re-added name whose old
+    * physical twin belongs to a dead id — EXCLUDED from the scan and
+    * null-filled. The never-evolved table (no rename/drop ever) takes
+    * the single-scan fast path, plan-identical to before.
+    */
+  private def readFileSetEvolved(snap: TableSnapshot,
+      files: Seq[String]): DataFrame = {
+    val schema = storedSchema(snap.meta)
+    val hist = colHistOf(snap.meta)
+    if (schema.isEmpty || files.isEmpty || !hasEvolution(hist))
+      return readFileSet(files, schema)
+    val s = schema.get
+    val ids = colIdsOf(snap.meta)
+    def physFor(vf: Long): Seq[Option[String]] = s.fields.toSeq.map { f =>
+      ids.get(f.name).flatMap(hist.get) match {
+        case None => Some(f.name) // no recorded history: name is stable
+        case Some(entries) =>
+          val applicable = entries.filter(_._1 <= vf)
+          if (applicable.isEmpty) None // the file predates the column
+          else applicable.maxBy(_._1)._2
+      }
+    }
+    files.groupBy(f => physFor(fileVersionOf(f).getOrElse(Long.MaxValue)))
+      .toSeq.sortBy(_._2.head).map { case (phys, fs) =>
+        val physSchema = StructType(s.fields.toSeq.zip(phys).collect {
+          case (f, Some(p)) => StructField(p, f.dataType, f.nullable, f.metadata)
+        })
+        readFileSet(fs, Some(physSchema)).select(
+          s.fields.toSeq.zip(phys).map {
+            case (f, Some(p)) => col(p).as(f.name)
+            case (f, None) => lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+      }.reduce(_ unionByName _)
+  }
 
   /** A data row's WRITE SEQUENCE, recovered from its physical file name
     * (`part-v<version>-…` — stamped at import, immutable thereafter):
@@ -523,6 +696,15 @@ final case class IcebergLikeTable(
     * DataFrame's lifetime).
     */
   def toDF: DataFrame = {
+    val (_, peek) = resolveLive()
+    if (hasEvolution(colHistOf(peek.meta))) {
+      // the relation's single file index binds columns by name across
+      // epochs; a renamed/dropped table reads through the epoch-aware
+      // path instead (correctness over the index's zero-listing pruning
+      // — maintain() rewrites converge the table back to one epoch)
+      val live = readSnapshot(peek)
+      return if (uniqueKeys.isEmpty) live else live.drop(bucketCol)
+    }
     val (df, snap) = GraftFileIndex.relationWithSnapshot(spark, this)
     val live = applyDeletes(snap, df)
     if (uniqueKeys.isEmpty) live else live.drop(bucketCol)
@@ -546,7 +728,7 @@ final case class IcebergLikeTable(
     val (_, snap) = resolveLive()
     val schema = storedSchema(snap.meta)
     val df = applyDeletes(snap,
-      readFileSet(prunedFiles(snap, schema, condition), schema))
+      readFileSetEvolved(snap, prunedFiles(snap, schema, condition)))
       .filter(condition)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
@@ -615,8 +797,9 @@ final case class IcebergLikeTable(
   def readWhereAt(version: Long, condition: Column): DataFrame = {
     val snap = snapshotAt(version)
     val df = applyDeletes(snap,
-      readFileSet(prunedFiles(snap, storedSchema(snap.meta), condition),
-        storedSchema(snap.meta))).filter(condition)
+      readFileSetEvolved(snap,
+        prunedFiles(snap, storedSchema(snap.meta), condition)))
+      .filter(condition)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
 
@@ -664,10 +847,10 @@ final case class IcebergLikeTable(
     val newFiles = toSnap.dataFiles.filter(f => changed(leafOf(f)))
     val oldDf = if (oldFiles.isEmpty) None
       else Some(applyDeletes(fromSnap,
-        readFileSet(oldFiles, storedSchema(fromSnap.meta))).drop(bucketCol))
+        readFileSetEvolved(fromSnap, oldFiles)).drop(bucketCol))
     val newDf = if (newFiles.isEmpty) None
       else Some(applyDeletes(toSnap,
-        readFileSet(newFiles, storedSchema(toSnap.meta))).drop(bucketCol))
+        readFileSetEvolved(toSnap, newFiles)).drop(bucketCol))
 
     def tagged(df: DataFrame, tag: String): DataFrame =
       df.select(lit(tag).as("_change_type") +: df.columns.map(col): _*)
@@ -749,13 +932,33 @@ final case class IcebergLikeTable(
     val added = toSnap.dataFiles.filterNot(from)
     val base = {
       val df =
-        if (added.nonEmpty) readFileSet(added, storedSchema(toSnap.meta))
+        if (added.nonEmpty) readFileSetEvolved(toSnap, added)
         else if (storedSchema(toSnap.meta).isDefined)
           readSnapshot(toSnap.copy(entries = Nil))
         else readSnapshot(toSnap).limit(0) // legacy unstamped manifest
       if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
     }
     base.withColumn("_commit_version", lit(toVersion))
+  }
+
+  /** The leaf partitions holding data in a retained snapshot, sorted —
+    * the deterministic chunking domain for [[ChangeFeed]]'s bounded
+    * initial load (a 100 TB initial mirror must not be one giant
+    * window).
+    */
+  private[weblog] def dataLeavesAt(version: Long): Seq[String] =
+    snapshotAt(version).dataFiles.map(leafOf).distinct.sorted
+
+  /** Read a subset of a retained snapshot's leaves (equality deletes
+    * applied, layout column hidden) — one bounded chunk of an initial
+    * load. Partition pruning applies by construction: only the chunk's
+    * files are listed.
+    */
+  private[weblog] def readLeavesAt(version: Long, leaves: Set[String]): DataFrame = {
+    val snap = snapshotAt(version)
+    val files = snap.dataFiles.filter(f => leaves(leafOf(f)))
+    val df = applyDeletes(snap, readFileSetEvolved(snap, files))
+    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
 
   /** Roll the live table back to a retained historical snapshot
@@ -782,6 +985,8 @@ final case class IcebergLikeTable(
     val meta = hwmOf(live.meta) ++
       live.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
+      target.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
+      target.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
       target.meta.get(StatsKey).map(StatsKey -> _) ++
       target.meta.get(BloomKey).map(BloomKey -> _) +
       (TsKey -> System.currentTimeMillis().toString) +
@@ -1004,19 +1209,36 @@ final case class IcebergLikeTable(
       carryOver: Seq[String] => Seq[String]): Seq[String] = {
     val version = nextVersion(baseVersion)
     val token = java.util.UUID.randomUUID().toString.take(8)
+    validateLayout(base.meta)
+    val plain = commitSchema(storedSchema(base.meta), df.schema)
+    // stable column ids: carried from the base, assigned fresh for new
+    // columns, stamped into BOTH the schema stamp and the staged
+    // parquet files (Spark's native parquet.field.id support) — the
+    // indirection renameColumn/dropColumn read through
+    val ids = assignIds(colIdsOf(base.meta), plain)
+    val hist0 = colHistOf(base.meta)
+    val hist = hist0 ++ ids.collect {
+      case (n, id) if !hist0.contains(id) =>
+        id -> Seq((version, Option(n)))
+    }
+    val schema = withFieldIds(plain, ids)
+    ensureFieldIdConfs()
+    val dfStamped = df.select(df.columns.toSeq.map(c =>
+      col(c).as(c, schema(schema.fieldIndex(c)).metadata)): _*)
     val staging = new Path(root.getParent, s".staging_v${version}_$token")
-    df.write.mode("overwrite")
+    dfStamped.write.mode("overwrite")
       .partitionBy(partCols: _*)
       .option("compression", "snappy")
       .parquet(staging.toString)
-    validateLayout(base.meta)
-    val schema = commitSchema(storedSchema(base.meta), df.schema)
     // the branch-point stamp survives every commit on a branch chain —
     // fastForward's ancestry check must see it no matter how many
     // commits the branch accumulated (v1 may have expired by retention)
     val meta = hwmOf(base.meta) ++
       base.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++ extraMeta +
       (SchemaKey -> schema.json) +
+      (ColIdsKey -> idsJson(ids)) +
+      (ColHistKey -> histJson(hist)) +
+      (IdsFromKey -> base.meta.getOrElse(IdsFromKey, version.toString)) +
       (TsKey -> System.currentTimeMillis().toString) +
       (LayoutKey -> layoutSpec)
     try {
@@ -1717,7 +1939,7 @@ final case class IcebergLikeTable(
     // runs over MOR-LIVE rows only: a row an equality-delete file
     // already removed must not be re-counted or "re-deleted" here
     val hits = applyDeletes(snap,
-        readFileSet(candidates, schema).withColumn("_f", input_file_name()))
+        readFileSetEvolved(snap, candidates).withColumn("_f", input_file_name()))
       .filter(condition)
       .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
       .collect()
@@ -1738,11 +1960,99 @@ final case class IcebergLikeTable(
     // stop applying to it, and their already-deleted rows must not
     // resurrect through the rewrite.
     val survivors = applyDeletes(snap,
-        readFileSet(affectedFiles.toSeq.sorted, schema))
+        readFileSetEvolved(snap, affectedFiles.toSeq.sorted))
       .filter(!coalesce(condition, lit(false)))
     commit(survivors, liveVersion, snap)(
       _ => previous.filterNot(affectedFiles))
     deleted
+  }
+
+  /** Schema evolution: RENAME a data column — a METADATA-ONLY commit
+    * (Iceberg's rename): the new schema stamp keeps the column's stable
+    * id, so readers match every historical file's physical column BY ID
+    * and serve it under the new name; no file is touched, time travel
+    * to pre-rename snapshots still shows the old name. Refused until
+    * every live data file carries field ids (files from before the id
+    * stamp would silently read null — [[maintain]] rewrites them).
+    * Layout and unique-key columns cannot rename through this handle
+    * (they are constructor identity; redeclare + rewrite instead).
+    * Stats/bloom stamps recorded under the old name simply stop pruning
+    * (reads stay correct) until the files are rewritten. Returns the
+    * new live version.
+    */
+  def renameColumn(oldName: String, newName: String): Long = withCommitRetry {
+    evolveSchema("rename", oldName, Some(newName))
+  }
+
+  /** Schema evolution: DROP a data column — metadata-only, like
+    * [[renameColumn]]. The data stays in the files but is never read;
+    * re-adding the same name later assigns a FRESH column id, so the
+    * old values can never resurrect (Iceberg's drop semantics, for
+    * free from id matching). Returns the new live version.
+    */
+  def dropColumn(name: String): Long = withCommitRetry {
+    evolveSchema("drop", name, None)
+  }
+
+  private def evolveSchema(op: String, name: String,
+      renameTo: Option[String]): Long = {
+    val (liveVersion, snap) = resolveLive()
+    validateLayout(snap.meta)
+    val schema = storedSchema(snap.meta).getOrElse(throw new IllegalStateException(
+      s"$op needs a schema-stamped manifest under $path"))
+    require(schema.fieldNames.contains(name), s"no column '$name' to $op")
+    require(!partCols.contains(name), s"cannot $op layout column '$name'")
+    require(!uniqueKeys.contains(name),
+      s"cannot $op unique-key column '$name' (it is handle identity and " +
+        "names the equality-delete tuples); redeclare the table instead")
+    renameTo.foreach { n =>
+      require(!schema.fieldNames.contains(n), s"column '$n' already exists")
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad column name '$n'")
+    }
+    val ids = colIdsOf(snap.meta)
+    val hist = colHistOf(snap.meta)
+    val idsFrom = snap.meta.get(IdsFromKey).flatMap(_.toLongOption)
+    val unstamped = idsFrom match {
+      case None => snap.dataFiles
+      case Some(v0) =>
+        snap.dataFiles.filterNot(f => fileVersionOf(f).exists(_ >= v0))
+    }
+    require(ids.contains(name) && (renameTo.isEmpty || unstamped.isEmpty),
+      s"cannot $op '$name': ${unstamped.size} live file(s) predate the " +
+        s"column-id stamp and epoch resolution would misread them — run " +
+        "maintain(fileThreshold = 0) to rewrite them first")
+    val id = ids(name)
+    val newSchema = renameTo match {
+      case Some(n) => StructType(schema.fields.map(f =>
+        if (f.name == name) StructField(n, f.dataType, f.nullable, f.metadata)
+        else f))
+      case None => StructType(schema.fields.filterNot(_.name == name))
+    }
+    val newIds = renameTo match {
+      case Some(n) => ids - name + (n -> id)
+      case None => ids - name
+    }
+    val version = nextVersion(liveVersion)
+    // the id keeps its physical-name history: a rename appends the new
+    // name from this version on; a drop appends a null terminator (the
+    // released name stays attributed to this dead id, so a later
+    // re-add can never bind old files' same-named column)
+    val newHist = hist + (id ->
+      (hist.getOrElse(id, Seq((0L, Option(name)))) :+
+        ((version: Long, renameTo))))
+    val meta = snap.meta +
+      (SchemaKey -> newSchema.json) +
+      (ColIdsKey -> idsJson(newIds)) +
+      (ColHistKey -> histJson(newHist)) +
+      (TsKey -> System.currentTimeMillis().toString)
+    // pure metadata: the version manifest re-references every leaf
+    // manifest (or legacy file list) untouched
+    val lines =
+      if (snap.refs.nonEmpty) snap.refs.map(Manifests.RefMark + _)
+      else snap.files
+    Manifests.write(fs, root, version, lines, meta, chainPrefix)
+    expireSnapshots()
+    version
   }
 
   /** MERGE-ON-READ row-level DELETE (Iceberg v2 equality-delete files —
@@ -1783,7 +2093,7 @@ final case class IcebergLikeTable(
     // count in one pass — O(matched keys), never O(table)
     val candidates = prunedFiles(snap, schema, condition)
     if (candidates.isEmpty) return 0L
-    val matched = applyDeletes(snap, readFileSet(candidates, schema))
+    val matched = applyDeletes(snap, readFileSetEvolved(snap, candidates))
       .filter(condition)
       .groupBy((partCols ++ uniqueKeys).map(col): _*)
       .agg(count(lit(1)).as("_graft_cnt"))
@@ -1818,6 +2128,8 @@ final case class IcebergLikeTable(
         val meta = hwmOf(snap.meta) ++
           snap.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
           snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
+          snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
+          snap.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
           snap.meta.get(StatsKey).map(StatsKey -> _) ++
           snap.meta.get(BloomKey).map(BloomKey -> _) +
           (TsKey -> System.currentTimeMillis().toString) +
@@ -1890,7 +2202,7 @@ final case class IcebergLikeTable(
     // and the commit DROPS those leaves' delete files (carry-over is
     // leaf-scoped) — compaction consumes the tombstones, exactly
     // Iceberg's rewrite_data_files + rewrite_position_delete_files
-    val hotDf = applyDeletes(snap, readFileSet(hotFiles, storedSchema(snap.meta)))
+    val hotDf = applyDeletes(snap, readFileSetEvolved(snap, hotFiles))
     val shaped =
       if (clusterCols.isEmpty)
         hotDf.repartition(targetFiles * hot.size, partCols.map(col): _*)

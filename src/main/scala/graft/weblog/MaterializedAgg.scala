@@ -62,6 +62,36 @@ final case class MaterializedAgg(
     */
   private val PointLookupGroups = 1000
 
+  /** The affected-group point predicate for a small delta: turns the
+    * current-values join and the zero-count cleanup into
+    * stats/bloom-prunable point reads instead of view scans.
+    * Multi-column groups use the per-column membership CONJUNCTION —
+    * each column restricted to the delta's values for it: a superset
+    * of the exact tuple set (the cross product), which is sound for
+    * both uses — the current-values join still matches exactly on the
+    * null-safe group equality, and the cleanup delete can only remove
+    * count-0 rows, which are invisible housekeeping whichever group
+    * they belong to — while staying a shape the per-file bounds and
+    * bloom stamps can prune on every column independently. NULL is a
+    * legal group value (groupBy keeps a null group) and `isin` can
+    * never match it, so membership tests it explicitly. None when the
+    * delta exceeds [[PointLookupGroups]] (a huge refresh is closer to
+    * a rebuild; scan the view instead).
+    */
+  private[weblog] def affectedGroupPredicate(deltas: DataFrame): Option[Column] = {
+    val g = deltas.select(groupCols.map(col): _*).limit(PointLookupGroups + 1)
+      .collect()
+    if (g.length > PointLookupGroups) None
+    else Some(groupCols.zipWithIndex.map { case (c, i) =>
+      val vals = g.map(_.get(i)).distinct.toSeq
+      val (nulls, values) = vals.partition(_ == null)
+      val base =
+        if (values.isEmpty) lit(false)
+        else col(c).isin(values: _*)
+      if (nulls.isEmpty) base else base || col(c).isNull
+    }.reduce(_ && _))
+  }
+
   def refresh(partitionValue: String = "all"): Option[(Long, Long)] = {
     val live = source.currentVersion.getOrElse(return None)
     val from = refreshedThrough.getOrElse(0L)
@@ -86,26 +116,9 @@ final case class MaterializedAgg(
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .persist()
 
-    // affected-group predicate when the delta is small: turns the
-    // current-values join and the zero-count delete into
-    // stats/bloom-prunable point reads instead of view scans. NULL is a
-    // legal group value (groupBy keeps a null group), and `isin` can
-    // never match it — membership must test it explicitly or a null-key
-    // group would silently escape the point read and the cleanup.
     val groupPred: Option[Column] =
-      if (groupCols.size != 1 || target.currentVersion.isEmpty) None
-      else {
-        val g = deltas.select(col(groupCols.head)).limit(PointLookupGroups + 1)
-          .collect().map(_.get(0))
-        if (g.length > PointLookupGroups) None
-        else {
-          val (nulls, values) = g.partition(_ == null)
-          val base =
-            if (values.isEmpty) lit(false)
-            else col(groupCols.head).isin(values.toSeq: _*)
-          Some(if (nulls.isEmpty) base else base || col(groupCols.head).isNull)
-        }
-      }
+      if (target.currentVersion.isEmpty) None
+      else affectedGroupPredicate(deltas)
 
     val merged =
       if (target.currentVersion.isEmpty)

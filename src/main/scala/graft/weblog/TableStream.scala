@@ -34,11 +34,26 @@ import org.apache.spark.sql.functions._
 object TableStream {
 
   /** One drained micro-batch's coordinates: the (from, to] version
-    * window and the batch id (= `toVersion`) a dedup-capable sink
-    * should key on.
+    * window, the initial-load chunk (index, total) when the window is
+    * one bounded slice of a chunked initial load, and the batch id a
+    * dedup-capable sink should key on. Batch ids are version-major —
+    * `toVersion * 2^20 + ordinal` — so every chunk of an initial load
+    * gets its OWN id (a shared id would make the sink's high-water mark
+    * skip all chunks after the first) while still sorting strictly
+    * below any later window's id; complete windows take the top
+    * ordinal. 2^20 chunks per window is a bound on LEAF GROUPS, not
+    * leaves — unreachable in practice, and clamped defensively.
     */
-  final case class BatchInfo(fromVersion: Long, toVersion: Long) {
-    def batchId: Long = toVersion
+  final case class BatchInfo(fromVersion: Long, toVersion: Long,
+      chunk: Option[(Int, Int)] = None) {
+    def batchId: Long = {
+      val scale = 1L << 20
+      val ordinal = chunk match {
+        case Some((k, _)) => math.min(k.toLong, scale - 2)
+        case None => scale - 1
+      }
+      toVersion * scale + ordinal
+    }
   }
 
   /** Drain the feed until the consumer is caught up (Trigger
@@ -49,13 +64,21 @@ object TableStream {
     */
   def processAvailableNow(table: IcebergLikeTable, consumer: String,
       maxBatches: Int = Int.MaxValue)(
+      process: (DataFrame, BatchInfo) => Unit): Int =
+    processAvailableNow(table, consumer, maxBatches, 256)(process)
+
+  /** As above with an explicit initial-load chunk size (leaves per
+    * window) — the knob a 100 TB initial mirror tunes.
+    */
+  def processAvailableNow(table: IcebergLikeTable, consumer: String,
+      maxBatches: Int, initialChunkLeaves: Int)(
       process: (DataFrame, BatchInfo) => Unit): Int = {
-    val feed = ChangeFeed(table, consumer)
+    val feed = ChangeFeed(table, consumer, initialChunkLeaves)
     var n = 0
     var batch = feed.poll()
     while (batch.isDefined && n < maxBatches) {
       val b = batch.get
-      process(b.changes, BatchInfo(b.fromVersion, b.toVersion))
+      process(b.changes, BatchInfo(b.fromVersion, b.toVersion, b.chunk))
       b.ack()
       n += 1
       batch = feed.poll()
@@ -95,8 +118,9 @@ object TableStream {
     * number of windows applied.
     */
   def mirrorInto(source: IcebergLikeTable, target: IcebergLikeTable,
-      consumer: String, maxBatches: Int = Int.MaxValue): Int =
-    processAvailableNow(source, consumer, maxBatches) { (changes, info) =>
-      applyChanges(target, consumer, changes, info)
+      consumer: String, maxBatches: Int = Int.MaxValue,
+      initialChunkLeaves: Int = 256): Int =
+    processAvailableNow(source, consumer, maxBatches, initialChunkLeaves) {
+      (changes, info) => applyChanges(target, consumer, changes, info)
     }
 }

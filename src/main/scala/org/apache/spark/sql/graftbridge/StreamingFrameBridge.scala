@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` touchpoint a V1 streaming `Source` needs:
+  * `getBatch` must return a DataFrame whose logical plan is flagged
+  * `isStreaming` (MicroBatchExecution asserts it), and the only
+  * constructor for such a frame is the session's internal one. This is
+  * the standard connector bridge — Delta Lake's streaming source makes
+  * the identical call from its own org.apache.spark.sql subpackage. No
+  * other internals are touched.
+  */
+object StreamingFrameBridge {
+  def streamingFrame(spark: SparkSession, rows: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = true)
+
+  def emptyStreamingFrame(spark: SparkSession, schema: StructType): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      classic.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
+  }
+}

@@ -135,6 +135,54 @@ class MaterializedAggSpec extends SparkTestBase {
     assertMatches(mv)
   }
 
+  test("multi-column groups refresh through the point-pruned read") {
+    import spark.implicits._
+    val src = keyedSource()
+    val tgt = IcebergLikeTable(spark,
+      Files.createTempDirectory("mv_tgt2").toString + "/t",
+      "view", Seq("user_id", "event"),
+      statsColumns = Seq("user_id", "event"))
+    val mv = MaterializedAgg(src, tgt, Seq("user_id", "event"), Seq("value"))
+    src.write(rows(0 until 40, "view", 10L, 1L), "seq")
+    src.write(rows(0 until 40, "click", 20L, 1L), "seq")
+    assert(mv.refresh().isDefined)
+    def matches(): Unit = {
+      val got = mv.read.select("user_id", "event", "cnt", "sum_value")
+      val want = mv.fullRecompute
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"view ${got.collect().toSeq} != recompute ${want.collect().toSeq}")
+    }
+    matches()
+
+    // a key-local update: the 2-column affected-group predicate must
+    // ENGAGE (the r7 code disabled it for multi-column groups) so the
+    // current-values join is a point read, and the refresh still folds
+    // exactly
+    src.write(rows(0 until 5, "view", 99L, 2L), "seq")
+    val live = src.currentVersion.get
+    val changes = src.changesBetween(mv.refreshedThrough.get, live)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val deltas = changes.groupBy(col("user_id"), col("event"))
+      .agg(sum(sign).as("_dcnt"))
+    val pred = mv.affectedGroupPredicate(deltas)
+    assert(pred.isDefined, "2-column group must still build a point predicate")
+    // the predicate prunes: only the affected groups' rows survive it
+    val scoped = tgt.readWhere(pred.get)
+    assert(scoped.count() > 0)
+    assert(scoped.filter(col("event") =!= "view").count() == 0,
+      "per-column membership keeps only the touched event value")
+    assert(mv.refresh().isDefined)
+    matches()
+
+    // delete one composite group entirely: the scoped cleanup erases it
+    src.delete(col("user_id") === "u1" && col("event") === "click")
+    assert(mv.refresh().isDefined)
+    matches()
+    assert(mv.read.filter(col("user_id") === "u1" && col("event") === "click")
+      .count() == 0)
+  }
+
   test("append-only sources fold appends; count-only views work") {
     import spark.implicits._
     val src = IcebergLikeTable(spark,

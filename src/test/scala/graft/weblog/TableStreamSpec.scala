@@ -90,6 +90,78 @@ class TableStreamSpec extends SparkTestBase {
     mirrorEqualsSource(src, tgt)
   }
 
+  test("chunked initial load: bounded windows, crash-resume, no loss or double-count") {
+    val src = keyed("ts_chunk_src") // 4 buckets × 1 event → 4 leaves
+    val tgt = keyed("ts_chunk_tgt")
+    src.write(batchOf(0 until 60, "orig", 1L), "seq")
+
+    // 4 leaves at 1 leaf/window → the initial load is 4 bounded windows
+    var chunks = Vector.empty[(Int, Int)]
+    val n = TableStream.processAvailableNow(src, "m", Int.MaxValue, 1) {
+      (changes, info) =>
+        chunks :+= info.chunk.get
+        TableStream.applyChanges(tgt, "m", changes, info)
+    }
+    assert(n == 4, s"expected 4 chunk windows, drained $n")
+    assert(chunks == Vector((0, 4), (1, 4), (2, 4), (3, 4)))
+    mirrorEqualsSource(src, tgt)
+    assert(tgt.read.count() == 60)
+    // caught up — and the chunk ids were all distinct (a shared batch
+    // id would have made the mirror's high-water mark skip chunks 2-4)
+    assert(TableStream.mirrorInto(src, tgt, "m") == 0)
+
+    // crash mid-load on a FRESH consumer: two chunks applied, then die
+    val tgt2 = keyed("ts_chunk_tgt2")
+    var applied = 0
+    intercept[RuntimeException] {
+      TableStream.processAvailableNow(src, "m2", Int.MaxValue, 1) {
+        (changes, info) =>
+          applied += 1
+          if (applied == 3) throw new RuntimeException("crash mid-load")
+          TableStream.applyChanges(tgt2, "m2", changes, info)
+      }
+    }
+    // resume: the unacked 3rd chunk re-delivers first, then the 4th —
+    // no chunk lost, none double-applied
+    val resumed = TableStream.processAvailableNow(src, "m2", Int.MaxValue, 1) {
+      (changes, info) => TableStream.applyChanges(tgt2, "m2", changes, info)
+    }
+    assert(resumed == 2, s"resume must drain exactly the 2 remaining chunks, got $resumed")
+    mirrorEqualsSource(src, tgt2)
+
+    // post-load incrementality: a source commit after the chunked load
+    // arrives as one normal changes window
+    src.write(batchOf(0 until 5, "gen2", 2L), "seq")
+    assert(TableStream.mirrorInto(src, tgt2, "m2") == 1)
+    mirrorEqualsSource(src, tgt2)
+  }
+
+  test("commits landing mid-initial-load arrive as a later incremental window") {
+    val src = keyed("ts_midload_src")
+    val tgt = keyed("ts_midload_tgt")
+    src.write(batchOf(0 until 40, "orig", 1L), "seq")
+    val feed = ChangeFeed(src, "m3", initialChunkLeaves = 1)
+    // drain two of four chunks, then a concurrent commit lands
+    for (_ <- 0 until 2) {
+      val b = feed.poll().get
+      TableStream.applyChanges(tgt, "m3", b.changes,
+        TableStream.BatchInfo(b.fromVersion, b.toVersion, b.chunk))
+      b.ack()
+    }
+    src.write(batchOf(0 until 3, "hot", 2L), "seq")
+    // remaining chunks still read the PINNED snapshot v1 (deterministic
+    // chunk domain), then the v2 commit arrives as a changes window
+    var windows = 0
+    val drained = TableStream.processAvailableNow(src, "m3", Int.MaxValue, 1) {
+      (changes, info) =>
+        windows += 1
+        TableStream.applyChanges(tgt, "m3", changes, info)
+    }
+    assert(drained == 3, s"2 remaining chunks + 1 incremental window, got $drained")
+    mirrorEqualsSource(src, tgt)
+    assert(tgt.read.filter(col("hostname") === "hot").count() == 3)
+  }
+
   test("append-only sources stream their appends into a keyed mirror") {
     import spark.implicits._
     val src = IcebergLikeTable(spark,
