@@ -761,6 +761,80 @@ object WebLogQueries {
              |FROM final GROUP BY 1, 2
              |ORDER BY event, hostname""".stripMargin.replace("\n", " "))),
 
+    // writeStream.format("graft") — the table as a Structured
+    // Streaming SINK (streaming/GraftTableSink): the same three commit
+    // groups, but the replica is maintained by NOTHING except the
+    // standard engine — readStream("graft") → writeStream("graft",
+    // cdc=true) turns the source's change envelope into order-aware
+    // merges + tombstones with the table's exactly-once batch-id mark.
+    // Zero user code between source and sink; the final census must
+    // equal the oracle's batch recompute.
+    Q("weblog_stream_sink",
+      (s, d) => {
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(seq: Long) = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(seq).as("seq"))
+        def hr = hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern))
+        val src = IcebergLikeTable(s, scratch(s, "ssink_src", d) + "/t",
+          "event", Seq("user_id", "timestamp"))
+        val tgtRoot = scratch(s, "ssink_tgt", d) + "/t"
+        val cp = scratch(s, "ssink_cp", d)
+        def drain(): Unit = {
+          val q = s.readStream.format("graft")
+            .option("path", src.path)
+            .option("uniqueKeys", "user_id,timestamp")
+            .load()
+            .writeStream.format("graft")
+            .option("path", tgtRoot)
+            .option("uniqueKeys", "user_id,timestamp")
+            .option("orderCol", "_commit_version")
+            .option("cdc", "true")
+            .option("checkpointLocation", cp)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        src.write(keyed(1L), "seq")
+        drain()
+        src.write(keyed(2L).filter(hr < 12)
+          .withColumn("hostname", lit("updated.example")), "seq")
+        src.delete(col("event") === "click")
+        drain()
+        src.write(keyed(3L).filter(hr >= 20)
+          .withColumn("hostname", lit("late.example")), "seq")
+        drain()
+        IcebergLikeTable(s, tgtRoot, "event", Seq("user_id", "timestamp"))
+          .read
+          .groupBy(col("event"), col("hostname"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("event", "hostname")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS event, hour(ts) AS h
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1),
+             |final AS (
+             |  SELECT event,
+             |         CASE WHEN h >= 20 THEN 'late.example'
+             |              WHEN h < 12 THEN 'updated.example'
+             |              ELSE 'orig.example' END AS hostname
+             |  FROM base
+             |  WHERE event <> 'click' OR h >= 20)
+             |SELECT event, hostname, CAST(count(*) AS BIGINT) AS cnt
+             |FROM final GROUP BY 1, 2
+             |ORDER BY event, hostname""".stripMargin.replace("\n", " "))),
+
     // Metadata-only aggregates: count(*), a partition-predicate count
     // and column min/max answered from the MANIFEST alone (stamped row
     // counts + per-file bounds — zero data I/O, zero tasks), checked

@@ -1,12 +1,14 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.StreamingFrameBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 import graft.weblog.IcebergLikeTable
 
@@ -36,7 +38,7 @@ import graft.weblog.IcebergLikeTable
   * which the engine auto-wraps for Trigger.AvailableNow.
   */
 final class GraftSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -80,6 +82,94 @@ final class GraftSourceProvider extends StreamSourceProvider
     val table = tableFor(sqlContext, parameters)
     new GraftTableSource(sqlContext, table,
       schema.getOrElse(changeSchema(table)))
+  }
+
+  /** `df.writeStream.format("graft")` — the table as a first-class
+    * Structured Streaming SINK with exactly-once micro-batch replay
+    * (the `appendId = (streamId, batchId)` high-water mark every table
+    * commit carries; a batch replayed after a crash between commit and
+    * checkpoint is a clean skip). Modes, chosen by the TABLE's own
+    * declaration:
+    *
+    *  - key-less table → [[IcebergLikeTable.append]] per batch;
+    *  - `uniqueKeys` + option `orderCol` → order-aware
+    *    [[IcebergLikeTable.upsert]] (a late/replayed batch cannot
+    *    clobber newer rows);
+    *  - option `cdc=true` additionally interprets the change-feed
+    *    envelope (`_change_type`/`_commit_version`, the exact schema
+    *    the graft SOURCE emits): inserts + update_postimages merge as
+    *    upserts, deletes become one-commit MERGE tombstones,
+    *    update_preimages drop — so
+    *    `readStream.format("graft") → writeStream.format("graft")`
+    *    is a crash-safe, exactly-once table mirror through nothing but
+    *    the standard engine (what [[graft.weblog.TableStream.mirrorInto]]
+    *    hand-drives). Recommended `orderCol` for CDC: `_commit_version`
+    *    is already version-major; any stored order column works too.
+    *
+    * `streamId` defaults to the query's `checkpointLocation` (stable
+    * across restarts, distinct across queries) — pass it explicitly
+    * when two queries share a checkpoint root.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val table = tableFor(sqlContext, parameters)
+    val orderCol = opt(parameters, "orderCol")
+    require(table.uniqueKeys.isEmpty || orderCol.nonEmpty,
+      "writing to a keyed graft table needs option 'orderCol' " +
+        "(last-write-wins ordering for the merge)")
+    val cdc = opt(parameters, "cdc").exists(_.trim.toBoolean)
+    require(!cdc || table.uniqueKeys.nonEmpty,
+      "cdc=true needs a keyed table (uniqueKeys) to apply deletes")
+    val streamId = opt(parameters, "streamId")
+      .orElse(opt(parameters, "checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink needs option 'streamId' (or a checkpointLocation " +
+          "to derive it from) for exactly-once replay marks"))
+    new GraftTableSink(table, orderCol, streamId, cdc)
+  }
+}
+
+/** V1 sink: re-roots each trigger's already-incrementalized rows as a
+  * batch frame and drives the table's commit protocol. All
+  * exactly-once/ordering guarantees live in the table commit
+  * (HWM mark + order-aware merge), not here — the sink is routing.
+  */
+private[streaming] final class GraftTableSink(table: IcebergLikeTable,
+    orderCol: Option[String], streamId: String, cdc: Boolean) extends Sink {
+
+  private val Envelope = Set("_change_type", "_commit_version")
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = StreamingFrameBridge.batchFrame(spark,
+      data.queryExecution.toRdd, data.schema)
+    val id = Some((streamId, batchId))
+    if (!cdc) {
+      if (table.uniqueKeys.isEmpty) table.append(batch, id)
+      else table.upsert(batch, orderCol.get, id)
+    } else {
+      // One pass over the trigger's rows feeds both merge sides.
+      val pinned = batch.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val userCols = batch.columns.filterNot(Envelope.contains)
+        val ord = orderCol.get
+        val carry = // tombstones must route + order: keys, partition, order
+          (table.uniqueKeys :+ table.partitionCol :+ ord).distinct
+        // the order column is STORED by the merge (it must be — the
+        // stored value participates in later comparisons), so carry it
+        // even when it is the envelope's _commit_version
+        val upsertCols =
+          userCols.toSeq ++ (if (userCols.contains(ord)) Nil else Seq(ord))
+        val upserts = pinned
+          .filter(col("_change_type").isin("insert", "update_postimage"))
+          .select(upsertCols.map(col): _*)
+        val deletes = pinned
+          .filter(col("_change_type") === "delete")
+          .select(carry.map(col): _*)
+        table.merge(upserts, deletes, ord, id)
+      } finally pinned.unpersist()
+    }
   }
 }
 

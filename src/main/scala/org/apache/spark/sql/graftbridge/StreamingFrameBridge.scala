@@ -24,4 +24,20 @@ object StreamingFrameBridge {
     classic.internalCreateDataFrame(
       classic.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
   }
+
+  /** The V1 `Sink.addBatch` twin of [[streamingFrame]]: the DataFrame a
+    * sink receives is an incrementalized streaming frame whose plan
+    * cannot be re-planned into the batch writes a table commit runs
+    * (self-union/dedup inside one trigger mis-binds; Spark's own
+    * ForeachBatchSink re-wraps for the same reason). Re-rooting the
+    * already-computed InternalRow RDD as a BATCH frame gives the commit
+    * path an ordinary DataFrame without materializing on the driver.
+    * Rows are unsafe-row buffers reused by the scan — copy before
+    * re-rooting.
+    */
+  def batchFrame(spark: SparkSession, rows: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows.map(_.copy()), schema,
+        isStreaming = false)
 }
