@@ -82,6 +82,54 @@ object Dedup {
     df.groupBy(sha2(normalized(col(textCol)).cast("binary"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup of a NEW batch against an immutable ARCHIVE too large
+    * to broadcast exactly — the continuous-ingestion twin of [[exact]]:
+    * the archive's content digests fold into one Bloom filter (a single
+    * aggregate; BITS cross the driver, never rows), the delta
+    * pre-filters by membership — a bloom MISS is provably new, no
+    * archive I/O spent on it — and only the bloom HITS are confirmed
+    * against the real archive digests (archive scanned once, the small
+    * candidate-digest set broadcast into a semi-join). Bloom filters
+    * have no false negatives and false positives fail the exact
+    * confirm, so the result is IDENTICAL to the exact anti-join at a
+    * fraction of its cost: at 100 TB the archive contributes one
+    * digest scan + ~(true dups + fpp·delta) join rows, and no document
+    * text ever shuffles. Survivors then dedup among themselves
+    * ([[exact]]'s min-id-per-digest). Returns
+    * (content_hash, keeper_id, n_copies) — the delta keepers to append.
+    *
+    * Size `expectedItems` to the ARCHIVE's cardinality: a saturated
+    * filter stays correct (the confirm join absorbs the extra false
+    * positives) but stops saving work.
+    */
+  def exactDeltaKeepers(archive: DataFrame, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    def dig(df: DataFrame) =
+      df.select(sha2(col(textCol).cast("binary"), 256).as("content_hash"),
+        col(idCol))
+    val aDig = dig(archive).select("content_hash")
+    // the filter sketches a 64-bit re-hash of the digest (the native
+    // membership expression tests longs); an xxhash64 collision is just
+    // one more false positive for the exact confirm to absorb
+    val bloom = aDig.select(xxhash64(col("content_hash")).as("_h"))
+      .stat.bloomFilter("_h", expectedItems, fpp)
+    graft.functions.BloomMightContain.register(delta.sparkSession)
+    val bloomLit = lit(graft.functions.BloomMightContain.serialize(bloom))
+    val dDig = dig(delta)
+    val might = call_function(graft.functions.BloomMightContain.FnName,
+      xxhash64(col("content_hash")), bloomLit)
+    val candidates = dDig.filter(might).select("content_hash").distinct()
+    // exact confirm: one archive-digest scan, candidates broadcast —
+    // false positives die here, so downstream equals the exact anti-join
+    val confirmed = aDig
+      .join(broadcast(candidates), Seq("content_hash"), "left_semi")
+      .distinct()
+    dDig.join(confirmed, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** MinHash+LSH near-dup pairs with exact Jaccard verification: output
     * (id_a, id_b, jaccard) for word-n-gram Jaccard ≥ threshold.
     *

@@ -133,6 +133,28 @@ object ExtensionQueries {
              |GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
              |ORDER BY keeper_id""".stripMargin.replace("\n", " "))),
 
+    // Bloom-prefiltered exact delta dedup — the 100 TB continuous-
+    // ingestion shape where the archive's digest set can't broadcast
+    // exactly: archive digests fold into a Bloom filter (bits cross
+    // the driver, not rows), a bloom MISS is provably new, and only
+    // HITS are exact-confirmed against the archive. No false negatives
+    // + exact confirm ⇒ identical to the plain anti-join the oracle
+    // computes.
+    Q("dedup_bloom_delta",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.exactDeltaKeepers(
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 3 =!= 0))
+          .select("keeper_id", "n_copies").orderBy("keeper_id")
+      },
+      Some("""WITH fresh AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 3 <> 0
+             |    AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0))
+             |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM fresh GROUP BY text ORDER BY keeper_id""".stripMargin.replace("\n", " "))),
+
     // MinHash+LSH candidates, exact-verified — the oracle recomputes ALL
     // word-Jaccard pairs ≥ 0.8 the O(n²) way, so a match proves the LSH
     // pruning had no false negatives on this corpus.

@@ -328,6 +328,158 @@ object WebLogQueries {
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // S10 POSITIONAL delete files (Iceberg v2's second delete-file
+    // kind — the one Athena itself writes and whose count the
+    // reference's optimize_rewrite_delete_file_threshold knob
+    // thresholds): rows addressed by (data-file path, row ordinal)
+    // from the parquet reader's _metadata.row_index. Run on a KEY-LESS
+    // table — the case equality deletes cannot serve — with the same
+    // SQL-predictable proof booleans as weblog_mor_delete: zero data
+    // files touched, pre-delete snapshot intact under time travel,
+    // threshold compaction consuming the tombstones, reads stable
+    // across it.
+    Q("weblog_pos_delete",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "posdel", d) + "/t", "event")
+        val base = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            col("event_type").as("event"),
+            hour(col("ts")).as("h"))
+        t.append(base)
+        val preVersion = t.currentVersion.get
+        val dataBefore = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val erased = t.deletePositional(
+          expr("CAST(substr(user_id, 2) AS BIGINT) % 10 = 3"))
+        val dataAfter = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val delFiles = t.files.filter(col("is_delete")).count()
+        val preRows = t.readAt(preVersion).count()
+        val morRead = t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+        t.maintain(fileThreshold = 1000, targetFiles = 1,
+          deleteFileThreshold = 1)
+        val delAfterMaint = t.files.filter(col("is_delete")).count()
+        val compacted = t.read.groupBy("event").agg(count(lit(1)).as("cnt2"))
+        morRead.join(compacted, "event")
+          .select(col("event"), col("cnt"),
+            (col("cnt") === col("cnt2")).as("stable"),
+            lit(erased).as("erased"),
+            lit(preRows).as("pre_delete_rows"),
+            lit(dataAfter == dataBefore).as("data_untouched"),
+            lit(delFiles > 0 && delAfterMaint == 0).as("tombstones_compacted"))
+          .orderBy("event")
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id, event_type AS event
+             |  FROM events WHERE day(ts) = 1)
+             |SELECT event, count(*) AS cnt, TRUE AS stable,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE user_id % 10 = 3) AS erased,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base) AS pre_delete_rows,
+             |       TRUE AS data_untouched, TRUE AS tombstones_compacted
+             |FROM base WHERE user_id % 10 <> 3
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // Batch DataSource surface: the SAME census as weblog_upsert-style
+    // flows but through NOTHING except `df.write.format("graft")` /
+    // `spark.read.format("graft")` — keyed order-aware upsert by
+    // SaveMode.Append, relation-level filter pushdown through the
+    // table's own planning, and a final filtered read the oracle
+    // recomputes. Proves the engine is usable as a plain Spark
+    // format, no graft API imports in user code.
+    Q("weblog_batch_format",
+      (s, d) => {
+        val keyW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
+          .orderBy(col("event_id"))
+        def keyed(seq: Long) = payloads(s, d, corrupted = false)
+          .filter(dayofmonth(col("ts")) === 1)
+          .withColumn("_rn", row_number().over(keyW))
+          .filter(col("_rn") === 1)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+            col("event_type").as("event"),
+            lit("orig.example").as("hostname"),
+            lit(seq).as("seq"))
+        def hr = hour(to_timestamp(col("timestamp"), WebLogSchema.TsPattern))
+        val root = scratch(s, "batchfmt", d) + "/t"
+        def write(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("graft").option("path", root)
+            .option("uniqueKeys", "user_id,timestamp")
+            .option("orderCol", "seq")
+            .mode(org.apache.spark.sql.SaveMode.Append).save()
+        write(keyed(1L))
+        write(keyed(2L).filter(hr < 12)
+          .withColumn("hostname", lit("updated.example")))
+        write(keyed(0L).withColumn("hostname", lit("stale.example"))) // older: must lose
+        s.read.format("graft").option("path", root)
+          .option("uniqueKeys", "user_id,timestamp").load()
+          .filter(col("event") =!= "click")
+          .groupBy(col("event"), col("hostname"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("event", "hostname")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_type AS event, hour(ts) AS h
+             |  FROM events WHERE day(ts) = 1
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             |    ORDER BY event_id) = 1),
+             |final AS (
+             |  SELECT event,
+             |         CASE WHEN h < 12 THEN 'updated.example'
+             |              ELSE 'orig.example' END AS hostname
+             |  FROM base WHERE event <> 'click')
+             |SELECT event, hostname, CAST(count(*) AS BIGINT) AS cnt
+             |FROM final GROUP BY 1, 2
+             |ORDER BY event, hostname""".stripMargin.replace("\n", " "))),
+
+    // HIDDEN PARTITIONING (Iceberg partition transforms — the layout
+    // story behind the reference's year/month/day/hour Athena
+    // partition projection): the table declares `days(ts)`, the engine
+    // derives the partition value at write and hides it from reads,
+    // and a plain timestamp-range predicate prunes partitions at
+    // PLANNING time with no partition key anywhere in the query (the
+    // classic Hive forgot-the-dt-filter full scan cannot happen).
+    // Emits the planner's own file counts — files_scanned must equal
+    // the one-day slice — plus the hidden-schema proof boolean, with
+    // rows/users matched to the oracle's raw-timestamp recompute.
+    Q("weblog_hidden_partition",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "hidpart", d) + "/t",
+          partitionCol = "pday", partitionTransform = Some("days(ts)"))
+        val ev = Tables.events(s, d).select(
+          col("ts"),
+          col("event_type").as("event"),
+          concat(lit("u"), col("user_id").cast("string")).as("user_id"))
+          .filter(dayofmonth(col("ts")) <= 7 && month(col("ts")) === 1)
+        for (day <- 1 to 7)
+          t.append(ev.filter(dayofmonth(col("ts")) === day).coalesce(1))
+        val slice = col("ts") >= to_timestamp(lit("2024-01-03 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-04 00:00:00"))
+        val total = t.filesFor(lit(true)).size
+        val hit = t.filesFor(slice).size
+        val hidden = !t.read.columns.contains("pday")
+        t.readWhere(slice)
+          .agg(count(lit(1)).as("rows_day"),
+            countDistinct(col("user_id")).as("users_day"))
+          .select(lit(total).as("files_total"), lit(hit).as("files_scanned"),
+            col("rows_day"), col("users_day"), lit(hidden).as("hidden"))
+      },
+      Some("""WITH e AS (SELECT ts, user_id FROM events
+             |          WHERE day(ts) <= 7 AND month(ts) = 1),
+             |sl AS (SELECT * FROM e
+             |       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+             |         AND ts <  TIMESTAMP '2024-01-04 00:00:00')
+             |SELECT 7 AS files_total, 1 AS files_scanned,
+             |       CAST(count(*) AS BIGINT) AS rows_day,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS users_day,
+             |       TRUE AS hidden
+             |FROM sl""".stripMargin.replace("\n", " "))),
+
     // Manifest-stamped per-file column bounds + planning-time FILE
     // SKIPPING (FileStats/readWhere — Iceberg's manifest-entry stats):
     // seven day-batches appended to a key-less table, one file per

@@ -113,6 +113,24 @@ object FileStats {
         Some(java.util.Arrays.compareUnsigned(
           bound.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case TimestampType | TimestampNTZType =>
+        // bounds render as MICROSECONDS since the epoch (Catalyst's own
+        // internal encoding, which is also what a timestamp Literal
+        // evaluates to) — the convention of the partition-transform
+        // SYNTHESIZED bounds ([[PartitionTransforms]]); timestamps are
+        // not in `supported`, so stamped stats never produce them
+        val v = value match {
+          case n: Number => n.longValue()
+          case other => other.toString.toLong
+        }
+        Some(java.lang.Long.compare(bound.toLong, v))
+      case DateType =>
+        // days since the epoch (Catalyst's internal date encoding)
+        val v = value match {
+          case n: Number => n.intValue()
+          case other => other.toString.toInt
+        }
+        Some(java.lang.Integer.compare(bound.toInt, v))
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -153,10 +171,19 @@ object FileStats {
     * analyzed predicate); None for null constants or eval failures —
     * both keep the file.
     */
-  private def constOf(e: Expression): Option[Any] =
+  private def constOf(e0: Expression): Option[Any] = {
+    // RuntimeReplaceable wrappers (to_timestamp, to_date, …) report
+    // foldable=false and refuse direct eval — fold through their
+    // replacement FIRST, so `ts >= to_timestamp('2024-01-03')` prunes
+    // exactly like a plain timestamp literal
+    val e = e0.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }
     if (!e.foldable) None
     else try Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
     catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** The attribute under an operand, unwrapping the analyzer's NO-OP
     * coercion casts (`cast(n as bigint)` over a bigint column); a cast
@@ -191,7 +218,7 @@ object FileStats {
     case Or(l, r) =>
       mayMatch(cols, schema, l, member) || mayMatch(cols, schema, r, member)
     case op: BinaryComparison => (attrOf(op.left), attrOf(op.right)) match {
-      case (Some(a), None) if op.right.foldable =>
+      case (Some(a), None) if constOf(op.right).isDefined =>
         val intervalOk = (boundsOf(cols, schema, a.name), constOf(op.right)) match {
           case (Some((lo, hi, dt)), Some(c)) => intervalMayMatch(lo, hi, c, dt, op)
           case _ => true
@@ -205,11 +232,12 @@ object FileStats {
           case _ => true
         }
         intervalOk && bloomOk
-      case (None, Some(_)) if op.left.foldable =>
+      case (None, Some(_)) if constOf(op.left).isDefined =>
         mayMatch(cols, schema, flip(op), member)
       case _ => true
     }
-    case In(v, list) if attrOf(v).isDefined && list.forall(_.foldable) =>
+    case In(v, list) if attrOf(v).isDefined &&
+        list.forall(l => constOf(l).isDefined) =>
       val a = attrOf(v).get
       val bounds = boundsOf(cols, schema, a.name)
       val field = schema.fields.find(_.name == a.name)
@@ -232,11 +260,20 @@ object FileStats {
     case _ => true
   }
 
+  /** Types comparable by [[cmp]] — `supported` (stamped) plus the
+    * timestamp/date encodings only partition-transform synthesized
+    * bounds produce.
+    */
+  private def comparable(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case other => supported(other)
+  }
+
   private def boundsOf(cols: Map[String, (String, String)],
       schema: StructType, name: String): Option[(String, String, DataType)] =
     for {
       (lo, hi) <- cols.get(name)
       f <- schema.fields.find(_.name == name)
-      if supported(f.dataType)
+      if comparable(f.dataType)
     } yield (lo, hi, f.dataType)
 }

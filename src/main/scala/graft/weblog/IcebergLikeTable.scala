@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Iceberg-style append/upsert table without an Iceberg runtime
   * (reference operators S10/T3, SURVEY.md §2.1). The reference's Firehose
@@ -95,10 +95,49 @@ final case class IcebergLikeTable(
     bloomColumns: Seq[String] = Nil,
     bloomExpectedItems: Long = 100000L,
     bloomFpp: Double = 0.01,
-    branch: String = "main") {
+    branch: String = "main",
+    partitionTransform: Option[String] = None) {
 
   require(branch == "main" || branch.matches("[A-Za-z0-9-]+"),
     s"branch name must be [A-Za-z0-9-]+, got '$branch'")
+
+  /** Iceberg-style HIDDEN PARTITIONING ([[PartitionTransforms]]): when
+    * declared, `partitionCol` is DERIVED from the transform's source
+    * column at write (callers never supply it), hidden from user-facing
+    * reads, and predicates on the SOURCE column prune partitions via
+    * per-file synthesized bounds in [[prunedFiles]].
+    */
+  private[weblog] val transform: Option[PartitionTransforms.Transform] =
+    partitionTransform.map(PartitionTransforms.parse)
+  transform.foreach { t =>
+    require(t.source != partitionCol,
+      s"partition transform source '${t.source}' must differ from the " +
+        s"derived partition column '$partitionCol'")
+    require(!uniqueKeys.contains(partitionCol),
+      "a derived partition column cannot be a unique key")
+  }
+
+  /** Derive the hidden partition value when the table declares a
+    * transform and the frame does not already carry it (re-derivation
+    * is deterministic, so frames that DO carry it — e.g. CDC envelopes
+    * mirrored table-to-table — pass through unchanged).
+    */
+  private def withDerivedPartition(df: DataFrame): DataFrame =
+    transform match {
+      case Some(t) if !df.columns.contains(partitionCol) =>
+        df.withColumn(partitionCol, t.derive)
+      case _ => df
+    }
+
+  /** Hide layout columns from a user-facing frame: the key bucket
+    * (keyed tables) and the derived partition column (hidden
+    * partitioning) are physical routing, not schema.
+    */
+  private def userFacing(df: DataFrame): DataFrame = {
+    val drops = (if (uniqueKeys.isEmpty) Nil else Seq(bucketCol)) ++
+      (if (transform.isDefined) Seq(partitionCol) else Nil)
+    if (drops.isEmpty) df else df.drop(drops: _*)
+  }
 
   /** This handle's version-chain prefix: the main chain keeps the
     * original manifest names; a BRANCH (Iceberg refs / the
@@ -206,9 +245,11 @@ final case class IcebergLikeTable(
     */
   private val LayoutKey = "layout"
 
-  private def layoutSpec: String =
-    if (uniqueKeys.isEmpty) partitionCol
-    else s"$partitionCol/$bucketCol-$numBuckets/${uniqueKeys.mkString("+")}"
+  private def layoutSpec: String = {
+    val p = transform.fold(partitionCol)(t => s"$partitionCol=${t.spec}")
+    if (uniqueKeys.isEmpty) p
+    else s"$p/$bucketCol-$numBuckets/${uniqueKeys.mkString("+")}"
+  }
 
   private def validateLayout(meta: Map[String, String]): Unit =
     meta.get(LayoutKey).foreach { stored =>
@@ -561,20 +602,49 @@ final case class IcebergLikeTable(
     * typed DataFrame when the schema is stamped.
     */
   private def readFileSet(files: Seq[String],
-      schema: Option[StructType]): DataFrame = { ensureFieldIdConfs(); schema } match {
-    case Some(s) if files.isEmpty =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-    case Some(s) =>
-      spark.read.option("basePath", path).schema(s)
-        .parquet(files.map(f => s"$path/$f"): _*)
-    case None =>
-      require(files.nonEmpty, s"empty snapshot under $path")
-      spark.read.option("basePath", path).option("mergeSchema", "true")
-        .parquet(files.map(f => s"$path/$f"): _*)
+      schema: Option[StructType], withPos: Boolean = false): DataFrame = {
+    // positional deletes address rows by (file, ordinal); the ordinal
+    // must come from the parquet reader's own `_metadata.row_index`
+    // (files SPLIT across Spark partitions, so no hand-rolled counter
+    // is correct) and is only resolvable ON the scan — attach it here.
+    def attach(df: DataFrame): DataFrame =
+      if (withPos) df.select(col("*"),
+        col("_metadata.row_index").as(PosCol))
+      else df
+    ({ ensureFieldIdConfs(); schema }) match {
+      case Some(s) if files.isEmpty =>
+        val s2 = if (withPos)
+          StructType(s.fields :+ StructField(PosCol, LongType)) else s
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s2)
+      case Some(s) =>
+        attach(spark.read.option("basePath", path).schema(s)
+          .parquet(files.map(f => s"$path/$f"): _*))
+      case None =>
+        require(files.nonEmpty, s"empty snapshot under $path")
+        attach(spark.read.option("basePath", path).option("mergeSchema", "true")
+          .parquet(files.map(f => s"$path/$f"): _*))
+    }
+  }
+
+  /** Whether reads of this snapshot must carry the per-file row ordinal
+    * (it has live POSITIONAL delete files to anti-join).
+    */
+  private def needsPos(snap: TableSnapshot): Boolean =
+    snap.deleteEntries.exists(e => Manifests.isPosDelete(e.path))
+
+  /** The standard merge-on-read read of a snapshot file subset: the
+    * epoch-aware scan (row ordinals attached iff positional delete
+    * files are live) with every live delete file applied, helper
+    * columns dropped. ALL user-facing reads compose through this.
+    */
+  private def morRead(snap: TableSnapshot, files: Seq[String]): DataFrame = {
+    val pos = needsPos(snap)
+    val df = applyDeletes(snap, readFileSetEvolved(snap, files, pos))
+    if (pos) df.drop(PosCol) else df
   }
 
   private def readSnapshot(snap: TableSnapshot): DataFrame =
-    applyDeletes(snap, readFileSetEvolved(snap, snap.dataFiles))
+    morRead(snap, snap.dataFiles)
 
   /** Epoch-aware snapshot read: when the table has renamed/dropped
     * columns, files from different schema epochs carry different
@@ -587,11 +657,11 @@ final case class IcebergLikeTable(
     * the single-scan fast path, plan-identical to before.
     */
   private def readFileSetEvolved(snap: TableSnapshot,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String], withPos: Boolean = false): DataFrame = {
     val schema = storedSchema(snap.meta)
     val hist = colHistOf(snap.meta)
     if (schema.isEmpty || files.isEmpty || !hasEvolution(hist))
-      return readFileSet(files, schema)
+      return readFileSet(files, schema, withPos)
     val s = schema.get
     val ids = colIdsOf(snap.meta)
     def physFor(vf: Long): Seq[Option[String]] = s.fields.toSeq.map { f =>
@@ -608,11 +678,11 @@ final case class IcebergLikeTable(
         val physSchema = StructType(s.fields.toSeq.zip(phys).collect {
           case (f, Some(p)) => StructField(p, f.dataType, f.nullable, f.metadata)
         })
-        readFileSet(fs, Some(physSchema)).select(
+        readFileSet(fs, Some(physSchema), withPos).select(
           s.fields.toSeq.zip(phys).map {
             case (f, Some(p)) => col(p).as(f.name)
             case (f, None) => lit(null).cast(f.dataType).as(f.name)
-          }: _*)
+          } ++ (if (withPos) Seq(col(PosCol)) else Nil): _*)
       }.reduce(_ unionByName _)
   }
 
@@ -650,13 +720,53 @@ final case class IcebergLikeTable(
     * by [[maintain]]); the delete side is the key tuples only — data
     * rows never shuffle, and the join keys are hashed key columns.
     */
+  /** Scan-attached per-file row ordinal (`_metadata.row_index`) — the
+    * row half of positional-delete identity. Internal; never stored.
+    */
+  private val PosCol = "_graft_pos"
+  /** Positional-delete file content columns: the data file's path
+    * relative to the table root, and the row's ordinal within it. The
+    * file carries NO table data — deleting a user's rows positionally
+    * leaves nothing of the user in the delete file itself (the GDPR
+    * complement to equality deletes, whose tuples ARE the keys).
+    */
+  private val PosDelFile = "_file"
+  private val PosDelPos = "_pos"
+
   private def applyDeletes(snap: TableSnapshot, df: DataFrame): DataFrame = {
     val dels = snap.deleteEntries
     if (dels.isEmpty) return df
+    val (posDels, eqDels) = dels.partition(e => Manifests.isPosDelete(e.path))
     val seqC = "_graft_fseq"
     val leafC = "_graft_fleaf"
-    val base = df.withColumn(seqC, fileSeqExpr).withColumn(leafC, fileLeafExpr)
-    val folded = dels.groupBy(_.deleteSeq).toSeq.sortBy(_._1)
+    val base0 = df.withColumn(seqC, fileSeqExpr).withColumn(leafC, fileLeafExpr)
+    // POSITIONAL delete files first (Iceberg v2's second delete-file
+    // kind): each names (relative data-file path, row ordinal) tuples.
+    // File names are immutable and version-unique, so a tuple can never
+    // match a rewritten file — no sequence scoping is needed; ONE
+    // broadcast anti-join covers every positional generation at once.
+    // The input frame must carry the scan-attached row ordinal
+    // ([[readFileSet]] withPos) — (file, ordinal) is row identity.
+    val base = if (posDels.isEmpty) base0 else {
+      require(base0.columns.contains(PosCol),
+        "positional delete files are live but the scan did not attach " +
+          "row ordinals (internal error: read outside morRead)")
+      val fileC = "_graft_frel"
+      val rootUri = java.util.regex.Pattern.quote(
+        root.toUri.getPath.stripSuffix("/"))
+      val pd = spark.read.parquet(posDels.map(e => s"$path/${e.path}"): _*)
+        .select(col(PosDelFile).as("_graft_d_file"),
+          col(PosDelPos).as("_graft_d_pos"))
+      base0
+        .withColumn(fileC,
+          regexp_extract(input_file_name(), s"$rootUri/(.*)$$", 1))
+        .join(broadcast(pd),
+          col(fileC) === col("_graft_d_file") &&
+            col(PosCol) === col("_graft_d_pos"), "left_anti")
+        .drop(fileC)
+    }
+    if (eqDels.isEmpty) return base.drop(seqC, leafC)
+    val folded = eqDels.groupBy(_.deleteSeq).toSeq.sortBy(_._1)
       .foldLeft(base) { case (acc, (dseq, entries)) =>
         // delete files are read WITHOUT basePath: their columns are
         // exactly the equality columns (partition values live only in
@@ -680,10 +790,7 @@ final case class IcebergLikeTable(
   /** User-facing read of the live snapshot: the internal bucket column
     * is layout, not schema.
     */
-  def read: DataFrame = {
-    val df = readSnapshot(resolveLive()._2)
-    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
-  }
+  def read: DataFrame = userFacing(readSnapshot(resolveLive()._2))
 
   /** The live snapshot as a first-class Catalyst relation backed by
     * [[GraftFileIndex]]: filters applied to the returned DataFrame are
@@ -702,12 +809,17 @@ final case class IcebergLikeTable(
       // epochs; a renamed/dropped table reads through the epoch-aware
       // path instead (correctness over the index's zero-listing pruning
       // — maintain() rewrites converge the table back to one epoch)
-      val live = readSnapshot(peek)
-      return if (uniqueKeys.isEmpty) live else live.drop(bucketCol)
+      return userFacing(readSnapshot(peek))
     }
     val (df, snap) = GraftFileIndex.relationWithSnapshot(spark, this)
-    val live = applyDeletes(snap, df)
-    if (uniqueKeys.isEmpty) live else live.drop(bucketCol)
+    if (needsPos(snap)) {
+      // live positional delete files need the scan-attached row ordinal
+      // the custom relation does not thread through; read through the
+      // standard path until maintain() compacts them away (positional
+      // files are transient by design — the threshold consumes them)
+      return userFacing(readSnapshot(snap))
+    }
+    userFacing(applyDeletes(snap, df))
   }
 
   /** Predicate-pruned read of the live snapshot: file skipping on the
@@ -727,10 +839,8 @@ final case class IcebergLikeTable(
   def readWhere(condition: Column): DataFrame = {
     val (_, snap) = resolveLive()
     val schema = storedSchema(snap.meta)
-    val df = applyDeletes(snap,
-      readFileSetEvolved(snap, prunedFiles(snap, schema, condition)))
-      .filter(condition)
-    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+    userFacing(morRead(snap, prunedFiles(snap, schema, condition))
+      .filter(condition))
   }
 
   /** The live files a [[readWhere]] of `condition` would scan — the
@@ -746,6 +856,23 @@ final case class IcebergLikeTable(
     * pruning ([[BloomStats]]) of a snapshot's file list. Sidecars load
     * once per call; filters deserialize lazily per (file, col).
     */
+  /** Per-file SYNTHESIZED bounds for a transform's source column: the
+    * file's partition value (parsed from its immutable leaf path)
+    * inverts to the [min, max] source interval — hidden partitioning's
+    * pruning, riding the same interval machinery as stamped stats. A
+    * stamped bound for the source column (tighter than the inverse
+    * image) takes precedence; an unparseable path value adds nothing
+    * (absence is always sound).
+    */
+  private def transformBounds(f: String): Map[String, (String, String)] =
+    transform.fold(Map.empty[String, (String, String)]) { t =>
+      val seg = leafOf(f).split('/')
+        .find(_.startsWith(s"$partitionCol="))
+        .map(_.substring(partitionCol.length + 1))
+      seg.flatMap(t.sourceBounds).map(b => Map(t.source -> b))
+        .getOrElse(Map.empty)
+    }
+
   private def prunedFiles(snap: TableSnapshot,
       schema: Option[StructType], condition: Column): Seq[String] =
     (schema, analyzedPredicate(schema, condition)) match {
@@ -764,11 +891,8 @@ final case class IcebergLikeTable(
                 filterCache.getOrElseUpdate((f, colName), BloomStats.filterOf(bytes))
                   .mightContainLong(BloomStats.hashOf(value, dt))
               }
-          val intervalOk = stats.get(f)
-            .forall(cols => FileStats.mayMatch(cols, s, e, member))
-          // files with no stats entry still get the bloom check
-          intervalOk && (stats.contains(f) ||
-            FileStats.mayMatch(Map.empty, s, e, member))
+          val cols = transformBounds(f) ++ stats.getOrElse(f, Map.empty)
+          FileStats.mayMatch(cols, s, e, member)
         }
       case _ => snap.dataFiles
     }
@@ -796,18 +920,14 @@ final case class IcebergLikeTable(
     */
   def readWhereAt(version: Long, condition: Column): DataFrame = {
     val snap = snapshotAt(version)
-    val df = applyDeletes(snap,
-      readFileSetEvolved(snap,
-        prunedFiles(snap, storedSchema(snap.meta), condition)))
-      .filter(condition)
-    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
+    userFacing(morRead(snap,
+        prunedFiles(snap, storedSchema(snap.meta), condition))
+      .filter(condition))
   }
 
   /** Time travel: read a retained historical snapshot by version. */
-  def readAt(version: Long): DataFrame = {
-    val df = readSnapshot(snapshotAt(version))
-    if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
-  }
+  def readAt(version: Long): DataFrame =
+    userFacing(readSnapshot(snapshotAt(version)))
 
   /** Incremental/CDC read (Iceberg's changelog scan, Delta's CDF): the
     * row-level changes between two retained snapshots, emitted as
@@ -846,11 +966,9 @@ final case class IcebergLikeTable(
     val oldFiles = fromSnap.dataFiles.filter(f => changed(leafOf(f)))
     val newFiles = toSnap.dataFiles.filter(f => changed(leafOf(f)))
     val oldDf = if (oldFiles.isEmpty) None
-      else Some(applyDeletes(fromSnap,
-        readFileSetEvolved(fromSnap, oldFiles)).drop(bucketCol))
+      else Some(morRead(fromSnap, oldFiles).drop(bucketCol))
     val newDf = if (newFiles.isEmpty) None
-      else Some(applyDeletes(toSnap,
-        readFileSetEvolved(toSnap, newFiles)).drop(bucketCol))
+      else Some(morRead(toSnap, newFiles).drop(bucketCol))
 
     def tagged(df: DataFrame, tag: String): DataFrame =
       df.select(lit(tag).as("_change_type") +: df.columns.map(col): _*)
@@ -957,7 +1075,7 @@ final case class IcebergLikeTable(
   private[weblog] def readLeavesAt(version: Long, leaves: Set[String]): DataFrame = {
     val snap = snapshotAt(version)
     val files = snap.dataFiles.filter(f => leaves(leafOf(f)))
-    val df = applyDeletes(snap, readFileSetEvolved(snap, files))
+    val df = morRead(snap, files)
     if (uniqueKeys.isEmpty) df else df.drop(bucketCol)
   }
 
@@ -1688,8 +1806,26 @@ final case class IcebergLikeTable(
     val (liveVersion, snap) = resolveLive()
     if (alreadyApplied(snap.meta, appendId)) return
     val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
-    commit(withBucket(df), liveVersion, snap, extra)(_ => snap.files)
+    commit(withBucket(withDerivedPartition(df)), liveVersion, snap, extra)(
+      _ => snap.files)
   }
+
+  /** OVERWRITE the table content in one snapshot commit (Iceberg's
+    * INSERT OVERWRITE / the batch `SaveMode.Overwrite`): the new
+    * version's file list is the batch alone — no previous file carries
+    * over. History stays create-only: prior snapshots remain readable
+    * (time travel, rollback) until retention expires them, and the CDC
+    * diff across the commit is the full retraction+reload it really is.
+    */
+  def overwrite(df: DataFrame, appendId: Option[(String, Long)] = None): Unit =
+    withCommitRetry {
+      val (liveVersion, snap) = resolveLive()
+      if (!alreadyApplied(snap.meta, appendId)) {
+        val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
+        commit(withBucket(withDerivedPartition(df)), liveVersion, snap, extra)(
+          _ => Nil)
+      }
+    }
 
   /** Range-CLUSTERED append: rows range-partitioned and sorted on
     * `clusterCols` before the write, so each emitted file covers a
@@ -1714,7 +1850,7 @@ final case class IcebergLikeTable(
   def appendClustered(df: DataFrame, clusterCols: Seq[String],
       nFiles: Int = 16, appendId: Option[(String, Long)] = None): Unit = {
     require(clusterCols.nonEmpty, "appendClustered needs cluster columns")
-    val shaped = withBucket(df)
+    val shaped = withBucket(withDerivedPartition(df))
       .repartitionByRange(nFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
     withCommitRetry {
@@ -1774,9 +1910,14 @@ final case class IcebergLikeTable(
     */
   private val TombCol = "_graft_tombstone"
 
-  private def mergeOnce(batch: DataFrame, deleteKeys: Option[DataFrame],
+  private def mergeOnce(batch0: DataFrame, deleteKeys0: Option[DataFrame],
       orderCol: String, appendId: Option[(String, Long)]): Unit = {
     require(uniqueKeys.nonEmpty, "upsert/merge requires declared unique_keys")
+    // hidden partitioning: derive the partition value for the batch and
+    // the tombstones from the transform's source column (a tombstone
+    // needs the source value to route — e.g. the row's timestamp)
+    val batch = withDerivedPartition(batch0)
+    val deleteKeys = deleteKeys0.map(withDerivedPartition)
     val keyCols = uniqueKeys.map(col)
     val tombCols = (uniqueKeys :+ partitionCol :+ orderCol).distinct
     deleteKeys.foreach { dk =>
@@ -1939,7 +2080,8 @@ final case class IcebergLikeTable(
     // runs over MOR-LIVE rows only: a row an equality-delete file
     // already removed must not be re-counted or "re-deleted" here
     val hits = applyDeletes(snap,
-        readFileSetEvolved(snap, candidates).withColumn("_f", input_file_name()))
+        readFileSetEvolved(snap, candidates, needsPos(snap))
+          .withColumn("_f", input_file_name()))
       .filter(condition)
       .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
       .collect()
@@ -1959,8 +2101,7 @@ final case class IcebergLikeTable(
     // file gets a NEW (higher) write sequence, so the old delete files
     // stop applying to it, and their already-deleted rows must not
     // resurrect through the rewrite.
-    val survivors = applyDeletes(snap,
-        readFileSetEvolved(snap, affectedFiles.toSeq.sorted))
+    val survivors = morRead(snap, affectedFiles.toSeq.sorted)
       .filter(!coalesce(condition, lit(false)))
     commit(survivors, liveVersion, snap)(
       _ => previous.filterNot(affectedFiles))
@@ -2076,6 +2217,107 @@ final case class IcebergLikeTable(
   def deleteMergeOnRead(condition: Column): Long =
     withCommitRetry { morDeleteOnce(condition) }
 
+  /** MERGE-ON-READ row-level DELETE via POSITIONAL delete files —
+    * Iceberg v2's second delete-file kind, and the one Athena itself
+    * writes (the reference's `optimize_rewrite_delete_file_threshold`
+    * knob counts POSITION delete files,
+    * `web-analytics-iceberg/README.md:187`). The commit stores
+    * (data-file path, row ordinal) tuples — row identity by PHYSICAL
+    * POSITION, resolved from the parquet reader's own
+    * `_metadata.row_index` — one small file per affected leaf; readers
+    * drop the named rows with one broadcast anti-join, and
+    * [[maintain]] compacts past the threshold exactly like equality
+    * deletes.
+    *
+    * vs [[deleteMergeOnRead]]: needs NO unique keys (append-only /
+    * key-less tables get O(matched rows) merge-on-read deletes too),
+    * needs no sequence scoping (file names are immutable and
+    * version-unique, so a tuple can never bleed onto rewritten data),
+    * and the delete file contains NO table data — a GDPR point delete
+    * leaves nothing of the user in the tombstone itself. The flip
+    * side: tuples name ALL matched rows individually (an equality
+    * tuple masks every current-and-future row of a key), so positional
+    * files suit predicate deletes, equality files suit key retractions.
+    * Row-for-row identical survivors and CDC to copy-on-write
+    * [[delete]] (IcebergPosDeleteSpec pins both). Returns rows deleted.
+    */
+  def deletePositional(condition: Column): Long =
+    withCommitRetry { posDeleteOnce(condition) }
+
+  private def posDeleteOnce(condition: Column): Long = {
+    val (liveVersion, snap) = resolveLive()
+    validateLayout(snap.meta)
+    if (snap.dataFiles.isEmpty) return 0L
+    val schema = storedSchema(snap.meta)
+    val candidates = prunedFiles(snap, schema, condition)
+    if (candidates.isEmpty) return 0L
+    val rootUri = java.util.regex.Pattern.quote(
+      root.toUri.getPath.stripSuffix("/"))
+    val fileC = "_graft_dfile"
+    // (file, ordinal) is captured ON the scan (ordinal from the scan
+    // attach, file name before any exchange); the match runs over
+    // MOR-LIVE rows only — a row an existing delete file already masks
+    // must not be re-tombstoned (keeps tuples disjoint across commits)
+    val matched = applyDeletes(snap,
+        readFileSetEvolved(snap, candidates, withPos = true)
+          .withColumn(fileC,
+            regexp_extract(input_file_name(), s"$rootUri/(.*)$$", 1)))
+      .filter(condition)
+      .select(partCols.map(col) :+ col(fileC).as(PosDelFile) :+
+        col(PosCol).as(PosDelPos): _*)
+      .persist()
+    try {
+      val perLeaf = matched.groupBy(partCols.map(col): _*)
+        .agg(count(lit(1)).as("_rows"))
+        .collect() // O(affected leaves)
+      if (perLeaf.isEmpty) return 0L
+      val deleted = perLeaf.map(_.getAs[Long]("_rows")).sum
+      val version = nextVersion(liveVersion)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val staging = new Path(root.getParent, s".staging_v${version}_$token")
+      // one sorted delete file per affected leaf (matched is tiny —
+      // the shuffle is O(deleted rows), and sorted tuples give the
+      // reader's anti-join locality, Iceberg's sort-order requirement
+      // for position deletes)
+      matched.repartition(partCols.map(col): _*)
+        .sortWithinPartitions(
+          (partCols.map(col) :+ col(PosDelFile) :+ col(PosDelPos)): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*)
+        .option("compression", "snappy").parquet(staging.toString)
+      try {
+        val imported = Manifests.importStagedTree(fs, staging, root,
+          s"v$version-$token", "posdel")
+        val rowsByLeaf: Map[String, Long] = perLeaf.map { r =>
+          leafPathOf(partCols.map(c => r.getAs[Any](c))) ->
+            r.getAs[Long]("_rows")
+        }.toMap
+        val delEntries = imported.map { case (p, size) =>
+          Manifests.FileEntry(p, size, rowsByLeaf.getOrElse(leafOf(p), -1L),
+            Map.empty, deleteSeq = version)
+        }
+        val meta = hwmOf(snap.meta) ++
+          snap.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
+          snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
+          snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
+          snap.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
+          snap.meta.get(StatsKey).map(StatsKey -> _) ++
+          snap.meta.get(BloomKey).map(BloomKey -> _) +
+          (TsKey -> System.currentTimeMillis().toString) +
+          (LayoutKey -> layoutSpec)
+        try publishVersion(version, token, snap.entries ++ delEntries, meta, snap)
+        catch {
+          case e: Manifests.CommitConflictException =>
+            imported.foreach { case (p, _) =>
+              fs.delete(new Path(root, p), false)
+            }
+            throw e
+        }
+        expireSnapshots()
+        deleted
+      } finally fs.delete(staging, true)
+    } finally matched.unpersist()
+  }
+
   private def morDeleteOnce(condition: Column): Long = {
     require(uniqueKeys.nonEmpty,
       "merge-on-read delete encodes matched rows by their unique keys; " +
@@ -2093,7 +2335,7 @@ final case class IcebergLikeTable(
     // count in one pass — O(matched keys), never O(table)
     val candidates = prunedFiles(snap, schema, condition)
     if (candidates.isEmpty) return 0L
-    val matched = applyDeletes(snap, readFileSetEvolved(snap, candidates))
+    val matched = morRead(snap, candidates)
       .filter(condition)
       .groupBy((partCols ++ uniqueKeys).map(col): _*)
       .agg(count(lit(1)).as("_graft_cnt"))
@@ -2202,7 +2444,7 @@ final case class IcebergLikeTable(
     // and the commit DROPS those leaves' delete files (carry-over is
     // leaf-scoped) — compaction consumes the tombstones, exactly
     // Iceberg's rewrite_data_files + rewrite_position_delete_files
-    val hotDf = applyDeletes(snap, readFileSetEvolved(snap, hotFiles))
+    val hotDf = morRead(snap, hotFiles)
     val shaped =
       if (clusterCols.isEmpty)
         hotDf.repartition(targetFiles * hot.size, partCols.map(col): _*)

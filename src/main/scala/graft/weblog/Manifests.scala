@@ -64,6 +64,16 @@ object Manifests {
     def isDelete: Boolean = deleteSeq >= 0L
   }
 
+  /** Whether a delete-file path is a POSITIONAL delete (rows addressed
+    * by (data-file path, row ordinal)) rather than an equality delete
+    * (rows addressed by key tuple). The file-name prefix is the kind
+    * marker — both import under role-stamped names ([[importStagedTree]]).
+    */
+  def isPosDelete(path: String): Boolean = {
+    val i = path.lastIndexOf('/')
+    path.startsWith("posdel-", if (i < 0) 0 else i + 1)
+  }
+
   /** Leaf manifests are immutable (written once under a writer-unique
     * name, never modified), so their parsed content is cached JVM-wide:
     * a hot commit loop re-resolves only the leaf manifests it has not
@@ -371,10 +381,11 @@ object Manifests {
     importStagedTree(fs, stagingDir, tableRoot, nameToken, "part")
 
   /** As above with an explicit file-name prefix: equality-DELETE files
-    * import under `eqdel-` so a directory listing distinguishes them
-    * from data files at a glance (the manifest entry's `deleteSeq` is
-    * the authoritative marker; the name is for operators and for
-    * keeping the data-file name grammar — `part-v<version>-…`, whose
+    * import under `eqdel-` and positional-delete files under `posdel-`
+    * so a directory listing distinguishes them from data files at a
+    * glance (the manifest entry's `deleteSeq` is the authoritative
+    * delete marker; the name distinguishes the two delete KINDS and
+    * keeps the data-file name grammar — `part-v<version>-…`, whose
     * embedded version IS the file's write sequence — unpolluted).
     */
   def importStagedTree(fs: FileSystem, stagingDir: Path, tableRoot: Path,

@@ -19,6 +19,22 @@ class ExtensionSpec extends SparkTestBase {
     assert(total == docs.count())
   }
 
+  test("bloom-delta exact dedup equals the plain anti-join, even with a saturated filter") {
+    val archive = docs.filter(col("doc_id") % 3 === 0)
+    val delta = docs.filter(col("doc_id") % 3 =!= 0)
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("keeper_id", "n_copies").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = asSet(Dedup.exact(
+      delta.join(archive.select("text"), Seq("text"), "left_anti")))
+    assert(asSet(Dedup.exactDeltaKeepers(archive, delta)) == expected)
+    // a deliberately undersized filter saturates (high fpp) but the
+    // exact confirm keeps the result identical — correctness never
+    // depends on bloom sizing
+    assert(asSet(Dedup.exactDeltaKeepers(archive, delta,
+      expectedItems = 8, fpp = 0.5)) == expected)
+  }
+
   test("minhash LSH candidates contain every exact pair >= threshold") {
     val exact = Dedup.jaccardPairs(docs, n = 1, threshold = 0.8)
       .select("id_a", "id_b")
