@@ -1,11 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.StreamingFrameBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, PrunedFilteredScan, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -38,9 +40,52 @@ import graft.weblog.IcebergLikeTable
   * which the engine auto-wraps for Trigger.AvailableNow.
   */
 final class GraftSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** BATCH read: `spark.read.format("graft").option("path", …).load()`
+    * (and `CREATE TABLE … USING graft OPTIONS (…)`). The relation's
+    * scan pushes column pruning and the supported filters through the
+    * table's OWN planning ([[IcebergLikeTable.readWhere]] — manifest
+    * partition values, hidden-partition transform bounds, stamped
+    * stats, bloom sidecars), so a predicate skips files before any
+    * task is scheduled; Spark re-applies every filter on the survivors
+    * (the relation declares them all unhandled), keeping the pushdown
+    * purely an I/O optimization.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    new GraftBatchRelation(sqlContext, tableFor(sqlContext, parameters))
+
+  /** BATCH write: `df.write.format("graft").mode(…).save()`.
+    * `Append` routes by the table's declaration — key-less append, or
+    * keyed order-aware upsert (option `orderCol` required);
+    * `Overwrite` is the one-snapshot [[IcebergLikeTable.overwrite]];
+    * `ErrorIfExists`/`Ignore` follow their SaveMode contracts against
+    * table existence.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val table = tableFor(sqlContext, parameters)
+    val orderCol = opt(parameters, "orderCol")
+    def writeAppend(): Unit =
+      if (table.uniqueKeys.isEmpty) table.append(data)
+      else table.upsert(data, orderCol.getOrElse(
+        throw new IllegalArgumentException(
+          "batch-appending to a keyed graft table needs option 'orderCol'")))
+    mode match {
+      case SaveMode.Append => writeAppend()
+      case SaveMode.Overwrite => table.overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        if (table.exists) throw new IllegalStateException(
+          s"graft table already exists: ${table.path}")
+        writeAppend()
+      case SaveMode.Ignore => if (!table.exists) writeAppend()
+    }
+    new GraftBatchRelation(sqlContext, table)
+  }
 
   private def opt(params: Map[String, String], key: String): Option[String] =
     params.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
@@ -49,14 +94,19 @@ final class GraftSourceProvider extends StreamSourceProvider
       params: Map[String, String]): IcebergLikeTable = {
     val path = opt(params, "path").getOrElse(throw new IllegalArgumentException(
       "the graft source needs option 'path' (the table root)"))
+    def cols(key: String): Seq[String] = opt(params, key)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
     IcebergLikeTable(
       sqlContext.sparkSession,
       path,
       partitionCol = opt(params, "partitionCol").getOrElse("event"),
-      uniqueKeys = opt(params, "uniqueKeys")
-        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+      uniqueKeys = cols("uniqueKeys"),
       numBuckets = opt(params, "numBuckets").map(_.toInt).getOrElse(16),
-      branch = opt(params, "branch").getOrElse("main"))
+      retainVersions = opt(params, "retainVersions").map(_.toInt).getOrElse(8),
+      statsColumns = cols("statsColumns"),
+      bloomColumns = cols("bloomColumns"),
+      branch = opt(params, "branch").getOrElse("main"),
+      partitionTransform = opt(params, "partitionTransform"))
   }
 
   /** The change-row schema: the table's user-facing columns (all
@@ -170,6 +220,74 @@ private[streaming] final class GraftTableSink(table: IcebergLikeTable,
         table.merge(upserts, deletes, ord, id)
       } finally pinned.unpersist()
     }
+  }
+}
+
+/** V1 batch relation over the live snapshot: `buildScan` translates
+  * the engine's pushed filters back into a `Column` predicate and
+  * reads through [[IcebergLikeTable.readWhere]], so the table's whole
+  * pruning stack (manifest partition values + hidden-partition
+  * transform inversion + stamped stats + blooms + merge-on-read
+  * deletes) runs at PLANNING time inside the relation. All filters are
+  * declared unhandled — Spark re-evaluates them row-by-row on the
+  * survivors, so a partial translation can only cost I/O, never rows.
+  */
+private[streaming] final class GraftBatchRelation(
+    val sqlContext: SQLContext, table: IcebergLikeTable)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override val schema: StructType = table.read.schema
+
+  // every filter is re-applied by the engine; translation is I/O-only
+  override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
+    filters
+
+  /** Translate a pushed filter to a `Column`. The result must be
+    * IMPLIED by the original filter (a superset predicate is the most
+    * a file-pruner may assume): at a positive position (`exact=false`)
+    * an AND may narrow to whichever side translates, since
+    * `a AND b ⟹ a` — but under NOT the implication flips, so
+    * everything inside a negation must translate EXACTLY or the whole
+    * negation is dropped.
+    */
+  private def toColumn(f: sources.Filter, exact: Boolean): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.And(l, r) =>
+      (toColumn(l, exact), toColumn(r, exact)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) if !exact => one.orElse(other)
+        case _ => None
+      }
+    case sources.Or(l, r) =>
+      // OR never narrows: both sides must translate
+      for { a <- toColumn(l, exact); b <- toColumn(r, exact) } yield a || b
+    case sources.Not(c) => toColumn(c, exact = true).map(!_)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case sources.StringContains(a, p) => Some(col(a).contains(p))
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[sources.Filter]): RDD[Row] = {
+    val cond = filters.flatMap(toColumn(_, exact = false))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pruned = table.readWhere(cond)
+    val projected =
+      if (requiredColumns.isEmpty)
+        // COUNT-style scans: one cheap literal column, not the row
+        pruned.select(lit(1))
+      else pruned.select(requiredColumns.toIndexedSeq.map(col): _*)
+    if (requiredColumns.isEmpty) projected.rdd.map(_ => Row.empty)
+    else projected.rdd
   }
 }
 
