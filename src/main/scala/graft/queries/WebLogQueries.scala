@@ -382,6 +382,38 @@ object WebLogQueries {
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // Size-based BINPACK compaction (Iceberg rewrite_data_files /
+    // Athena OPTIMIZE): seven one-day small files merge into
+    // ceil(bytes/target) per leaf, planned from manifest-stamped sizes
+    // alone; rows survive byte-for-byte (census vs oracle), the file
+    // count provably shrinks, and a second pass is a no-op — all as
+    // SQL-predictable booleans.
+    Q("weblog_binpack",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "binpack", d) + "/t", "event")
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+          dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 7)
+        for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+        val before = t.files.count()
+        val rewritten = t.maintainBySize(targetFileBytes = 1L << 30).nonEmpty
+        val after = t.files.count()
+        val v = t.currentVersion.get
+        val idempotent = t.maintainBySize(1L << 30).isEmpty &&
+          t.currentVersion.contains(v)
+        t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .select(col("event"), col("cnt"),
+            lit(rewritten && after < before).as("compacted"),
+            lit(idempotent).as("idempotent"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       TRUE AS compacted, TRUE AS idempotent
+             |FROM events WHERE day(ts) <= 7
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
     // Batch DataSource surface: the SAME census as weblog_upsert-style
     // flows but through NOTHING except `df.write.format("graft")` /
     // `spark.read.format("graft")` — keyed order-aware upsert by

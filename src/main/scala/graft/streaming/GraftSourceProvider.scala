@@ -292,9 +292,38 @@ private[streaming] final class GraftBatchRelation(
 }
 
 private[streaming] final class GraftTableSource(sqlContext: SQLContext,
-    table: IcebergLikeTable, declared: StructType) extends Source {
+    table: IcebergLikeTable, declared: StructType) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def schema: StructType = declared
+
+  /** Trigger.AvailableNow, first-class (the same V1-source admission-
+    * control surface Kafka's source uses — no engine fallback, no
+    * "single batch execution" warning): `prepare` pins the live table
+    * version at query start, `latestOffset` caps every micro-batch at
+    * that pin, so the run drains exactly the data that existed when it
+    * started and stops — commits landing mid-run wait for the next run.
+    */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.currentVersion.getOrElse(0L))
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = table.currentVersion
+    val end = availableNowEnd match {
+      case Some(cap) => cur.map(math.min(_, cap)).orElse(Some(cap))
+      case None => cur
+    }
+    end.filter(_ > 0L).map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset():
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    table.currentVersion.map(LongOffset(_)).orNull
 
   override def getOffset: Option[Offset] =
     table.currentVersion.map(LongOffset(_))

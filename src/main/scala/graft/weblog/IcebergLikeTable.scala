@@ -2425,6 +2425,64 @@ final case class IcebergLikeTable(
     }
   }
 
+  /** Size-based BINPACK compaction (Iceberg's `rewrite_data_files`
+    * binpack / the OPTIMIZE behind the reference's hourly maintenance):
+    * in every leaf, files smaller than `minFileBytes` (default 75% of
+    * target, Iceberg's own default) are merged into
+    * ceil(bytes/target) files — but only where that REDUCES the leaf's
+    * file count. All sizing comes from the manifest's stamped byte
+    * sizes: the planning pass does zero filesystem listing and zero
+    * data I/O, so deciding "nothing to do" on a 100 TB table is one
+    * manifest read. Large files are never rewritten (binpack's write
+    * amplification bound); merge-on-read deletes are applied to the
+    * rewritten rows, and delete files stay live for the untouched
+    * files they still mask. Returns the rewritten leaf partitions.
+    */
+  def maintainBySize(targetFileBytes: Long, minFileBytes: Long = 0L): Seq[String] =
+    withCommitRetry { maintainBySizeOnce(targetFileBytes, minFileBytes) }
+
+  private def maintainBySizeOnce(target: Long, minB: Long): Seq[String] = {
+    require(target > 0, "targetFileBytes must be positive")
+    val min = if (minB <= 0L) math.max(1L, target * 3 / 4) else minB
+    if (!exists) return Nil
+    val (liveVersion, snap) = resolveLive()
+    val previous = snap.files
+    if (previous.isEmpty) return Nil
+    // the compaction PLAN comes from stamped sizes alone — no listing,
+    // no footer, no task; legacy entries without a size never rewrite
+    val plan: Map[String, (Seq[String], Int)] =
+      snap.dataEntries.groupBy(e => leafOf(e.path)).flatMap { case (l, es) =>
+        val small = es.filter(e => e.size >= 0 && e.size < min)
+        if (small.size < 2) None
+        else {
+          val slices = math.max(1,
+            math.ceil(small.map(_.size).sum.toDouble / target).toInt)
+          if (slices >= small.size) None // merging would not reduce count
+          else Some(l -> ((small.map(_.path).sorted, slices)))
+        }
+      }
+    if (plan.isEmpty) return Nil
+    val smallFiles = plan.values.flatMap(_._1).toSeq.sorted
+    val smallSet = smallFiles.toSet
+    val totalSlices = plan.values.map(_._2).sum
+    // per-leaf slice counts ride a map literal; the leaf is recovered
+    // from the file path ON the scan (fileLeafExpr needs it)
+    val kByLeaf = typedLit(plan.map { case (l, (_, k)) => l -> k })
+    val df = morRead(snap, smallFiles)
+    val dataCols = df.columns.filterNot(partCols.contains)
+    val sliceSrc: Seq[Column] =
+      if (dataCols.isEmpty) Seq(lit(0L)) else dataCols.toSeq.map(col)
+    val shaped = df
+      .withColumn("_graft_k", element_at(kByLeaf, fileLeafExpr))
+      .withColumn("_graft_slice",
+        pmod(xxhash64(sliceSrc: _*), col("_graft_k").cast("long")))
+      .repartition(totalSlices,
+        (partCols :+ "_graft_slice").map(col): _*)
+      .drop("_graft_k", "_graft_slice")
+    commit(shaped, liveVersion, snap)(_ => previous.filterNot(smallSet))
+    plan.keys.toSeq.sorted.map(_.stripPrefix(s"$partitionCol="))
+  }
+
   private def maintainOnce(fileThreshold: Int, targetFiles: Int,
       clusterCols: Seq[String], deleteFileThreshold: Int): Seq[String] = {
     if (!exists) return Nil
