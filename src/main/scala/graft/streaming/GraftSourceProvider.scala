@@ -34,6 +34,13 @@ import graft.weblog.IcebergLikeTable
   * Options: `path` (table root, required), `uniqueKeys`
   * (comma-separated; empty = append-only), `partitionCol` (default
   * `event`), `numBuckets` (default 16), `branch` (default `main`).
+  * Admission control: `initialChunkLeaves` (default 256) bounds the
+  * initial load to that many leaf partitions per chunk,
+  * `maxChunksPerTrigger` (default 1) chunks per micro-batch, and
+  * `maxVersionsPerTrigger` (default unlimited) caps how many table
+  * versions a caught-up stream advances per micro-batch — a lagging
+  * restart or a 100 TB initial mirror makes bounded, checkpointed
+  * progress instead of one giant batch.
   *
   * Implemented against the V1 `Source` API (the one `getBatch:
   * DataFrame` surface — Delta Lake's streaming source uses the same),
@@ -130,8 +137,13 @@ final class GraftSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val table = tableFor(sqlContext, parameters)
+    def intOpt(key: String, default: Int): Int =
+      opt(parameters, key).map(_.toInt).getOrElse(default)
     new GraftTableSource(sqlContext, table,
-      schema.getOrElse(changeSchema(table)))
+      schema.getOrElse(changeSchema(table)),
+      maxVersionsPerTrigger = intOpt("maxVersionsPerTrigger", Int.MaxValue),
+      initialChunkLeaves = intOpt("initialChunkLeaves", 256),
+      maxChunksPerTrigger = intOpt("maxChunksPerTrigger", 1))
   }
 
   /** `df.writeStream.format("graft")` — the table as a first-class
@@ -291,9 +303,26 @@ private[streaming] final class GraftBatchRelation(
   }
 }
 
+/** A mid-initial-load offset: snapshot `v` pinned, `c` of its `k`
+  * deterministic leaf chunks delivered. Complete offsets stay plain
+  * [[LongOffset]] versions (checkpoint-compatible with pre-chunking
+  * streams); equality is json equality (the connector-Offset
+  * contract), so a checkpointed `SerializedOffset` round-trips.
+  */
+private[streaming] final case class GraftChunkOffset(v: Long, c: Int, k: Int)
+    extends Offset {
+  override def json: String = s"""{"v":$v,"c":$c,"k":$k}"""
+}
+
 private[streaming] final class GraftTableSource(sqlContext: SQLContext,
-    table: IcebergLikeTable, declared: StructType) extends Source
+    table: IcebergLikeTable, declared: StructType,
+    maxVersionsPerTrigger: Int, initialChunkLeaves: Int,
+    maxChunksPerTrigger: Int) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
+  require(initialChunkLeaves >= 1, "initialChunkLeaves must be >= 1")
+  require(maxChunksPerTrigger >= 1, "maxChunksPerTrigger must be >= 1")
 
   override def schema: StructType = declared
 
@@ -309,16 +338,70 @@ private[streaming] final class GraftTableSource(sqlContext: SQLContext,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(table.currentVersion.getOrElse(0L))
 
+  /** The newest version this trigger may reach (the AvailableNow pin
+    * caps the live version when set). */
+  private def horizon: Option[Long] = {
+    val cur = table.currentVersion
+    (availableNowEnd match {
+      case Some(cap) => cur.map(math.min(_, cap)).orElse(Some(cap))
+      case None => cur
+    }).filter(_ > 0L)
+  }
+
+  /** Decode an offset (live, or `SerializedOffset` json from the
+    * checkpoint): plain long = complete through that version; object =
+    * mid-initial-load [[GraftChunkOffset]].
+    */
+  private def decode(o: Offset): (Long, Option[(Int, Int)]) = o match {
+    case l: LongOffset => (l.offset, None)
+    case GraftChunkOffset(v, c, k) => (v, Some((c, k)))
+    case other =>
+      val t = other.json.trim
+      if (t.startsWith("{")) {
+        val re = """\{"v":(\d+),"c":(\d+),"k":(\d+)\}""".r
+        t match {
+          case re(v, c, k) => (v.toLong, Some((c.toInt, k.toInt)))
+          case _ => throw new IllegalStateException(s"bad graft offset: $t")
+        }
+      } else (t.toLong, None)
+  }
+
+  /** Admission control: the initial snapshot is delivered as at most
+    * `maxChunksPerTrigger` leaf chunks (of `initialChunkLeaves` leaves
+    * each) per micro-batch, and a caught-up stream advances at most
+    * `maxVersionsPerTrigger` table versions per micro-batch — so a
+    * restart after lag (or a 100 TB initial mirror) makes bounded,
+    * checkpointed progress per trigger instead of one giant batch.
+    * The chunk count `k` rides the offset itself: a resume re-slices
+    * the SAME deterministic sorted-leaf domain even if the option
+    * changed across restarts.
+    */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
       org.apache.spark.sql.connector.read.streaming.Offset = {
-    val cur = table.currentVersion
-    val end = availableNowEnd match {
-      case Some(cap) => cur.map(math.min(_, cap)).orElse(Some(cap))
-      case None => cur
+    val startState = Option(start).map(o => decode(o.asInstanceOf[Offset]))
+    startState match {
+      case None =>
+        horizon match {
+          case None => null
+          case Some(v) =>
+            val k = math.max(1,
+              (table.dataLeavesAt(v).size + initialChunkLeaves - 1)
+                / initialChunkLeaves)
+            val c = math.min(maxChunksPerTrigger, k)
+            if (c >= k) LongOffset(v) else GraftChunkOffset(v, c, k)
+        }
+      case Some((v, Some((c0, k)))) => // mid-initial-load: finish the pin
+        val c = math.min(c0 + maxChunksPerTrigger, k)
+        if (c >= k) LongOffset(v) else GraftChunkOffset(v, c, k)
+      case Some((s, None)) =>
+        horizon match {
+          case Some(live) if live > s =>
+            LongOffset(math.min(live, s + maxVersionsPerTrigger.toLong))
+          case _ => LongOffset(s) // caught up: unchanged offset, no batch
+        }
     }
-    end.filter(_ > 0L).map(LongOffset(_)).orNull
   }
 
   override def reportLatestOffset():
@@ -328,27 +411,44 @@ private[streaming] final class GraftTableSource(sqlContext: SQLContext,
   override def getOffset: Option[Offset] =
     table.currentVersion.map(LongOffset(_))
 
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset from checkpoint
-  }
-
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = versionOf(end)
-    val startV = start.map(versionOf)
+    val (endV, endChunk) = decode(end)
+    val startState = start.map(decode)
     val spark = sqlContext.sparkSession
-    val window: Option[DataFrame] = startV match {
-      case Some(s) if s >= endV => None // no-op window (engine bookkeeping)
-      case None | Some(0L) =>
-        // initial load: the pinned end-version snapshot as inserts
+    // initial-load chunk windows share the pinned snapshot's sorted
+    // leaf domain, sliced by the k STAMPED IN THE OFFSET
+    def leafSlice(k: Int, from: Int, until: Int): DataFrame = {
+      val leaves = table.dataLeavesAt(endV)
+      val sz = math.max(1, (leaves.size + k - 1) / k)
+      table.readLeavesAt(endV, leaves.slice(from * sz, until * sz).toSet)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(endV))
+    }
+    val window: Option[DataFrame] = (startState, endChunk) match {
+      case (Some((s, None)), None) if s >= endV =>
+        None // no-op window (engine bookkeeping)
+      case (None | Some((0L, None)), Some((c, k))) =>
+        // first chunks of the initial load
+        Some(leafSlice(k, 0, c))
+      case (Some((v0, Some((c0, k)))), Some((c, _))) =>
+        require(v0 == endV, s"chunk window crosses snapshots: $v0 -> $endV")
+        Some(leafSlice(k, c0, c))
+      case (Some((v0, Some((c0, k)))), None) =>
+        // final chunk group completes the pinned snapshot
+        require(v0 == endV, s"chunk window crosses snapshots: $v0 -> $endV")
+        Some(leafSlice(k, c0, k))
+      case (None | Some((0L, _)), None) =>
+        // single-window initial load: the snapshot as inserts
         Some(table.readAt(endV)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV)))
-      case Some(s) =>
+      case (Some((s, None)), None) =>
         Some(
           if (table.uniqueKeys.nonEmpty) table.changesBetween(s, endV)
           else table.appendsBetween(s, endV)
             .withColumn("_change_type", lit("insert")))
+      case (s, e) =>
+        throw new IllegalStateException(s"bad graft offset window: $s -> $e")
     }
     window match {
       case None => StreamingFrameBridge.emptyStreamingFrame(spark, declared)

@@ -1064,7 +1064,7 @@ final case class IcebergLikeTable(
     * initial load (a 100 TB initial mirror must not be one giant
     * window).
     */
-  private[weblog] def dataLeavesAt(version: Long): Seq[String] =
+  private[graft] def dataLeavesAt(version: Long): Seq[String] =
     snapshotAt(version).dataFiles.map(leafOf).distinct.sorted
 
   /** Read a subset of a retained snapshot's leaves (equality deletes
@@ -1072,7 +1072,7 @@ final case class IcebergLikeTable(
     * load. Partition pruning applies by construction: only the chunk's
     * files are listed.
     */
-  private[weblog] def readLeavesAt(version: Long, leaves: Set[String]): DataFrame = {
+  private[graft] def readLeavesAt(version: Long, leaves: Set[String]): DataFrame = {
     val snap = snapshotAt(version)
     val files = snap.dataFiles.filter(f => leaves(leafOf(f)))
     val df = morRead(snap, files)

@@ -90,6 +90,115 @@ class GraftStreamSourceSpec extends SparkTestBase {
     assert(tgt.read.count() == 27)
   }
 
+  test("admission control: chunked initial load + maxVersionsPerTrigger") {
+    import spark.implicits._
+    // 5 leaf partitions (events a..e), then 3 more commits
+    val src = IcebergLikeTable(spark,
+      Files.createTempDirectory("gss_adm").toString + "/t", "event", Nil)
+    val events = Seq("a", "b", "c", "d", "e")
+    src.append(
+      (0 until 50).map(i => (s"k$i", events(i % 5))).toDF("k", "event"))
+    for (g <- 1 to 3)
+      src.append(Seq((s"extra$g", "a")).toDF("k", "event"))
+
+    val cp = Files.createTempDirectory("gss_adm_cp").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(): Unit = {
+      val fold: (Dataset[Row], Long) => Unit = { (batch, _) =>
+        val ks = batch.select("k").collect().map(_.getString(0))
+        batches += ks.length.toLong
+        got ++= ks
+      }
+      val q = spark.readStream.format("graft").option("path", src.path)
+        .option("initialChunkLeaves", "2")     // 5 leaves -> 3 chunks
+        .option("maxVersionsPerTrigger", "1")  // then 1 version per batch
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    // one AvailableNow run drains everything that existed at its start:
+    // 3 bounded initial chunks, then nothing (the pin covered v1..v4
+    // but the initial snapshot was taken at the pinned version)
+    assert(got.size == 53, s"initial load incomplete: ${got.size}")
+    assert(got.toSet ==
+      ((0 until 50).map(i => s"k$i") ++ (1 to 3).map(g => s"extra$g")).toSet)
+    assert(batches.size >= 3, s"initial load was not chunked: $batches")
+    assert(batches.max < 53, "one batch carried the whole snapshot")
+    assert(!got.groupBy(identity).exists(_._2.size > 1), "duplicate rows")
+
+    // lagging restart: 3 new commits arrive one version per batch
+    batches.clear()
+    for (g <- 4 to 6)
+      src.append(Seq((s"extra$g", "b")).toDF("k", "event"))
+    run()
+    assert(got.size == 56)
+    assert(batches.count(_ > 0) == 3,
+      s"maxVersionsPerTrigger=1 should deliver 3 single-version batches: $batches")
+  }
+
+  test("a checkpoint resume mid-initial-load re-slices identical chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    val src = IcebergLikeTable(spark,
+      Files.createTempDirectory("gss_resume").toString + "/t", "event", Nil)
+    src.append(
+      (0 until 40).map(i => (s"k$i", s"e${i % 4}")).toDF("k", "event"))
+    def collectKs(df: DataFrame): Set[String] = {
+      // getBatch returns a streaming-flagged LogicalRDD (the V1
+      // contract); lift its computed rows back out as a batch frame
+      val rdd = df.queryExecution.logical
+        .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd }.get
+      org.apache.spark.sql.graftbridge.StreamingFrameBridge
+        .batchFrame(spark, rdd, df.schema)
+        .select("k").collect().map(_.getString(0)).toSet
+    }
+    def source() = new GraftTableSource(spark.sqlContext, src,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("event",
+          org.apache.spark.sql.types.StringType))),
+      maxVersionsPerTrigger = Int.MaxValue,
+      initialChunkLeaves = 1, maxChunksPerTrigger = 1)
+
+    // trigger 1 on a fresh source: first chunk of 4
+    val s1 = source()
+    val o1 = s1.latestOffset(null, null)
+    assert(o1.json == """{"v":1,"c":1,"k":4}""")
+    val b1 = s1.getBatch(None, o1.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.Offset])
+    val ks1 = collectKs(b1)
+
+    // crash; a NEW source resumes from the checkpointed json string
+    val s2 = source()
+    val o2 = s2.latestOffset(SerializedOffset(o1.json), null)
+    assert(o2.json == """{"v":1,"c":2,"k":4}""")
+    val b2 = s2.getBatch(Some(SerializedOffset(o1.json)), o2.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.Offset])
+    val ks2 = collectKs(b2)
+    assert(ks1.intersect(ks2).isEmpty, "resume re-delivered a chunk")
+
+    // drain the rest through one more resume pair
+    val o3 = s2.latestOffset(SerializedOffset(o2.json), null)
+    val b3 = s2.getBatch(Some(SerializedOffset(o2.json)), o3.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.Offset])
+    val o4 = s2.latestOffset(SerializedOffset(o3.json), null)
+    assert(o4.json == "1", s"final offset should be the bare version: ${o4.json}")
+    val b4 = s2.getBatch(Some(SerializedOffset(o3.json)), o4.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.Offset])
+    val all = ks1 ++ ks2 ++ collectKs(b3) ++ collectKs(b4)
+    assert(all == (0 until 40).map(i => s"k$i").toSet)
+
+    // caught up: the offset stops moving
+    val o5 = s2.latestOffset(SerializedOffset(o4.json), null)
+    assert(o5.json == o4.json)
+  }
+
   test("append-only tables stream their appends") {
     import spark.implicits._
     val src = IcebergLikeTable(spark,
