@@ -1104,6 +1104,7 @@ final case class IcebergLikeTable(
       live.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
       target.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
+      target.meta.get(ColHistKey).map(ColHistKey -> _) ++
       target.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
       target.meta.get(StatsKey).map(StatsKey -> _) ++
       target.meta.get(BloomKey).map(BloomKey -> _) +
@@ -2299,6 +2300,7 @@ final case class IcebergLikeTable(
           snap.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
           snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
           snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
+          snap.meta.get(ColHistKey).map(ColHistKey -> _) ++
           snap.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
           snap.meta.get(StatsKey).map(StatsKey -> _) ++
           snap.meta.get(BloomKey).map(BloomKey -> _) +
@@ -2371,6 +2373,7 @@ final case class IcebergLikeTable(
           snap.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
           snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
           snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
+          snap.meta.get(ColHistKey).map(ColHistKey -> _) ++
           snap.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
           snap.meta.get(StatsKey).map(StatsKey -> _) ++
           snap.meta.get(BloomKey).map(BloomKey -> _) +

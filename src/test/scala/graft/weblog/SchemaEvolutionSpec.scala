@@ -56,6 +56,36 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(t.read.filter(col("server") === "new.example").count() == 5)
   }
 
+  test("colhist survives MOR-delete and rollback commits after a rename") {
+    import spark.implicits._
+    // keyed table (MOR delete needs keys) with an extra data column
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("se_carry").toString + "/t",
+      "event", Seq("user_id"), numBuckets = 2)
+    t.write((0 until 10).map(i => (s"u$i", "view", "old.example", 1L))
+      .toDF("user_id", "event", "host", "seq"), "seq")
+    t.renameColumn("host", "hostname")
+
+    // an equality-delete commit must carry the column history forward
+    t.deleteMergeOnRead(col("user_id") === "u0")
+    assert(t.read.count() == 9)
+    assert(t.read.filter(col("hostname") === "old.example").count() == 9,
+      "pre-rename files lost their values after a MOR delete commit")
+
+    // and a positional-delete commit
+    t.deletePositional(col("user_id") === "u1")
+    assert(t.read.filter(col("hostname") === "old.example").count() == 8,
+      "pre-rename files lost their values after a positional delete commit")
+
+    // rollback to a post-rename version keeps the target's history
+    val v = t.currentVersion.get
+    t.append(Seq(("u99", "view", "x", 2L))
+      .toDF("user_id", "event", "hostname", "seq"))
+    t.rollbackTo(v)
+    assert(t.read.filter(col("hostname") === "old.example").count() == 8,
+      "pre-rename files lost their values after rollback")
+  }
+
   test("drop hides the data; re-adding the name never resurrects it") {
     import spark.implicits._
     val t = freshTable("se_drop")
