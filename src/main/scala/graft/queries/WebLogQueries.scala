@@ -292,7 +292,12 @@ object WebLogQueries {
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
             col("event_type").as("event"),
             lit(1L).as("seq"))
-        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"))
+        // buckets sized to the gate's day-1 slice (a headline WRITE-path
+        // bench: 16 buckets × |event| leaves over ~10k rows measures tiny-
+        // file fan-out, not the delete protocol; at 100 TB you size buckets
+        // to the data the same way)
+        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"),
+          numBuckets = 4)
         t.write(base, "seq")
         val dataBefore = t.files.filter(!col("is_delete"))
           .select("file").collect().map(_.getString(0)).toSet
@@ -412,6 +417,63 @@ object WebLogQueries {
       Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
              |       TRUE AS compacted, TRUE AS idempotent
              |FROM events WHERE day(ts) <= 7
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
+    // Partition-SPEC evolution (Iceberg's ALTER TABLE .. SET PARTITION
+    // SPEC): a hidden-partitioned table flips days(ts) → hours(ts) in
+    // one metadata-only commit; old files keep day leaves, new writes
+    // derive hourly, a day slice prunes each file under the spec that
+    // GOVERNED its write (inverting a day ordinal as an hour ordinal
+    // would prune every old file), and maintain(0) migrates the table
+    // to the new layout with the row set intact — all SQL-predictable
+    // booleans beside a census the oracle recomputes.
+    Q("weblog_spec_evolution",
+      (s, d) => {
+        val t0 = IcebergLikeTable(s, scratch(s, "specevo", d) + "/t",
+          partitionCol = "pday", partitionTransform = Some("days(ts)"))
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+          col("ts"))
+        t0.append(ev.filter(dayofmonth(col("ts")) <= 2).coalesce(2))
+        val filesBefore = t0.filesFor(lit(true)).toSet
+        val t = t0.evolvePartitionSpec("hours(ts)")
+        val metadataOnly = t.filesFor(lit(true)).toSet == filesBefore
+        t.append(ev.filter(dayofmonth(col("ts")) === 3).coalesce(2))
+        // day-2 slice bounds from the data's own first day — the
+        // predicate is on the SOURCE column; no partition key anywhere
+        val d0 = Tables.events(s, d)
+          .agg(date_trunc("DAY", min(col("ts")))).head.getTimestamp(0)
+        val lo = new java.sql.Timestamp(d0.getTime + 86400000L)
+        val hi = new java.sql.Timestamp(d0.getTime + 2 * 86400000L)
+        val slice = col("ts") >= lit(lo) && col("ts") < lit(hi)
+        val total = t.filesFor(lit(true)).size
+        val planned = t.filesFor(slice).size
+        val pruned = planned > 0 && planned < total
+        val before = t.readWhere(slice)
+          .groupBy("event").agg(count(lit(1)).as("cnt"))
+        t.maintain(fileThreshold = 0)
+        // every live leaf is an hour ordinal now (day ordinals ~2e4,
+        // hour ordinals ~5e5) and the history collapsed to one epoch
+        val migrated = t.filesFor(lit(true))
+          .map(_.split('/').head.stripPrefix("pday=").toLong)
+          .forall(_ > 400000L)
+        val after = t.readWhere(slice)
+          .groupBy("event").agg(count(lit(1)).as("cnt2"))
+        before.join(after, "event")
+          .select(col("event"), col("cnt"),
+            lit(metadataOnly).as("metadata_only"),
+            lit(pruned).as("pruned"),
+            lit(migrated).as("migrated"),
+            (col("cnt") === col("cnt2")).as("stable"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       TRUE AS metadata_only, TRUE AS pruned,
+             |       TRUE AS migrated, TRUE AS stable
+             |FROM events
+             |WHERE ts >= (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY FROM events)
+             |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
     // Batch DataSource surface: the SAME census as weblog_upsert-style

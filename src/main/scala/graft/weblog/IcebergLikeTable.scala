@@ -118,13 +118,20 @@ final case class IcebergLikeTable(
   }
 
   /** Derive the hidden partition value when the table declares a
-    * transform and the frame does not already carry it (re-derivation
-    * is deterministic, so frames that DO carry it — e.g. CDC envelopes
-    * mirrored table-to-table — pass through unchanged).
+    * transform. Whenever the SOURCE column is present the value is
+    * (re-)derived under THIS handle's spec — deterministic, so an
+    * unevolved table writes the same values it always did, and on a
+    * spec-evolved table every rewrite (maintain, copy-on-write delete)
+    * migrates the rows it touches to the current spec, keeping the
+    * invariant [[transformBounds]] prunes by: a data file written at
+    * version v carries partition values derived under v's governing
+    * spec. A frame carrying the partition column but NOT the source
+    * (e.g. CDC envelopes mirrored table-to-table) passes through
+    * unchanged.
     */
   private def withDerivedPartition(df: DataFrame): DataFrame =
     transform match {
-      case Some(t) if !df.columns.contains(partitionCol) =>
+      case Some(t) if df.columns.contains(t.source) =>
         df.withColumn(partitionCol, t.derive)
       case _ => df
     }
@@ -245,11 +252,50 @@ final case class IcebergLikeTable(
     */
   private val LayoutKey = "layout"
 
-  private def layoutSpec: String = {
-    val p = transform.fold(partitionCol)(t => s"$partitionCol=${t.spec}")
+  private def layoutSpec: String = layoutSpecFor(transform)
+
+  private def layoutSpecFor(t: Option[PartitionTransforms.Transform]): String = {
+    val p = t.fold(partitionCol)(tt => s"$partitionCol=${tt.spec}")
     if (uniqueKeys.isEmpty) p
     else s"$p/$bucketCol-$numBuckets/${uniqueKeys.mkString("+")}"
   }
+
+  /** Manifest metadata key holding a hidden-partitioned table's
+    * PARTITION-SPEC HISTORY (Iceberg's spec-id evolution): JSON
+    * `[[fromVersion, spec], ...]`, ascending — the spec governing a
+    * data file is the entry with the greatest fromVersion <= the
+    * file's write version (parsed from its immutable imported name,
+    * [[fileVersionOf]]). Absent until the first
+    * [[evolvePartitionSpec]]; carried forward by every commit; a
+    * single-entry history applies its spec to every file regardless of
+    * version (the post-collapse / never-evolved fast path).
+    */
+  private[weblog] val SpecHistKey = "spechist"
+
+  private def specHistOf(meta: Map[String, String]): Seq[(Long, String)] =
+    meta.get(SpecHistKey).map { j =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+      val b = Seq.newBuilder[(Long, String)]
+      m.forEach(pair => b += ((pair.get(0).asLong, pair.get(1).asText)))
+      b.result()
+    }.getOrElse(Nil)
+
+  private def specHistJson(hist: Seq[(Long, String)]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createArrayNode()
+    hist.foreach { case (v, s) =>
+      val pair = node.addArray(); pair.add(v); pair.add(s)
+    }
+    m.writeValueAsString(node)
+  }
+
+  /** Parsed-transform cache: pruning resolves a governing spec per
+    * file, and the handful of distinct spec strings parse once.
+    */
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PartitionTransforms.Transform]()
+  private def transformOf(spec: String): PartitionTransforms.Transform =
+    specCache.computeIfAbsent(spec, s => PartitionTransforms.parse(s))
 
   private def validateLayout(meta: Map[String, String]): Unit =
     meta.get(LayoutKey).foreach { stored =>
@@ -863,21 +909,67 @@ final case class IcebergLikeTable(
     * stamped bound for the source column (tighter than the inverse
     * image) takes precedence; an unparseable path value adds nothing
     * (absence is always sound).
+    *
+    * SPEC EVOLUTION: when the snapshot carries a multi-entry spec
+    * history ([[SpecHistKey]]) the inverting transform is the one
+    * GOVERNING the file — the history entry with the greatest
+    * fromVersion <= the file's write version (from its immutable
+    * imported name). Inverting an old day-ordinal under a new hourly
+    * spec would synthesize bounds ~24× too early and prune files that
+    * DO match, so a file whose version cannot be parsed contributes
+    * nothing on an evolved table. A single-entry (or absent) history
+    * applies the one spec unconditionally — the never-evolved and
+    * post-collapse fast path.
     */
-  private def transformBounds(f: String): Map[String, (String, String)] =
-    transform.fold(Map.empty[String, (String, String)]) { t =>
+  private def transformBoundsFn(
+      meta: Map[String, String]): String => Map[String, (String, String)] = {
+    val hist = specHistOf(meta)
+    def invert(t: PartitionTransforms.Transform,
+        f: String): Map[String, (String, String)] = {
       val seg = leafOf(f).split('/')
         .find(_.startsWith(s"$partitionCol="))
         .map(_.substring(partitionCol.length + 1))
       seg.flatMap(t.sourceBounds).map(b => Map(t.source -> b))
         .getOrElse(Map.empty)
     }
+    if (hist.size > 1) { f =>
+      fileVersionOf(f)
+        .flatMap(v => hist.filter(_._1 <= v).lastOption)
+        .map(h => invert(transformOf(h._2), f))
+        .getOrElse(Map.empty)
+    } else {
+      // single-entry / absent history: the one spec applies to every
+      // file. Resolve it from the SNAPSHOT (its layout stamp) before
+      // the handle — a time-travel read at a pre-evolve snapshot must
+      // invert under the spec that snapshot was written with, not the
+      // handle's newer one.
+      val t = hist.headOption.map(h => transformOf(h._2))
+        .orElse(storedTransform(meta)).orElse(transform)
+      t.fold((_: String) => Map.empty[String, (String, String)])(
+        tt => invert(tt, _))
+    }
+  }
+
+  /** The transform a snapshot's stored layout stamp declares, if any —
+    * `pcol=days(ts)/...` → `days(ts)`. None for unstamped (legacy) or
+    * untransformed layouts.
+    */
+  private def storedTransform(
+      meta: Map[String, String]): Option[PartitionTransforms.Transform] = {
+    val seg = meta.get(LayoutKey).map(_.split('/')(0))
+    seg.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i < 0) None
+      else scala.util.Try(transformOf(s.drop(i + 1))).toOption
+    }
+  }
 
   private def prunedFiles(snap: TableSnapshot,
       schema: Option[StructType], condition: Column): Seq[String] =
     (schema, analyzedPredicate(schema, condition)) match {
       case (Some(s), Some(e)) =>
         val stats = snap.statsOf
+        val transformBounds = transformBoundsFn(snap.meta)
         val sidecars = bloomSidecarsOf(snap.meta)
         lazy val blooms: BloomStats.Sidecar =
           sidecars.map(n => BloomStats.read(fs, new Path(root, n)))
@@ -1105,11 +1197,15 @@ final case class IcebergLikeTable(
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
       target.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
       target.meta.get(ColHistKey).map(ColHistKey -> _) ++
+      target.meta.get(SpecHistKey).map(SpecHistKey -> _) ++
       target.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
       target.meta.get(StatsKey).map(StatsKey -> _) ++
       target.meta.get(BloomKey).map(BloomKey -> _) +
       (TsKey -> System.currentTimeMillis().toString) +
-      (LayoutKey -> layoutSpec)
+      // the TARGET's layout: a rollback across a partition-spec evolve
+      // restores the pre-evolve spec, and the next commit's layout
+      // check then insists the handle matches what the data really is
+      (LayoutKey -> target.meta.getOrElse(LayoutKey, layoutSpec))
     // sharded targets roll back by RE-REFERENCING their (immutable)
     // leaf manifests; legacy monolithic targets re-list their files
     val lines =
@@ -1323,12 +1419,17 @@ final case class IcebergLikeTable(
     * imported files — callers ([[withCommitRetry]]) re-resolve the live
     * snapshot and redo their merge against it, so no update is lost.
     */
-  private def commit(df: DataFrame, baseVersion: Long,
+  private def commit(df0: DataFrame, baseVersion: Long,
       base: TableSnapshot, extraMeta: Map[String, String] = Map.empty)(
       carryOver: Seq[String] => Seq[String]): Seq[String] = {
     val version = nextVersion(baseVersion)
     val token = java.util.UUID.randomUUID().toString.take(8)
     validateLayout(base.meta)
+    // every data file this commit writes gets partition values derived
+    // under the CURRENT spec (idempotent re-projection for already-
+    // derived frames) — on a spec-evolved table this is what migrates
+    // rewritten rows and keeps version→spec pruning sound
+    val df = withDerivedPartition(df0)
     val plain = commitSchema(storedSchema(base.meta), df.schema)
     // stable column ids: carried from the base, assigned fresh for new
     // columns, stamped into BOTH the schema stamp and the staged
@@ -1383,7 +1484,27 @@ final case class IcebergLikeTable(
       val entries = carriedPaths.map(p => base.entryOf.getOrElse(p,
         Manifests.FileEntry(p, -1L, -1L, Map.empty))) ++
         imported.map(fresh)
-      try publishVersion(version, token, entries, meta ++ bloom, base)
+      // spec history: carried forward verbatim — or COLLAPSED to its
+      // last entry once every live data file is at-or-past the last
+      // spec's fromVersion (a maintain(0) migration ends here), which
+      // restores the single-epoch fast paths (branching, unconditional
+      // inversion)
+      val specMeta: Map[String, String] = specHistOf(base.meta) match {
+        case Nil => Map.empty
+        case hist =>
+          def isDeleteName(f: String) = {
+            val n = f.substring(f.lastIndexOf('/') + 1)
+            n.startsWith("eqdel-") || n.startsWith("posdel-")
+          }
+          val lastFrom = hist.last._1
+          val collapsed =
+            if (hist.size > 1 && fileList.forall(f =>
+              isDeleteName(f) || fileVersionOf(f).exists(_ >= lastFrom)))
+              hist.takeRight(1)
+            else hist
+          Map(SpecHistKey -> specHistJson(collapsed))
+      }
+      try publishVersion(version, token, entries, meta ++ bloom ++ specMeta, base)
       catch {
         case e: Manifests.CommitConflictException =>
           // lost the race: un-import our dormant files (and this
@@ -1638,6 +1759,15 @@ final case class IcebergLikeTable(
     require(b.currentVersion.isEmpty, s"branch '$name' already exists under $path")
     val (v, live) = resolveLive()
     require(v > 0, "cannot branch a table that has never committed")
+    // branch chains restart version numbering at 1, so a branch-written
+    // file's name-embedded version cannot be told apart from an
+    // inherited main-chain file's — the file→spec mapping a multi-epoch
+    // history needs. Single-epoch tables (never evolved, or collapsed
+    // by a maintain(0) migration) branch freely.
+    require(specHistOf(live.meta).size <= 1,
+      "cannot branch a table with a live multi-epoch partition-spec " +
+        "history: run maintain(fileThreshold = 0) to migrate every file " +
+        "to the current spec first")
     val lines =
       if (live.refs.nonEmpty) live.refs.map(Manifests.RefMark + _)
       else live.files
@@ -1732,6 +1862,76 @@ final case class IcebergLikeTable(
     require(v2 == liveVersion, "table changed under rebucket (single-writer op)")
     t2.commit(t2.withBucket(rows), v2, s2.copy(meta = s2.meta - LayoutKey))(_ => Nil)
     t2
+  }
+
+  /** EVOLVE the hidden-partitioning spec (Iceberg's partition-spec
+    * evolution — `ALTER TABLE .. SET PARTITION SPEC`, the move every
+    * growing event table eventually makes: `days(ts)` while small,
+    * `hours(ts)` once a day of data stops fitting a scan): a
+    * METADATA-ONLY commit — no data file moves or rewrites, O(1) data
+    * I/O at any table size. Existing files stay in their old-spec
+    * leaves; new writes derive under the new spec; and reads prune
+    * each file under the spec that GOVERNED its write
+    * ([[transformBoundsFn]] — the spec history stamped here maps the
+    * file's name-embedded write version to its epoch, because
+    * inverting an old day ordinal as if it were an hour ordinal would
+    * silently prune matching files). `maintain(fileThreshold = 0)`
+    * migrates old files to the new layout (every rewrite re-derives,
+    * see [[withDerivedPartition]]); once no old-epoch file is live the
+    * history collapses back to one entry and branching re-opens.
+    *
+    * Key-less hidden-partitioned tables only: a keyed merge routes by
+    * the derived (partition, bucket) leaf, so a key stored under the
+    * old spec would be unreachable to its own upsert. Returns the
+    * handle declaring the new spec; further writes must go through it
+    * (commits via the old declaration fail the layout check).
+    * Single-writer operation, like [[rebucket]].
+    */
+  def evolvePartitionSpec(newSpec: String): IcebergLikeTable = {
+    val cur = transform.getOrElse(throw new IllegalArgumentException(
+      "evolvePartitionSpec applies to hidden-partitioned tables " +
+        "(declare partitionTransform at create time)"))
+    require(uniqueKeys.isEmpty,
+      "cannot evolve the partition spec of a keyed table: upserts route " +
+        "by the derived (partition, bucket) leaf, and a key written " +
+        "under the old spec would be unreachable to its own merge")
+    require(branch == "main",
+      "partition-spec evolution commits through the main handle")
+    val nt = PartitionTransforms.parse(newSpec)
+    require(nt.spec != cur.spec,
+      s"table already partitions by ${cur.spec}")
+    require(nt.source != partitionCol,
+      s"partition transform source '${nt.source}' must differ from the " +
+        s"derived partition column '$partitionCol'")
+    val evolved = this.copy(partitionTransform = Some(nt.spec))
+    if (currentVersion.isEmpty) return evolved // nothing written yet
+    withCommitRetry {
+      val (liveVersion, snap) = resolveLive()
+      validateLayout(snap.meta)
+      require(branches.isEmpty,
+        "cannot evolve the partition spec while branches exist: branch " +
+          "version numbering cannot disambiguate spec epochs — " +
+          "fast-forward or drop the branches first")
+      val unknown = snap.dataFiles.filterNot(f => fileVersionOf(f).isDefined)
+      require(unknown.isEmpty,
+        s"cannot evolve: ${unknown.size} live file(s) predate the " +
+          "versioned-name protocol and their spec epoch would be " +
+          "ambiguous — run maintain(fileThreshold = 0) to rewrite them first")
+      val version = nextVersion(liveVersion)
+      val hist0 = specHistOf(snap.meta)
+      val hist = (if (hist0.isEmpty) Seq((0L, cur.spec)) else hist0) :+
+        ((version, nt.spec))
+      val meta = snap.meta +
+        (SpecHistKey -> specHistJson(hist)) +
+        (TsKey -> System.currentTimeMillis().toString) +
+        (LayoutKey -> layoutSpecFor(Some(nt)))
+      val lines =
+        if (snap.refs.nonEmpty) snap.refs.map(Manifests.RefMark + _)
+        else snap.files
+      Manifests.write(fs, root, version, lines, meta, chainPrefix)
+      expireSnapshots()
+    }
+    evolved
   }
 
   /** Full GC (explicit maintenance): [[expireSnapshots]] plus an orphan
@@ -2301,6 +2501,7 @@ final case class IcebergLikeTable(
           snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
           snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
           snap.meta.get(ColHistKey).map(ColHistKey -> _) ++
+          snap.meta.get(SpecHistKey).map(SpecHistKey -> _) ++
           snap.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
           snap.meta.get(StatsKey).map(StatsKey -> _) ++
           snap.meta.get(BloomKey).map(BloomKey -> _) +
@@ -2374,6 +2575,7 @@ final case class IcebergLikeTable(
           snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
           snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
           snap.meta.get(ColHistKey).map(ColHistKey -> _) ++
+          snap.meta.get(SpecHistKey).map(SpecHistKey -> _) ++
           snap.meta.get(IdsFromKey).map(IdsFromKey -> _) ++
           snap.meta.get(StatsKey).map(StatsKey -> _) ++
           snap.meta.get(BloomKey).map(BloomKey -> _) +

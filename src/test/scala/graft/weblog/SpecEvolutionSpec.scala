@@ -1,0 +1,194 @@
+package graft.weblog
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Partition-SPEC evolution (Iceberg's `ALTER TABLE .. SET PARTITION
+  * SPEC`): a hidden-partitioned table switches its transform (e.g.
+  * `days(ts)` → `hours(ts)`) in one metadata-only commit. Old files
+  * stay in their old-spec leaves, new writes derive under the new
+  * spec, and pruning inverts each file's partition value under the
+  * spec that GOVERNED its write — inverting a day ordinal as if it
+  * were an hour ordinal would synthesize bounds ~24× too early and
+  * silently prune matching files (the unsoundness these tests pin).
+  */
+class SpecEvolutionSpec extends SparkTestBase {
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:15:00")
+
+  private def events(days: Range): DataFrame = {
+    import spark.implicits._
+    days.flatMap(d => (0 until 4).map(h =>
+      (s"u$d-$h", s"e$d$h", ts(d, h * 6)))).toDF("user_id", "event_id", "ts")
+  }
+
+  private def daysTable(name: String): IcebergLikeTable =
+    IcebergLikeTable(spark,
+      Files.createTempDirectory(name).toString + "/t",
+      partitionCol = "pday", partitionTransform = Some("days(ts)"))
+
+  test("evolve days→hours: metadata-only, both eras read, new writes derive hourly") {
+    val t0 = daysTable("se_basic")
+    for (d <- 1 to 3) t0.append(events(d to d).coalesce(1))
+    val filesBefore = t0.filesFor(lit(true)).toSet
+    val vBefore = t0.currentVersion.get
+
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    // metadata-only: same files, one new version, no data movement
+    assert(t.currentVersion.contains(vBefore + 1))
+    assert(t.filesFor(lit(true)).toSet == filesBefore)
+    assert(t.read.count() == 12)
+
+    // new writes land in HOUR leaves; old files stay in day leaves
+    t.append(events(4 to 4).coalesce(4))
+    assert(t.read.count() == 16)
+    assert(t.read.columns.toSet == Set("user_id", "event_id", "ts"))
+    val leaves = t.filesFor(lit(true)).map(_.split('/').head).distinct
+    val dayOrdinal3 = ts(3, 0).getTime / 86400000L // close enough to pick eras apart
+    val (small, big) = leaves.map(_.stripPrefix("pday=").toLong)
+      .partition(_ < dayOrdinal3 + 100)
+    assert(small.size == 3, s"3 day-era leaves expected: ${leaves.mkString(",")}")
+    assert(big.size == 4, s"4 hour-era leaves expected: ${leaves.mkString(",")}")
+  }
+
+  test("pruning inverts each file under its own epoch (old files not mis-pruned)") {
+    val t0 = daysTable("se_prune")
+    for (d <- 1 to 3) t0.append(events(d to d).coalesce(1))
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    for (d <- 4 to 5) t.append(events(d to d).coalesce(4))
+
+    // a slice over the OLD era: naive inversion of the day ordinal
+    // under hours(ts) would bound these files in 1972 and prune them
+    val day2 = col("ts") >= lit(ts(2, 0)) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-03 00:00:00"))
+    assert(t.readWhere(day2).count() == 4, "old-era rows lost to mis-pruning")
+    assert(t.filesFor(day2).size == 1, "day slice must plan exactly the day-2 file")
+
+    // a slice over the NEW era prunes at hour granularity
+    val h0 = col("ts") >= lit(Timestamp.valueOf("2024-03-04 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-04 06:00:00"))
+    assert(t.readWhere(h0).count() == 1)
+    assert(t.filesFor(h0).size == 1, "hour slice must plan exactly one hour file")
+
+    // a slice spanning the epoch boundary reads both eras
+    val span = col("ts") >= lit(ts(3, 0)) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-04 19:15:00"))
+    assert(t.readWhere(span).count() == 8)
+    assert(t.filesFor(span).size == 1 + 4, "one day file + day-4's four hour files")
+
+    // full scan unchanged
+    assert(t.read.count() == 20)
+  }
+
+  test("maintain(0) migrates old files to the new spec and collapses the history") {
+    val t0 = daysTable("se_migrate")
+    for (d <- 1 to 3) t0.append(events(d to d).coalesce(1))
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    t.append(events(4 to 4).coalesce(4))
+
+    // multi-epoch: branching refuses (branch version numbering cannot
+    // disambiguate epochs)
+    intercept[IllegalArgumentException](t.createBranch("audit"))
+
+    t.maintain(fileThreshold = 0)
+    // every live file now sits in an hour-ordinal leaf
+    val leaves = t.filesFor(lit(true)).map(_.split('/').head)
+      .map(_.stripPrefix("pday=").toLong)
+    assert(leaves.forall(_ > 400000L),
+      s"day-era leaves survived the migration: ${leaves.mkString(",")}")
+    assert(t.read.count() == 16)
+
+    // pruning is now hour-sharp over the migrated era too
+    val h1 = col("ts") >= lit(Timestamp.valueOf("2024-03-02 06:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-02 07:00:00"))
+    assert(t.filesFor(h1).size == 1)
+    assert(t.readWhere(h1).count() == 1)
+
+    // the history collapsed to one epoch: branching re-opens
+    val b = t.createBranch("audit")
+    assert(b.read.count() == 16)
+  }
+
+  test("guards: keyed, same-spec, untransformed, stale handle, live branches") {
+    import spark.implicits._
+    // keyed tables pin their spec (merge routes by the derived leaf)
+    val keyed = IcebergLikeTable(spark,
+      Files.createTempDirectory("se_keyed").toString + "/t",
+      partitionCol = "pday", uniqueKeys = Seq("k"), numBuckets = 2,
+      partitionTransform = Some("days(ts)"))
+    intercept[IllegalArgumentException](keyed.evolvePartitionSpec("hours(ts)"))
+
+    // no transform declared → nothing to evolve
+    val plain = IcebergLikeTable(spark,
+      Files.createTempDirectory("se_plain").toString + "/t", "event")
+    intercept[IllegalArgumentException](plain.evolvePartitionSpec("days(ts)"))
+
+    val t0 = daysTable("se_guard")
+    t0.append(events(1 to 1))
+    intercept[IllegalArgumentException](t0.evolvePartitionSpec("days(ts)"))
+
+    // live branches block evolution
+    t0.createBranch("wip")
+    intercept[IllegalArgumentException](t0.evolvePartitionSpec("hours(ts)"))
+    t0.dropBranch("wip")
+
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    // the pre-evolve handle fails the layout check on its next commit
+    intercept[IllegalArgumentException](t0.append(events(2 to 2)))
+    t.append(events(2 to 2))
+    assert(t.read.count() == 8)
+  }
+
+  test("time travel prunes under the historical spec; rollback restores it") {
+    val t0 = daysTable("se_travel")
+    for (d <- 1 to 2) t0.append(events(d to d).coalesce(1))
+    val vOld = t0.currentVersion.get
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    t.append(events(3 to 3).coalesce(4))
+
+    // a read AT the pre-evolve snapshot sees only the old era, pruned
+    // under the old spec
+    val day1 = col("ts") >= lit(ts(1, 0)) && col("ts") < lit(ts(2, 0))
+    assert(t.readWhereAt(vOld, day1).count() == 4)
+    assert(t.readAt(vOld).count() == 8)
+
+    // rollback across the evolve: the old spec is live again — the
+    // evolved handle is now stale, the original declaration commits
+    t.rollbackTo(vOld)
+    intercept[IllegalArgumentException](t.append(events(4 to 4)))
+    t0.append(events(4 to 4).coalesce(1))
+    assert(t0.read.count() == 12)
+    val leaves = t0.filesFor(lit(true)).map(_.split('/').head)
+      .map(_.stripPrefix("pday=").toLong)
+    assert(leaves.forall(_ < 400000L),
+      s"rollback must restore day-ordinal layout: ${leaves.mkString(",")}")
+  }
+
+  test("positional MOR delete stays row-identical across an evolved table") {
+    val t0 = daysTable("se_mor")
+    for (d <- 1 to 2) t0.append(events(d to d).coalesce(1))
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    t.append(events(3 to 3).coalesce(4))
+
+    // delete one old-era row and one new-era row by source predicate
+    val erased = t.deletePositional(col("user_id").isin("u1-1", "u3-2"))
+    assert(erased == 2L)
+    assert(t.read.count() == 10)
+    assert(t.read.filter(col("user_id").isin("u1-1", "u3-2")).count() == 0)
+    // tombstones landed beside the files they mask, in BOTH eras
+    val delLeaves = t.files.filter(col("is_delete")).select("file")
+      .collect().map(_.getString(0).split('/').head
+        .stripPrefix("pday=").toLong).distinct
+    assert(delLeaves.exists(_ < 400000L) && delLeaves.exists(_ > 400000L),
+      s"expected tombstones in both eras: ${delLeaves.mkString(",")}")
+    // compaction consumes them; the row set is stable
+    t.maintain(fileThreshold = 1000, deleteFileThreshold = 1)
+    assert(t.read.count() == 10)
+  }
+}
