@@ -476,6 +476,53 @@ object WebLogQueries {
              |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // DSv2 SQL catalog: the table format as plain SQL objects — CREATE
+    // NAMESPACE / CREATE TABLE PARTITIONED BY (days(ts)) / INSERT INTO /
+    // pruned SELECT, zero graft imports in the "user" code. The day-2
+    // slice goes through the catalog's V1Scan pushdown into the table's
+    // own hidden-partition planning (the pruned boolean checks the
+    // planned file set), and the census is recomputed by the oracle.
+    Q("weblog_sql_catalog",
+      (s, d) => {
+        val wh = scratch(s, "sqlcat", d)
+        s.conf.set("spark.sql.catalog.gsql", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gsql.web")
+        s.sql("DROP TABLE IF EXISTS gsql.web.events")
+        s.sql("""CREATE TABLE gsql.web.events
+                |(user_id STRING, event STRING, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+        Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 3)
+          .select(
+            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+            col("event_type").as("event"),
+            col("ts"))
+          .createOrReplaceTempView("graft_sqlcat_src")
+        s.sql("INSERT INTO gsql.web.events SELECT * FROM graft_sqlcat_src")
+        val d0 = Tables.events(s, d)
+          .agg(date_trunc("DAY", min(col("ts")))).head.getTimestamp(0)
+        val lo = new java.sql.Timestamp(d0.getTime + 86400000L)
+        val hi = new java.sql.Timestamp(d0.getTime + 2 * 86400000L)
+        // pruning proof through the table's own planning
+        val t = IcebergLikeTable(s, s"$wh/web/events",
+          partitionCol = "ts_day", partitionTransform = Some("days(ts)"))
+        val planned = t.filesFor(col("ts") >= lit(lo) && col("ts") < lit(hi)).size
+        val pruned = planned > 0 && planned < t.filesFor(lit(true)).size
+        s.sql(s"""SELECT event, CAST(count(*) AS BIGINT) AS cnt
+                 |FROM gsql.web.events
+                 |WHERE ts >= TIMESTAMP '$lo' AND ts < TIMESTAMP '$hi'
+                 |GROUP BY event""".stripMargin)
+          .withColumn("pruned", lit(pruned))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       TRUE AS pruned
+             |FROM events
+             |WHERE ts >= (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY FROM events)
+             |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
     // Batch DataSource surface: the SAME census as weblog_upsert-style
     // flows but through NOTHING except `df.write.format("graft")` /
     // `spark.read.format("graft")` — keyed order-aware upsert by

@@ -1,0 +1,578 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+
+import graft.weblog.IcebergLikeTable
+
+/** DataSource-V2 CATALOG over the graft table format — the surface
+  * that makes the engine's tables plain SQL objects (the reference's
+  * Glue-catalog role, `web-analytics-iceberg/README.md:183-188`, where
+  * Athena DDL/DML addresses Iceberg tables by name):
+  *
+  * {{{
+  *   spark.sql.catalog.g           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.g.warehouse = /data/warehouse
+  *
+  *   CREATE NAMESPACE g.web;
+  *   CREATE TABLE g.web.events (user_id STRING, event STRING,
+  *     ts TIMESTAMP) PARTITIONED BY (days(ts));
+  *   INSERT INTO g.web.events SELECT ...;
+  *   SELECT * FROM g.web.events WHERE ts >= ...;     -- file-pruned
+  *   SELECT * FROM g.web.events VERSION AS OF 3;     -- time travel
+  *   ALTER TABLE g.web.events RENAME COLUMN user_id TO uid;
+  *   INSERT OVERWRITE g.web.events SELECT ...;
+  * }}}
+  *
+  * Identity = filesystem layout: namespace `a.b` is directory
+  * `<warehouse>/a/b`, a table is a directory holding a
+  * `.graft_table.json` descriptor (partition spec, unique keys, order
+  * column — everything `loadTable` needs so SQL never passes options)
+  * beside the table-format data/manifests. `PARTITIONED BY (days(ts)
+  * | hours(ts) | truncate(w, c) | c)` maps onto the format's hidden
+  * partitioning; an unpartitioned table gets Iceberg's `void`
+  * transform (single null partition). Keyed (upsert) tables declare
+  * `TBLPROPERTIES (uniqueKeys '...', orderCol '...', numBuckets '...')`
+  * and INSERT INTO becomes the order-aware merge.
+  *
+  * Reads go through [[V1Scan]]: column pruning and pushed filters
+  * reach the table's OWN planning (manifest partition values,
+  * transform inversion, stamped stats, bloom sidecars) and every
+  * filter is re-applied post-scan, so pushdown stays an I/O-only
+  * optimization. Writes go through [[V1Write]] to the table's real
+  * commit protocol — INSERT INTO appends/upserts, INSERT OVERWRITE is
+  * the one-snapshot overwrite. Time travel: `VERSION AS OF v` pins
+  * [[IcebergLikeTable.readAt]]; `TIMESTAMP AS OF t` resolves the
+  * newest commit at-or-before t ([[IcebergLikeTable.versionAsOf]]).
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  import GraftCatalog._
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String,
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(warehouse)((p, n) => new Path(p, n))
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), ident.name)
+
+  private def descPath(dir: Path): Path = new Path(dir, DescriptorFile)
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (namespace.nonEmpty && !fs.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath)
+      .filterNot(p => fs.exists(descPath(p))) // table dirs are not namespaces
+      .map(p => namespace :+ p.getName)
+      .sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (fs.exists(nsDir(namespace)) && !fs.exists(descPath(nsDir(namespace))))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsDir(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && fs.exists(nsDir(namespace)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsDir(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!namespaceExists(namespace) || !fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(dir, true)
+  }
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(descPath(p)))
+      .map(p => Identifier.of(namespace, p.getName))
+      .sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(descPath(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val desc = Descriptor.read(fs, descPath(tableDir(ident)))
+    new GraftSqlTable(fullName(ident), tableFor(ident, desc), desc, None)
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val desc = Descriptor.read(fs, descPath(tableDir(ident)))
+    val t = tableFor(ident, desc)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft VERSION AS OF takes a numeric snapshot version, got '$version'"))
+    require(t.versions.contains(v),
+      s"version $v of ${fullName(ident)} is unknown or expired " +
+        s"(retained: ${t.versions.mkString(", ")})")
+    new GraftSqlTable(fullName(ident), t, desc, Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val desc = Descriptor.read(fs, descPath(tableDir(ident)))
+    val t = tableFor(ident, desc)
+    val v = t.versionAsOf(timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained snapshot of ${fullName(ident)} at or before " +
+          s"timestamp $timestampMicros"))
+    new GraftSqlTable(fullName(ident), t, desc, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    require(schema.fields.nonEmpty, "graft tables need at least one column")
+    val props = properties.asScala.toMap.map { case (k, v) =>
+      k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+    }
+    def cols(key: String): Seq[String] = props.get(key)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val uniqueKeys = cols("uniqueKeys")
+    val (partitionCol, transformSpec) =
+      parsePartitioning(ident, schema, partitions, props)
+    val desc = Descriptor(
+      schema = schema,
+      partitionCol = partitionCol,
+      transform = transformSpec,
+      uniqueKeys = uniqueKeys,
+      numBuckets = props.get("numBuckets").map(_.toInt).getOrElse(16),
+      orderCol = props.get("orderCol"),
+      statsColumns = cols("statsColumns"),
+      bloomColumns = cols("bloomColumns"),
+      retainVersions = props.get("retainVersions").map(_.toInt).getOrElse(8))
+    require(desc.uniqueKeys.isEmpty || desc.orderCol.nonEmpty,
+      "a keyed graft table needs TBLPROPERTIES orderCol " +
+        "(last-write-wins ordering for INSERT INTO upserts)")
+    desc.orderCol.foreach(o => require(schema.fieldNames.contains(o),
+      s"orderCol '$o' is not a table column"))
+    desc.uniqueKeys.foreach(k => require(schema.fieldNames.contains(k),
+      s"unique key '$k' is not a table column"))
+    val dir = tableDir(ident)
+    fs.mkdirs(dir)
+    Descriptor.write(fs, descPath(dir), desc)
+    new GraftSqlTable(fullName(ident), tableFor(ident, desc), desc, None)
+  }
+
+  /** `PARTITIONED BY` → the format's layout: identity(c) = physical
+    * partition column; days/hours/truncate = hidden partitioning (the
+    * derived column is named Iceberg-style, `<src>_day` / `<src>_hour`
+    * / `<src>_trunc`); no clause = the `void` transform (single null
+    * partition — Iceberg's unpartitioned spec). At most ONE transform:
+    * the format carries one partition dimension (plus key buckets).
+    */
+  private def parsePartitioning(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      props: Map[String, String]): (String, Option[String]) = {
+    def ref(t: Transform): String = t.arguments.collectFirst {
+      case r: NamedReference => r.fieldNames.mkString(".")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform ${t.describe} has no column argument"))
+    def inSchema(c: String): String = {
+      require(schema.fieldNames.contains(c),
+        s"partition source column '$c' is not a table column")
+      c
+    }
+    require(partitions.length <= 1,
+      s"graft tables take at most one PARTITIONED BY transform, " +
+        s"got ${partitions.length}")
+    partitions.headOption match {
+      case None =>
+        val src = schema.fields.head.name
+        (props.getOrElse("partitionCol", "gpart"), Some(s"void($src)"))
+      case Some(t) => t.name match {
+        case "identity" => (inSchema(ref(t)), None)
+        case "days" =>
+          val src = inSchema(ref(t))
+          (props.getOrElse("partitionCol", s"${src}_day"), Some(s"days($src)"))
+        case "hours" =>
+          val src = inSchema(ref(t))
+          (props.getOrElse("partitionCol", s"${src}_hour"), Some(s"hours($src)"))
+        case "truncate" =>
+          val src = inSchema(ref(t))
+          val w = t.arguments.collectFirst {
+            case l: V2Literal[_] => l.value.toString.toLong
+          }.getOrElse(throw new IllegalArgumentException(
+            s"truncate transform needs a width literal: ${t.describe}"))
+          (props.getOrElse("partitionCol", s"${src}_trunc"),
+            Some(s"truncate($w, $src)"))
+        case "bucket" => throw new IllegalArgumentException(
+          "bucket() partitioning is keyed layout in graft — declare " +
+            "TBLPROPERTIES (uniqueKeys '...', numBuckets '...', orderCol '...') " +
+            "instead")
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other' " +
+            "(supported: identity column, days, hours, truncate)")
+      }
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    var desc = Descriptor.read(fs, descPath(dir))
+    val t = tableFor(ident, desc)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft supports top-level column renames only")
+        val from = r.fieldNames.head
+        if (t.currentVersion.isDefined) t.renameColumn(from, r.newName)
+        desc = desc.copy(schema = StructType(desc.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = r.newName) else f)))
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft supports top-level column drops only")
+        val name = d.fieldNames.head
+        if (t.currentVersion.isDefined) t.dropColumn(name)
+        desc = desc.copy(schema =
+          StructType(desc.schema.fields.filterNot(_.name == name)))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft supports top-level column adds only")
+        val f = org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)
+        desc = desc.copy(schema = StructType(desc.schema.fields :+ f))
+        // make the column visible to reads NOW, not at the next data
+        // write: an empty append commits the widened schema stamp
+        if (t.currentVersion.isDefined) {
+          val widened = StructType(t.read.schema.fields :+ f)
+          t.append(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], widened))
+        }
+      case p: TableChange.SetProperty =>
+        desc = desc.copy(props = desc.props + (p.property -> p.value))
+      case p: TableChange.RemoveProperty =>
+        desc = desc.copy(props = desc.props - p.property)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change for graft: $other")
+    }
+    Descriptor.write(fs, descPath(dir), desc)
+    new GraftSqlTable(fullName(ident), tableFor(ident, desc), desc, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    fs.delete(tableDir(ident), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    if (!fs.rename(tableDir(oldIdent), tableDir(newIdent)))
+      throw new java.io.IOException(
+        s"rename failed: ${fullName(oldIdent)} -> ${fullName(newIdent)}")
+  }
+
+  private def fullName(ident: Identifier): String =
+    (Seq(catalogName) ++ ident.namespace :+ ident.name).mkString(".")
+
+  private def tableFor(ident: Identifier, desc: Descriptor): IcebergLikeTable =
+    IcebergLikeTable(
+      spark,
+      tableDir(ident).toString,
+      partitionCol = desc.partitionCol,
+      uniqueKeys = desc.uniqueKeys,
+      numBuckets = desc.numBuckets,
+      retainVersions = desc.retainVersions,
+      statsColumns = desc.statsColumns,
+      bloomColumns = desc.bloomColumns,
+      partitionTransform = desc.transform)
+}
+
+object GraftCatalog {
+
+  private[sources] val DescriptorFile = ".graft_table.json"
+
+  /** The catalog-managed table descriptor: everything `loadTable`
+    * needs to rebuild the table handle, so SQL statements never carry
+    * options. Stored as one JSON object beside the table's manifests.
+    */
+  private[sources] final case class Descriptor(
+      schema: StructType,
+      partitionCol: String,
+      transform: Option[String],
+      uniqueKeys: Seq[String],
+      numBuckets: Int,
+      orderCol: Option[String],
+      statsColumns: Seq[String],
+      bloomColumns: Seq[String],
+      retainVersions: Int,
+      props: Map[String, String] = Map.empty)
+
+  private[sources] object Descriptor {
+    import com.fasterxml.jackson.databind.ObjectMapper
+
+    def write(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+        d: Descriptor): Unit = {
+      val m = new ObjectMapper()
+      val node = m.createObjectNode()
+      node.put("schema", d.schema.json)
+      node.put("partitionCol", d.partitionCol)
+      d.transform.foreach(node.put("transform", _))
+      node.put("numBuckets", d.numBuckets)
+      node.put("retainVersions", d.retainVersions)
+      d.orderCol.foreach(node.put("orderCol", _))
+      def arr(name: String, vs: Seq[String]): Unit = {
+        val a = node.putArray(name); vs.foreach(a.add)
+      }
+      arr("uniqueKeys", d.uniqueKeys)
+      arr("statsColumns", d.statsColumns)
+      arr("bloomColumns", d.bloomColumns)
+      val p = node.putObject("props")
+      d.props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      val tmp = new Path(path.getParent, s"$DescriptorFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(m.writeValueAsString(node).getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(path, false)
+      if (!fs.rename(tmp, path))
+        throw new java.io.IOException(s"descriptor publish failed: $path")
+    }
+
+    def read(fs: org.apache.hadoop.fs.FileSystem, path: Path): Descriptor = {
+      val in = fs.open(path)
+      val bytes = try in.readAllBytes() finally in.close()
+      val node = new ObjectMapper().readTree(new String(bytes, "UTF-8"))
+      def arr(name: String): Seq[String] =
+        if (!node.has(name)) Nil
+        else node.get(name).asScala.map(_.asText).toSeq
+      Descriptor(
+        schema = org.apache.spark.sql.types.DataType
+          .fromJson(node.get("schema").asText).asInstanceOf[StructType],
+        partitionCol = node.get("partitionCol").asText,
+        transform = Option(node.get("transform")).map(_.asText),
+        uniqueKeys = arr("uniqueKeys"),
+        numBuckets = node.get("numBuckets").asInt,
+        orderCol = Option(node.get("orderCol")).map(_.asText),
+        statsColumns = arr("statsColumns"),
+        bloomColumns = arr("bloomColumns"),
+        retainVersions =
+          if (node.has("retainVersions")) node.get("retainVersions").asInt else 8,
+        props =
+          if (!node.has("props")) Map.empty
+          else node.get("props").properties().asScala
+            .map(e => e.getKey -> e.getValue.asText).toMap)
+    }
+  }
+}
+
+/** A catalog table: reads through [[V1Scan]] (pruned + pushed into the
+  * table's own planning), writes through [[V1Write]] (the real commit
+  * protocol), optionally pinned to a snapshot for time travel.
+  */
+private[sources] final class GraftSqlTable(
+    ident: String,
+    table: IcebergLikeTable,
+    desc: GraftCatalog.Descriptor,
+    pinnedVersion: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    pinnedVersion match {
+      case Some(v) => table.readAt(v).schema
+      case None =>
+        // descriptor schema until the first commit (the table DIR holds
+        // the descriptor before any snapshot exists), live stamp after
+        if (table.currentVersion.isDefined) table.read.schema else desc.schema
+    }
+
+  override def partitioning(): Array[Transform] = desc.transform match {
+    case None => Array(Expressions.identity(desc.partitionCol))
+    case Some(spec) => graft.weblog.PartitionTransforms.parse(spec) match {
+      case graft.weblog.PartitionTransforms.Days(s) => Array(Expressions.days(s))
+      case graft.weblog.PartitionTransforms.Hours(s) => Array(Expressions.hours(s))
+      case graft.weblog.PartitionTransforms.Truncate(s, w) =>
+        Array(Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(s)))
+      case graft.weblog.PartitionTransforms.Void(_) => Array.empty
+    }
+  }
+
+  override def properties(): util.Map[String, String] =
+    (desc.props ++
+      Map(TableCatalog.PROP_PROVIDER -> "graft",
+        TableCatalog.PROP_LOCATION -> table.path) ++
+      (if (desc.uniqueKeys.nonEmpty)
+        Map("uniqueKeys" -> desc.uniqueKeys.mkString(","),
+          "numBuckets" -> desc.numBuckets.toString) ++
+          desc.orderCol.map("orderCol" -> _)
+      else Map.empty)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, pinnedVersion, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to a time-travel read of $ident")
+    new GraftWriteBuilder(table, desc)
+  }
+}
+
+/** Column pruning + filter pushdown into the table's own planning;
+  * every filter is declared post-scan (Spark re-applies them all), so
+  * the pushdown is purely an I/O optimization — same posture as the
+  * path-based relation.
+  */
+private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
+    pinned: Option[Long], fullSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var filters: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
+    filters = fs
+    fs // all post-scan: the engine re-applies every filter
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = filters
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T = {
+      val cond = filters
+        .flatMap(GraftFilterBridge.toColumn(_, exact = false))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val req = required
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = req
+        override def buildScan(): RDD[Row] = {
+          val pruned = pinned match {
+            case Some(v) => table.readWhereAt(v, cond)
+            case None => table.readWhere(cond)
+          }
+          if (req.isEmpty) pruned.select(lit(1)).rdd.map(_ => Row.empty)
+          else pruned.select(req.fieldNames.toIndexedSeq.map(col): _*).rdd
+        }
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+/** Shared V1-filter → Column translation (see the soundness note on
+  * the path-based relation: a pushed predicate may only be a superset
+  * of the original, so AND may narrow at positive positions but
+  * everything under NOT must translate exactly).
+  */
+private[sources] object GraftFilterBridge {
+  def toColumn(f: sources.Filter, exact: Boolean): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.And(l, r) =>
+      (toColumn(l, exact), toColumn(r, exact)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (one, other) if !exact => one.orElse(other)
+        case _ => None
+      }
+    case sources.Or(l, r) =>
+      for { a <- toColumn(l, exact); b <- toColumn(r, exact) } yield a || b
+    case sources.Not(c) => toColumn(c, exact = true).map(!_)
+    case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case sources.StringContains(a, p) => Some(col(a).contains(p))
+    case _ => None
+  }
+}
+
+private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
+    desc: GraftCatalog.Descriptor) extends WriteBuilder with SupportsTruncate {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          if (overwriteAll || overwrite) table.overwrite(data)
+          else if (table.uniqueKeys.isEmpty) table.append(data)
+          else table.upsert(data, desc.orderCol.getOrElse(
+            throw new IllegalStateException(
+              "keyed graft table has no orderCol property")))
+      }
+  }
+}

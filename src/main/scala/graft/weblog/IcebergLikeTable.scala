@@ -1216,6 +1216,17 @@ final case class IcebergLikeTable(
     newVersion
   }
 
+  /** The newest retained version whose commit timestamp is at or
+    * before `tsMillis` (SQL `TIMESTAMP AS OF` resolution) — one
+    * manifest-header read per retained version, newest first, so the
+    * common "recent timestamp" probe reads one or two headers.
+    */
+  def versionAsOf(tsMillis: Long): Option[Long] =
+    versions.reverse.find(v =>
+      Manifests.snapshotAt(fs, root, v, chainPrefix)
+        .flatMap(_.meta.get(TsKey)).flatMap(_.toLongOption)
+        .exists(_ <= tsMillis))
+
   private def snapshotAt(version: Long): TableSnapshot =
     Manifests.snapshotAt(fs, root, version, chainPrefix).map(expand).getOrElse(
       throw new NoSuchElementException(

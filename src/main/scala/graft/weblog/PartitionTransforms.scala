@@ -92,19 +92,33 @@ object PartitionTransforms {
     def spec: String = s"truncate($width, $source)"
   }
 
+  /** Iceberg's `void` transform — every row maps to the single null
+    * partition (the encoding of an UNPARTITIONED table in a format
+    * whose layout always carries a partition column, and the target
+    * of a spec evolution that un-partitions a table). Derivation
+    * ignores the source values; no predicate ever prunes on it.
+    */
+  final case class Void(source: String) extends Transform {
+    def derive: Column = lit(null).cast("long")
+    def sourceBounds(v: String): Option[(String, String)] = None
+    def spec: String = s"void($source)"
+  }
+
   private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val HoursRe = """hours\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val VoidRe = """void\(\s*([A-Za-z0-9_]+)\s*\)""".r
 
   /** Parse a transform spec: `days(col)`, `hours(col)`,
-    * `truncate(w, col)`.
+    * `truncate(w, col)`, `void(col)`.
     */
   def parse(spec: String): Transform = spec.trim match {
     case DaysRe(c) => Days(c)
     case HoursRe(c) => Hours(c)
     case TruncRe(w, c) => Truncate(c, w.toLong)
+    case VoidRe(c) => Void(c)
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other' " +
-        "(supported: days(col), hours(col), truncate(w, col))")
+        "(supported: days(col), hours(col), truncate(w, col), void(col))")
   }
 }
