@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL UPDATE / MERGE INTO on graft catalog tables (the analyzer
+    // bridge into IcebergLikeTable.update / mergeInto)
+    ext.injectPostHocResolutionRule(session =>
+      graft.sources.GraftDmlRule(session))
+
     ext.injectFunction((
       FunctionIdentifier(SortedIntersectCount.FnName),
       info(SortedIntersectCount.FnName,

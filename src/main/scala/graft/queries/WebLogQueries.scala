@@ -523,6 +523,61 @@ object WebLogQueries {
              |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // SQL DML through the DSv2 catalog: UPDATE (copy-on-write rewrite),
+    // MERGE INTO (full clause algebra via the analyzer bridge) and
+    // DELETE FROM (SupportsDelete), all plain spark.sql against a
+    // catalog table — the oracle replays the same INSERT→UPDATE→MERGE→
+    // DELETE pipeline as pure relational algebra.
+    Q("weblog_sql_dml",
+      (s, d) => {
+        val wh = scratch(s, "sqldml", d)
+        s.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gdml.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gdml.web")
+        s.sql("DROP TABLE IF EXISTS gdml.web.users")
+        s.sql("CREATE TABLE gdml.web.users (user_id BIGINT, event STRING, cnt BIGINT)")
+        Tables.events(s, d).createOrReplaceTempView("graft_dml_events")
+        s.sql("""INSERT INTO gdml.web.users
+                |SELECT user_id, event_type, count(*) FROM graft_dml_events
+                |WHERE dayofmonth(ts) = 1 GROUP BY 1, 2""".stripMargin)
+        s.sql("UPDATE gdml.web.users SET cnt = cnt * 2 WHERE user_id % 10 = 3")
+        s.sql("""MERGE INTO gdml.web.users t
+                |USING (SELECT user_id, event_type AS event, count(*) AS cnt
+                |       FROM graft_dml_events WHERE dayofmonth(ts) = 2
+                |       GROUP BY 1, 2) s
+                |ON t.user_id = s.user_id AND t.event = s.event
+                |WHEN MATCHED THEN UPDATE SET cnt = t.cnt + s.cnt
+                |WHEN NOT MATCHED THEN INSERT (user_id, event, cnt)
+                |  VALUES (s.user_id, s.event, s.cnt)""".stripMargin)
+        s.sql("DELETE FROM gdml.web.users WHERE user_id % 10 = 9")
+        s.sql("""SELECT event, CAST(count(*) AS BIGINT) AS users,
+                |       CAST(sum(cnt) AS BIGINT) AS total
+                |FROM gdml.web.users GROUP BY event ORDER BY event""".stripMargin)
+      },
+      Some("""WITH d1 AS (
+             |  SELECT user_id, event_type AS event, count(*) AS cnt
+             |  FROM events WHERE day(ts) = 1 GROUP BY 1, 2),
+             |u AS (
+             |  SELECT user_id, event,
+             |         CASE WHEN user_id % 10 = 3 THEN cnt * 2 ELSE cnt END AS cnt
+             |  FROM d1),
+             |d2 AS (
+             |  SELECT user_id, event_type AS event, count(*) AS cnt
+             |  FROM events WHERE day(ts) = 2 GROUP BY 1, 2),
+             |m AS (
+             |  SELECT coalesce(u.user_id, d2.user_id) AS user_id,
+             |         coalesce(u.event, d2.event) AS event,
+             |         CASE WHEN u.user_id IS NOT NULL AND d2.user_id IS NOT NULL
+             |                THEN u.cnt + d2.cnt
+             |              WHEN u.user_id IS NOT NULL THEN u.cnt
+             |              ELSE d2.cnt END AS cnt
+             |  FROM u FULL OUTER JOIN d2
+             |    ON u.user_id = d2.user_id AND u.event = d2.event)
+             |SELECT event, CAST(count(*) AS BIGINT) AS users,
+             |       CAST(sum(cnt) AS BIGINT) AS total
+             |FROM m WHERE user_id % 10 <> 9
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
     // Batch DataSource surface: the SAME census as weblog_upsert-style
     // flows but through NOTHING except `df.write.format("graft")` /
     // `spark.read.format("graft")` — keyed order-aware upsert by

@@ -199,7 +199,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       orderCol = props.get("orderCol"),
       statsColumns = cols("statsColumns"),
       bloomColumns = cols("bloomColumns"),
-      retainVersions = props.get("retainVersions").map(_.toInt).getOrElse(8))
+      retainVersions = props.get("retainVersions").map(_.toInt).getOrElse(8),
+      // every remaining user property survives in the descriptor
+      // (e.g. 'write.delete.mode' routing DELETE FROM to MOR files)
+      props = props -- Seq("uniqueKeys", "orderCol", "numBuckets",
+        "retainVersions", "statsColumns", "bloomColumns", "partitionCol",
+        TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+        TableCatalog.PROP_COMMENT))
     require(desc.uniqueKeys.isEmpty || desc.orderCol.nonEmpty,
       "a keyed graft table needs TBLPROPERTIES orderCol " +
         "(last-write-wins ordering for INSERT INTO upserts)")
@@ -421,15 +428,69 @@ object GraftCatalog {
 /** A catalog table: reads through [[V1Scan]] (pruned + pushed into the
   * table's own planning), writes through [[V1Write]] (the real commit
   * protocol), optionally pinned to a snapshot for time travel.
+  *
+  * `DELETE FROM` ([[org.apache.spark.sql.connector.catalog.SupportsDelete]])
+  * routes to the table's row-level delete — copy-on-write by default,
+  * or the merge-on-read delete files when the table declares
+  * `TBLPROPERTIES ('write.delete.mode' 'merge-on-read')` (equality
+  * files on keyed tables, positional files on key-less ones — the
+  * reference's Athena posture). The condition must translate EXACTLY
+  * (`canDeleteWhere`): a DELETE is an effectful command, so unlike
+  * scan pruning a superset predicate would destroy rows — an
+  * untranslatable predicate is refused and Spark surfaces the error
+  * instead of silently over-deleting. `DELETE FROM t` with no WHERE is
+  * the one-snapshot truncate (history stays readable until retention).
   */
 private[sources] final class GraftSqlTable(
     ident: String,
     table: IcebergLikeTable,
     desc: GraftCatalog.Descriptor,
     pinnedVersion: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      filters.forall(f => GraftFilterBridge.toColumn(f, exact = true).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(pinnedVersion.isEmpty, s"cannot DELETE from a time-travel read of $ident")
+    val cond = filters.map(f =>
+      GraftFilterBridge.toColumn(f, exact = true).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE condition not translatable exactly: $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    deleteRows(cond)
+  }
+
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty, s"cannot truncate a time-travel read of $ident")
+    if (table.currentVersion.isDefined)
+      table.overwrite(SparkSession.active.createDataFrame(
+        SparkSession.active.sparkContext.emptyRDD[Row], schema()))
+    true
+  }
 
   override def name(): String = ident
+
+  /** The underlying engine handle / time-travel pin (the SQL DML
+    * bridge routes UPDATE/MERGE INTO through them).
+    */
+  private[sources] def iceberg: IcebergLikeTable = table
+  private[sources] def pinned: Option[Long] = pinnedVersion
+  private[sources] def descriptor: GraftCatalog.Descriptor = desc
+
+  /** DELETE routing shared by [[deleteWhere]] and the DML bridge's
+    * arbitrary-condition path.
+    */
+  private[sources] def deleteRows(cond: Column): Long =
+    if (table.currentVersion.isEmpty) 0L
+    else desc.props.get("write.delete.mode") match {
+      case Some("merge-on-read") =>
+        if (table.uniqueKeys.nonEmpty) table.deleteMergeOnRead(cond)
+        else table.deletePositional(cond)
+      case _ => table.delete(cond)
+    }
 
   override def schema(): StructType =
     pinnedVersion match {
@@ -553,6 +614,8 @@ private[sources] object GraftFilterBridge {
     case sources.StringStartsWith(a, p) => Some(col(a).startsWith(p))
     case sources.StringEndsWith(a, p) => Some(col(a).endsWith(p))
     case sources.StringContains(a, p) => Some(col(a).contains(p))
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
     case _ => None
   }
 }

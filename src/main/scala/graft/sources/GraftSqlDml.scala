@@ -1,0 +1,205 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, Expression, PredicateHelper, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.StreamingFrameBridge
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.weblog.IcebergLikeTable
+import graft.weblog.IcebergLikeTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+
+/** SQL `UPDATE` and `MERGE INTO` for graft catalog tables — a
+  * post-resolution analyzer rule (the Delta-style bridge; Spark's own
+  * group-based row-level framework needs a native `BatchWrite`, while
+  * the engine's commit protocol is the better executor anyway)
+  * rewriting the resolved [[UpdateTable]]/[[MergeIntoTable]] plans
+  * into commands that run [[IcebergLikeTable.update]] /
+  * [[IcebergLikeTable.mergeInto]]:
+  *
+  * {{{
+  *   UPDATE g.web.events SET host = 'x' WHERE user_id = 'u1';
+  *   MERGE INTO g.web.events t USING updates s ON t.user_id = s.user_id
+  *   WHEN MATCHED AND s.op = 'del' THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *;
+  * }}}
+  *
+  * Installed by [[graft.GraftExtensions]]. Target attribute references
+  * are rebound by NAME (qualified `t.`/`s.` for MERGE) against the
+  * engine's own frames; source-side expressions keep their resolved
+  * attribute ids and resolve against the captured source plan. The
+  * target-only conjuncts of the ON condition become the candidate-file
+  * predicate, so a merge keyed to a stats/bloom-stamped column rewrites
+  * candidate files, not the table. Plans with subqueries or nested-field
+  * assignments are left untouched (Spark surfaces its standard
+  * unsupported error).
+  */
+final case class GraftDmlRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private object GraftTarget {
+    def unapply(p: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
+      p match {
+        case r: DataSourceV2Relation => r.table match {
+          case g: GraftSqlTable => Some((r, g))
+          case _ => None
+        }
+        case SubqueryAlias(_, child) => unapply(child)
+        case _ => None
+      }
+  }
+
+  private def hasSubquery(e: Expression): Boolean =
+    SubqueryExpression.hasSubquery(e)
+
+  /** A resolved assignment key must be a top-level target column. */
+  private def keyOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // arbitrary-condition DELETE (the SupportsDelete V1-filter path only
+    // covers exactly-translatable predicates; this bridge covers the rest)
+    case dft: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+        if dft.resolved && dft.childrenResolved =>
+      dft.table match {
+        case GraftTarget(rel, tbl)
+            if tbl.pinned.isEmpty && !hasSubquery(dft.condition) =>
+          val tIds = rel.output.map(_.exprId).toSet
+          val cond = StreamingFrameBridge.column(dft.condition.transform {
+            case a: AttributeReference if tIds.contains(a.exprId) =>
+              UnresolvedAttribute.quoted(a.name)
+          })
+          GraftDeleteCommand(tbl, cond)
+        case _ => dft
+      }
+
+    case u: UpdateTable if u.resolved && u.childrenResolved =>
+      u.table match {
+        case GraftTarget(rel, tbl)
+            if tbl.pinned.isEmpty &&
+              u.assignments.forall(a => keyOf(a.key).isDefined &&
+                !hasSubquery(a.value)) &&
+              !u.condition.exists(hasSubquery) =>
+          val tIds = rel.output.map(_.exprId).toSet
+          def c(e: Expression): Column = StreamingFrameBridge.column(e.transform {
+            case a: AttributeReference if tIds.contains(a.exprId) =>
+              UnresolvedAttribute.quoted(a.name)
+          })
+          GraftUpdateCommand(tbl.iceberg,
+            u.condition.map(c).getOrElse(lit(true)),
+            u.assignments.map(a => keyOf(a.key).get -> c(a.value)))
+        case _ => u
+      }
+
+    case m: MergeIntoTable
+        if m.resolved && m.childrenResolved && !m.withSchemaEvolution =>
+      m.targetTable match {
+        case GraftTarget(rel, tbl) if tbl.pinned.isEmpty && supported(m) =>
+          val tIds = rel.output.map(_.exprId).toSet
+          val sOut = m.sourceTable.output
+          def conv(e: Expression): Column = StreamingFrameBridge.column(e.transform {
+            case a: AttributeReference if tIds.contains(a.exprId) =>
+              UnresolvedAttribute(Seq("t", a.name))
+          })
+          def srcByName(n: String): Option[Column] =
+            sOut.find(_.name.equalsIgnoreCase(n))
+              .map(a => StreamingFrameBridge.column(a))
+          def assigns(as: Seq[Assignment]): Seq[(String, Column)] =
+            as.map(a => keyOf(a.key).get -> conv(a.value))
+          def star(cond: Option[Expression]): Option[MergeUpdate] = {
+            val byName = rel.output.map(a => a.name -> srcByName(a.name))
+            if (byName.exists(_._2.isEmpty)) None
+            else Some(MergeUpdate(cond.map(conv),
+              byName.map { case (n, v) => n -> v.get }))
+          }
+          def matchedWhen(a: MergeAction): Option[MergeWhen] = a match {
+            case UpdateAction(cond, as, _) => Some(MergeUpdate(cond.map(conv), assigns(as)))
+            case DeleteAction(cond) => Some(MergeDelete(cond.map(conv)))
+            case UpdateStarAction(cond) => star(cond)
+            case _ => None
+          }
+          def insertWhen(a: MergeAction): Option[MergeInsert] = a match {
+            case InsertAction(cond, as) => Some(MergeInsert(cond.map(conv), assigns(as)))
+            case InsertStarAction(cond) =>
+              star(cond).map(u => MergeInsert(u.condition, u.set))
+            case _ => None
+          }
+          val matched = m.matchedActions.map(matchedWhen)
+          val notMatched = m.notMatchedActions.map(insertWhen)
+          val bySource = m.notMatchedBySourceActions.map(matchedWhen)
+          if ((matched ++ bySource).exists(_.isEmpty) || notMatched.exists(_.isEmpty)) m
+          else {
+            // target-only ON conjuncts → candidate-file pruning predicate
+            val targetOnly = splitConjunctivePredicates(m.mergeCondition)
+              .filter(p => p.references.subsetOf(AttributeSet(rel.output)) &&
+                !hasSubquery(p))
+            val candidate = targetOnly.reduceOption(And).map(e =>
+              StreamingFrameBridge.column(e.transform {
+                case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+              }))
+            val targetSchema = StructType(rel.output.map(a =>
+              StructField(a.name, a.dataType, a.nullable)))
+            GraftMergeCommand(tbl.iceberg, m.sourceTable,
+              conv(m.mergeCondition), matched.flatten, notMatched.flatten,
+              bySource.flatten, candidate, targetSchema)
+          }
+        case _ => m
+      }
+  }
+
+  private def supported(m: MergeIntoTable): Boolean = {
+    def cleanAction(a: MergeAction): Boolean = a match {
+      case UpdateAction(cond, as, _) =>
+        !cond.exists(hasSubquery) &&
+          as.forall(x => keyOf(x.key).isDefined && !hasSubquery(x.value))
+      case InsertAction(cond, as) =>
+        !cond.exists(hasSubquery) &&
+          as.forall(x => keyOf(x.key).isDefined && !hasSubquery(x.value))
+      case DeleteAction(cond) => !cond.exists(hasSubquery)
+      case UpdateStarAction(cond) => !cond.exists(hasSubquery)
+      case InsertStarAction(cond) => !cond.exists(hasSubquery)
+      case _ => false
+    }
+    !hasSubquery(m.mergeCondition) &&
+      (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
+        .forall(cleanAction)
+  }
+}
+
+private[sources] final case class GraftDeleteCommand(
+    table: GraftSqlTable, condition: Column) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    table.deleteRows(condition)
+    Seq.empty
+  }
+}
+
+private[sources] final case class GraftUpdateCommand(
+    table: IcebergLikeTable, condition: Column,
+    set: Seq[(String, Column)]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    table.update(condition, set)
+    Seq.empty
+  }
+}
+
+private[sources] final case class GraftMergeCommand(
+    table: IcebergLikeTable, sourcePlan: LogicalPlan, on: Column,
+    matched: Seq[MergeWhen], notMatched: Seq[MergeInsert],
+    notMatchedBySource: Seq[MergeWhen], candidate: Option[Column],
+    targetSchema: StructType) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val src = StreamingFrameBridge.ofRows(sparkSession, sourcePlan)
+    table.mergeInto(src, on, matched, notMatched, notMatchedBySource,
+      candidate, Some(targetSchema))
+    Seq.empty
+  }
+}

@@ -2320,6 +2320,236 @@ final case class IcebergLikeTable(
     deleted
   }
 
+  /** Row-level UPDATE (`UPDATE t SET c = v WHERE condition`) — the same
+    * copy-on-write file-scoped rewrite as [[delete]]: discovery runs
+    * over the stats/bloom-pruned candidate files, only files actually
+    * CONTAINING matches are rewritten (matched rows with the
+    * assignments applied, unmatched neighbours carried value-identical),
+    * everything else carries over by reference in one snapshot commit.
+    * NULL-condition rows are untouched (SQL three-valued semantics).
+    *
+    * Assignments may target any data column — including the hidden
+    * partition TRANSFORM's source (rows then migrate leaves: the commit
+    * re-derives the partition value) and, on keyed tables, the unique
+    * keys (the key bucket is re-derived so the row stays reachable to
+    * its merges; colliding an updated key onto an existing one is the
+    * caller's responsibility, exactly SQL UPDATE's). The physical
+    * partition column of an untransformed table and the internal bucket
+    * column are refused. Returns rows updated.
+    */
+  def update(condition: Column, set: Seq[(String, Column)]): Long =
+    withCommitRetry { updateOnce(condition, set) }
+
+  private def updateOnce(condition: Column, set: Seq[(String, Column)]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val (liveVersion, snap) = resolveLive()
+    validateLayout(snap.meta)
+    val previous = snap.files
+    if (previous.isEmpty) return 0L
+    val schema = storedSchema(snap.meta)
+    schema.foreach { s =>
+      set.foreach { case (c, _) =>
+        require(s.fieldNames.contains(c), s"no column '$c' to update")
+      }
+    }
+    set.foreach { case (c, _) =>
+      require(c != bucketCol && (transform.isDefined || c != partitionCol),
+        s"cannot update layout column '$c'")
+    }
+    val candidates = prunedFiles(snap, schema, condition)
+    if (candidates.isEmpty) return 0L
+    // same one-pass file-hit discovery as deleteOnce: the rewrite unit
+    // is files that actually CONTAIN matches
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val hits = applyDeletes(snap,
+        readFileSetEvolved(snap, candidates, needsPos(snap))
+          .withColumn("_f", input_file_name()))
+      .filter(condition)
+      .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
+      .collect()
+      .map { r =>
+        val p = new java.net.URI(r.getString(0)).getPath
+        p.stripPrefix(rootUri).stripPrefix("/") -> r.getLong(1)
+      }
+    if (hits.isEmpty) return 0L
+    val updated = hits.map(_._2).sum
+    val affectedFiles = hits.map(_._1).toSet
+    require(affectedFiles.subsetOf(previous.toSet),
+      s"update discovery resolved files outside the snapshot: " +
+        s"${affectedFiles.diff(previous.toSet).take(3).mkString(", ")}")
+    // assignments see the PRE-update row (SQL semantics: all SET
+    // expressions evaluate against the old values simultaneously), so
+    // the per-column projections are built from the scanned columns in
+    // one select, never chained withColumns
+    val rows = morRead(snap, affectedFiles.toSeq.sorted)
+    val matched = coalesce(condition, lit(false))
+    val setMap = set.toMap
+    val projected = rows.select(rows.columns.toSeq.map { c =>
+      setMap.get(c).fold(col(c))(v =>
+        when(matched, v).otherwise(col(c)).as(c))
+    }: _*)
+    // updated unique keys re-derive the bucket; the commit re-derives a
+    // transform's partition value — both layouts stay routable
+    val shaped =
+      if (uniqueKeys.isEmpty || !set.exists(a => uniqueKeys.contains(a._1)))
+        projected
+      else withBucket(projected.drop(bucketCol))
+    commit(shaped, liveVersion, snap)(
+      _ => previous.filterNot(affectedFiles))
+    updated
+  }
+
+  /** Generic SQL MERGE INTO (`MERGE INTO t USING s ON cond WHEN ...`)
+    * — the full clause algebra, not just the keyed upsert+tombstone
+    * fast path ([[merge]]): any ON condition, ordered WHEN MATCHED
+    * UPDATE/DELETE clauses (each optionally conditional), WHEN NOT
+    * MATCHED INSERTs, and WHEN NOT MATCHED BY SOURCE UPDATE/DELETEs —
+    * first satisfied clause wins, NULL clause conditions don't match
+    * (SQL three-valued), and a target row matching MULTIPLE source
+    * rows fails the standard's cardinality check when update/delete
+    * clauses exist. Conditions and assignments reference the target as
+    * `t` and the source as `s` (`col("t.k") === col("s.k")`).
+    *
+    * Copy-on-write, candidate-file-scoped like [[update]]/[[delete]]:
+    * `candidatePredicate` (a target-only predicate IMPLIED by the ON
+    * condition — the SQL bridge derives it from the ON conjuncts
+    * automatically) prunes discovery through the manifest stats; the
+    * candidate files are rewritten as the merge result in ONE snapshot
+    * commit, everything else carries by reference. Without a derivable
+    * target-only predicate the candidate set is the table — exactly
+    * Iceberg's copy-on-write MERGE posture. Returns (updated, deleted,
+    * inserted) row counts.
+    */
+  def mergeInto(source: DataFrame, on: Column,
+      matched: Seq[IcebergLikeTable.MergeWhen] = Nil,
+      notMatched: Seq[IcebergLikeTable.MergeInsert] = Nil,
+      notMatchedBySource: Seq[IcebergLikeTable.MergeWhen] = Nil,
+      candidatePredicate: Option[Column] = None,
+      targetSchema: Option[StructType] = None): IcebergLikeTable.MergeIntoResult =
+    withCommitRetry {
+      mergeIntoOnce(source, on, matched, notMatched, notMatchedBySource,
+        candidatePredicate, targetSchema)
+    }
+
+  private def mergeIntoOnce(source: DataFrame, on: Column,
+      matched: Seq[IcebergLikeTable.MergeWhen],
+      notMatched: Seq[IcebergLikeTable.MergeInsert],
+      notMatchedBySource: Seq[IcebergLikeTable.MergeWhen],
+      candidatePredicate: Option[Column],
+      targetSchema: Option[StructType]): IcebergLikeTable.MergeIntoResult = {
+    import IcebergLikeTable.{MergeDelete, MergeInsert, MergeIntoResult, MergeUpdate, MergeWhen}
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    val (liveVersion, snap) = resolveLive()
+    validateLayout(snap.meta)
+    val previous = snap.files
+    val schema = storedSchema(snap.meta)
+    val candidates =
+      if (previous.isEmpty) Nil
+      else candidatePredicate match {
+        case Some(p) => prunedFiles(snap, schema, p)
+        case None => snap.dataFiles
+      }
+    val candidateSet = candidates.toSet
+    // an uncommitted target still merges (insert-only CREATE+MERGE):
+    // the empty side takes its shape from the stamped schema or the
+    // caller's declaration
+    val tBase: DataFrame = schema match {
+      case Some(_) => userFacing(morRead(snap, candidates))
+      case None =>
+        val s0 = targetSchema.getOrElse(throw new IllegalStateException(
+          s"MERGE INTO an uncommitted table at $path needs targetSchema"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s0)
+    }
+    val userCols = tBase.columns.toSeq
+    val TEx = "_graft_t_exists"; val SEx = "_graft_s_exists"
+    val TRid = "_graft_t_rid"
+    val t = tBase.withColumn(TEx, lit(true))
+      .withColumn(TRid, monotonically_increasing_id()).alias("t")
+    val s = source.withColumn(SEx, lit(true)).alias("s")
+    val joinType = if (notMatched.nonEmpty) "full_outer" else "left_outer"
+    val joined = t.join(s, on, joinType).persist()
+    try {
+      val tOn = coalesce(col(TEx), lit(false))
+      val sOn = coalesce(col(SEx), lit(false))
+      // SQL cardinality check: with update/delete clauses, one target
+      // row must not match several source rows (non-deterministic
+      // result otherwise — the standard and Spark/Delta both refuse)
+      if (matched.nonEmpty) {
+        val dup = joined.filter(tOn && sOn)
+          .groupBy(col(TRid)).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE cardinality violation: a target row matched multiple source rows")
+      }
+      def condOf(c: Option[Column]): Column = coalesce(c.getOrElse(lit(true)), lit(false))
+      // first-satisfied-clause cascades, built per column. For the kept
+      // row's value: update clauses substitute, delete clauses keep the
+      // old value (the row is dropped by the keep flag, same cascade).
+      def cascadeValue(clauses: Seq[MergeWhen], c: String): Column =
+        clauses.foldRight(col(s"t.$c")) { (cl, els) =>
+          cl match {
+            case MergeUpdate(cond, set) =>
+              val v = set.collectFirst { case (`c`, vc) => vc }.getOrElse(col(s"t.$c"))
+              when(condOf(cond), v).otherwise(els)
+            case MergeDelete(cond) => when(condOf(cond), col(s"t.$c")).otherwise(els)
+          }
+        }
+      def cascadeKeep(clauses: Seq[MergeWhen]): Column =
+        clauses.foldRight(lit(true)) { (cl, els) =>
+          cl match {
+            case MergeUpdate(cond, _) => when(condOf(cond), lit(true)).otherwise(els)
+            case MergeDelete(cond) => when(condOf(cond), lit(false)).otherwise(els)
+          }
+        }
+      def insertValue(c: String): Column =
+        notMatched.foldRight(lit(null).cast(tBase.schema(c).dataType): Column) {
+          (cl, els) =>
+            val v = cl.values.collectFirst { case (`c`, vc) => vc }
+              .getOrElse(lit(null).cast(tBase.schema(c).dataType))
+            when(condOf(cl.condition), v).otherwise(els)
+        }
+      def insertKeep: Column =
+        notMatched.foldRight(lit(false): Column)((cl, els) =>
+          when(condOf(cl.condition), lit(true)).otherwise(els))
+      // a clause-touched marker mirrors each cascade (for the stats)
+      def cascadeTouched(clauses: Seq[MergeWhen], wantDelete: Boolean): Column =
+        clauses.foldRight(lit(false): Column) { (cl, els) =>
+          cl match {
+            case MergeUpdate(cond, _) =>
+              when(condOf(cond), lit(!wantDelete)).otherwise(els)
+            case MergeDelete(cond) =>
+              when(condOf(cond), lit(wantDelete)).otherwise(els)
+          }
+        }
+      val keep = when(tOn && sOn, cascadeKeep(matched))
+        .when(tOn && !sOn, cascadeKeep(notMatchedBySource))
+        .otherwise(insertKeep)
+      val valueCols = userCols.map { c =>
+        when(tOn && sOn, cascadeValue(matched, c))
+          .when(tOn && !sOn, cascadeValue(notMatchedBySource, c))
+          .otherwise(insertValue(c))
+          .as(c)
+      }
+      val stats = joined.agg(
+        sum(when(tOn && sOn && cascadeTouched(matched, wantDelete = false), 1L)
+          .when(tOn && !sOn && cascadeTouched(notMatchedBySource, wantDelete = false), 1L)
+          .otherwise(0L)).as("u"),
+        sum(when(tOn && sOn && cascadeTouched(matched, wantDelete = true), 1L)
+          .when(tOn && !sOn && cascadeTouched(notMatchedBySource, wantDelete = true), 1L)
+          .otherwise(0L)).as("d"),
+        sum(when(!tOn && sOn && insertKeep, 1L).otherwise(0L)).as("i")).head()
+      def n(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
+      val result0 = joined
+        .withColumn("_graft_keep", keep)
+        .filter(col("_graft_keep"))
+        .select(valueCols: _*)
+      val result = if (uniqueKeys.isEmpty) result0 else withBucket(result0)
+      commit(result, liveVersion, snap)(_ => previous.filterNot(candidateSet))
+      MergeIntoResult(updated = n(0), deleted = n(1), inserted = n(2))
+    } finally joined.unpersist()
+  }
+
   /** Schema evolution: RENAME a data column — a METADATA-ONLY commit
     * (Iceberg's rename): the new schema stamp keeps the column's stable
     * id, so readers match every historical file's physical column BY ID
@@ -2733,6 +2963,26 @@ final case class IcebergLikeTable(
 }
 
 object IcebergLikeTable {
+
+  /** A WHEN MATCHED / WHEN NOT MATCHED BY SOURCE clause of
+    * [[IcebergLikeTable.mergeInto]]; clause order is evaluation order
+    * (first satisfied wins), a None condition always matches.
+    * Conditions/values reference the target as `t.` and the source as
+    * `s.` qualified columns.
+    */
+  sealed trait MergeWhen
+  final case class MergeUpdate(condition: Option[Column],
+      set: Seq[(String, Column)]) extends MergeWhen
+  final case class MergeDelete(condition: Option[Column]) extends MergeWhen
+
+  /** A WHEN NOT MATCHED THEN INSERT clause; unnamed target columns
+    * insert NULL.
+    */
+  final case class MergeInsert(condition: Option[Column],
+      values: Seq[(String, Column)])
+
+  /** Row counts of a [[IcebergLikeTable.mergeInto]] commit. */
+  final case class MergeIntoResult(updated: Long, deleted: Long, inserted: Long)
 
   /** A resolved table snapshot: the version manifest's metadata plus
     * the file entries expanded from its referenced leaf manifests

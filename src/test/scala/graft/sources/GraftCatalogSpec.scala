@@ -109,6 +109,73 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(sql("SELECT * FROM gcat.evo.t").columns.toSet == Set("a", "n"))
   }
 
+  test("DELETE FROM: copy-on-write, merge-on-read, and truncate") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.del")
+    // copy-on-write (default)
+    sql("CREATE TABLE gcat.del.cow (uid STRING, n BIGINT)")
+    sql("INSERT INTO gcat.del.cow VALUES ('u1',1),('u2',2),('u3',3)")
+    sql("DELETE FROM gcat.del.cow WHERE uid = 'u2'")
+    assert(sql("SELECT uid FROM gcat.del.cow ORDER BY uid").collect()
+      .map(_.getString(0)).toSeq == Seq("u1", "u3"))
+    // merge-on-read: positional delete files on a key-less table
+    sql("""CREATE TABLE gcat.del.mor (uid STRING, n BIGINT)
+          |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
+    sql("INSERT INTO gcat.del.mor VALUES ('u1',1),('u2',2),('u3',3)")
+    val t = graft.weblog.IcebergLikeTable(spark, s"$warehouse/del/mor",
+      partitionCol = "gpart", partitionTransform = Some("void(uid)"))
+    val dataBefore = t.files.filter(!col("is_delete"))
+      .select("file").collect().map(_.getString(0)).toSet
+    sql("DELETE FROM gcat.del.mor WHERE n >= 2")
+    assert(sql("SELECT uid FROM gcat.del.mor").collect()
+      .map(_.getString(0)).toSeq == Seq("u1"))
+    val dataAfter = t.files.filter(!col("is_delete"))
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(dataAfter == dataBefore, "MOR delete must touch no data file")
+    assert(t.files.filter(col("is_delete")).count() > 0)
+    // unqualified DELETE = truncate (one snapshot; history retained)
+    sql("DELETE FROM gcat.del.cow")
+    assert(sql("SELECT count(*) FROM gcat.del.cow").head.getLong(0) == 0)
+  }
+
+  test("SQL UPDATE: copy-on-write rewrite through the DML bridge") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    sql("CREATE TABLE gcat.dml.u (uid STRING, host STRING, n BIGINT)")
+    sql("INSERT INTO gcat.dml.u VALUES ('u1','a',1),('u2','b',2),('u3','c',3)")
+    sql("UPDATE gcat.dml.u SET host = 'z', n = n * 10 WHERE uid <> 'u2'")
+    val rows = sql("SELECT uid, host, n FROM gcat.dml.u ORDER BY uid").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("u1", "z", 10L), ("u2", "b", 2L), ("u3", "z", 30L)))
+  }
+
+  test("SQL MERGE INTO: full clause algebra through the DML bridge") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    sql("CREATE TABLE gcat.dml.m (uid STRING, host STRING, n BIGINT)")
+    sql("INSERT INTO gcat.dml.m VALUES ('u1','a',1),('u2','b',2),('u3','c',3)")
+    spark.sql("""SELECT * FROM VALUES
+                |('u1','A',10L,'up'), ('u2','B',20L,'del'), ('u9','Z',90L,'up')
+                |AS s(uid, host, n, op)""".stripMargin)
+      .createOrReplaceTempView("m_src")
+    sql("""MERGE INTO gcat.dml.m t USING m_src s ON t.uid = s.uid
+          |WHEN MATCHED AND s.op = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET host = s.host, n = s.n
+          |WHEN NOT MATCHED THEN INSERT (uid, host, n) VALUES (s.uid, s.host, s.n)
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = t.n + 100
+          |""".stripMargin)
+    val rows = sql("SELECT uid, host, n FROM gcat.dml.m ORDER BY uid").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      ("u1", "A", 10L),   // matched update
+      ("u3", "c", 103L),  // not matched by source
+      ("u9", "Z", 90L)))  // inserted; u2 deleted
+    // star actions
+    sql("""MERGE INTO gcat.dml.m t USING (SELECT 'u3' AS uid, 'S' AS host,
+          |7L AS n) s ON t.uid = s.uid
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT host, n FROM gcat.dml.m WHERE uid = 'u3'").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("S", 7L)))
+  }
+
   test("CTAS, RENAME TABLE, DROP TABLE") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.ops")
     sql("""CREATE TABLE gcat.ops.src AS
