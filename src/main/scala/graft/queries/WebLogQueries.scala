@@ -504,20 +504,28 @@ object WebLogQueries {
           .agg(date_trunc("DAY", min(col("ts")))).head.getTimestamp(0)
         val lo = new java.sql.Timestamp(d0.getTime + 86400000L)
         val hi = new java.sql.Timestamp(d0.getTime + 2 * 86400000L)
-        // pruning proof through the table's own planning
         val t = IcebergLikeTable(s, s"$wh/web/events",
           partitionCol = "ts_day", partitionTransform = Some("days(ts)"))
+        // SQL CALL maintenance (Iceberg's rewrite_data_files surface):
+        // binpack every day leaf to one file, then prune through the
+        // compacted layout
+        val filesBefore = t.filesFor(lit(true)).size
+        s.sql("CALL gsql.system.maintain(`table` => 'web.events', file_threshold => 0)")
+        val filesAfter = t.filesFor(lit(true)).size
+        val compacted = filesAfter == 3 && filesAfter <= filesBefore
+        // pruning proof through the table's own planning
         val planned = t.filesFor(col("ts") >= lit(lo) && col("ts") < lit(hi)).size
-        val pruned = planned > 0 && planned < t.filesFor(lit(true)).size
+        val pruned = planned > 0 && planned < filesAfter
         s.sql(s"""SELECT event, CAST(count(*) AS BIGINT) AS cnt
                  |FROM gsql.web.events
                  |WHERE ts >= TIMESTAMP '$lo' AND ts < TIMESTAMP '$hi'
                  |GROUP BY event""".stripMargin)
           .withColumn("pruned", lit(pruned))
+          .withColumn("compacted", lit(compacted))
           .orderBy("event")
       },
       Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
-             |       TRUE AS pruned
+             |       TRUE AS pruned, TRUE AS compacted
              |FROM events
              |WHERE ts >= (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY FROM events)
              |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)

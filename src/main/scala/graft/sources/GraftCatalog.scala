@@ -59,7 +59,8 @@ import graft.weblog.IcebergLikeTable
   * [[IcebergLikeTable.readAt]]; `TIMESTAMP AS OF t` resolves the
   * newest commit at-or-before t ([[IcebergLikeTable.versionAsOf]]).
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   import GraftCatalog._
 
@@ -148,9 +149,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.exists(descPath(tableDir(ident)))
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // Iceberg's metadata-table addressing: `SELECT * FROM g.ns.t.files`
+      // resolves `t.files` as identifier (ns=[ns,t], name=files) — serve
+      // the engine's metadata DataFrames as read-only tables
+      return metaTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
     val desc = Descriptor.read(fs, descPath(tableDir(ident)))
     new GraftSqlTable(fullName(ident), tableFor(ident, desc), desc, None)
+  }
+
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    if (!tableExists(parent)) return None
+    val t = icebergFor(parent)
+    val df: Option[() => org.apache.spark.sql.DataFrame] = ident.name match {
+      case "snapshots" => Some(() => t.snapshots)
+      case "files" => Some(() => t.files)
+      case "tags" => Some(() =>
+        spark.createDataFrame(t.tags.toSeq.sortBy(_._1))
+          .toDF("tag", "version"))
+      case "branches" => Some(() =>
+        spark.createDataFrame(
+          t.branches.map(b => (b, t.forBranch(b).currentVersion.getOrElse(0L))))
+          .toDF("branch", "version"))
+      case _ => None
+    }
+    df.map(f => new GraftMetaTable(s"${fullName(parent)}.${ident.name}", f))
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -330,6 +356,40 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(tableDir(oldIdent), tableDir(newIdent)))
       throw new java.io.IOException(
         s"rename failed: ${fullName(oldIdent)} -> ${fullName(newIdent)}")
+  }
+
+  // ---- procedures (SQL CALL) -------------------------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.list
+    else Array.empty
+
+  /** The engine handle of a catalog table (procedures resolve their
+    * `table` argument through the descriptor like any read).
+    */
+  private[sources] def icebergFor(ident: Identifier): IcebergLikeTable = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident)
+    tableFor(ident, Descriptor.read(fs, descPath(tableDir(ident))))
+  }
+
+  /** Partition-spec evolution through the catalog: the engine's
+    * metadata-only commit PLUS the descriptor update that keeps
+    * `loadTable` handing out the evolved handle.
+    */
+  private[sources] def evolveSpecFor(ident: Identifier,
+      newSpec: String): IcebergLikeTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tableDir(ident)
+    val desc = Descriptor.read(fs, descPath(dir))
+    val evolved = tableFor(ident, desc).evolvePartitionSpec(newSpec)
+    Descriptor.write(fs, descPath(dir), desc.copy(transform = Some(newSpec)))
+    evolved
   }
 
   private def fullName(ident: Identifier): String =
@@ -630,12 +690,53 @@ private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          // 'write.cluster-by' = range-clustered appends: each INSERT's
+          // files cover narrow non-overlapping slices of the cluster
+          // columns, so the manifest bounds stay sharp for point/range
+          // pruning (declare the columns in statsColumns too)
+          val clusterBy = desc.props.get("write.cluster-by")
+            .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+            .filter(_.nonEmpty)
+          val nFiles = desc.props.get("write.cluster-files")
+            .map(_.toInt).getOrElse(16)
           if (overwriteAll || overwrite) table.overwrite(data)
-          else if (table.uniqueKeys.isEmpty) table.append(data)
+          else if (table.uniqueKeys.isEmpty) clusterBy match {
+            case Some(cols) => table.appendClustered(data, cols, nFiles)
+            case None => table.append(data)
+          }
           else table.upsert(data, desc.orderCol.getOrElse(
             throw new IllegalStateException(
               "keyed graft table has no orderCol property")))
+        }
       }
   }
+}
+
+/** A read-only metadata table (`g.ns.t.snapshots` / `.files` /
+  * `.tags` / `.branches`): the engine's manifest-resolved DataFrame
+  * served through the same V1Scan bridge — no data files are opened.
+  */
+private[sources] final class GraftMetaTable(ident: String,
+    frame: () => DataFrame) extends Table with SupportsRead {
+
+  override def name(): String = ident
+  override def schema(): StructType = frame().schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = frame().schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = frame().schema
+            override def buildScan(): RDD[Row] = frame().rdd
+          }.asInstanceOf[T]
+      }
+    }
 }

@@ -176,6 +176,64 @@ class GraftCatalogSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("S", 7L)))
   }
 
+  test("CALL procedures: maintain, rollback, expire, vacuum, evolve spec") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.proc")
+    sql("""CREATE TABLE gcat.proc.ev (uid STRING, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+    for (i <- 1 to 4)
+      sql(s"INSERT INTO gcat.proc.ev VALUES ('u$i', TIMESTAMP '2024-03-01 0$i:00:00')")
+    // 4 small files in the day leaf → maintain(0) compacts to 1
+    val rewritten = sql(
+      "CALL gcat.system.maintain(`table` => 'proc.ev', file_threshold => 0)")
+      .head.getInt(0)
+    assert(rewritten == 1)
+    val t = graft.weblog.IcebergLikeTable(spark, s"$warehouse/proc/ev",
+      partitionCol = "ts_day", partitionTransform = Some("days(ts)"))
+    assert(t.filesFor(lit(true)).size == 1)
+    // rollback via CALL restores the pre-compaction version's count
+    val vNow = t.currentVersion.get
+    sql(s"CALL gcat.system.rollback('proc.ev', ${vNow - 1})")
+    assert(sql("SELECT count(*) FROM gcat.proc.ev").head.getLong(0) == 4)
+    // evolve the partition spec through SQL; new writes derive hourly
+    val res = sql(
+      "CALL gcat.system.evolve_partition_spec('proc.ev', 'hours(ts)')").head
+    assert(res.getString(0) == "hours(ts)")
+    sql("INSERT INTO gcat.proc.ev VALUES ('u9', TIMESTAMP '2024-03-02 05:30:00')")
+    assert(sql("SELECT count(*) FROM gcat.proc.ev").head.getLong(0) == 5)
+    val t2 = graft.weblog.IcebergLikeTable(spark, s"$warehouse/proc/ev",
+      partitionCol = "ts_day", partitionTransform = Some("hours(ts)"))
+    assert(t2.filesFor(lit(true)).exists(_.startsWith("ts_day=4")),
+      "post-evolve write must land in an hour-ordinal leaf")
+    // expire + vacuum run clean
+    assert(sql("CALL gcat.system.expire_snapshots('proc.ev', TIMESTAMP '2000-01-01')")
+      .head.getInt(0) == 0)
+    assert(sql("CALL gcat.system.vacuum('proc.ev')").head.getInt(0) == 1)
+    assert(sql("SELECT count(*) FROM gcat.proc.ev").head.getLong(0) == 5)
+  }
+
+  test("SQL metadata tables and write.cluster-by appends") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")
+    sql("""CREATE TABLE gcat.meta.t (uid STRING, n BIGINT)
+          |TBLPROPERTIES ('write.cluster-by' 'n', 'write.cluster-files' '2',
+          |               'statsColumns' 'n')""".stripMargin)
+    sql("INSERT INTO gcat.meta.t SELECT CAST(id AS STRING), id FROM range(100)")
+    // snapshots / files metadata tables through plain SQL
+    assert(sql("SELECT count(*) FROM gcat.meta.t.snapshots").head.getLong(0) == 1)
+    val files = sql("SELECT file FROM gcat.meta.t.files").collect()
+      .map(_.getString(0))
+    assert(files.nonEmpty)
+    // clustered write: stats-stamped narrow slices prune a point lookup
+    val t = graft.weblog.IcebergLikeTable(spark, s"$warehouse/meta/t",
+      partitionCol = "gpart", partitionTransform = Some("void(uid)"),
+      statsColumns = Seq("n"))
+    assert(t.filesFor(col("n") === 7L).size < files.length,
+      "cluster-by bounds must prune the point lookup")
+    // tags metadata table
+    t.tag("audit", t.currentVersion.get)
+    assert(sql("SELECT tag, version FROM gcat.meta.t.tags").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("audit", 1L)))
+  }
+
   test("CTAS, RENAME TABLE, DROP TABLE") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.ops")
     sql("""CREATE TABLE gcat.ops.src AS
