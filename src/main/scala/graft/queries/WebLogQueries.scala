@@ -531,6 +531,33 @@ object WebLogQueries {
              |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // Schema evolution: TYPE WIDENING (Iceberg's int->bigint promotion)
+    // — a metadata-only commit; the day-1 files stay physical INT32 and
+    // the parquet reader promotes them at scan, day-2 appends write
+    // BIGINT values beyond int range, and one aggregate spans both
+    // epochs. The oracle recomputes the mixed-epoch sum exactly.
+    Q("weblog_type_widening",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "widen", d) + "/t", "event",
+          statsColumns = Seq("n"))
+        val ev = Tables.events(s, d)
+        t.append(ev.filter(dayofmonth(col("ts")) === 1)
+          .select(col("event_type").as("event"),
+            (col("event_id") % 1000000L).cast("int").as("n")))
+        t.widenColumn("n", org.apache.spark.sql.types.LongType)
+        t.append(ev.filter(dayofmonth(col("ts")) === 2)
+          .select(col("event_type").as("event"),
+            ((col("event_id") % 1000000L) + 3000000000L).as("n")))
+        t.read.groupBy("event")
+          .agg(count(lit(1)).as("cnt"), sum("n").as("total"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(CASE WHEN day(ts) = 1 THEN event_id % 1000000
+             |                ELSE event_id % 1000000 + 3000000000 END) AS BIGINT) AS total
+             |FROM events WHERE day(ts) <= 2
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
     // SQL DML through the DSv2 catalog: UPDATE (copy-on-write rewrite),
     // MERGE INTO (full clause algebra via the analyzer bridge) and
     // DELETE FROM (SupportsDelete), all plain spark.sql against a

@@ -332,6 +332,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           t.append(spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], widened))
         }
+      case w: TableChange.UpdateColumnType =>
+        require(w.fieldNames.length == 1,
+          "graft supports top-level column type changes only")
+        val name = w.fieldNames.head
+        if (t.currentVersion.isDefined) t.widenColumn(name, w.newDataType)
+        desc = desc.copy(schema = StructType(desc.schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = w.newDataType) else f)))
       case p: TableChange.SetProperty =>
         desc = desc.copy(props = desc.props + (p.property -> p.value))
       case p: TableChange.RemoveProperty =>

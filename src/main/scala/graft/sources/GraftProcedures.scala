@@ -35,8 +35,8 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def list: Array[Identifier] =
-    Array("maintain", "maintain_by_size", "expire_snapshots", "vacuum",
-      "rollback", "evolve_partition_spec")
+    Array("maintain", "maintain_by_size", "rewrite_clustered",
+      "expire_snapshots", "vacuum", "rollback", "evolve_partition_spec")
       .map(Identifier.of(Namespace, _))
 
   /** One-row driver-local result. */
@@ -126,6 +126,19 @@ private[sources] object GraftProcedures {
         val t = tableOf(cat, in)
         // CALL passes timestamps as micros; commit stamps are millis
         Seq(t.expireOlderThan(in.getLong(1) / 1000L).size)
+      }),
+    Proc("rewrite_clustered",
+      Seq(param("table", StringType),
+        param("cluster_by", StringType),
+        param("file_threshold", IntegerType, "0"),
+        param("target_files", IntegerType, "1")),
+      StructType(new StructType()
+        .add("rewritten_leaves", IntegerType, nullable = false)),
+      (cat, in) => {
+        val t = tableOf(cat, in)
+        val cols = in.getUTF8String(1).toString.split(",")
+          .toSeq.map(_.trim).filter(_.nonEmpty)
+        Seq(t.maintainClustered(cols, in.getInt(2), in.getInt(3)).size)
       }),
     Proc("vacuum",
       Seq(param("table", StringType)),

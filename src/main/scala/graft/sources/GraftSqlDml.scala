@@ -137,19 +137,41 @@ final case class GraftDmlRule(session: SparkSession)
           val bySource = m.notMatchedBySourceActions.map(matchedWhen)
           if ((matched ++ bySource).exists(_.isEmpty) || notMatched.exists(_.isEmpty)) m
           else {
-            // target-only ON conjuncts → candidate-file pruning predicate
-            val targetOnly = splitConjunctivePredicates(m.mergeCondition)
-              .filter(p => p.references.subsetOf(AttributeSet(rel.output)) &&
-                !hasSubquery(p))
+            // candidate pruning only composes when NO NOT MATCHED BY
+            // SOURCE clause exists — those act on exactly the target
+            // rows pruning would skip
+            val canPrune = m.notMatchedBySourceActions.isEmpty
+            // target-only ON conjuncts → static candidate predicate
+            val targetOnly =
+              if (!canPrune) Nil
+              else splitConjunctivePredicates(m.mergeCondition)
+                .filter(p => p.references.subsetOf(AttributeSet(rel.output)) &&
+                  !hasSubquery(p))
             val candidate = targetOnly.reduceOption(And).map(e =>
               StreamingFrameBridge.column(e.transform {
                 case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
               }))
+            // equi-join ON conjuncts (t.k = <source expr>) → dynamic
+            // source-key file pruning in the engine
+            val equiKeys: Seq[(String, Column)] =
+              if (!canPrune) Nil
+              else splitConjunctivePredicates(m.mergeCondition).collect {
+                case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                    t: AttributeReference, sExpr)
+                    if tIds.contains(t.exprId) && !hasSubquery(sExpr) &&
+                      sExpr.references.forall(a => !tIds.contains(a.exprId)) =>
+                  t.name -> StreamingFrameBridge.column(sExpr)
+                case org.apache.spark.sql.catalyst.expressions.EqualTo(
+                    sExpr, t: AttributeReference)
+                    if tIds.contains(t.exprId) && !hasSubquery(sExpr) &&
+                      sExpr.references.forall(a => !tIds.contains(a.exprId)) =>
+                  t.name -> StreamingFrameBridge.column(sExpr)
+              }
             val targetSchema = StructType(rel.output.map(a =>
               StructField(a.name, a.dataType, a.nullable)))
             GraftMergeCommand(tbl.iceberg, m.sourceTable,
               conv(m.mergeCondition), matched.flatten, notMatched.flatten,
-              bySource.flatten, candidate, targetSchema)
+              bySource.flatten, candidate, targetSchema, equiKeys)
           }
         case _ => m
       }
@@ -195,11 +217,12 @@ private[sources] final case class GraftMergeCommand(
     table: IcebergLikeTable, sourcePlan: LogicalPlan, on: Column,
     matched: Seq[MergeWhen], notMatched: Seq[MergeInsert],
     notMatchedBySource: Seq[MergeWhen], candidate: Option[Column],
-    targetSchema: StructType) extends LeafRunnableCommand {
+    targetSchema: StructType,
+    equiKeys: Seq[(String, Column)]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val src = StreamingFrameBridge.ofRows(sparkSession, sourcePlan)
     table.mergeInto(src, on, matched, notMatched, notMatchedBySource,
-      candidate, Some(targetSchema))
+      candidate, Some(targetSchema), equiKeys)
     Seq.empty
   }
 }

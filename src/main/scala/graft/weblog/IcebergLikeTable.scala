@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Iceberg-style append/upsert table without an Iceberg runtime
   * (reference operators S10/T3, SURVEY.md §2.1). The reference's Firehose
@@ -2425,10 +2425,12 @@ final case class IcebergLikeTable(
       notMatched: Seq[IcebergLikeTable.MergeInsert] = Nil,
       notMatchedBySource: Seq[IcebergLikeTable.MergeWhen] = Nil,
       candidatePredicate: Option[Column] = None,
-      targetSchema: Option[StructType] = None): IcebergLikeTable.MergeIntoResult =
+      targetSchema: Option[StructType] = None,
+      equiKeys: Seq[(String, Column)] = Nil,
+      maxDynamicPruneKeys: Int = 1000): IcebergLikeTable.MergeIntoResult =
     withCommitRetry {
       mergeIntoOnce(source, on, matched, notMatched, notMatchedBySource,
-        candidatePredicate, targetSchema)
+        candidatePredicate, targetSchema, equiKeys, maxDynamicPruneKeys)
     }
 
   private def mergeIntoOnce(source: DataFrame, on: Column,
@@ -2436,17 +2438,48 @@ final case class IcebergLikeTable(
       notMatched: Seq[IcebergLikeTable.MergeInsert],
       notMatchedBySource: Seq[IcebergLikeTable.MergeWhen],
       candidatePredicate: Option[Column],
-      targetSchema: Option[StructType]): IcebergLikeTable.MergeIntoResult = {
+      targetSchema: Option[StructType],
+      equiKeys: Seq[(String, Column)],
+      maxDynamicPruneKeys: Int): IcebergLikeTable.MergeIntoResult = {
     import IcebergLikeTable.{MergeDelete, MergeInsert, MergeIntoResult, MergeUpdate, MergeWhen}
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
+    // candidate pruning assumes unscanned target rows carry over
+    // UNCHANGED — but a NOT MATCHED BY SOURCE clause acts on exactly
+    // the rows pruning would skip, so the two cannot compose
+    require(notMatchedBySource.isEmpty ||
+      (candidatePredicate.isEmpty && equiKeys.isEmpty),
+      "candidate pruning cannot compose with NOT MATCHED BY SOURCE " +
+        "clauses (they act on the rows pruning skips)")
     val (liveVersion, snap) = resolveLive()
     validateLayout(snap.meta)
     val previous = snap.files
     val schema = storedSchema(snap.meta)
+    // DYNAMIC file pruning (Iceberg's runtime filtering for COW MERGE):
+    // for an equi-keyed merge, a BOUNDED distinct-key collect from the
+    // source turns into per-column IN predicates — stats/bloom stamps
+    // then cut the candidate set to files that can contain the keys. A
+    // key set past the cap falls back to the static predicate alone;
+    // per-column membership is a superset of the tuple set (sound for
+    // discovery, the join still decides matches).
+    val dynPredicate: Option[Column] =
+      if (equiKeys.isEmpty || previous.isEmpty) None
+      else {
+        val keyRows = source.select(equiKeys.map(_._2): _*)
+          .distinct().limit(maxDynamicPruneKeys + 1).collect()
+        if (keyRows.length > maxDynamicPruneKeys) None
+        else Some(equiKeys.zipWithIndex.map { case ((tCol, _), i) =>
+          val vals = keyRows.map(_.get(i)).filter(_ != null).distinct.toSeq
+          if (vals.isEmpty) lit(false) else col(tCol).isin(vals: _*)
+        }.reduce(_ && _))
+      }
+    val pruneWith = (candidatePredicate, dynPredicate) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
     val candidates =
       if (previous.isEmpty) Nil
-      else candidatePredicate match {
+      else pruneWith match {
         case Some(p) => prunedFiles(snap, schema, p)
         case None => snap.dataFiles
       }
@@ -2549,6 +2582,63 @@ final case class IcebergLikeTable(
       MergeIntoResult(updated = n(0), deleted = n(1), inserted = n(2))
     } finally joined.unpersist()
   }
+
+  /** Schema evolution: WIDEN a data column's type — a METADATA-ONLY
+    * commit (Iceberg's type promotion: `int → bigint`,
+    * `float → double`). Historical files keep their narrow physical
+    * type; the parquet reader promotes at scan (Spark 4's vectorized
+    * reader reads INT32 under a LongType schema natively, filter
+    * pushdown included), so no file is touched and time travel still
+    * reads every epoch. Stamped min/max bounds stay sound — they
+    * compare under the CURRENT schema type and integral/float strings
+    * parse widened. Refused for:
+    *  - layout/unique-key columns (leaf routing and `xxhash64` key
+    *    bucketing hash the binary type — widening would re-route keys);
+    *  - bloom-stamped columns (the sidecar filters hashed the OLD
+    *    type; a post-widen point lookup would hash the new one and
+    *    FALSE-NEGATIVE files that contain the value — silent wrong
+    *    results; drop the column from `bloomColumns` and rewrite
+    *    first).
+    * Returns the new live version.
+    */
+  def widenColumn(name: String, newType: DataType): Long =
+    withCommitRetry {
+      val (liveVersion, snap) = resolveLive()
+      validateLayout(snap.meta)
+      val schema = storedSchema(snap.meta).getOrElse(throw new IllegalStateException(
+        s"widenColumn needs a schema-stamped manifest under $path"))
+      require(schema.fieldNames.contains(name), s"no column '$name' to widen")
+      require(!partCols.contains(name) && !uniqueKeys.contains(name),
+        s"cannot widen layout or unique-key column '$name' — key bucketing " +
+          "and leaf routing hash the binary type")
+      require(!bloomColumns.contains(name),
+        s"cannot widen bloom-stamped column '$name': the sidecar filters " +
+          "hashed the old type and point lookups would silently miss rows; " +
+          "remove it from bloomColumns (and maintain()) first")
+      val old = schema(schema.fieldIndex(name)).dataType
+      if (old == newType) liveVersion
+      else {
+        val ok = (old, newType) match {
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(ok, s"unsupported type widening $old -> $newType " +
+          "(supported: int -> bigint, float -> double)")
+        val newSchema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = newType) else f))
+        val version = nextVersion(liveVersion)
+        val meta = snap.meta +
+          (SchemaKey -> newSchema.json) +
+          (TsKey -> System.currentTimeMillis().toString)
+        val lines =
+          if (snap.refs.nonEmpty) snap.refs.map(Manifests.RefMark + _)
+          else snap.files
+        Manifests.write(fs, root, version, lines, meta, chainPrefix)
+        expireSnapshots()
+        version
+      }
+    }
 
   /** Schema evolution: RENAME a data column — a METADATA-ONLY commit
     * (Iceberg's rename): the new schema stamp keeps the column's stable

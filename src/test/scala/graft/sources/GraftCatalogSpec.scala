@@ -109,6 +109,18 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(sql("SELECT * FROM gcat.evo.t").columns.toSet == Set("a", "n"))
   }
 
+  test("ALTER COLUMN TYPE widens through SQL; old files promote at scan") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
+    sql("CREATE TABLE gcat.evo.w (a STRING, n INT)")
+    sql("INSERT INTO gcat.evo.w VALUES ('x', 7)")
+    sql("ALTER TABLE gcat.evo.w ALTER COLUMN n TYPE BIGINT")
+    assert(sql("DESCRIBE gcat.evo.w").collect()
+      .exists(r => r.getString(0) == "n" && r.getString(1) == "bigint"))
+    sql("INSERT INTO gcat.evo.w VALUES ('y', 5000000000)") // > int range
+    assert(sql("SELECT sum(n) FROM gcat.evo.w").head.getLong(0) == 5000000007L)
+    assert(sql("SELECT a FROM gcat.evo.w WHERE n = 7").head.getString(0) == "x")
+  }
+
   test("DELETE FROM: copy-on-write, merge-on-read, and truncate") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.del")
     // copy-on-write (default)
@@ -209,6 +221,34 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getInt(0) == 0)
     assert(sql("CALL gcat.system.vacuum('proc.ev')").head.getInt(0) == 1)
     assert(sql("SELECT count(*) FROM gcat.proc.ev").head.getLong(0) == 5)
+  }
+
+  test("SQL MERGE prunes candidate files from source keys; CALL rewrite_clustered") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.dyn")
+    sql("""CREATE TABLE gcat.dyn.t (uid BIGINT, v BIGINT)
+          |TBLPROPERTIES ('write.cluster-by' 'uid', 'statsColumns' 'uid')
+          |""".stripMargin)
+    sql("INSERT INTO gcat.dyn.t SELECT id, id FROM range(100)")
+    sql("INSERT INTO gcat.dyn.t SELECT id + 100, id FROM range(100)")
+    val t = graft.weblog.IcebergLikeTable(spark, s"$warehouse/dyn/t",
+      partitionCol = "gpart", partitionTransform = Some("void(uid)"),
+      statsColumns = Seq("uid"))
+    val before = t.filesFor(lit(true)).toSet
+    assert(before.size >= 4)
+    // the rule derives equi keys from ON; one source key → one file rewritten
+    sql("""MERGE INTO gcat.dyn.t t USING (SELECT 7L AS uid, 999L AS v) s
+          |ON t.uid = s.uid
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val after = t.filesFor(lit(true)).toSet
+    assert((before -- after).size == 1,
+      s"SQL equi-merge must rewrite one candidate file, replaced ${(before -- after).size}")
+    assert(sql("SELECT v FROM gcat.dyn.t WHERE uid = 7").head.getLong(0) == 999L)
+    assert(sql("SELECT count(*) FROM gcat.dyn.t").head.getLong(0) == 200L)
+    // clustered rewrite through CALL re-sharpens the layout
+    val leaves = sql(
+      "CALL gcat.system.rewrite_clustered('dyn.t', 'uid')").head.getInt(0)
+    assert(leaves == 1)
+    assert(sql("SELECT count(*) FROM gcat.dyn.t").head.getLong(0) == 200L)
   }
 
   test("SQL metadata tables and write.cluster-by appends") {

@@ -86,6 +86,46 @@ class SchemaEvolutionSpec extends SparkTestBase {
       "pre-rename files lost their values after rollback")
   }
 
+  test("widenColumn: int->bigint and float->double promote old files at scan") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("se_widen").toString + "/t", "event",
+      statsColumns = Seq("n"))
+    t.append(Seq(("a", "view", 1, 1.5f), ("b", "view", 2, 2.5f))
+      .toDF("id", "event", "n", "x").coalesce(1))
+    t.widenColumn("n", org.apache.spark.sql.types.LongType)
+    t.widenColumn("x", org.apache.spark.sql.types.DoubleType)
+    // the old int32/float file reads under the widened schema
+    assert(t.read.schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.read.filter(col("n") === 2L).count() == 1)
+    assert(t.read.agg(org.apache.spark.sql.functions.sum("x")).head.getDouble(0) == 4.0)
+    // new writes carry the wide type; both epochs scan together
+    t.append(Seq(("c", "view", 3L, 9.0)).toDF("id", "event", "n", "x").coalesce(1))
+    assert(t.read.count() == 3)
+    assert(t.read.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 6L)
+    // stamped bounds from the narrow epoch still prune soundly
+    assert(t.filesFor(col("n") === 3L).size == 1)
+    assert(t.readWhere(col("n") === 3L).count() == 1)
+    // time travel reads the narrow epoch under its own schema
+    assert(t.readAt(1).schema("n").dataType == org.apache.spark.sql.types.IntegerType)
+
+    // guards: narrowing, keys, bloom columns
+    intercept[IllegalArgumentException](
+      t.widenColumn("n", org.apache.spark.sql.types.IntegerType))
+    val keyed = IcebergLikeTable(spark,
+      Files.createTempDirectory("se_widen_k").toString + "/t",
+      "event", Seq("k"), numBuckets = 2)
+    keyed.write(Seq((1, "view", 1L)).toDF("k", "event", "seq"), "seq")
+    intercept[IllegalArgumentException](
+      keyed.widenColumn("k", org.apache.spark.sql.types.LongType))
+    val bloomed = IcebergLikeTable(spark,
+      Files.createTempDirectory("se_widen_b").toString + "/t", "event",
+      bloomColumns = Seq("n"))
+    bloomed.append(Seq(("a", "view", 1)).toDF("id", "event", "n"))
+    intercept[IllegalArgumentException](
+      bloomed.widenColumn("n", org.apache.spark.sql.types.LongType))
+  }
+
   test("drop hides the data; re-adding the name never resurrects it") {
     import spark.implicits._
     val t = freshTable("se_drop")

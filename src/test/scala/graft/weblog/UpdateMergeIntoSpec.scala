@@ -148,6 +148,42 @@ class UpdateMergeIntoSpec extends SparkTestBase {
     assert(r.inserted == 2L)
   }
 
+  test("mergeInto: dynamic source-key pruning; BY SOURCE refuses pruning") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("mi_dyn").toString + "/t", "event",
+      statsColumns = Seq("user_id"))
+    t.appendClustered(base.filter(col("event") === "view"), Seq("user_id"), nFiles = 1)
+    t.appendClustered(base.filter(col("event") === "click"), Seq("user_id"), nFiles = 1)
+    val before = t.filesFor(lit(true)).toSet
+    // NO static candidate predicate: the bounded source-key collect +
+    // stamped bounds cut the candidate set on their own
+    val r = t.mergeInto(Seq(("u4", 444L)).toDF("uid", "amt"),
+      on = col("t.user_id") === col("s.uid"),
+      matched = Seq(MergeUpdate(None, Seq("amount" -> col("s.amt")))),
+      equiKeys = Seq("user_id" -> col("uid")))
+    assert(r.updated == 1L)
+    val after = t.filesFor(lit(true)).toSet
+    assert((before -- after).size == 1,
+      "dynamic key pruning must rewrite only the file containing u4")
+    assert(t.read.filter(col("user_id") === "u4").head.getAs[Long]("amount") == 444L)
+    assert(t.read.count() == 4)
+
+    // NOT MATCHED BY SOURCE acts on the rows pruning would skip — the
+    // combination must refuse loudly instead of silently under-updating
+    intercept[IllegalArgumentException](
+      t.mergeInto(Seq(("u4", 1L)).toDF("uid", "amt"),
+        on = col("t.user_id") === col("s.uid"),
+        notMatchedBySource = Seq(MergeUpdate(None, Seq("amount" -> lit(0L)))),
+        equiKeys = Seq("user_id" -> col("uid"))))
+    // and a BY SOURCE merge without pruning touches everything correctly
+    val r2 = t.mergeInto(Seq(("u4", 1L)).toDF("uid", "amt"),
+      on = col("t.user_id") === col("s.uid"),
+      notMatchedBySource = Seq(MergeUpdate(None, Seq("amount" -> lit(0L)))))
+    assert(r2.updated == 3L)
+    assert(t.read.filter(col("amount") === 0L).count() == 3)
+  }
+
   test("mergeInto: candidate pruning rewrites only implied files") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
