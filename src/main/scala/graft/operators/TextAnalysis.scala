@@ -439,6 +439,83 @@ object TextAnalysis {
         round(col("_score").cast("double"), 6).as("score"))
   }
 
+  /** Distributed LOGISTIC-REGRESSION quality classifier — the
+    * fastText-style learned corpus filter (KenLM/fastText quality
+    * classifiers in CCNet/GPT-3-style pipelines) trained ON the
+    * cluster: `iters` full-batch gradient-descent steps, each ONE
+    * map-side-combined aggregate producing a 5-term gradient, with
+    * O(features) driver state per step. At 100 TB: `iters` passes over
+    * a cached feature projection; no per-row driver work, no shuffle
+    * beyond the partial-aggregate exchange.
+    *
+    * Features are the classic quality shape (length, word length,
+    * punctuation noise, stopword density), each ROUNDED to the
+    * 6-decimal grid; the per-row sigmoid is rounded to 6 decimals and
+    * the gradient accumulates in DECIMAL(28,12) — exact and
+    * order-independent — so training is reproducible bit-for-bit and a
+    * SQL oracle can replay every iteration. Weight updates round to 9
+    * decimals (`w' = round(w + lr·g/N, 9)`).
+    *
+    * Returns the TEST rows scored: (id, p, pred) with
+    * `p = round(σ(w·x), 6)` and `pred = p > 0.5`.
+    */
+  def logisticQuality(train: DataFrame, test: DataFrame, label: Column,
+      iters: Int = 3, lr: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id",
+      charsCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // residuals and features are 6-decimal values in [-1, 1]:
+    // DECIMAL(8,6) holds them exactly, the product is an EXACT
+    // DECIMAL(17,12) (no precision-loss rounding in either engine),
+    // and the sum stays order-independent
+    val fdec = DecimalType(8, 6)
+    val enStops = stopwords.toMap.apply("en")
+    def featurize(df: DataFrame, withLabel: Option[Column]): DataFrame = {
+      val ws = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+      val nw = size(ws)
+      val nc = col(charsCol).cast("double")
+      val x1 = round(least(nw.cast("double"), lit(400.0)) / lit(400.0), 6)
+      val x2 = round(
+        least(nc / greatest(nw, lit(1)).cast("double"), lit(20.0)) / lit(20.0), 6)
+      val punct = size(regexp_extract_all(col(textCol),
+        lit("[^A-Za-z0-9\\s]"), lit(0)))
+      val x3 = round(punct.cast("double") / greatest(nc, lit(1.0)), 6)
+      val hits = size(filter(ws, w => w.isInCollection(enStops)))
+      val x4 = round(hits.cast("double") / greatest(nw, lit(1)).cast("double"), 6)
+      df.select(Seq(col(idCol), x1.as("x1"), x2.as("x2"), x3.as("x3"),
+        x4.as("x4")) ++
+        withLabel.map(l => when(l, 1.0).otherwise(0.0).as("y")): _*)
+    }
+    val feats = featurize(train, Some(label)).persist()
+    try {
+      val n = feats.count()
+      require(n > 0, "logisticQuality needs a non-empty training set")
+      var w = Array.fill(5)(0.0) // bias, x1..x4
+      def z(ws: Array[Double]): Column =
+        lit(ws(0)) + lit(ws(1)) * col("x1") + lit(ws(2)) * col("x2") +
+          lit(ws(3)) * col("x3") + lit(ws(4)) * col("x4")
+      def sigma(ws: Array[Double]): Column =
+        round(lit(1.0) / (lit(1.0) + exp(-z(ws))), 6)
+      for (_ <- 1 to iters) {
+        val resid = (col("y") - sigma(w)).cast(fdec)
+        val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"), col("x4"))
+        val g = feats.agg(
+          sum(resid * xs.head.cast(fdec)).as("g0"),
+          xs.tail.zipWithIndex.map { case (x, i) =>
+            sum(resid * x.cast(fdec)).as(s"g${i + 1}")
+          }: _*).head()
+        w = w.indices.map { k =>
+          val gk = g.getDecimal(k).doubleValue()
+          BigDecimal(w(k) + lr * gk / n)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toArray
+      }
+      featurize(test, None)
+        .select(col(idCol), sigma(w).as("p"))
+        .withColumn("pred", col("p") > 0.5)
+    } finally feats.unpersist()
+  }
+
   /** Fixed-size document chunking with overlap — the pretraining /
     * retrieval prep op: each document becomes ⌈max(n−size,0)/stride⌉+1
     * chunks of `size` words starting every `stride` words (the last

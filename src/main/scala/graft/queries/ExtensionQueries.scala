@@ -1163,6 +1163,69 @@ object ExtensionQueries {
              |ORDER BY doc_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // Distributed LOGISTIC-REGRESSION quality classifier (the
+    // fastText-style learned corpus filter): 3 full-batch GD iterations,
+    // each ONE map-side-combined 5-term gradient aggregate. Features,
+    // sigmoids and gradients live on a fixed decimal grid, so the oracle
+    // REPLAYS THE ENTIRE TRAINING — all three weight updates as unrolled
+    // CTEs — and the hash match proves optimization + inference
+    // end-to-end, not just scoring.
+    Q("text_lr_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.logisticQuality(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          label = col("lang") === "en")
+          .orderBy("doc_id")
+      },
+      Some {
+        def z(wp: String) =
+          s"((SELECT w0 FROM $wp) + (SELECT w1 FROM $wp)*x1 + " +
+            s"(SELECT w2 FROM $wp)*x2 + (SELECT w3 FROM $wp)*x3 + " +
+            s"(SELECT w4 FROM $wp)*x4)"
+        def sig(wp: String) = s"round(1/(1+exp(-${z(wp)})), 6)"
+        def grad(wp: String) = {
+          val r = s"CAST(y - ${sig(wp)} AS DECIMAL(8,6))"
+          val xs = Seq("CAST(1.0 AS DECIMAL(8,6))") ++
+            (1 to 4).map(i => s"CAST(x$i AS DECIMAL(8,6))")
+          xs.zipWithIndex.map { case (x, k) => s"sum($r * $x) AS g$k" }
+            .mkString(", ")
+        }
+        def upd(gp: String, wp: String) =
+          (0 to 4).map(k =>
+            s"round((SELECT w$k FROM $wp) + 0.5*CAST(g$k AS DOUBLE)/" +
+              s"(SELECT n FROM nn), 9) AS w$k").mkString(", ")
+        s"""WITH f0 AS MATERIALIZED (
+           |  SELECT doc_id, lang, n_chars,
+           |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS nw,
+           |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np,
+           |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+           |        x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS nh
+           |  FROM documents),
+           |feat AS MATERIALIZED (
+           |  SELECT doc_id, (doc_id % 5 <> 0) AS is_train,
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           |    round(least(CAST(nw AS DOUBLE), 400.0)/400.0, 6) AS x1,
+           |    round(least(CAST(n_chars AS DOUBLE)/CAST(greatest(nw, 1) AS DOUBLE), 20.0)/20.0, 6) AS x2,
+           |    round(CAST(np AS DOUBLE)/greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS x3,
+           |    round(CAST(nh AS DOUBLE)/CAST(greatest(nw, 1) AS DOUBLE), 6) AS x4
+           |  FROM f0),
+           |tr AS MATERIALIZED (SELECT * FROM feat WHERE is_train),
+           |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+           |w0c AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4),
+           |g1 AS MATERIALIZED (SELECT ${grad("w0c")} FROM tr),
+           |w1c AS MATERIALIZED (SELECT ${upd("g1", "w0c")} FROM g1),
+           |g2 AS MATERIALIZED (SELECT ${grad("w1c")} FROM tr),
+           |w2c AS MATERIALIZED (SELECT ${upd("g2", "w1c")} FROM g2),
+           |g3 AS MATERIALIZED (SELECT ${grad("w2c")} FROM tr),
+           |w3c AS MATERIALIZED (SELECT ${upd("g3", "w2c")} FROM g3)
+           |SELECT doc_id, ${sig("w3c")} AS p, ${sig("w3c")} > 0.5 AS pred
+           |FROM feat WHERE NOT is_train ORDER BY doc_id""".stripMargin
+          .replace("\n", " ")
+      },
+      headline = true),
+
     // perplexity AS the filter — the CCNet recipe end-to-end: train the
     // unigram LM on the corpus, score every doc, keep the at-or-below-
     // median half ("looks like the corpus"). The oracle retrains the LM,

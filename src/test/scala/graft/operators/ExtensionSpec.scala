@@ -1069,6 +1069,34 @@ class ExtensionSpec extends SparkTestBase {
     assert(self == Map(1L -> "a", 2L -> "a", 3L -> "b", 4L -> "b"))
   }
 
+  test("logistic quality classifier: GD learns the separator, deterministic") {
+    import spark.implicits._
+    // separable toy corpus: "good" docs are long English-looking text,
+    // "bad" docs are short punctuation noise
+    def good(i: Long) = (i, ("the quick brown fox and the lazy dog " * 8).trim, "en")
+    def bad(i: Long) = (i, "@@ ## !! %% ^^", "xx")
+    val docs = ((0L until 8L).map(good) ++ (8L until 16L).map(bad))
+      .map { case (i, t, l) => (i, t, l, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val train = docs.filter(col("doc_id") % 4 =!= 0)
+    val test = docs.filter(col("doc_id") % 4 === 0)
+    val out = TextAnalysis.logisticQuality(train, test,
+      label = col("lang") === "en", iters = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    // good docs score strictly above bad docs; 8 iterations separate them
+    val goodP = Seq(0L, 4L).map(out(_)._1)
+    val badP = Seq(8L, 12L).map(out(_)._1)
+    assert(goodP.min > badP.max,
+      s"good docs must outscore bad: good=$goodP bad=$badP")
+    assert(out(0L)._2 && !out(12L)._2)
+    // decimal-grid training is bit-deterministic across reruns and
+    // partitionings
+    val again = TextAnalysis.logisticQuality(train.repartition(7), test,
+      label = col("lang") === "en", iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == out.view.mapValues(_._1).toMap)
+  }
+
   test("tfidf keywords: rarer tokens outrank common ones at equal tf") {
     import spark.implicits._
     // 'rare' appears in 1 doc, 'common' in all 3; equal tf inside doc 1
