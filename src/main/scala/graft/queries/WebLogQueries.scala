@@ -419,6 +419,46 @@ object WebLogQueries {
              |FROM events WHERE day(ts) <= 7
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // Partition-SCOPED maintenance (Athena's `OPTIMIZE ... WHERE` /
+    // Iceberg's filtered rewrite_data_files): three small appends per
+    // event leaf, then maintainWhere(event='view') compacts ONLY the
+    // view leaf — planned from manifest partition bounds, no listing —
+    // while every other leaf's file set stays byte-identical, and a
+    // predicate implying nothing is a commit-less no-op. All proved as
+    // SQL-predictable booleans beside a census the oracle recomputes.
+    Q("weblog_maintain_where",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "mwhere", d) + "/t", "event")
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          concat(lit("u"), col("user_id").cast("string")).as("user_id"),
+          dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 3)
+        for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+        val before = t.filesFor(lit(true))
+        val rewritten = t.maintainWhere(col("event") === "view")
+        val after = t.filesFor(lit(true))
+        val scoped = rewritten == Seq("view") &&
+          before.count(_.startsWith("event=view/")) == 3 &&
+          after.count(_.startsWith("event=view/")) == 1
+        val untouched = before.filterNot(_.startsWith("event=view/")).toSet ==
+          after.filterNot(_.startsWith("event=view/")).toSet
+        val v = t.currentVersion.get
+        val noop = t.maintainWhere(col("event") === "absent").isEmpty &&
+          t.currentVersion.contains(v)
+        t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .select(col("event"), col("cnt"),
+            lit(scoped).as("scoped_compacted"),
+            lit(untouched).as("others_untouched"),
+            lit(noop).as("noop_unmatched"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       TRUE AS scoped_compacted, TRUE AS others_untouched,
+             |       TRUE AS noop_unmatched
+             |FROM events WHERE day(ts) <= 3
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
     // Partition-SPEC evolution (Iceberg's ALTER TABLE .. SET PARTITION
     // SPEC): a hidden-partitioned table flips days(ts) → hours(ts) in
     // one metadata-only commit; old files keep day leaves, new writes

@@ -561,12 +561,25 @@ private[sources] final class GraftSqlTable(
 
   override def schema(): StructType =
     pinnedVersion match {
-      case Some(v) => table.readAt(v).schema
+      case Some(v) => inDeclaredOrder(table.readAt(v).schema)
       case None =>
         // descriptor schema until the first commit (the table DIR holds
         // the descriptor before any snapshot exists), live stamp after
-        if (table.currentVersion.isDefined) table.read.schema else desc.schema
+        if (table.currentVersion.isDefined) inDeclaredOrder(table.read.schema)
+        else desc.schema
     }
+
+  /** The live stamp reads the PHYSICAL partition column back last
+    * (Hive layout), but positional INSERT resolves against declared
+    * order — present descriptor order, keeping live types (widening)
+    * and appending live-only columns (widened schema) at the end.
+    */
+  private def inDeclaredOrder(live: StructType): StructType = {
+    val byName = live.fields.map(f => f.name -> f).toMap
+    val declared = desc.schema.fieldNames.flatMap(byName.get)
+    val extra = live.fields.filterNot(f => desc.schema.fieldNames.contains(f.name))
+    StructType(declared ++ extra)
+  }
 
   override def partitioning(): Array[Transform] = desc.transform match {
     case None => Array(Expressions.identity(desc.partitionCol))

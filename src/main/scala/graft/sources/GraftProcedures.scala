@@ -35,8 +35,9 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def list: Array[Identifier] =
-    Array("maintain", "maintain_by_size", "rewrite_clustered",
-      "expire_snapshots", "vacuum", "rollback", "evolve_partition_spec")
+    Array("maintain", "maintain_by_size", "maintain_where",
+      "rewrite_clustered", "expire_snapshots", "vacuum", "rollback",
+      "evolve_partition_spec")
       .map(Identifier.of(Namespace, _))
 
   /** One-row driver-local result. */
@@ -126,6 +127,18 @@ private[sources] object GraftProcedures {
         val t = tableOf(cat, in)
         // CALL passes timestamps as micros; commit stamps are millis
         Seq(t.expireOlderThan(in.getLong(1) / 1000L).size)
+      }),
+    Proc("maintain_where",
+      Seq(param("table", StringType),
+        param("predicate", StringType),
+        param("target_files", IntegerType, "1")),
+      StructType(new StructType()
+        .add("rewritten_leaves", IntegerType, nullable = false)),
+      (cat, in) => {
+        val t = tableOf(cat, in)
+        Seq(t.maintainWhere(
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
+          in.getInt(2)).size)
       }),
     Proc("rewrite_clustered",
       Seq(param("table", StringType),

@@ -932,7 +932,21 @@ final case class IcebergLikeTable(
       seg.flatMap(t.sourceBounds).map(b => Map(t.source -> b))
         .getOrElse(Map.empty)
     }
-    if (hist.size > 1) { f =>
+    if (transform.isEmpty) {
+      // PHYSICAL partition column: its leaf-path value is an exact
+      // [v, v] bound, so partition predicates prune at the MANIFEST
+      // level too (readWhere's pruned planning, maintainWhere's leaf
+      // discovery), not just in the scan's partition pruning. Escaped
+      // (%XX) and null-partition segments contribute nothing — sound.
+      f => {
+        val seg = leafOf(f).split('/')
+          .find(_.startsWith(s"$partitionCol="))
+          .map(_.substring(partitionCol.length + 1))
+        seg.filter(v => v != "__HIVE_DEFAULT_PARTITION__" && !v.contains('%'))
+          .map(v => Map(partitionCol -> (v, v)))
+          .getOrElse(Map.empty)
+      }
+    } else if (hist.size > 1) { f =>
       fileVersionOf(f)
         .flatMap(v => hist.filter(_._1 <= v).lastOption)
         .map(h => invert(transformOf(h._2), f))
@@ -3018,6 +3032,39 @@ final case class IcebergLikeTable(
     commit(shaped, liveVersion, snap)(_ => previous.filterNot(smallSet))
     plan.keys.toSeq.sorted.map(_.stripPrefix(s"$partitionCol="))
   }
+
+  /** PARTITION-SCOPED maintenance (Athena's `OPTIMIZE ... WHERE` /
+    * Iceberg's rewrite_data_files with a filter): compact ONLY the
+    * leaves holding files the predicate's pruning implicates — at
+    * 100 TB the maintenance job for "yesterday's partitions" touches
+    * yesterday, not the table. Discovery is the same manifest-stats
+    * pruning reads use (no listing, no data I/O to plan); implicated
+    * leaves are rewritten whole (deletes applied, tombstones consumed)
+    * in one snapshot commit. Returns the rewritten leaf partitions.
+    */
+  def maintainWhere(condition: Column, targetFiles: Int = 1): Seq[String] =
+    withCommitRetry {
+      if (!exists) Nil
+      else {
+        val (liveVersion, snap) = resolveLive()
+        val previous = snap.files
+        if (previous.isEmpty) Nil
+        else {
+          val hot = prunedFiles(snap, storedSchema(snap.meta), condition)
+            .map(leafOf).distinct.sorted
+          if (hot.isEmpty) Nil
+          else {
+            val hotSet = hot.toSet
+            val hotFiles = snap.dataFiles.filter(f => hotSet.contains(leafOf(f)))
+            val shaped = morRead(snap, hotFiles)
+              .repartition(math.max(1, targetFiles * hot.size), partCols.map(col): _*)
+            commit(shaped, liveVersion, snap)(
+              _ => previous.filterNot(f => hotSet.contains(leafOf(f))))
+            hot.map(_.stripPrefix(s"$partitionCol="))
+          }
+        }
+      }
+    }
 
   private def maintainOnce(fileThreshold: Int, targetFiles: Int,
       clusterCols: Seq[String], deleteFileThreshold: Int): Seq[String] = {

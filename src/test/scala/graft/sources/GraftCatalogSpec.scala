@@ -223,6 +223,24 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(sql("SELECT count(*) FROM gcat.proc.ev").head.getLong(0) == 5)
   }
 
+  test("CALL maintain_where: partition-scoped compaction via SQL") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.mw")
+    sql("CREATE TABLE gcat.mw.t (grp STRING, n BIGINT) PARTITIONED BY (grp)")
+    for (i <- 1 to 3) {
+      sql(s"INSERT INTO gcat.mw.t VALUES ('a', $i)")
+      sql(s"INSERT INTO gcat.mw.t VALUES ('b', $i)")
+    }
+    val t = graft.weblog.IcebergLikeTable(spark, s"$warehouse/mw/t", "grp")
+    assert(t.filesFor(lit(true)).count(_.startsWith("grp=a/")) == 3)
+    val n = sql("CALL gcat.system.maintain_where('mw.t', \"grp = 'a'\")")
+      .head.getInt(0)
+    assert(n == 1)
+    val files = t.filesFor(lit(true))
+    assert(files.count(_.startsWith("grp=a/")) == 1, "a compacted")
+    assert(files.count(_.startsWith("grp=b/")) == 3, "b untouched")
+    assert(sql("SELECT sum(n) FROM gcat.mw.t").head.getLong(0) == 12)
+  }
+
   test("SQL MERGE prunes candidate files from source keys; CALL rewrite_clustered") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.dyn")
     sql("""CREATE TABLE gcat.dyn.t (uid BIGINT, v BIGINT)

@@ -214,6 +214,121 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("mergeInto clause algebra agrees with a row-by-row reference model") {
+    // model-based check of the generic SQL MERGE path: random clause
+    // stacks (conditional updates/deletes, inserts, BY SOURCE actions)
+    // over random target/source tables, against a driver-side fold of
+    // the documented semantics — first satisfied clause wins, NULL
+    // conditions don't match, unmatched rows carry, unmatched-by-any-
+    // insert source rows drop.
+    import spark.implicits._
+    import IcebergLikeTable.{MergeDelete, MergeInsert, MergeUpdate, MergeWhen}
+    import org.apache.spark.sql.functions.{col, lit}
+
+    // conds: 0 = none, 1 = s.v % 2 = 0, 2 = t.v >= 20
+    final case class Cl(isDelete: Boolean, cond: Int)
+    val clGen: Gen[Cl] = for {
+      d <- Gen.oneOf(false, true); c <- Gen.chooseNum(0, 2)
+    } yield Cl(d, c)
+    val scenarioGen = for {
+      nT <- Gen.chooseNum(5, 16)
+      tVals <- Gen.listOfN(nT, Gen.chooseNum(0L, 40L))
+      nS <- Gen.chooseNum(1, 12)
+      sIds <- Gen.pick(nS, 0 until 30)
+      sVals <- Gen.listOfN(nS, Gen.chooseNum(0L, 40L))
+      matched <- Gen.listOfN(2, clGen).map(_.take(2))
+      nM <- Gen.chooseNum(0, 2)
+      withInsert <- Gen.oneOf(true, false)
+      insCond <- Gen.chooseNum(0, 1) // none / s.v even
+      withBySource <- Gen.oneOf(true, false)
+      bySrc <- clGen
+    } yield (tVals, sIds.toSeq.zip(sVals), matched.take(nM), withInsert,
+      insCond, withBySource, bySrc)
+
+    def condCol(c: Int): Option[org.apache.spark.sql.Column] = c match {
+      case 0 => None
+      case 1 => Some(col("s.v") % 2 === 0)
+      case 2 => Some(col("t.v") >= 20L)
+    }
+    def condHolds(c: Int, sv: Option[Long], tv: Long): Boolean = c match {
+      case 0 => true
+      case 1 => sv.exists(_ % 2 == 0) // NULL s.v → doesn't match
+      case 2 => tv >= 20L
+    }
+
+    forAll(scenarioGen, n = 6) {
+      case (tVals, sRows, matchedCls, withInsert, insCond, withBySource, bySrcCl) =>
+        val dir = java.nio.file.Files.createTempDirectory("mi-prop").toString
+        val t = IcebergLikeTable(spark, s"$dir/t", "event")
+        val target = tVals.zipWithIndex.map { case (v, i) =>
+          (i.toLong, if (i % 2 == 0) "view" else "click", v)
+        }
+        t.append(target.toDF("id", "event", "v").repartition(3))
+        val source = sRows.map { case (i, v) => (i.toLong, v) }
+        val matched: Seq[MergeWhen] = matchedCls.map(c =>
+          if (c.isDelete) MergeDelete(condCol(c.cond))
+          else MergeUpdate(condCol(c.cond), Seq("v" -> col("s.v"))))
+        val notMatched =
+          if (!withInsert) Nil
+          else Seq(MergeInsert(condCol(insCond), Seq(
+            "id" -> col("s.id"), "event" -> lit("ins"), "v" -> col("s.v"))))
+        val bySource: Seq[MergeWhen] =
+          if (!withBySource) Nil
+          else Seq(
+            if (bySrcCl.isDelete) MergeDelete(condCol(bySrcCl.cond))
+            else MergeUpdate(condCol(bySrcCl.cond), Seq("v" -> (col("t.v") + 100L))))
+        if (matched.isEmpty && notMatched.isEmpty && bySource.isEmpty) ()
+        else {
+          val r = t.mergeInto(source.toDF("id", "v"),
+            on = col("t.id") === col("s.id"),
+            matched = matched, notMatched = notMatched,
+            notMatchedBySource = bySource)
+
+          // reference fold
+          val srcByKey = source.toMap
+          var expect = Map.empty[Long, (String, Long)]
+          var (mu, md, mi) = (0L, 0L, 0L)
+          target.foreach { case (id, ev, v) =>
+            srcByKey.get(id) match {
+              case Some(sv) =>
+                matched.zip(matchedCls).find { case (_, c) =>
+                  condHolds(c.cond, Some(sv), v) } match {
+                  case Some((_: MergeDelete, _)) => md += 1
+                  case Some((_: MergeUpdate, _)) =>
+                    mu += 1; expect += id -> (ev, sv)
+                  case None => expect += id -> (ev, v)
+                }
+              case None =>
+                (bySource.headOption, Some(bySrcCl)) match {
+                  case (Some(cl), Some(c)) if condHolds(c.cond, None, v) =>
+                    cl match {
+                      case _: MergeDelete => md += 1
+                      case _: MergeUpdate => mu += 1; expect += id -> (ev, v + 100L)
+                    }
+                  case _ => expect += id -> (ev, v)
+                }
+            }
+          }
+          source.foreach { case (id, sv) =>
+            if (!target.exists(_._1 == id)) {
+              if (withInsert && condHolds(insCond, Some(sv), 0L)) {
+                mi += 1; expect += id -> ("ins", sv)
+              }
+            }
+          }
+          val got = t.read.collect()
+            .map(row => row.getAs[Long]("id") ->
+              (row.getAs[String]("event"), row.getAs[Long]("v"))).toMap
+          assert(got == expect,
+            s"diverged: extra=${got.toSet -- expect.toSet} " +
+              s"missing=${expect.toSet -- got.toSet} " +
+              s"(matched=$matchedCls ins=$withInsert/$insCond by=$withBySource/$bySrcCl)")
+          assert((r.updated, r.deleted, r.inserted) == ((mu, md, mi)),
+            s"stats diverged: got $r expected ($mu,$md,$mi)")
+        }
+    }
+  }
+
   test("valid records round-trip through parse unchanged (multiset property)") {
     val df = Generator.frame(spark, 400, seed = 13, hour, invalidEvery = 8)
     val (ok, _) = Validator.route(Validator.validate(df, "payload", "B"))

@@ -184,6 +184,43 @@ class UpdateMergeIntoSpec extends SparkTestBase {
     assert(t.read.filter(col("amount") === 0L).count() == 3)
   }
 
+  test("update: CDC across the commit shows only truly changed rows") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("upd_cdc").toString + "/t",
+      "event", Seq("user_id"), numBuckets = 2)
+    t.write(base.withColumn("seq", lit(1L)), "seq")
+    val v1 = t.currentVersion.get
+    t.update(col("user_id") === "u2", Seq("amount" -> lit(99L)))
+    val v2 = t.currentVersion.get
+    val ch = t.changesBetween(v1, v2)
+    // the file rewrite carried u1/u3/u4 value-identical — suppressed;
+    // only u2's pre/post images surface
+    assert(ch.count() == 2)
+    val types = ch.select("_change_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getAs[String]("user_id"))).toSet
+    assert(types == Set(("update_preimage", "u2"), ("update_postimage", "u2")))
+  }
+
+  test("maintainWhere: partition-scoped compaction touches only implied leaves") {
+    val t = freshTable("mw")
+    for (_ <- 1 to 3) t.append(base.coalesce(1)) // 3 files per event leaf
+    val before = t.filesFor(lit(true))
+    assert(before.count(_.startsWith("event=view/")) == 3)
+    val rewritten = t.maintainWhere(col("event") === "view")
+    assert(rewritten == Seq("view"))
+    val after = t.filesFor(lit(true))
+    assert(after.count(_.startsWith("event=view/")) == 1, "view compacted")
+    assert(after.count(_.startsWith("event=click/")) == 3, "click untouched")
+    assert(before.filter(_.startsWith("event=click/")).toSet ==
+      after.filter(_.startsWith("event=click/")).toSet)
+    assert(t.read.count() == 12)
+    // a predicate implying nothing is a no-op commit-wise
+    val v = t.currentVersion.get
+    assert(t.maintainWhere(col("event") === "absent").isEmpty)
+    assert(t.currentVersion.contains(v))
+  }
+
   test("mergeInto: candidate pruning rewrites only implied files") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
