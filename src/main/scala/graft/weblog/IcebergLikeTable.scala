@@ -2053,6 +2053,70 @@ final case class IcebergLikeTable(
       }
     }
 
+  /** DYNAMIC partition overwrite (Iceberg/Delta's
+    * `partitionOverwriteMode=dynamic`, Hive's classic INSERT OVERWRITE
+    * with dynamic partitions): ONE snapshot commit that replaces
+    * exactly the partition leaves the batch writes to — every other
+    * leaf carries over by reference, untouched. Replaced leaves drop
+    * their delete files too (every data file they applied to is gone
+    * with the leaf). At 100 TB this is the idempotent daily-backfill
+    * primitive: re-running a day's pipeline swaps that day's leaves
+    * and never rewrites — or even lists — the rest of the table.
+    * An empty batch replaces nothing (no leaves written → full carry).
+    */
+  def overwritePartitions(df: DataFrame,
+      appendId: Option[(String, Long)] = None): Unit =
+    withCommitRetry {
+      val (liveVersion, snap) = resolveLive()
+      if (!alreadyApplied(snap.meta, appendId)) {
+        val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
+        commit(withBucket(withDerivedPartition(df)), liveVersion, snap, extra)(
+          fresh => {
+            val replaced = fresh.map(leafOf).toSet
+            snap.files.filterNot(f => replaced.contains(leafOf(f)))
+          })
+      }
+    }
+
+  /** Conditional overwrite (Delta's `replaceWhere`): atomically delete
+    * the rows matching `condition` and insert `df`, in ONE snapshot
+    * commit — the arbitrary-predicate backfill (`ts BETWEEN ...`) that
+    * dynamic partition overwrite can't scope. Every batch row must
+    * satisfy the predicate (checked up front, Delta's constraint), so
+    * the operation is exactly "replace the predicate's region".
+    * Discovery composes the table's stats/bloom pruning and rewrites
+    * only files that actually CONTAIN matches (their non-matching
+    * neighbours are carried value-identical through the rewrite);
+    * everything else carries over by reference. Returns rows removed.
+    */
+  def replaceWhere(condition: Column, df: DataFrame): Long = {
+    require(df.filter(!coalesce(condition, lit(false))).isEmpty,
+      "replaceWhere: the batch contains rows that do not satisfy the " +
+        "predicate — the region being replaced must cover every new row")
+    withCommitRetry {
+      val (liveVersion, snap) = resolveLive()
+      val previous = snap.files
+      val newRows = withBucket(withDerivedPartition(df))
+      val hits =
+        if (previous.isEmpty) Array.empty[(String, Long)]
+        else fileHits(snap, condition,
+          prunedFiles(snap, storedSchema(snap.meta), condition))
+      val deleted = hits.map(_._2).sum
+      val affectedFiles = hits.map(_._1).toSet
+      require(affectedFiles.subsetOf(previous.toSet),
+        s"replaceWhere discovery resolved files outside the snapshot: " +
+          s"${affectedFiles.diff(previous.toSet).take(3).mkString(", ")}")
+      val content =
+        if (affectedFiles.isEmpty) newRows
+        else morRead(snap, affectedFiles.toSeq.sorted)
+          .filter(!coalesce(condition, lit(false)))
+          .unionByName(newRows)
+      commit(content, liveVersion, snap)(
+        _ => previous.filterNot(affectedFiles))
+      deleted
+    }
+  }
+
   /** Range-CLUSTERED append: rows range-partitioned and sorted on
     * `clusterCols` before the write, so each emitted file covers a
     * narrow, non-overlapping slice of the cluster-column domain — the
