@@ -1911,6 +1911,148 @@ object WebLogQueries {
              |       strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t_click,
              |       strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t_purchase
              |FROM s3 JOIN s2 ON s3.uid = s2.uid JOIN s1 ON s3.uid = s1.uid
-             |ORDER BY user_id""".stripMargin.replace("\n", " ")))
+             |ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    // S10 conditional overwrite (Delta's replaceWhere / Iceberg's
+    // overwrite-by-filter): atomically delete the predicate's region
+    // and insert the new batch in ONE snapshot commit — the
+    // arbitrary-predicate backfill that dynamic partition overwrite
+    // can't scope. Partitioned by day so the proof booleans are exact:
+    // only day=2 files are rewritten, every other file carries over BY
+    // REFERENCE (path-identical in the new manifest), and the
+    // removed-row count reconciles against the oracle.
+    Q("weblog_replace_where",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "replwhere", d) + "/t", "day")
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          col("user_id"),
+          dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 3)
+        for (day <- 1 to 3) t.append(ev.filter(col("day") === day))
+        val before = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val removed = t.replaceWhere(col("day") === 2,
+          ev.filter(col("day") === 2 && col("user_id") % 10 =!= 3))
+        val after = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val onlyDay2 = (before.diff(after) ++ after.diff(before))
+          .forall(_.startsWith("day=2/"))
+        val carried = before.filterNot(_.startsWith("day=2/")).subsetOf(after)
+        t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .select(col("event"), col("cnt"),
+            lit(removed).as("removed"),
+            lit(onlyDay2).as("only_day2_rewritten"),
+            lit(carried).as("carried_by_reference"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) = 2) AS removed,
+             |  TRUE AS only_day2_rewritten, TRUE AS carried_by_reference
+             |FROM events WHERE day(ts) <= 3 AND (day(ts) <> 2 OR user_id % 10 <> 3)
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // S10 dynamic partition overwrite (Iceberg/Delta
+    // partitionOverwriteMode=dynamic, Hive's INSERT OVERWRITE with
+    // dynamic partitions): ONE commit replaces exactly the partitions
+    // the batch writes to; everything else carries by reference — the
+    // idempotent daily-backfill primitive at 100 TB. The keyed-table
+    // leg proves the replacement unit is the PARTITION, not the
+    // (partition, bucket) leaf: a batch hashing into a SUBSET of the
+    // partition's buckets must still evict the stale sibling buckets.
+    Q("weblog_overwrite_dynamic",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "dynover", d) + "/t", "day")
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          col("user_id"),
+          dayofmonth(col("ts")).as("day"))
+          .filter(col("day") <= 3)
+        for (day <- 1 to 3) t.append(ev.filter(col("day") === day))
+        val before = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val batch = ev.filter(col("day") === 2 && col("user_id") % 10 =!= 3)
+        t.overwritePartitions(batch)
+        val after = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val onlyDay2 = (before.diff(after) ++ after.diff(before))
+          .forall(_.startsWith("day=2/"))
+        val carried = before.filterNot(_.startsWith("day=2/")).subsetOf(after)
+        // keyed leg: one-key batch → one bucket written, whole partition swapped
+        val k = IcebergLikeTable(s, scratch(s, "dynoverk", d) + "/t", "day",
+          uniqueKeys = Seq("id"), numBuckets = 8)
+        val keyed = Tables.events(s, d).select(
+          concat(lit("e"), col("event_id").cast("string")).as("id"),
+          col("event_type").as("event"),
+          dayofmonth(col("ts")).as("day"),
+          lit(1L).as("seq"))
+          .filter(col("day") <= 2)
+        k.write(keyed, "seq")
+        import s.implicits._
+        k.overwritePartitions(
+          Seq(("k99", "view", 2, 2L)).toDF("id", "event", "day", "seq"))
+        val keyedComplete =
+          k.read.filter(col("day") === 2).count() == 1L &&
+            k.read.filter(col("day") === 1).count() ==
+              keyed.filter(col("day") === 1).count()
+        t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .select(col("event"), col("cnt"),
+            lit(onlyDay2).as("only_day2_swapped"),
+            lit(carried).as("carried_by_reference"),
+            lit(keyedComplete).as("keyed_partition_complete"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |  TRUE AS only_day2_swapped, TRUE AS carried_by_reference,
+             |  TRUE AS keyed_partition_complete
+             |FROM events WHERE day(ts) <= 3 AND (day(ts) <> 2 OR user_id % 10 <> 3)
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
+    // Insert-only MERGE (the "insert if not exists" ingest pattern):
+    // duplicate source matches per target row are LEGAL (the SQL
+    // cardinality check only covers update/delete clauses) and the
+    // matched target row must survive exactly once; with no matched
+    // clause the commit is a pure APPEND — every previous file carries
+    // by reference (Delta's insert-only merge optimization). The source
+    // deliberately contains day-1 pairs twice (once directly, once via
+    // the day-2 overlap) to exercise the duplicate-match path.
+    Q("weblog_merge_insert_only",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "insonly", d) + "/t", "event")
+        val pairs = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          col("user_id"),
+          dayofmonth(col("ts")).as("day"))
+        val p1 = pairs.filter(col("day") === 1).select("event", "user_id").distinct()
+        val p2 = pairs.filter(col("day") === 2).select("event", "user_id").distinct()
+        t.append(p1)
+        val before = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        val res = t.mergeInto(p1.unionByName(p2),
+          on = col("t.event") === col("s.event") &&
+            col("t.user_id") === col("s.user_id"),
+          notMatched = Seq(IcebergLikeTable.MergeInsert(None, Seq(
+            "event" -> col("s.event"), "user_id" -> col("s.user_id")))))
+        val after = t.files.filter(!col("is_delete"))
+          .select("file").collect().map(_.getString(0)).toSet
+        t.read.groupBy("event").agg(count(lit(1)).as("pairs"))
+          .select(col("event"), col("pairs"),
+            lit(res.inserted).as("inserted"),
+            lit(res.updated == 0L && res.deleted == 0L).as("no_rewrites"),
+            lit(before.subsetOf(after)).as("files_carried"))
+          .orderBy("event")
+      },
+      Some("""WITH p1 AS (SELECT DISTINCT user_id, event_type AS event
+             |            FROM events WHERE day(ts) = 1),
+             |p2 AS (SELECT DISTINCT user_id, event_type AS event
+             |       FROM events WHERE day(ts) = 2),
+             |allp AS (SELECT * FROM p1 UNION SELECT * FROM p2)
+             |SELECT event, CAST(count(*) AS BIGINT) AS pairs,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM p2
+             |   WHERE NOT EXISTS (SELECT 1 FROM p1
+             |     WHERE p1.user_id = p2.user_id AND p1.event = p2.event)) AS inserted,
+             |  TRUE AS no_rewrites, TRUE AS files_carried
+             |FROM allp GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")))
   )
 }

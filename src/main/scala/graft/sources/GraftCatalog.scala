@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -701,11 +701,21 @@ private[sources] object GraftFilterBridge {
 }
 
 private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
-    desc: GraftCatalog.Descriptor) extends WriteBuilder with SupportsTruncate {
+    desc: GraftCatalog.Descriptor) extends WriteBuilder
+    with SupportsTruncate with SupportsDynamicOverwrite {
 
   private var overwriteAll = false
+  private var overwriteDynamic = false
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  // partitionOverwriteMode=dynamic INSERT OVERWRITE: the analyzer sees
+  // OVERWRITE_DYNAMIC in capabilities() and plans
+  // OverwritePartitionsDynamic — without this hook write planning
+  // fails instead of falling back to truncate
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwriteDynamic = true; this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -720,7 +730,8 @@ private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
             .filter(_.nonEmpty)
           val nFiles = desc.props.get("write.cluster-files")
             .map(_.toInt).getOrElse(16)
-          if (overwriteAll || overwrite) table.overwrite(data)
+          if (overwriteDynamic) table.overwritePartitions(data)
+          else if (overwriteAll || overwrite) table.overwrite(data)
           else if (table.uniqueKeys.isEmpty) clusterBy match {
             case Some(cols) => table.appendClustered(data, cols, nFiles)
             case None => table.append(data)

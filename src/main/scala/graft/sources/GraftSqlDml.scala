@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, AttributeSet, Expression, PredicateHelper, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftbridge.StreamingFrameBridge
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -79,6 +79,21 @@ final case class GraftDmlRule(session: SparkSession)
           })
           GraftDeleteCommand(tbl, cond)
         case _ => dft
+      }
+
+    // dynamic-partition INSERT OVERWRITE (partitionOverwriteMode=
+    // dynamic): Spark's OverwritePartitionsDynamic node demands a
+    // native BatchWrite capability the V1 bridge cannot provide; the
+    // engine's one-commit leaf swap IS the dynamic overwrite, so the
+    // resolved plan bridges straight to
+    // [[IcebergLikeTable.overwritePartitions]]. Rewritten here (post-
+    // resolution, pre-check), so TableCapabilityCheck never sees it.
+    case o: OverwritePartitionsDynamic if o.resolved && o.query.resolved =>
+      o.table match {
+        case GraftTarget(rel, tbl) if tbl.pinned.isEmpty =>
+          GraftDynamicOverwriteCommand(tbl.iceberg, o.query,
+            rel.output.map(_.name))
+        case _ => o
       }
 
     case u: UpdateTable if u.resolved && u.childrenResolved =>
@@ -200,6 +215,20 @@ private[sources] final case class GraftDeleteCommand(
     table: GraftSqlTable, condition: Column) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     table.deleteRows(condition)
+    Seq.empty
+  }
+}
+
+private[sources] final case class GraftDynamicOverwriteCommand(
+    table: IcebergLikeTable, queryPlan: LogicalPlan,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    // the query is already resolved/coerced against the table schema;
+    // positional inserts may carry different output NAMES, so rebind
+    // to the table's column names before the engine routes leaves
+    val df = StreamingFrameBridge.ofRows(sparkSession, queryPlan)
+      .toDF(cols: _*)
+    table.overwritePartitions(df)
     Seq.empty
   }
 }

@@ -741,15 +741,27 @@ final case class IcebergLikeTable(
   private def fileSeqExpr: Column =
     regexp_extract(input_file_name(), "part-v(\\d+)-", 1).cast("long")
 
+  /** The table root as it appears INSIDE `input_file_name()` output:
+    * that function returns the scan file's URI string, which is
+    * percent-ENCODED (space → `%20`, `#` → `%23`), while
+    * `root.toUri.getPath` is decoded. Matching the decoded prefix
+    * against the encoded name extracts "" whenever the root contains
+    * an encodable character — and since BOTH the delete-file write side
+    * and the scan side key on the extraction, every ("", ordinal)
+    * tuple would cross-match across files: silent over-deletion. All
+    * path-identity expressions quote THIS raw form instead; for plain
+    * ASCII roots it is byte-identical to the decoded path.
+    */
+  private lazy val rawRootPattern: String =
+    java.util.regex.Pattern.quote(new java.net.URI(null, null,
+      root.toUri.getPath.stripSuffix("/"), null).getRawPath)
+
   /** A row's LEAF PARTITION path relative to the table root, from the
     * same physical name — equality deletes are partition-scoped, like
     * Iceberg's.
     */
-  private def fileLeafExpr: Column = {
-    val rootUri = java.util.regex.Pattern.quote(
-      root.toUri.getPath.stripSuffix("/"))
-    regexp_extract(input_file_name(), s"$rootUri/(.*)/[^/]*$$", 1)
-  }
+  private def fileLeafExpr: Column =
+    regexp_extract(input_file_name(), s"$rawRootPattern/(.*)/[^/]*$$", 1)
 
   /** MERGE-ON-READ: remove from `df` (a scan over some subset of the
     * snapshot's DATA files — the helper columns are computed from
@@ -798,14 +810,12 @@ final case class IcebergLikeTable(
         "positional delete files are live but the scan did not attach " +
           "row ordinals (internal error: read outside morRead)")
       val fileC = "_graft_frel"
-      val rootUri = java.util.regex.Pattern.quote(
-        root.toUri.getPath.stripSuffix("/"))
       val pd = spark.read.parquet(posDels.map(e => s"$path/${e.path}"): _*)
         .select(col(PosDelFile).as("_graft_d_file"),
           col(PosDelPos).as("_graft_d_pos"))
       base0
         .withColumn(fileC,
-          regexp_extract(input_file_name(), s"$rootUri/(.*)$$", 1))
+          regexp_extract(input_file_name(), s"$rawRootPattern/(.*)$$", 1))
         .join(broadcast(pd),
           col(fileC) === col("_graft_d_file") &&
             col(PosCol) === col("_graft_d_pos"), "left_anti")
@@ -2072,8 +2082,17 @@ final case class IcebergLikeTable(
         val extra = appendId.map { case (s, b) => hwmKey(s) -> b.toString }.toMap
         commit(withBucket(withDerivedPartition(df)), liveVersion, snap, extra)(
           fresh => {
-            val replaced = fresh.map(leafOf).toSet
-            snap.files.filterNot(f => replaced.contains(leafOf(f)))
+            // the replacement unit is the PARTITION, not the physical
+            // leaf: on a keyed table a leaf is (partition, bucket) and
+            // the batch only hashes into SOME buckets — matching full
+            // leaves would silently carry the partition's other buckets
+            // and mix stale rows into a "replaced" partition. Keying on
+            // the partition path prefix replaces the whole partition.
+            val partKey: String => String =
+              if (uniqueKeys.isEmpty) leafOf
+              else f => { val i = f.indexOf('/'); if (i < 0) "" else f.substring(0, i) }
+            val replaced = fresh.map(partKey).toSet
+            snap.files.filterNot(f => replaced.contains(partKey(f)))
           })
       }
     }
@@ -2097,23 +2116,30 @@ final case class IcebergLikeTable(
       val (liveVersion, snap) = resolveLive()
       val previous = snap.files
       val newRows = withBucket(withDerivedPartition(df))
+      val candidates =
+        if (previous.isEmpty) Nil
+        else prunedFiles(snap, storedSchema(snap.meta), condition)
       val hits =
-        if (previous.isEmpty) Array.empty[(String, Long)]
-        else fileHits(snap, condition,
-          prunedFiles(snap, storedSchema(snap.meta), condition))
+        if (candidates.isEmpty) Array.empty[(String, Long)]
+        else fileHits(snap, condition, candidates)
       val deleted = hits.map(_._2).sum
       val affectedFiles = hits.map(_._1).toSet
       require(affectedFiles.subsetOf(previous.toSet),
         s"replaceWhere discovery resolved files outside the snapshot: " +
           s"${affectedFiles.diff(previous.toSet).take(3).mkString(", ")}")
-      val content =
-        if (affectedFiles.isEmpty) newRows
-        else morRead(snap, affectedFiles.toSeq.sorted)
-          .filter(!coalesce(condition, lit(false)))
-          .unionByName(newRows)
-      commit(content, liveVersion, snap)(
-        _ => previous.filterNot(affectedFiles))
-      deleted
+      // nothing to delete AND nothing to insert → no snapshot at all
+      // (replaying an empty backfill must not churn versions)
+      if (affectedFiles.isEmpty && newRows.isEmpty) 0L
+      else {
+        val content =
+          if (affectedFiles.isEmpty) newRows
+          else morRead(snap, affectedFiles.toSeq.sorted)
+            .filter(!coalesce(condition, lit(false)))
+            .unionByName(newRows)
+        commit(content, liveVersion, snap)(
+          _ => previous.filterNot(affectedFiles))
+        deleted
+      }
     }
   }
 
@@ -2349,6 +2375,33 @@ final case class IcebergLikeTable(
   def delete(condition: Column): Long =
     withCommitRetry { deleteOnce(condition) }
 
+  /** Per-FILE hit counts for `condition` in one pass over the candidate
+    * files: the rewrite unit of [[delete]] and [[replaceWhere]] is the
+    * files that actually CONTAIN matches — a survivor file in the same
+    * leaf carries over untouched (Iceberg's copy-on-write rewrites
+    * matched data files, not whole partitions). The file name is
+    * captured ON the scan (before applyDeletes' joins —
+    * input_file_name is empty after an exchange), and the hit count
+    * runs over MOR-LIVE rows only: a row an equality-delete file
+    * already removed must not be re-counted or "re-deleted". Returns
+    * (root-relative file path, matching live rows) pairs; result size
+    * is O(candidate files), a manifest-scale driver collect.
+    */
+  private def fileHits(snap: TableSnapshot, condition: Column,
+      candidates: Seq[String]): Array[(String, Long)] = {
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    applyDeletes(snap,
+        readFileSetEvolved(snap, candidates, needsPos(snap))
+          .withColumn("_f", input_file_name()))
+      .filter(condition)
+      .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
+      .collect()
+      .map { r =>
+        val p = new java.net.URI(r.getString(0)).getPath
+        p.stripPrefix(rootUri).stripPrefix("/") -> r.getLong(1)
+      }
+  }
+
   private def deleteOnce(condition: Column): Long = {
     val (liveVersion, snap) = resolveLive()
     val previous = snap.files
@@ -2360,25 +2413,7 @@ final case class IcebergLikeTable(
     // the whole snapshot
     val candidates = prunedFiles(snap, schema, condition)
     if (candidates.isEmpty) return 0L
-    // per-FILE hit counts in one pass over the candidates: the rewrite
-    // unit is the files that actually contain matches — a survivor file
-    // in the same leaf carries over untouched (Iceberg's copy-on-write
-    // rewrites matched data files, not whole partitions)
-    val rootUri = root.toUri.getPath.stripSuffix("/")
-    // the file name is captured ON the scan (before applyDeletes' joins
-    // — input_file_name is empty after an exchange), and the hit count
-    // runs over MOR-LIVE rows only: a row an equality-delete file
-    // already removed must not be re-counted or "re-deleted" here
-    val hits = applyDeletes(snap,
-        readFileSetEvolved(snap, candidates, needsPos(snap))
-          .withColumn("_f", input_file_name()))
-      .filter(condition)
-      .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
-      .collect()
-      .map { r =>
-        val p = new java.net.URI(r.getString(0)).getPath
-        p.stripPrefix(rootUri).stripPrefix("/") -> r.getLong(1)
-      }
+    val hits = fileHits(snap, condition, candidates)
     if (hits.isEmpty) return 0L
     val deleted = hits.map(_._2).sum
     val affectedFiles = hits.map(_._1).toSet
@@ -2431,24 +2466,23 @@ final case class IcebergLikeTable(
       }
     }
     set.foreach { case (c, _) =>
-      require(c != bucketCol && (transform.isDefined || c != partitionCol),
-        s"cannot update layout column '$c'")
+      // the derived hidden-partition column is refused even when a
+      // transform is declared: commit's withDerivedPartition re-derives
+      // it from the source column, so an assignment here would be
+      // accepted but silently discarded — update the transform's SOURCE
+      // column instead (rows then migrate leaves correctly)
+      require(c != bucketCol && c != partitionCol,
+        if (transform.isDefined && c == partitionCol)
+          s"cannot update derived partition column '$c' — it is " +
+            s"re-derived from '${transform.get.source}' at commit; " +
+            "update the source column instead"
+        else s"cannot update layout column '$c'")
     }
     val candidates = prunedFiles(snap, schema, condition)
     if (candidates.isEmpty) return 0L
     // same one-pass file-hit discovery as deleteOnce: the rewrite unit
     // is files that actually CONTAIN matches
-    val rootUri = root.toUri.getPath.stripSuffix("/")
-    val hits = applyDeletes(snap,
-        readFileSetEvolved(snap, candidates, needsPos(snap))
-          .withColumn("_f", input_file_name()))
-      .filter(condition)
-      .groupBy(col("_f")).agg(count(lit(1)).as("_n"))
-      .collect()
-      .map { r =>
-        val p = new java.net.URI(r.getString(0)).getPath
-        p.stripPrefix(rootUri).stripPrefix("/") -> r.getLong(1)
-      }
+    val hits = fileHits(snap, condition, candidates)
     if (hits.isEmpty) return 0L
     val updated = hits.map(_._2).sum
     val affectedFiles = hits.map(_._1).toSet
@@ -2651,12 +2685,41 @@ final case class IcebergLikeTable(
           .otherwise(0L)).as("d"),
         sum(when(!tOn && sOn && insertKeep, 1L).otherwise(0L)).as("i")).head()
       def n(i: Int): Long = if (stats.isNullAt(i)) 0L else stats.getLong(i)
-      val result0 = joined
-        .withColumn("_graft_keep", keep)
-        .filter(col("_graft_keep"))
-        .select(valueCols: _*)
+      val insertOnly = matched.isEmpty && notMatchedBySource.isEmpty
+      val result0 =
+        if (insertOnly)
+          // Insert-only MERGE (the "insert if not exists" pattern): no
+          // clause can alter a target row, so NOTHING is rewritten —
+          // the commit appends only the inserted rows and every
+          // previous file carries over by reference (Delta's
+          // insert-only merge optimization). This also makes duplicate
+          // source matches per target row harmless — legal here, since
+          // the SQL cardinality check only applies to update/delete
+          // clauses — because matched target rows never flow through
+          // the join output at all.
+          joined.filter(!tOn && sOn && insertKeep).select(valueCols: _*)
+        else if (matched.isEmpty) {
+          // WHEN NOT MATCHED BY SOURCE without WHEN MATCHED: matched
+          // target rows pass through value-identical, but a target row
+          // matching N source rows appears N times in the full join (no
+          // cardinality check ran) — keep exactly one copy per target
+          // row id. Inserts (null TRid) are exempt from the dedup.
+          val TOnF = "_graft_t_on"
+          val kept = joined
+            .withColumn("_graft_keep", keep).filter(col("_graft_keep"))
+            .withColumn(TOnF, tOn)
+            .select((valueCols :+ col(TRid) :+ col(TOnF)): _*)
+          kept.filter(col(TOnF)).dropDuplicates(TRid)
+            .unionByName(kept.filter(!col(TOnF)))
+            .drop(TRid, TOnF)
+        } else joined
+          .withColumn("_graft_keep", keep)
+          .filter(col("_graft_keep"))
+          .select(valueCols: _*)
       val result = if (uniqueKeys.isEmpty) result0 else withBucket(result0)
-      commit(result, liveVersion, snap)(_ => previous.filterNot(candidateSet))
+      val carryOver: Seq[String] =
+        if (insertOnly) previous else previous.filterNot(candidateSet)
+      commit(result, liveVersion, snap)(_ => carryOver)
       MergeIntoResult(updated = n(0), deleted = n(1), inserted = n(2))
     } finally joined.unpersist()
   }
@@ -2861,17 +2924,17 @@ final case class IcebergLikeTable(
     val schema = storedSchema(snap.meta)
     val candidates = prunedFiles(snap, schema, condition)
     if (candidates.isEmpty) return 0L
-    val rootUri = java.util.regex.Pattern.quote(
-      root.toUri.getPath.stripSuffix("/"))
     val fileC = "_graft_dfile"
     // (file, ordinal) is captured ON the scan (ordinal from the scan
     // attach, file name before any exchange); the match runs over
     // MOR-LIVE rows only — a row an existing delete file already masks
-    // must not be re-tombstoned (keeps tuples disjoint across commits)
+    // must not be re-tombstoned (keeps tuples disjoint across commits).
+    // The extraction quotes the ENCODED root ([[rawRootPattern]]) so the
+    // stored tuple path is never "" on an encodable root.
     val matched = applyDeletes(snap,
         readFileSetEvolved(snap, candidates, withPos = true)
           .withColumn(fileC,
-            regexp_extract(input_file_name(), s"$rootUri/(.*)$$", 1)))
+            regexp_extract(input_file_name(), s"$rawRootPattern/(.*)$$", 1)))
       .filter(condition)
       .select(partCols.map(col) :+ col(fileC).as(PosDelFile) :+
         col(PosCol).as(PosDelPos): _*)

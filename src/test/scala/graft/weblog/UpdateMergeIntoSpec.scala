@@ -68,6 +68,58 @@ class UpdateMergeIntoSpec extends SparkTestBase {
     assert(keyed.read.filter(col("user_id") === "u9").head.getAs[Long]("amount") == 77L)
   }
 
+  test("mergeInto: insert-only merge never duplicates matched target rows, appends only") {
+    import spark.implicits._
+    val t = freshTable("mi_insonly")
+    t.append(base.coalesce(1))
+    val before = t.filesFor(lit(true)).toSet
+    // u1 matches TWICE (legal for insert-only MERGE — the cardinality
+    // check only applies to update/delete clauses); u9 is new
+    val src = Seq(("u1", 1L), ("u1", 2L), ("u9", 900L)).toDF("uid", "amt")
+    val r = t.mergeInto(src, on = col("t.user_id") === col("s.uid"),
+      notMatched = Seq(MergeInsert(None, Seq(
+        "user_id" -> col("s.uid"), "event" -> lit("view"),
+        "amount" -> col("s.amt")))))
+    assert(r == IcebergLikeTable.MergeIntoResult(0, 0, 1))
+    // the multiply-matched target row survives exactly once, value-identical
+    assert(t.read.filter(col("user_id") === "u1").count() == 1)
+    assert(t.read.filter(col("user_id") === "u1").head.getAs[Long]("amount") == 10L)
+    assert(t.read.count() == 5)
+    // insert-only merge is an APPEND: every previous file carries by reference
+    val after = t.filesFor(lit(true)).toSet
+    assert(before.subsetOf(after), "insert-only merge must not rewrite target files")
+  }
+
+  test("mergeInto: BY-SOURCE-only merge keeps multiply-matched target rows once") {
+    import spark.implicits._
+    val t = freshTable("mi_bysrc_dup")
+    t.append(base.coalesce(1))
+    // u1 matches two source rows; no WHEN MATCHED clause exists, so no
+    // cardinality check runs — u1 must still survive exactly once
+    val src = Seq(("u1", 1L), ("u1", 2L)).toDF("uid", "amt")
+    val r = t.mergeInto(src, on = col("t.user_id") === col("s.uid"),
+      notMatchedBySource = Seq(MergeUpdate(None, Seq("amount" -> lit(0L)))))
+    assert(r.updated == 3L)
+    assert(t.read.count() == 4)
+    assert(t.read.filter(col("user_id") === "u1").count() == 1)
+    assert(t.read.filter(col("user_id") === "u1").head.getAs[Long]("amount") == 10L)
+    assert(t.read.filter(col("amount") === 0L).count() == 3)
+  }
+
+  test("update refuses SET on the derived hidden partition column") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("upd_hp_guard").toString + "/t",
+      partitionCol = "pday", partitionTransform = Some("days(ts)"))
+    val d1 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    t.append(Seq(("a", d1)).toDF("id", "ts"))
+    // commit re-derives pday from ts — accepting the assignment would
+    // silently discard it
+    val ex = intercept[IllegalArgumentException](
+      t.update(col("id") === "a", Seq("pday" -> lit(19785L))))
+    assert(ex.getMessage.contains("re-derived"))
+  }
+
   test("update on a hidden-partition source column migrates the row's leaf") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
