@@ -55,8 +55,13 @@ object Bench {
     // and cross-round comparisons stay consistent, while the isolated
     // reruns prove whether a regression is the plan's cost or the
     // session JVM's.
+    // r8 additions: q_markov_attribution (1.56×), text_sparse_neardup
+    // (1.49×) and weblog_stats_skipping (1.28×) drifted r7→r8 with
+    // unchanged plans — the same shared-JVM signature; their isolated
+    // numbers adjudicate plan cost vs session pressure per round.
     val pinned = Seq("text_freq_stats", "sim_pq_topk", "sim_ivfpq_topk",
-      "text_chunks")
+      "text_chunks", "q_markov_attribution", "text_sparse_neardup",
+      "weblog_stats_skipping")
     val results = inSession
     val isolated = pinned
       .filter(n => inSession.exists(p => p._1 == n && p._2 >= 0))

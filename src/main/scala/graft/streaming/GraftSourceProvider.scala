@@ -36,11 +36,15 @@ import graft.weblog.IcebergLikeTable
   * `event`), `numBuckets` (default 16), `branch` (default `main`).
   * Admission control: `initialChunkLeaves` (default 256) bounds the
   * initial load to that many leaf partitions per chunk,
-  * `maxChunksPerTrigger` (default 1) chunks per micro-batch, and
+  * `maxChunksPerTrigger` (default 1) chunks per micro-batch,
   * `maxVersionsPerTrigger` (default unlimited) caps how many table
-  * versions a caught-up stream advances per micro-batch — a lagging
-  * restart or a 100 TB initial mirror makes bounded, checkpointed
-  * progress instead of one giant batch.
+  * versions a caught-up stream advances per micro-batch, and
+  * `maxBytesPerTrigger` (default unlimited; accepts `128m`/`1g`) caps
+  * the manifest-stamped bytes a micro-batch admits — the size half of
+  * Firehose's size-or-time flush (the reference's 128 MB
+  * buffering_size, web-analytics-parquet/.example.cdk.context.json:10)
+  * — so a lagging restart or a 100 TB initial mirror makes bounded,
+  * checkpointed progress instead of one giant batch.
   *
   * Implemented against the V1 `Source` API (the one `getBatch:
   * DataFrame` surface — Delta Lake's streaming source uses the same),
@@ -139,11 +143,25 @@ final class GraftSourceProvider extends StreamSourceProvider
     val table = tableFor(sqlContext, parameters)
     def intOpt(key: String, default: Int): Int =
       opt(parameters, key).map(_.toInt).getOrElse(default)
+    // "134217728", "128m", "1g" — Firehose-style size budgets read like
+    // the reference's buffering_size knob
+    def bytesOpt(key: String, default: Long): Long =
+      opt(parameters, key).map { raw =>
+        val s = raw.trim.toLowerCase
+        val (num, mult) = s.last match {
+          case 'k' => (s.dropRight(1), 1L << 10)
+          case 'm' => (s.dropRight(1), 1L << 20)
+          case 'g' => (s.dropRight(1), 1L << 30)
+          case _ => (s, 1L)
+        }
+        math.max(1L, (num.toDouble * mult).toLong)
+      }.getOrElse(default)
     new GraftTableSource(sqlContext, table,
       schema.getOrElse(changeSchema(table)),
       maxVersionsPerTrigger = intOpt("maxVersionsPerTrigger", Int.MaxValue),
       initialChunkLeaves = intOpt("initialChunkLeaves", 256),
-      maxChunksPerTrigger = intOpt("maxChunksPerTrigger", 1))
+      maxChunksPerTrigger = intOpt("maxChunksPerTrigger", 1),
+      maxBytesPerTrigger = bytesOpt("maxBytesPerTrigger", Long.MaxValue))
   }
 
   /** `df.writeStream.format("graft")` — the table as a first-class
@@ -317,12 +335,14 @@ private[streaming] final case class GraftChunkOffset(v: Long, c: Int, k: Int)
 private[streaming] final class GraftTableSource(sqlContext: SQLContext,
     table: IcebergLikeTable, declared: StructType,
     maxVersionsPerTrigger: Int, initialChunkLeaves: Int,
-    maxChunksPerTrigger: Int) extends Source
+    maxChunksPerTrigger: Int,
+    maxBytesPerTrigger: Long = Long.MaxValue) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger >= 1, "maxVersionsPerTrigger must be >= 1")
   require(initialChunkLeaves >= 1, "initialChunkLeaves must be >= 1")
   require(maxChunksPerTrigger >= 1, "maxChunksPerTrigger must be >= 1")
+  require(maxBytesPerTrigger >= 1L, "maxBytesPerTrigger must be >= 1")
 
   override def schema: StructType = declared
 
@@ -386,9 +406,17 @@ private[streaming] final class GraftTableSource(sqlContext: SQLContext,
         horizon match {
           case None => null
           case Some(v) =>
-            val k = math.max(1,
-              (table.dataLeavesAt(v).size + initialChunkLeaves - 1)
-                / initialChunkLeaves)
+            // chunk count from BOTH budgets: enough chunks that each
+            // stays under initialChunkLeaves leaves AND (approximately,
+            // equal-leaf-count slicing) under maxBytesPerTrigger bytes —
+            // the Firehose-style size-or-count flush, manifest-resolved
+            val nLeaves = table.dataLeavesAt(v).size
+            val byLeaves = (nLeaves + initialChunkLeaves - 1) / initialChunkLeaves
+            val byBytes =
+              if (maxBytesPerTrigger == Long.MaxValue) 1L
+              else math.min(nLeaves.toLong, // a chunk is at least one leaf
+                (table.dataBytesAt(v) + maxBytesPerTrigger - 1) / maxBytesPerTrigger)
+            val k = math.max(1, math.max(byLeaves.toLong, byBytes).toInt)
             val c = math.min(maxChunksPerTrigger, k)
             if (c >= k) LongOffset(v) else GraftChunkOffset(v, c, k)
         }
@@ -398,10 +426,29 @@ private[streaming] final class GraftTableSource(sqlContext: SQLContext,
       case Some((s, None)) =>
         horizon match {
           case Some(live) if live > s =>
-            LongOffset(math.min(live, s + maxVersionsPerTrigger.toLong))
+            val cap = math.min(live, s + maxVersionsPerTrigger.toLong)
+            LongOffset(byteCapped(s, cap))
           case _ => LongOffset(s) // caught up: unchanged offset, no batch
         }
     }
+  }
+
+  /** Largest end version in (start, cap] whose cumulative ADDED data
+    * bytes (manifest-stamped, zero I/O) stay within maxBytesPerTrigger
+    * — the size half of size-or-count admission. Always admits at
+    * least one version (a single oversized commit must still drain).
+    * An expired start snapshot falls back to the count cap: getBatch
+    * surfaces the real retention error if the window is unreadable.
+    */
+  private def byteCapped(start: Long, cap: Long): Long = {
+    if (maxBytesPerTrigger == Long.MaxValue || cap <= start + 1) return cap
+    try {
+      var e = start + 1
+      while (e < cap &&
+          table.addedBytesBetween(start, e + 1) <= maxBytesPerTrigger)
+        e += 1
+      e
+    } catch { case _: NoSuchElementException => cap }
   }
 
   override def reportLatestOffset():

@@ -1183,6 +1183,24 @@ final case class IcebergLikeTable(
   private[graft] def dataLeavesAt(version: Long): Seq[String] =
     snapshotAt(version).dataFiles.map(leafOf).distinct.sorted
 
+  /** Total stamped bytes of a retained snapshot's data files — the
+    * admission-control weight of an initial streaming load, resolved
+    * from the manifest alone (zero data I/O).
+    */
+  private[graft] def dataBytesAt(version: Long): Long =
+    snapshotAt(version).dataEntries.map(_.size).sum
+
+  /** Stamped bytes of the data files present at `to` but not at
+    * `from` — the admission-control weight of a streaming version
+    * window (what a change read of (from, to] must scan; an upper
+    * bound for keyed tables, whose leaf pruning can only shrink it).
+    * Manifest-only: O(entries), zero data I/O.
+    */
+  private[graft] def addedBytesBetween(from: Long, to: Long): Long = {
+    val base = snapshotAt(from).dataFiles.toSet
+    snapshotAt(to).dataEntries.filterNot(e => base(e.path)).map(_.size).sum
+  }
+
   /** Read a subset of a retained snapshot's leaves (equality deletes
     * applied, layout column hidden) — one bounded chunk of an initial
     * load. Partition pruning applies by construction: only the chunk's

@@ -140,6 +140,61 @@ class GraftStreamSourceSpec extends SparkTestBase {
       s"maxVersionsPerTrigger=1 should deliver 3 single-version batches: $batches")
   }
 
+  test("admission control: maxBytesPerTrigger caps chunks and version advancement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    val src = IcebergLikeTable(spark,
+      Files.createTempDirectory("gss_bytes").toString + "/t", "event", Nil)
+    src.append((0 until 400).map(i => (s"k$i", s"e${i % 4}")).toDF("k", "event"))
+    for (g <- 1 to 3)
+      src.append((0 until 50).map(i => (s"x${g}_$i", "e0")).toDF("k", "event"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("event",
+        org.apache.spark.sql.types.StringType)))
+    def source(maxBytes: Long) = new GraftTableSource(spark.sqlContext, src,
+      schema, maxVersionsPerTrigger = Int.MaxValue,
+      initialChunkLeaves = Int.MaxValue, maxChunksPerTrigger = 1,
+      maxBytesPerTrigger = maxBytes)
+
+    // INITIAL LOAD: a budget of a quarter of the snapshot forces >= 4
+    // byte-sized chunks even though the leaf-count knob allows one
+    val quarter = math.max(1L, src.dataBytesAt(4) / 4)
+    val o1 = source(quarter).latestOffset(null, null).json
+    val re = """\{"v":4,"c":1,"k":(\d+)\}""".r
+    o1 match {
+      case re(k) => assert(k.toInt >= 4, s"byte budget ignored: $o1")
+      case other => fail(s"expected a chunked offset, got $other")
+    }
+    // VERSION ADVANCEMENT from v1: a budget of exactly bytes(v1->v3)
+    // admits v2+v3 and stops before v4
+    val twoCommits = src.addedBytesBetween(1, 3)
+    val oMid = source(twoCommits).latestOffset(SerializedOffset("1"), null)
+    assert(oMid.json == "3", s"expected v3, got ${oMid.json}")
+    // a 1-byte budget still drains one version per trigger (an
+    // oversized commit must not stall the stream)
+    val oStep = source(1L).latestOffset(SerializedOffset("1"), null)
+    assert(oStep.json == "2", s"expected v2, got ${oStep.json}")
+    // unlimited budget jumps straight to live
+    val oAll = source(Long.MaxValue).latestOffset(SerializedOffset("1"), null)
+    assert(oAll.json == "4")
+
+    // end-to-end through the OPTION: a sub-snapshot byte budget splits
+    // the AvailableNow drain into multiple micro-batches, losing nothing
+    val cp = Files.createTempDirectory("gss_bytes_cp").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fold: (Dataset[Row], Long) => Unit = (b, _) => batches += b.count()
+    val q = spark.readStream.format("graft").option("path", src.path)
+      .option("maxBytesPerTrigger", (src.dataBytesAt(4) / 3).toString)
+      .load().writeStream.foreachBatch(fold)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.sum == 550, s"lost rows: $batches")
+    assert(batches.count(_ > 0) >= 2, s"byte budget did not split the drain: $batches")
+  }
+
   test("a checkpoint resume mid-initial-load re-slices identical chunks") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
