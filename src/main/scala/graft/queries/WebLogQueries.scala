@@ -2009,6 +2009,47 @@ object WebLogQueries {
              |FROM events WHERE day(ts) <= 3 AND (day(ts) <> 2 OR user_id % 10 <> 3)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // Z-ORDER layout maintenance (Delta's OPTIMIZE ZORDER BY /
+    // Iceberg's sort-strategy rewrite — the reference delegates
+    // OPTIMIZE to Athena, web-analytics-iceberg/README.md:187): after
+    // unordered appends whose files each span the full (user_id, day)
+    // domain — the proof boolean `unpruned_before` asserts a 2-D box
+    // predicate prunes NOTHING — one maintainZOrder rewrite lays the
+    // table out in Morton order, and the same box then prunes to at
+    // most half the files via the stamped bounds, with the box census
+    // hash-identical to the oracle.
+    Q("weblog_zorder",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "zorder", d) + "/t", "event",
+          Nil, statsColumns = Seq("user_id", "day"))
+        def slice(g: Int) = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 7 &&
+            pmod(col("event_id"), lit(4)) === g)
+          .select(col("event_type").as("event"), col("user_id"),
+            dayofmonth(col("ts")).as("day"))
+        for (g <- 0 to 3) t.append(slice(g))
+        val total = t.filesFor(lit(true)).size
+        val boxPred = col("user_id") <= 40 && col("day") === 3
+        val beforeHit = t.filesFor(boxPred).size
+        val leaves = t.maintainZOrder(Seq("user_id", "day"), targetFiles = 32)
+        val afterTotal = t.filesFor(lit(true)).size
+        val afterHit = t.filesFor(boxPred).size
+        t.readWhere(boxPred)
+          .agg(count(lit(1)).as("rows_box"),
+            countDistinct(col("user_id")).as("users_box"))
+          .select(col("rows_box"), col("users_box"),
+            lit(leaves.nonEmpty).as("rewritten"),
+            lit(beforeHit == total).as("unpruned_before"),
+            lit(afterHit * 2 <= afterTotal).as("pruned_after"))
+      },
+      Some("""SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM events
+             |   WHERE day(ts) = 3 AND user_id <= 40) AS rows_box,
+             |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+             |   WHERE day(ts) = 3 AND user_id <= 40) AS users_box,
+             |  TRUE AS rewritten, TRUE AS unpruned_before,
+             |  TRUE AS pruned_after""".stripMargin.replace("\n", " "))),
+
     // Insert-only MERGE (the "insert if not exists" ingest pattern):
     // duplicate source matches per target row are LEGAL (the SQL
     // cardinality check only covers update/delete clauses) and the

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, FieldReference, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
@@ -606,7 +606,7 @@ private[sources] final class GraftSqlTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
@@ -702,10 +702,11 @@ private[sources] object GraftFilterBridge {
 
 private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
     desc: GraftCatalog.Descriptor) extends WriteBuilder
-    with SupportsTruncate with SupportsDynamicOverwrite {
+    with SupportsTruncate with SupportsDynamicOverwrite with SupportsOverwrite {
 
   private var overwriteAll = false
   private var overwriteDynamic = false
+  private var overwriteFilters: Option[Array[sources.Filter]] = None
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
@@ -715,6 +716,20 @@ private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
   // fails instead of falling back to truncate
   override def overwriteDynamicPartitions(): WriteBuilder = {
     overwriteDynamic = true; this
+  }
+
+  // static-partition INSERT OVERWRITE (`INSERT OVERWRITE t PARTITION
+  // (day=2) ...` in static mode): the analyzer plans
+  // OverwriteByExpression with the partition values as filters — a
+  // predicate-scoped region swap, exactly [[IcebergLikeTable
+  // .replaceWhere]]. The translation must be EXACT (a superset
+  // predicate would over-delete), so an untranslatable filter refuses
+  // loudly instead of truncating.
+  override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_ == sources.AlwaysTrue()))
+      overwriteAll = true
+    else overwriteFilters = Some(filters)
+    this
   }
 
   override def build(): Write = new V1Write {
@@ -731,6 +746,15 @@ private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
           val nFiles = desc.props.get("write.cluster-files")
             .map(_.toInt).getOrElse(16)
           if (overwriteDynamic) table.overwritePartitions(data)
+          else if (overwriteFilters.isDefined) {
+            val cond = overwriteFilters.get
+              .map(f => GraftFilterBridge.toColumn(f, exact = true)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"cannot overwrite by filter $f — the " +
+                    "predicate does not translate exactly")))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            table.replaceWhere(cond, data)
+          }
           else if (overwriteAll || overwrite) table.overwrite(data)
           else if (table.uniqueKeys.isEmpty) clusterBy match {
             case Some(cols) => table.appendClustered(data, cols, nFiles)

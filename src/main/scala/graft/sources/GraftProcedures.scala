@@ -36,7 +36,7 @@ private[sources] object GraftProcedures {
 
   def list: Array[Identifier] =
     Array("maintain", "maintain_by_size", "maintain_where",
-      "rewrite_clustered", "expire_snapshots", "vacuum", "rollback",
+      "rewrite_clustered", "zorder", "expire_snapshots", "vacuum", "rollback",
       "evolve_partition_spec")
       .map(Identifier.of(Namespace, _))
 
@@ -152,6 +152,18 @@ private[sources] object GraftProcedures {
         val cols = in.getUTF8String(1).toString.split(",")
           .toSeq.map(_.trim).filter(_.nonEmpty)
         Seq(t.maintainClustered(cols, in.getInt(2), in.getInt(3)).size)
+      }),
+    Proc("zorder",
+      Seq(param("table", StringType),
+        param("zorder_by", StringType),
+        param("target_files", IntegerType, "16")),
+      StructType(new StructType()
+        .add("rewritten_leaves", IntegerType, nullable = false)),
+      (cat, in) => {
+        val t = tableOf(cat, in)
+        val cols = in.getUTF8String(1).toString.split(",")
+          .toSeq.map(_.trim).filter(_.nonEmpty)
+        Seq(t.maintainZOrder(cols, in.getInt(2)).size)
       }),
     Proc("vacuum",
       Seq(param("table", StringType)),

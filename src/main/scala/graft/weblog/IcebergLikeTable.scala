@@ -3136,6 +3136,65 @@ final case class IcebergLikeTable(
   def maintainBySize(targetFileBytes: Long, minFileBytes: Long = 0L): Seq[String] =
     withCommitRetry { maintainBySizeOnce(targetFileBytes, minFileBytes) }
 
+  /** Z-ORDER rewrite (Delta's `OPTIMIZE ... ZORDER BY`, Iceberg's
+    * sort-strategy rewrite with a z-order key): rewrites the table's
+    * data files in Morton-code order over `zCols`
+    * ([[graft.functions.ZOrder]]), so each file covers a small
+    * HYPER-RECTANGLE of the multi-column domain instead of a narrow
+    * slice of one column — a point/box predicate on ANY subset of the
+    * z-columns then prunes to the covering files through the stamped
+    * per-file bounds (declare `zCols` in `statsColumns`). Single-column
+    * locality wants [[maintainClustered]] instead.
+    *
+    * Quantization bounds come from ONE aggregate over the rewritten
+    * rows (O(cols) driver state); the z-key is a pure codegen'd
+    * expression, computed for the exchange and dropped before the
+    * write. Physical partition leaves are preserved (the range
+    * exchange keys on (partition, z)); merge-on-read deletes are
+    * applied by the rewrite and consumed by the commit, exactly like
+    * [[maintain]]. One snapshot commit; time travel keeps the
+    * pre-rewrite layout readable. Returns the rewritten leaves.
+    */
+  def maintainZOrder(zCols: Seq[String], targetFiles: Int = 16): Seq[String] = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      "z-order needs 2-4 columns (single-column: maintainClustered)")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    if (!exists) Nil
+    else withCommitRetry {
+      val (liveVersion, snap) = resolveLive()
+      validateLayout(snap.meta)
+      val previous = snap.files
+      if (previous.isEmpty) Nil
+      else {
+        val df = morRead(snap, snap.dataFiles)
+        zCols.foreach { c =>
+          require(df.columns.contains(c), s"no column '$c' to z-order by")
+          val dt = df.schema(df.schema.fieldIndex(c)).dataType
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"z-order column '$c' must be numeric, got $dt")
+        }
+        // one pass for the quantization bounds; all-null columns span 0
+        val aggs = zCols.flatMap(c => Seq(
+          coalesce(min(col(c)).cast("double"), lit(0.0)),
+          coalesce(max(col(c)).cast("double"), lit(0.0))))
+        val b = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val bitsPer = math.min(16, 62 / zCols.size)
+        val qs = zCols.zipWithIndex.map { case (c, i) =>
+          graft.functions.ZOrder.quantize(col(c),
+            lit(b.getDouble(2 * i)), lit(b.getDouble(2 * i + 1)), bitsPer)
+        }
+        val zKey = "_graft_z"
+        val shaped = df
+          .withColumn(zKey, graft.functions.ZOrder.interleave(qs, bitsPer))
+          .repartitionByRange(targetFiles, (partCols :+ zKey).map(col): _*)
+          .sortWithinPartitions((partCols :+ zKey).map(col): _*)
+          .drop(zKey)
+        commit(shaped, liveVersion, snap)(_ => Nil)
+        previous.map(leafOf).distinct.sorted.map(_.stripPrefix(s"$partitionCol="))
+      }
+    }
+  }
+
   private def maintainBySizeOnce(target: Long, minB: Long): Seq[String] = {
     require(target > 0, "targetFileBytes must be positive")
     val min = if (minB <= 0L) math.max(1L, target * 3 / 4) else minB

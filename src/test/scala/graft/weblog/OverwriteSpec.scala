@@ -156,8 +156,15 @@ class OverwriteSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getInt(1))).toSeq
       assert(rows == Seq(("a", 1), ("e", 3), ("x", 2)),
         s"dynamic overwrite must keep day=1/day=3, got $rows")
-      // STATIC: full truncate-reload
+      // STATIC with a PARTITION clause: OverwriteByExpression(day=3) →
+      // replaceWhere — only that partition's region is swapped
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql("INSERT OVERWRITE govw.web.t PARTITION (day=3) VALUES ('E', 31)")
+      val afterStatic = spark.table("govw.web.t").orderBy("id").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(afterStatic == Seq(("E", 3), ("a", 1), ("x", 2)),
+        s"static partition overwrite must swap only day=3, got $afterStatic")
+      // STATIC without a partition clause: full truncate-reload
       spark.sql("INSERT OVERWRITE govw.web.t VALUES ('z', 9, 1)")
       assert(spark.table("govw.web.t").count() == 1)
     } finally
