@@ -329,6 +329,69 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("overwrite-family sequences agree with a partition-map reference model") {
+    // model-based check of the r9 overwrite family: random sequences of
+    // append / dynamic-partition-overwrite / replaceWhere / full
+    // overwrite over a day-partitioned key-less table, against a
+    // driver-side multiset fold of the documented semantics — dynamic
+    // overwrite replaces exactly the days the batch writes, replaceWhere
+    // replaces exactly the predicate's region and reports the removed
+    // count, appends accumulate, full overwrite resets.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    sealed trait Op
+    final case class App(rows: List[(Long, Int)]) extends Op
+    final case class DynOv(rows: List[(Long, Int)]) extends Op
+    final case class Repl(day: Int, ids: List[Long]) extends Op
+    final case class FullOv(rows: List[(Long, Int)]) extends Op
+
+    val rowsGen = for {
+      n <- Gen.chooseNum(0, 6)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 999L); day <- Gen.chooseNum(1, 3)
+      } yield (id, day))
+    } yield rows
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> rowsGen.map(App.apply),
+      2 -> rowsGen.map(DynOv.apply),
+      2 -> (for { d <- Gen.chooseNum(1, 3); r <- rowsGen }
+        yield Repl(d, r.map(_._1))),
+      1 -> rowsGen.map(FullOv.apply))
+    val seqGen = Gen.listOfN(5, opGen)
+
+    forAll(seqGen, n = 5) { ops =>
+      val dir = java.nio.file.Files.createTempDirectory("ovw-prop").toString
+      val t = IcebergLikeTable(spark, s"$dir/t", "day")
+      var model = Vector.empty[(Long, Int)]
+      def df(rows: Seq[(Long, Int)]) = rows.toDF("id", "day")
+      ops.foreach {
+        case App(rows) =>
+          t.append(df(rows)); model = model ++ rows
+        case DynOv(rows) =>
+          t.overwritePartitions(df(rows))
+          val days = rows.map(_._2).toSet
+          model = model.filterNot(r => days(r._2)) ++ rows
+        case Repl(day, ids) =>
+          val rows = ids.map(id => (id, day))
+          val removed = t.replaceWhere(col("day") === day, df(rows))
+          assert(removed == model.count(_._2 == day),
+            s"replaceWhere removed $removed, model had " +
+              s"${model.count(_._2 == day)} rows in day=$day (ops=$ops)")
+          model = model.filterNot(_._2 == day) ++ rows
+        case FullOv(rows) =>
+          t.overwrite(df(rows)); model = rows.toVector
+      }
+      val got =
+        if (t.exists && t.currentVersion.isDefined)
+          t.read.collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("day")))
+            .toSeq.sorted
+        else Seq.empty
+      assert(got == model.sorted,
+        s"diverged after $ops: got=$got expected=${model.sorted}")
+    }
+  }
+
   test("valid records round-trip through parse unchanged (multiset property)") {
     val df = Generator.frame(spark, 400, seed = 13, hour, invalidEvery = 8)
     val (ok, _) = Validator.route(Validator.validate(df, "payload", "B"))
