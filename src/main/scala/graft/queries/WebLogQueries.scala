@@ -280,18 +280,18 @@ object WebLogQueries {
     Q("weblog_mor_delete",
       (s, d) => {
         val path = scratch(s, "mordel", d) + "/t"
-        val keyW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"), date_format(col("ts"), WebLogSchema.TsPattern))
-          .orderBy(col("event_id"))
+        // key-dedup as a map-side-combinable aggregate (min_by on the
+        // tie-break column) instead of a full window sort — the same
+        // first-per-key row, one partial+final agg instead of a
+        // whole-partition sort shuffle (the scale-correct idiom for
+        // "first row per key" when no other window output is needed)
         val base = payloads(s, d, corrupted = false)
           .filter(dayofmonth(col("ts")) === 1)
-          .withColumn("_rn", row_number().over(keyW))
-          .filter(col("_rn") === 1)
-          .select(
+          .groupBy(
             concat(lit("u"), col("user_id").cast("string")).as("user_id"),
-            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
-            col("event_type").as("event"),
-            lit(1L).as("seq"))
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"))
+          .agg(min_by(col("event_type"), col("event_id")).as("event"))
+          .withColumn("seq", lit(1L))
         // buckets sized to the gate's day-1 slice (a headline WRITE-path
         // bench: 16 buckets × |event| leaves over ~10k rows measures tiny-
         // file fan-out, not the delete protocol; at 100 TB you size buckets
