@@ -140,6 +140,49 @@ class OverwriteSpec extends SparkTestBase {
     assert(rows == Seq(("B", 500L), ("a", 10L), ("c", 20L)))
   }
 
+  test("overwritePartitions and overwrite never read previous data (corrupt-file proof)") {
+    val t = fresh("ovw_noread")
+    t.append(frame(Seq(day(1, "a", 10))))
+    t.append(frame(Seq(day(2, "b", 20))))
+    // corrupt EVERY existing data file: any operation that opened one
+    // would throw — proving the swap is pure metadata + batch write
+    val fs = new org.apache.hadoop.fs.Path(t.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFiles(t).foreach { f =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(t.path, f), true)
+      try out.write("not parquet".getBytes) finally out.close()
+    }
+    t.overwritePartitions(frame(Seq(day(2, "x", 99))))
+    // the swapped partition reads fine (fresh file); day=1 carries the
+    // corrupt file by reference, untouched — pruned reads never open it
+    assert(t.readWhere(col("day") === 2).collect()
+      .map(_.getAs[String]("id")).toSeq == Seq("x"))
+    // full overwrite is equally read-free
+    t.overwrite(frame(Seq(day(3, "z", 1))))
+    assert(t.read.collect().map(_.getAs[String]("id")).toSeq == Seq("z"))
+  }
+
+  test("DataFrameWriterV2 overwrite(condition) routes to replaceWhere") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("ovw_w2").toString
+    spark.conf.set("spark.sql.catalog.gow2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gow2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gow2.web")
+    spark.sql("CREATE TABLE gow2.web.t (id STRING, day INT, amount BIGINT) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gow2.web.t VALUES ('a', 1, 10), ('b', 2, 20), ('e', 3, 30)")
+    Seq(("x", 2, 99L)).toDF("id", "day", "amount")
+      .writeTo("gow2.web.t").overwrite(col("day") === 2)
+    val rows = spark.table("gow2.web.t").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows == Seq(("a", 1), ("e", 3), ("x", 2)),
+      s"writeTo.overwrite must swap only day=2, got $rows")
+    // a batch row OUTSIDE the condition region refuses loudly
+    intercept[Exception](
+      Seq(("bad", 3, 0L)).toDF("id", "day", "amount")
+        .writeTo("gow2.web.t").overwrite(col("day") === 2))
+  }
+
   test("SQL INSERT OVERWRITE: static truncates, dynamic swaps partitions via SupportsDynamicOverwrite") {
     val wh = Files.createTempDirectory("ovw_sql").toString
     spark.conf.set("spark.sql.catalog.govw", "graft.sources.GraftCatalog")
