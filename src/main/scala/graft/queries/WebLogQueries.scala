@@ -2009,6 +2009,45 @@ object WebLogQueries {
              |FROM events WHERE day(ts) <= 3 AND (day(ts) <> 2 OR user_id % 10 <> 3)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT / ANSI
+    // CHECK): stamped as table state in the manifest, validated
+    // against existing rows at ADD, enforced per row INSIDE every
+    // write plan (zero extra passes) — a violating batch fails before
+    // the commit point, so nothing partial ever publishes. Proof
+    // booleans: the violating batch was rejected, the rejection was
+    // atomic (version unchanged), and an ADD over already-violating
+    // rows refuses.
+    Q("weblog_constraints",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "constr", d) + "/t", "event")
+        val ev = Tables.events(s, d).select(
+          col("event_type").as("event"), col("user_id"),
+          dayofmonth(col("ts")).as("day")).filter(col("day") <= 2)
+        t.append(ev.filter(col("day") === 1))
+        t.addConstraint("day_range", "day BETWEEN 1 AND 31")
+        t.addConstraint("uid_pos", "user_id >= 0")
+        val vBefore = t.currentVersion.get
+        val rejected =
+          try {
+            t.append(ev.filter(col("day") === 2)
+              .withColumn("user_id", col("user_id") * -1 - 1))
+            false
+          } catch { case _: Exception => true }
+        val atomic = t.currentVersion.contains(vBefore)
+        t.append(ev.filter(col("day") === 2))
+        val addRefused =
+          try { t.addConstraint("impossible", "day >= 2"); false }
+          catch { case _: IllegalArgumentException => true }
+        t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .select(col("event"), col("cnt"), lit(rejected).as("rejected"),
+            lit(atomic).as("atomic"), lit(addRefused).as("add_refused"))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |  TRUE AS rejected, TRUE AS atomic, TRUE AS add_refused
+             |FROM events WHERE day(ts) <= 2
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
     // Z-ORDER layout maintenance (Delta's OPTIMIZE ZORDER BY /
     // Iceberg's sort-strategy rewrite — the reference delegates
     // OPTIMIZE to Athena, web-analytics-iceberg/README.md:187): after

@@ -67,6 +67,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var warehouse: Path = _
 
+  // ALTER TABLE ... ADD CONSTRAINT parses to a catalog call only when
+  // the catalog declares constraint support
+  override def capabilities():
+      util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
   private def fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -183,8 +190,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val desc = Descriptor.read(fs, descPath(tableDir(ident)))
     val t = tableFor(ident, desc)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft VERSION AS OF takes a numeric snapshot version, got '$version'"))
+    // Iceberg-style ref resolution: a numeric version pins directly, a
+    // non-numeric one resolves as a TAG name (tags pin snapshots past
+    // retention, so `VERSION AS OF 'release-1'` stays valid after the
+    // raw version number would have expired)
+    val v = version.toLongOption.orElse(t.tags.get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a numeric snapshot version or a " +
+          s"tag name, got '$version' (tags: ${t.tags.keys.toSeq.sorted.mkString(", ")})"))
     require(t.versions.contains(v),
       s"version $v of ${fullName(ident)} is unknown or expired " +
         s"(retained: ${t.versions.mkString(", ")})")
@@ -343,6 +356,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         desc = desc.copy(props = desc.props + (p.property -> p.value))
       case p: TableChange.RemoveProperty =>
         desc = desc.copy(props = desc.props - p.property)
+      // ALTER TABLE t ADD CONSTRAINT n CHECK (expr): stored as table
+      // state in the manifest meta (validated against existing rows
+      // first), enforced per row at the engine's single commit point —
+      // EVERY write path from then on, SQL or API
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            t.addConstraint(c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft enforces CHECK constraints only, got ${other.toDDL}")
+        }
+      case d: TableChange.DropConstraint =>
+        if (!d.ifExists() || t.constraints.contains(d.name()))
+          t.dropConstraint(d.name())
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change for graft: $other")
     }
@@ -539,6 +566,24 @@ private[sources] final class GraftSqlTable(
   }
 
   override def name(): String = ident
+
+  /** The engine's stamped CHECK constraints, surfaced through the
+    * DSv2 constraints API: Spark's own `ResolveTableConstraints`
+    * then ALSO injects per-row enforcement into catalog write plans
+    * (belt), on top of the engine's commit-point guard (suspenders —
+    * which additionally covers the DML bridge and direct API writes).
+    */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (table.currentVersion.isEmpty) Array.empty
+    else table.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .rely(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** The underlying engine handle / time-travel pin (the SQL DML
     * bridge routes UPDATE/MERGE INTO through them).

@@ -289,6 +289,102 @@ final case class IcebergLikeTable(
     m.writeValueAsString(node)
   }
 
+  /** Manifest metadata key holding the table's CHECK constraints as a
+    * JSON object (name → predicate SQL) — table state, like the schema
+    * stamp, so the constraints travel with the data across catalogs.
+    */
+  private[weblog] val ConstraintsKey = "constraints"
+
+  private def constraintsOf(meta: Map[String, String]): Map[String, String] =
+    meta.get(ConstraintsKey).map { j =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(j)
+      val b = Map.newBuilder[String, String]
+      m.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText)
+      b.result()
+    }.getOrElse(Map.empty)
+
+  private def constraintsJson(cs: Map[String, String]): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    cs.toSeq.sortBy(_._1).foreach { case (n, s) => node.put(n, s) }
+    m.writeValueAsString(node)
+  }
+
+  /** The live CHECK constraints (name → predicate SQL). ANSI
+    * semantics: a row violates only when the predicate evaluates
+    * FALSE; NULL (SQL's UNKNOWN) passes.
+    */
+  def constraints: Map[String, String] = constraintsOf(resolveLive()._2.meta)
+
+  /** Per-row CHECK enforcement at THE single write point ([[commit]]):
+    * each constraint compiles to a codegen'd guard inside the staging
+    * write's own plan — zero extra passes over the data. A violating
+    * row throws BEFORE the manifest create, so a failed write never
+    * publishes partial state (the normal abort path cleans the staged
+    * files). NULL predicate results pass (ANSI CHECK).
+    */
+  private def guardConstraints(df: DataFrame,
+      cs: Map[String, String]): DataFrame =
+    if (cs.isEmpty) df
+    else cs.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (n, sqlText)) =>
+      val ok = coalesce(expr(sqlText).cast("boolean"), lit(true))
+      acc.filter(when(ok, lit(true)).otherwise(raise_error(concat(
+        lit(s"CHECK constraint '$n' ($sqlText) violated by row: "),
+        to_json(struct(df.columns.toSeq.map(col): _*))))))
+    }
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`,
+    * ANSI CHECK semantics — NULL passes). EXISTING live rows are
+    * validated first (one scan, stops at the first violation), then
+    * the constraint lands as a METADATA-ONLY commit; from that commit
+    * on EVERY write path — append, upsert, MERGE, UPDATE, the
+    * overwrite family, compaction rewrites — enforces it per row
+    * inside the write plan. Returns the new live version.
+    */
+  def addConstraint(name: String, predicateSql: String): Long =
+    withCommitRetry {
+      require(name.matches("[A-Za-z0-9_-]+"),
+        s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
+      val (liveVersion, snap) = resolveLive()
+      validateLayout(snap.meta)
+      val existing = constraintsOf(snap.meta)
+      require(!existing.contains(name), s"constraint '$name' already exists")
+      if (snap.dataFiles.nonEmpty) {
+        val ok = coalesce(expr(predicateSql).cast("boolean"), lit(true))
+        val bad = userFacing(readSnapshot(snap)).filter(!ok).limit(1).count()
+        require(bad == 0L,
+          s"cannot add CHECK constraint '$name' ($predicateSql): " +
+            "existing rows violate it")
+      }
+      val version = nextVersion(liveVersion)
+      val meta = snap.meta +
+        (ConstraintsKey -> constraintsJson(existing + (name -> predicateSql))) +
+        (TsKey -> System.currentTimeMillis().toString)
+      val lines =
+        if (snap.refs.nonEmpty) snap.refs.map(Manifests.RefMark + _)
+        else snap.files
+      Manifests.write(fs, root, version, lines, meta, chainPrefix)
+      expireSnapshots()
+      version
+    }
+
+  /** Drop a CHECK constraint — metadata-only commit. */
+  def dropConstraint(name: String): Long = withCommitRetry {
+    val (liveVersion, snap) = resolveLive()
+    val existing = constraintsOf(snap.meta)
+    require(existing.contains(name), s"no constraint '$name' to drop")
+    val version = nextVersion(liveVersion)
+    val meta = snap.meta +
+      (ConstraintsKey -> constraintsJson(existing - name)) +
+      (TsKey -> System.currentTimeMillis().toString)
+    val lines =
+      if (snap.refs.nonEmpty) snap.refs.map(Manifests.RefMark + _)
+      else snap.files
+    Manifests.write(fs, root, version, lines, meta, chainPrefix)
+    expireSnapshots()
+    version
+  }
+
   /** Parsed-transform cache: pruning resolves a governing spec per
     * file, and the handful of distinct spec strings parse once.
     */
@@ -1236,6 +1332,9 @@ final case class IcebergLikeTable(
     // snapshot the data rolled to.
     val meta = hwmOf(live.meta) ++
       live.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
+      // constraints are table CONFIG, not data: the live set survives
+      // a data rollback (write-time enforcement, so no read breaks)
+      live.meta.get(ConstraintsKey).map(ConstraintsKey -> _) ++
       target.meta.get(SchemaKey).map(SchemaKey -> _) ++
       target.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
       target.meta.get(ColHistKey).map(ColHistKey -> _) ++
@@ -1481,8 +1580,9 @@ final case class IcebergLikeTable(
     // every data file this commit writes gets partition values derived
     // under the CURRENT spec (idempotent re-projection for already-
     // derived frames) — on a spec-evolved table this is what migrates
-    // rewritten rows and keeps version→spec pruning sound
-    val df = withDerivedPartition(df0)
+    // rewritten rows and keeps version→spec pruning sound.
+    // CHECK constraints guard every row INSIDE the same write plan.
+    val df = guardConstraints(withDerivedPartition(df0), constraintsOf(base.meta))
     val plain = commitSchema(storedSchema(base.meta), df.schema)
     // stable column ids: carried from the base, assigned fresh for new
     // columns, stamped into BOTH the schema stamp and the staged
@@ -1507,7 +1607,8 @@ final case class IcebergLikeTable(
     // fastForward's ancestry check must see it no matter how many
     // commits the branch accumulated (v1 may have expired by retention)
     val meta = hwmOf(base.meta) ++
-      base.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++ extraMeta +
+      base.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
+      base.meta.get(ConstraintsKey).map(ConstraintsKey -> _) ++ extraMeta +
       (SchemaKey -> schema.json) +
       (ColIdsKey -> idsJson(ids)) +
       (ColHistKey -> histJson(hist)) +

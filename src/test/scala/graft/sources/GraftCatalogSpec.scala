@@ -21,6 +21,19 @@ class GraftCatalogSpec extends SparkTestBase {
 
   private def sql(q: String) = { warehouse; spark.sql(q) }
 
+  /** Engine handle for a catalog table (descriptor-faithful). */
+  private def loadIceberg(ns: String, t: String): graft.weblog.IcebergLikeTable = {
+    val dir = new org.apache.hadoop.fs.Path(s"$warehouse/$ns/$t")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val desc = GraftCatalog.Descriptor.read(fs,
+      new org.apache.hadoop.fs.Path(dir, GraftCatalog.DescriptorFile))
+    graft.weblog.IcebergLikeTable(spark, dir.toString,
+      partitionCol = desc.partitionCol, uniqueKeys = desc.uniqueKeys,
+      numBuckets = desc.numBuckets, retainVersions = desc.retainVersions,
+      statsColumns = desc.statsColumns, bloomColumns = desc.bloomColumns,
+      partitionTransform = desc.transform)
+  }
+
   test("namespace + hidden-partitioned table: DDL, INSERT, pruned SELECT") {
     sql("CREATE NAMESPACE gcat.web")
     assert(sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0))
@@ -92,6 +105,12 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(0) == 1)
     // a time-travel read is not writable
     intercept[Exception](sql("INSERT INTO gcat.tt.log VERSION AS OF 1 VALUES (3)"))
+    // a TAG name resolves as the version ref (Iceberg's refs in AS OF)
+    loadIceberg("tt", "log").tag("v1-release", 1L)
+    assert(sql("SELECT count(*) FROM gcat.tt.log VERSION AS OF 'v1-release'")
+      .head.getLong(0) == 1)
+    intercept[Exception](
+      sql("SELECT * FROM gcat.tt.log VERSION AS OF 'no-such-tag'"))
   }
 
   test("ALTER TABLE: rename, add, drop columns through SQL") {

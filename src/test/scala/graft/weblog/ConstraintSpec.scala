@@ -1,0 +1,100 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** CHECK constraints: stamped as table state in the manifest meta,
+  * validated against existing rows at ADD, enforced per row at the
+  * engine's single commit point (every write path), ANSI semantics
+  * (NULL passes).
+  */
+class ConstraintSpec extends SparkTestBase {
+
+  private def fresh(name: String): IcebergLikeTable =
+    IcebergLikeTable(spark,
+      Files.createTempDirectory(name).toString + "/t", "event")
+
+  private def rows(pairs: (String, java.lang.Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toSeq.toDF("id", "amount").withColumn("event", lit("view"))
+  }
+
+  test("add validates existing rows; every write path enforces; drop lifts") {
+    val t = fresh("chk_basic")
+    t.append(rows("a" -> 10L, "b" -> 20L))
+    // existing violation refuses the ADD
+    intercept[IllegalArgumentException](
+      t.addConstraint("amount_big", "amount >= 15"))
+    t.addConstraint("amount_pos", "amount >= 0")
+    assert(t.constraints == Map("amount_pos" -> "amount >= 0"))
+    intercept[IllegalArgumentException](
+      t.addConstraint("amount_pos", "amount >= 1")) // duplicate name
+    val v = t.currentVersion.get
+    // violating append fails BEFORE the commit point: version + rows unchanged
+    val ex = intercept[Exception](t.append(rows("c" -> -5L)))
+    assert(exMessageChain(ex).contains("amount_pos"),
+      s"error should name the constraint: ${exMessageChain(ex).take(300)}")
+    assert(t.currentVersion.contains(v))
+    assert(t.read.count() == 2)
+    // NULL passes (ANSI CHECK: UNKNOWN is not a violation)
+    t.append(rows("n" -> null.asInstanceOf[java.lang.Long]))
+    assert(t.read.count() == 3)
+    // UPDATE through the engine enforces too
+    intercept[Exception](t.update(col("id") === "a", Seq("amount" -> lit(-1L))))
+    assert(t.read.filter(col("id") === "a").head.getAs[Long]("amount") == 10L)
+    // replaceWhere enforces on the new batch
+    intercept[Exception](t.replaceWhere(col("id") === "b",
+      rows("b" -> -2L).filter(col("id") === "b")))
+    // drop lifts the guard
+    t.dropConstraint("amount_pos")
+    assert(t.constraints.isEmpty)
+    t.append(rows("c" -> -5L))
+    assert(t.read.count() == 4)
+    intercept[IllegalArgumentException](t.dropConstraint("absent"))
+  }
+
+  private def exMessageChain(e: Throwable): String = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+  }
+
+  test("constraints are table state: survive commits, rollback, and fresh handles") {
+    val t = fresh("chk_state")
+    t.append(rows("a" -> 10L))
+    val preConstraint = t.currentVersion.get
+    t.addConstraint("pos", "amount >= 0")
+    t.append(rows("b" -> 20L))
+    // a fresh handle resolves the constraint from the manifest
+    val t2 = IcebergLikeTable(spark, t.path, "event")
+    assert(t2.constraints == Map("pos" -> "amount >= 0"))
+    intercept[Exception](t2.append(rows("x" -> -1L)))
+    // rollback keeps the constraint (table config, not data)
+    t.rollbackTo(preConstraint)
+    assert(t.constraints == Map("pos" -> "amount >= 0"))
+    intercept[Exception](t.append(rows("y" -> -1L)))
+  }
+
+  test("SQL: ALTER TABLE ADD/DROP CONSTRAINT CHECK through the catalog") {
+    val wh = Files.createTempDirectory("chk_sql").toString
+    spark.conf.set("spark.sql.catalog.gchk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gchk.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gchk.web")
+    spark.sql("CREATE TABLE gchk.web.t (id STRING, amount BIGINT)")
+    spark.sql("INSERT INTO gchk.web.t VALUES ('a', 10)")
+    spark.sql("ALTER TABLE gchk.web.t ADD CONSTRAINT amount_pos CHECK (amount >= 0)")
+    spark.sql("INSERT INTO gchk.web.t VALUES ('b', 5)") // valid
+    val ex = intercept[Exception](
+      spark.sql("INSERT INTO gchk.web.t VALUES ('c', -1)"))
+    assert(exMessageChain(ex).toLowerCase.contains("amount_pos") ||
+      exMessageChain(ex).toLowerCase.contains("check"),
+      s"violation should surface: ${exMessageChain(ex).take(300)}")
+    assert(spark.table("gchk.web.t").count() == 2)
+    spark.sql("ALTER TABLE gchk.web.t DROP CONSTRAINT amount_pos")
+    spark.sql("INSERT INTO gchk.web.t VALUES ('c', -1)")
+    assert(spark.table("gchk.web.t").count() == 3)
+  }
+}
