@@ -67,12 +67,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var warehouse: Path = _
 
-  // ALTER TABLE ... ADD CONSTRAINT parses to a catalog call only when
-  // the catalog declares constraint support
+  // ALTER TABLE ... ADD CONSTRAINT / column DEFAULT clauses parse to
+  // catalog calls only when the catalog declares support
   override def capabilities():
       util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
   private def fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -335,6 +338,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft supports top-level column adds only")
+        // an ADD-time default needs EXISTS_DEFAULT semantics (backfill
+        // EXISTING rows at read) which the engine serves as NULL —
+        // refuse rather than silently diverge; add the column first,
+        // then ALTER COLUMN SET DEFAULT (affects future inserts only)
+        require(a.defaultValue() == null,
+          s"graft cannot ADD COLUMN '${a.fieldNames.head}' WITH a " +
+            "DEFAULT (existing rows would read NULL, not the default); " +
+            "add the column, then ALTER COLUMN ... SET DEFAULT")
         val f = org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, a.isNullable)
         desc = desc.copy(schema = StructType(desc.schema.fields :+ f))
@@ -356,6 +367,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         desc = desc.copy(props = desc.props + (p.property -> p.value))
       case p: TableChange.RemoveProperty =>
         desc = desc.copy(props = desc.props - p.property)
+      // ALTER COLUMN c SET/DROP DEFAULT: a CURRENT_DEFAULT only — it
+      // governs FUTURE inserts (the analyzer materializes it into the
+      // write plan from the schema metadata), never reads, so the
+      // engine needs no awareness. Stored on the descriptor field.
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "graft supports top-level column defaults only")
+        val name = u.fieldNames.head
+        require(desc.schema.fieldNames.contains(name),
+          s"no column '$name' to set a default on")
+        val newSql = Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+        desc = desc.copy(schema = StructType(desc.schema.fields.map { f =>
+          if (f.name != name) f
+          else {
+            val b = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            newSql match {
+              case Some(sql) =>
+                b.putString("CURRENT_DEFAULT", sql)
+              case None =>
+                b.remove("CURRENT_DEFAULT")
+            }
+            f.copy(metadata = b.build())
+          }
+        }))
       // ALTER TABLE t ADD CONSTRAINT n CHECK (expr): stored as table
       // state in the manifest meta (validated against existing rows
       // first), enforced per row at the engine's single commit point —
@@ -574,16 +610,29 @@ private[sources] final class GraftSqlTable(
     * which additionally covers the DML bridge and direct API writes).
     */
   override def constraints():
-      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    if (table.currentVersion.isEmpty) Array.empty
-    else table.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
-      org.apache.spark.sql.connector.catalog.constraints.Constraint
-        .check(n).predicateSql(sql).enforced(true)
-        .validationStatus(org.apache.spark.sql.connector.catalog
-          .constraints.Constraint.ValidationStatus.VALID)
-        .rely(true).build()
-        : org.apache.spark.sql.connector.catalog.constraints.Constraint
-    }.toArray
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val checks: Seq[Constraint] =
+      if (table.currentVersion.isEmpty) Nil
+      else table.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+        Constraint.check(n).predicateSql(sql).enforced(true)
+          .validationStatus(Constraint.ValidationStatus.VALID)
+          .rely(true).build(): Constraint
+      }
+    // a keyed table's unique keys ARE enforced — every write is an
+    // order-aware merge on them — so they surface as a PRIMARY KEY
+    // the optimizer may RELY on (informational constraints, Spark 4.1)
+    val pk: Seq[Constraint] =
+      if (desc.uniqueKeys.isEmpty) Nil
+      else Seq(Constraint.primaryKey(s"${ident.replace('.', '_')}_pk",
+          desc.uniqueKeys.map(k =>
+            org.apache.spark.sql.connector.expressions.Expressions.column(k))
+            .toArray)
+        .enforced(true)
+        .validationStatus(Constraint.ValidationStatus.VALID)
+        .rely(true).build(): Constraint)
+    (pk ++ checks).toArray
+  }
 
   /** The underlying engine handle / time-travel pin (the SQL DML
     * bridge routes UPDATE/MERGE INTO through them).
@@ -621,7 +670,19 @@ private[sources] final class GraftSqlTable(
     */
   private def inDeclaredOrder(live: StructType): StructType = {
     val byName = live.fields.map(f => f.name -> f).toMap
-    val declared = desc.schema.fieldNames.flatMap(byName.get)
+    // live fields carry the engine's stamps; the DESCRIPTOR carries the
+    // analyzer-facing column DEFAULT metadata — overlay it, or DEFAULT
+    // resolution silently degrades to NULL after the first commit
+    val declared = desc.schema.fields.flatMap { d =>
+      byName.get(d.name).map { f =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT").foreach { k =>
+          if (d.metadata.contains(k)) b.putString(k, d.metadata.getString(k))
+        }
+        f.copy(metadata = b.build())
+      }
+    }
     val extra = live.fields.filterNot(f => desc.schema.fieldNames.contains(f.name))
     StructType(declared ++ extra)
   }

@@ -78,6 +78,54 @@ class ConstraintSpec extends SparkTestBase {
     intercept[Exception](t.append(rows("y" -> -1L)))
   }
 
+  test("column DEFAULT values: CREATE-time, SET/DROP DEFAULT, ADD-with-default refused") {
+    val wh = Files.createTempDirectory("def_sql").toString
+    spark.conf.set("spark.sql.catalog.gdef", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdef.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gdef.web")
+    spark.sql("CREATE TABLE gdef.web.t (id STRING, qty BIGINT DEFAULT 7)")
+    spark.sql("INSERT INTO gdef.web.t (id) VALUES ('a')")
+    spark.sql("INSERT INTO gdef.web.t VALUES ('b', DEFAULT)")
+    spark.sql("INSERT INTO gdef.web.t VALUES ('c', 3)")
+    def qty(id: String): Option[Long] = {
+      val r = spark.table("gdef.web.t").filter(col("id") === id).head
+      if (r.isNullAt(r.fieldIndex("qty"))) None
+      else Some(r.getAs[Long]("qty"))
+    }
+    assert(qty("a").contains(7L) && qty("b").contains(7L) && qty("c").contains(3L))
+    spark.sql("ALTER TABLE gdef.web.t ALTER COLUMN qty SET DEFAULT 9")
+    spark.sql("INSERT INTO gdef.web.t (id) VALUES ('d')")
+    assert(qty("d").contains(9L))
+    spark.sql("ALTER TABLE gdef.web.t ALTER COLUMN qty DROP DEFAULT")
+    spark.sql("INSERT INTO gdef.web.t VALUES ('e', DEFAULT)")
+    assert(qty("e").isEmpty, "DEFAULT after DROP DEFAULT is NULL")
+    // an ADD-time default would need read-side backfill of existing
+    // rows, which the engine serves as NULL — refused loudly
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE gdef.web.t ADD COLUMN extra BIGINT DEFAULT 5"))
+    assert(exMessageChain(ex).contains("SET DEFAULT"),
+      s"got: ${exMessageChain(ex).take(200)}")
+  }
+
+  test("keyed tables surface their unique keys as a RELY primary-key constraint") {
+    val wh = Files.createTempDirectory("pk_sql").toString
+    spark.conf.set("spark.sql.catalog.gpkc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpkc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpkc.web")
+    spark.sql("CREATE TABLE gpkc.web.k (id STRING, amount BIGINT, seq BIGINT) " +
+      "TBLPROPERTIES (uniqueKeys 'id', numBuckets '4', orderCol 'seq')")
+    val cat = spark.sessionState.catalogManager.catalog("gpkc")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("web"), "k"))
+    val pk = tbl.constraints().collectFirst {
+      case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey => p
+    }
+    assert(pk.isDefined, "keyed table must surface a primary key")
+    assert(pk.get.enforced() && pk.get.rely())
+    assert(pk.get.columns().map(_.describe()).toSeq == Seq("id"))
+  }
+
   test("SQL: ALTER TABLE ADD/DROP CONSTRAINT CHECK through the catalog") {
     val wh = Files.createTempDirectory("chk_sql").toString
     spark.conf.set("spark.sql.catalog.gchk", "graft.sources.GraftCatalog")
