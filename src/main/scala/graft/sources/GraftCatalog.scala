@@ -320,6 +320,43 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     var desc = Descriptor.read(fs, descPath(dir))
     val t = tableFor(ident, desc)
+    // refusable conditions validate BEFORE any change applies, so a
+    // multi-change ALTER cannot half-apply on a late refusal (engine
+    // commits are still sequential — a mid-loop I/O failure can leave
+    // earlier changes applied, same as Iceberg's non-transactional DDL)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft supports top-level column renames only")
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft supports top-level column drops only")
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft supports top-level column adds only")
+        require(a.defaultValue() == null,
+          s"graft cannot ADD COLUMN '${a.fieldNames.head}' WITH a " +
+            "DEFAULT (existing rows would read NULL, not the default); " +
+            "add the column, then ALTER COLUMN ... SET DEFAULT")
+      case w: TableChange.UpdateColumnType =>
+        require(w.fieldNames.length == 1,
+          "graft supports top-level column type changes only")
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "graft supports top-level column defaults only")
+        require(desc.schema.fieldNames.contains(u.fieldNames.head),
+          s"no column '${u.fieldNames.head}' to set a default on")
+      case a: TableChange.AddConstraint =>
+        require(a.constraint().isInstanceOf[
+            org.apache.spark.sql.connector.catalog.constraints.Check],
+          s"graft enforces CHECK constraints only, got " +
+            s"${a.constraint().toDDL}")
+      case _: TableChange.DropConstraint => ()
+      case _: TableChange.SetProperty => ()
+      case _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change for graft: $other")
+    }
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
@@ -399,6 +436,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddConstraint =>
         a.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            // a pre-first-INSERT ADD CONSTRAINT materializes the schema
+            // stamp with an empty commit (same move as ADD COLUMN) —
+            // the constraint meta needs a manifest to live in, and a
+            // file-less, schema-less v1 would brick every read
+            if (t.currentVersion.isEmpty)
+              t.append(spark.createDataFrame(
+                spark.sparkContext.emptyRDD[Row], desc.schema))
             t.addConstraint(c.name(), c.predicateSql())
           case other => throw new UnsupportedOperationException(
             s"graft enforces CHECK constraints only, got ${other.toDDL}")
@@ -612,25 +656,32 @@ private[sources] final class GraftSqlTable(
   override def constraints():
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
     import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    // CHECK constraints ARE write-enforced (every commit guards per
+    // row) — but validation status is reported UNVALIDATED and rely
+    // stays false: rollbackTo and branch fast-forward can restore rows
+    // that predate the constraint without re-validating them, and a
+    // RELY+VALID claim would license the optimizer to prune on a
+    // predicate the data may no longer satisfy (wrong results beat a
+    // lost optimization).
     val checks: Seq[Constraint] =
       if (table.currentVersion.isEmpty) Nil
       else table.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
         Constraint.check(n).predicateSql(sql).enforced(true)
-          .validationStatus(Constraint.ValidationStatus.VALID)
-          .rely(true).build(): Constraint
+          .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+          .rely(false).build(): Constraint
       }
-    // a keyed table's unique keys ARE enforced — every write is an
-    // order-aware merge on them — so they surface as a PRIMARY KEY
-    // the optimizer may RELY on (informational constraints, Spark 4.1)
+    // a keyed table's unique keys surface as an INFORMATIONAL primary
+    // key: the upsert/merge paths enforce them, but the raw append
+    // path does not, so neither enforced nor RELY may be claimed
     val pk: Seq[Constraint] =
       if (desc.uniqueKeys.isEmpty) Nil
       else Seq(Constraint.primaryKey(s"${ident.replace('.', '_')}_pk",
           desc.uniqueKeys.map(k =>
             org.apache.spark.sql.connector.expressions.Expressions.column(k))
             .toArray)
-        .enforced(true)
-        .validationStatus(Constraint.ValidationStatus.VALID)
-        .rely(true).build(): Constraint)
+        .enforced(false)
+        .validationStatus(Constraint.ValidationStatus.UNVALIDATED)
+        .rely(false).build(): Constraint)
     (pk ++ checks).toArray
   }
 
@@ -760,6 +811,11 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
         override def sqlContext: SQLContext = context
         override def schema: StructType = req
         override def buildScan(): RDD[Row] = {
+          // a freshly created, never-committed table is EMPTY, not an
+          // error — Spark itself scans it (SELECT before first INSERT,
+          // ADD CONSTRAINT's validation pass)
+          if (pinned.isEmpty && table.currentVersion.isEmpty)
+            return context.sparkContext.emptyRDD[Row]
           val pruned = pinned match {
             case Some(v) => table.readWhereAt(v, cond)
             case None => table.readWhere(cond)
@@ -825,12 +881,15 @@ private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
   }
 
   // static-partition INSERT OVERWRITE (`INSERT OVERWRITE t PARTITION
-  // (day=2) ...` in static mode): the analyzer plans
-  // OverwriteByExpression with the partition values as filters — a
-  // predicate-scoped region swap, exactly [[IcebergLikeTable
-  // .replaceWhere]]. The translation must be EXACT (a superset
-  // predicate would over-delete), so an untranslatable filter refuses
-  // loudly instead of truncating.
+  // (day=2) ...` in static mode) and DataFrameWriterV2's
+  // `overwrite(condition)`: the analyzer plans OverwriteByExpression
+  // with the filters — routed to [[IcebergLikeTable.replaceWhere]]
+  // under the DataSourceV2 contract (delete the matching rows, append
+  // the WHOLE batch — Iceberg's overwrite-by-filter; Delta's stricter
+  // every-row-must-match mode stays available on the direct API). The
+  // filter translation must be EXACT (a superset predicate would
+  // over-delete), so an untranslatable filter refuses loudly instead
+  // of truncating.
   override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
     if (filters.isEmpty || filters.forall(_ == sources.AlwaysTrue()))
       overwriteAll = true
@@ -859,7 +918,7 @@ private[sources] final class GraftWriteBuilder(table: IcebergLikeTable,
                   s"cannot overwrite by filter $f — the " +
                     "predicate does not translate exactly")))
               .reduceOption(_ && _).getOrElse(lit(true))
-            table.replaceWhere(cond, data)
+            table.replaceWhere(cond, data, requireBatchInRegion = false)
           }
           else if (overwriteAll || overwrite) table.overwrite(data)
           else if (table.uniqueKeys.isEmpty) clusterBy match {

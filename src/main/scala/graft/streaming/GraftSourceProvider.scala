@@ -143,18 +143,18 @@ final class GraftSourceProvider extends StreamSourceProvider
     val table = tableFor(sqlContext, parameters)
     def intOpt(key: String, default: Int): Int =
       opt(parameters, key).map(_.toInt).getOrElse(default)
-    // "134217728", "128m", "1g" — Firehose-style size budgets read like
-    // the reference's buffering_size knob
+    // "134217728", "128m", "1gb" — Firehose-style size budgets read
+    // like the reference's buffering_size knob; parsed by Spark's own
+    // size-string parser (proper k/kb/m/mb/g/gb handling + errors),
+    // and non-positive values refuse instead of silently clamping
     def bytesOpt(key: String, default: Long): Long =
       opt(parameters, key).map { raw =>
-        val s = raw.trim.toLowerCase
-        val (num, mult) = s.last match {
-          case 'k' => (s.dropRight(1), 1L << 10)
-          case 'm' => (s.dropRight(1), 1L << 20)
-          case 'g' => (s.dropRight(1), 1L << 30)
-          case _ => (s, 1L)
-        }
-        math.max(1L, (num.toDouble * mult).toLong)
+        val v =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"option '$key' is not a byte size: '$raw'", e) }
+        require(v > 0L, s"option '$key' must be positive, got '$raw'")
+        v
       }.getOrElse(default)
     new GraftTableSource(sqlContext, table,
       schema.getOrElse(changeSchema(table)),
@@ -440,16 +440,11 @@ private[streaming] final class GraftTableSource(sqlContext: SQLContext,
     * An expired start snapshot falls back to the count cap: getBatch
     * surfaces the real retention error if the window is unreadable.
     */
-  private def byteCapped(start: Long, cap: Long): Long = {
-    if (maxBytesPerTrigger == Long.MaxValue || cap <= start + 1) return cap
-    try {
-      var e = start + 1
-      while (e < cap &&
-          table.addedBytesBetween(start, e + 1) <= maxBytesPerTrigger)
-        e += 1
-      e
-    } catch { case _: NoSuchElementException => cap }
-  }
+  private def byteCapped(start: Long, cap: Long): Long =
+    if (maxBytesPerTrigger == Long.MaxValue || cap <= start + 1) cap
+    else
+      try table.byteCappedEnd(start, cap, maxBytesPerTrigger)
+      catch { case _: NoSuchElementException => cap }
 
   override def reportLatestOffset():
       org.apache.spark.sql.connector.read.streaming.Offset =

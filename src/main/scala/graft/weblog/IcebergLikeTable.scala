@@ -345,13 +345,25 @@ final case class IcebergLikeTable(
     withCommitRetry {
       require(name.matches("[A-Za-z0-9_-]+"),
         s"constraint name must be [A-Za-z0-9_-]+, got '$name'")
+      // the constraint lives in manifest meta, so the table needs a
+      // first (possibly empty) commit to carry it — the SQL catalog
+      // materializes one automatically; direct API callers commit first
+      require(currentVersion.isDefined,
+        s"addConstraint needs a committed table under $path — commit " +
+          "first (an empty append materializes the schema stamp)")
       val (liveVersion, snap) = resolveLive()
       validateLayout(snap.meta)
       val existing = constraintsOf(snap.meta)
       require(!existing.contains(name), s"constraint '$name' already exists")
+      // the predicate must ANALYZE against the table schema NOW — a
+      // typo accepted here would fail every subsequent write instead
+      val probe = userFacing(readSnapshot(
+        if (snap.dataFiles.nonEmpty) snap else snap.copy(entries = Nil)))
+      val ok = coalesce(expr(predicateSql).cast("boolean"), lit(true))
+      val analyzed = probe.filter(!ok)
+      analyzed.queryExecution.assertAnalyzed()
       if (snap.dataFiles.nonEmpty) {
-        val ok = coalesce(expr(predicateSql).cast("boolean"), lit(true))
-        val bad = userFacing(readSnapshot(snap)).filter(!ok).limit(1).count()
+        val bad = analyzed.limit(1).count()
         require(bad == 0L,
           s"cannot add CHECK constraint '$name' ($predicateSql): " +
             "existing rows violate it")
@@ -1281,20 +1293,43 @@ final case class IcebergLikeTable(
 
   /** Total stamped bytes of a retained snapshot's data files — the
     * admission-control weight of an initial streaming load, resolved
-    * from the manifest alone (zero data I/O).
+    * from the manifest alone (zero data I/O). Legacy entries without a
+    * stamped size (-1, pre-sharded-manifest tables) count as ZERO —
+    * they cannot be budgeted without I/O; `maintain()` rewrites stamp
+    * them. Callers treating the result as a budget should know a
+    * legacy-heavy table under-counts.
     */
   private[graft] def dataBytesAt(version: Long): Long =
-    snapshotAt(version).dataEntries.map(_.size).sum
+    snapshotAt(version).dataEntries.map(e => math.max(0L, e.size)).sum
 
   /** Stamped bytes of the data files present at `to` but not at
     * `from` — the admission-control weight of a streaming version
     * window (what a change read of (from, to] must scan; an upper
     * bound for keyed tables, whose leaf pruning can only shrink it).
-    * Manifest-only: O(entries), zero data I/O.
+    * Manifest-only: O(entries), zero data I/O. Unstamped legacy sizes
+    * count as zero (see [[dataBytesAt]]).
     */
   private[graft] def addedBytesBetween(from: Long, to: Long): Long = {
     val base = snapshotAt(from).dataFiles.toSet
-    snapshotAt(to).dataEntries.filterNot(e => base(e.path)).map(_.size).sum
+    snapshotAt(to).dataEntries.filterNot(e => base(e.path))
+      .map(e => math.max(0L, e.size)).sum
+  }
+
+  /** Largest end version in (from, cap] whose ADDED data bytes (vs the
+    * `from` snapshot) stay within `budget` — always at least from+1 (an
+    * oversized commit must drain, not stall). ONE pass: the base file
+    * set resolves once; each candidate snapshot scans once (leaf
+    * manifests are JVM-cached), so a 100-version lag costs O(versions)
+    * manifest reads per trigger, not O(versions²) set builds.
+    */
+  private[graft] def byteCappedEnd(from: Long, cap: Long, budget: Long): Long = {
+    if (cap <= from + 1) return cap
+    val base = snapshotAt(from).dataFiles.toSet
+    def addedIn(v: Long): Long = snapshotAt(v).dataEntries
+      .filterNot(e => base(e.path)).map(e => math.max(0L, e.size)).sum
+    var e = from + 1
+    while (e < cap && addedIn(e + 1) <= budget) e += 1
+    e
   }
 
   /** Read a subset of a retained snapshot's leaves (equality deletes
@@ -2227,10 +2262,22 @@ final case class IcebergLikeTable(
     * neighbours are carried value-identical through the rewrite);
     * everything else carries over by reference. Returns rows removed.
     */
-  def replaceWhere(condition: Column, df: DataFrame): Long = {
-    require(df.filter(!coalesce(condition, lit(false))).isEmpty,
-      "replaceWhere: the batch contains rows that do not satisfy the " +
-        "predicate — the region being replaced must cover every new row")
+  def replaceWhere(condition: Column, df: DataFrame): Long =
+    replaceWhere(condition, df, requireBatchInRegion = true)
+
+  /** [[replaceWhere]] with a choice of batch contract:
+    * `requireBatchInRegion = true` is Delta's replaceWhere (every batch
+    * row must satisfy the predicate — refused up front otherwise);
+    * `false` is the DataSourceV2 / Iceberg `overwrite(filters)`
+    * contract — delete the rows matching the predicate, then append
+    * the WHOLE batch, matching or not, in the same snapshot commit.
+    */
+  def replaceWhere(condition: Column, df: DataFrame,
+      requireBatchInRegion: Boolean): Long = {
+    if (requireBatchInRegion)
+      require(df.filter(!coalesce(condition, lit(false))).isEmpty,
+        "replaceWhere: the batch contains rows that do not satisfy the " +
+          "predicate — the region being replaced must cover every new row")
     withCommitRetry {
       val (liveVersion, snap) = resolveLive()
       val previous = snap.files
@@ -3321,8 +3368,14 @@ final case class IcebergLikeTable(
     val smallSet = smallFiles.toSet
     val totalSlices = plan.values.map(_._2).sum
     // per-leaf slice counts ride a map literal; the leaf is recovered
-    // from the file path ON the scan (fileLeafExpr needs it)
-    val kByLeaf = typedLit(plan.map { case (l, (_, k)) => l -> k })
+    // from the file path ON the scan via fileLeafExpr, which yields the
+    // URL-ENCODED segment (input_file_name is a URI) — so the map keys
+    // must be encoded the same way or element_at misses for partition
+    // values with encodable characters and the leaf degrades to one
+    // slice (layout regression, not data loss)
+    def rawLeaf(l: String): String =
+      new java.net.URI(null, null, "/" + l, null).getRawPath.stripPrefix("/")
+    val kByLeaf = typedLit(plan.map { case (l, (_, k)) => rawLeaf(l) -> k })
     val df = morRead(snap, smallFiles)
     val dataCols = df.columns.filterNot(partCols.contains)
     val sliceSrc: Seq[Column] =

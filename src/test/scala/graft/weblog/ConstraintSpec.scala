@@ -107,7 +107,7 @@ class ConstraintSpec extends SparkTestBase {
       s"got: ${exMessageChain(ex).take(200)}")
   }
 
-  test("keyed tables surface their unique keys as a RELY primary-key constraint") {
+  test("keyed tables surface their unique keys as an informational primary key") {
     val wh = Files.createTempDirectory("pk_sql").toString
     spark.conf.set("spark.sql.catalog.gpkc", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gpkc.warehouse", wh)
@@ -122,7 +122,10 @@ class ConstraintSpec extends SparkTestBase {
       case p: org.apache.spark.sql.connector.catalog.constraints.PrimaryKey => p
     }
     assert(pk.isDefined, "keyed table must surface a primary key")
-    assert(pk.get.enforced() && pk.get.rely())
+    // informational only: the raw append path does not merge on the
+    // keys, so neither enforced nor RELY may be claimed (the optimizer
+    // would otherwise be licensed to eliminate aggregates on them)
+    assert(!pk.get.enforced() && !pk.get.rely())
     assert(pk.get.columns().map(_.describe()).toSeq == Seq("id"))
   }
 
@@ -144,5 +147,33 @@ class ConstraintSpec extends SparkTestBase {
     spark.sql("ALTER TABLE gchk.web.t DROP CONSTRAINT amount_pos")
     spark.sql("INSERT INTO gchk.web.t VALUES ('c', -1)")
     assert(spark.table("gchk.web.t").count() == 3)
+
+    // ADD CONSTRAINT BEFORE the first insert: the catalog materializes
+    // the schema stamp with an empty commit so the constraint has a
+    // manifest to live in — the table must stay fully usable
+    spark.sql("CREATE TABLE gchk.web.fresh (id STRING, amount BIGINT)")
+    spark.sql("ALTER TABLE gchk.web.fresh ADD CONSTRAINT pos CHECK (amount >= 0)")
+    assert(spark.table("gchk.web.fresh").count() == 0)
+    spark.sql("INSERT INTO gchk.web.fresh VALUES ('a', 1)")
+    intercept[Exception](
+      spark.sql("INSERT INTO gchk.web.fresh VALUES ('b', -1)"))
+    assert(spark.table("gchk.web.fresh").count() == 1)
+    // a typo'd predicate refuses at ADD time, not at the next write
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gchk.web.fresh ADD CONSTRAINT bad CHECK (no_such_col > 0)"))
+    spark.sql("INSERT INTO gchk.web.fresh VALUES ('c', 2)") // still writable
+    assert(spark.table("gchk.web.fresh").count() == 2)
+  }
+
+  test("engine addConstraint refuses uncommitted tables; predicate analyzes on empty ones") {
+    val t = fresh("chk_empty")
+    intercept[IllegalArgumentException](t.addConstraint("pos", "amount >= 0"))
+    // empty COMMITTED table: predicate must analyze (and a bad one refuse)
+    t.append(rows()) // zero-row append materializes the schema stamp
+    t.addConstraint("pos", "amount >= 0")
+    intercept[Exception](t.addConstraint("bad", "no_such_col > 0"))
+    intercept[Exception](t.append(rows("x" -> -1L)))
+    t.append(rows("ok" -> 5L))
+    assert(t.read.count() == 1)
   }
 }

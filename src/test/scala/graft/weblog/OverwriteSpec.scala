@@ -177,10 +177,16 @@ class OverwriteSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(rows == Seq(("a", 1), ("e", 3), ("x", 2)),
       s"writeTo.overwrite must swap only day=2, got $rows")
-    // a batch row OUTSIDE the condition region refuses loudly
-    intercept[Exception](
-      Seq(("bad", 3, 0L)).toDF("id", "day", "amount")
-        .writeTo("gow2.web.t").overwrite(col("day") === 2))
+    // DataSourceV2 contract (Iceberg's overwrite-by-filter): delete the
+    // matching region, append the WHOLE batch — rows outside the region
+    // land too (Delta's stricter every-row-must-match mode remains on
+    // the direct replaceWhere API)
+    Seq(("y", 2, 1L), ("z", 4, 2L)).toDF("id", "day", "amount")
+      .writeTo("gow2.web.t").overwrite(col("day") === 2)
+    val rows2 = spark.table("gow2.web.t").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(rows2 == Seq(("a", 1), ("e", 3), ("y", 2), ("z", 4)),
+      s"V2 overwrite must append the whole batch, got $rows2")
   }
 
   test("SQL INSERT OVERWRITE: static truncates, dynamic swaps partitions via SupportsDynamicOverwrite") {
