@@ -798,6 +798,14 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
 
   override def pushedFilters(): Array[sources.Filter] = filters
 
+  // NOTE on statistics: a V1Scan cannot feed logical-plan stats —
+  // V2ScanRelationPushDown wraps it in V1ScanWrapper, which does not
+  // forward SupportsReportStatistics, so join selection sees
+  // defaultSizeInBytes for the initial plan. AQE closes the gap at
+  // runtime (the materialized scan stage's TRUE size re-plans SMJ →
+  // broadcast; StatsReportSpec pins it); the path-based
+  // format("graft") relation reports manifest bytes at the logical
+  // level directly (BaseRelation.sizeInBytes).
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType = required
 

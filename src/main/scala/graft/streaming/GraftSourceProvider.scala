@@ -268,6 +268,13 @@ private[streaming] final class GraftBatchRelation(
 
   override val schema: StructType = table.read.schema
 
+  /** Manifest-resolved size (zero I/O): without this override the V1
+    * default is `spark.sql.defaultSizeInBytes` (max), so a small graft
+    * table would NEVER auto-broadcast in a join.
+    */
+  override def sizeInBytes: Long =
+    math.max(1L, table.scanStatsFor(lit(true))._1)
+
   // every filter is re-applied by the engine; translation is I/O-only
   override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
     filters

@@ -1315,6 +1315,27 @@ final case class IcebergLikeTable(
       .map(e => math.max(0L, e.size)).sum
   }
 
+  /** Manifest-resolved statistics of the files a predicate leaves
+    * after pruning — (bytes, rows), zero data I/O. This is what feeds
+    * Spark's join planning through the relation/scan statistics: a
+    * small (or well-pruned) graft table reports its true size and gets
+    * auto-broadcast, instead of the V1 default (defaultSizeInBytes =
+    * effectively never). Unstamped legacy sizes count as 0; row counts
+    * are estimates when delete files are live (they can only shrink
+    * the true count — sound for planning).
+    */
+  private[graft] def scanStatsFor(condition: Column,
+      version: Option[Long] = None): (Long, Option[Long]) = {
+    val snap = version.map(snapshotAt).getOrElse(resolveLive()._2)
+    val files = prunedFiles(snap, storedSchema(snap.meta), condition).toSet
+    val entries = snap.dataEntries.filter(e => files(e.path))
+    val bytes = entries.map(e => math.max(0L, e.size)).sum
+    val rows =
+      if (entries.forall(_.rowCount >= 0L)) Some(entries.map(_.rowCount).sum)
+      else None
+    (bytes, rows)
+  }
+
   /** Largest end version in (from, cap] whose ADDED data bytes (vs the
     * `from` snapshot) stay within `budget` — always at least from+1 (an
     * oversized commit must drain, not stall). ONE pass: the base file
