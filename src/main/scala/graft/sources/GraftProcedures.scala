@@ -156,14 +156,18 @@ private[sources] object GraftProcedures {
     Proc("zorder",
       Seq(param("table", StringType),
         param("zorder_by", StringType),
-        param("target_files", IntegerType, "16")),
+        param("target_files", IntegerType, "16"),
+        param("where", StringType, "''")),
       StructType(new StructType()
         .add("rewritten_leaves", IntegerType, nullable = false)),
       (cat, in) => {
         val t = tableOf(cat, in)
         val cols = in.getUTF8String(1).toString.split(",")
           .toSeq.map(_.trim).filter(_.nonEmpty)
-        Seq(t.maintainZOrder(cols, in.getInt(2)).size)
+        val where = Option(in.getUTF8String(3)).map(_.toString.trim)
+          .filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
+        Seq(t.maintainZOrder(cols, in.getInt(2), where).size)
       }),
     Proc("vacuum",
       Seq(param("table", StringType)),

@@ -3322,9 +3322,14 @@ final case class IcebergLikeTable(
     * exchange keys on (partition, z)); merge-on-read deletes are
     * applied by the rewrite and consumed by the commit, exactly like
     * [[maintain]]. One snapshot commit; time travel keeps the
-    * pre-rewrite layout readable. Returns the rewritten leaves.
+    * pre-rewrite layout readable. `where` scopes the rewrite to the
+    * predicate-implicated leaves ([[maintainWhere]]'s economics: at
+    * 100 TB you z-order yesterday's partition, never the table —
+    * untouched leaves carry over by reference). Returns the rewritten
+    * leaves.
     */
-  def maintainZOrder(zCols: Seq[String], targetFiles: Int = 16): Seq[String] = {
+  def maintainZOrder(zCols: Seq[String], targetFiles: Int = 16,
+      where: Option[Column] = None): Seq[String] = {
     require(zCols.size >= 2 && zCols.size <= 4,
       "z-order needs 2-4 columns (single-column: maintainClustered)")
     require(targetFiles >= 1, "targetFiles must be >= 1")
@@ -3333,9 +3338,21 @@ final case class IcebergLikeTable(
       val (liveVersion, snap) = resolveLive()
       validateLayout(snap.meta)
       val previous = snap.files
-      if (previous.isEmpty) Nil
+      // PARTITION-SCOPED z-order (`where`): only leaves the predicate's
+      // pruning implicates are rewritten — the 100 TB usage is
+      // "z-order yesterday's partition", never the table; everything
+      // else carries over by reference
+      val hotLeaves: Set[String] =
+        if (previous.isEmpty) Set.empty
+        else where match {
+          case None => snap.dataFiles.map(leafOf).toSet
+          case Some(c) =>
+            prunedFiles(snap, storedSchema(snap.meta), c).map(leafOf).toSet
+        }
+      if (hotLeaves.isEmpty) Nil
       else {
-        val df = morRead(snap, snap.dataFiles)
+        val hotFiles = snap.dataFiles.filter(f => hotLeaves(leafOf(f)))
+        val df = morRead(snap, hotFiles)
         zCols.foreach { c =>
           require(df.columns.contains(c), s"no column '$c' to z-order by")
           val dt = df.schema(df.schema.fieldIndex(c)).dataType
@@ -3358,8 +3375,9 @@ final case class IcebergLikeTable(
           .repartitionByRange(targetFiles, (partCols :+ zKey).map(col): _*)
           .sortWithinPartitions((partCols :+ zKey).map(col): _*)
           .drop(zKey)
-        commit(shaped, liveVersion, snap)(_ => Nil)
-        previous.map(leafOf).distinct.sorted.map(_.stripPrefix(s"$partitionCol="))
+        commit(shaped, liveVersion, snap)(
+          _ => previous.filterNot(f => hotLeaves(leafOf(f))))
+        hotLeaves.toSeq.sorted.map(_.stripPrefix(s"$partitionCol="))
       }
     }
   }

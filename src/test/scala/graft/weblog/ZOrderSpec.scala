@@ -74,6 +74,35 @@ class ZOrderSpec extends SparkTestBase {
     assert(t.readAt(t.currentVersion.get - 1).count() == 64 * 64 - 1)
   }
 
+  test("where-scoped z-order rewrites only implicated leaves, carries the rest by reference") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("zord_w").toString + "/t", "event",
+      Nil, statsColumns = Seq("x", "y"))
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y =>
+      (if (x % 2 == 0) "a" else "b", x.toLong, y.toLong)))
+      .toDF("event", "x", "y")
+    for (g <- 0 to 1)
+      t.append(grid.filter(pmod(xxhash64(col("x"), col("y")), lit(2)) === g)
+        .coalesce(1))
+    val before = t.files.filter(!col("is_delete"))
+      .select("file").collect().map(_.getString(0)).toSet
+    val leaves = t.maintainZOrder(Seq("x", "y"), targetFiles = 4,
+      where = Some(col("event") === "a"))
+    assert(leaves == Seq("a"), s"only event=a may rewrite, got $leaves")
+    val after = t.files.filter(!col("is_delete"))
+      .select("file").collect().map(_.getString(0)).toSet
+    assert(before.filter(_.startsWith("event=b/")) ==
+      after.filter(_.startsWith("event=b/")),
+      "event=b files must carry over by reference")
+    assert((before.diff(after) ++ after.diff(before)).forall(_.startsWith("event=a/")))
+    assert(t.read.count() == 32 * 32)
+    // scoped CALL through SQL composes the same way
+    val miss = t.maintainZOrder(Seq("x", "y"), targetFiles = 4,
+      where = Some(col("event") === "zzz"))
+    assert(miss.isEmpty, "a predicate implying no leaves is a no-op")
+  }
+
   test("guards: column count, non-numeric, unknown column, empty table") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
