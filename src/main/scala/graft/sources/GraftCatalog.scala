@@ -320,31 +320,48 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     var desc = Descriptor.read(fs, descPath(dir))
     val t = tableFor(ident, desc)
-    // refusable conditions validate BEFORE any change applies, so a
-    // multi-change ALTER cannot half-apply on a late refusal (engine
-    // commits are still sequential — a mid-loop I/O failure can leave
-    // earlier changes applied, same as Iceberg's non-transactional DDL)
+    // REFUSABLE conditions validate BEFORE any change applies — shape,
+    // existence, duplicates, widenability — so a multi-change ALTER
+    // does not half-apply on a statically-knowable late refusal.
+    // (Engine commits are still sequential: a mid-loop I/O failure, or
+    // a data-dependent refusal like a CHECK violation during
+    // AddConstraint's validation scan, can leave earlier changes
+    // applied — the same non-transactional DDL posture as Iceberg's.)
+    val declared = scala.collection.mutable.Set(desc.schema.fieldNames: _*)
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "graft supports top-level column renames only")
+        require(declared.contains(r.fieldNames.head),
+          s"no column '${r.fieldNames.head}' to rename")
+        require(!declared.contains(r.newName),
+          s"column '${r.newName}' already exists")
+        declared -= r.fieldNames.head; declared += r.newName
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "graft supports top-level column drops only")
+        require(declared.contains(d.fieldNames.head),
+          s"no column '${d.fieldNames.head}' to drop")
+        declared -= d.fieldNames.head
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           "graft supports top-level column adds only")
+        require(!declared.contains(a.fieldNames.head),
+          s"column '${a.fieldNames.head}' already exists")
         require(a.defaultValue() == null,
           s"graft cannot ADD COLUMN '${a.fieldNames.head}' WITH a " +
             "DEFAULT (existing rows would read NULL, not the default); " +
             "add the column, then ALTER COLUMN ... SET DEFAULT")
+        declared += a.fieldNames.head
       case w: TableChange.UpdateColumnType =>
         require(w.fieldNames.length == 1,
           "graft supports top-level column type changes only")
+        require(declared.contains(w.fieldNames.head),
+          s"no column '${w.fieldNames.head}' to widen")
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames.length == 1,
           "graft supports top-level column defaults only")
-        require(desc.schema.fieldNames.contains(u.fieldNames.head),
+        require(declared.contains(u.fieldNames.head),
           s"no column '${u.fieldNames.head}' to set a default on")
       case a: TableChange.AddConstraint =>
         require(a.constraint().isInstanceOf[
@@ -358,31 +375,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"unsupported ALTER TABLE change for graft: $other")
     }
     changes.foreach {
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "graft supports top-level column renames only")
+      case r: TableChange.RenameColumn => // validated by the pre-pass
         val from = r.fieldNames.head
         if (t.currentVersion.isDefined) t.renameColumn(from, r.newName)
         desc = desc.copy(schema = StructType(desc.schema.fields.map(f =>
           if (f.name == from) f.copy(name = r.newName) else f)))
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "graft supports top-level column drops only")
+      case d: TableChange.DeleteColumn => // validated by the pre-pass
         val name = d.fieldNames.head
         if (t.currentVersion.isDefined) t.dropColumn(name)
         desc = desc.copy(schema =
           StructType(desc.schema.fields.filterNot(_.name == name)))
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft supports top-level column adds only")
-        // an ADD-time default needs EXISTS_DEFAULT semantics (backfill
-        // EXISTING rows at read) which the engine serves as NULL —
-        // refuse rather than silently diverge; add the column first,
-        // then ALTER COLUMN SET DEFAULT (affects future inserts only)
-        require(a.defaultValue() == null,
-          s"graft cannot ADD COLUMN '${a.fieldNames.head}' WITH a " +
-            "DEFAULT (existing rows would read NULL, not the default); " +
-            "add the column, then ALTER COLUMN ... SET DEFAULT")
+      case a: TableChange.AddColumn => // validated by the pre-pass
         val f = org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, a.isNullable)
         desc = desc.copy(schema = StructType(desc.schema.fields :+ f))
@@ -393,9 +396,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           t.append(spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], widened))
         }
-      case w: TableChange.UpdateColumnType =>
-        require(w.fieldNames.length == 1,
-          "graft supports top-level column type changes only")
+      case w: TableChange.UpdateColumnType => // validated by the pre-pass
         val name = w.fieldNames.head
         if (t.currentVersion.isDefined) t.widenColumn(name, w.newDataType)
         desc = desc.copy(schema = StructType(desc.schema.fields.map(f =>
@@ -408,12 +409,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // governs FUTURE inserts (the analyzer materializes it into the
       // write plan from the schema metadata), never reads, so the
       // engine needs no awareness. Stored on the descriptor field.
-      case u: TableChange.UpdateColumnDefaultValue =>
-        require(u.fieldNames.length == 1,
-          "graft supports top-level column defaults only")
+      case u: TableChange.UpdateColumnDefaultValue => // validated by the pre-pass
         val name = u.fieldNames.head
-        require(desc.schema.fieldNames.contains(name),
-          s"no column '$name' to set a default on")
         val newSql = Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
         desc = desc.copy(schema = StructType(desc.schema.fields.map { f =>
           if (f.name != name) f

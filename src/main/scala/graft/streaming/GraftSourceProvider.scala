@@ -147,12 +147,23 @@ final class GraftSourceProvider extends StreamSourceProvider
     // like the reference's buffering_size knob; parsed by Spark's own
     // size-string parser (proper k/kb/m/mb/g/gb handling + errors),
     // and non-positive values refuse instead of silently clamping
+    val fractional = "^([0-9]*\\.[0-9]+)\\s*([kmgtp]?)b?$".r
     def bytesOpt(key: String, default: Long): Long =
       opt(parameters, key).map { raw =>
-        val v =
-          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim)
-          catch { case e: Exception => throw new IllegalArgumentException(
-            s"option '$key' is not a byte size: '$raw'", e) }
+        val v = raw.trim.toLowerCase match {
+          // "1.5g": Spark's parser is integer-only; scale fractions here
+          case fractional(n, suf) =>
+            val mult = suf match {
+              case "k" => 1L << 10; case "m" => 1L << 20
+              case "g" => 1L << 30; case "t" => 1L << 40
+              case "p" => 1L << 50; case _ => 1L
+            }
+            (n.toDouble * mult).toLong
+          case s =>
+            try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+            catch { case e: Exception => throw new IllegalArgumentException(
+              s"option '$key' is not a byte size: '$raw'", e) }
+        }
         require(v > 0L, s"option '$key' must be positive, got '$raw'")
         v
       }.getOrElse(default)
@@ -268,12 +279,16 @@ private[streaming] final class GraftBatchRelation(
 
   override val schema: StructType = table.read.schema
 
-  /** Manifest-resolved size (zero I/O): without this override the V1
-    * default is `spark.sql.defaultSizeInBytes` (max), so a small graft
-    * table would NEVER auto-broadcast in a join.
+  /** Manifest-resolved size (one map-sum over the live entries, zero
+    * I/O): without this override the V1 default is
+    * `spark.sql.defaultSizeInBytes` (max), so a small graft table would
+    * NEVER auto-broadcast in a join. Legacy tables with unstamped
+    * sizes keep the conservative default — a false "tiny" claim would
+    * broadcast an arbitrarily large table.
     */
   override def sizeInBytes: Long =
-    math.max(1L, table.scanStatsFor(lit(true))._1)
+    table.dataBytesEstimate.map(b => math.max(1L, b))
+      .getOrElse(super.sizeInBytes) // conservative default for legacy sizes
 
   // every filter is re-applied by the engine; translation is I/O-only
   override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =

@@ -1324,16 +1324,29 @@ final case class IcebergLikeTable(
     * are estimates when delete files are live (they can only shrink
     * the true count — sound for planning).
     */
-  private[graft] def scanStatsFor(condition: Column,
-      version: Option[Long] = None): (Long, Option[Long]) = {
-    val snap = version.map(snapshotAt).getOrElse(resolveLive()._2)
+  private[graft] def scanStatsFor(
+      condition: Column): (Option[Long], Option[Long]) = {
+    val snap = resolveLive()._2
     val files = prunedFiles(snap, storedSchema(snap.meta), condition).toSet
     val entries = snap.dataEntries.filter(e => files(e.path))
-    val bytes = entries.map(e => math.max(0L, e.size)).sum
+    // UNKNOWN (None), never zero, when any legacy entry lacks a stamp:
+    // a "1-byte" claim would auto-broadcast an arbitrarily large table
+    val bytes =
+      if (entries.forall(_.size >= 0L)) Some(entries.map(_.size).sum)
+      else None
     val rows =
       if (entries.forall(_.rowCount >= 0L)) Some(entries.map(_.rowCount).sum)
       else None
     (bytes, rows)
+  }
+
+  /** Cheap whole-table byte estimate for relation-level statistics:
+    * one map-sum over the live manifest entries, no predicate
+    * analysis. None when any entry size is unstamped (legacy).
+    */
+  private[graft] def dataBytesEstimate: Option[Long] = {
+    val entries = resolveLive()._2.dataEntries
+    if (entries.forall(_.size >= 0L)) Some(entries.map(_.size).sum) else None
   }
 
   /** Largest end version in (from, cap] whose ADDED data bytes (vs the
@@ -3347,6 +3360,15 @@ final case class IcebergLikeTable(
         else where match {
           case None => snap.dataFiles.map(leafOf).toSet
           case Some(c) =>
+            // the scope predicate must ANALYZE: for a read, falling
+            // back to "all files" on an unanalyzable predicate is
+            // sound (scanning more is safe) — for an EFFECTFUL
+            // maintenance scope a typo'd column would silently widen
+            // to a full-table rewrite instead of refusing
+            storedSchema(snap.meta).foreach { s =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+                .filter(c).queryExecution.assertAnalyzed()
+            }
             prunedFiles(snap, storedSchema(snap.meta), c).map(leafOf).toSet
         }
       if (hotLeaves.isEmpty) Nil

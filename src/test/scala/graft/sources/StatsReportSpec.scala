@@ -82,7 +82,8 @@ class StatsReportSpec extends SparkTestBase {
     val (allB, allR) = t.scanStatsFor(lit(true))
     val (oneB, oneR) = t.scanStatsFor(col("day") === 3)
     assert(allR.contains(500L) && oneR.contains(100L))
-    assert(oneB > 0 && oneB < allB,
+    assert(oneB.exists(_ > 0) && allB.exists(b => oneB.get < b),
       s"pruned stats must shrink: $oneB vs $allB")
+    assert(t.dataBytesEstimate == allB)
   }
 }
