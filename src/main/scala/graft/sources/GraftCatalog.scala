@@ -356,8 +356,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case w: TableChange.UpdateColumnType =>
         require(w.fieldNames.length == 1,
           "graft supports top-level column type changes only")
-        require(declared.contains(w.fieldNames.head),
-          s"no column '${w.fieldNames.head}' to widen")
+        val wName = w.fieldNames.head
+        require(declared.contains(wName), s"no column '$wName' to widen")
+        // replicate widenColumn's STATIC refusals here so a multi-change
+        // ALTER cannot half-apply on a knowable late refusal: only
+        // int->bigint / float->double widen, and layout/unique-key/
+        // bloom-stamped columns never do (key bucketing and the sidecar
+        // filters hash the binary type)
+        desc.schema.fields.find(_.name == wName).foreach { f =>
+          if (f.dataType != w.newDataType) {
+            val ok = (f.dataType, w.newDataType) match {
+              case (org.apache.spark.sql.types.IntegerType,
+                org.apache.spark.sql.types.LongType) => true
+              case (org.apache.spark.sql.types.FloatType,
+                org.apache.spark.sql.types.DoubleType) => true
+              case _ => false
+            }
+            require(ok, s"unsupported type widening ${f.dataType} -> " +
+              s"${w.newDataType} for '$wName' (supported: int -> bigint, " +
+              "float -> double)")
+          }
+        }
+        require(wName != desc.partitionCol && !desc.uniqueKeys.contains(wName),
+          s"cannot widen layout or unique-key column '$wName'")
+        require(!desc.bloomColumns.contains(wName),
+          s"cannot widen bloom-stamped column '$wName'")
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames.length == 1,
           "graft supports top-level column defaults only")

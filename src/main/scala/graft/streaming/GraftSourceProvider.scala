@@ -464,9 +464,15 @@ private[streaming] final class GraftTableSource(sqlContext: SQLContext,
     */
   private def byteCapped(start: Long, cap: Long): Long =
     if (maxBytesPerTrigger == Long.MaxValue || cap <= start + 1) cap
-    else
-      try table.byteCappedEnd(start, cap, maxBytesPerTrigger)
-      catch { case _: NoSuchElementException => cap }
+    else if (!table.versions.contains(start))
+      // expired start snapshot: byte sizing is impossible (the base
+      // file set is gone) — fall back to the count cap and let getBatch
+      // surface the real retention error if the window is unreadable.
+      // A PRE-CHECK, not a NoSuchElementException catch: a broad catch
+      // would also mask unrelated manifest/snapshot-resolution bugs and
+      // quietly disable the operator-chosen byte budget
+      cap
+    else table.byteCappedEnd(start, cap, maxBytesPerTrigger)
 
   override def reportLatestOffset():
       org.apache.spark.sql.connector.read.streaming.Offset =

@@ -1924,6 +1924,14 @@ final case class IcebergLikeTable(
     require(branch == "main", "tags pin main-chain snapshots; tag via the main handle")
     require(name.matches("[A-Za-z0-9-]+"),
       s"tag name must be [A-Za-z0-9-]+, got '$name'")
+    // `VERSION AS OF <ref>` resolves a numeric ref as a snapshot
+    // version FIRST — an all-digit tag name (e.g. '20240301') would be
+    // silently shadowed and could pin a wrong snapshot. Refused at
+    // creation so the ambiguity can never exist.
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — it would be shadowed by " +
+        "snapshot-version resolution in VERSION AS OF; include a letter " +
+        "or dash")
     require(versions.contains(version),
       s"cannot tag unknown or expired version $version")
     tags.get(name).foreach { cur =>
@@ -2308,14 +2316,25 @@ final case class IcebergLikeTable(
     */
   def replaceWhere(condition: Column, df: DataFrame,
       requireBatchInRegion: Boolean): Long = {
-    if (requireBatchInRegion)
-      require(df.filter(!coalesce(condition, lit(false))).isEmpty,
-        "replaceWhere: the batch contains rows that do not satisfy the " +
-          "predicate — the region being replaced must cover every new row")
+    // strict mode enforces the region contract PER ROW inside the write
+    // plan (the CHECK-constraint guard pattern): zero extra passes over
+    // the batch — the old up-front `filter(!cond).isEmpty` probe was a
+    // full second evaluation, and on a non-deterministic source the
+    // batch could pass the probe yet produce violating rows in the
+    // write pass. A violating row throws DURING the staging write,
+    // before the manifest create, so nothing partial publishes and the
+    // normal abort path cleans the staged files.
+    val guarded =
+      if (!requireBatchInRegion) df
+      else df.filter(when(coalesce(condition, lit(false)), lit(true))
+        .otherwise(raise_error(concat(
+          lit("replaceWhere: batch row outside the replaced region " +
+            "(every new row must satisfy the predicate): "),
+          to_json(struct(df.columns.toSeq.map(col): _*))))))
     withCommitRetry {
       val (liveVersion, snap) = resolveLive()
       val previous = snap.files
-      val newRows = withBucket(withDerivedPartition(df))
+      val newRows = withBucket(withDerivedPartition(guarded))
       val candidates =
         if (previous.isEmpty) Nil
         else prunedFiles(snap, storedSchema(snap.meta), condition)
@@ -3392,9 +3411,14 @@ final case class IcebergLikeTable(
             lit(b.getDouble(2 * i)), lit(b.getDouble(2 * i + 1)), bitsPer)
         }
         val zKey = "_graft_z"
+        // `targetFiles` is PER LEAF, like the sibling maintenance APIs
+        // (maintainOnce/maintainClustered scale by hot.size): a wide or
+        // full-table z-order of many leaves must fan the range exchange
+        // out across leaves, not collapse into targetFiles total tasks
         val shaped = df
           .withColumn(zKey, graft.functions.ZOrder.interleave(qs, bitsPer))
-          .repartitionByRange(targetFiles, (partCols :+ zKey).map(col): _*)
+          .repartitionByRange(targetFiles * hotLeaves.size,
+            (partCols :+ zKey).map(col): _*)
           .sortWithinPartitions((partCols :+ zKey).map(col): _*)
           .drop(zKey)
         commit(shaped, liveVersion, snap)(

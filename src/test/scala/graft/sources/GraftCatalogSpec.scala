@@ -140,6 +140,28 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(sql("SELECT a FROM gcat.evo.w WHERE n = 7").head.getString(0) == "x")
   }
 
+  test("ALTER pre-validation: a statically-refusable widen fails BEFORE any change applies") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
+    sql("CREATE TABLE gcat.evo.pre (a STRING, n BIGINT, f FLOAT)")
+    sql("INSERT INTO gcat.evo.pre VALUES ('x', 1, 0.5)")
+    // narrowing bigint -> int is statically unsupported: the catalog
+    // pre-pass refuses it before ANY change applies (no half-applied
+    // multi-change ALTER), and the schema stays intact
+    intercept[Exception](sql(
+      "ALTER TABLE gcat.evo.pre ALTER COLUMN n TYPE INT"))
+    assert(sql("DESCRIBE gcat.evo.pre").collect()
+      .exists(r => r.getString(0) == "n" && r.getString(1) == "bigint"))
+    // the supported widening still works
+    sql("ALTER TABLE gcat.evo.pre ALTER COLUMN f TYPE DOUBLE")
+    assert(sql("DESCRIBE gcat.evo.pre").collect()
+      .exists(r => r.getString(0) == "f" && r.getString(1) == "double"))
+    // a layout-column widen is refused in the pre-pass too
+    sql("""CREATE TABLE gcat.evo.prek (k INT, v STRING, seq BIGINT)
+          |TBLPROPERTIES (uniqueKeys 'k', orderCol 'seq')""".stripMargin)
+    intercept[Exception](sql(
+      "ALTER TABLE gcat.evo.prek ALTER COLUMN k TYPE BIGINT"))
+  }
+
   test("DELETE FROM: copy-on-write, merge-on-read, and truncate") {
     sql("CREATE NAMESPACE IF NOT EXISTS gcat.del")
     // copy-on-write (default)

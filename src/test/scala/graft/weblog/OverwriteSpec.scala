@@ -34,6 +34,10 @@ class OverwriteSpec extends SparkTestBase {
     t.files.filter(!col("is_delete"))
       .select("file").collect().map(_.getString(0)).toSet
 
+  /** The cause chain of a (possibly executor-wrapped) exception. */
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   test("overwrite: truncate-reload in one commit; history time-travels; replay idempotent") {
     val t = fresh("ovw_full")
     t.append(frame(Seq(day(1, "a", 10), day(2, "b", 20))))
@@ -102,9 +106,17 @@ class OverwriteSpec extends SparkTestBase {
     t.append(frame(Seq(day(1, "a", 10), day(1, "b", 11))))
     t.append(frame(Seq(day(2, "c", 20), day(2, "d", 21))))
     t.append(frame(Seq(day(3, "e", 30))))
-    // a batch row OUTSIDE the predicate region is refused up front
-    intercept[IllegalArgumentException](
+    // a batch row OUTSIDE the predicate region is refused — per row,
+    // INSIDE the write plan (no separate validation pass), so the
+    // failure surfaces as the write's raise_error and the table is
+    // untouched (staging cleaned, version unchanged)
+    val vBefore = t.currentVersion.get
+    val refusal = intercept[Exception](
       t.replaceWhere(col("day") === 2, frame(Seq(day(3, "bad", 0)))))
+    assert(exceptionChain(refusal).exists(
+      _.getMessage != null) && exceptionChain(refusal).exists(m =>
+        Option(m.getMessage).exists(_.contains("outside the replaced region"))))
+    assert(t.currentVersion.contains(vBefore), "refusal must be atomic")
     val before = dataFiles(t)
     val removed = t.replaceWhere(col("day") === 2, frame(Seq(day(2, "x", 99))))
     assert(removed == 2L)
@@ -120,6 +132,24 @@ class OverwriteSpec extends SparkTestBase {
     val v = t.currentVersion.get
     assert(t.replaceWhere(col("day") === 2, frame(Nil)) == 0L)
     assert(t.currentVersion.contains(v))
+  }
+
+  test("replaceWhere strict mode evaluates the batch exactly once (in-plan guard, no probe pass)") {
+    val t = fresh("rw_onepass")
+    t.append(frame(Seq(day(1, "a", 10), day(2, "c", 20))))
+    val evals = spark.sparkContext.longAccumulator("rw_evals")
+    import spark.implicits._
+    val src = spark.createDataset(Seq(("x", 2, 99L), ("y", 2, 98L)))
+      .map { r => evals.add(1); r }
+      .toDF("id", "day", "amount")
+    val removed = t.replaceWhere(col("day") === 2, src)
+    assert(removed == 1L)
+    assert(t.read.filter(col("day") === 2).count() == 2L)
+    // the old contract check was a full `filter(!cond).isEmpty` probe —
+    // a second evaluation of the batch; the per-row in-plan guard must
+    // evaluate each source row exactly once (2 rows -> 2 evaluations)
+    assert(evals.value == 2L,
+      s"batch must be evaluated exactly once, saw ${evals.value} row evaluations")
   }
 
   test("replaceWhere: sub-partition predicate rewrites only containing files, survivors carry values") {

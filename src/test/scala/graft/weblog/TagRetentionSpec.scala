@@ -18,6 +18,17 @@ class TagRetentionSpec extends SparkTestBase {
     ids.map(i => (s"k$i", "e", host)).toDF("k", "event", "hostname")
   }
 
+  test("all-digit tag names are refused (version resolution would shadow them)") {
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("tag_digits").toString + "/t", "event")
+    t.append(rows(0 until 3, "v1"))
+    // VERSION AS OF resolves numeric refs as snapshot versions before
+    // tags — a '20240301' tag could silently pin the wrong snapshot
+    intercept[IllegalArgumentException](t.tag("20240301", t.currentVersion.get))
+    t.tag("rel-20240301", t.currentVersion.get) // a dash disambiguates
+    assert(t.tags.contains("rel-20240301"))
+  }
+
   test("a tag pins its snapshot past count-based retention") {
     val t = IcebergLikeTable(spark,
       Files.createTempDirectory("tag_keep").toString + "/t",
