@@ -571,6 +571,63 @@ object WebLogQueries {
              |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
 
+    // MULTI-COLUMN partition spec (Iceberg's everyday
+    // `PARTITIONED BY (days(ts), event)`; the reference's own raw zone
+    // is 4-level year/month/day/hour, athena_named_query.py:33-37):
+    // the composite spec rides the format's single partition dimension
+    // as a multi(days(ts), identity(event)) transform, and the proof
+    // booleans pin PER-LEG pruning — a time-only predicate prunes, an
+    // event-only predicate prunes, and both compose by intersection —
+    // with the census recomputed by the oracle.
+    Q("weblog_multi_partition",
+      (s, d) => {
+        val wh = scratch(s, "multipart", d)
+        s.conf.set("spark.sql.catalog.gmp", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gmp.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmp.web")
+        s.sql("DROP TABLE IF EXISTS gmp.web.events")
+        s.sql("""CREATE TABLE gmp.web.events
+                |(user_id BIGINT, event STRING, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts), event)""".stripMargin)
+        Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 3)
+          .select(col("user_id"), col("event_type").as("event"), col("ts"))
+          .createOrReplaceTempView("graft_mp_src")
+        s.sql("INSERT INTO gmp.web.events SELECT * FROM graft_mp_src")
+        val d0 = Tables.events(s, d)
+          .agg(date_trunc("DAY", min(col("ts")))).head.getTimestamp(0)
+        val lo = new java.sql.Timestamp(d0.getTime + 86400000L)
+        val hi = new java.sql.Timestamp(d0.getTime + 2 * 86400000L)
+        val t = IcebergLikeTable(s, s"$wh/web/events",
+          partitionCol = "ts_day_event",
+          partitionTransform = Some("multi(days(ts), identity(event))"))
+        val dayPred = col("ts") >= lit(lo) && col("ts") < lit(hi)
+        val total = t.filesFor(lit(true)).size
+        val timeHit = t.filesFor(dayPred).size
+        val evHit = t.filesFor(col("event") === "view").size
+        val bothHit = t.filesFor(dayPred && col("event") === "view").size
+        val timePruned = timeHit > 0 && timeHit < total
+        val evPruned = evHit > 0 && evHit < total
+        val composed = bothHit > 0 &&
+          bothHit <= math.min(timeHit, evHit) && bothHit < total
+        s.sql(s"""SELECT event, CAST(count(*) AS BIGINT) AS cnt
+                 |FROM gmp.web.events
+                 |WHERE ts >= TIMESTAMP '$lo' AND ts < TIMESTAMP '$hi'
+                 |GROUP BY event""".stripMargin)
+          .withColumn("time_leg_pruned", lit(timePruned))
+          .withColumn("event_leg_pruned", lit(evPruned))
+          .withColumn("legs_compose", lit(composed))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       TRUE AS time_leg_pruned, TRUE AS event_leg_pruned,
+             |       TRUE AS legs_compose
+             |FROM events
+             |WHERE ts >= (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY FROM events)
+             |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // Schema evolution: TYPE WIDENING (Iceberg's int->bigint promotion)
     // — a metadata-only commit; the day-1 files stay physical INT32 and
     // the parquet reader promotes them at scan, day-2 appends write

@@ -266,8 +266,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * partition column; days/hours/truncate = hidden partitioning (the
     * derived column is named Iceberg-style, `<src>_day` / `<src>_hour`
     * / `<src>_trunc`); no clause = the `void` transform (single null
-    * partition — Iceberg's unpartitioned spec). At most ONE transform:
-    * the format carries one partition dimension (plus key buckets).
+    * partition — Iceberg's unpartitioned spec). SEVERAL transforms —
+    * Iceberg's everyday `PARTITIONED BY (days(ts), event)`, or the
+    * reference's 4-level year/month/day/hour raw-zone layout
+    * (`athena_named_query.py:33-37`) — compose into ONE
+    * [[graft.weblog.PartitionTransforms.Multi]] spec: the format's
+    * single partition dimension carries the composite value, and
+    * predicates on any leg's source column prune independently.
     */
   private def parsePartitioning(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -281,37 +286,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"partition source column '$c' is not a table column")
       c
     }
-    require(partitions.length <= 1,
-      s"graft tables take at most one PARTITIONED BY transform, " +
-        s"got ${partitions.length}")
-    partitions.headOption match {
-      case None =>
+    // (leg spec, default derived-column name segment)
+    def leg(t: Transform): (String, String) = t.name match {
+      case "identity" =>
+        val src = inSchema(ref(t)); (s"identity($src)", src)
+      case "days" =>
+        val src = inSchema(ref(t)); (s"days($src)", s"${src}_day")
+      case "hours" =>
+        val src = inSchema(ref(t)); (s"hours($src)", s"${src}_hour")
+      case "truncate" =>
+        val src = inSchema(ref(t))
+        val w = t.arguments.collectFirst {
+          case l: V2Literal[_] => l.value.toString.toLong
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform needs a width literal: ${t.describe}"))
+        (s"truncate($w, $src)", s"${src}_trunc")
+      case "bucket" => throw new IllegalArgumentException(
+        "bucket() partitioning is keyed layout in graft — declare " +
+          "TBLPROPERTIES (uniqueKeys '...', numBuckets '...', orderCol '...') " +
+          "instead")
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform '$other' " +
+          "(supported: identity column, days, hours, truncate)")
+    }
+    partitions.toSeq match {
+      case Nil =>
         val src = schema.fields.head.name
         (props.getOrElse("partitionCol", "gpart"), Some(s"void($src)"))
-      case Some(t) => t.name match {
-        case "identity" => (inSchema(ref(t)), None)
-        case "days" =>
-          val src = inSchema(ref(t))
-          (props.getOrElse("partitionCol", s"${src}_day"), Some(s"days($src)"))
-        case "hours" =>
-          val src = inSchema(ref(t))
-          (props.getOrElse("partitionCol", s"${src}_hour"), Some(s"hours($src)"))
-        case "truncate" =>
-          val src = inSchema(ref(t))
-          val w = t.arguments.collectFirst {
-            case l: V2Literal[_] => l.value.toString.toLong
-          }.getOrElse(throw new IllegalArgumentException(
-            s"truncate transform needs a width literal: ${t.describe}"))
-          (props.getOrElse("partitionCol", s"${src}_trunc"),
-            Some(s"truncate($w, $src)"))
-        case "bucket" => throw new IllegalArgumentException(
-          "bucket() partitioning is keyed layout in graft — declare " +
-            "TBLPROPERTIES (uniqueKeys '...', numBuckets '...', orderCol '...') " +
-            "instead")
-        case other => throw new IllegalArgumentException(
-          s"unsupported partition transform '$other' " +
-            "(supported: identity column, days, hours, truncate)")
-      }
+      case Seq(t) if t.name == "identity" => (inSchema(ref(t)), None)
+      case Seq(t) =>
+        val (spec, name) = leg(t)
+        (props.getOrElse("partitionCol", name), Some(spec))
+      case ts =>
+        val legs = ts.map(leg)
+        val name = props.getOrElse("partitionCol", legs.map(_._2).mkString("_"))
+        require(!schema.fieldNames.contains(name),
+          s"derived partition column '$name' collides with a table " +
+            "column — set TBLPROPERTIES (partitionCol '...') to rename it")
+        (name, Some(s"multi(${legs.map(_._1).mkString(", ")})"))
     }
   }
 
@@ -758,15 +770,21 @@ private[sources] final class GraftSqlTable(
     StructType(declared ++ extra)
   }
 
-  override def partitioning(): Array[Transform] = desc.transform match {
-    case None => Array(Expressions.identity(desc.partitionCol))
-    case Some(spec) => graft.weblog.PartitionTransforms.parse(spec) match {
-      case graft.weblog.PartitionTransforms.Days(s) => Array(Expressions.days(s))
-      case graft.weblog.PartitionTransforms.Hours(s) => Array(Expressions.hours(s))
-      case graft.weblog.PartitionTransforms.Truncate(s, w) =>
-        Array(Expressions.apply("truncate",
+  override def partitioning(): Array[Transform] = {
+    import graft.weblog.{PartitionTransforms => PT}
+    def toV2(t: PT.Transform): Seq[Transform] =
+      t match {
+        case PT.Days(s) => Seq(Expressions.days(s))
+        case PT.Hours(s) => Seq(Expressions.hours(s))
+        case PT.Truncate(s, w) => Seq(Expressions.apply("truncate",
           Expressions.literal(w), Expressions.column(s)))
-      case graft.weblog.PartitionTransforms.Void(_) => Array.empty
+        case PT.Identity(s) => Seq(Expressions.identity(s))
+        case PT.Multi(legs) => legs.flatMap(toV2)
+        case PT.Void(_) => Nil
+      }
+    desc.transform match {
+      case None => Array(Expressions.identity(desc.partitionCol))
+      case Some(spec) => toV2(PT.parse(spec)).toArray
     }
   }
 

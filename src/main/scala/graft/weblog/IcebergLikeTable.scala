@@ -110,9 +110,9 @@ final case class IcebergLikeTable(
   private[weblog] val transform: Option[PartitionTransforms.Transform] =
     partitionTransform.map(PartitionTransforms.parse)
   transform.foreach { t =>
-    require(t.source != partitionCol,
-      s"partition transform source '${t.source}' must differ from the " +
-        s"derived partition column '$partitionCol'")
+    t.sources.foreach(src => require(src != partitionCol,
+      s"partition transform source '$src' must differ from the " +
+        s"derived partition column '$partitionCol'"))
     require(!uniqueKeys.contains(partitionCol),
       "a derived partition column cannot be a unique key")
   }
@@ -131,7 +131,7 @@ final case class IcebergLikeTable(
     */
   private def withDerivedPartition(df: DataFrame): DataFrame =
     transform match {
-      case Some(t) if df.columns.contains(t.source) =>
+      case Some(t) if t.sources.forall(df.columns.contains) =>
         df.withColumn(partitionCol, t.derive)
       case _ => df
     }
@@ -1047,8 +1047,14 @@ final case class IcebergLikeTable(
       val seg = leafOf(f).split('/')
         .find(_.startsWith(s"$partitionCol="))
         .map(_.substring(partitionCol.length + 1))
-      seg.flatMap(t.sourceBounds).map(b => Map(t.source -> b))
-        .getOrElse(Map.empty)
+        // the leaf path is Hive-escaped at write (a Multi composite
+        // value carries '%'); unescape before inverting so the parsed
+        // legs see the derived rendering, not the path encoding
+        .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName)
+      // per-leg bounds: a Multi spec emits one interval PER SOURCE, so
+      // a predicate on any leg prunes independently
+      seg.map(t.allBounds).getOrElse(Map.empty)
     }
     if (transform.isEmpty) {
       // PHYSICAL partition column: its leaf-path value is an exact
@@ -2131,9 +2137,9 @@ final case class IcebergLikeTable(
     val nt = PartitionTransforms.parse(newSpec)
     require(nt.spec != cur.spec,
       s"table already partitions by ${cur.spec}")
-    require(nt.source != partitionCol,
-      s"partition transform source '${nt.source}' must differ from the " +
-        s"derived partition column '$partitionCol'")
+    nt.sources.foreach(src => require(src != partitionCol,
+      s"partition transform source '$src' must differ from the " +
+        s"derived partition column '$partitionCol'"))
     val evolved = this.copy(partitionTransform = Some(nt.spec))
     if (currentVersion.isEmpty) return evolved // nothing written yet
     withCommitRetry {
@@ -2693,8 +2699,8 @@ final case class IcebergLikeTable(
       require(c != bucketCol && c != partitionCol,
         if (transform.isDefined && c == partitionCol)
           s"cannot update derived partition column '$c' — it is " +
-            s"re-derived from '${transform.get.source}' at commit; " +
-            "update the source column instead"
+            s"re-derived from '${transform.get.sources.mkString(", ")}' " +
+            "at commit; update the source column instead"
         else s"cannot update layout column '$c'")
     }
     val candidates = prunedFiles(snap, schema, condition)

@@ -40,7 +40,12 @@ object PartitionTransforms {
   sealed trait Transform {
     /** The source data column the transform derives from. */
     def source: String
-    /** The derived partition value (a LONG column), exact floor
+    /** ALL source data columns ([[Multi]] has several; every other
+      * transform exactly one).
+      */
+    def sources: Seq[String] = Seq(source)
+    /** The derived partition value (a LONG column for the single
+      * transforms; a composite STRING for [[Multi]]), exact floor
       * semantics for pre-epoch values too.
       */
     def derive: Column
@@ -50,6 +55,13 @@ object PartitionTransforms {
       * path value does not parse — absence never prunes.
       */
     def sourceBounds(partValue: String): Option[(String, String)]
+    /** Per-SOURCE-column inverse bounds of one partition value — the
+      * multi-leg generalization of [[sourceBounds]] ([[Multi]] emits
+      * one interval per leg, so a predicate on ANY leg's source prunes
+      * independently). Absence of a column never prunes it.
+      */
+    def allBounds(partValue: String): Map[String, (String, String)] =
+      sourceBounds(partValue).map(source -> _).toMap
     /** The spec string, stamped into the table layout. */
     def spec: String
   }
@@ -104,21 +116,126 @@ object PartitionTransforms {
     def spec: String = s"void($source)"
   }
 
+  /** IDENTITY leg of a composite spec: the partition value is the
+    * source value itself (Iceberg's identity transform). Only valid
+    * inside [[Multi]] — a standalone identity partition is the
+    * physical-partition-column layout (no hidden transform at all).
+    * The rendering escapes `%` and the [[Multi]] separator `|` so the
+    * composite value splits unambiguously; NULL renders as the
+    * reserved token `%N` (unreachable otherwise, since `%` escapes).
+    */
+  final case class Identity(source: String) extends Transform {
+    def derive: Column = Multi.escaped(col(source))
+    def sourceBounds(v: String): Option[(String, String)] =
+      if (v == Multi.NullToken) None
+      else Some((Multi.unescape(v), Multi.unescape(v)))
+    def spec: String = s"identity($source)"
+  }
+
+  /** COMPOSITE (multi-column) partition spec — Iceberg's
+    * `PARTITIONED BY (days(ts), event)` / the reference's own 4-level
+    * year/month/day/hour raw-zone layout
+    * (`athena_named_query.py:33-37`) expressed in a format that
+    * carries ONE partition dimension: the derived value is the legs'
+    * renderings joined by `|` (each leg escaped, so the split is
+    * injective), and the inverse image emits one interval PER LEG —
+    * a predicate on any single leg's source column prunes files
+    * independently, and multi-leg predicates compose by interval
+    * intersection inside [[FileStats.mayMatch]].
+    */
+  final case class Multi(legs: Seq[Transform]) extends Transform {
+    require(legs.size >= 2, "multi(...) needs at least two legs")
+    require(legs.forall {
+      case _: Multi | _: Void => false
+      case _ => true
+    }, "multi legs must be days/hours/truncate/identity transforms")
+    require(legs.flatMap(_.sources).distinct.size == legs.size,
+      s"multi legs must use distinct source columns: ${spec}")
+    def source: String = legs.head.source
+    override def sources: Seq[String] = legs.map(_.source)
+    def derive: Column =
+      concat_ws(Multi.Sep, legs.map {
+        case i: Identity => i.derive
+        case t => coalesce(t.derive.cast("string"), lit(Multi.NullToken))
+      }: _*)
+    def sourceBounds(v: String): Option[(String, String)] =
+      allBounds(v).get(source)
+    override def allBounds(v: String): Map[String, (String, String)] = {
+      // -1 keeps trailing empty parts; a part-count mismatch means the
+      // value was not written by this spec — contribute nothing (sound)
+      val parts = v.split(java.util.regex.Pattern.quote(Multi.Sep), -1)
+      if (parts.length != legs.size) Map.empty
+      else legs.zip(parts).flatMap { case (leg, part) =>
+        if (part == Multi.NullToken) None
+        else leg.sourceBounds(part).map(leg.source -> _)
+      }.toMap
+    }
+    def spec: String = s"multi(${legs.map(_.spec).mkString(", ")})"
+  }
+
+  object Multi {
+    /** Composite-value separator. Leg renderings escape it (and `%`),
+      * so splitting on it is injective.
+      */
+    private[weblog] val Sep = "|"
+    /** Reserved NULL rendering — unreachable from real values because
+      * `%` itself escapes to `%25`.
+      */
+    private[weblog] val NullToken = "%N"
+    /** Escape a leg value for composite rendering: `%`→`%25`,
+      * `|`→`%7C`; NULL → the reserved token.
+      */
+    private[weblog] def escaped(c: Column): Column =
+      coalesce(
+        regexp_replace(regexp_replace(c.cast("string"),
+          lit("%"), lit("%25")), lit("\\|"), lit("%7C")),
+        lit(NullToken))
+    private[weblog] def unescape(v: String): String =
+      v.replace("%7C", "|").replace("%25", "%")
+  }
+
   private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val HoursRe = """hours\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
   private val VoidRe = """void\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val IdentRe = """identity\(\s*([A-Za-z0-9_]+)\s*\)""".r
+
+  /** Split a `multi(...)` body on TOP-LEVEL commas only (a truncate
+    * leg carries its own comma).
+    */
+  private def splitLegs(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    body.zipWithIndex.foreach { case (ch, i) =>
+      ch match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    out += body.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Parse a transform spec: `days(col)`, `hours(col)`,
-    * `truncate(w, col)`, `void(col)`.
+    * `truncate(w, col)`, `void(col)`, or a composite
+    * `multi(leg, leg, ...)` whose legs additionally allow
+    * `identity(col)`.
     */
   def parse(spec: String): Transform = spec.trim match {
     case DaysRe(c) => Days(c)
     case HoursRe(c) => Hours(c)
     case TruncRe(w, c) => Truncate(c, w.toLong)
     case VoidRe(c) => Void(c)
+    case s if s.startsWith("multi(") && s.endsWith(")") =>
+      Multi(splitLegs(s.stripPrefix("multi(").stripSuffix(")")).map {
+        case IdentRe(c) => Identity(c)
+        case leg => parse(leg)
+      })
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other' " +
-        "(supported: days(col), hours(col), truncate(w, col), void(col))")
+        "(supported: days(col), hours(col), truncate(w, col), void(col), " +
+        "multi(leg, ...) with identity(col) legs)")
   }
 }
