@@ -104,7 +104,7 @@ object Bench {
       emb.crossJoin(spark.range(10).select(col("id").as("rep")))
         .select((col("vec_id") * 10 + col("rep")).as("vec_id"), col("embedding"))
         .write.mode("overwrite").parquet(s"$scratch/emb10x")
-      def cold(f: () => Long): Double = {
+      def cold(f: () => Any): Double = {
         // drain the headline canon's garbage first: a GC pause landing
         // inside one leg skews the RATIO (r5 observed 13.6× vs ~3.3×
         // for the same code with/without accumulated session pressure)
@@ -131,12 +131,52 @@ object Bench {
           cold(() => operators.Similarity.binaryTopK(read("emb10x"),
             read("emb10x").filter(col("vec_id") % 10 === 0 && col("vec_id") < 100),
             k = 5, dim = 64).count()))
+      // TABLE-FORMAT probes: a FIXED one-partition operation against a
+      // 1× vs 10× table (8 vs 80 day leaves, same rows per leaf). The
+      // manifest protocol's claim is O(changed leaves) commit cost —
+      // replaceWhere/overwritePartitions/where-scoped z-order touch ONE
+      // leaf regardless of table size, so these ratios should stay ~FLAT
+      // (≈1, noise-bounded), unlike the corpus probes' ~linear 10×.
+      def mkGraft(dirName: String, days: Int): weblog.IcebergLikeTable = {
+        val t = weblog.IcebergLikeTable(spark, s"$scratch/$dirName", "day",
+          Nil, statsColumns = Seq("a", "b"))
+        t.append(spark.range(days.toLong * 5000)
+          .select((col("id") % days).cast("int").as("day"),
+            col("id").as("uid"),
+            (col("id") % 97).as("a"), (col("id") % 89).as("b"))
+          .repartition(math.min(days, 100), col("day")))
+        t
+      }
+      def dayBatch(day: Int) = spark.range(5000)
+        .select(lit(day).cast("int").as("day"),
+          (col("id") + 9000000L).as("uid"),
+          (col("id") % 97).as("a"), (col("id") % 89).as("b"))
+      val t1 = mkGraft("graft1x", 8)
+      val t10 = mkGraft("graft10x", 80)
+      val fmt = Seq(
+        "replace_where_1x" ->
+          cold(() => t1.replaceWhere(col("day") === 1, dayBatch(1))),
+        "replace_where_10x" ->
+          cold(() => t10.replaceWhere(col("day") === 1, dayBatch(1))),
+        "overwrite_partitions_1x" ->
+          cold(() => t1.overwritePartitions(dayBatch(2))),
+        "overwrite_partitions_10x" ->
+          cold(() => t10.overwritePartitions(dayBatch(2))),
+        "zorder_where_1x" ->
+          cold(() => t1.maintainZOrder(Seq("a", "b"), targetFiles = 2,
+            where = Some(col("day") === 3))),
+        "zorder_where_10x" ->
+          cold(() => t10.maintainZOrder(Seq("a", "b"), targetFiles = 2,
+            where = Some(col("day") === 3))))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
       val ratios = Seq(
         "minhash_keepers_ratio" -> out(1)._2 / out(0)._2,
         "span_removal_ratio" -> out(3)._2 / out(2)._2,
-        "binary_topk_ratio" -> out(5)._2 / out(4)._2)
-      out ++ ratios
+        "binary_topk_ratio" -> out(5)._2 / out(4)._2,
+        "replace_where_ratio" -> fmt(1)._2 / fmt(0)._2,
+        "overwrite_partitions_ratio" -> fmt(3)._2 / fmt(2)._2,
+        "zorder_where_ratio" -> fmt(5)._2 / fmt(4)._2)
+      out ++ fmt ++ ratios
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }
     val sc = scaling.map { case (k, v) => "\"" + k + "\":" + r3(v) }

@@ -284,20 +284,20 @@ object WebLogQueries {
         // tie-break column) instead of a full window sort — the same
         // first-per-key row, one partial+final agg instead of a
         // whole-partition sort shuffle (the scale-correct idiom for
-        // "first row per key" when no other window output is needed)
-        val base = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")) === 1)
+        // "first row per key" when no other window output is needed).
+        // Half-day slice + 2 buckets: the gate proves the MOR delete
+        // PROTOCOL (tombstone files, stable reads, threshold
+        // compaction) — protocol cost is per-commit metadata, not data
+        // volume, so the slice is sized to the proof, not the bench
+        val base = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 12)
           .groupBy(
             concat(lit("u"), col("user_id").cast("string")).as("user_id"),
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"))
           .agg(min_by(col("event_type"), col("event_id")).as("event"))
           .withColumn("seq", lit(1L))
-        // buckets sized to the gate's day-1 slice (a headline WRITE-path
-        // bench: 16 buckets × |event| leaves over ~10k rows measures tiny-
-        // file fan-out, not the delete protocol; at 100 TB you size buckets
-        // to the data the same way)
         val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"),
-          numBuckets = 4)
+          numBuckets = 2)
         t.write(base, "seq")
         val dataBefore = t.files.filter(!col("is_delete"))
           .select("file").collect().map(_.getString(0)).toSet
@@ -322,7 +322,7 @@ object WebLogQueries {
       },
       Some("""WITH base AS (
              |  SELECT user_id, event_type AS event
-             |  FROM events WHERE day(ts) = 1
+             |  FROM events WHERE day(ts) = 1 AND hour(ts) < 12
              |  QUALIFY row_number() OVER (
              |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
              |    ORDER BY event_id) = 1)
@@ -570,6 +570,57 @@ object WebLogQueries {
              |WHERE ts >= (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY FROM events)
              |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
+    // RUNTIME (join-driven) FILE PRUNING — Trino's dynamic filtering,
+    // the capability the reference gets from Athena engine v3
+    // (athena_workgroup.py:46-47): the ONLY filter on the fact table
+    // arrives through the JOIN (dim.tag = 'hot' survives one dim day),
+    // dynamic partition pruning routes the build side's key set into
+    // the native V2 scan (SupportsRuntimeV2Filtering), and the scan
+    // re-runs its manifest pruning with it — files-opened < files-total
+    // with NO static fact predicate anywhere. Census recomputed by the
+    // oracle; the boolean is read from the scan's prune instrumentation.
+    Q("weblog_runtime_prune",
+      (s, d) => {
+        val wh = scratch(s, "rtprune", d)
+        s.conf.set("spark.sql.catalog.gprn", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gprn.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gprn.web")
+        s.sql("DROP TABLE IF EXISTS gprn.web.fact")
+        s.sql("DROP TABLE IF EXISTS gprn.web.dim")
+        s.sql("""CREATE TABLE gprn.web.fact
+                |(user_id BIGINT, event STRING, day INT)
+                |PARTITIONED BY (day)""".stripMargin)
+        Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 4)
+          .select(col("user_id"), col("event_type").as("event"),
+            dayofmonth(col("ts")).as("day"))
+          .createOrReplaceTempView("graft_rtp_src")
+        for (day <- 1 to 4)
+          s.sql(s"INSERT INTO gprn.web.fact SELECT * FROM graft_rtp_src WHERE day = $day")
+        s.sql("CREATE TABLE gprn.web.dim (day INT, tag STRING)")
+        s.sql("""INSERT INTO gprn.web.dim VALUES (1,'cold'),(2,'cold'),
+                |(3,'hot'),(4,'cold')""".stripMargin)
+        val t = IcebergLikeTable(s, s"$wh/web/fact", "day")
+        val total = t.filesFor(lit(true)).size
+        GraftNativeScan.clearPrune(t.path)
+        val census = s.sql(
+          """SELECT f.event, CAST(count(*) AS BIGINT) AS cnt
+            |FROM gprn.web.fact f JOIN gprn.web.dim d ON f.day = d.day
+            |WHERE d.tag = 'hot' GROUP BY f.event""".stripMargin)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val (_, runtimeFiles) = GraftNativeScan.lastPrune(t.path).getOrElse((-1, -1))
+        val joinPruned = runtimeFiles > 0 && runtimeFiles < total
+        import s.implicits._
+        census.toDF("event", "cnt")
+          .withColumn("join_driven_file_pruning", lit(joinPruned))
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       TRUE AS join_driven_file_pruning
+             |FROM events WHERE day(ts) = 3
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
+      headline = true),
 
     // MULTI-COLUMN partition spec (Iceberg's everyday
     // `PARTITIONED BY (days(ts), event)`; the reference's own raw zone
@@ -2190,6 +2241,65 @@ object WebLogQueries {
              |   WHERE NOT EXISTS (SELECT 1 FROM p1
              |     WHERE p1.user_id = p2.user_id AND p1.event = p2.event)) AS inserted,
              |  TRUE AS no_rewrites, TRUE AS files_carried
-             |FROM allp GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")))
+             |FROM allp GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+
+    // MERGE SCHEMA EVOLUTION (Delta's autoMerge): the source carries a
+    // column the target lacks — WHEN MATCHED updates it, WHEN NOT
+    // MATCHED inserts it, and the commit ADDS the column to the table
+    // schema (stable-id add-column machinery). count(score) vs
+    // count(*) in the census separates matched/inserted/legacy rows,
+    // recomputed relationally by the oracle. (The carried-old-file
+    // NULL-read leg — a pre-evolution file surviving the merge commit
+    // untouched and reading NULL through the widened stamp — is
+    // pinned by UpdateMergeIntoSpec, where dynamic pruning scopes the
+    // rewrite.)
+    Q("weblog_merge_evolve",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "mergevo", d) + "/t", "event")
+        val pairs = Tables.events(s, d).select(
+          col("event_type").as("event"),
+          col("user_id"),
+          dayofmonth(col("ts")).as("day"))
+        val p1 = pairs.filter(col("day") === 1).select("event", "user_id").distinct()
+        val p2 = pairs.filter(col("day") === 2).select("event", "user_id").distinct()
+          .withColumn("score", pmod(col("user_id"), lit(100L)))
+        t.append(p1)
+        val colsBefore = t.read.columns.toSet
+        val res = t.mergeInto(p2,
+          on = col("t.event") === col("s.event") &&
+            col("t.user_id") === col("s.user_id"),
+          matched = Seq(IcebergLikeTable.MergeUpdate(None,
+            Seq("score" -> col("s.score")))),
+          notMatched = Seq(IcebergLikeTable.MergeInsert(None, Seq(
+            "event" -> col("s.event"), "user_id" -> col("s.user_id"),
+            "score" -> col("s.score")))),
+          schemaEvolution = true)
+        val evolved = !colsBefore.contains("score") &&
+          t.read.columns.contains("score")
+        t.read.groupBy("event")
+          .agg(count(lit(1)).as("pairs"),
+            count(col("score")).as("scored"),
+            sum(when(col("score").isNull, 1L).otherwise(0L)).as("legacy_nulls"))
+          .select(col("event"), col("pairs"), col("scored"), col("legacy_nulls"),
+            lit(evolved).as("column_added"),
+            lit(res.inserted > 0L && res.updated > 0L).as("both_clauses_fired"))
+          .orderBy("event")
+      },
+      Some("""WITH p1 AS (SELECT DISTINCT user_id, event_type AS event
+             |            FROM events WHERE day(ts) = 1),
+             |p2 AS (SELECT DISTINCT user_id, event_type AS event,
+             |              user_id % 100 AS score
+             |       FROM events WHERE day(ts) = 2),
+             |m AS (SELECT coalesce(p1.event, p2.event) AS event,
+             |             coalesce(p1.user_id, p2.user_id) AS user_id,
+             |             p2.score AS score
+             |      FROM p1 FULL OUTER JOIN p2
+             |        ON p1.user_id = p2.user_id AND p1.event = p2.event)
+             |SELECT event, CAST(count(*) AS BIGINT) AS pairs,
+             |       CAST(count(score) AS BIGINT) AS scored,
+             |       CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS legacy_nulls,
+             |       TRUE AS column_added, TRUE AS both_clauses_fired
+             |FROM m GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")))
   )
 }

@@ -836,15 +836,23 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
 
   override def pushedFilters(): Array[sources.Filter] = filters
 
-  // NOTE on statistics: a V1Scan cannot feed logical-plan stats —
-  // V2ScanRelationPushDown wraps it in V1ScanWrapper, which does not
-  // forward SupportsReportStatistics, so join selection sees
-  // defaultSizeInBytes for the initial plan. AQE closes the gap at
-  // runtime (the materialized scan stage's TRUE size re-plans SMJ →
-  // broadcast; StatsReportSpec pins it); the path-based
-  // format("graft") relation reports manifest bytes at the logical
-  // level directly (BaseRelation.sizeInBytes).
-  override def build(): Scan = new V1Scan {
+  // Eligible snapshots (schema/size-stamped, no live delete files, no
+  // rename/drop epochs) read through the NATIVE V2 batch scan
+  // ([[graft.weblog.GraftNativeScan]]): manifest-pruned FilePartitions
+  // into Spark's vectorized parquet reader, plan-time statistics
+  // (SupportsReportStatistics — the initial plan broadcasts a small
+  // graft table without waiting for AQE) and runtime join-driven file
+  // pruning (SupportsRuntimeV2Filtering — Trino-style dynamic
+  // filtering). Everything else falls back to the V1 bridge below,
+  // which composes the full merge-on-read / column-history machinery
+  // (where V1ScanWrapper hides stats and AQE closes the gap at
+  // runtime).
+  override def build(): Scan =
+    graft.weblog.GraftNativeScan.forTable(
+      SparkSession.active, table, pinned, required, filters)
+      .getOrElse(v1Fallback)
+
+  private def v1Fallback: Scan = new V1Scan {
     override def readSchema(): StructType = required
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -879,7 +887,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   * of the original, so AND may narrow at positive positions but
   * everything under NOT must translate exactly).
   */
-private[sources] object GraftFilterBridge {
+private[graft] object GraftFilterBridge {
   def toColumn(f: sources.Filter, exact: Boolean): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))

@@ -2544,10 +2544,50 @@ final case class IcebergLikeTable(
     finish(merged)
   }
 
-  private def leafOf(relFile: String): String = {
+  private[weblog] def leafOf(relFile: String): String = {
     val i = relFile.lastIndexOf('/')
     if (i < 0) "" else relFile.substring(0, i)
   }
+
+  /** Snapshot + stored schema when the pinned-or-live snapshot is
+    * ELIGIBLE for the native V2 batch scan ([[GraftNativeScan]]):
+    * schema-stamped, size-stamped, no live delete files to anti-join,
+    * no rename/drop column-history epochs. None → callers read through
+    * the V1 bridge (which composes the full MOR/evolution machinery).
+    */
+  private[weblog] def nativeScanSnapshot(
+      pinned: Option[Long]): Option[(TableSnapshot, StructType)] = {
+    val snap = pinned match {
+      case Some(v) => snapshotAt(v)
+      case None => resolveLive()._2
+    }
+    storedSchema(snap.meta) match {
+      case Some(s) if snap.deleteEntries.isEmpty &&
+          !hasEvolution(colHistOf(snap.meta)) &&
+          snap.entries.forall(_.size >= 0L) => Some((snap, s))
+      case _ => None
+    }
+  }
+
+  /** The manifest entries a condition's planning-time pruning keeps —
+    * stats intervals, bloom membership and (hidden-)partition inverse
+    * bounds, same machinery as [[readWhere]] — with their stamped
+    * size/row-count (the native scan's split planning and statistics).
+    */
+  private[weblog] def prunedEntries(snap: TableSnapshot,
+      condition: Column): Seq[Manifests.FileEntry] = {
+    val keep = prunedFiles(snap, storedSchema(snap.meta), condition).toSet
+    snap.dataEntries.filter(e => keep(e.path))
+  }
+
+  /** The columns planning-time pruning can act on — what the native
+    * scan reports as runtime-filterable: the physical partition column
+    * (identity layout), every hidden-transform source, and the
+    * stats/bloom-stamped columns.
+    */
+  private[weblog] def prunableColumns: Seq[String] =
+    ((if (transform.isEmpty) Seq(partitionCol) else transform.get.sources) ++
+      statsCols ++ bloomColumns).distinct
 
   /** The escaped leaf directory path for a tuple of layout-column
     * values, in `partCols` order (Spark's own partition-path escaping —
@@ -2756,6 +2796,14 @@ final case class IcebergLikeTable(
     * target-only predicate the candidate set is the table — exactly
     * Iceberg's copy-on-write MERGE posture. Returns (updated, deleted,
     * inserted) row counts.
+    *
+    * `schemaEvolution = true` is Delta's `autoMerge`: an assigned
+    * target column that does not exist yet but DOES exist on the
+    * source (same name) is ADDED to the target schema with the
+    * source's type — stored rows read NULL for it (the add-column
+    * evolution every commit already supports), and the commit stamps
+    * the widened schema. With evolution off (default) such
+    * assignments are ignored, the SQL MERGE posture.
     */
   def mergeInto(source: DataFrame, on: Column,
       matched: Seq[IcebergLikeTable.MergeWhen] = Nil,
@@ -2764,10 +2812,12 @@ final case class IcebergLikeTable(
       candidatePredicate: Option[Column] = None,
       targetSchema: Option[StructType] = None,
       equiKeys: Seq[(String, Column)] = Nil,
-      maxDynamicPruneKeys: Int = 1000): IcebergLikeTable.MergeIntoResult =
+      maxDynamicPruneKeys: Int = 1000,
+      schemaEvolution: Boolean = false): IcebergLikeTable.MergeIntoResult =
     withCommitRetry {
       mergeIntoOnce(source, on, matched, notMatched, notMatchedBySource,
-        candidatePredicate, targetSchema, equiKeys, maxDynamicPruneKeys)
+        candidatePredicate, targetSchema, equiKeys, maxDynamicPruneKeys,
+        schemaEvolution)
     }
 
   private def mergeIntoOnce(source: DataFrame, on: Column,
@@ -2777,7 +2827,8 @@ final case class IcebergLikeTable(
       candidatePredicate: Option[Column],
       targetSchema: Option[StructType],
       equiKeys: Seq[(String, Column)],
-      maxDynamicPruneKeys: Int): IcebergLikeTable.MergeIntoResult = {
+      maxDynamicPruneKeys: Int,
+      schemaEvolution: Boolean = false): IcebergLikeTable.MergeIntoResult = {
     import IcebergLikeTable.{MergeDelete, MergeInsert, MergeIntoResult, MergeUpdate, MergeWhen}
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
@@ -2824,13 +2875,34 @@ final case class IcebergLikeTable(
     // an uncommitted target still merges (insert-only CREATE+MERGE):
     // the empty side takes its shape from the stamped schema or the
     // caller's declaration
-    val tBase: DataFrame = schema match {
+    val tBase0: DataFrame = schema match {
       case Some(_) => userFacing(morRead(snap, candidates))
       case None =>
         val s0 = targetSchema.getOrElse(throw new IllegalStateException(
           s"MERGE INTO an uncommitted table at $path needs targetSchema"))
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s0)
     }
+    // MERGE SCHEMA EVOLUTION (Delta's autoMerge): an assigned target
+    // column that does not exist yet but DOES exist on the source is
+    // added — null-typed from the source field — so the clause
+    // cascades below treat it like any other column; the commit's
+    // add-column machinery stamps the widened schema and historical
+    // files read NULL for it.
+    val tBase: DataFrame =
+      if (!schemaEvolution) tBase0
+      else {
+        val assigned: Seq[String] =
+          (matched ++ notMatchedBySource).collect {
+            case MergeUpdate(_, set) => set.map(_._1)
+          }.flatten ++ notMatched.flatMap(_.values.map(_._1))
+        assigned.distinct.filterNot(tBase0.columns.contains)
+          .foldLeft(tBase0) { (df, c) =>
+            source.schema.fields.find(_.name == c) match {
+              case Some(f) => df.withColumn(c, lit(null).cast(f.dataType))
+              case None => df // neither side knows the column: ignored
+            }
+          }
+      }
     val userCols = tBase.columns.toSeq
     val TEx = "_graft_t_exists"; val SEx = "_graft_s_exists"
     val TRid = "_graft_t_rid"

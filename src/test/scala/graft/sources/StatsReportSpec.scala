@@ -27,7 +27,7 @@ class StatsReportSpec extends SparkTestBase {
       case _ => Nil
     })
 
-  test("catalog joins: AQE broadcasts the small graft side at runtime") {
+  test("catalog joins: the INITIAL plan broadcasts the small graft side (native V2 statistics)") {
     val wh = Files.createTempDirectory("stat_wh").toString
     spark.conf.set("spark.sql.catalog.gstat", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gstat.warehouse", wh)
@@ -35,19 +35,26 @@ class StatsReportSpec extends SparkTestBase {
     spark.sql("CREATE TABLE gstat.web.dim (k BIGINT, name STRING)")
     spark.sql("INSERT INTO gstat.web.dim SELECT id, concat('n', id) FROM range(50)")
     // the big side must NOT be broadcastable itself, so the only route
-    // to a broadcast join is the graft side's true (runtime) size — the
-    // V1 bridge cannot feed logical stats (V1ScanWrapper hides
-    // SupportsReportStatistics), AQE re-plans from the materialized
-    // stage size instead
+    // to a broadcast join is the graft side's true size. The native V2
+    // scan reports manifest-resolved statistics
+    // (SupportsReportStatistics), so join selection picks the
+    // broadcast build side in the INITIAL plan — no AQE re-plan needed
+    // (the V1-bridge era relied on AQE's materialized stage size).
     val big = spark.range(3000000).select(col("id").as("k"),
       lpad(col("id").cast("string"), 64, "x").as("pad"))
     val joined = big.join(spark.table("gstat.web.dim"), "k")
+    val initial = joined.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(initial.nonEmpty,
+      s"INITIAL plan must broadcast the 50-row graft side:\n" +
+        s"${joined.queryExecution.sparkPlan}")
     joined.collect()
     val bhj = deep(joined.queryExecution.executedPlan).collect {
       case b: BroadcastHashJoinExec => b
     }
     assert(bhj.nonEmpty,
-      s"AQE must broadcast the 50-row graft side:\n" +
+      s"executed plan must keep the broadcast:\n" +
         s"${joined.queryExecution.executedPlan}")
     assert(joined.count() == 50)
   }

@@ -91,7 +91,6 @@ class MultiPartitionSpec extends SparkTestBase {
       (23L, null: String, "nullv"),
       (34L, "plain", "plain"))
       .toDF("n", "tag", "name")
-    rows.repartition(4, col("name")).groupBy().count() // force materialization shape
     for (r <- Seq("pipe", "litpct", "nullv", "plain"))
       t.append(rows.filter(col("name") === r).coalesce(1))
     assert(t.read.count() == 4)
@@ -123,19 +122,19 @@ class MultiPartitionSpec extends SparkTestBase {
 
   test("SQL catalog: PARTITIONED BY (days(ts), event) prunes per leg, census matches") {
     val wh = Files.createTempDirectory("mp_sql").toString
-    spark.conf.set("spark.sql.catalog.gmp", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.gmp.warehouse", wh)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmp.web")
-    spark.sql("""CREATE TABLE gmp.web.ev
+    spark.conf.set("spark.sql.catalog.gmps", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmps.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmps.web")
+    spark.sql("""CREATE TABLE gmps.web.ev
                 |(user_id STRING, event STRING, ts TIMESTAMP)
                 |PARTITIONED BY (days(ts), event)""".stripMargin)
     events(1 to 3, Seq("click", "view")).createOrReplaceTempView("mp_src")
-    spark.sql("INSERT INTO gmp.web.ev SELECT * FROM mp_src")
+    spark.sql("INSERT INTO gmps.web.ev SELECT * FROM mp_src")
     // user-facing schema hides the composite column
-    assert(spark.table("gmp.web.ev").columns.toSet ==
+    assert(spark.table("gmps.web.ev").columns.toSet ==
       Set("user_id", "event", "ts"))
     // partitioning() reports BOTH transforms (SHOW CREATE-style surface)
-    val t = spark.sessionState.catalogManager.catalog("gmp")
+    val t = spark.sessionState.catalogManager.catalog("gmps")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
         Array("web"), "ev"))
@@ -152,19 +151,19 @@ class MultiPartitionSpec extends SparkTestBase {
     assert(timeHit < total && timeHit > 0, s"time leg: $timeHit of $total")
     assert(evHit < total && evHit > 0, s"event leg: $evHit of $total")
     val cnt = spark.sql(
-      """SELECT count(*) FROM gmp.web.ev
+      """SELECT count(*) FROM gmps.web.ev
         |WHERE event = 'view' AND ts >= TIMESTAMP '2024-03-02 00:00:00'
         |  AND ts < TIMESTAMP '2024-03-03 00:00:00'""".stripMargin)
       .head.getLong(0)
     assert(cnt == 1L)
     // the reference's 4-level identity layout: year/month/day/hour
-    spark.sql("""CREATE TABLE gmp.web.raw
+    spark.sql("""CREATE TABLE gmps.web.raw
                 |(payload STRING, year STRING, month STRING, day STRING, hour STRING)
                 |PARTITIONED BY (year, month, day, hour)""".stripMargin)
-    spark.sql("""INSERT INTO gmp.web.raw VALUES
+    spark.sql("""INSERT INTO gmps.web.raw VALUES
                 |('a','2024','03','01','00'), ('b','2024','03','01','01'),
                 |('c','2024','03','02','00')""".stripMargin)
-    assert(spark.sql("SELECT count(*) FROM gmp.web.raw WHERE day = '01'")
+    assert(spark.sql("SELECT count(*) FROM gmps.web.raw WHERE day = '01'")
       .head.getLong(0) == 2L)
     val raw = IcebergLikeTable(spark, s"$wh/web/raw",
       partitionCol = "year_month_day_hour",

@@ -236,6 +236,51 @@ class UpdateMergeIntoSpec extends SparkTestBase {
     assert(t.read.filter(col("amount") === 0L).count() == 3)
   }
 
+  test("mergeInto schemaEvolution: source-only column is added; carried old files read NULL") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("mrg_evolve").toString + "/t", "event",
+      statsColumns = Seq("user_id"))
+    // two files with disjoint user_id ranges — the second must survive
+    // the evolving merge UNTOUCHED (dynamic key pruning scopes the
+    // rewrite) and still read the new column as NULL
+    t.append(Seq(("a1", "view", 1L), ("a2", "view", 2L))
+      .toDF("user_id", "event", "amount").coalesce(1))
+    t.append(Seq(("z8", "view", 8L), ("z9", "view", 9L))
+      .toDF("user_id", "event", "amount").coalesce(1))
+    val before = t.filesFor(lit(true)).toSet
+    val src = Seq(("a1", 100L), ("a7", 700L)).toDF("uid", "score")
+    // evolution OFF: the unknown assignment is ignored, no new column
+    t.mergeInto(src, on = col("t.user_id") === col("s.uid"),
+      matched = Seq(MergeUpdate(None, Seq("score" -> col("s.score")))),
+      equiKeys = Seq("user_id" -> col("uid")))
+    assert(!t.read.columns.contains("score"),
+      "without schemaEvolution the new column must not appear")
+    // evolution ON: column added (typed from the source), matched row
+    // scored, not-matched inserted, z-file carried by reference
+    val res = t.mergeInto(src, on = col("t.user_id") === col("s.uid"),
+      matched = Seq(MergeUpdate(None, Seq("score" -> col("s.score")))),
+      notMatched = Seq(MergeInsert(None, Seq(
+        "user_id" -> col("s.uid"), "event" -> lit("view"),
+        "score" -> col("s.score")))),
+      equiKeys = Seq("user_id" -> col("uid")),
+      schemaEvolution = true)
+    assert(res.updated == 1L && res.inserted == 1L)
+    assert(t.read.columns.contains("score"))
+    assert(t.read.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType, "type comes from the source")
+    val after = t.filesFor(lit(true)).toSet
+    assert(before.exists(after.contains),
+      "the unimplicated old file must carry over by reference")
+    val rows = t.read.orderBy("user_id").collect()
+      .map(r => (r.getAs[String]("user_id"),
+        Option(r.getAs[java.lang.Long]("score")).map(_.toLong))).toSeq
+    assert(rows == Seq(
+      ("a1", Some(100L)), ("a2", None), ("a7", Some(700L)),
+      ("z8", None), ("z9", None)),
+      s"old-file rows must read NULL through the widened stamp: $rows")
+  }
+
   test("update: CDC across the commit shows only truly changed rows") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
