@@ -622,6 +622,59 @@ object WebLogQueries {
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // AGGREGATE-TO-METADATA pushdown (Iceberg's manifest aggregates —
+    // what makes `SELECT count(*)` on a 100 TB table a driver lookup
+    // instead of a scan): whole-table COUNT(*)/MIN/MAX resolve from
+    // the stamped per-file row counts and column bounds through
+    // SupportsPushDownAggregates; the proof boolean pins that the plan
+    // is a LocalTableScan (zero tasks, zero files opened). The census
+    // is the aggregate triple itself, recomputed by the oracle.
+    Q("weblog_agg_pushdown",
+      (s, d) => {
+        val wh = scratch(s, "aggpush", d)
+        s.conf.set("spark.sql.catalog.gagg", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gagg.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gagg.web")
+        s.sql("DROP TABLE IF EXISTS gagg.web.events")
+        s.sql("""CREATE TABLE gagg.web.events
+                |(user_id BIGINT, event STRING, day INT)
+                |PARTITIONED BY (day)
+                |TBLPROPERTIES (statsColumns 'user_id,event')""".stripMargin)
+        Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 5)
+          .select(col("user_id"), col("event_type").as("event"),
+            dayofmonth(col("ts")).as("day"))
+          .createOrReplaceTempView("graft_agg_src")
+        s.sql("INSERT INTO gagg.web.events SELECT * FROM graft_agg_src")
+        val q = s.sql("""SELECT CAST(count(*) AS BIGINT) AS cnt,
+                        |       min(user_id) AS min_uid, max(user_id) AS max_uid,
+                        |       min(event) AS min_event, max(event) AS max_event
+                        |FROM gagg.web.events""".stripMargin)
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        val row = q.head()
+        val zeroTask = nodes(q.queryExecution.executedPlan).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), row.getLong(2),
+          row.getString(3), row.getString(4), zeroTask))
+          .toDF("cnt", "min_uid", "max_uid", "min_event", "max_event",
+            "metadata_only")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS cnt,
+             |       min(user_id) AS min_uid, max(user_id) AS max_uid,
+             |       min(event_type) AS min_event, max(event_type) AS max_event,
+             |       TRUE AS metadata_only
+             |FROM events WHERE day(ts) <= 5""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // MULTI-COLUMN partition spec (Iceberg's everyday
     // `PARTITIONED BY (days(ts), event)`; the reference's own raw zone
     // is 4-level year/month/day/hour, athena_named_query.py:33-37):

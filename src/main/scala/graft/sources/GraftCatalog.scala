@@ -818,13 +818,26 @@ private[sources] final class GraftSqlTable(
   * every filter is declared post-scan (Spark re-applies them all), so
   * the pushdown is purely an I/O optimization — same posture as the
   * path-based relation.
+  *
+  * AGGREGATE pushdown ([[SupportsPushDownAggregates]]) answers
+  * whole-table `COUNT(*)` / `MIN(c)` / `MAX(c)` from the MANIFEST
+  * alone — Iceberg's aggregate-to-metadata pushdown, the reason
+  * `SELECT count(*)` on a 100 TB table is a driver-side lookup, not a
+  * scan: row counts and column bounds are stamped per file at commit,
+  * so the answer is one snapshot resolve, ZERO tasks, zero data I/O.
+  * Only COMPLETE answers push (no grouping, no filters, no live
+  * delete files, every live entry stamped for the column — otherwise
+  * [[IcebergLikeTable.rowCount]]/[[IcebergLikeTable.columnMinMax]]
+  * return None and the query falls back to a real scan).
   */
 private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     pinned: Option[Long], fullSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var filters: Array[sources.Filter] = Array.empty
+  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -835,6 +848,75 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   }
 
   override def pushedFilters(): Array[sources.Filter] = filters
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    computeAgg(agg) match {
+      case Some(res) => aggResult = Some(res); true
+      case None => false // no partial pushdown: complete answers only
+    }
+
+  /** Typed catalyst value of a stamped bound string under the column
+    * type (bounds are stamped as exact `cast(string)` renderings of
+    * [[graft.weblog.FileStats.supported]] types).
+    */
+  private def typedBound(dt: org.apache.spark.sql.types.DataType, s: String): Any =
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case org.apache.spark.sql.types.ByteType => s.toByte
+      case org.apache.spark.sql.types.ShortType => s.toShort
+      case org.apache.spark.sql.types.IntegerType => s.toInt
+      case org.apache.spark.sql.types.LongType => s.toLong
+      case org.apache.spark.sql.types.FloatType => s.toFloat
+      case org.apache.spark.sql.types.DoubleType => s.toDouble
+      case d: org.apache.spark.sql.types.DecimalType =>
+        org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s),
+          d.precision, d.scale)
+      case other => throw new IllegalStateException(s"unstampable type $other")
+    }
+
+  /** The manifest-only answer to an aggregation, or None when any part
+    * is undecidable from metadata (the caller then scans for real).
+    */
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+      Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (pinned.isDefined) return None // time travel reads through the scan
+    if (filters.nonEmpty) return None // a residual filter would re-filter the 1 row
+    if (agg.groupByExpressions.nonEmpty) return None
+    def boundCol(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[StructField] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == n.fieldNames.head)
+      case _ => None
+    }
+    val answered = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        table.rowCount.map(v => (StructField("count(*)", LongType), v: Any))
+      case m: Min => boundCol(m.column).flatMap(f =>
+        try table.columnMinMax(f.name).map(b =>
+          (StructField(s"min(${f.name})", f.dataType), typedBound(f.dataType, b._1)))
+        catch { case scala.util.control.NonFatal(_) => None })
+      case m: Max => boundCol(m.column).flatMap(f =>
+        try table.columnMinMax(f.name).map(b =>
+          (StructField(s"max(${f.name})", f.dataType), typedBound(f.dataType, b._2)))
+        catch { case scala.util.control.NonFatal(_) => None })
+      case _ => None // COUNT(col)/SUM/AVG/DISTINCT: not metadata-decidable
+    }
+    if (answered.exists(_.isEmpty)) None
+    else {
+      val fields = answered.flatten
+      Some((StructType(fields.map(_._1)),
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(fields.map(_._2))))
+    }
+  }
 
   // Eligible snapshots (schema/size-stamped, no live delete files, no
   // rename/drop epochs) read through the NATIVE V2 batch scan
@@ -847,10 +929,23 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   // which composes the full merge-on-read / column-history machinery
   // (where V1ScanWrapper hides stats and AQE closes the gap at
   // runtime).
-  override def build(): Scan =
-    graft.weblog.GraftNativeScan.forTable(
-      SparkSession.active, table, pinned, required, filters)
-      .getOrElse(v1Fallback)
+  override def build(): Scan = aggResult match {
+    // a pushed manifest aggregate IS the result: one driver-local row,
+    // zero tasks, zero files opened (plans as LocalTableScan)
+    case Some((aggSchema, row)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows: Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(row)
+        override def readSchema(): StructType = aggSchema
+        override def description(): String =
+          s"GraftManifestAggregate ${table.path} " +
+            s"[${aggSchema.fieldNames.mkString(", ")}]"
+      }
+    case None =>
+      graft.weblog.GraftNativeScan.forTable(
+        SparkSession.active, table, pinned, required, filters)
+        .getOrElse(v1Fallback)
+  }
 
   private def v1Fallback: Scan = new V1Scan {
     override def readSchema(): StructType = required

@@ -71,7 +71,17 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
       throw new IllegalStateException(
         s"GraftFileIndex needs a schema-stamped manifest under ${table.path} " +
           "(any commit made by this library version stamps it)"))
-    val stats = snap.statsOf
+    // hidden-partition inverse bounds ride the SAME per-file interval
+    // map as stamped stats, so a dataFilter on a transform SOURCE
+    // column (days/hours/truncate/multi legs) file-skips through the
+    // relation exactly like readWhere; a stamped bound for the same
+    // column (tighter than the inverse image) takes precedence
+    val synth = table.transformBoundsFn(snap.meta)
+    val stampedStats = snap.statsOf
+    val stats: FileStats.Stats = snap.dataFiles.flatMap { f =>
+      val merged = synth(f) ++ stampedStats.getOrElse(f, Map.empty)
+      if (merged.isEmpty) None else Some(f -> merged)
+    }.toMap
     val blooms = table.bloomSidecarsOf(snap.meta)
       .map(n => BloomStats.read(fs, new Path(root, n)))
       .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)

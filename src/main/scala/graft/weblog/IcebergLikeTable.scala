@@ -1039,7 +1039,7 @@ final case class IcebergLikeTable(
     * applies the one spec unconditionally — the never-evolved and
     * post-collapse fast path.
     */
-  private def transformBoundsFn(
+  private[weblog] def transformBoundsFn(
       meta: Map[String, String]): String => Map[String, (String, String)] = {
     val hist = specHistOf(meta)
     def invert(t: PartitionTransforms.Transform,

@@ -136,6 +136,42 @@ class NativeScanSpec extends SparkTestBase {
     assert(r.head.getLong(0) == 3L)
   }
 
+  test("aggregate pushdown: whole-table COUNT/MIN/MAX answer from the manifest, zero tasks") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.agg (uid BIGINT, name STRING, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'uid,name')""".stripMargin)
+    for (d <- 1 to 3)
+      sql(s"INSERT INTO gns.web.agg SELECT id + ${d * 1000}, concat('n', id), $d FROM range(50)")
+    val q = sql("SELECT count(*), min(uid), max(uid), max(name) FROM gns.web.agg")
+    val row = q.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getString(3)) ==
+      ((150L, 1000L, 3049L, "n9")))
+    // the plan is a LOCAL scan — no BatchScan, no file tasks
+    assert(batchScans(q).isEmpty, "manifest aggregate must not scan files")
+    assert(allNodes(q.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"expected LocalTableScan:\n${q.queryExecution.executedPlan}")
+    // an unstamped column refuses the pushdown but still answers
+    val q2 = sql("SELECT min(day) FROM gns.web.agg")
+    assert(q2.head.getInt(0) == 1)
+    // filters force the real scan (residual re-filtering is row-level)
+    val q3 = sql("SELECT count(*) FROM gns.web.agg WHERE day = 2")
+    assert(q3.head.getLong(0) == 50L)
+    assert(batchScans(q3).nonEmpty, "filtered aggregates must scan")
+    // live MOR deletes make the count metadata-undecidable: fall back
+    sql("""CREATE TABLE gns.web.aggmor (uid BIGINT, n BIGINT)
+          |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
+    sql("INSERT INTO gns.web.aggmor SELECT id, id FROM range(30)")
+    sql("DELETE FROM gns.web.aggmor WHERE uid >= 20")
+    val q4 = sql("SELECT count(*) FROM gns.web.aggmor")
+    assert(q4.head.getLong(0) == 20L)
+    // empty table: COUNT(*) = 0 from metadata, MIN refuses (no bounds)
+    sql("CREATE TABLE gns.web.aggempty (x BIGINT)")
+    assert(sql("SELECT count(*) FROM gns.web.aggempty").head.getLong(0) == 0L)
+    assert(sql("SELECT min(x) FROM gns.web.aggempty").head.isNullAt(0))
+  }
+
   test("time travel reads natively against the pinned snapshot") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("CREATE TABLE gns.web.tt (n BIGINT)")

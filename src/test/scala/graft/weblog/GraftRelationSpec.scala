@@ -167,6 +167,44 @@ class GraftRelationSpec extends SparkTestBase {
     assert(t.columnMinMax("n").contains(("0", "139")))
   }
 
+  test("hidden-partition source predicates file-skip through the relation (single + multi legs)") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_hidden").toString + "/t",
+      partitionCol = "pday", partitionTransform = Some("days(ts)"))
+    def day(d: Int) = (0 until 10).map(i =>
+      (s"u$i", java.sql.Timestamp.valueOf(f"2024-03-$d%02d 06:00:00")))
+      .toDF("user_id", "ts").coalesce(1)
+    for (d <- 1 to 5) t.append(day(d))
+    val df = t.toDF
+    assert(scannedFiles(df) == 5)
+    // a predicate on the SOURCE column (never the hidden pday) prunes
+    // through the synthesized inverse bounds — relation path, not
+    // just readWhere
+    val day3 = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00")) &&
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-04 00:00:00"))
+    assert(scannedFiles(df.filter(day3)) == 1,
+      "days(ts) inverse bounds must file-skip in the relation")
+    sameRows(df.filter(day3), t.read.filter(day3))
+    // multi-leg composite: each leg prunes independently
+    val m = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_multi").toString + "/t",
+      partitionCol = "pmulti",
+      partitionTransform = Some("multi(days(ts), identity(tag))"))
+    for (d <- 1 to 3; tag <- Seq("a", "b"))
+      m.append((0 until 5).map(i =>
+        (s"u$i", tag, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 06:00:00")))
+        .toDF("user_id", "tag", "ts").coalesce(1))
+    val mdf = m.toDF
+    assert(scannedFiles(mdf) == 6)
+    assert(scannedFiles(mdf.filter(day3)) == 2, "time leg must prune the relation")
+    assert(scannedFiles(mdf.filter(col("tag") === "a")) == 3,
+      "identity leg must prune the relation")
+    assert(scannedFiles(mdf.filter(day3 && col("tag") === "a")) == 1)
+    sameRows(mdf.filter(day3 && col("tag") === "a"),
+      m.read.filter(day3 && col("tag") === "a"))
+  }
+
   test("the relation is snapshot-pinned; refresh follows new commits") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
