@@ -833,11 +833,30 @@ private[sources] final class GraftSqlTable(
 private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     pinned: Option[Long], fullSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var filters: Array[sources.Filter] = Array.empty
   private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown as FILE-LIST truncation: the stamped row counts
+    * let the native scan keep only enough files to cover the limit
+    * (`SELECT * FROM t LIMIT 10` on a 100 TB table opens one file).
+    * Declared PARTIALLY pushed — Spark keeps its own limit operator,
+    * so whole-file delivery stays correct. Spark only offers the
+    * pushdown when every filter above the scan was handled; ours are
+    * all residual, so a filtered query never reaches this (dropping
+    * unscanned files could starve a filter of its matching rows).
+    */
+  override def pushLimit(n: Int): Boolean = {
+    if (filters.nonEmpty) return false
+    limit = Some(n)
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -943,7 +962,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       }
     case None =>
       graft.weblog.GraftNativeScan.forTable(
-        SparkSession.active, table, pinned, required, filters)
+        SparkSession.active, table, pinned, required, filters, limit)
         .getOrElse(v1Fallback)
   }
 

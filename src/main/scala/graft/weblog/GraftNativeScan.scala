@@ -58,7 +58,8 @@ final class GraftNativeScan private (
     snap: IcebergLikeTable.TableSnapshot,
     required: StructType,
     pushedCond: Column,
-    pushedFilters: Array[sources.Filter]) extends Scan with Batch
+    pushedFilters: Array[sources.Filter],
+    limit: Option[Int]) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   import GraftNativeScan._
@@ -90,8 +91,22 @@ final class GraftNativeScan private (
   private def condition: Column =
     runtimeCond.fold(pushedCond)(pushedCond && _)
 
-  private def prunedNow(): Seq[Manifests.FileEntry] =
-    table.prunedEntries(snap, condition)
+  private def prunedNow(): Seq[Manifests.FileEntry] = {
+    val entries = table.prunedEntries(snap, condition)
+    limit match {
+      // pushed LIMIT (only offered filter-free): keep files until the
+      // stamped row counts cover it — whole files, Spark's own limit
+      // operator trims the excess. Any unstamped count disables the cut
+      // (the cover would be a guess).
+      case Some(n) if entries.forall(_.rowCount >= 0L) =>
+        var acc = 0L
+        val kept = entries.takeWhile { e =>
+          val need = acc < n; acc += e.rowCount; need
+        }
+        kept
+      case _ => entries
+    }
+  }
 
   /** Typed partition values of a leaf (identity layout), matching
     * [[readPartSchema]]; the factory only admits string/int/long
@@ -229,7 +244,8 @@ object GraftNativeScan {
     */
   def forTable(spark: SparkSession, table: IcebergLikeTable,
       pinned: Option[Long], required: StructType,
-      pushed: Array[sources.Filter]): Option[Scan] = {
+      pushed: Array[sources.Filter],
+      limit: Option[Int] = None): Option[Scan] = {
     val eligible =
       try table.nativeScanSnapshot(pinned)
       catch { case scala.util.control.NonFatal(_) => None }
@@ -250,7 +266,8 @@ object GraftNativeScan {
         val cond = pushed
           .flatMap(graft.sources.GraftFilterBridge.toColumn(_, exact = false))
           .reduceOption(_ && _).getOrElse(lit(true))
-        Some(new GraftNativeScan(spark, table, snap, required, cond, pushed))
+        Some(new GraftNativeScan(spark, table, snap, required, cond, pushed,
+          limit))
       }
     }
   }

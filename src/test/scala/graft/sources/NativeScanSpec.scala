@@ -172,6 +172,28 @@ class NativeScanSpec extends SparkTestBase {
     assert(sql("SELECT min(x) FROM gns.web.aggempty").head.isNullAt(0))
   }
 
+  test("limit pushdown: LIMIT opens only covering files (stamped row counts)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.lim (uid BIGINT, day INT)
+          |PARTITIONED BY (day)""".stripMargin)
+    for (d <- 1 to 4)
+      sql(s"INSERT INTO gns.web.lim SELECT id, $d FROM range(100)")
+    val t = IcebergLikeTable(spark, s"$warehouse/web/lim", "day")
+    val total = t.filesFor(lit(true)).size
+    assert(total >= 4)
+    GraftNativeScan.clearPrune(t.path)
+    val rows = sql("SELECT * FROM gns.web.lim LIMIT 5").collect()
+    assert(rows.length == 5)
+    val (planned, _) = GraftNativeScan.lastPrune(t.path)
+      .getOrElse(fail("native scan did not plan"))
+    assert(planned < total && planned >= 1,
+      s"LIMIT 5 must open a file subset: planned $planned of $total")
+    // a filtered LIMIT is NOT file-truncated (filters are residual) —
+    // rows stay correct
+    val f = sql("SELECT * FROM gns.web.lim WHERE uid = 99 LIMIT 10").collect()
+    assert(f.length == 4)
+  }
+
   test("time travel reads natively against the pinned snapshot") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("CREATE TABLE gns.web.tt (n BIGINT)")
