@@ -280,29 +280,22 @@ object WebLogQueries {
     Q("weblog_mor_delete",
       (s, d) => {
         val path = scratch(s, "mordel", d) + "/t"
-        // key-dedup as a map-side-combinable aggregate (min_by on the
-        // tie-break column) instead of a full window sort — the same
-        // first-per-key row, one partial+final agg instead of a
-        // whole-partition sort shuffle (the scale-correct idiom for
-        // "first row per key" when no other window output is needed).
-        // Half-day slice + 2 buckets: the gate proves the MOR delete
-        // PROTOCOL (tombstone files, stable reads, threshold
-        // compaction) — protocol cost is per-commit metadata, not data
-        // volume, so the slice is sized to the proof, not the bench
+        // naturally-unique key (event_id) + half-day slice + 2 buckets
+        // + plain-append load: the gate proves the MOR delete PROTOCOL
+        // (tombstone files, stable reads, threshold compaction) —
+        // protocol cost is per-commit metadata, so the setup carries no
+        // dedup shuffle and no upsert merge (weblog_upsert's job), and
+        // the bench measures the delete path, not scaffolding
         val base = Tables.events(s, d)
           .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 12)
-          .groupBy(
-            concat(lit("u"), col("user_id").cast("string")).as("user_id"),
-            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"))
-          .agg(min_by(col("event_type"), col("event_id")).as("event"))
-          .withColumn("seq", lit(1L))
-        val t = IcebergLikeTable(s, path, "event", Seq("user_id", "timestamp"),
+          .select(col("event_id").as("id"), col("user_id"),
+            col("event_type").as("event"))
+        val t = IcebergLikeTable(s, path, "event", Seq("id"),
           numBuckets = 2)
-        t.write(base, "seq")
+        t.append(base)
         val dataBefore = t.files.filter(!col("is_delete"))
           .select("file").collect().map(_.getString(0)).toSet
-        val erased = t.deleteMergeOnRead(
-          expr("CAST(substr(user_id, 2) AS BIGINT) % 10 = 3"))
+        val erased = t.deleteMergeOnRead(col("user_id") % 10 === 3)
         val dataAfter = t.files.filter(!col("is_delete"))
           .select("file").collect().map(_.getString(0)).toSet
         val delFiles = t.files.filter(col("is_delete")).count()
@@ -322,10 +315,7 @@ object WebLogQueries {
       },
       Some("""WITH base AS (
              |  SELECT user_id, event_type AS event
-             |  FROM events WHERE day(ts) = 1 AND hour(ts) < 12
-             |  QUALIFY row_number() OVER (
-             |    PARTITION BY user_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
-             |    ORDER BY event_id) = 1)
+             |  FROM events WHERE day(ts) = 1 AND hour(ts) < 12)
              |SELECT event, count(*) AS cnt, TRUE AS stable,
              |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE user_id % 10 = 3) AS erased,
              |       TRUE AS data_untouched, TRUE AS tombstones_compacted
