@@ -177,6 +177,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val df: Option[() => org.apache.spark.sql.DataFrame] = ident.name match {
       case "snapshots" => Some(() => t.snapshots)
       case "files" => Some(() => t.files)
+      case "partitions" => Some(() => t.partitions)
       case "tags" => Some(() =>
         spark.createDataFrame(t.tags.toSeq.sortBy(_._1))
           .toDF("tag", "version"))

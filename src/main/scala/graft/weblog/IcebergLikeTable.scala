@@ -1498,6 +1498,27 @@ final case class IcebergLikeTable(
       "n_bloom_cols", "is_delete")
   }
 
+  /** Metadata TABLE (Iceberg's `table.partitions`): one row per live
+    * leaf partition — leaf path, data-file count, stamped byte/row
+    * sums (-1 when any entry predates the stamps), live delete-file
+    * count. Manifest reads only; the 100 TB "how big is each
+    * partition" question costs zero tasks.
+    */
+  def partitions: DataFrame = {
+    import spark.implicits._
+    val (_, snap) = resolveLive()
+    snap.entries.groupBy(e => leafOf(e.path)).toSeq.sortBy(_._1)
+      .map { case (leaf, es) =>
+        val (del, data) = es.partition(_.isDelete)
+        (leaf,
+          data.size.toLong,
+          if (data.forall(_.size >= 0L)) data.map(_.size).sum else -1L,
+          if (data.forall(_.rowCount >= 0L)) data.map(_.rowCount).sum else -1L,
+          del.size.toLong)
+      }
+      .toDF("partition", "n_files", "size_bytes", "row_count", "n_delete_files")
+  }
+
   /** Manifest-only `count(*)`: the live row count resolved from the
     * stamped per-file entries alone — zero data I/O, zero tasks. None
     * when any live entry predates the row-count stamp (legacy
@@ -2140,6 +2161,25 @@ final case class IcebergLikeTable(
     nt.sources.foreach(src => require(src != partitionCol,
       s"partition transform source '$src' must differ from the " +
         s"derived partition column '$partitionCol'"))
+    // the derived partition value is LONG for the single transforms
+    // and STRING for a composite (multi) spec: widening long→string is
+    // handled by re-stamping the partition column's schema type (old
+    // numeric leaf values parse as strings), but NARROWING
+    // string→long cannot — existing composite leaf values would not
+    // parse under a numeric stamp
+    def partType(t: PartitionTransforms.Transform):
+        org.apache.spark.sql.types.DataType = t match {
+      case _: PartitionTransforms.Multi |
+           _: PartitionTransforms.Identity =>
+        org.apache.spark.sql.types.StringType
+      case _ => LongType
+    }
+    require(!(partType(cur) == org.apache.spark.sql.types.StringType &&
+        partType(nt) == LongType) || currentVersion.isEmpty,
+      "cannot evolve a composite (string-valued) partition spec to a " +
+        "numeric one on a committed table: existing leaf values would " +
+        "not parse under the numeric partition type — truncate-reload " +
+        "or create a new table")
     val evolved = this.copy(partitionTransform = Some(nt.spec))
     if (currentVersion.isEmpty) return evolved // nothing written yet
     withCommitRetry {
@@ -2158,7 +2198,19 @@ final case class IcebergLikeTable(
       val hist0 = specHistOf(snap.meta)
       val hist = (if (hist0.isEmpty) Seq((0L, cur.spec)) else hist0) :+
         ((version, nt.spec))
-      val meta = snap.meta +
+      // a type-widening evolution (days→multi) re-stamps the hidden
+      // partition column as STRING: old numeric leaf values parse as
+      // strings, new composite writes type-match the stamp
+      val schemaMeta: Map[String, String] =
+        storedSchema(snap.meta) match {
+          case Some(s) if s.fieldNames.contains(partitionCol) &&
+              partType(nt) != partType(cur) =>
+            Map(SchemaKey -> StructType(s.fields.map(f =>
+              if (f.name == partitionCol) f.copy(dataType = partType(nt))
+              else f)).json)
+          case _ => Map.empty
+        }
+      val meta = snap.meta ++ schemaMeta +
         (SpecHistKey -> specHistJson(hist)) +
         (TsKey -> System.currentTimeMillis().toString) +
         (LayoutKey -> layoutSpecFor(Some(nt)))

@@ -331,6 +331,15 @@ class GraftCatalogSpec extends SparkTestBase {
     t.tag("audit", t.currentVersion.get)
     assert(sql("SELECT tag, version FROM gcat.meta.t.tags").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("audit", 1L)))
+    // partitions metadata table: per-leaf file/byte/row sums from the
+    // manifest alone ("how big is each partition" with zero tasks)
+    val parts = sql("""SELECT partition, n_files, size_bytes, row_count,
+                      |n_delete_files FROM gcat.meta.t.partitions""".stripMargin)
+      .collect()
+    assert(parts.length == 1) // void transform: single null partition
+    assert(parts.head.getLong(1) == files.length.toLong)
+    assert(parts.head.getLong(3) == 100L)
+    assert(parts.head.getLong(2) > 0L && parts.head.getLong(4) == 0L)
   }
 
   test("CTAS, RENAME TABLE, DROP TABLE") {

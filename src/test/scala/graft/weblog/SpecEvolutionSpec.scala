@@ -57,6 +57,37 @@ class SpecEvolutionSpec extends SparkTestBase {
     assert(big.size == 4, s"4 hour-era leaves expected: ${leaves.mkString(",")}")
   }
 
+  test("evolve days→multi(days, identity): per-epoch inversion, per-leg pruning on the new era") {
+    import spark.implicits._
+    val t0 = IcebergLikeTable(spark,
+      Files.createTempDirectory("se_multi").toString + "/t",
+      partitionCol = "pday", partitionTransform = Some("days(ts)"))
+    def tagged(d: Int, tag: String) = (0 until 4).map(h =>
+      (s"u$d-$h", tag, ts(d, h * 6))).toDF("user_id", "tag", "ts")
+    for (d <- 1 to 2) t0.append(tagged(d, "a").coalesce(1))
+    val t = t0.evolvePartitionSpec("multi(days(ts), identity(tag))")
+    for (d <- 3 to 4; tag <- Seq("a", "b"))
+      t.append(tagged(d, tag).coalesce(1))
+    assert(t.read.count() == 8 + 16)
+    // a day predicate prunes BOTH eras under their own specs
+    val day3 = col("ts") >= lit(ts(3, 0)) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-04 00:00:00"))
+    val day3Files = t.filesFor(day3)
+    assert(day3Files.size == 2, s"day-3 slice: 2 new-era files, got $day3Files")
+    assert(t.readWhere(day3).count() == 8)
+    // the identity leg prunes only where it GOVERNS: old-era files
+    // cannot answer a tag predicate (sound: they are kept), new-era
+    // files skip the other tag
+    val tagB = t.filesFor(col("tag") === "b")
+    assert(tagB.size == 2 + 2, // 2 old-era (unprunable) + 2 new-era b files
+      s"tag=b: old era kept + new-era b, got $tagB")
+    assert(t.readWhere(col("tag") === "b").count() == 8)
+    // a day-1 predicate prunes to the single old-era file
+    val day1 = col("ts") < lit(Timestamp.valueOf("2024-03-02 00:00:00"))
+    assert(t.filesFor(day1).size == 1)
+    assert(t.readWhere(day1).count() == 4)
+  }
+
   test("pruning inverts each file under its own epoch (old files not mis-pruned)") {
     val t0 = daysTable("se_prune")
     for (d <- 1 to 3) t0.append(events(d to d).coalesce(1))
