@@ -612,6 +612,77 @@ object WebLogQueries {
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // STORAGE-PARTITIONED JOIN (Iceberg's SPJ): two keyed graft tables
+    // bucketed identically join on their keys WITHOUT exchanging
+    // either side — the native scan reports bucket(n, keys)
+    // KeyGroupedPartitioning, resolved through the catalog's
+    // FunctionCatalog, and co-located buckets join in place. At 100 TB
+    // the shuffle IS the join cost; this is the layout-aware plan the
+    // reference's Athena/Trino engine produces for bucketed tables.
+    // Proof boolean: no join-input exchange in the executed plan
+    // (the only shuffle allowed is the final 1-partition aggregate).
+    Q("weblog_spj",
+      (s, d) => {
+        val wh = scratch(s, "spjgate", d)
+        s.conf.set("spark.sql.catalog.gspjg", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gspjg.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gspjg.web")
+        s.sql("DROP TABLE IF EXISTS gspjg.web.profiles")
+        s.sql("DROP TABLE IF EXISTS gspjg.web.activity")
+        Tables.events(s, d).createOrReplaceTempView("graft_spj_src")
+        s.sql("""CREATE TABLE gspjg.web.profiles (user_id BIGINT, signups BIGINT, seq BIGINT)
+                |TBLPROPERTIES (uniqueKeys 'user_id', numBuckets '8', orderCol 'seq')""".stripMargin)
+        s.sql("""INSERT INTO gspjg.web.profiles
+                |SELECT user_id, count(*), 1 FROM graft_spj_src
+                |WHERE event_type = 'signup' GROUP BY user_id""".stripMargin)
+        s.sql("""CREATE TABLE gspjg.web.activity (user_id BIGINT, events BIGINT, seq BIGINT)
+                |TBLPROPERTIES (uniqueKeys 'user_id', numBuckets '8', orderCol 'seq')""".stripMargin)
+        s.sql("""INSERT INTO gspjg.web.activity
+                |SELECT user_id, count(*), 1 FROM graft_spj_src
+                |GROUP BY user_id""".stripMargin)
+        val oldB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+        val oldT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val q = s.sql(
+            """SELECT CAST(count(*) AS BIGINT) AS users,
+              |       CAST(sum(a.events) AS BIGINT) AS signup_user_events
+              |FROM gspjg.web.profiles p JOIN gspjg.web.activity a
+              |ON p.user_id = a.user_id""".stripMargin)
+          val row = q.head()
+          def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+              Seq[org.apache.spark.sql.execution.SparkPlan] =
+            (p +: p.children.flatMap(nodes)) ++ (p match {
+              case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                nodes(qs.plan)
+              case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                nodes(ad.executedPlan)
+              case _ => Nil
+            })
+          val noJoinShuffle = nodes(q.queryExecution.executedPlan)
+            .collect { case sh: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => sh }
+            .forall(_.outputPartitioning.numPartitions == 1)
+          import s.implicits._
+          Seq((row.getLong(0), row.getLong(1), noJoinShuffle))
+            .toDF("users", "signup_user_events", "shuffle_free_join")
+        } finally {
+          oldB.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          oldT.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        }
+      },
+      Some("""WITH p AS (SELECT user_id FROM events
+             |          WHERE event_type = 'signup' GROUP BY user_id),
+             |a AS (SELECT user_id, count(*) AS events FROM events GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS users,
+             |       CAST(sum(a.events) AS BIGINT) AS signup_user_events,
+             |       TRUE AS shuffle_free_join
+             |FROM p JOIN a ON p.user_id = a.user_id""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // AGGREGATE-TO-METADATA pushdown (Iceberg's manifest aggregates —
     // what makes `SELECT count(*)` on a 100 TB table a driver lookup
     // instead of a scan): whole-table COUNT(*)/MIN/MAX resolve from

@@ -60,7 +60,8 @@ import graft.weblog.IcebergLikeTable
   * newest commit at-or-before t ([[IcebergLikeTable.versionAsOf]]).
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   import GraftCatalog._
 
@@ -505,6 +506,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"rename failed: ${fullName(oldIdent)} -> ${fullName(newIdent)}")
   }
 
+  // ---- functions (partition transforms) ----------------------------------
+
+  /** The catalog's V2 functions: `bucket` — how Spark resolves the
+    * key-grouped partitioning the native scan reports, enabling
+    * storage-partitioned joins between co-bucketed graft tables.
+    */
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if ((ident.namespace.isEmpty ||
+        ident.namespace.sameElements(Array("system"))) &&
+        ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
   // ---- procedures (SQL CALL) -------------------------------------------
 
   override def loadProcedure(ident: Identifier)
@@ -917,15 +937,25 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
         fullSchema.fields.find(_.name == n.fieldNames.head)
       case _ => None
     }
+    val minMaxCols = agg.aggregateExpressions.toSeq.flatMap {
+      case m: Min => boundCol(m.column).map(_.name)
+      case m: Max => boundCol(m.column).map(_.name)
+      case _ => Nil
+    }.distinct
+    // BOTH answers from one resolved snapshot — a racing commit cannot
+    // mix versions inside the pushed row
+    val (count, bounds) =
+      try table.manifestAggregates(minMaxCols)
+      catch { case scala.util.control.NonFatal(_) => return None }
     val answered = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        table.rowCount.map(v => (StructField("count(*)", LongType), v: Any))
+        count.map(v => (StructField("count(*)", LongType), v: Any))
       case m: Min => boundCol(m.column).flatMap(f =>
-        try table.columnMinMax(f.name).map(b =>
+        try bounds.get(f.name).map(b =>
           (StructField(s"min(${f.name})", f.dataType), typedBound(f.dataType, b._1)))
         catch { case scala.util.control.NonFatal(_) => None })
       case m: Max => boundCol(m.column).flatMap(f =>
-        try table.columnMinMax(f.name).map(b =>
+        try bounds.get(f.name).map(b =>
           (StructField(s"max(${f.name})", f.dataType), typedBound(f.dataType, b._2)))
         catch { case scala.util.control.NonFatal(_) => None })
       case _ => None // COUNT(col)/SUM/AVG/DISTINCT: not metadata-decidable

@@ -60,7 +60,8 @@ final class GraftNativeScan private (
     pushedCond: Column,
     pushedFilters: Array[sources.Filter],
     limit: Option[Int]) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import GraftNativeScan._
 
@@ -133,6 +134,39 @@ final class GraftNativeScan private (
     })
   }
 
+  /** KEY-GROUPED planning (storage-partitioned joins): when the table
+    * is keyed and the session opted into V2 bucketing, partitions are
+    * grouped ONE PER KEY BUCKET (every leaf of that `gbucket` across
+    * all partition values — a key always hashes to one bucket, so all
+    * rows of a join key live in exactly one input partition) and the
+    * scan reports `bucket(numBuckets, keys)` partitioning. Two
+    * co-bucketed graft tables joined on their keys then skip the
+    * shuffle entirely. The trade (Iceberg's too): task count = bucket
+    * count, so the grouping engages only under the explicit conf.
+    */
+  private def bucketGrouping: Boolean =
+    table.uniqueKeys.nonEmpty &&
+      SQLConf.get.getConfString(
+        "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
+      table.uniqueKeys.forall(readSchema().fieldNames.contains)
+
+  /** The gbucket value of a leaf path, if present. */
+  private def bucketOf(relFile: String): Option[Int] =
+    table.leafOf(relFile).split('/')
+      .find(_.startsWith(s"${table.bucketCol}="))
+      .flatMap(_.substring(table.bucketCol.length + 1).toIntOption)
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (bucketGrouping) {
+      val buckets = prunedNow().flatMap(e => bucketOf(e.path)).distinct
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          table.numBuckets, table.uniqueKeys: _*)),
+        math.max(1, buckets.size))
+    } else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = prunedNow()
     recordPrune(table.path, entries.size, runtimeCond.isDefined)
@@ -145,16 +179,26 @@ final class GraftNativeScan private (
     val maxSplitBytes = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, bytesPerCore))
     val root = table.path.stripSuffix("/")
-    val files = entries.flatMap { e =>
-      val values = partitionValuesOf(table.leafOf(e.path))
-      val abs = SparkPath.fromPathString(s"$root/${e.path}")
-      (0L until math.max(1L, e.size) by maxSplitBytes).map { off =>
-        PartitionedFile(values, abs, off,
-          math.min(maxSplitBytes, e.size - off), Array.empty, 0L, e.size)
+    def filesOf(es: Seq[Manifests.FileEntry], split: Long): Seq[PartitionedFile] =
+      es.flatMap { e =>
+        val values = partitionValuesOf(table.leafOf(e.path))
+        val abs = SparkPath.fromPathString(s"$root/${e.path}")
+        (0L until math.max(1L, e.size) by split).map { off =>
+          PartitionedFile(values, abs, off,
+            math.min(split, e.size - off), Array.empty, 0L, e.size)
+        }
       }
-    }
-    FilePartition.getFilePartitions(spark, files, maxSplitBytes)
-      .toArray[InputPartition]
+    if (bucketGrouping) {
+      // one unsplit partition per key bucket, stamped with its key
+      entries.groupBy(e => bucketOf(e.path).getOrElse(-1)).toSeq.sortBy(_._1)
+        .zipWithIndex.map { case ((bucket, es), i) =>
+          GraftBucketedPartition(bucket,
+            FilePartition(i, filesOf(es, Long.MaxValue).toArray))
+            : InputPartition
+        }.toArray
+    } else
+      FilePartition.getFilePartitions(spark, filesOf(entries, maxSplitBytes),
+        maxSplitBytes).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -191,7 +235,7 @@ final class GraftNativeScan private (
     // pushed filters reach the row-group stats (a filter naming a
     // partition-directory column simply finds no footer column and
     // prunes nothing there — the partition pruning already handled it)
-    ParquetPartitionReaderFactory(
+    new GraftUnwrappingReaderFactory(ParquetPartitionReaderFactory(
       sqlConf,
       bc,
       readDataSchema,
@@ -199,7 +243,7 @@ final class GraftNativeScan private (
       readPartSchema,
       pushedFilters,
       None,
-      new ParquetOptions(Map.empty[String, String], sqlConf))
+      new ParquetOptions(Map.empty[String, String], sqlConf)))
   }
 
   /** Statistics of the PRUNED file set — manifest sums, zero I/O.
@@ -233,6 +277,38 @@ final class GraftNativeScan private (
     if (cols.nonEmpty)
       runtimeCond = Some(cols.reduce(_ && _))
   }
+}
+
+/** A key-grouped input partition: one bucket's files (across every
+  * partition value), stamped with the bucket id as its partition key —
+  * what [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * groups storage-partitioned joins by.
+  */
+private[weblog] final case class GraftBucketedPartition(bucket: Int,
+    inner: FilePartition) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Delegates to the parquet reader factory, unwrapping
+  * [[GraftBucketedPartition]] down to its [[FilePartition]].
+  */
+private[weblog] final class GraftUnwrappingReaderFactory(
+    base: ParquetPartitionReaderFactory) extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case GraftBucketedPartition(_, inner) => inner
+    case other => other
+  }
+  override def createReader(p: InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    base.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    base.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    base.supportColumnarReads(unwrap(p))
 }
 
 object GraftNativeScan {

@@ -1524,8 +1524,9 @@ final case class IcebergLikeTable(
     * when any live entry predates the row-count stamp (legacy
     * manifests), in which case callers fall back to a real count.
     */
-  def rowCount: Option[Long] = {
-    val (_, snap) = resolveLive()
+  def rowCount: Option[Long] = rowCountOf(resolveLive()._2)
+
+  private def rowCountOf(snap: TableSnapshot): Option[Long] =
     // live equality-delete files make the count undecidable from
     // metadata (how many of their tuples actually hit is a data
     // question) — callers fall back to a real count until maintain()
@@ -1533,6 +1534,18 @@ final case class IcebergLikeTable(
     if (snap.deleteEntries.isEmpty && snap.entries.forall(_.rowCount >= 0L))
       Some(snap.entries.map(_.rowCount).sum)
     else None
+
+  /** One-snapshot metadata aggregates for the V2 aggregate pushdown:
+    * the row count and the requested columns' exact min/max, ALL
+    * resolved from the SAME live snapshot — a pushed aggregate row can
+    * never mix two versions racing a concurrent commit. Per-item
+    * None = undecidable (the caller falls back to a real scan).
+    */
+  private[graft] def manifestAggregates(minMaxCols: Seq[String])
+      : (Option[Long], Map[String, (String, String)]) = {
+    val (_, snap) = resolveLive()
+    (rowCountOf(snap),
+      minMaxCols.flatMap(c => columnMinMaxOf(snap, c).map(c -> _)).toMap)
   }
 
   /** Manifest-only MIN/MAX of a stats-stamped column (Iceberg's
@@ -1545,8 +1558,11 @@ final case class IcebergLikeTable(
     * returned as their stamped string rendering typed under the column
     * type; zero data I/O, zero tasks.
     */
-  def columnMinMax(colName: String): Option[(String, String)] = {
-    val (_, snap) = resolveLive()
+  def columnMinMax(colName: String): Option[(String, String)] =
+    columnMinMaxOf(resolveLive()._2, colName)
+
+  private def columnMinMaxOf(snap: TableSnapshot,
+      colName: String): Option[(String, String)] = {
     if (snap.entries.isEmpty) return None
     // a live equality delete may have removed the extreme row: bounds
     // remain valid for PRUNING (over-approximation) but not as an exact

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** STORAGE-PARTITIONED JOINS (Iceberg's SPJ): two keyed graft tables
+  * bucketed the same way join on their keys WITHOUT a shuffle — the
+  * native scan reports `bucket(n, keys)` KeyGroupedPartitioning, the
+  * catalog's FunctionCatalog resolves the transform, and Spark matches
+  * the two sides' partition values instead of exchanging 2× the data.
+  * The bucket function MUST agree bit-for-bit with the write side's
+  * routing hash or co-location would be a lie — pinned first.
+  */
+class StoragePartitionedJoinSpec extends SparkTestBase {
+
+  private lazy val warehouse = Files.createTempDirectory("spj_wh").toString
+
+  private def sql(q: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.gspj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gspj.warehouse", warehouse)
+    spark.sql(q)
+  }
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] =
+    (p +: p.children.flatMap(allNodes)) ++ (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(q.plan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case _ => Nil
+    })
+
+  test("the catalog bucket function agrees bit-for-bit with the write-side routing") {
+    import spark.implicits._
+    val bound = GraftBucketFunction.bind(new org.apache.spark.sql.types.StructType()
+      .add("n", "int").add("k", "string"))
+      .asInstanceOf[GraftBucketBound]
+    val keys = (0 until 200).map(i => s"key-$i")
+    val expected = keys.toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(8L)).cast("int").as("b"))
+      .collect().map(_.getInt(0))
+    val actual = keys.map { k =>
+      bound.produceResult(org.apache.spark.sql.catalyst.InternalRow(
+        8, org.apache.spark.unsafe.types.UTF8String.fromString(k))).intValue
+    }
+    assert(actual.toSeq == expected.toSeq,
+      "bucket() must equal pmod(xxhash64(k), n) exactly")
+    // null keys hash like the write side too
+    val nullExpected = spark.range(1)
+      .select(pmod(xxhash64(lit(null).cast("string")), lit(8L)).cast("int"))
+      .head.getInt(0)
+    assert(bound.produceResult(org.apache.spark.sql.catalyst.InternalRow(
+      8, null)).intValue == nullExpected)
+  }
+
+  test("co-bucketed keyed tables join on their keys with NO shuffle") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    for (t <- Seq("left_t", "right_t")) {
+      sql(s"""CREATE TABLE gspj.web.$t (id STRING, v BIGINT, seq BIGINT)
+             |TBLPROPERTIES (uniqueKeys 'id', numBuckets '8', orderCol 'seq')""".stripMargin)
+      sql(s"""INSERT INTO gspj.web.$t
+             |SELECT concat('k', id), id * ${if (t == "left_t") 1 else 100}, 1
+             |FROM range(400)""".stripMargin)
+    }
+    val old = (
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(l.v + r.v) AS s
+                    |FROM gspj.web.left_t l JOIN gspj.web.right_t r
+                    |ON l.id = r.id""".stripMargin)
+      val row = q.head
+      assert(row.getLong(0) == 400L)
+      // sum over id of (id + 100*id) = 101 * (0+..+399)
+      assert(row.getLong(1) == 101L * (399L * 400L / 2))
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      // the join itself must be shuffle-free: the only exchange allowed
+      // is the single-partition one under the final global aggregate
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"storage-partitioned join must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+      // row-level spot check across the co-located join
+      val r = sql("""SELECT l.v, r.v FROM gspj.web.left_t l
+                    |JOIN gspj.web.right_t r ON l.id = r.id
+                    |WHERE l.id = 'k7'""".stripMargin).head
+      assert((r.getLong(0), r.getLong(1)) == ((7L, 700L)))
+    } finally {
+      old._1.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      old._2.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("without the bucketing conf the scan keeps split parallelism and plain joins stay correct") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    sql("""CREATE TABLE gspj.web.plain (id STRING, v BIGINT, seq BIGINT)
+          |TBLPROPERTIES (uniqueKeys 'id', numBuckets '4', orderCol 'seq')""".stripMargin)
+    sql("INSERT INTO gspj.web.plain SELECT concat('k', id), id, 1 FROM range(100)")
+    assert(sql("SELECT sum(v) FROM gspj.web.plain").head.getLong(0) ==
+      99L * 100L / 2)
+  }
+}
