@@ -195,18 +195,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val desc = Descriptor.read(fs, descPath(tableDir(ident)))
     val t = tableFor(ident, desc)
-    // Iceberg-style ref resolution: a numeric version pins directly, a
-    // non-numeric one resolves as a TAG name (tags pin snapshots past
+    // Iceberg-style ref resolution: a numeric version pins directly; a
+    // non-numeric one resolves as a TAG (tags pin snapshots past
     // retention, so `VERSION AS OF 'release-1'` stays valid after the
-    // raw version number would have expired)
-    val v = version.toLongOption.orElse(t.tags.get(version))
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft VERSION AS OF takes a numeric snapshot version or a " +
-          s"tag name, got '$version' (tags: ${t.tags.keys.toSeq.sorted.mkString(", ")})"))
-    require(t.versions.contains(v),
-      s"version $v of ${fullName(ident)} is unknown or expired " +
-        s"(retained: ${t.versions.mkString(", ")})")
-    new GraftSqlTable(fullName(ident), t, desc, Some(v))
+    // raw version number would have expired), then as a BRANCH — a
+    // branch ref reads that chain's HEAD through the branch handle
+    // (its manifests are a separate version chain; pinning the main
+    // chain at the branch's number would read the wrong snapshot).
+    // All-digit tag names are refused at creation, so numeric
+    // resolution can never shadow a ref.
+    version.toLongOption.orElse(t.tags.get(version)) match {
+      case Some(v) =>
+        require(t.versions.contains(v),
+          s"version $v of ${fullName(ident)} is unknown or expired " +
+            s"(retained: ${t.versions.mkString(", ")})")
+        new GraftSqlTable(fullName(ident), t, desc, Some(v))
+      case None if t.branches.contains(version) =>
+        val b = t.forBranch(version)
+        new GraftSqlTable(s"${fullName(ident)}@$version", b, desc,
+          b.currentVersion)
+      case None => throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a numeric snapshot version, a tag " +
+          s"or a branch name, got '$version' (tags: " +
+          s"${t.tags.keys.toSeq.sorted.mkString(", ")}; branches: " +
+          s"${t.branches.mkString(", ")})")
+    }
   }
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {

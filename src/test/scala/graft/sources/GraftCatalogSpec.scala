@@ -111,6 +111,15 @@ class GraftCatalogSpec extends SparkTestBase {
       .head.getLong(0) == 1)
     intercept[Exception](
       sql("SELECT * FROM gcat.tt.log VERSION AS OF 'no-such-tag'"))
+    // a BRANCH name reads that chain's HEAD (write-audit-publish:
+    // inspect staged branch work through plain SQL before fast-forward)
+    val branch = loadIceberg("tt", "log").createBranch("audit")
+    import spark.implicits._
+    branch.append(Seq(7L, 8L, 9L).toDF("id"))
+    assert(sql("SELECT count(*) FROM gcat.tt.log VERSION AS OF 'audit'")
+      .head.getLong(0) == 5)
+    assert(sql("SELECT count(*) FROM gcat.tt.log").head.getLong(0) == 2,
+      "main stays isolated from the branch read")
   }
 
   test("ALTER TABLE: rename, add, drop columns through SQL") {
