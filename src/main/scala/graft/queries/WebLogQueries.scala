@@ -707,10 +707,6 @@ object WebLogQueries {
             dayofmonth(col("ts")).as("day"))
           .createOrReplaceTempView("graft_agg_src")
         s.sql("INSERT INTO gagg.web.events SELECT * FROM graft_agg_src")
-        val q = s.sql("""SELECT CAST(count(*) AS BIGINT) AS cnt,
-                        |       min(user_id) AS min_uid, max(user_id) AS max_uid,
-                        |       min(event) AS min_event, max(event) AS max_event
-                        |FROM gagg.web.events""".stripMargin)
         def nodes(p: org.apache.spark.sql.execution.SparkPlan):
             Seq[org.apache.spark.sql.execution.SparkPlan] =
           (p +: p.children.flatMap(nodes)) ++ (p match {
@@ -720,20 +716,43 @@ object WebLogQueries {
               nodes(a.executedPlan)
             case _ => Nil
           })
-        val row = q.head()
-        val zeroTask = nodes(q.queryExecution.executedPlan).exists(
-          _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        def zeroTask(q: DataFrame): Boolean =
+          nodes(q.queryExecution.executedPlan).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        // whole-table leg
+        val q1 = s.sql("""SELECT CAST(count(*) AS BIGINT) AS cnt,
+                         |       min(user_id) AS min_uid, max(user_id) AS max_uid,
+                         |       min(event) AS min_event, max(event) AS max_event
+                         |FROM gagg.web.events""".stripMargin)
+        val r1 = q1.head()
+        val meta1 = zeroTask(q1)
+        // GROUP BY partition leg (per-day counts and bounds, zero tasks)
+        val q2 = s.sql("""SELECT day, CAST(count(*) AS BIGINT) AS cnt_day,
+                         |       min(user_id) AS min_uid_day,
+                         |       max(user_id) AS max_uid_day
+                         |FROM gagg.web.events GROUP BY day""".stripMargin)
+        val r2 = q2.collect()
+        val meta2 = zeroTask(q2)
         import s.implicits._
-        Seq((row.getLong(0), row.getLong(1), row.getLong(2),
-          row.getString(3), row.getString(4), zeroTask))
-          .toDF("cnt", "min_uid", "max_uid", "min_event", "max_event",
+        r2.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r1.getLong(0), r1.getLong(1), r1.getLong(2),
+          r1.getString(3), r1.getString(4), meta1 && meta2))
+          .toDF("day", "cnt_day", "min_uid_day", "max_uid_day",
+            "cnt", "min_uid", "max_uid", "min_event", "max_event",
             "metadata_only")
+          .orderBy("day")
       },
-      Some("""SELECT CAST(count(*) AS BIGINT) AS cnt,
-             |       min(user_id) AS min_uid, max(user_id) AS max_uid,
-             |       min(event_type) AS min_event, max(event_type) AS max_event,
+      Some("""SELECT CAST(day(ts) AS INT) AS day,
+             |       CAST(count(*) AS BIGINT) AS cnt_day,
+             |       min(user_id) AS min_uid_day, max(user_id) AS max_uid_day,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) <= 5) AS cnt,
+             |       (SELECT min(user_id) FROM events WHERE day(ts) <= 5) AS min_uid,
+             |       (SELECT max(user_id) FROM events WHERE day(ts) <= 5) AS max_uid,
+             |       (SELECT min(event_type) FROM events WHERE day(ts) <= 5) AS min_event,
+             |       (SELECT max(event_type) FROM events WHERE day(ts) <= 5) AS max_event,
              |       TRUE AS metadata_only
-             |FROM events WHERE day(ts) <= 5""".stripMargin.replace("\n", " ")),
+             |FROM events WHERE day(ts) <= 5
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
       headline = true),
 
     // MULTI-COLUMN partition spec (Iceberg's everyday

@@ -872,7 +872,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
 
   private var required: StructType = fullSchema
   private var filters: Array[sources.Filter] = Array.empty
-  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+  private var aggResult: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
   private var limit: Option[Int] = None
 
   /** LIMIT pushdown as FILE-LIST truncation: the stamped row counts
@@ -933,17 +933,17 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       case other => throw new IllegalStateException(s"unstampable type $other")
     }
 
-  /** The manifest-only answer to an aggregation, or None when any part
+  /** The manifest-only answer to an aggregation — whole-table, or
+    * grouped by the physical partition column — or None when any part
     * is undecidable from metadata (the caller then scans for real).
     */
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
-      Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+      Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     if (pinned.isDefined) return None // time travel reads through the scan
-    if (filters.nonEmpty) return None // a residual filter would re-filter the 1 row
-    if (agg.groupByExpressions.nonEmpty) return None
+    if (filters.nonEmpty) return None // a residual filter would re-filter the rows
     def boundCol(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[StructField] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -955,29 +955,60 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       case m: Max => boundCol(m.column).map(_.name)
       case _ => Nil
     }.distinct
-    // BOTH answers from one resolved snapshot — a racing commit cannot
-    // mix versions inside the pushed row
-    val (count, bounds) =
-      try table.manifestAggregates(minMaxCols)
-      catch { case scala.util.control.NonFatal(_) => return None }
-    val answered = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        count.map(v => (StructField("count(*)", LongType), v: Any))
-      case m: Min => boundCol(m.column).flatMap(f =>
-        try bounds.get(f.name).map(b =>
-          (StructField(s"min(${f.name})", f.dataType), typedBound(f.dataType, b._1)))
-        catch { case scala.util.control.NonFatal(_) => None })
-      case m: Max => boundCol(m.column).flatMap(f =>
-        try bounds.get(f.name).map(b =>
-          (StructField(s"max(${f.name})", f.dataType), typedBound(f.dataType, b._2)))
-        catch { case scala.util.control.NonFatal(_) => None })
-      case _ => None // COUNT(col)/SUM/AVG/DISTINCT: not metadata-decidable
+    // answers per group: one global group, or one per value of the
+    // PHYSICAL partition column (`GROUP BY day, count/min/max` —
+    // Iceberg's partition-level metadata aggregates). Everything from
+    // ONE resolved snapshot — a racing commit cannot mix versions.
+    val grouped: Seq[(Option[(StructField, Any)], Long, Map[String, (String, String)])] =
+      agg.groupByExpressions.toSeq match {
+        case Nil =>
+          val (count, bounds) =
+            try table.manifestAggregates(minMaxCols)
+            catch { case scala.util.control.NonFatal(_) => return None }
+          Seq((None, count.getOrElse(return None), bounds))
+        case Seq(g) =>
+          val gField = boundCol(g).getOrElse(return None)
+          if (gField.name != table.partitionCol) return None
+          val rows =
+            try table.manifestGroupedAggregates(minMaxCols)
+              .getOrElse(return None)
+            catch { case scala.util.control.NonFatal(_) => return None }
+          rows.map { case (value, count, bounds) =>
+            val typed: Any =
+              try value.map(typedBound(gField.dataType, _)).orNull
+              catch { case scala.util.control.NonFatal(_) => return None }
+            (Some((gField, typed)), count, bounds)
+          }
+        case _ => return None
+      }
+    def rowOf(group: Option[(StructField, Any)], count: Long,
+        bounds: Map[String, (String, String)]):
+        Option[Seq[(StructField, Any)]] = {
+      val aggs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType), count: Any))
+        case m: Min => boundCol(m.column).flatMap(f =>
+          try bounds.get(f.name).map(b =>
+            (StructField(s"min(${f.name})", f.dataType),
+              typedBound(f.dataType, b._1)))
+          catch { case scala.util.control.NonFatal(_) => None })
+        case m: Max => boundCol(m.column).flatMap(f =>
+          try bounds.get(f.name).map(b =>
+            (StructField(s"max(${f.name})", f.dataType),
+              typedBound(f.dataType, b._2)))
+          catch { case scala.util.control.NonFatal(_) => None })
+        case _ => None // COUNT(col)/SUM/AVG/DISTINCT: not metadata-decidable
+      }
+      if (aggs.exists(_.isEmpty)) None
+      else Some(group.toSeq ++ aggs.flatten)
     }
-    if (answered.exists(_.isEmpty)) None
+    val answered = grouped.map { case (g, c, b) => rowOf(g, c, b) }
+    if (answered.isEmpty || answered.exists(_.isEmpty)) None
     else {
-      val fields = answered.flatten
-      Some((StructType(fields.map(_._1)),
-        org.apache.spark.sql.catalyst.InternalRow.fromSeq(fields.map(_._2))))
+      val rows = answered.flatten
+      Some((StructType(rows.head.map(_._1)),
+        rows.map(r =>
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(r.map(_._2)))))
     }
   }
 
@@ -993,12 +1024,12 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   // (where V1ScanWrapper hides stats and AQE closes the gap at
   // runtime).
   override def build(): Scan = aggResult match {
-    // a pushed manifest aggregate IS the result: one driver-local row,
+    // a pushed manifest aggregate IS the result: driver-local rows,
     // zero tasks, zero files opened (plans as LocalTableScan)
-    case Some((aggSchema, row)) =>
+    case Some((aggSchema, aggRows)) =>
       new org.apache.spark.sql.connector.read.LocalScan {
         override def rows: Array[org.apache.spark.sql.catalyst.InternalRow] =
-          Array(row)
+          aggRows.toArray
         override def readSchema(): StructType = aggSchema
         override def description(): String =
           s"GraftManifestAggregate ${table.path} " +

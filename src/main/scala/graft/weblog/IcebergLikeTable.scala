@@ -1574,22 +1574,74 @@ final case class IcebergLikeTable(
     val bounds = snap.entries.map(_.stats.get(colName))
     if (bounds.exists(_.isEmpty)) return None
     val typed = bounds.flatten
-    def cmp(a: String, b: String): Int = field.dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        java.util.Arrays.compareUnsigned(
-          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      case org.apache.spark.sql.types.FloatType =>
-        java.lang.Float.compare(a.toFloat, b.toFloat)
-      case org.apache.spark.sql.types.DoubleType =>
-        java.lang.Double.compare(a.toDouble, b.toDouble)
-      case _: org.apache.spark.sql.types.DecimalType =>
-        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-      case _ => java.lang.Long.compare(a.toLong, b.toLong)
-    }
+    val cmp = boundCompare(field.dataType)
     try Some((typed.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
       typed.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
     catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Stamped-bound comparison under the column type (the same ordering
+    * [[FileStats]] prunes by — unsigned UTF-8 bytes for strings).
+    */
+  private def boundCompare(dt: DataType): (String, String) => Int = dt match {
+    case org.apache.spark.sql.types.StringType => (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case org.apache.spark.sql.types.FloatType => (a, b) =>
+      java.lang.Float.compare(a.toFloat, b.toFloat)
+    case org.apache.spark.sql.types.DoubleType => (a, b) =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: org.apache.spark.sql.types.DecimalType => (a, b) =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+  }
+
+  /** One-snapshot GROUPED metadata aggregates (the V2 pushdown's
+    * `GROUP BY <partition column>` leg): one row per PHYSICAL partition
+    * value — (value string, None = the null partition), the group's
+    * row count, and exact per-group [min, max] for the requested
+    * stamped columns. Identity layouts only (a hidden transform's
+    * source values are not recoverable from leaves); None whenever any
+    * piece is undecidable — live delete files, an unparseable or
+    * missing partition segment, an unstamped row count or bound — and
+    * the caller runs the real aggregation.
+    */
+  private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String])
+      : Option[Seq[(Option[String], Long, Map[String, (String, String)])]] = {
+    if (transform.isDefined) return None
+    val (_, snap) = resolveLive()
+    if (snap.deleteEntries.nonEmpty) return None
+    val schema = storedSchema(snap.meta).getOrElse(return None)
+    val cmps = minMaxCols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(return None)
+      if (!FileStats.supported(f.dataType)) return None
+      c -> boundCompare(f.dataType)
+    }
+    val groups = snap.dataEntries.groupBy { e =>
+      leafOf(e.path).split('/')
+        .find(_.startsWith(s"$partitionCol="))
+        .map(_.substring(partitionCol.length + 1))
+    }
+    if (groups.contains(None)) return None // a leaf without the column
+    val rows = groups.toSeq.map { case (seg, es) =>
+      val value = seg.filter(_ !=
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME)
+        .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName)
+      if (es.exists(_.rowCount < 0L)) return None
+      val bounds = cmps.map { case (c, cmp) =>
+        val bs = es.map(_.stats.get(c))
+        if (bs.exists(_.isEmpty)) return None
+        val typed = bs.flatten
+        try c -> ((typed.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+          typed.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+        catch { case scala.util.control.NonFatal(_) => return None }
+      }.toMap
+      (value, es.map(_.rowCount).sum, bounds)
+    }
+    Some(rows.sortBy(_._1))
   }
 
   /** Manifest-only COUNT for a PARTITION-COLUMN predicate: every row of

@@ -172,6 +172,37 @@ class NativeScanSpec extends SparkTestBase {
     assert(sql("SELECT min(x) FROM gns.web.aggempty").head.isNullAt(0))
   }
 
+  test("grouped aggregate pushdown: GROUP BY partition column answers per leaf, zero tasks") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.gagg (uid BIGINT, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'uid')""".stripMargin)
+    for (d <- 1 to 3)
+      sql(s"INSERT INTO gns.web.gagg SELECT id + ${d * 1000}, $d FROM range(40)")
+    val q = sql("""SELECT day, count(*) AS c, min(uid) AS lo, max(uid) AS hi
+                  |FROM gns.web.gagg GROUP BY day ORDER BY day""".stripMargin)
+    val rows = q.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1, 40L, 1000L, 1039L), (2, 40L, 2000L, 2039L),
+      (3, 40L, 3000L, 3039L)))
+    assert(batchScans(q).isEmpty, "grouped manifest aggregate must not scan files")
+    assert(allNodes(q.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"expected LocalTableScan:\n${q.queryExecution.executedPlan}")
+    // grouping by a NON-partition column falls back to a real scan
+    val q2 = sql("SELECT uid % 2, count(*) FROM gns.web.gagg GROUP BY uid % 2")
+    assert(q2.collect().map(_.getLong(1)).sum == 120L)
+    // keyed tables merge their bucket leaves per partition value
+    sql("""CREATE TABLE gns.web.gaggk (id BIGINT, day INT, seq BIGINT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (uniqueKeys 'id', numBuckets '4', orderCol 'seq')""".stripMargin)
+    sql("INSERT INTO gns.web.gaggk SELECT id, CAST(id % 2 AS INT), 1 FROM range(50)")
+    val k = sql("SELECT day, count(*) AS c FROM gns.web.gaggk GROUP BY day ORDER BY day")
+    assert(k.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 25L), (1, 25L)))
+    assert(batchScans(k).isEmpty)
+  }
+
   test("limit pushdown: LIMIT opens only covering files (stamped row counts)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("""CREATE TABLE gns.web.lim (uid BIGINT, day INT)
