@@ -143,7 +143,10 @@ final class GraftFileIndex(spark: SparkSession, table: IcebergLikeTable)
     InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
       val raw = bySegment.getOrElse(f.name,
         throw new IllegalStateException(s"leaf '$leaf' lacks partition ${f.name}"))
-      f.dataType match {
+      // Hive's null-partition sentinel is a NULL value, not a literal
+      // (a void-transform/unpartitioned table's every leaf is one)
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else f.dataType match {
         case StringType => UTF8String.fromString(raw)
         case IntegerType => raw.toInt
         case LongType => raw.toLong

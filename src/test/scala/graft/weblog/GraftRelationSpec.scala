@@ -205,6 +205,20 @@ class GraftRelationSpec extends SparkTestBase {
       m.read.filter(day3 && col("tag") === "a"))
   }
 
+  test("void-transform (unpartitioned) tables read through the relation: null partition parses") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("rel_void").toString + "/t",
+      partitionCol = "gpart", partitionTransform = Some("void(n)"))
+    t.append((0 until 20).map(i => (i.toLong, s"u$i")).toDF("n", "name"))
+    // every leaf is the Hive null-partition sentinel — it must parse
+    // as a NULL partition value, never as a literal (a LONG partition
+    // column would otherwise crash the index)
+    val df = t.toDF
+    assert(df.count() == 20)
+    sameRows(df, t.read)
+  }
+
   test("the relation is snapshot-pinned; refresh follows new commits") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
