@@ -55,6 +55,30 @@ class MultiPartitionSpec extends SparkTestBase {
       PartitionTransforms.parse("multi(days(ts), hours(ts))"))
   }
 
+  test("property: composite-value encoding is injective and round-trips arbitrary identity values") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val weird = Gen.listOfN(8,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('|', '%', '7', 'C', 'N', '=', '/')))
+      .map(_.mkString)
+    val pairs = Gen.zip(weird, weird)
+    val m = PartitionTransforms.parse("multi(identity(a), identity(b))")
+      .asInstanceOf[PartitionTransforms.Multi]
+    import spark.implicits._
+    (0 until 200).foreach { i =>
+      pairs.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (a, b) =>
+        // derive through the real Column expression, invert through
+        // allBounds: both legs must round-trip exactly
+        val derived = Seq((a, b)).toDF("a", "b").select(m.derive).head.getString(0)
+        val bounds = m.allBounds(derived)
+        assert(bounds.get("a").contains((a, a)),
+          s"leg a must round-trip: ($a, $b) -> '$derived' -> $bounds")
+        assert(bounds.get("b").contains((b, b)),
+          s"leg b must round-trip: ($a, $b) -> '$derived' -> $bounds")
+      }
+    }
+  }
+
   test("per-leg pruning: time-only prunes, event-only prunes, both compose") {
     val t = multiTable("mp_prune")
     // one file per (day, event): 3 days x 3 events = 9 files
