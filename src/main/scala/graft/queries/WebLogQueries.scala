@@ -73,6 +73,39 @@ object WebLogQueries {
       "payload", "B")
   }
 
+  /** Shared READ-ONLY fixture for the aggregate-pushdown gates: one
+    * catalog + events table built once per dataset per JVM — the gates
+    * only read it, so the (multi-second) table build is paid once, not
+    * per gate. The catalog NAME embeds the dataset (Spark caches
+    * catalog instances by name; a second dataset must get a second
+    * catalog, never a silently-reused warehouse).
+    */
+  private val aggFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def aggFixture(s: SparkSession, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val cat = s"gaggs_$safe"
+    val wh = Paths.get(sys.props("java.io.tmpdir"), "graft_q", s"aggshared_$safe").toString
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    aggFixtures.computeIfAbsent(cat, _ => {
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.web")
+      s.sql(s"""CREATE TABLE $cat.web.events
+               |(user_id BIGINT, event STRING, day INT)
+               |PARTITIONED BY (day)
+               |TBLPROPERTIES (statsColumns 'user_id,event')""".stripMargin)
+      Tables.events(s, d)
+        .filter(dayofmonth(col("ts")) <= 5)
+        .select(col("user_id"), col("event_type").as("event"),
+          dayofmonth(col("ts")).as("day"))
+        .createOrReplaceTempView(s"graft_aggs_src_$safe")
+      s.sql(s"INSERT INTO $cat.web.events SELECT * FROM graft_aggs_src_$safe")
+      s"$cat.web.events"
+    })
+  }
+
   private def scratch(s: SparkSession, name: String, d: String): String = {
     val safe = d.replaceAll("[^A-Za-z0-9]", "_")
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_q", s"${name}_$safe").toString
@@ -692,21 +725,7 @@ object WebLogQueries {
     // is the aggregate triple itself, recomputed by the oracle.
     Q("weblog_agg_pushdown",
       (s, d) => {
-        val wh = scratch(s, "aggpush", d)
-        s.conf.set("spark.sql.catalog.gagg", "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.gagg.warehouse", wh)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS gagg.web")
-        s.sql("DROP TABLE IF EXISTS gagg.web.events")
-        s.sql("""CREATE TABLE gagg.web.events
-                |(user_id BIGINT, event STRING, day INT)
-                |PARTITIONED BY (day)
-                |TBLPROPERTIES (statsColumns 'user_id,event')""".stripMargin)
-        Tables.events(s, d)
-          .filter(dayofmonth(col("ts")) <= 5)
-          .select(col("user_id"), col("event_type").as("event"),
-            dayofmonth(col("ts")).as("day"))
-          .createOrReplaceTempView("graft_agg_src")
-        s.sql("INSERT INTO gagg.web.events SELECT * FROM graft_agg_src")
+        val tbl = aggFixture(s, d)
         def nodes(p: org.apache.spark.sql.execution.SparkPlan):
             Seq[org.apache.spark.sql.execution.SparkPlan] =
           (p +: p.children.flatMap(nodes)) ++ (p match {
@@ -720,17 +739,17 @@ object WebLogQueries {
           nodes(q.queryExecution.executedPlan).exists(
             _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
         // whole-table leg
-        val q1 = s.sql("""SELECT CAST(count(*) AS BIGINT) AS cnt,
-                         |       min(user_id) AS min_uid, max(user_id) AS max_uid,
-                         |       min(event) AS min_event, max(event) AS max_event
-                         |FROM gagg.web.events""".stripMargin)
+        val q1 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          |       min(user_id) AS min_uid, max(user_id) AS max_uid,
+                          |       min(event) AS min_event, max(event) AS max_event
+                          |FROM $tbl""".stripMargin)
         val r1 = q1.head()
         val meta1 = zeroTask(q1)
         // GROUP BY partition leg (per-day counts and bounds, zero tasks)
-        val q2 = s.sql("""SELECT day, CAST(count(*) AS BIGINT) AS cnt_day,
-                         |       min(user_id) AS min_uid_day,
-                         |       max(user_id) AS max_uid_day
-                         |FROM gagg.web.events GROUP BY day""".stripMargin)
+        val q2 = s.sql(s"""SELECT day, CAST(count(*) AS BIGINT) AS cnt_day,
+                          |       min(user_id) AS min_uid_day,
+                          |       max(user_id) AS max_uid_day
+                          |FROM $tbl GROUP BY day""".stripMargin)
         val r2 = q2.collect()
         val meta2 = zeroTask(q2)
         import s.implicits._
@@ -752,6 +771,67 @@ object WebLogQueries {
              |       (SELECT max(event_type) FROM events WHERE day(ts) <= 5) AS max_event,
              |       TRUE AS metadata_only
              |FROM events WHERE day(ts) <= 5
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // FILTERED aggregate-to-metadata pushdown (r11): a WHERE referencing
+    // only identity partition columns is HANDLED exactly at the leaf
+    // level (every row of a leaf shares its partition values), so
+    // `count(*) … WHERE day = 3` — the single most common dashboard
+    // query — stays a zero-task manifest lookup instead of a scan. The
+    // proof boolean pins the LocalTableScan plan for the filtered
+    // whole-table AND filtered-grouped legs, and pins that a MIXED
+    // predicate (data column involved) correctly falls back to a real
+    // scan. Census recomputed by the oracle.
+    Q("weblog_agg_pushdown_filtered",
+      (s, d) => {
+        val tbl = aggFixture(s, d)
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        def zeroTask(q: DataFrame): Boolean =
+          nodes(q.queryExecution.executedPlan).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        // filtered whole-table leg: the headline `WHERE day = 3`
+        val q1 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          |       min(user_id) AS lo, max(user_id) AS hi
+                          |FROM $tbl WHERE day = 3""".stripMargin)
+        val r1 = q1.head()
+        val meta1 = zeroTask(q1)
+        // filtered GROUP BY partition leg
+        val q2 = s.sql(s"""SELECT day, CAST(count(*) AS BIGINT) AS cnt_day
+                          |FROM $tbl WHERE day >= 4 GROUP BY day""".stripMargin)
+        val r2 = q2.collect()
+        val meta2 = zeroTask(q2)
+        // MIXED predicate: the data-column conjunct keeps a residual
+        // Filter, so this must run as a real scan — and still be right
+        val q3 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt
+                          |FROM $tbl WHERE day = 2 AND user_id % 2 = 0""".stripMargin)
+        val r3 = q3.head()
+        val scan3 = !zeroTask(q3)
+        import s.implicits._
+        r2.toSeq.map(r => (r.getInt(0), r.getLong(1),
+          r1.getLong(0), r1.getLong(1), r1.getLong(2),
+          r3.getLong(0), meta1 && meta2 && scan3))
+          .toDF("day", "cnt_day", "cnt_d3", "lo_d3", "hi_d3",
+            "cnt_mixed", "plan_proof")
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(day(ts) AS INT) AS day,
+             |       CAST(count(*) AS BIGINT) AS cnt_day,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) = 3) AS cnt_d3,
+             |       (SELECT min(user_id) FROM events WHERE day(ts) = 3) AS lo_d3,
+             |       (SELECT max(user_id) FROM events WHERE day(ts) = 3) AS hi_d3,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM events
+             |        WHERE day(ts) = 2 AND user_id % 2 = 0) AS cnt_mixed,
+             |       TRUE AS plan_proof
+             |FROM events WHERE day(ts) >= 4 AND day(ts) <= 5
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
       headline = true),
 

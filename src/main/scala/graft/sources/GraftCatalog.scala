@@ -872,6 +872,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
 
   private var required: StructType = fullSchema
   private var filters: Array[sources.Filter] = Array.empty
+  private var handled: Array[sources.Filter] = Array.empty
   private var aggResult: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
   private var limit: Option[Int] = None
 
@@ -880,12 +881,13 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     * (`SELECT * FROM t LIMIT 10` on a 100 TB table opens one file).
     * Declared PARTIALLY pushed — Spark keeps its own limit operator,
     * so whole-file delivery stays correct. Spark only offers the
-    * pushdown when every filter above the scan was handled; ours are
-    * all residual, so a filtered query never reaches this (dropping
-    * unscanned files could starve a filter of its matching rows).
+    * pushdown when every filter above the scan was handled; handled
+    * filters are partition-EXACT (every row of every kept file
+    * matches), so the stamped row counts still cover the limit —
+    * `WHERE day = 3 LIMIT 10` opens one file of day 3's leaf.
     */
   override def pushLimit(n: Int): Boolean = {
-    if (filters.nonEmpty) return false
+    if (!filters.forall(handled.contains)) return false
     limit = Some(n)
     true
   }
@@ -895,20 +897,64 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Identity partition columns on which a filter can be declared
+    * HANDLED (the scan applies it exactly; Spark does not re-filter) —
+    * resolved once per query, None when the table's layout cannot
+    * guarantee leaf-exact decisions (hidden transform, spec evolution,
+    * unstamped schema, exotic partition type).
+    */
+  private lazy val exactCols: Option[Seq[String]] =
+    try table.exactPartitionFilterColumns
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** A filter the scan itself can honor row-for-row: references only
+    * identity partition columns and translates exactly. Handling these
+    * (instead of declaring them residual) is what unlocks aggregate and
+    * limit pushdown UNDER a WHERE clause — Spark only offers those when
+    * no post-scan filter remains.
+    */
+  private def partitionExact(f: sources.Filter): Boolean =
+    f.references.nonEmpty &&
+      exactCols.exists(cols => f.references.forall(cols.contains)) &&
+      GraftFilterBridge.toColumn(f, exact = true).isDefined
+
   override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
     filters = fs
-    fs // all post-scan: the engine re-applies every filter
+    handled = fs.filter(partitionExact)
+    // the rest are post-scan: the engine re-applies them
+    fs.filterNot(handled.contains)
   }
 
   override def pushedFilters(): Array[sources.Filter] = filters
 
+  /** Memo for the supportCompletePushDown → pushAggregation pair:
+    * Spark probes with the same Aggregation instance it then pushes, so
+    * the manifest fold runs ONCE per query (and both calls see the same
+    * resolved snapshot — a commit racing between them cannot flip the
+    * answer).
+    */
+  private var aggMemo: Option[(org.apache.spark.sql.connector.expressions
+    .aggregate.Aggregation,
+    Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])])] = None
+
+  private def computeAggCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
+      Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] =
+    aggMemo match {
+      case Some((a, res)) if a eq agg => res
+      case _ =>
+        val res = computeAgg(agg)
+        aggMemo = Some((agg, res))
+        res
+    }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    computeAgg(agg).isDefined
+    computeAggCached(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    computeAgg(agg) match {
+    computeAggCached(agg) match {
       case Some(res) => aggResult = Some(res); true
       case None => false // no partial pushdown: complete answers only
     }
@@ -943,7 +989,19 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     if (pinned.isDefined) return None // time travel reads through the scan
-    if (filters.nonEmpty) return None // a residual filter would re-filter the rows
+    // a RESIDUAL filter keeps a Filter node above the scan and Spark
+    // never offers the aggregate; when it does offer, every pushed
+    // filter was HANDLED (partition-exact) — the manifest answers from
+    // the matching leaves alone (`count(*) WHERE day = 3` is a
+    // zero-task lookup, like its unfiltered twin). Belt-and-braces: a
+    // residual filter somehow reaching here refuses.
+    if (!filters.forall(handled.contains)) return None
+    val whereCond: Option[Column] =
+      if (filters.isEmpty) None
+      else Some(filters
+        .map(f => GraftFilterBridge.toColumn(f, exact = true)
+          .getOrElse(return None))
+        .reduce(_ && _))
     def boundCol(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[StructField] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -963,14 +1021,20 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       agg.groupByExpressions.toSeq match {
         case Nil =>
           val (count, bounds) =
-            try table.manifestAggregates(minMaxCols)
-            catch { case scala.util.control.NonFatal(_) => return None }
-          Seq((None, count.getOrElse(return None), bounds))
+            try whereCond match {
+              case None =>
+                val (c0, b0) = table.manifestAggregates(minMaxCols)
+                (c0.getOrElse(return None), b0)
+              case Some(c) =>
+                table.manifestAggregatesWhere(minMaxCols, c)
+                  .getOrElse(return None)
+            } catch { case scala.util.control.NonFatal(_) => return None }
+          Seq((None, count, bounds))
         case Seq(g) =>
           val gField = boundCol(g).getOrElse(return None)
           if (gField.name != table.partitionCol) return None
           val rows =
-            try table.manifestGroupedAggregates(minMaxCols)
+            try table.manifestGroupedAggregates(minMaxCols, whereCond)
               .getOrElse(return None)
             catch { case scala.util.control.NonFatal(_) => return None }
           rows.map { case (value, count, bounds) =>
@@ -1037,7 +1101,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       }
     case None =>
       graft.weblog.GraftNativeScan.forTable(
-        SparkSession.active, table, pinned, required, filters, limit)
+        SparkSession.active, table, pinned, required, filters, limit, handled)
         .getOrElse(v1Fallback)
   }
 

@@ -58,6 +58,7 @@ final class GraftNativeScan private (
     snap: IcebergLikeTable.TableSnapshot,
     required: StructType,
     pushedCond: Column,
+    handledCond: Option[Column],
     pushedFilters: Array[sources.Filter],
     limit: Option[Int]) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
@@ -92,8 +93,20 @@ final class GraftNativeScan private (
   private def condition: Column =
     runtimeCond.fold(pushedCond)(pushedCond && _)
 
+  /** Superset pruning (stats/bloom/partition intervals) for the full
+    * condition, then the EXACT leaf restriction for the handled
+    * partition filters — the scan promised Spark it applies those row
+    * for row, and for identity partition columns dropping the
+    * non-matching leaves IS row-exact (every row of a leaf shares its
+    * partition values).
+    */
+  private def prunedExact(cond: Column): Seq[Manifests.FileEntry] = {
+    val entries = table.prunedEntries(snap, cond)
+    handledCond.fold(entries)(h => table.entriesWhereExact(snap, entries, h))
+  }
+
   private def prunedNow(): Seq[Manifests.FileEntry] = {
-    val entries = table.prunedEntries(snap, condition)
+    val entries = prunedExact(condition)
     limit match {
       // pushed LIMIT (only offered filter-free): keep files until the
       // stamped row counts cover it — whole files, Spark's own limit
@@ -156,16 +169,39 @@ final class GraftNativeScan private (
       .find(_.startsWith(s"${table.bucketCol}="))
       .flatMap(_.substring(table.bucketCol.length + 1).toIntOption)
 
+  /** Bucket ids present under the STATIC (pushed-only) pruning,
+    * ascending — None turns key grouping OFF for this scan:
+    *  - any static file without a parseable `gbucket=` leaf (a
+    *    foreign/legacy file on a keyed table): grouping it under an
+    *    invented key would silently mis-co-locate join rows, so the
+    *    scan reports UnknownPartitioning and Spark shuffles as usual;
+    *  - an empty static set (nothing to group).
+    * Computed ONCE from the PRE-runtime-filter set and reused by the
+    * post-filter() re-plan: runtime filtering may empty a bucket but
+    * must never shrink the partitioning Spark already planned around
+    * (BatchScanExec refuses a scan whose key groups change during
+    * runtime filtering), so a runtime-pruned bucket planes as an EMPTY
+    * input partition instead of disappearing.
+    */
+  private lazy val staticBuckets: Option[Seq[Int]] =
+    if (!bucketGrouping) None
+    else {
+      val buckets = prunedExact(pushedCond).map(e => bucketOf(e.path))
+      if (buckets.isEmpty || buckets.exists(_.isEmpty)) None
+      else Some(buckets.flatten.distinct.sorted)
+    }
+
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (bucketGrouping) {
-      val buckets = prunedNow().flatMap(e => bucketOf(e.path)).distinct
-      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-          table.numBuckets, table.uniqueKeys: _*)),
-        math.max(1, buckets.size))
-    } else new org.apache.spark.sql.connector.read.partitioning
-      .UnknownPartitioning(0)
+    staticBuckets match {
+      case Some(buckets) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            table.numBuckets, table.uniqueKeys: _*)),
+          buckets.size)
+      case None => new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = prunedNow()
@@ -188,17 +224,28 @@ final class GraftNativeScan private (
             math.min(split, e.size - off), Array.empty, 0L, e.size)
         }
       }
-    if (bucketGrouping) {
-      // one unsplit partition per key bucket, stamped with its key
-      entries.groupBy(e => bucketOf(e.path).getOrElse(-1)).toSeq.sortBy(_._1)
-        .zipWithIndex.map { case ((bucket, es), i) =>
+    staticBuckets match {
+      case Some(buckets) =>
+        // one unsplit partition per STATIC key bucket, stamped with its
+        // key — including buckets the runtime filter (or the limit cut)
+        // emptied, which plan as zero-file partitions so the key-group
+        // count never changes under Spark's feet. Entries here are a
+        // subset of the static set (pruning only ever removes files as
+        // conjuncts are added), so every bucket parses.
+        val byBucket = entries.groupBy(e => bucketOf(e.path).getOrElse(
+          throw new IllegalStateException(
+            s"file without a parseable ${table.bucketCol}= leaf survived " +
+              s"runtime pruning but not static pruning under ${table.path}")))
+        buckets.zipWithIndex.map { case (bucket, i) =>
           GraftBucketedPartition(bucket,
-            FilePartition(i, filesOf(es, Long.MaxValue).toArray))
+            FilePartition(i,
+              filesOf(byBucket.getOrElse(bucket, Nil), Long.MaxValue).toArray))
             : InputPartition
         }.toArray
-    } else
-      FilePartition.getFilePartitions(spark, filesOf(entries, maxSplitBytes),
-        maxSplitBytes).toArray[InputPartition]
+      case None =>
+        FilePartition.getFilePartitions(spark, filesOf(entries, maxSplitBytes),
+          maxSplitBytes).toArray[InputPartition]
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -321,7 +368,8 @@ object GraftNativeScan {
   def forTable(spark: SparkSession, table: IcebergLikeTable,
       pinned: Option[Long], required: StructType,
       pushed: Array[sources.Filter],
-      limit: Option[Int] = None): Option[Scan] = {
+      limit: Option[Int] = None,
+      handled: Array[sources.Filter] = Array.empty): Option[Scan] = {
     val eligible =
       try table.nativeScanSnapshot(pinned)
       catch { case scala.util.control.NonFatal(_) => None }
@@ -342,8 +390,17 @@ object GraftNativeScan {
         val cond = pushed
           .flatMap(graft.sources.GraftFilterBridge.toColumn(_, exact = false))
           .reduceOption(_ && _).getOrElse(lit(true))
-        Some(new GraftNativeScan(spark, table, snap, required, cond, pushed,
-          limit))
+        // HANDLED filters (declared applied-by-the-scan at pushdown —
+        // Spark does NOT re-apply them) must translate EXACTLY; the
+        // scan builder only marks filters it verified translate, so a
+        // miss here is an internal contract break, not a fallback case
+        val handledCond = handled
+          .map(f => graft.sources.GraftFilterBridge.toColumn(f, exact = true)
+            .getOrElse(throw new IllegalStateException(
+              s"handled filter $f does not translate exactly")))
+          .reduceOption(_ && _)
+        Some(new GraftNativeScan(spark, table, snap, required, cond,
+          handledCond, pushed, limit))
       }
     }
   }

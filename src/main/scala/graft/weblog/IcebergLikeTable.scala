@@ -1607,7 +1607,8 @@ final case class IcebergLikeTable(
     * missing partition segment, an unstamped row count or bound — and
     * the caller runs the real aggregation.
     */
-  private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String])
+  private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String],
+      condition: Option[Column] = None)
       : Option[Seq[(Option[String], Long, Map[String, (String, String)])]] = {
     if (transform.isDefined) return None
     val (_, snap) = resolveLive()
@@ -1618,18 +1619,39 @@ final case class IcebergLikeTable(
       if (!FileStats.supported(f.dataType)) return None
       c -> boundCompare(f.dataType)
     }
-    val groups = snap.dataEntries.groupBy { e =>
+    // a handled partition filter drops whole leaves BEFORE grouping —
+    // exactly Aggregate(Filter(scan)) order; undecidable ⇒ fall back
+    val matching = condition match {
+      case None => snap.dataEntries
+      case Some(cond) =>
+        val (partSchema, expr) =
+          partitionPredicate(snap, cond).getOrElse(return None)
+        snap.dataEntries.filter { e =>
+          leafSatisfies(leafOf(e.path), partSchema, expr) match {
+            case Some(keep) => keep
+            case None => return None
+          }
+        }
+    }
+    // group on the UNESCAPED logical value (inner Option: None = the
+    // null partition): two different path escapings of one value —
+    // possible via importFiles bringing a foreign directory layout —
+    // must land in ONE group, or the pushed GROUP BY would emit
+    // duplicate rows for equal logical partition values
+    val groups = matching.groupBy { e =>
       leafOf(e.path).split('/')
         .find(_.startsWith(s"$partitionCol="))
         .map(_.substring(partitionCol.length + 1))
+        .map { raw =>
+          if (raw == org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
+          else Some(org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(raw))
+        }
     }
     if (groups.contains(None)) return None // a leaf without the column
     val rows = groups.toSeq.map { case (seg, es) =>
-      val value = seg.filter(_ !=
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .DEFAULT_PARTITION_NAME)
-        .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName)
+      val value = seg.get
       if (es.exists(_.rowCount < 0L)) return None
       val bounds = cmps.map { case (c, cmp) =>
         val bs = es.map(_.stats.get(c))
@@ -1652,39 +1674,143 @@ final case class IcebergLikeTable(
     * leaf, or any matching leaf predates the row-count stamp (callers
     * fall back to `readWhere(condition).count()`).
     */
-  def rowCountWhere(condition: Column): Option[Long] = {
-    val (_, snap) = resolveLive()
-    if (snap.deleteEntries.nonEmpty) return None
+  def rowCountWhere(condition: Column): Option[Long] =
+    manifestAggregatesWhere(Nil, condition).map(_._1)
+
+  /** The condition bound against the PARTITION columns' schema, when it
+    * is decidable there: analyzed, and every referenced attribute is a
+    * partition column. The foundation of exact leaf-level decisions —
+    * every row of a leaf shares its partition values, so a predicate on
+    * them alone evaluates identically for the leaf and for each row.
+    */
+  private def partitionPredicate(snap: TableSnapshot, condition: Column)
+      : Option[(StructType, org.apache.spark.sql.catalyst.expressions.Expression)] = {
     val schema = storedSchema(snap.meta).getOrElse(return None)
     val partSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
     if (partSchema.size != partCols.size) return None
     val expr = analyzedPredicate(Some(partSchema), condition).getOrElse(return None)
-    // decidable only if every referenced attribute is a partition column
     val refs = expr.collect {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
     }
     if (!refs.forall(partCols.contains)) return None
-    val byLeaf = snap.entries.groupBy(e => leafOf(e.path))
+    Some((partSchema, expr))
+  }
+
+  /** Whether `expr` holds for every row of `leaf`: Some(true/false) when
+    * the leaf's values parse under the partition schema (NULL keeps no
+    * rows — SQL filter semantics), None when the leaf is undecidable
+    * (foreign layout, unsupported type, evaluation error).
+    */
+  private def leafSatisfies(leaf: String, partSchema: StructType,
+      expr: org.apache.spark.sql.catalyst.expressions.Expression): Option[Boolean] = {
+    val values = leafPartitionValues(leaf, partSchema).getOrElse(return None)
+    val res = try {
+      expr.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          val i = partSchema.fieldIndex(a.name)
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, partSchema.fields(i).dataType, nullable = true)
+      }.eval(values)
+    } catch { case scala.util.control.NonFatal(_) => return None }
+    res match {
+      case true => Some(true)
+      case false | null => Some(false)
+      case _ => None
+    }
+  }
+
+  /** Manifest-only (count, min/max bounds) over the leaves a
+    * PARTITION-COLUMN predicate keeps — the filtered twin of
+    * [[manifestAggregates]] behind `SELECT count(*) … WHERE day = 3`
+    * as a zero-task lookup. None when the condition references
+    * non-partition columns, any leaf is undecidable, live delete files
+    * exist, or a matching leaf predates the row-count stamp. A bound
+    * missing for a requested column is simply absent from the map (the
+    * caller falls back for that aggregate).
+    */
+  private[graft] def manifestAggregatesWhere(minMaxCols: Seq[String],
+      condition: Column): Option[(Long, Map[String, (String, String)])] = {
+    val (_, snap) = resolveLive()
+    if (snap.deleteEntries.nonEmpty) return None
+    val (partSchema, expr) =
+      partitionPredicate(snap, condition).getOrElse(return None)
+    val schema = storedSchema(snap.meta).getOrElse(return None)
+    // an unsupported/unstamped column is simply absent from the bounds
+    // map — same posture as [[manifestAggregates]], the caller falls
+    // back for that aggregate
+    val cmps = minMaxCols.distinct.flatMap { c =>
+      schema.fields.find(_.name == c)
+        .filter(f => FileStats.supported(f.dataType))
+        .map(f => c -> boundCompare(f.dataType))
+    }
     var total = 0L
-    byLeaf.foreach { case (leaf, entries) =>
-      val values = leafPartitionValues(leaf, partSchema).getOrElse(return None)
-      val bound = try {
-        expr.transform {
-          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-            val i = partSchema.fieldIndex(a.name)
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              i, partSchema.fields(i).dataType, nullable = true)
-        }.eval(values)
-      } catch { case scala.util.control.NonFatal(_) => return None }
-      bound match {
-        case true =>
+    val kept = Seq.newBuilder[Manifests.FileEntry]
+    snap.entries.groupBy(e => leafOf(e.path)).foreach { case (leaf, entries) =>
+      leafSatisfies(leaf, partSchema, expr) match {
+        case None => return None
+        case Some(false) => // the whole leaf is out — count 0 from it
+        case Some(true) =>
           if (entries.exists(_.rowCount < 0L)) return None
           total += entries.map(_.rowCount).sum
-        case false | null => // a NULL predicate keeps no rows — count 0
-        case _ => return None
+          kept ++= entries
       }
     }
-    Some(total)
+    val matching = kept.result()
+    val bounds = cmps.flatMap { case (c, cmp) =>
+      val bs = matching.map(_.stats.get(c))
+      if (matching.isEmpty || bs.exists(_.isEmpty)) None
+      else {
+        val typed = bs.flatten
+        try Some(c -> ((
+          typed.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+          typed.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }.toMap
+    Some((total, bounds))
+  }
+
+  /** The columns a pushed filter may be declared HANDLED on (exact
+    * partition filtering: the scan itself honors the predicate row for
+    * row, Spark does not re-apply it): identity partition columns of
+    * leaf-parseable types, on a table whose layout has never carried a
+    * hidden transform or spec evolution — exactly the conditions under
+    * which a leaf value IS the rows' column value. None otherwise.
+    */
+  private[graft] def exactPartitionFilterColumns: Option[Seq[String]] = {
+    if (transform.isDefined) return None
+    val (_, snap) = resolveLive()
+    if (specHistOf(snap.meta).nonEmpty) return None
+    val schema = storedSchema(snap.meta).getOrElse(return None)
+    val ok = partCols.forall(c => schema.fields.find(_.name == c).exists(f =>
+      f.dataType == org.apache.spark.sql.types.StringType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.LongType))
+    if (ok) Some(partCols) else None
+  }
+
+  /** Restrict `entries` to the leaves where `condition` — a handled
+    * partition-exact predicate — evaluates TRUE. This is a ROW-exact
+    * decision (every row of a leaf shares its partition values), which
+    * is what lets the native scan skip Spark's re-application of the
+    * filter. An undecidable leaf THROWS: the pushdown already promised
+    * Spark exact filtering, so a silent superset would surface wrong
+    * rows — loud refusal is the only sound failure mode (and graft-
+    * written layouts always decide; only a foreign import can trip it).
+    */
+  private[weblog] def entriesWhereExact(snap: TableSnapshot,
+      entries: Seq[Manifests.FileEntry],
+      condition: Column): Seq[Manifests.FileEntry] = {
+    val (partSchema, expr) = partitionPredicate(snap, condition).getOrElse(
+      throw new IllegalStateException(
+        s"handled partition filter is undecidable against $path (layout " +
+          "changed between filter pushdown and scan planning?)"))
+    entries.filter { e =>
+      leafSatisfies(leafOf(e.path), partSchema, expr).getOrElse(
+        throw new IllegalStateException(
+          s"leaf '${leafOf(e.path)}' of $path cannot decide a handled " +
+            "partition filter (foreign directory layout?)"))
+    }
   }
 
   /** Typed partition values of a leaf path under the partition schema
@@ -2081,6 +2207,12 @@ final case class IcebergLikeTable(
   def createBranch(name: String): IcebergLikeTable = {
     require(name != "main" && name.matches("[A-Za-z0-9-]+"),
       s"branch name must be [A-Za-z0-9-]+ and not 'main', got '$name'")
+    // same refusal tags get: VERSION AS OF resolves numeric versions
+    // FIRST, so an all-digit branch name could never be addressed (or
+    // worse, silently read the same-numbered main-chain snapshot)
+    require(!name.forall(_.isDigit),
+      s"branch name cannot be all digits (it would be shadowed by " +
+        s"numeric VERSION AS OF resolution), got '$name'")
     val b = this.copy(branch = name)
     require(b.currentVersion.isEmpty, s"branch '$name' already exists under $path")
     val (v, live) = resolveLive()

@@ -174,4 +174,19 @@ class BranchSpec extends SparkTestBase {
     // tags are main-only
     intercept[IllegalArgumentException](b.tag("t1", b.currentVersion.get))
   }
+
+  test("all-digit branch names are refused: numeric VERSION AS OF resolution must never shadow a ref") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_digits").toString + "/t", "day")
+    t.append(Seq((1L, 1)).toDF("v", "day"))
+    // VERSION AS OF '7' resolves snapshot 7 BEFORE any ref lookup — a
+    // branch literally named '7' could never be addressed (or, worse,
+    // would silently read the same-numbered main-chain snapshot)
+    val e = intercept[IllegalArgumentException](t.createBranch("7"))
+    assert(e.getMessage.contains("digits"))
+    // mixed names stay fine
+    t.createBranch("audit-7")
+    assert(t.branches == Seq("audit-7"))
+  }
 }

@@ -1,0 +1,153 @@
+package graft.weblog
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+import graft.SparkTestBase
+
+/** The two storage-partitioned-join hardening holes round 10 left
+  * open, both reachable only through rare layouts but both silent:
+  *
+  *  - '''runtime filtering × key grouping''': a runtime (DPP) filter
+  *    that prunes EVERY file of some bucket must not shrink the key
+  *    groups Spark planned around — BatchScanExec throws "data source
+  *    must preserve the original partitioning" — so the re-plan emits
+  *    an empty partition for the emptied bucket;
+  *  - '''unparseable bucket leaves''': a file on a keyed table whose
+  *    leaf has no `gbucket=` segment (foreign import, legacy layout)
+  *    must disable key grouping entirely — grouping it under an
+  *    invented key would silently drop join matches.
+  */
+class NativeScanHardeningSpec extends SparkTestBase {
+
+  private def withBucketing[T](body: => T): T = {
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try body
+    finally old.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
+  test("runtime filtering never shrinks the key groups: an emptied bucket planes as an empty partition") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("spj_rt").toString + "/t"
+    val t = IcebergLikeTable(spark, path, partitionCol = "day",
+      uniqueKeys = Seq("id"), numBuckets = 2, statsColumns = Seq("v"))
+    // ids chosen so bucket(2, id) correlates with the stats column v:
+    // bucket-0 ids carry v in [0, 99], bucket-1 ids v in [1000, 1099] —
+    // a runtime predicate on v then prunes EVERY file of bucket 1
+    val byBucket = (0 until 400).map(i => s"k$i").toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).cast("int").as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(byBucket.map(_._2).distinct.sorted == Seq(0, 1))
+    val rows = byBucket.zipWithIndex.map { case ((id, b), i) =>
+      (id, if (b == 0) i % 100 else 1000 + i % 100, 1, 1L)
+    }
+    t.write(rows.toDF("id", "v", "day", "seq"), "seq")
+    withBucketing {
+      val required = new StructType()
+        .add("id", "string").add("v", "int").add("day", "int")
+      val scan = GraftNativeScan.forTable(spark, t, None, required,
+        Array.empty).getOrElse(fail("snapshot must be native-eligible"))
+        .asInstanceOf[GraftNativeScan]
+      val part0 = scan.outputPartitioning()
+      assert(part0.isInstanceOf[KeyGroupedPartitioning],
+        s"keyed table under the bucketing conf must key-group, got $part0")
+      val groups0 = scan.planInputPartitions()
+      assert(groups0.length == 2)
+      val files0 = groups0.collect {
+        case g: GraftBucketedPartition => g.inner.files.length
+      }.sum
+      assert(files0 > 0)
+      // runtime predicate only bucket-0's v range can satisfy
+      scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+        new V2Predicate("IN", Array[V2Expression](
+          Expressions.column("v"), Expressions.literal[Integer](5)))))
+      val groups1 = scan.planInputPartitions()
+      assert(groups1.length == 2,
+        "runtime filtering must preserve every planned key group")
+      val byKey = groups1.collect {
+        case g: GraftBucketedPartition => g.bucket -> g.inner.files.length
+      }.toMap
+      assert(byKey.keySet == Set(0, 1))
+      assert(byKey(1) == 0, s"bucket 1 must be runtime-pruned empty: $byKey")
+      assert(byKey(0) > 0, "bucket 0 still has its files")
+      assert(byKey.values.sum < files0)
+      // the reported partitioning is unchanged by the runtime filter
+      assert(scan.outputPartitioning()
+        .asInstanceOf[KeyGroupedPartitioning].numPartitions == 2)
+    }
+  }
+
+  test("a keyed-table file without a parseable gbucket leaf disables key grouping — fallback, never a silent mis-join") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("spj_doc").toString + "/t"
+    val t = IcebergLikeTable(spark, path, partitionCol = "day",
+      uniqueKeys = Seq("id"), numBuckets = 2)
+    t.write((0 until 400).map(i => (s"k$i", i.toLong, 1, 1L))
+      .toDF("id", "v", "day", "seq"), "seq")
+    val required = new StructType().add("id", "string").add("v", "bigint")
+    def planScan(): GraftNativeScan =
+      GraftNativeScan.forTable(spark, t, None, required, Array.empty)
+        .getOrElse(fail("snapshot must be native-eligible"))
+        .asInstanceOf[GraftNativeScan]
+    withBucketing {
+      // contrast leg: the clean table DOES key-group under the conf
+      assert(planScan().outputPartitioning()
+        .isInstanceOf[KeyGroupedPartitioning])
+    }
+    // doctor: a parquet file lands in a leaf whose gbucket segment does
+    // NOT parse as a bucket number, referenced by a hand-written
+    // manifest — the foreign-import layout the write paths never
+    // produce. Grouping it under an invented key would silently
+    // mis-co-locate its rows away from their true join partners;
+    // reporting UnknownPartitioning makes Spark shuffle as usual, which
+    // can never mis-join.
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = Files.createTempDirectory("spj_doc_stage").toString
+    spark.range(5).selectExpr("concat('z', id) AS id", "id AS v")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = fs.listStatus(new Path(staging))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val (v, snap) = Manifests.resolveSnapshot(fs, root)
+      .getOrElse(fail("table never committed"))
+    val foreignRel = "day=1/gbucket=foreign/part-v99-00000.snappy.parquet"
+    val dest = new Path(root, foreignRel)
+    fs.mkdirs(dest.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false,
+      spark.sparkContext.hadoopConfiguration)
+    val doctorLeafName = s"${Manifests.LeafPrefix}doctor_v99"
+    Manifests.writeLeafManifest(fs, root, doctorLeafName, Seq(
+      Manifests.FileEntry(foreignRel, fs.getFileStatus(dest).getLen, 5L, Map.empty)))
+    Manifests.write(fs, root, v + 1,
+      snap.files :+ (Manifests.RefMark + doctorLeafName), snap.meta)
+    withBucketing {
+      val scan = planScan()
+      assert(!scan.outputPartitioning().isInstanceOf[KeyGroupedPartitioning],
+        "an unparseable bucket leaf must turn key grouping OFF")
+      val parts = scan.planInputPartitions()
+      assert(!parts.exists(_.isInstanceOf[GraftBucketedPartition]),
+        "fallback planning must not stamp partition keys")
+      // full coverage: every manifest entry (including the foreign
+      // file) is planned — nothing is dropped or hidden under a
+      // phantom key
+      val plannedFiles = parts.collect {
+        case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+          f.files.map(_.filePath.toString).toSeq
+      }.flatten.toSet
+      assert(plannedFiles.exists(_.contains("gbucket=foreign")),
+        "the foreign file must still be scanned")
+      assert(plannedFiles.size >= 3)
+    }
+  }
+}
