@@ -59,9 +59,12 @@ object Bench {
     // (1.49×) and weblog_stats_skipping (1.28×) drifted r7→r8 with
     // unchanged plans — the same shared-JVM signature; their isolated
     // numbers adjudicate plan cost vs session pressure per round.
+    // r11 additions: dedup_spans (1.75×) and decon_pairs/decon_bloom
+    // (1.80×) drifted r9→r10 in the same direction on code untouched
+    // since r8 — pin them so adjudication uses the isolated numbers.
     val pinned = Seq("text_freq_stats", "sim_pq_topk", "sim_ivfpq_topk",
       "text_chunks", "q_markov_attribution", "text_sparse_neardup",
-      "weblog_stats_skipping")
+      "weblog_stats_skipping", "dedup_spans", "decon_pairs", "decon_bloom")
     val results = inSession
     val isolated = pinned
       .filter(n => inSession.exists(p => p._1 == n && p._2 >= 0))

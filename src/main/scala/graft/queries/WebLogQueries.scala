@@ -102,6 +102,16 @@ object WebLogQueries {
           dayofmonth(col("ts")).as("day"))
         .createOrReplaceTempView(s"graft_aggs_src_$safe")
       s.sql(s"INSERT INTO $cat.web.events SELECT * FROM graft_aggs_src_$safe")
+      // the HIDDEN-partitioned twin (days(ts)) for the r11 grouped
+      // metadata aggregates over a transform's partition dimension
+      s.sql(s"""CREATE TABLE $cat.web.events_days
+               |(user_id BIGINT, event STRING, ts TIMESTAMP)
+               |PARTITIONED BY (days(ts))""".stripMargin)
+      Tables.events(s, d)
+        .filter(dayofmonth(col("ts")) <= 5)
+        .select(col("user_id"), col("event_type").as("event"), col("ts"))
+        .createOrReplaceTempView(s"graft_aggs_srcd_$safe")
+      s.sql(s"INSERT INTO $cat.web.events_days SELECT * FROM graft_aggs_srcd_$safe")
       s"$cat.web.events"
     })
   }
@@ -424,7 +434,9 @@ object WebLogQueries {
           concat(lit("u"), col("user_id").cast("string")).as("user_id"),
           dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 7)
-        for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+        finally ev.unpersist()
         val before = t.files.count()
         val rewritten = t.maintainBySize(targetFileBytes = 1L << 30).nonEmpty
         val after = t.files.count()
@@ -619,8 +631,10 @@ object WebLogQueries {
           .select(col("user_id"), col("event_type").as("event"),
             dayofmonth(col("ts")).as("day"))
           .createOrReplaceTempView("graft_rtp_src")
-        for (day <- 1 to 4)
-          s.sql(s"INSERT INTO gprn.web.fact SELECT * FROM graft_rtp_src WHERE day = $day")
+        // ONE insert: the partitioned staging tree already lands one+
+        // file per day leaf, which is all the pruning proof needs (4
+        // separate commits here were pure gate-setup cost)
+        s.sql("INSERT INTO gprn.web.fact SELECT * FROM graft_rtp_src")
         s.sql("CREATE TABLE gprn.web.dim (day INT, tag STRING)")
         s.sql("""INSERT INTO gprn.web.dim VALUES (1,'cold'),(2,'cold'),
                 |(3,'hot'),(4,'cold')""".stripMargin)
@@ -752,11 +766,25 @@ object WebLogQueries {
                           |FROM $tbl GROUP BY day""".stripMargin)
         val r2 = q2.collect()
         val meta2 = zeroTask(q2)
+        // HIDDEN-transform grouped leg (r11): GROUP BY CAST(ts AS DATE)
+        // on the days(ts) twin — each leaf value is the UTC day
+        // ordinal, so the census answers from the manifest too
+        val q3 = s.sql(s"""SELECT CAST(ts AS DATE) AS d,
+                          |       CAST(count(*) AS BIGINT) AS cnt
+                          |FROM ${tbl}_days GROUP BY CAST(ts AS DATE)
+                          |ORDER BY d""".stripMargin)
+        val r3 = q3.collect()
+        val meta3 = zeroTask(q3)
+        val hiddenByDay = r3.map(r => r.getLong(1))
         import s.implicits._
-        r2.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r1.getLong(0), r1.getLong(1), r1.getLong(2),
-          r1.getString(3), r1.getString(4), meta1 && meta2))
+        r2.toSeq.sortBy(_.getInt(0)).zipWithIndex.map { case (r, i) =>
+          (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            hiddenByDay(i),
+            r1.getLong(0), r1.getLong(1), r1.getLong(2),
+            r1.getString(3), r1.getString(4), meta1 && meta2 && meta3)
+        }
           .toDF("day", "cnt_day", "min_uid_day", "max_uid_day",
+            "cnt_day_hidden",
             "cnt", "min_uid", "max_uid", "min_event", "max_event",
             "metadata_only")
           .orderBy("day")
@@ -764,6 +792,7 @@ object WebLogQueries {
       Some("""SELECT CAST(day(ts) AS INT) AS day,
              |       CAST(count(*) AS BIGINT) AS cnt_day,
              |       min(user_id) AS min_uid_day, max(user_id) AS max_uid_day,
+             |       CAST(count(*) AS BIGINT) AS cnt_day_hidden,
              |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) <= 5) AS cnt,
              |       (SELECT min(user_id) FROM events WHERE day(ts) <= 5) AS min_uid,
              |       (SELECT max(user_id) FROM events WHERE day(ts) <= 5) AS max_uid,
@@ -832,6 +861,70 @@ object WebLogQueries {
              |        WHERE day(ts) = 2 AND user_id % 2 = 0) AS cnt_mixed,
              |       TRUE AS plan_proof
              |FROM events WHERE day(ts) >= 4 AND day(ts) <= 5
+             |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // NATIVE V2 SCAN UNDER MERGE-ON-READ (r11): a table that has BOTH
+    // renamed a column (two physical-name epochs) and taken positional
+    // deletes still reads through the native BatchScan — per-epoch
+    // reader schemas + an in-reader (file, ordinal) skip — instead of
+    // surrendering plan-time stats, runtime pruning and pushdown to the
+    // V1 bridge. The proof boolean pins the BatchScanExec plan; the
+    // census (per-day counts/bounds/sums across both epochs, post
+    // delete) is recomputed by the oracle.
+    Q("weblog_native_mor",
+      (s, d) => {
+        val wh = scratch(s, "nativemor", d)
+        s.conf.set("spark.sql.catalog.gnm", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gnm.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gnm.web")
+        s.sql("DROP TABLE IF EXISTS gnm.web.profiles")
+        s.sql("""CREATE TABLE gnm.web.profiles
+                |(user_id BIGINT, name STRING, day INT)
+                |PARTITIONED BY (day)
+                |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
+        Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 2)
+          .select(col("user_id"), col("event_type").as("name"),
+            dayofmonth(col("ts")).as("day"))
+          .createOrReplaceTempView("graft_nm_src1")
+        s.sql("INSERT INTO gnm.web.profiles SELECT * FROM graft_nm_src1")
+        s.sql("ALTER TABLE gnm.web.profiles RENAME COLUMN name TO label")
+        Tables.events(s, d)
+          .filter(dayofmonth(col("ts")).between(3, 4))
+          .select(col("user_id"), col("event_type").as("label"),
+            dayofmonth(col("ts")).as("day"))
+          .createOrReplaceTempView("graft_nm_src2")
+        s.sql("INSERT INTO gnm.web.profiles SELECT * FROM graft_nm_src2")
+        s.sql("DELETE FROM gnm.web.profiles WHERE user_id % 5 = 0")
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        val q = s.sql("""SELECT day, CAST(count(*) AS BIGINT) AS cnt,
+                        |       min(label) AS min_label, max(label) AS max_label,
+                        |       CAST(sum(user_id) AS BIGINT) AS sum_uid
+                        |FROM gnm.web.profiles GROUP BY day""".stripMargin)
+        val rows = q.collect()
+        val native = nodes(q.queryExecution.executedPlan).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+        import s.implicits._
+        rows.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4), native))
+          .toDF("day", "cnt", "min_label", "max_label", "sum_uid", "native_scan")
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(day(ts) AS INT) AS day,
+             |       CAST(count(*) AS BIGINT) AS cnt,
+             |       min(event_type) AS min_label, max(event_type) AS max_label,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             |       TRUE AS native_scan
+             |FROM events WHERE day(ts) <= 4 AND user_id % 5 <> 0
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
       headline = true),
 
@@ -1089,7 +1182,9 @@ object WebLogQueries {
           concat(lit("u"), col("user_id").cast("string")).as("user_id"),
           dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 7)
-        for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+        finally ev.unpersist()
         val total = t.filesFor(lit(true)).size
         val hit = t.filesFor(col("day") === 3).size
         t.readWhere(col("day") === 3)
@@ -1191,7 +1286,9 @@ object WebLogQueries {
           dayofmonth(col("ts")).as("day"),
           (col("event_id") % 100).as("value"))
           .filter(col("day") <= 7)
-        for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 7) t.append(ev.filter(col("day") === day).coalesce(1))
+        finally ev.unpersist()
         t.toDF.filter(col("day") === 3)
           .groupBy("event")
           .agg(count(lit(1)).as("cnt"),

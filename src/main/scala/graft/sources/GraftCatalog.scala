@@ -1031,15 +1031,49 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
             } catch { case scala.util.control.NonFatal(_) => return None }
           Seq((None, count, bounds))
         case Seq(g) =>
-          val gField = boundCol(g).getOrElse(return None)
-          if (gField.name != table.partitionCol) return None
+          // GROUP BY the physical partition column (identity layouts),
+          // or — hidden days() layouts — GROUP BY CAST(source AS DATE):
+          // the leaf value is the UTC day ordinal, which IS the DATE's
+          // internal representation, so each leaf answers one group.
+          // The cast-to-date semantics depend on the session timezone;
+          // only UTC matches the transform's epoch-day floor.
+          val byPartCol = boundCol(g).filter(_.name == table.partitionCol)
+          val byDaysCast: Option[StructField] = g match {
+            case c: org.apache.spark.sql.connector.expressions.Cast
+                if c.dataType == org.apache.spark.sql.types.DateType &&
+                  org.apache.spark.sql.internal.SQLConf.get
+                    .sessionLocalTimeZone == "UTC" =>
+              c.expression() match {
+                case n: NamedReference if n.fieldNames.length == 1 &&
+                    table.daysTransformSource.contains(n.fieldNames.head) =>
+                  Some(StructField(s"cast(${n.fieldNames.head} as date)",
+                    org.apache.spark.sql.types.DateType))
+                case _ => None
+              }
+            case _ => None
+          }
+          val (gField, toTyped): (StructField, String => Any) =
+            byPartCol match {
+              case Some(f) => (f, (v: String) => typedBound(f.dataType, v))
+              case None => byDaysCast match {
+                case Some(f) =>
+                  (f, (v: String) => v.toLongOption match {
+                    // DateType internal value = epoch days = the ordinal
+                    case Some(d) if d >= Int.MinValue && d <= Int.MaxValue =>
+                      d.toInt
+                    case _ => throw new IllegalStateException(
+                      s"unparseable day ordinal '$v'")
+                  })
+                case None => return None
+              }
+            }
           val rows =
             try table.manifestGroupedAggregates(minMaxCols, whereCond)
               .getOrElse(return None)
             catch { case scala.util.control.NonFatal(_) => return None }
           rows.map { case (value, count, bounds) =>
             val typed: Any =
-              try value.map(typedBound(gField.dataType, _)).orNull
+              try value.map(toTyped).orNull
               catch { case scala.util.control.NonFatal(_) => return None }
             (Some((gField, typed)), count, bounds)
           }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionRea
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
@@ -73,6 +73,21 @@ final class GraftNativeScan private (
     */
   @volatile private var runtimeCond: Option[Column] = None
 
+  /** MERGE-ON-READ state of this snapshot (r11 — previously both fell
+    * back to the V1 bridge and lost stats/pruning/pushdown exactly on
+    * the tables using the most advanced features):
+    *  - rename/drop epochs read through PER-EPOCH reader schemas
+    *    positionally aligned with the current logical schema;
+    *  - positional delete files apply as a per-reader (file, ordinal)
+    *    skip over the scan-generated row index.
+    * Equality deletes never reach this scan (eligibility sends them to
+    * the V1 bridge — their sequence-scoped anti-join is a join, not a
+    * row filter).
+    */
+  private val hasEvo = table.snapshotHasEvolution(snap)
+  private val hasPosDels = snap.deleteEntries.nonEmpty
+  private def morMode: Boolean = hasEvo || hasPosDels
+
   // reader output = data columns then partition-directory columns
   // (Spark reorders to the expected output with a projection)
   private val partFields =
@@ -108,11 +123,12 @@ final class GraftNativeScan private (
   private def prunedNow(): Seq[Manifests.FileEntry] = {
     val entries = prunedExact(condition)
     limit match {
-      // pushed LIMIT (only offered filter-free): keep files until the
-      // stamped row counts cover it — whole files, Spark's own limit
-      // operator trims the excess. Any unstamped count disables the cut
-      // (the cover would be a guess).
-      case Some(n) if entries.forall(_.rowCount >= 0L) =>
+      // pushed LIMIT (only offered filter-free / handled-only): keep
+      // files until the stamped row counts cover it — whole files,
+      // Spark's own limit operator trims the excess. Any unstamped
+      // count disables the cut (the cover would be a guess), and so do
+      // live positional deletes (deleted rows would starve the cover).
+      case Some(n) if !hasPosDels && entries.forall(_.rowCount >= 0L) =>
         var acc = 0L
         val kept = entries.takeWhile { e =>
           val need = acc < n; acc += e.rowCount; need
@@ -158,7 +174,7 @@ final class GraftNativeScan private (
     * count, so the grouping engages only under the explicit conf.
     */
   private def bucketGrouping: Boolean =
-    table.uniqueKeys.nonEmpty &&
+    table.uniqueKeys.nonEmpty && !morMode &&
       SQLConf.get.getConfString(
         "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
       table.uniqueKeys.forall(readSchema().fieldNames.contains)
@@ -203,6 +219,24 @@ final class GraftNativeScan private (
         .UnknownPartitioning(0)
     }
 
+  /** Distinct schema EPOCHS of this snapshot's data files, indexed
+    * stably (from the FULL data-file set, so a runtime re-plan and the
+    * reader factory always agree on indices). One epoch — the identity
+    * mapping — for never-evolved snapshots.
+    */
+  private lazy val epochResolve: String => Seq[Option[String]] =
+    table.epochPhysicalNames(snap, dataFields)
+
+  private lazy val epochKeys: IndexedSeq[Seq[Option[String]]] =
+    snap.dataEntries.map(e => epochResolve(e.path)).distinct.toIndexedSeq
+
+  private def epochIndexOf(relPath: String): Int = {
+    val i = epochKeys.indexOf(epochResolve(relPath))
+    if (i < 0) throw new IllegalStateException(
+      s"file $relPath resolves to an unknown schema epoch under ${table.path}")
+    i
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = prunedNow()
     recordPrune(table.path, entries.size, runtimeCond.isDefined)
@@ -224,6 +258,24 @@ final class GraftNativeScan private (
             math.min(split, e.size - off), Array.empty, 0L, e.size)
         }
       }
+    if (morMode) {
+      // EPOCH-PURE partitions (each reads under its epoch's physical
+      // schema); under positional deletes additionally SINGLE-SPLIT
+      // partitions, so the reader knows which data file its (file,
+      // ordinal) skip list addresses. Key grouping is off in this mode.
+      return entries.groupBy(e => epochIndexOf(e.path)).toSeq.sortBy(_._1)
+        .flatMap { case (epoch, es) =>
+          if (hasPosDels)
+            es.sortBy(_.path).flatMap(e =>
+              filesOf(Seq(e), maxSplitBytes).map(pf =>
+                GraftMorPartition(epoch, Some(e.path),
+                  FilePartition(0, Array(pf)))))
+          else
+            FilePartition.getFilePartitions(spark,
+              filesOf(es, maxSplitBytes), maxSplitBytes)
+              .map(fp => GraftMorPartition(epoch, None, fp))
+        }.toArray[InputPartition]
+    }
     staticBuckets match {
       case Some(buckets) =>
         // one unsplit partition per STATIC key bucket, stamped with its
@@ -248,15 +300,17 @@ final class GraftNativeScan private (
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  /** One parquet reader factory for one READ SCHEMA: its own hadoop
+    * configuration (the requested-schema keys Spark's own ParquetScan
+    * stamps — the row reader resolves them; timezone + binary/int96
+    * semantics for both readers — without these the parquet-mr path
+    * NPEs and timestamps could shift) and its own broadcast.
+    */
+  private def parquetFactory(epochSchema: StructType,
+      epochFilters: Array[sources.Filter]): ParquetPartitionReaderFactory = {
     val sqlConf = SQLConf.get
     val hadoopConf = spark.sessionState.newHadoopConf()
-    // the reader-side contract Spark's own ParquetScan stamps into the
-    // broadcast configuration (the requested-schema/read-support keys
-    // the row reader resolves; timezone + binary/int96 semantics for
-    // both readers) — without these the parquet-mr path NPEs and
-    // timestamps could shift
-    val schemaJson = readDataSchema.json
+    val schemaJson = epochSchema.json
     hadoopConf.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
     hadoopConf.set("org.apache.spark.sql.parquet.row.requested_schema", schemaJson)
@@ -279,18 +333,70 @@ final class GraftNativeScan private (
       sqlConf.parquetFieldIdReadEnabled)
     val bc: Broadcast[SerializableConfiguration] =
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
-    // pushed filters reach the row-group stats (a filter naming a
-    // partition-directory column simply finds no footer column and
-    // prunes nothing there — the partition pruning already handled it)
-    new GraftUnwrappingReaderFactory(ParquetPartitionReaderFactory(
+    ParquetPartitionReaderFactory(
       sqlConf,
       bc,
-      readDataSchema,
-      readDataSchema,
+      epochSchema,
+      epochSchema,
       readPartSchema,
-      pushedFilters,
+      epochFilters,
       None,
-      new ParquetOptions(Map.empty[String, String], sqlConf)))
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the never-evolved, delete-free snapshot (the overwhelmingly
+    // common case) keeps the single-factory plan, bit for bit
+    // (pushed filters reach the row-group stats; a filter naming a
+    // partition-directory column simply finds no footer column and
+    // prunes nothing there — the partition pruning already handled it)
+    if (!morMode)
+      return new GraftUnwrappingReaderFactory(
+        parquetFactory(readDataSchema, pushedFilters))
+    // PER-EPOCH factories: each epoch reads under its physical column
+    // names, positionally aligned with the current logical schema (an
+    // absent column — the file predates it, or its physical twin
+    // belongs to a dead id — reads a name no footer can contain and
+    // null-fills). Pushed filters are renamed into each epoch so the
+    // row-group stats still prune; a filter whose column the epoch
+    // lacks is dropped THERE (residual — Spark re-applies them all).
+    // nullable: the column is absent from every footer (the readers
+    // GENERATE it — ParquetRowIndexUtil matches the reserved name);
+    // a required-but-missing column would fail the vectorized reader's
+    // schema check before the generator ever ran
+    val rowIdxField = StructField(GraftNativeScan.RowIndexCol, LongType)
+    val factories = epochKeys.map { phys =>
+      val fields = dataFields.toSeq.zip(phys).zipWithIndex.map {
+        case ((f, Some(p)), _) => StructField(p, f.dataType, f.nullable, f.metadata)
+        case ((f, None), i) => StructField(s"__graft_absent_$i", f.dataType)
+      }
+      val renames = dataFields.map(_.name).zip(phys).toMap
+      val epochFilters = pushedFilters.flatMap(
+        translateFilter(_, n => renames.getOrElse(n, None), exact = false))
+      parquetFactory(
+        StructType(if (hasPosDels) fields :+ rowIdxField else fields),
+        epochFilters)
+    }.toArray
+    // positional-delete skip lists: (relative file, sorted ordinals),
+    // collected once at planning and broadcast — the same bounded
+    // posture as the V1 path's broadcast anti-join (eligibility caps
+    // the stamped tuple count)
+    val deleted: Broadcast[Map[String, Array[Long]]] =
+      if (!hasPosDels) null
+      else {
+        val tuples = spark.read.parquet(
+          snap.deleteEntries.map(e => s"${table.path}/${e.path}"): _*)
+          .select(table.PosDelFile, table.PosDelPos)
+          .collect()
+        spark.sparkContext.broadcast(
+          tuples.groupBy(_.getString(0)).map { case (f, rs) =>
+            f -> rs.map(_.getLong(1)).sorted
+          })
+      }
+    new GraftMorReaderFactory(factories,
+      if (hasPosDels) dataFields.size else -1,
+      StructType((dataFields :+ rowIdxField) ++ partFields),
+      deleted)
   }
 
   /** Statistics of the PRUNED file set — manifest sums, zero I/O.
@@ -300,12 +406,84 @@ final class GraftNativeScan private (
     val entries = prunedNow()
     val bytes = math.max(1L, entries.map(e => math.max(0L, e.size)).sum)
     val rows =
-      if (entries.forall(_.rowCount >= 0L)) OptionalLong.of(entries.map(_.rowCount).sum)
+      // live positional deletes make the exact row count a data
+      // question (how many tuples hit) — report size only
+      if (!hasPosDels && entries.forall(_.rowCount >= 0L))
+        OptionalLong.of(entries.map(_.rowCount).sum)
       else OptionalLong.empty()
+    val colStats = columnStatsOf(entries)
     new Statistics {
       override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = rows
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
+  }
+
+  /** Per-column V2 statistics of the PRUNED file set (r11): NULL counts
+    * sum exactly; distinct counts union the per-file DataSketches-HLL
+    * stamps — so with CBO on, join-output cardinality estimates (and
+    * therefore downstream broadcast decisions) see real NDV at plan
+    * time, zero data I/O. A column unstamped in ANY pruned entry is
+    * omitted (refusal, never a guess), as is everything under live
+    * positional deletes (deleted rows would distort both counts).
+    */
+  private def columnStatsOf(entries: Seq[Manifests.FileEntry]):
+      java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (hasPosDels || entries.isEmpty) return out
+    readSchema().fields.foreach { f =>
+      val c = f.name
+      if (entries.forall(e => e.nulls.contains(c) && e.ndv.contains(c))) {
+        try {
+          val nullsSum = entries.map(_.nulls(c)).sum
+          val union = new org.apache.datasketches.hll.Union(
+            IcebergLikeTable.NdvSketchLgK)
+          entries.foreach { e =>
+            union.update(org.apache.datasketches.hll.HllSketch.heapify(
+              java.util.Base64.getMimeDecoder.decode(e.ndv(c))))
+          }
+          val est = math.max(0L, math.round(union.getEstimate))
+          // exact column [min, max] from the stamped per-file bounds
+          // (catalyst-typed) — without a range the CBO's equi-join
+          // estimator can misjudge key overlap; only stamped-everywhere
+          // columns contribute (refusal, never a guess)
+          val range: Option[(Any, Any)] =
+            if (!entries.forall(_.stats.contains(c))) None
+            else {
+              val cmp = GraftNativeScan.boundOrdering(f.dataType)
+              val typed = GraftNativeScan.typedBound(f.dataType) _
+              for {
+                ord <- cmp
+                lo = entries.map(_.stats(c)._1).reduce(
+                  (a, b) => if (ord(a, b) <= 0) a else b)
+                hi = entries.map(_.stats(c)._2).reduce(
+                  (a, b) => if (ord(a, b) >= 0) a else b)
+                tl <- typed(lo); th <- typed(hi)
+              } yield (tl, th)
+            }
+          out.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong = OptionalLong.of(est)
+              override def nullCount(): OptionalLong = OptionalLong.of(nullsSum)
+              override def min(): java.util.Optional[Object] =
+                range.map(r => java.util.Optional.of(r._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                range.map(r => java.util.Optional.of(r._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+        } catch {
+          // a malformed stamp contributes nothing — statistics are
+          // advisory, refusal is always sound
+          case scala.util.control.NonFatal(_) => out.remove(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c))
+        }
+      }
+    }
+    out
   }
 
   /** The join keys dynamic pruning may route back: every column the
@@ -338,6 +516,99 @@ private[weblog] final case class GraftBucketedPartition(bucket: Int,
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** An epoch-tagged input partition of the MERGE-ON-READ native scan:
+  * its files all share one schema epoch (read under that epoch's
+  * physical names), and — when positional deletes are live — all
+  * belong to ONE data file (`relFile`), so the reader knows which
+  * (file, ordinal) skip list applies.
+  */
+private[weblog] final case class GraftMorPartition(epoch: Int,
+    relFile: Option[String], inner: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** Dispatches each [[GraftMorPartition]] to its epoch's parquet
+  * factory; under positional deletes (rowIdxOrdinal >= 0) wraps the
+  * row reader to skip deleted ordinals and project the scan-generated
+  * row-index column back out. Columnar reads stay enabled for
+  * evolution-only snapshots (each epoch factory reads its own schema);
+  * deletes force the row path — the snapshots are transient by design
+  * (maintain() compacts positional files at the threshold).
+  */
+private[weblog] final class GraftMorReaderFactory(
+    factories: Array[ParquetPartitionReaderFactory],
+    rowIdxOrdinal: Int,
+    schemaWithIdx: StructType,
+    deleted: Broadcast[Map[String, Array[Long]]])
+    extends PartitionReaderFactory {
+
+  private def unwrap(p: InputPartition):
+      (ParquetPartitionReaderFactory, Option[String], InputPartition) =
+    p match {
+      case GraftMorPartition(e, rel, inner) => (factories(e), rel, inner)
+      case other => (factories.head, None, other)
+    }
+
+  override def createReader(p: InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val (f, rel, inner) = unwrap(p)
+    val base = f.createReader(inner)
+    if (rowIdxOrdinal < 0) base
+    else new PosDeleteFilteringReader(base, rowIdxOrdinal,
+      rel.flatMap(deleted.value.get).getOrElse(Array.emptyLongArray),
+      schemaWithIdx)
+  }
+
+  override def createColumnarReader(p: InputPartition):
+      org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (f, _, inner) = unwrap(p)
+    f.createColumnarReader(inner)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    rowIdxOrdinal < 0 && {
+      val (f, _, inner) = unwrap(p)
+      f.supportColumnarReads(inner)
+    }
+}
+
+/** Skips the rows a positional-delete skip list names (binary search
+  * over the sorted ordinals — the scan-generated row index is absolute
+  * within the data file, so splits compose), then projects the helper
+  * row-index column back out of the row.
+  */
+private[weblog] final class PosDeleteFilteringReader(
+    base: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+    rowIdxOrdinal: Int,
+    deletedOrdinals: Array[Long],
+    schemaWithIdx: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+
+  private val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+    .toAttributes(schemaWithIdx)
+  private val projection = org.apache.spark.sql.catalyst.expressions
+    .UnsafeProjection.create(
+      attrs.patch(rowIdxOrdinal, Nil, 1), attrs)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (base.next()) {
+      val r = base.get()
+      if (java.util.Arrays.binarySearch(deletedOrdinals,
+          r.getLong(rowIdxOrdinal)) < 0) {
+        current = r
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = projection(current)
+
+  override def close(): Unit = base.close()
+}
+
 /** Delegates to the parquet reader factory, unwrapping
   * [[GraftBucketedPartition]] down to its [[FilePartition]].
   */
@@ -359,6 +630,106 @@ private[weblog] final class GraftUnwrappingReaderFactory(
 }
 
 object GraftNativeScan {
+
+  /** Spark's reserved temporary metadata column name: a LongType field
+    * under this name in the parquet read schema makes BOTH readers
+    * (vectorized and parquet-mr) generate the row's ordinal within its
+    * file — the row half of positional-delete identity, computed by
+    * the scan itself so file splits stay correct.
+    */
+  private[weblog] val RowIndexCol =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Stamped-bound ordering under the column type (the same ordering
+    * the stats stamps were written with); None = a type the stamps
+    * never carry.
+    */
+  private[weblog] def boundOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[(String, String) => Int] =
+    dt match {
+      case StringType => Some((a, b) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case org.apache.spark.sql.types.FloatType =>
+        Some((a, b) => java.lang.Float.compare(a.toFloat, b.toFloat))
+      case org.apache.spark.sql.types.DoubleType =>
+        Some((a, b) => java.lang.Double.compare(a.toDouble, b.toDouble))
+      case _: org.apache.spark.sql.types.DecimalType =>
+        Some((a, b) => new java.math.BigDecimal(a)
+          .compareTo(new java.math.BigDecimal(b)))
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           IntegerType | LongType =>
+        Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
+      case _ => None
+    }
+
+  /** A stamped bound string as the column type's CATALYST value (what
+    * V2 column statistics carry); None = unconvertible.
+    */
+  private[weblog] def typedBound(
+      dt: org.apache.spark.sql.types.DataType)(s: String): Option[Any] =
+    try dt match {
+      case StringType => Some(UTF8String.fromString(s))
+      case org.apache.spark.sql.types.ByteType => Some(s.toByte)
+      case org.apache.spark.sql.types.ShortType => Some(s.toShort)
+      case IntegerType => Some(s.toInt)
+      case LongType => Some(s.toLong)
+      case org.apache.spark.sql.types.FloatType => Some(s.toFloat)
+      case org.apache.spark.sql.types.DoubleType => Some(s.toDouble)
+      case d: org.apache.spark.sql.types.DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(s), d.precision, d.scale))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Rename a pushed V1 filter into a schema epoch's physical names for
+    * row-group pruning; None = not expressible there (the filter stays
+    * residual anyway — Spark re-applies every pushed filter). AND may
+    * narrow to whichever side translates at positive positions; under
+    * NOT the translation must be exact (a narrowed child would WIDEN
+    * under negation and prune row groups that match).
+    */
+  private[weblog] def translateFilter(f: sources.Filter,
+      rename: String => Option[String], exact: Boolean): Option[sources.Filter] = {
+    f match {
+      case sources.EqualTo(a, v) => rename(a).map(sources.EqualTo(_, v))
+      case sources.EqualNullSafe(a, v) => rename(a).map(sources.EqualNullSafe(_, v))
+      case sources.GreaterThan(a, v) => rename(a).map(sources.GreaterThan(_, v))
+      case sources.GreaterThanOrEqual(a, v) =>
+        rename(a).map(sources.GreaterThanOrEqual(_, v))
+      case sources.LessThan(a, v) => rename(a).map(sources.LessThan(_, v))
+      case sources.LessThanOrEqual(a, v) =>
+        rename(a).map(sources.LessThanOrEqual(_, v))
+      case sources.In(a, vs) => rename(a).map(sources.In(_, vs))
+      case sources.IsNull(a) => rename(a).map(sources.IsNull)
+      case sources.IsNotNull(a) => rename(a).map(sources.IsNotNull)
+      case sources.StringStartsWith(a, p) =>
+        rename(a).map(sources.StringStartsWith(_, p))
+      case sources.StringEndsWith(a, p) =>
+        rename(a).map(sources.StringEndsWith(_, p))
+      case sources.StringContains(a, p) =>
+        rename(a).map(sources.StringContains(_, p))
+      case sources.And(l, r) =>
+        (translateFilter(l, rename, exact), translateFilter(r, rename, exact)) match {
+          case (Some(a), Some(b)) => Some(sources.And(a, b))
+          case (one, other) if !exact => one.orElse(other)
+          case _ => None
+        }
+      case sources.Or(l, r) =>
+        for {
+          a <- translateFilter(l, rename, exact)
+          b <- translateFilter(r, rename, exact)
+        } yield sources.Or(a, b)
+      case sources.Not(c) =>
+        translateFilter(c, rename, exact = true).map(sources.Not)
+      case sources.AlwaysTrue() => Some(f)
+      case sources.AlwaysFalse() => Some(f)
+      case _ => None
+    }
+  }
 
   /** Build the native scan for a catalog read, or None when the
     * snapshot is ineligible (the caller falls back to the V1 bridge).

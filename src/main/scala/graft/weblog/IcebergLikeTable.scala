@@ -584,7 +584,7 @@ final case class IcebergLikeTable(
     * exactly once.
     */
   private def importedFileMeta(imported: Seq[String], schema: StructType):
-      Map[String, (Long, Map[String, (String, String)], Map[String, Array[Byte]])] = {
+      Map[String, IcebergLikeTable.ImportedMeta] = {
     if (imported.isEmpty) return Map.empty
     val sCols = statsCols.filter(c =>
       schema.fields.exists(f => f.name == c && FileStats.supported(f.dataType)))
@@ -593,7 +593,15 @@ final case class IcebergLikeTable(
     val aggs = (count(lit(1)).as("_rc") +:
       sCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"_lo_$c"),
-        max(col(c)).cast("string").as(s"_hi_$c")))) ++
+        max(col(c)).cast("string").as(s"_hi_$c"),
+        // r11 column statistics: per-file null count and a MERGEABLE
+        // DataSketches-HLL distinct sketch (over the string rendering —
+        // type-uniform, injective for the stamped primitive types) —
+        // the native scan unions these across pruned files so the CBO
+        // sees NDV/null counts at plan time, zero data I/O
+        count(col(c)).as(s"_nn_$c"),
+        base64(hll_sketch_agg(col(c).cast("string"),
+          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c")))) ++
       bCols.map(c =>
         BloomStats.bloomAgg(xxhash64(col(c)), bloomExpectedItems, bloomFpp).as(s"_bf_$c"))
     readFileSet(imported, Some(schema))
@@ -603,6 +611,7 @@ final case class IcebergLikeTable(
       .flatMap { r =>
         val uri = r.getString(0)
         byName.get(uri.substring(uri.lastIndexOf('/') + 1)).map { rel =>
+          val rc = r.getAs[Long]("_rc")
           val stats = sCols.flatMap { c =>
             (Option(r.getAs[String](s"_lo_$c")), Option(r.getAs[String](s"_hi_$c"))) match {
               case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
@@ -610,7 +619,10 @@ final case class IcebergLikeTable(
             }
           }.toMap
           val blooms = bCols.map(c => c -> r.getAs[Array[Byte]](s"_bf_$c")).toMap
-          rel -> ((r.getAs[Long]("_rc"), stats, blooms))
+          val nulls = sCols.map(c => c -> (rc - r.getAs[Long](s"_nn_$c"))).toMap
+          val ndv = sCols.flatMap(c =>
+            Option(r.getAs[String](s"_dv_$c")).map(c -> _)).toMap
+          rel -> IcebergLikeTable.ImportedMeta(rc, stats, blooms, nulls, ndv)
         }
       }.toMap
   }
@@ -840,6 +852,41 @@ final case class IcebergLikeTable(
       }.reduce(_ unionByName _)
   }
 
+  /** Whether a snapshot carries rename/drop column-history epochs (the
+    * per-epoch physical-name divergence the evolved read resolves).
+    */
+  private[weblog] def snapshotHasEvolution(snap: TableSnapshot): Boolean =
+    hasEvolution(colHistOf(snap.meta))
+
+  /** Per-file PHYSICAL column names for `fields` (current logical
+    * schema order): `Some(physName)` = the file stores the column under
+    * that name; `None` = the file predates the column (or its physical
+    * twin belongs to a dead id) and must read NULL. The native scan
+    * groups files by this mapping into schema EPOCHS and gives each
+    * epoch its own positionally-aligned parquet read schema — the same
+    * resolution [[readFileSetEvolved]] applies through per-epoch scans.
+    */
+  private[weblog] def epochPhysicalNames(snap: TableSnapshot,
+      fields: Seq[StructField]): String => Seq[Option[String]] = {
+    val hist = colHistOf(snap.meta)
+    if (!hasEvolution(hist)) { _ => fields.map(f => Some(f.name)) }
+    else {
+      val ids = colIdsOf(snap.meta)
+      f => {
+        val vf = fileVersionOf(f).getOrElse(Long.MaxValue)
+        fields.map { fld =>
+          ids.get(fld.name).flatMap(hist.get) match {
+            case None => Some(fld.name) // no recorded history: stable
+            case Some(entries) =>
+              val applicable = entries.filter(_._1 <= vf)
+              if (applicable.isEmpty) None // the file predates the column
+              else applicable.maxBy(_._1)._2
+          }
+        }
+      }
+    }
+  }
+
   /** A data row's WRITE SEQUENCE, recovered from its physical file name
     * (`part-v<version>-…` — stamped at import, immutable thereafter):
     * the per-file scoping that decides which equality-delete files
@@ -896,8 +943,8 @@ final case class IcebergLikeTable(
     * leaves nothing of the user in the delete file itself (the GDPR
     * complement to equality deletes, whose tuples ARE the keys).
     */
-  private val PosDelFile = "_file"
-  private val PosDelPos = "_pos"
+  private[weblog] val PosDelFile = "_file"
+  private[weblog] val PosDelPos = "_pos"
 
   private def applyDeletes(snap: TableSnapshot, df: DataFrame): DataFrame = {
     val dels = snap.deleteEntries
@@ -1607,11 +1654,31 @@ final case class IcebergLikeTable(
     * missing partition segment, an unstamped row count or bound — and
     * the caller runs the real aggregation.
     */
+  /** The hidden transform's source column when it is a single-leg
+    * `days()` — the one hidden layout whose leaf value is directly a
+    * groupable quantity (the UTC day ordinal). The aggregate pushdown
+    * uses this to answer `GROUP BY CAST(src AS DATE)` from the
+    * manifest.
+    */
+  private[graft] def daysTransformSource: Option[String] =
+    transform.collect { case PartitionTransforms.Days(s) => s }
+
   private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String],
       condition: Option[Column] = None)
       : Option[Seq[(Option[String], Long, Map[String, (String, String)])]] = {
-    if (transform.isDefined) return None
     val (_, snap) = resolveLive()
+    // identity layouts group by the physical partition value; a
+    // single-spec days() layout may group by the DAY ORDINAL (each leaf
+    // value IS the ordinal — the caller maps ordinals into its grouping
+    // expression's value space). A multi-epoch spec history refuses:
+    // an old epoch's leaf value is an ordinal under a DIFFERENT spec.
+    val layoutOk = transform match {
+      case None => true
+      case Some(PartitionTransforms.Days(_)) =>
+        specHistOf(snap.meta).size <= 1
+      case Some(_) => false
+    }
+    if (!layoutOk) return None
     if (snap.deleteEntries.nonEmpty) return None
     val schema = storedSchema(snap.meta).getOrElse(return None)
     val cmps = minMaxCols.map { c =>
@@ -1914,13 +1981,16 @@ final case class IcebergLikeTable(
       val fileMeta = importedFileMeta(imported, schema)
       val fresh: Map[String, Manifests.FileEntry] =
         importedWithSize.map { case (p, size) =>
-          val (rows, stats) = fileMeta.get(p)
-            .map { case (r, s, _) => (r, s) }
-            .getOrElse((-1L, Map.empty[String, (String, String)]))
-          p -> Manifests.FileEntry(p, size, rows, stats)
+          fileMeta.get(p) match {
+            case Some(m) =>
+              p -> Manifests.FileEntry(p, size, m.rows, m.bounds,
+                nulls = m.nulls, ndv = m.ndv)
+            case None =>
+              p -> Manifests.FileEntry(p, size, -1L, Map.empty)
+          }
         }.toMap
       val perFileBlooms: BloomStats.Sidecar = fileMeta.collect {
-        case (p, (_, _, b)) if b.nonEmpty => p -> b
+        case (p, m) if m.blooms.nonEmpty => p -> m.blooms
       }
       val carriedPaths = carryOver(imported)
       val fileList = carriedPaths ++ imported
@@ -2803,9 +2873,12 @@ final case class IcebergLikeTable(
 
   /** Snapshot + stored schema when the pinned-or-live snapshot is
     * ELIGIBLE for the native V2 batch scan ([[GraftNativeScan]]):
-    * schema-stamped, size-stamped, no live delete files to anti-join,
-    * no rename/drop column-history epochs. None → callers read through
-    * the V1 bridge (which composes the full MOR/evolution machinery).
+    * schema-stamped and size-stamped. Rename/drop epochs read natively
+    * through per-epoch reader schemas; POSITIONAL delete files apply
+    * natively as a per-reader (file, ordinal) skip when their stamped
+    * tuple count fits the broadcast budget. Only EQUALITY-delete
+    * snapshots (whose tuples need the sequence-scoped anti-join) fall
+    * back to the V1 bridge — None here.
     */
   private[weblog] def nativeScanSnapshot(
       pinned: Option[Long]): Option[(TableSnapshot, StructType)] = {
@@ -2813,10 +2886,17 @@ final case class IcebergLikeTable(
       case Some(v) => snapshotAt(v)
       case None => resolveLive()._2
     }
+    // every delete entry must be positional, stamped, and in budget:
+    // the tuples are collected to the driver and broadcast (the same
+    // posture as the V1 path's broadcast anti-join — bounded, because
+    // maintain() compacts positional files away at the threshold)
+    val posOk = snap.deleteEntries.forall(e =>
+      Manifests.isPosDelete(e.path) && e.rowCount >= 0L) &&
+      snap.deleteEntries.map(_.rowCount).sum <=
+        IcebergLikeTable.NativePosDeleteTupleBudget
     storedSchema(snap.meta) match {
-      case Some(s) if snap.deleteEntries.isEmpty &&
-          !hasEvolution(colHistOf(snap.meta)) &&
-          snap.entries.forall(_.size >= 0L) => Some((snap, s))
+      case Some(s) if posOk && snap.entries.forall(_.size >= 0L) =>
+        Some((snap, s))
       case _ => None
     }
   }
@@ -3873,6 +3953,31 @@ final case class IcebergLikeTable(
 }
 
 object IcebergLikeTable {
+
+  /** Positional-delete tuple budget for the NATIVE scan: tuples beyond
+    * this read through the V1 bridge instead of a driver collect +
+    * broadcast. 4M tuples ≈ a few hundred MB broadcast at worst — the
+    * same order as the keepers union-find cap.
+    */
+  private[weblog] val NativePosDeleteTupleBudget = 4000000L
+
+  /** lgConfigK of the per-file NDV sketches (DataSketches HLL): 12 ⇒
+    * ~1.6% standard error, a few hundred bytes compact-serialized for
+    * typical file cardinalities. Unions at ANY lgK ≤ this merge
+    * losslessly, so the constant can only ever be lowered.
+    */
+  private[weblog] val NdvSketchLgK = 12
+
+  /** One imported file's commit-time metadata (the one-pass aggregate
+    * over the just-written batch): row count, column [min, max] string
+    * bounds, Bloom filters, and the r11 per-column null counts and
+    * base64 HLL distinct sketches.
+    */
+  private[weblog] final case class ImportedMeta(rows: Long,
+      bounds: Map[String, (String, String)],
+      blooms: Map[String, Array[Byte]],
+      nulls: Map[String, Long],
+      ndv: Map[String, String])
 
   /** A WHEN MATCHED / WHEN NOT MATCHED BY SOURCE clause of
     * [[IcebergLikeTable.mergeInto]]; clause order is evaluation order

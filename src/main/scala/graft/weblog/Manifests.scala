@@ -59,8 +59,18 @@ object Manifests {
     * `deleteSeq` (the sequence-number scoping that lets a later upsert
     * re-insert the key without the old tombstone swallowing it).
     */
+  /** `nulls`/`ndv` (r11): per-column NULL counts and MERGEABLE
+    * DataSketches-HLL sketches (base64 of `hll_sketch_agg` output over
+    * the column's string rendering), stamped for the stats columns at
+    * import — the native scan unions them across the pruned file set
+    * and reports V2 column statistics, so the CBO sees per-column
+    * distinct/null counts at plan time without touching data. Absent on
+    * legacy manifests (empty maps — per-column refusal, never a guess).
+    */
   final case class FileEntry(path: String, size: Long, rowCount: Long,
-      stats: Map[String, (String, String)], deleteSeq: Long = -1L) {
+      stats: Map[String, (String, String)], deleteSeq: Long = -1L,
+      nulls: Map[String, Long] = Map.empty,
+      ndv: Map[String, String] = Map.empty) {
     def isDelete: Boolean = deleteSeq >= 0L
   }
 
@@ -137,6 +147,14 @@ object Manifests {
           val arr = st.putArray(c); arr.add(lo); arr.add(hi)
         }
       }
+      if (e.nulls.nonEmpty) {
+        val nl = node.putObject("n")
+        e.nulls.toSeq.sortBy(_._1).foreach { case (c, v) => nl.put(c, v) }
+      }
+      if (e.ndv.nonEmpty) {
+        val dv = node.putObject("d")
+        e.ndv.toSeq.sortBy(_._1).foreach { case (c, v) => dv.put(c, v) }
+      }
       m.writeValueAsString(node)
     }
     val tmp = new Path(dir, s".$name.tmp")
@@ -171,9 +189,26 @@ object Manifests {
             }
             b.result()
           }
+        val nulls =
+          if (!node.has("n")) Map.empty[String, Long]
+          else {
+            val b = Map.newBuilder[String, Long]
+            node.get("n").properties().forEach(e =>
+              b += e.getKey -> e.getValue.asLong)
+            b.result()
+          }
+        val ndv =
+          if (!node.has("d")) Map.empty[String, String]
+          else {
+            val b = Map.newBuilder[String, String]
+            node.get("d").properties().forEach(e =>
+              b += e.getKey -> e.getValue.asText)
+            b.result()
+          }
         FileEntry(node.get("p").asText, node.get("s").asLong,
           node.get("r").asLong, stats,
-          if (node.has("q")) node.get("q").asLong else -1L)
+          if (node.has("q")) node.get("q").asLong else -1L,
+          nulls, ndv)
       }
     leafCache.put(key, entries)
     entries

@@ -118,24 +118,50 @@ class NativeScanSpec extends SparkTestBase {
       s"join-driven pruning must cut the fact file set: $runtime of $total")
   }
 
-  test("fallback: live MOR deletes and rename epochs read through the V1 bridge, correctly") {
+  test("positional MOR deletes and rename epochs read NATIVELY (r11); equality deletes still bridge") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("""CREATE TABLE gns.web.mor (uid BIGINT, n BIGINT)
           |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
     sql("INSERT INTO gns.web.mor SELECT id, id * 10 FROM range(20)")
     sql("DELETE FROM gns.web.mor WHERE uid >= 15")
-    // live positional delete files → ineligible → V1 bridge (no BatchScan)
+    // live POSITIONAL delete files now read through the native scan:
+    // the reader skips the stamped (file, ordinal) tuples in place
     val q = sql("SELECT count(*) FROM gns.web.mor")
-    assert(batchScans(q).isEmpty, "MOR snapshot must fall back to the V1 bridge")
+    assert(batchScans(q).nonEmpty,
+      "positional-delete snapshot must take the native V2 scan")
     assert(q.head.getLong(0) == 15L)
-    // rename epoch → ineligible, still correct
+    assert(sql("SELECT sum(n) FROM gns.web.mor").head.getLong(0) ==
+      (0 until 15).map(_ * 10L).sum)
+    // a second delete generation composes
+    sql("DELETE FROM gns.web.mor WHERE uid < 3")
+    val q2 = sql("SELECT uid FROM gns.web.mor ORDER BY uid")
+    assert(batchScans(q2).nonEmpty)
+    assert(q2.collect().map(_.getLong(0)).toSeq == (3L until 15L))
+    // rename epochs read natively through per-epoch reader schemas
     sql("CREATE TABLE gns.web.ren (a STRING, b BIGINT)")
     sql("INSERT INTO gns.web.ren VALUES ('x', 1)")
     sql("ALTER TABLE gns.web.ren RENAME COLUMN b TO n")
     sql("INSERT INTO gns.web.ren VALUES ('y', 2)")
     val r = sql("SELECT sum(n) FROM gns.web.ren")
-    assert(batchScans(r).isEmpty, "rename epochs must fall back to the V1 bridge")
+    assert(batchScans(r).nonEmpty, "rename epochs must read natively")
     assert(r.head.getLong(0) == 3L)
+    // old-epoch rows resolve the renamed column through its physical
+    // name; the filter prunes and re-applies correctly on both epochs
+    val r2 = sql("SELECT a, n FROM gns.web.ren WHERE n = 1")
+    assert(batchScans(r2).nonEmpty)
+    assert(r2.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("x", 1L)))
+    // EQUALITY deletes (keyed GDPR merge-on-read) keep the V1 bridge —
+    // their sequence-scoped anti-join is a join, not a row filter
+    sql("""CREATE TABLE gns.web.eqdel (id BIGINT, v BIGINT, seq BIGINT)
+          |TBLPROPERTIES (uniqueKeys 'id', numBuckets '2', orderCol 'seq',
+          |'write.delete.mode' 'merge-on-read')""".stripMargin)
+    sql("INSERT INTO gns.web.eqdel SELECT id, id, 1 FROM range(10)")
+    sql("DELETE FROM gns.web.eqdel WHERE id >= 7")
+    val e = sql("SELECT count(*) FROM gns.web.eqdel")
+    assert(batchScans(e).isEmpty,
+      "equality-delete snapshot must fall back to the V1 bridge")
+    assert(e.head.getLong(0) == 7L)
   }
 
   test("aggregate pushdown: whole-table COUNT/MIN/MAX answer from the manifest, zero tasks") {
@@ -262,17 +288,19 @@ class NativeScanSpec extends SparkTestBase {
     // negation translates exactly or stays residual — either way exact
     assert(sql("SELECT uid FROM gns.web.hf WHERE NOT (p = 'plain') ORDER BY uid")
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
-    // V1-bridge leg: live MOR deletes make the snapshot ineligible for
-    // the native scan, and the bridge must still apply handled filters
-    // row-for-row (readWhere re-filters the survivors)
-    sql("""CREATE TABLE gns.web.hfmor (uid BIGINT, day INT)
+    // V1-bridge leg: live EQUALITY deletes make the snapshot ineligible
+    // for the native scan, and the bridge must still apply handled
+    // filters row-for-row (readWhere re-filters the survivors)
+    sql("""CREATE TABLE gns.web.hfmor (uid BIGINT, day INT, seq BIGINT)
           |PARTITIONED BY (day)
-          |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
+          |TBLPROPERTIES (uniqueKeys 'uid', numBuckets '2',
+          |orderCol 'seq', 'write.delete.mode' 'merge-on-read')""".stripMargin)
     for (d <- 1 to 3)
-      sql(s"INSERT INTO gns.web.hfmor SELECT id, $d FROM range(10)")
-    sql("DELETE FROM gns.web.hfmor WHERE uid >= 8")
+      sql(s"INSERT INTO gns.web.hfmor SELECT id + $d * 100, $d, 1 FROM range(10)")
+    sql("DELETE FROM gns.web.hfmor WHERE uid % 100 >= 8")
     val m = sql("SELECT count(*) FROM gns.web.hfmor WHERE day = 2")
-    assert(batchScans(m).isEmpty, "MOR snapshot must use the V1 bridge")
+    assert(batchScans(m).isEmpty,
+      "equality-delete snapshot must use the V1 bridge")
     assert(m.head.getLong(0) == 8L)
     // time travel composes: the pinned snapshot decides the leaves
     sql("CREATE TABLE gns.web.hftt (n BIGINT, day INT) PARTITIONED BY (day)")
@@ -330,6 +358,16 @@ class NativeScanSpec extends SparkTestBase {
     val q6 = sql("SELECT count(*) FROM gns.web.faggh WHERE ts >= timestamp'2024-03-06 00:00:00'")
     assert(q6.head.getLong(0) == 20L)
     assert(!isLocal(q6))
+    // …but GROUP BY CAST(ts AS DATE) on the days() table IS decidable:
+    // each leaf value is the UTC day ordinal = the DATE's internal value
+    val q7 = sql("""SELECT CAST(ts AS DATE) AS d, count(*) AS c
+                   |FROM gns.web.faggh GROUP BY CAST(ts AS DATE)
+                   |ORDER BY d""".stripMargin)
+    assert(q7.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ==
+      Seq(("2024-03-05", 10L), ("2024-03-06", 10L), ("2024-03-07", 10L)))
+    assert(isLocal(q7),
+      s"days-grouped count must answer from the manifest:\n" +
+        s"${q7.queryExecution.executedPlan}")
   }
 
   test("filtered LIMIT: a partition-exact WHERE still truncates the file list") {

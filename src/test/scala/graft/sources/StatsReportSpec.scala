@@ -80,6 +80,120 @@ class StatsReportSpec extends SparkTestBase {
     assert(joined.count() == 40)
   }
 
+  test("column NDV/null-count stamps surface as V2 column statistics for the CBO") {
+    val wh = Files.createTempDirectory("ndv_wh").toString
+    spark.conf.set("spark.sql.catalog.gndv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gndv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gndv.web")
+    spark.sql("""CREATE TABLE gndv.web.stamped (k BIGINT, pad STRING)
+                |TBLPROPERTIES (statsColumns 'k')""".stripMargin)
+    // two commits so the stats must MERGE across files (mergeable HLL,
+    // not a per-file count); ~25% of k is NULL so the null count is
+    // non-trivial
+    for (half <- 0 to 1)
+      spark.sql(s"""INSERT INTO gndv.web.stamped
+                   |SELECT CASE WHEN id % 4 = 0 THEN NULL ELSE id END,
+                   |       md5(CAST(id AS STRING))
+                   |FROM range(${half * 10000}, ${(half + 1) * 10000})""".stripMargin)
+    val old = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rel = spark.table("gndv.web.stamped")
+      val stats = rel.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(20000)))
+      val kStat = stats.attributeStats.find(_._1.name == "k")
+        .map(_._2).getOrElse(fail(
+          s"CBO must see column statistics for k: ${stats.attributeStats}"))
+      // 15000 distinct non-null values; HLL@lgK12 ≈ 1.6% error
+      val ndv = kStat.distinctCount.getOrElse(fail("no distinctCount")).toLong
+      assert(math.abs(ndv - 15000L) < 1000L, s"NDV estimate off: $ndv")
+      assert(kStat.nullCount.map(_.toLong).contains(5000L),
+        s"null count must be exact: ${kStat.nullCount}")
+      // an unstamped column reports nothing (refusal, never a guess)
+      assert(!stats.attributeStats.exists(_._1.name == "pad"))
+    } finally old.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
+
+  test("NDV flips a downstream broadcast decision (CBO join-output cardinality)") {
+    val wh = Files.createTempDirectory("ndvflip_wh").toString
+    spark.conf.set("spark.sql.catalog.gnf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnf.web")
+    // the stamped and unstamped twins hold IDENTICAL data: a wide fact
+    // (20k rows, k unique) and a selective dim (200 rows). The join
+    // output is tiny (200 rows) — but only column NDV can tell the
+    // planner that; without it the join estimate falls back to the
+    // size product and the SECOND join cannot broadcast the first's
+    // result in the initial plan.
+    for (suffix <- Seq("s", "n")) {
+      val props = if (suffix == "s") "TBLPROPERTIES (statsColumns 'k')" else ""
+      spark.sql(s"""CREATE TABLE gnf.web.fact_$suffix (k BIGINT, pad STRING)
+                   |$props""".stripMargin)
+      spark.sql(s"""INSERT INTO gnf.web.fact_$suffix
+                   |SELECT id, concat(md5(CAST(id AS STRING)),
+                   |                  md5(CAST(id + 1 AS STRING)))
+                   |FROM range(20000)""".stripMargin)
+      spark.sql(s"""CREATE TABLE gnf.web.dim_$suffix (k BIGINT, tag STRING)
+                   |$props""".stripMargin)
+      spark.sql(s"""INSERT INTO gnf.web.dim_$suffix
+                   |SELECT id * 100, concat('t', id) FROM range(200)""".stripMargin)
+    }
+    val big = spark.range(2000000).select(col("id").as("k"),
+      lpad(col("id").cast("string"), 64, "y").as("bp"))
+    big.createOrReplaceTempView("graft_ndv_big")
+    val olds = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    // above the 200-row dim and the tiny join output, below the fact
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    try {
+      // the DECISION INPUT: the CBO's size estimate of (fact ⋈ dim) —
+      // what join selection compares against the broadcast threshold.
+      // NDV + range stats see the true ~200-row output; without them
+      // the estimate falls back to the row-count product.
+      def joinEstimate(suffix: String): BigInt = spark.sql(
+        s"""SELECT f.k, d.tag FROM gnf.web.fact_$suffix f
+           |JOIN gnf.web.dim_$suffix d ON f.k = d.k""".stripMargin)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val threshold = BigInt(512 * 1024)
+      val stamped = joinEstimate("s")
+      val unstamped = joinEstimate("n")
+      assert(stamped < threshold && unstamped > threshold,
+        s"NDV must flip the broadcast decision input: stamped=$stamped " +
+          s"unstamped=$unstamped threshold=$threshold")
+      assert(unstamped / stamped > 100,
+        s"estimates barely differ: $stamped vs $unstamped")
+      // and the physical consequence: with the stamps, the INITIAL plan
+      // broadcasts the (fact ⋈ dim) RESULT into the big side — a
+      // BroadcastHashJoin whose build subtree itself contains a join
+      def broadcastsJoinOutput(suffix: String): Boolean = {
+        val q = spark.sql(
+          s"""SELECT count(*) FROM graft_ndv_big c
+             |JOIN (SELECT f.k FROM gnf.web.fact_$suffix f
+             |      JOIN gnf.web.dim_$suffix d ON f.k = d.k) j
+             |ON c.k = j.k""".stripMargin)
+        q.queryExecution.sparkPlan.collect {
+          case b: BroadcastHashJoinExec => b
+        }.exists { b =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }
+          build.collect {
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+          }.nonEmpty
+        }
+      }
+      assert(broadcastsJoinOutput("s"),
+        "with NDV the tiny join output must be the broadcast build side")
+      assert(!broadcastsJoinOutput("n"),
+        "without NDV the product-estimated join output must NOT broadcast")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("statistics are PRUNING-aware: a filtered scan reports the pruned bytes") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,

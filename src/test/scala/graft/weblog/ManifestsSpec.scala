@@ -50,6 +50,25 @@ class ManifestsSpec extends SparkTestBase {
       Manifests.write(fs, dir, 1L, Seq("part-v1-00000.parquet")))
   }
 
+  test("FileEntry round-trips nulls/ndv stamps through the leaf manifest (and legacy lines parse empty)") {
+    val fs = localFs
+    val dir = new Path(Files.createTempDirectory("man_rt").toString)
+    val entries = Seq(
+      Manifests.FileEntry("day=1/part-v1-00000.parquet", 123L, 10L,
+        Map("k" -> ("1", "9")), nulls = Map("k" -> 3L, "v" -> 0L),
+        ndv = Map("k" -> java.util.Base64.getEncoder.encodeToString(
+          Array[Byte](1, 2, 3, -5)))),
+      Manifests.FileEntry("day=1/part-v1-00001.parquet", 77L, -1L, Map.empty),
+      Manifests.FileEntry("day=1/eqdel-v2-00000.parquet", 5L, 2L,
+        Map.empty, deleteSeq = 2L))
+    val name = s"${Manifests.LeafPrefix}rt_test"
+    Manifests.writeLeafManifest(fs, dir, name, entries)
+    Manifests.leafCacheClear()
+    val back = Manifests.readLeafManifest(fs, dir, name)
+    assert(back.sortBy(_.path) == entries.sortBy(_.path),
+      s"round trip must be identity:\n$back\nvs\n$entries")
+  }
+
   test("leaf-manifest cache evicts LRU — hot entries survive a cap crossing") {
     val fs = localFs
     val dir = new Path(Files.createTempDirectory("man_lru").toString)
