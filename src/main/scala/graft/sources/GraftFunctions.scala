@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, XxHash64}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 
 /** The graft KEYED-TABLE layout hash as a catalog V2 FUNCTION —
@@ -40,7 +40,7 @@ object GraftBucketFunction extends UnboundFunction {
   * hash expression reads slots 1..k.
   */
 final class GraftBucketBound(keys: StructType)
-    extends ScalarFunction[Integer] {
+    extends ScalarFunction[Integer] with ReducibleFunction[Integer, Integer] {
 
   override def inputTypes(): Array[DataType] =
     IntegerType +: keys.fields.map(_.dataType)
@@ -65,4 +65,32 @@ final class GraftBucketBound(keys: StructType)
     val m = h % n
     (if (m < 0) m + n else m).toInt
   }
+
+  /** SPJ across DIFFERENT bucket counts (Spark's ReducibleFunction,
+    * the Iceberg bucket-compatibility pattern): when the other side's
+    * count divides ours, our bucket ids REDUCE into its space by plain
+    * modulus — sound because the layout hash is modulus-based:
+    * `pmod(h, N) % M == pmod(h, M)` whenever M | N. A table whose
+    * bucket count was grown (rebucket 4→8) keeps shuffle-free joins
+    * against its old-sized peers; the smaller side returns null here
+    * (only the larger side reduces).
+    */
+  override def reducer(thisNumBuckets: Int,
+      otherFunc: ReducibleFunction[_, _],
+      otherNumBuckets: Int): Reducer[Integer, Integer] =
+    otherFunc match {
+      case _: GraftBucketBound
+          if thisNumBuckets > otherNumBuckets && otherNumBuckets > 0 &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+        new GraftBucketReducer(otherNumBuckets)
+      case _ => null
+    }
+}
+
+/** Reduces a bucket id from a larger modulus space into a dividing
+  * smaller one (ids are already non-negative, so plain `%` is pmod).
+  */
+final class GraftBucketReducer(m: Int) extends Reducer[Integer, Integer]
+    with Serializable {
+  override def reduce(v: Integer): Integer = v % m
 }

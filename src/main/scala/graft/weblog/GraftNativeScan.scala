@@ -278,21 +278,33 @@ final class GraftNativeScan private (
     }
     staticBuckets match {
       case Some(buckets) =>
-        // one unsplit partition per STATIC key bucket, stamped with its
-        // key — including buckets the runtime filter (or the limit cut)
-        // emptied, which plan as zero-file partitions so the key-group
-        // count never changes under Spark's feet. Entries here are a
-        // subset of the static set (pruning only ever removes files as
+        // one unsplit partition PER FILE, stamped with its bucket key —
+        // BatchScanExec groups same-key partitions into one task for
+        // the plain storage-partitioned join, and per-file granularity
+        // lets Spark's partially-clustered distribution split a skewed
+        // side across tasks instead of being stuck at one-task-per-
+        // bucket. Buckets the runtime filter (or the limit cut) emptied
+        // still plan one zero-file partition, so the key-group set
+        // never changes under Spark's feet. Entries here are a subset
+        // of the static set (pruning only ever removes files as
         // conjuncts are added), so every bucket parses.
         val byBucket = entries.groupBy(e => bucketOf(e.path).getOrElse(
           throw new IllegalStateException(
             s"file without a parseable ${table.bucketCol}= leaf survived " +
               s"runtime pruning but not static pruning under ${table.path}")))
-        buckets.zipWithIndex.map { case (bucket, i) =>
-          GraftBucketedPartition(bucket,
-            FilePartition(i,
-              filesOf(byBucket.getOrElse(bucket, Nil), Long.MaxValue).toArray))
-            : InputPartition
+        var i = -1
+        buckets.flatMap { bucket =>
+          val es = byBucket.getOrElse(bucket, Nil)
+          if (es.isEmpty) {
+            i += 1
+            Seq(GraftBucketedPartition(bucket,
+              FilePartition(i, Array.empty)): InputPartition)
+          } else es.map { e =>
+            i += 1
+            GraftBucketedPartition(bucket,
+              FilePartition(i, filesOf(Seq(e), Long.MaxValue).toArray))
+              : InputPartition
+          }
         }.toArray
       case None =>
         FilePartition.getFilePartitions(spark, filesOf(entries, maxSplitBytes),

@@ -101,6 +101,79 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("multi-file buckets (several commits) still key-group: the exec merges same-key partitions") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    for (t <- Seq("mleft", "mright")) {
+      sql(s"""CREATE TABLE gspj.web.$t (id STRING, v BIGINT, seq BIGINT)
+             |TBLPROPERTIES (uniqueKeys 'id', numBuckets '4', orderCol 'seq')""".stripMargin)
+      // two commits ⇒ two file generations per bucket leaf; the scan
+      // reports one partition PER FILE (what lets partially-clustered
+      // distribution split a skewed side) and BatchScanExec groups
+      // same-key partitions back for the plain SPJ
+      sql(s"INSERT INTO gspj.web.$t SELECT concat('k', id), id, 1 FROM range(150)")
+      sql(s"INSERT INTO gspj.web.$t SELECT concat('k', id), id, 1 FROM range(150, 300)")
+    }
+    val old = (
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(l.v - r.v) AS z
+                    |FROM gspj.web.mleft l JOIN gspj.web.mright r
+                    |ON l.id = r.id""".stripMargin)
+      val row = q.head
+      assert(row.getLong(0) == 300L && row.getLong(1) == 0L)
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"multi-file-bucket SPJ must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+    } finally {
+      old._1.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      old._2.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("DIFFERENT bucket counts still join shuffle-free when one divides the other (ReducibleFunction)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    // 8-bucket vs 4-bucket: the layout hash is modulus-based, so
+    // pmod(h, 8) % 4 == pmod(h, 4) — the 8-side's groups REDUCE into
+    // the 4-side's space and the join still skips both exchanges (the
+    // rebucket-grown table keeps SPJ against its old-sized peers)
+    sql("""CREATE TABLE gspj.web.grown (id STRING, v BIGINT, seq BIGINT)
+          |TBLPROPERTIES (uniqueKeys 'id', numBuckets '8', orderCol 'seq')""".stripMargin)
+    sql("INSERT INTO gspj.web.grown SELECT concat('k', id), id, 1 FROM range(300)")
+    sql("""CREATE TABLE gspj.web.legacy (id STRING, v BIGINT, seq BIGINT)
+          |TBLPROPERTIES (uniqueKeys 'id', numBuckets '4', orderCol 'seq')""".stripMargin)
+    sql("INSERT INTO gspj.web.legacy SELECT concat('k', id), id * 10, 1 FROM range(300)")
+    val old = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(g.v + l.v) AS s
+                    |FROM gspj.web.grown g JOIN gspj.web.legacy l
+                    |ON g.id = l.id""".stripMargin)
+      val row = q.head
+      assert(row.getLong(0) == 300L)
+      assert(row.getLong(1) == 11L * (299L * 300L / 2))
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"mixed-bucket-count SPJ must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("without the bucketing conf the scan keeps split parallelism and plain joins stay correct") {
     sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
     sql("""CREATE TABLE gspj.web.plain (id STRING, v BIGINT, seq BIGINT)
