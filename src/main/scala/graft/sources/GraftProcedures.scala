@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
   def list: Array[Identifier] =
     Array("maintain", "maintain_by_size", "maintain_where",
       "rewrite_clustered", "zorder", "expire_snapshots", "vacuum", "rollback",
-      "evolve_partition_spec")
+      "evolve_partition_spec", "analyze")
       .map(Identifier.of(Namespace, _))
 
   /** One-row driver-local result. */
@@ -168,6 +168,21 @@ private[sources] object GraftProcedures {
           .filter(_.nonEmpty)
           .map(org.apache.spark.sql.functions.expr)
         Seq(t.maintainZOrder(cols, in.getInt(2), where).size)
+      }),
+    // ANALYZE (Iceberg compute-stats): one data pass, fresh per-file
+    // row counts / bounds / null counts / NDV sketches committed as a
+    // METADATA-only version — data files untouched. Backfills stats on
+    // tables created before stamping existed (or without statsColumns).
+    Proc("analyze",
+      Seq(param("table", StringType),
+        param("columns", StringType, "''")),
+      StructType(new StructType()
+        .add("new_version", LongType, nullable = false)),
+      (cat, in) => {
+        val t = tableOf(cat, in)
+        val cols = Option(in.getUTF8String(1)).map(_.toString).getOrElse("")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        Seq(t.analyze(cols))
       }),
     Proc("vacuum",
       Seq(param("table", StringType)),

@@ -380,6 +380,85 @@ final case class IcebergLikeTable(
       version
     }
 
+  /** ANALYZE (Iceberg's compute-stats / Hive's ANALYZE TABLE): read the
+    * live data ONCE (a single grouped aggregate — one pass, bounded by
+    * table bytes, never loaded to the driver beyond one row per file)
+    * and commit fresh per-file statistics under the SAME data paths:
+    * row counts (legacy -1 entries get fixed — an un-stamped table
+    * gains native-scan eligibility and manifest-only counts), [min,
+    * max] bounds, NULL counts and HLL NDV sketches for `columns`
+    * (default: the declared stats columns). Data files are untouched —
+    * the commit rewrites leaf MANIFESTS only, so cost is one scan plus
+    * O(leaves) metadata writes; time travel keeps the old stamps.
+    * Stamps refresh for every LIVE data file, so the manifest-only
+    * aggregate/pruning paths that refuse on any-unstamped-entry light
+    * up table-wide. Columns outside the declared `statsColumns` stay
+    * analyzed-only: FUTURE commits stamp the declared set, so declare
+    * the columns too if new files should keep the stats current.
+    */
+  def analyze(columns: Seq[String] = Nil): Long = withCommitRetry {
+    require(currentVersion.isDefined,
+      s"analyze needs a committed table under $path")
+    val (liveVersion, snap) = resolveLive()
+    validateLayout(snap.meta)
+    val schema = storedSchema(snap.meta).getOrElse(
+      throw new IllegalStateException(
+        s"analyze needs a schema-stamped table under $path (commit once " +
+          "with this engine version first)"))
+    val requested = (if (columns.nonEmpty) columns else statsCols).distinct
+    val cols = requested.filter(c =>
+      schema.fields.exists(f => f.name == c && FileStats.supported(f.dataType)))
+    val dataEntries = snap.dataEntries
+    if (dataEntries.isEmpty) return liveVersion
+    // one pass: per-file row count + per-column bounds/nulls/NDV —
+    // the same aggregate shape the commit path stamps batches with,
+    // here over the whole live file set (epoch-aware scan, so renamed
+    // tables analyze under their current names)
+    val aggs = (count(lit(1)).as("_rc") +:
+      cols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"_lo_$c"),
+        max(col(c)).cast("string").as(s"_hi_$c"),
+        count(col(c)).as(s"_nn_$c"),
+        base64(hll_sketch_agg(col(c).cast("string"),
+          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c"))))
+    val perFile = readFileSetEvolved(snap, dataEntries.map(_.path))
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val uri = r.getString(0)
+        uri.substring(uri.lastIndexOf('/') + 1) -> r
+      }.toMap
+    val restamped = dataEntries.map { e =>
+      perFile.get(e.path.substring(e.path.lastIndexOf('/') + 1)) match {
+        case None => e // an empty file produces no group: keep as-is
+        case Some(r) =>
+          val rc = r.getAs[Long]("_rc")
+          val bounds = cols.flatMap { c =>
+            (Option(r.getAs[String](s"_lo_$c")),
+              Option(r.getAs[String](s"_hi_$c"))) match {
+              case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+              case _ => None // all-null in this file
+            }
+          }.toMap
+          val nulls = cols.map(c => c -> (rc - r.getAs[Long](s"_nn_$c"))).toMap
+          val ndv = cols.flatMap(c =>
+            Option(r.getAs[String](s"_dv_$c")).map(c -> _)).toMap
+          e.copy(rowCount = rc,
+            stats = e.stats ++ bounds,
+            nulls = e.nulls ++ nulls,
+            ndv = e.ndv ++ ndv)
+      }
+    }
+    val version = nextVersion(liveVersion)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val meta = snap.meta + (TsKey -> System.currentTimeMillis().toString)
+    publishVersion(version, token, restamped ++ snap.deleteEntries, meta,
+      snap, reuseBaseLeaves = false)
+    expireSnapshots()
+    version
+  }
+
   /** Drop a CHECK constraint — metadata-only commit. */
   def dropConstraint(name: String): Long = withCommitRetry {
     val (liveVersion, snap) = resolveLive()
@@ -2042,16 +2121,22 @@ final case class IcebergLikeTable(
     * are deleted before the conflict propagates; callers clean their
     * own imports.
     */
+  /** `reuseBaseLeaves = false` forces every leaf manifest to be
+    * rewritten even when its path set is unchanged — the [[analyze]]
+    * path, whose whole point is replacing the ENTRIES (new stats
+    * stamps) under the same paths.
+    */
   private def publishVersion(version: Long, token: String,
       entries: Seq[Manifests.FileEntry], meta: Map[String, String],
-      base: TableSnapshot): Unit = {
+      base: TableSnapshot, reuseBaseLeaves: Boolean = true): Unit = {
     val baseRefs = refsByLeaf(base)
     val newLeafManifests = scala.collection.mutable.ArrayBuffer.empty[String]
     val refs = entries.groupBy(e => leafOf(e.path)).toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((leaf, leafEntries), i) =>
         baseRefs.get(leaf) match {
           case Some((ref, basePaths))
-              if basePaths == leafEntries.map(_.path).toSet => ref
+              if reuseBaseLeaves &&
+                basePaths == leafEntries.map(_.path).toSet => ref
           case _ =>
             val name = f"${Manifests.LeafPrefix}v$version-$token-$i%05d"
             Manifests.writeLeafManifest(fs, root, name, leafEntries)
