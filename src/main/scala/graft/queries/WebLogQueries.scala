@@ -844,12 +844,24 @@ object WebLogQueries {
                           |FROM $tbl WHERE day = 2 AND user_id % 2 = 0""".stripMargin)
         val r3 = q3.head()
         val scan3 = !zeroTask(q3)
+        // HIDDEN-partition time slice (r11): a DAY-ALIGNED ts range on
+        // the days(ts) twin is leaf-exact, so the universal dashboard
+        // window count is zero-task there too
+        val d0 = Tables.events(s, d)
+          .agg(date_trunc("DAY", min(col("ts")))).head.getTimestamp(0)
+        val lo = new java.sql.Timestamp(d0.getTime + 2 * 86400000L)
+        val hi = new java.sql.Timestamp(d0.getTime + 4 * 86400000L)
+        val q4 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt
+                          |FROM ${tbl}_days
+                          |WHERE ts >= TIMESTAMP '$lo' AND ts < TIMESTAMP '$hi'""".stripMargin)
+        val r4 = q4.head()
+        val meta4 = zeroTask(q4)
         import s.implicits._
         r2.toSeq.map(r => (r.getInt(0), r.getLong(1),
           r1.getLong(0), r1.getLong(1), r1.getLong(2),
-          r3.getLong(0), meta1 && meta2 && scan3))
+          r3.getLong(0), r4.getLong(0), meta1 && meta2 && scan3 && meta4))
           .toDF("day", "cnt_day", "cnt_d3", "lo_d3", "hi_d3",
-            "cnt_mixed", "plan_proof")
+            "cnt_mixed", "cnt_tslice", "plan_proof")
           .orderBy("day")
       },
       Some("""SELECT CAST(day(ts) AS INT) AS day,
@@ -859,6 +871,9 @@ object WebLogQueries {
              |       (SELECT max(user_id) FROM events WHERE day(ts) = 3) AS hi_d3,
              |       (SELECT CAST(count(*) AS BIGINT) FROM events
              |        WHERE day(ts) = 2 AND user_id % 2 = 0) AS cnt_mixed,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM events
+             |        WHERE ts >= (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
+             |          AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 4 DAY FROM events)) AS cnt_tslice,
              |       TRUE AS plan_proof
              |FROM events WHERE day(ts) >= 4 AND day(ts) <= 5
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),

@@ -897,30 +897,21 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Identity partition columns on which a filter can be declared
-    * HANDLED (the scan applies it exactly; Spark does not re-filter) —
-    * resolved once per query, None when the table's layout cannot
-    * guarantee leaf-exact decisions (hidden transform, spec evolution,
-    * unstamped schema, exotic partition type).
+  /** A filter the scan itself can honor row-for-row via whole-leaf
+    * decisions: an identity-partition predicate, or a day-aligned
+    * half-line on a days() transform's timestamp source. Handling
+    * these (instead of declaring them residual) is what unlocks
+    * aggregate and limit pushdown UNDER a WHERE clause — Spark only
+    * offers those when no post-scan filter remains. Resolved once per
+    * query; any probe failure means nothing is handled (sound).
     */
-  private lazy val exactCols: Option[Seq[String]] =
-    try table.exactPartitionFilterColumns
-    catch { case scala.util.control.NonFatal(_) => None }
-
-  /** A filter the scan itself can honor row-for-row: references only
-    * identity partition columns and translates exactly. Handling these
-    * (instead of declaring them residual) is what unlocks aggregate and
-    * limit pushdown UNDER a WHERE clause — Spark only offers those when
-    * no post-scan filter remains.
-    */
-  private def partitionExact(f: sources.Filter): Boolean =
-    f.references.nonEmpty &&
-      exactCols.exists(cols => f.references.forall(cols.contains)) &&
-      GraftFilterBridge.toColumn(f, exact = true).isDefined
+  private lazy val handledExact: sources.Filter => Boolean =
+    try table.exactFilterProbe
+    catch { case scala.util.control.NonFatal(_) => (_: sources.Filter) => false }
 
   override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {
     filters = fs
-    handled = fs.filter(partitionExact)
+    handled = fs.filter(handledExact)
     // the rest are post-scan: the engine re-applies them
     fs.filterNot(handled.contains)
   }
@@ -996,12 +987,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     // zero-task lookup, like its unfiltered twin). Belt-and-braces: a
     // residual filter somehow reaching here refuses.
     if (!filters.forall(handled.contains)) return None
-    val whereCond: Option[Column] =
-      if (filters.isEmpty) None
-      else Some(filters
-        .map(f => GraftFilterBridge.toColumn(f, exact = true)
-          .getOrElse(return None))
-        .reduce(_ && _))
+    val handledSeq: Seq[sources.Filter] = filters.toSeq
     def boundCol(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[StructField] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -1021,12 +1007,12 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       agg.groupByExpressions.toSeq match {
         case Nil =>
           val (count, bounds) =
-            try whereCond match {
-              case None =>
+            try {
+              if (handledSeq.isEmpty) {
                 val (c0, b0) = table.manifestAggregates(minMaxCols)
                 (c0.getOrElse(return None), b0)
-              case Some(c) =>
-                table.manifestAggregatesWhere(minMaxCols, c)
+              } else
+                table.manifestAggregatesWhereFilters(minMaxCols, handledSeq)
                   .getOrElse(return None)
             } catch { case scala.util.control.NonFatal(_) => return None }
           Seq((None, count, bounds))
@@ -1068,7 +1054,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
               }
             }
           val rows =
-            try table.manifestGroupedAggregates(minMaxCols, whereCond)
+            try table.manifestGroupedAggregates(minMaxCols, handledSeq)
               .getOrElse(return None)
             catch { case scala.util.control.NonFatal(_) => return None }
           rows.map { case (value, count, bounds) =>

@@ -58,7 +58,7 @@ final class GraftNativeScan private (
     snap: IcebergLikeTable.TableSnapshot,
     required: StructType,
     pushedCond: Column,
-    handledCond: Option[Column],
+    handledFilters: Array[sources.Filter],
     pushedFilters: Array[sources.Filter],
     limit: Option[Int]) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
@@ -109,15 +109,21 @@ final class GraftNativeScan private (
     runtimeCond.fold(pushedCond)(pushedCond && _)
 
   /** Superset pruning (stats/bloom/partition intervals) for the full
-    * condition, then the EXACT leaf restriction for the handled
-    * partition filters — the scan promised Spark it applies those row
-    * for row, and for identity partition columns dropping the
-    * non-matching leaves IS row-exact (every row of a leaf shares its
-    * partition values).
+    * condition, then the EXACT whole-leaf restriction for the HANDLED
+    * filters — the scan promised Spark it applies those row for row:
+    * identity partition predicates decide per leaf because every row
+    * of a leaf shares its partition values; day-aligned half-lines on
+    * a days() source decide per leaf because a leaf holds exactly one
+    * UTC day of instants.
     */
+  private lazy val exactKeeper:
+      Option[Seq[Manifests.FileEntry] => Seq[Manifests.FileEntry]] =
+    if (handledFilters.isEmpty) None
+    else Some(table.exactEntriesKeeper(snap, handledFilters.toSeq))
+
   private def prunedExact(cond: Column): Seq[Manifests.FileEntry] = {
     val entries = table.prunedEntries(snap, cond)
-    handledCond.fold(entries)(h => table.entriesWhereExact(snap, entries, h))
+    exactKeeper.fold(entries)(k => k(entries))
   }
 
   private def prunedNow(): Seq[Manifests.FileEntry] = {
@@ -773,17 +779,8 @@ object GraftNativeScan {
         val cond = pushed
           .flatMap(graft.sources.GraftFilterBridge.toColumn(_, exact = false))
           .reduceOption(_ && _).getOrElse(lit(true))
-        // HANDLED filters (declared applied-by-the-scan at pushdown —
-        // Spark does NOT re-apply them) must translate EXACTLY; the
-        // scan builder only marks filters it verified translate, so a
-        // miss here is an internal contract break, not a fallback case
-        val handledCond = handled
-          .map(f => graft.sources.GraftFilterBridge.toColumn(f, exact = true)
-            .getOrElse(throw new IllegalStateException(
-              s"handled filter $f does not translate exactly")))
-          .reduceOption(_ && _)
         Some(new GraftNativeScan(spark, table, snap, required, cond,
-          handledCond, pushed, limit))
+          handled, pushed, limit))
       }
     }
   }

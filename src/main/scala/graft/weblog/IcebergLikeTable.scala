@@ -1743,7 +1743,7 @@ final case class IcebergLikeTable(
     transform.collect { case PartitionTransforms.Days(s) => s }
 
   private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String],
-      condition: Option[Column] = None)
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : Option[Seq[(Option[String], Long, Map[String, (String, String)])]] = {
     val (_, snap) = resolveLive()
     // identity layouts group by the physical partition value; a
@@ -1765,20 +1765,19 @@ final case class IcebergLikeTable(
       if (!FileStats.supported(f.dataType)) return None
       c -> boundCompare(f.dataType)
     }
-    // a handled partition filter drops whole leaves BEFORE grouping —
-    // exactly Aggregate(Filter(scan)) order; undecidable ⇒ fall back
-    val matching = condition match {
-      case None => snap.dataEntries
-      case Some(cond) =>
-        val (partSchema, expr) =
-          partitionPredicate(snap, cond).getOrElse(return None)
+    // handled filters drop whole leaves BEFORE grouping — exactly
+    // Aggregate(Filter(scan)) order; undecidable ⇒ fall back
+    val matching =
+      if (filters.isEmpty) snap.dataEntries
+      else {
+        val decide = leafDeciderFor(snap, filters).getOrElse(return None)
         snap.dataEntries.filter { e =>
-          leafSatisfies(leafOf(e.path), partSchema, expr) match {
+          decide(leafOf(e.path)) match {
             case Some(keep) => keep
             case None => return None
           }
         }
-    }
+      }
     // group on the UNESCAPED logical value (inner Option: None = the
     // null partition): two different path escapings of one value —
     // possible via importFiles bringing a foreign directory layout —
@@ -1880,6 +1879,28 @@ final case class IcebergLikeTable(
     if (snap.deleteEntries.nonEmpty) return None
     val (partSchema, expr) =
       partitionPredicate(snap, condition).getOrElse(return None)
+    manifestAggregatesByLeaf(minMaxCols, snap,
+      leafSatisfies(_, partSchema, expr))
+  }
+
+  /** As above for a set of HANDLED pushed filters — which may be
+    * identity-partition predicates OR day-aligned half-lines on a
+    * days() transform's source ([[DaysExactFilter]]): the layer behind
+    * `count(*) … WHERE ts >= D1 AND ts < D2` as a zero-task lookup on
+    * hidden-partitioned tables.
+    */
+  private[graft] def manifestAggregatesWhereFilters(minMaxCols: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(Long, Map[String, (String, String)])] = {
+    val (_, snap) = resolveLive()
+    if (snap.deleteEntries.nonEmpty) return None
+    leafDeciderFor(snap, filters).flatMap(
+      manifestAggregatesByLeaf(minMaxCols, snap, _))
+  }
+
+  private def manifestAggregatesByLeaf(minMaxCols: Seq[String],
+      snap: TableSnapshot, decide: String => Option[Boolean])
+      : Option[(Long, Map[String, (String, String)])] = {
     val schema = storedSchema(snap.meta).getOrElse(return None)
     // an unsupported/unstamped column is simply absent from the bounds
     // map — same posture as [[manifestAggregates]], the caller falls
@@ -1892,7 +1913,7 @@ final case class IcebergLikeTable(
     var total = 0L
     val kept = Seq.newBuilder[Manifests.FileEntry]
     snap.entries.groupBy(e => leafOf(e.path)).foreach { case (leaf, entries) =>
-      leafSatisfies(leaf, partSchema, expr) match {
+      decide(leaf) match {
         case None => return None
         case Some(false) => // the whole leaf is out — count 0 from it
         case Some(true) =>
@@ -1916,6 +1937,97 @@ final case class IcebergLikeTable(
     Some((total, bounds))
   }
 
+  /** A whole-leaf decision function for HANDLED filters: the returned
+    * function answers whether EVERY row of a leaf satisfies them
+    * (Some(true/false)) or the leaf is undecidable (None). The outer
+    * None = this layout/filter combination cannot be decided
+    * leaf-exactly at all. Identity layouts evaluate the predicate
+    * against the leaf's typed partition values; days() layouts test
+    * day-aligned half-lines against the leaf's day ordinal.
+    */
+  private def leafDeciderFor(snap: TableSnapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[String => Option[Boolean]] = {
+    if (filters.isEmpty) return Some(_ => Some(true))
+    if (transform.isEmpty) {
+      val conds = filters.flatMap(f =>
+        graft.sources.GraftFilterBridge.toColumn(f, exact = true))
+      if (conds.size != filters.size) return None
+      partitionPredicate(snap, conds.reduce(_ && _)).map {
+        case (partSchema, expr) => leafSatisfies(_, partSchema, expr)
+      }
+    } else daysTransformSource match {
+      case Some(src) if specHistOf(snap.meta).isEmpty =>
+        val preds = filters.map(DaysExactFilter.of(_, src))
+        if (preds.exists(_.isEmpty)) None
+        else {
+          val ps = preds.flatten.flatten
+          Some { leaf =>
+            leaf.split('/').find(_.startsWith(s"$partitionCol="))
+              .map(_.substring(partitionCol.length + 1)) match {
+              case None => None // a leaf without the partition segment
+              case Some(raw)
+                  if raw == org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+                Some(ps.forall(_.holds(None)))
+              case Some(raw) => raw.toLongOption match {
+                case None => None // foreign value: not an ordinal
+                case Some(d) => Some(ps.forall(_.holds(Some(d))))
+              }
+            }
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Whether a pushed filter can be declared HANDLED on this table
+    * (the scan then honors it row-for-row via whole-leaf decisions and
+    * Spark does not re-apply it): identity partition columns of
+    * leaf-parseable types, or day-aligned half-lines on a days()
+    * transform's TIMESTAMP source.
+    */
+  private[graft] def exactFilterProbe: org.apache.spark.sql.sources.Filter => Boolean =
+    if (transform.isEmpty) {
+      exactPartitionFilterColumns match {
+        case Some(cols) => f =>
+          f.references.nonEmpty && f.references.forall(cols.contains) &&
+            graft.sources.GraftFilterBridge.toColumn(f, exact = true).isDefined
+        case None => _ => false
+      }
+    } else daysTransformSource match {
+      case Some(src) =>
+        val (_, snap) = resolveLive()
+        val ok = specHistOf(snap.meta).isEmpty &&
+          storedSchema(snap.meta).exists(_.fields.exists(f =>
+            f.name == src &&
+              f.dataType == org.apache.spark.sql.types.TimestampType))
+        if (!ok) _ => false
+        else f => DaysExactFilter.of(f, src).isDefined
+      case None => _ => false
+    }
+
+  /** Restrict entries to the leaves the HANDLED filters keep — a
+    * ROW-exact decision (see [[leafDeciderFor]]), which is what lets
+    * the native scan skip Spark's re-application. Undecidable THROWS:
+    * the pushdown already promised exact filtering, so a silent
+    * superset would surface wrong rows.
+    */
+  private[weblog] def exactEntriesKeeper(snap: TableSnapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[Manifests.FileEntry] => Seq[Manifests.FileEntry] = {
+    val decide = leafDeciderFor(snap, filters).getOrElse(
+      throw new IllegalStateException(
+        s"handled filters are undecidable against $path (layout changed " +
+          "between filter pushdown and scan planning?)"))
+    entries => entries.filter { e =>
+      decide(leafOf(e.path)).getOrElse(
+        throw new IllegalStateException(
+          s"leaf '${leafOf(e.path)}' of $path cannot decide a handled " +
+            "filter (foreign directory layout?)"))
+    }
+  }
+
   /** The columns a pushed filter may be declared HANDLED on (exact
     * partition filtering: the scan itself honors the predicate row for
     * row, Spark does not re-apply it): identity partition columns of
@@ -1933,30 +2045,6 @@ final case class IcebergLikeTable(
         f.dataType == org.apache.spark.sql.types.IntegerType ||
         f.dataType == org.apache.spark.sql.types.LongType))
     if (ok) Some(partCols) else None
-  }
-
-  /** Restrict `entries` to the leaves where `condition` — a handled
-    * partition-exact predicate — evaluates TRUE. This is a ROW-exact
-    * decision (every row of a leaf shares its partition values), which
-    * is what lets the native scan skip Spark's re-application of the
-    * filter. An undecidable leaf THROWS: the pushdown already promised
-    * Spark exact filtering, so a silent superset would surface wrong
-    * rows — loud refusal is the only sound failure mode (and graft-
-    * written layouts always decide; only a foreign import can trip it).
-    */
-  private[weblog] def entriesWhereExact(snap: TableSnapshot,
-      entries: Seq[Manifests.FileEntry],
-      condition: Column): Seq[Manifests.FileEntry] = {
-    val (partSchema, expr) = partitionPredicate(snap, condition).getOrElse(
-      throw new IllegalStateException(
-        s"handled partition filter is undecidable against $path (layout " +
-          "changed between filter pushdown and scan planning?)"))
-    entries.filter { e =>
-      leafSatisfies(leafOf(e.path), partSchema, expr).getOrElse(
-        throw new IllegalStateException(
-          s"leaf '${leafOf(e.path)}' of $path cannot decide a handled " +
-            "partition filter (foreign directory layout?)"))
-    }
   }
 
   /** Typed partition values of a leaf path under the partition schema

@@ -34,8 +34,8 @@ import org.apache.spark.sql.functions._
   */
 object PartitionTransforms {
 
-  private val MicrosPerHour = 3600000000L
-  private val MicrosPerDay = 86400000000L
+  private[weblog] val MicrosPerHour = 3600000000L
+  private[weblog] val MicrosPerDay = 86400000000L
 
   sealed trait Transform {
     /** The source data column the transform derives from. */

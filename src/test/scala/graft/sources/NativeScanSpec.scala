@@ -348,8 +348,9 @@ class NativeScanSpec extends SparkTestBase {
     val q5 = sql("SELECT count(*) FROM gns.web.fagg WHERE day = 2 AND uid >= 2010")
     assert(q5.head.getLong(0) == 15L)
     assert(!isLocal(q5), "mixed predicates must fall back to a real scan")
-    // hidden partitioning never hands filters over (the leaf value is
-    // the transform ordinal, not the source value): correct via scan
+    // hidden days() partitioning hands over DAY-ALIGNED half-lines
+    // (r11, see the dedicated time-slice test) — this aligned boundary
+    // is now a zero-task lookup too; unaligned ones stay residual
     sql("""CREATE TABLE gns.web.faggh (uid BIGINT, ts TIMESTAMP)
           |PARTITIONED BY (days(ts))""".stripMargin)
     sql("""INSERT INTO gns.web.faggh
@@ -357,7 +358,10 @@ class NativeScanSpec extends SparkTestBase {
           |FROM range(30)""".stripMargin)
     val q6 = sql("SELECT count(*) FROM gns.web.faggh WHERE ts >= timestamp'2024-03-06 00:00:00'")
     assert(q6.head.getLong(0) == 20L)
-    assert(!isLocal(q6))
+    assert(isLocal(q6), "aligned day boundary must answer from the manifest")
+    val q6b = sql("SELECT count(*) FROM gns.web.faggh WHERE ts >= timestamp'2024-03-06 10:00:00'")
+    assert(q6b.head.getLong(0) == 20L)
+    assert(!isLocal(q6b), "unaligned boundaries must scan")
     // …but GROUP BY CAST(ts AS DATE) on the days() table IS decidable:
     // each leaf value is the UTC day ordinal = the DATE's internal value
     val q7 = sql("""SELECT CAST(ts AS DATE) AS d, count(*) AS c
@@ -368,6 +372,55 @@ class NativeScanSpec extends SparkTestBase {
     assert(isLocal(q7),
       s"days-grouped count must answer from the manifest:\n" +
         s"${q7.queryExecution.executedPlan}")
+  }
+
+  test("day-aligned time filters are HANDLED on days() tables: the dashboard time slice is zero-task") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.tslice (uid BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+    // 3 days × 20 rows, plus NULL-timestamp strays in the null leaf
+    sql("""INSERT INTO gns.web.tslice
+          |SELECT id,
+          |       timestamp'2024-03-05 06:00:00' +
+          |         make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0)
+          |FROM range(60)""".stripMargin)
+    sql("INSERT INTO gns.web.tslice VALUES (900, NULL), (901, NULL)")
+    def isLocal(q: DataFrame): Boolean = {
+      q.collect()
+      allNodes(q.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // the universal dashboard query: count in an aligned time window
+    val q1 = sql("""SELECT count(*) FROM gns.web.tslice
+                   |WHERE ts >= timestamp'2024-03-06 00:00:00'
+                   |  AND ts < timestamp'2024-03-07 00:00:00'""".stripMargin)
+    assert(q1.head.getLong(0) == 20L)
+    assert(isLocal(q1),
+      s"aligned time-slice count must be zero-task:\n" +
+        s"${q1.queryExecution.executedPlan}")
+    // one-sided half-line + the grouped variant under the filter
+    val q2 = sql("""SELECT CAST(ts AS DATE) AS d, count(*) AS c
+                   |FROM gns.web.tslice
+                   |WHERE ts >= timestamp'2024-03-06 00:00:00'
+                   |GROUP BY CAST(ts AS DATE) ORDER BY d""".stripMargin)
+    assert(q2.collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq ==
+      Seq(("2024-03-06", 20L), ("2024-03-07", 20L)))
+    assert(isLocal(q2))
+    // an UNALIGNED boundary stays residual: real scan, right answer
+    val q3 = sql("""SELECT count(*) FROM gns.web.tslice
+                   |WHERE ts >= timestamp'2024-03-06 06:00:00'""".stripMargin)
+    assert(q3.head.getLong(0) == 40L)
+    assert(!isLocal(q3), "unaligned boundaries must scan")
+    // ROW queries under a handled filter must be exact (Spark does not
+    // re-filter): NULL-timestamp rows stay excluded, boundaries honored
+    val rows = sql("""SELECT uid FROM gns.web.tslice
+                     |WHERE ts >= timestamp'2024-03-07 00:00:00'
+                     |ORDER BY uid""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == (0 until 60).filter(_ % 3 == 2).map(_.toLong))
+    assert(sql("SELECT count(*) FROM gns.web.tslice WHERE ts IS NOT NULL")
+      .head.getLong(0) == 60L)
+    assert(sql("SELECT count(*) FROM gns.web.tslice").head.getLong(0) == 62L)
   }
 
   test("filtered LIMIT: a partition-exact WHERE still truncates the file list") {
