@@ -21,10 +21,9 @@ import org.apache.spark.sql.sources
   */
 private[graft] object DaysExactFilter {
 
-  private val Day = PartitionTransforms.MicrosPerDay
-
-  /** A predicate over the leaf's day ordinal (None = the NULL leaf —
-    * rows whose source timestamp is NULL, which no comparison keeps).
+  /** A predicate over the leaf's numeric value — the time ordinal
+    * (days/hours) or the truncated value (truncate); None = the NULL
+    * leaf (rows whose source is NULL, which no comparison keeps).
     */
   sealed trait Pred { def holds(ordinal: Option[Long]): Boolean }
   final case class Gte(d: Long) extends Pred {
@@ -48,29 +47,65 @@ private[graft] object DaysExactFilter {
     case _ => None
   }
 
-  /** Translate one pushed filter into day-ordinal predicates; None =
-    * not leaf-exact on `src` (another column, unaligned boundary,
-    * unsupported shape).
+  /** An integral literal of a truncate() source. */
+  private def integral(v: Any): Option[Long] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** Half-line translation shared by every leaf-exact transform:
+    * `value` extracts + validates the literal, `lower(m)` maps an
+    * ALIGNED inclusive lower boundary to its leaf threshold and
+    * `upper(m)` an aligned exclusive upper boundary; None from either
+    * = unaligned/untranslatable (the filter stays residual — only the
+    * pushdown opportunity depends on alignment, never correctness).
+    * `>`/`<=` normalize onto `>=`/`<` one unit-of-least-count away
+    * (micros for time transforms, 1 for integral truncation).
     */
-  def of(f: sources.Filter, src: String): Option[Seq[Pred]] = f match {
+  private def halfLines(f: sources.Filter, src: String,
+      value: Any => Option[Long],
+      lower: Long => Option[Long],
+      upper: Long => Option[Long]): Option[Seq[Pred]] = f match {
     case sources.GreaterThanOrEqual(a, v) if a == src =>
-      micros(v).filter(m => Math.floorMod(m, Day) == 0L)
-        .map(m => Seq(Gte(Math.floorDiv(m, Day))))
+      value(v).flatMap(lower).map(d => Seq(Gte(d)))
     case sources.GreaterThan(a, v) if a == src =>
-      // ts > T keeps whole leaves iff T is the LAST micro of its day
-      micros(v).filter(m => Math.floorMod(m + 1L, Day) == 0L)
-        .map(m => Seq(Gte(Math.floorDiv(m + 1L, Day))))
+      // x > T keeps whole leaves iff T+1 is an aligned lower boundary
+      value(v).flatMap(m => lower(m + 1L)).map(d => Seq(Gte(d)))
     case sources.LessThan(a, v) if a == src =>
-      micros(v).filter(m => Math.floorMod(m, Day) == 0L)
-        .map(m => Seq(Lt(Math.floorDiv(m, Day))))
+      value(v).flatMap(upper).map(d => Seq(Lt(d)))
     case sources.LessThanOrEqual(a, v) if a == src =>
-      micros(v).filter(m => Math.floorMod(m + 1L, Day) == 0L)
-        .map(m => Seq(Lt(Math.floorDiv(m + 1L, Day))))
+      value(v).flatMap(m => upper(m + 1L)).map(d => Seq(Lt(d)))
     case sources.IsNotNull(a) if a == src =>
       // the NULL leaf holds exactly the NULL-source rows: leaf-exact
       Some(Seq(NotNull))
     case sources.And(l, r) =>
-      for { a <- of(l, src); b <- of(r, src) } yield a ++ b
+      for {
+        a <- halfLines(l, src, value, lower, upper)
+        b <- halfLines(r, src, value, lower, upper)
+      } yield a ++ b
     case _ => None
+  }
+
+  /** Time transforms (days/hours — `unit` micros per leaf): the leaf
+    * value is the UTC ordinal floor(micros / unit); a boundary decides
+    * whole leaves iff it sits on a unit boundary.
+    */
+  def of(f: sources.Filter, src: String, unit: Long): Option[Seq[Pred]] = {
+    def aligned(m: Long): Option[Long] =
+      if (Math.floorMod(m, unit) == 0L) Some(Math.floorDiv(m, unit)) else None
+    halfLines(f, src, micros, aligned, aligned)
+  }
+
+  /** `truncate(w, src)` over an integral source: the leaf value is the
+    * truncated value floor(v / w)·w, covering `[leaf, leaf + w)` — a
+    * width-aligned boundary compares directly against it.
+    */
+  def ofTruncate(f: sources.Filter, src: String, width: Long): Option[Seq[Pred]] = {
+    def aligned(v: Long): Option[Long] =
+      if (Math.floorMod(v, width) == 0L) Some(v) else None
+    halfLines(f, src, integral, aligned, aligned)
   }
 }

@@ -1956,9 +1956,9 @@ final case class IcebergLikeTable(
       partitionPredicate(snap, conds.reduce(_ && _)).map {
         case (partSchema, expr) => leafSatisfies(_, partSchema, expr)
       }
-    } else daysTransformSource match {
-      case Some(src) if specHistOf(snap.meta).isEmpty =>
-        val preds = filters.map(DaysExactFilter.of(_, src))
+    } else leafExactTranslate match {
+      case Some(translate) if specHistOf(snap.meta).isEmpty =>
+        val preds = filters.map(translate)
         if (preds.exists(_.isEmpty)) None
         else {
           val ps = preds.flatten.flatten
@@ -1981,11 +1981,33 @@ final case class IcebergLikeTable(
     }
   }
 
+  /** The filter translator of a leaf-exact HIDDEN transform: days and
+    * hours (aligned time boundaries against the UTC ordinal leaf
+    * value) and truncate (width-aligned integral boundaries against
+    * the truncated leaf value). The value-level translation guards the
+    * types itself: a literal of the wrong kind simply never
+    * translates, so no schema cross-check is needed here.
+    */
+  private def leafExactTranslate:
+      Option[org.apache.spark.sql.sources.Filter => Option[Seq[DaysExactFilter.Pred]]] =
+    transform.flatMap {
+      case PartitionTransforms.Days(s) =>
+        Some((f: org.apache.spark.sql.sources.Filter) =>
+          DaysExactFilter.of(f, s, PartitionTransforms.MicrosPerDay))
+      case PartitionTransforms.Hours(s) =>
+        Some((f: org.apache.spark.sql.sources.Filter) =>
+          DaysExactFilter.of(f, s, PartitionTransforms.MicrosPerHour))
+      case PartitionTransforms.Truncate(s, w) =>
+        Some((f: org.apache.spark.sql.sources.Filter) =>
+          DaysExactFilter.ofTruncate(f, s, w))
+      case _ => None
+    }
+
   /** Whether a pushed filter can be declared HANDLED on this table
     * (the scan then honors it row-for-row via whole-leaf decisions and
     * Spark does not re-apply it): identity partition columns of
-    * leaf-parseable types, or day-aligned half-lines on a days()
-    * transform's TIMESTAMP source.
+    * leaf-parseable types, or boundary-aligned half-lines on a
+    * days()/hours()/truncate() transform's source.
     */
   private[graft] def exactFilterProbe: org.apache.spark.sql.sources.Filter => Boolean =
     if (transform.isEmpty) {
@@ -1995,15 +2017,11 @@ final case class IcebergLikeTable(
             graft.sources.GraftFilterBridge.toColumn(f, exact = true).isDefined
         case None => _ => false
       }
-    } else daysTransformSource match {
-      case Some(src) =>
+    } else leafExactTranslate match {
+      case Some(translate) =>
         val (_, snap) = resolveLive()
-        val ok = specHistOf(snap.meta).isEmpty &&
-          storedSchema(snap.meta).exists(_.fields.exists(f =>
-            f.name == src &&
-              f.dataType == org.apache.spark.sql.types.TimestampType))
-        if (!ok) _ => false
-        else f => DaysExactFilter.of(f, src).isDefined
+        if (specHistOf(snap.meta).nonEmpty) _ => false
+        else f => translate(f).isDefined
       case None => _ => false
     }
 

@@ -421,6 +421,33 @@ class NativeScanSpec extends SparkTestBase {
     assert(sql("SELECT count(*) FROM gns.web.tslice WHERE ts IS NOT NULL")
       .head.getLong(0) == 60L)
     assert(sql("SELECT count(*) FROM gns.web.tslice").head.getLong(0) == 62L)
+    // the same leaf-exactness generalizes to hours() …
+    sql("""CREATE TABLE gns.web.hslice (uid BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (hours(ts))""".stripMargin)
+    sql("""INSERT INTO gns.web.hslice
+          |SELECT id, timestamp'2024-03-05 06:30:00' +
+          |       make_interval(0,0,0,0,CAST(id % 4 AS INT),0,0)
+          |FROM range(40)""".stripMargin)
+    val h1 = sql("""SELECT count(*) FROM gns.web.hslice
+                   |WHERE ts >= timestamp'2024-03-05 08:00:00'""".stripMargin)
+    assert(h1.head.getLong(0) == 20L)
+    assert(isLocal(h1), "hour-aligned boundary must be zero-task")
+    val h2 = sql("""SELECT count(*) FROM gns.web.hslice
+                   |WHERE ts >= timestamp'2024-03-05 08:30:00'""".stripMargin)
+    assert(h2.head.getLong(0) == 20L)
+    assert(!isLocal(h2), "sub-hour boundaries must scan")
+    // … and to truncate() over an integral source
+    sql("""CREATE TABLE gns.web.trslice (uid BIGINT, bucket_src BIGINT)
+          |PARTITIONED BY (truncate(100, bucket_src))""".stripMargin)
+    sql("INSERT INTO gns.web.trslice SELECT id, id * 7 FROM range(100)")
+    val t1 = sql("SELECT count(*) FROM gns.web.trslice WHERE bucket_src >= 300")
+    assert(t1.head.getLong(0) ==
+      (0 until 100).count(_ * 7 >= 300).toLong)
+    assert(isLocal(t1), "width-aligned integral boundary must be zero-task")
+    val t2 = sql("SELECT count(*) FROM gns.web.trslice WHERE bucket_src >= 350")
+    assert(t2.head.getLong(0) ==
+      (0 until 100).count(_ * 7 >= 350).toLong)
+    assert(!isLocal(t2), "unaligned integral boundaries must scan")
   }
 
   test("filtered LIMIT: a partition-exact WHERE still truncates the file list") {
