@@ -408,19 +408,28 @@ final case class IcebergLikeTable(
     val requested = (if (columns.nonEmpty) columns else statsCols).distinct
     val cols = requested.filter(c =>
       schema.fields.exists(f => f.name == c && FileStats.supported(f.dataType)))
+    // declared Bloom columns backfill too — file contents are
+    // immutable, so a sidecar computed now stays valid forever and
+    // point-lookup pruning lights up on files stamped before the
+    // columns were declared
+    val bCols = bloomColumns.distinct.filter(c =>
+      schema.fields.exists(_.name == c))
     val dataEntries = snap.dataEntries
     if (dataEntries.isEmpty) return liveVersion
-    // one pass: per-file row count + per-column bounds/nulls/NDV —
-    // the same aggregate shape the commit path stamps batches with,
-    // here over the whole live file set (epoch-aware scan, so renamed
-    // tables analyze under their current names)
+    // one pass: per-file row count + per-column bounds/nulls/NDV (+
+    // Bloom filters) — the same aggregate shape the commit path stamps
+    // batches with, here over the whole live file set (epoch-aware
+    // scan, so renamed tables analyze under their current names)
     val aggs = (count(lit(1)).as("_rc") +:
       cols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"_lo_$c"),
         max(col(c)).cast("string").as(s"_hi_$c"),
         count(col(c)).as(s"_nn_$c"),
         base64(hll_sketch_agg(col(c).cast("string"),
-          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c"))))
+          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c")))) ++
+      bCols.map(c =>
+        BloomStats.bloomAgg(xxhash64(col(c)), bloomExpectedItems, bloomFpp)
+          .as(s"_bf_$c"))
     val perFile = readFileSetEvolved(snap, dataEntries.map(_.path))
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -452,9 +461,38 @@ final case class IcebergLikeTable(
     }
     val version = nextVersion(liveVersion)
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val meta = snap.meta + (TsKey -> System.currentTimeMillis().toString)
-    publishVersion(version, token, restamped ++ snap.deleteEntries, meta,
+    // fresh Bloom sidecar covering EVERY analyzed file (old sidecars
+    // for the same files stay valid — file contents are immutable —
+    // and expire with the manifests that reference them). A previous
+    // analyze sidecar is superseded by this one; per-commit sidecars
+    // keep covering their own imports.
+    val perFileBlooms: BloomStats.Sidecar =
+      if (bCols.isEmpty) Map.empty
+      else dataEntries.flatMap { e =>
+        perFile.get(e.path.substring(e.path.lastIndexOf('/') + 1)).map { r =>
+          e.path -> bCols.map(c => c -> r.getAs[Array[Byte]](s"_bf_$c")).toMap
+        }
+      }.toMap
+    val bloom: Map[String, String] =
+      if (perFileBlooms.isEmpty) Map.empty
+      else {
+        val name = s"${IcebergLikeTable.AnalyzeBloomPrefix}v${version}_$token"
+        BloomStats.write(fs, new Path(root, name), perFileBlooms)
+        val kept = bloomSidecarsOf(snap.meta)
+          .filterNot(_.startsWith(IcebergLikeTable.AnalyzeBloomPrefix))
+        Map(BloomKey -> (kept :+ name).mkString(","))
+      }
+    val meta = snap.meta ++ bloom + (TsKey -> System.currentTimeMillis().toString)
+    try publishVersion(version, token, restamped ++ snap.deleteEntries, meta,
       snap, reuseBaseLeaves = false)
+    catch {
+      case e: Manifests.CommitConflictException =>
+        // lost the race: un-write this attempt's sidecar (retry writes
+        // a fresh one under its own token)
+        if (bloom.nonEmpty) fs.delete(new Path(root,
+          s"${IcebergLikeTable.AnalyzeBloomPrefix}v${version}_$token"), false)
+        throw e
+    }
     expireSnapshots()
     version
   }
@@ -730,8 +768,13 @@ final case class IcebergLikeTable(
       token: String): Map[String, String] = {
     val liveNames = fileList.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
     val carried = bloomSidecarsOf(baseMeta).filter { n =>
-      val tag = n.stripPrefix("_graft_bloom_").split("_", 2)
-      tag.length == 2 && liveNames.exists(_.startsWith(s"part-${tag(0)}-${tag(1)}-"))
+      // ANALYZE sidecars cover a whole-table snapshot, not one
+      // commit's imports — they carry unconditionally (the next
+      // analyze replaces them; GC sweeps them with their manifests)
+      n.startsWith(IcebergLikeTable.AnalyzeBloomPrefix) || {
+        val tag = n.stripPrefix("_graft_bloom_").split("_", 2)
+        tag.length == 2 && liveNames.exists(_.startsWith(s"part-${tag(0)}-${tag(1)}-"))
+      }
     }
     if (perFile.isEmpty)
       return if (carried.isEmpty) Map.empty else Map(BloomKey -> carried.mkString(","))
@@ -4151,6 +4194,13 @@ object IcebergLikeTable {
     * same order as the keepers union-find cap.
     */
   private[weblog] val NativePosDeleteTupleBudget = 4000000L
+
+  /** Name prefix of ANALYZE-written Bloom sidecars: they cover a
+    * whole-table snapshot (not one commit's imports), so the commit
+    * path's name-tag liveness rule doesn't apply — they carry until
+    * the next analyze supersedes them.
+    */
+  private[weblog] val AnalyzeBloomPrefix = "_graft_bloom_analyze_"
 
   /** lgConfigK of the per-file NDV sketches (DataSketches HLL): 12 ⇒
     * ~1.6% standard error, a few hundred bytes compact-serialized for

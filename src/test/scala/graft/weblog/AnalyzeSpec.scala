@@ -84,6 +84,36 @@ class AnalyzeSpec extends SparkTestBase {
     assert(t.read.count() == 50L)
   }
 
+  test("analyze backfills Bloom sidecars: point lookups prune files the bounds cannot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("an_bloom").toString + "/t"
+    // written WITHOUT bloom columns: the three files' k ranges overlap
+    // completely (interleaved residues), so bounds can never prune a
+    // point lookup — only a Bloom can
+    val plain = IcebergLikeTable(spark, dir, "day")
+    for (r <- 0 to 2)
+      plain.append((0 until 100).map(i => (i.toLong * 3 + r, 1))
+        .toDF("k", "day"))
+    val t = IcebergLikeTable(spark, dir, "day", bloomColumns = Seq("k"))
+    val total = t.filesFor(org.apache.spark.sql.functions.lit(true)).size
+    assert(t.filesFor(col("k") === 4L).size == total,
+      "pre-analyze point lookups must scan everything")
+    t.analyze(Seq("k"))
+    // k=4 has residue 1: only residue-1 files can contain it (modulo
+    // the 1% false-positive rate — strictly fewer than all files)
+    val hit = t.filesFor(col("k") === 4L).size
+    assert(hit < total && hit >= 1,
+      s"analyzed Bloom must prune the point lookup: $hit of $total")
+    assert(t.readWhere(col("k") === 4L).count() == 1L)
+    // the backfilled sidecar SURVIVES later commits (whole-table
+    // coverage carries; only a newer analyze supersedes it)
+    t.append(Seq((1000L, 2)).toDF("k", "day"))
+    val hit2 = t.filesFor(col("k") === 4L).size
+    assert(hit2 <= hit + 1,
+      s"the analyze sidecar must carry across commits: $hit2")
+    assert(t.readWhere(col("k") === 4L).count() == 1L)
+  }
+
   test("CALL g.system.analyze backfills through SQL and the pushed aggregate goes zero-task") {
     val wh = Files.createTempDirectory("an_sql").toString
     spark.conf.set("spark.sql.catalog.gan", "graft.sources.GraftCatalog")
