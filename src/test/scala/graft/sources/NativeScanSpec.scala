@@ -288,6 +288,18 @@ class NativeScanSpec extends SparkTestBase {
     // negation translates exactly or stays residual — either way exact
     assert(sql("SELECT uid FROM gns.web.hf WHERE NOT (p = 'plain') ORDER BY uid")
       .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    // plan-shape pin: a handled-only predicate leaves NO Filter node —
+    // the scan is the filter (this is the contract everything above
+    // exercises; pin it so a regression to residual is visible)
+    val hq = sql("SELECT uid FROM gns.web.hf WHERE p = 'plain'")
+    assert(!hq.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+      s"handled filter must be removed from the plan:\n" +
+        s"${hq.queryExecution.optimizedPlan}")
+    // …while a data-column predicate keeps its Filter
+    val rq = sql("SELECT uid FROM gns.web.hf WHERE uid > 2")
+    assert(rq.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]))
     // V1-bridge leg: live EQUALITY deletes make the snapshot ineligible
     // for the native scan, and the bridge must still apply handled
     // filters row-for-row (readWhere re-filters the survivors)
