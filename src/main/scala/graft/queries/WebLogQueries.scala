@@ -943,6 +943,62 @@ object WebLogQueries {
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // NATIVE V2 SCAN UNDER EQUALITY DELETES (r11): the keyed GDPR
+    // merge-on-read table — the engine's own deleteMergeOnRead path,
+    // Iceberg v2 equality-delete files — reads through the native
+    // BatchScan: the tuples broadcast once at planning (stamped counts
+    // gate the budget) and each reader masks the generations that
+    // out-sequence its file, row-identical to the V1 bridge's
+    // sequence-scoped anti-join. Trino keeps dynamic filtering under
+    // deletes; this closes the same gap. The proof boolean pins the
+    // BatchScanExec plan; the census (per-event counts/sums after the
+    // GDPR erasure) is recomputed by the oracle.
+    Q("weblog_native_eqdel",
+      (s, d) => {
+        val wh = scratch(s, "nativeeq", d)
+        s.conf.set("spark.sql.catalog.gne", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gne.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gne.web")
+        s.sql("DROP TABLE IF EXISTS gne.web.sessions")
+        s.sql("""CREATE TABLE gne.web.sessions
+                |(id BIGINT, user_id BIGINT, event STRING, seq BIGINT)
+                |TBLPROPERTIES (uniqueKeys 'id', numBuckets '2',
+                |orderCol 'seq', 'write.delete.mode' 'merge-on-read')""".stripMargin)
+        Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 12)
+          .select(col("event_id").as("id"), col("user_id"),
+            col("event_type").as("event"), lit(1L).as("seq"))
+          .createOrReplaceTempView("graft_ne_src")
+        s.sql("INSERT INTO gne.web.sessions SELECT * FROM graft_ne_src")
+        s.sql("DELETE FROM gne.web.sessions WHERE user_id % 10 = 3")
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        val q = s.sql("""SELECT event, CAST(count(*) AS BIGINT) AS cnt,
+                        |       CAST(sum(user_id) AS BIGINT) AS sum_uid
+                        |FROM gne.web.sessions GROUP BY event""".stripMargin)
+        val rows = q.collect()
+        val native = nodes(q.queryExecution.executedPlan).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+        import s.implicits._
+        rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2), native))
+          .toDF("event", "cnt", "sum_uid", "native_scan")
+          .orderBy("event")
+      },
+      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+             |       TRUE AS native_scan
+             |FROM events
+             |WHERE day(ts) = 1 AND hour(ts) < 12 AND user_id % 10 <> 3
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // MULTI-COLUMN partition spec (Iceberg's everyday
     // `PARTITIONED BY (days(ts), event)`; the reference's own raw zone
     // is 4-level year/month/day/hour, athena_named_query.py:33-37):

@@ -45,10 +45,12 @@ import org.apache.spark.util.SerializableConfiguration
   * [[FilePartition]]s: zero directory listings, stamped sizes drive
   * the split planning, and pushed filters reach the row-group stats.
   * Eligibility is decided per snapshot by
-  * [[IcebergLikeTable.nativeScanSnapshot]] (schema/size-stamped, no
-  * live delete files, no rename/drop epochs); ineligible snapshots
-  * fall back to the V1 bridge, which composes the full merge-on-read
-  * and column-history machinery. Every pushed filter is declared
+  * [[IcebergLikeTable.nativeScanSnapshot]] (schema/size-stamped;
+  * rename/drop epochs, positional deletes and equality deletes all
+  * read natively — see the MOR state below); ineligible snapshots
+  * (over-budget or unstamped delete tuples, non-canonical key types,
+  * eq deletes under rename epochs) fall back to the V1 bridge, which
+  * composes the full merge-on-read and column-history machinery. Every pushed filter is declared
   * residual, so Spark re-applies them row-by-row — pruning here is an
   * I/O-only optimization, exactly like the rest of the engine.
   */
@@ -73,20 +75,31 @@ final class GraftNativeScan private (
     */
   @volatile private var runtimeCond: Option[Column] = None
 
-  /** MERGE-ON-READ state of this snapshot (r11 — previously both fell
-    * back to the V1 bridge and lost stats/pruning/pushdown exactly on
-    * the tables using the most advanced features):
+  /** MERGE-ON-READ state of this snapshot (r11 — previously all three
+    * fell back to the V1 bridge and lost stats/pruning/pushdown exactly
+    * on the tables using the most advanced features):
     *  - rename/drop epochs read through PER-EPOCH reader schemas
     *    positionally aligned with the current logical schema;
     *  - positional delete files apply as a per-reader (file, ordinal)
-    *    skip over the scan-generated row index.
-    * Equality deletes never reach this scan (eligibility sends them to
-    * the V1 bridge — their sequence-scoped anti-join is a join, not a
-    * row filter).
+    *    skip over the scan-generated row index;
+    *  - equality delete files apply as a per-reader SEQUENCE-SCOPED
+    *    key-tuple mask: the tuples collect once at planning (stamped
+    *    counts fit the broadcast budget — eligibility), and each data
+    *    file's reader drops rows whose key tuple appears in a delete
+    *    generation YOUNGER than the file's own write sequence —
+    *    Iceberg v2 semantics, row-identical to the V1 bridge's
+    *    broadcast anti-join (the delete side is always the broadcast
+    *    side there too, so this trades a per-generation join for a
+    *    hash-set probe inside the scan).
     */
   private val hasEvo = table.snapshotHasEvolution(snap)
-  private val hasPosDels = snap.deleteEntries.nonEmpty
-  private def morMode: Boolean = hasEvo || hasPosDels
+  private val posDelEntries =
+    snap.deleteEntries.filter(e => Manifests.isPosDelete(e.path))
+  private val eqDelEntries =
+    snap.deleteEntries.filterNot(e => Manifests.isPosDelete(e.path))
+  private val hasPosDels = posDelEntries.nonEmpty
+  private val hasEqDels = eqDelEntries.nonEmpty
+  private def morMode: Boolean = hasEvo || hasPosDels || hasEqDels
 
   // reader output = data columns then partition-directory columns
   // (Spark reorders to the expected output with a projection)
@@ -133,8 +146,10 @@ final class GraftNativeScan private (
       // files until the stamped row counts cover it — whole files,
       // Spark's own limit operator trims the excess. Any unstamped
       // count disables the cut (the cover would be a guess), and so do
-      // live positional deletes (deleted rows would starve the cover).
-      case Some(n) if !hasPosDels && entries.forall(_.rowCount >= 0L) =>
+      // live delete files of either kind (masked rows would starve the
+      // cover).
+      case Some(n) if !hasPosDels && !hasEqDels &&
+          entries.forall(_.rowCount >= 0L) =>
         var acc = 0L
         val kept = entries.takeWhile { e =>
           val need = acc < n; acc += e.rowCount; need
@@ -266,20 +281,38 @@ final class GraftNativeScan private (
       }
     if (morMode) {
       // EPOCH-PURE partitions (each reads under its epoch's physical
-      // schema); under positional deletes additionally SINGLE-SPLIT
+      // schema); under live delete files additionally SINGLE-SPLIT
       // partitions, so the reader knows which data file its (file,
-      // ordinal) skip list addresses. Key grouping is off in this mode.
+      // ordinal) skip list addresses / which equality-delete
+      // generations out-sequence it. Key grouping is off in this mode.
+      val eqGens: Seq[(String, Long)] =
+        eqDelEntries.map(e => (table.leafOf(e.path), e.deleteSeq)).distinct
       return entries.groupBy(e => epochIndexOf(e.path)).toSeq.sortBy(_._1)
         .flatMap { case (epoch, es) =>
-          if (hasPosDels)
-            es.sortBy(_.path).flatMap(e =>
+          if (hasPosDels || hasEqDels)
+            es.sortBy(_.path).flatMap { e =>
+              // the generations whose tuples may mask this file's rows:
+              // same leaf, delete sequence STRICTLY above the file's
+              // write sequence (Iceberg v2 scoping). An unparseable
+              // write sequence (foreign import) applies none — exactly
+              // the V1 anti-join, where the NULL sequence fails every
+              // `seq < dseq` comparison and the row survives.
+              val eqKeys =
+                if (!hasEqDels) Nil
+                else table.fileVersionOf(e.path) match {
+                  case Some(fseq) =>
+                    val leaf = table.leafOf(e.path)
+                    eqGens.filter(g => g._1 == leaf && g._2 > fseq)
+                  case None => Nil
+                }
               filesOf(Seq(e), maxSplitBytes).map(pf =>
-                GraftMorPartition(epoch, Some(e.path),
-                  FilePartition(0, Array(pf)))))
+                GraftMorPartition(epoch, Some(e.path), eqKeys,
+                  FilePartition(0, Array(pf))))
+            }
           else
             FilePartition.getFilePartitions(spark,
               filesOf(es, maxSplitBytes), maxSplitBytes)
-              .map(fp => GraftMorPartition(epoch, None, fp))
+              .map(fp => GraftMorPartition(epoch, None, Nil, fp))
         }.toArray[InputPartition]
     }
     staticBuckets match {
@@ -382,12 +415,26 @@ final class GraftNativeScan private (
     // GENERATE it — ParquetRowIndexUtil matches the reserved name);
     // a required-but-missing column would fail the vectorized reader's
     // schema check before the generator ever ran
+    // EQUALITY-delete masking needs the key columns in the read row
+    // even when the query projected them away: the reader reads them
+    // as EXTRA trailing columns and the wrapper projects them back out
+    // (eligibility bars eq deletes from rename epochs, so the extras'
+    // names are stable across every file)
+    val stored = table.storedSchema(snap.meta).getOrElse(
+      throw new IllegalStateException(
+        s"native scan planned over an unstamped schema at ${table.path}"))
+    val extraKeyFields: Seq[StructField] =
+      if (!hasEqDels) Nil
+      else table.uniqueKeys.filterNot(k => dataFields.exists(_.name == k))
+        .map(k => stored.fields.find(_.name == k).getOrElse(
+          throw new IllegalStateException(
+            s"unique key '$k' missing from the stored schema at ${table.path}")))
     val rowIdxField = StructField(GraftNativeScan.RowIndexCol, LongType)
     val factories = epochKeys.map { phys =>
       val fields = dataFields.toSeq.zip(phys).zipWithIndex.map {
         case ((f, Some(p)), _) => StructField(p, f.dataType, f.nullable, f.metadata)
         case ((f, None), i) => StructField(s"__graft_absent_$i", f.dataType)
-      }
+      } ++ extraKeyFields
       val renames = dataFields.map(_.name).zip(phys).toMap
       val epochFilters = pushedFilters.flatMap(
         translateFilter(_, n => renames.getOrElse(n, None), exact = false))
@@ -403,7 +450,7 @@ final class GraftNativeScan private (
       if (!hasPosDels) null
       else {
         val tuples = spark.read.parquet(
-          snap.deleteEntries.map(e => s"${table.path}/${e.path}"): _*)
+          posDelEntries.map(e => s"${table.path}/${e.path}"): _*)
           .select(table.PosDelFile, table.PosDelPos)
           .collect()
         spark.sparkContext.broadcast(
@@ -411,10 +458,58 @@ final class GraftNativeScan private (
             f -> rs.map(_.getLong(1)).sorted
           })
       }
-    new GraftMorReaderFactory(factories,
-      if (hasPosDels) dataFields.size else -1,
-      StructType((dataFields :+ rowIdxField) ++ partFields),
-      deleted)
+    // equality-delete key tuples per (leaf, delete sequence), collected
+    // once at planning under the CURRENT schema's key types (a widened
+    // key column promotes an old delete file's narrow values exactly
+    // like the data files' scan does) and broadcast as canonical
+    // UnsafeRows — the reader's membership probe is byte equality
+    val eqTuples: Broadcast[Map[(String, Long), Array[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] =
+      if (!hasEqDels) null
+      else {
+        val keySchema = StructType(table.uniqueKeys.map(k =>
+          stored.fields.find(_.name == k).get))
+        val byRel: Seq[(String, (String, Long))] = eqDelEntries.map(e =>
+          e.path -> ((table.leafOf(e.path), e.deleteSeq)))
+        val raw = spark.read.schema(keySchema)
+          .parquet(eqDelEntries.map(e => s"${table.path}/${e.path}"): _*)
+          .select(table.uniqueKeys.map(col) :+
+            org.apache.spark.sql.functions.input_file_name().as("_graft_eqf"): _*)
+          .collect()
+        val toRow = CatalystTypeConverters.createToCatalystConverter(keySchema)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keySchema)
+        val grouped = raw.groupBy { r =>
+          // input_file_name is the percent-encoded URI; decode and match
+          // the manifest's relative path by suffix (relative paths carry
+          // the full fixed-depth leaf, so no two can suffix-collide)
+          val dec = new java.net.URI(r.getString(keySchema.size)).getPath
+          byRel.find { case (rel, _) => dec.endsWith(s"/$rel") }
+            .getOrElse(throw new IllegalStateException(
+              s"equality-delete tuple from unrecognized file $dec " +
+                s"under ${table.path}"))._2
+        }.map { case (k, rs) =>
+          k -> rs.map { r =>
+            proj(toRow(org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.dropRight(1))).asInstanceOf[InternalRow]).copy()
+          }
+        }
+        spark.sparkContext.broadcast(grouped)
+      }
+    val nData = dataFields.size
+    val nExtra = extraKeyFields.size
+    val rowIdxOrdinal = if (hasPosDels) nData + nExtra else -1
+    val fullFields = (dataFields ++ extraKeyFields) ++
+      (if (hasPosDels) Seq(rowIdxField) else Nil) ++ partFields
+    // project the helper columns (extras + row index) back out so the
+    // wrapper's output is exactly the schema Spark planned around
+    val dropOrdinals = ((nData until nData + nExtra) ++
+      (if (hasPosDels) Seq(nData + nExtra) else Nil)).toArray
+    val keyOrdinals: Array[Int] =
+      if (!hasEqDels) Array.empty
+      else table.uniqueKeys.map(k => fullFields.indexWhere(_.name == k)).toArray
+    new GraftMorReaderFactory(factories, rowIdxOrdinal,
+      StructType(fullFields), dropOrdinals, keyOrdinals, deleted, eqTuples)
   }
 
   /** Statistics of the PRUNED file set — manifest sums, zero I/O.
@@ -424,9 +519,9 @@ final class GraftNativeScan private (
     val entries = prunedNow()
     val bytes = math.max(1L, entries.map(e => math.max(0L, e.size)).sum)
     val rows =
-      // live positional deletes make the exact row count a data
-      // question (how many tuples hit) — report size only
-      if (!hasPosDels && entries.forall(_.rowCount >= 0L))
+      // live delete files of either kind make the exact row count a
+      // data question (how many tuples hit) — report size only
+      if (!hasPosDels && !hasEqDels && entries.forall(_.rowCount >= 0L))
         OptionalLong.of(entries.map(_.rowCount).sum)
       else OptionalLong.empty()
     val colStats = columnStatsOf(entries)
@@ -451,7 +546,7 @@ final class GraftNativeScan private (
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     val out = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    if (hasPosDels || entries.isEmpty) return out
+    if (hasPosDels || hasEqDels || entries.isEmpty) return out
     readSchema().fields.foreach { f =>
       val c = f.name
       if (entries.forall(e => e.nulls.contains(c) && e.ndv.contains(c))) {
@@ -536,85 +631,125 @@ private[weblog] final case class GraftBucketedPartition(bucket: Int,
 
 /** An epoch-tagged input partition of the MERGE-ON-READ native scan:
   * its files all share one schema epoch (read under that epoch's
-  * physical names), and — when positional deletes are live — all
-  * belong to ONE data file (`relFile`), so the reader knows which
-  * (file, ordinal) skip list applies.
+  * physical names), and — when delete files are live — all belong to
+  * ONE data file (`relFile`), so the reader knows which (file,
+  * ordinal) skip list applies and which equality-delete generations
+  * (`eqKeys` — the (leaf, delete-sequence) pairs that out-sequence the
+  * file) may mask its rows.
   */
 private[weblog] final case class GraftMorPartition(epoch: Int,
-    relFile: Option[String], inner: FilePartition) extends InputPartition {
+    relFile: Option[String], eqKeys: Seq[(String, Long)],
+    inner: FilePartition) extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
 /** Dispatches each [[GraftMorPartition]] to its epoch's parquet
-  * factory; under positional deletes (rowIdxOrdinal >= 0) wraps the
-  * row reader to skip deleted ordinals and project the scan-generated
-  * row-index column back out. Columnar reads stay enabled for
-  * evolution-only snapshots (each epoch factory reads its own schema);
-  * deletes force the row path — the snapshots are transient by design
-  * (maintain() compacts positional files at the threshold).
+  * factory; under live delete files wraps the row reader to skip
+  * positionally-deleted ordinals and/or equality-masked key tuples,
+  * and to project the helper columns (scan-generated row index,
+  * query-unrequested key columns) back out. Columnar reads stay
+  * enabled for evolution-only snapshots (each epoch factory reads its
+  * own schema); deletes force the row path — the snapshots are
+  * transient by design (maintain() compacts delete files at the
+  * threshold).
   */
 private[weblog] final class GraftMorReaderFactory(
     factories: Array[ParquetPartitionReaderFactory],
     rowIdxOrdinal: Int,
-    schemaWithIdx: StructType,
-    deleted: Broadcast[Map[String, Array[Long]]])
+    fullSchema: StructType,
+    dropOrdinals: Array[Int],
+    keyOrdinals: Array[Int],
+    deleted: Broadcast[Map[String, Array[Long]]],
+    eqTuples: Broadcast[Map[(String, Long), Array[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow]]])
     extends PartitionReaderFactory {
 
   private def unwrap(p: InputPartition):
-      (ParquetPartitionReaderFactory, Option[String], InputPartition) =
+      (ParquetPartitionReaderFactory, Option[String], Seq[(String, Long)],
+        InputPartition) =
     p match {
-      case GraftMorPartition(e, rel, inner) => (factories(e), rel, inner)
-      case other => (factories.head, None, other)
+      case GraftMorPartition(e, rel, eqKeys, inner) =>
+        (factories(e), rel, eqKeys, inner)
+      case other => (factories.head, None, Nil, other)
     }
 
   override def createReader(p: InputPartition):
       org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
-    val (f, rel, inner) = unwrap(p)
+    val (f, rel, eqKeys, inner) = unwrap(p)
     val base = f.createReader(inner)
-    if (rowIdxOrdinal < 0) base
-    else new PosDeleteFilteringReader(base, rowIdxOrdinal,
-      rel.flatMap(deleted.value.get).getOrElse(Array.emptyLongArray),
-      schemaWithIdx)
+    if (rowIdxOrdinal < 0 && keyOrdinals.isEmpty && dropOrdinals.isEmpty)
+      return base
+    val skip =
+      if (rowIdxOrdinal < 0) Array.emptyLongArray
+      else rel.flatMap(deleted.value.get).getOrElse(Array.emptyLongArray)
+    // union the applicable generations' tuples once per reader — the
+    // probe inside next() is then a single hash-set lookup per row
+    val eqSet: java.util.HashSet[
+        org.apache.spark.sql.catalyst.expressions.UnsafeRow] =
+      if (keyOrdinals.isEmpty || eqKeys.isEmpty) null
+      else {
+        val s = new java.util.HashSet[
+          org.apache.spark.sql.catalyst.expressions.UnsafeRow]()
+        eqKeys.foreach(k =>
+          eqTuples.value.getOrElse(k, Array.empty).foreach(s.add))
+        if (s.isEmpty) null else s
+      }
+    new MorFilteringReader(base, fullSchema, dropOrdinals, rowIdxOrdinal,
+      skip, keyOrdinals, eqSet)
   }
 
   override def createColumnarReader(p: InputPartition):
       org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val (f, _, inner) = unwrap(p)
+    val (f, _, _, inner) = unwrap(p)
     f.createColumnarReader(inner)
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    rowIdxOrdinal < 0 && {
-      val (f, _, inner) = unwrap(p)
+    rowIdxOrdinal < 0 && keyOrdinals.isEmpty && dropOrdinals.isEmpty && {
+      val (f, _, _, inner) = unwrap(p)
       f.supportColumnarReads(inner)
     }
 }
 
-/** Skips the rows a positional-delete skip list names (binary search
-  * over the sorted ordinals — the scan-generated row index is absolute
-  * within the data file, so splits compose), then projects the helper
-  * row-index column back out of the row.
+/** Row-path MERGE-ON-READ filter: skips the rows a positional-delete
+  * skip list names (binary search over the sorted ordinals — the
+  * scan-generated row index is absolute within the data file, so
+  * splits compose) and the rows whose key tuple an out-sequencing
+  * equality-delete generation masks (byte-canonical UnsafeRow
+  * membership probe — null keys compose null-safely, a null is one
+  * fixed bit pattern), then projects the helper columns back out.
   */
-private[weblog] final class PosDeleteFilteringReader(
+private[weblog] final class MorFilteringReader(
     base: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+    fullSchema: StructType,
+    dropOrdinals: Array[Int],
     rowIdxOrdinal: Int,
     deletedOrdinals: Array[Long],
-    schemaWithIdx: StructType)
+    keyOrdinals: Array[Int],
+    eqSet: java.util.HashSet[
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow])
     extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
 
   private val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
-    .toAttributes(schemaWithIdx)
+    .toAttributes(fullSchema)
+  private val dropSet = dropOrdinals.toSet
   private val projection = org.apache.spark.sql.catalyst.expressions
     .UnsafeProjection.create(
-      attrs.patch(rowIdxOrdinal, Nil, 1), attrs)
+      attrs.zipWithIndex.collect { case (a, i) if !dropSet(i) => a }, attrs)
+  private val keyProjection =
+    if (eqSet == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(keyOrdinals.toIndexedSeq.map(attrs(_)), attrs)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (base.next()) {
       val r = base.get()
-      if (java.util.Arrays.binarySearch(deletedOrdinals,
-          r.getLong(rowIdxOrdinal)) < 0) {
+      val posDeleted = rowIdxOrdinal >= 0 &&
+        java.util.Arrays.binarySearch(deletedOrdinals,
+          r.getLong(rowIdxOrdinal)) >= 0
+      if (!posDeleted && (eqSet == null || !eqSet.contains(keyProjection(r)))) {
         current = r
         return true
       }

@@ -677,7 +677,7 @@ final case class IcebergLikeTable(
   /** A data file's write version parsed from its immutable imported
     * name (`part-v<version>-…`); None for foreign/legacy names.
     */
-  private def fileVersionOf(relFile: String): Option[Long] = {
+  private[weblog] def fileVersionOf(relFile: String): Option[Long] = {
     val name = relFile.substring(relFile.lastIndexOf('/') + 1)
     "^part-v(\\d+)-".r.findFirstMatchIn(name).flatMap(_.group(1).toLongOption)
   }
@@ -3109,10 +3109,14 @@ final case class IcebergLikeTable(
     * ELIGIBLE for the native V2 batch scan ([[GraftNativeScan]]):
     * schema-stamped and size-stamped. Rename/drop epochs read natively
     * through per-epoch reader schemas; POSITIONAL delete files apply
-    * natively as a per-reader (file, ordinal) skip when their stamped
-    * tuple count fits the broadcast budget. Only EQUALITY-delete
-    * snapshots (whose tuples need the sequence-scoped anti-join) fall
-    * back to the V1 bridge — None here.
+    * natively as a per-reader (file, ordinal) skip, and EQUALITY delete
+    * files as a per-reader sequence-scoped key-tuple mask (r11) — both
+    * when their stamped tuple counts fit the broadcast budget.
+    * Equality tuples additionally require byte-canonical key types
+    * (UnsafeRow equality is the membership test — float/double NaN and
+    * signed zeros would break it) and a never-renamed schema (a delete
+    * file stores the key COLUMN NAMES of its write epoch; under rename
+    * epochs the V1 bridge's evolved read resolves them instead).
     */
   private[weblog] def nativeScanSnapshot(
       pinned: Option[Long]): Option[(TableSnapshot, StructType)] = {
@@ -3120,16 +3124,22 @@ final case class IcebergLikeTable(
       case Some(v) => snapshotAt(v)
       case None => resolveLive()._2
     }
-    // every delete entry must be positional, stamped, and in budget:
-    // the tuples are collected to the driver and broadcast (the same
-    // posture as the V1 path's broadcast anti-join — bounded, because
-    // maintain() compacts positional files away at the threshold)
-    val posOk = snap.deleteEntries.forall(e =>
-      Manifests.isPosDelete(e.path) && e.rowCount >= 0L) &&
+    // every delete entry must be stamped and in budget: the tuples are
+    // collected to the driver and broadcast (the same posture as the
+    // V1 path's broadcast anti-join — bounded, because maintain()
+    // compacts delete files away at the threshold)
+    val delsOk = snap.deleteEntries.forall(_.rowCount >= 0L) &&
       snap.deleteEntries.map(_.rowCount).sum <=
         IcebergLikeTable.NativePosDeleteTupleBudget
-    storedSchema(snap.meta) match {
-      case Some(s) if posOk && snap.entries.forall(_.size >= 0L) =>
+    val stored = storedSchema(snap.meta)
+    val eqOk = !snap.deleteEntries.exists(e => !Manifests.isPosDelete(e.path)) || {
+      !snapshotHasEvolution(snap) && uniqueKeys.nonEmpty &&
+        stored.exists(s => uniqueKeys.forall(k =>
+          s.fields.find(_.name == k).exists(f =>
+            IcebergLikeTable.eqDeleteKeyType(f.dataType))))
+    }
+    stored match {
+      case Some(s) if delsOk && eqOk && snap.entries.forall(_.size >= 0L) =>
         Some((snap, s))
       case _ => None
     }
@@ -4194,6 +4204,28 @@ object IcebergLikeTable {
     * same order as the keepers union-find cap.
     */
   private[weblog] val NativePosDeleteTupleBudget = 4000000L
+
+  /** Key-column types the native scan's EQUALITY-delete mask admits:
+    * the membership test is UnsafeRow byte equality, so only types
+    * whose equal values are byte-identical in an UnsafeRow qualify.
+    * Float/double are excluded (NaN bit patterns vary and 0.0/-0.0
+    * compare equal but differ bytewise — exactly why joins normalize
+    * them); such keys read through the V1 bridge's null-safe anti-join.
+    */
+  private[weblog] def eqDeleteKeyType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
 
   /** Name prefix of ANALYZE-written Bloom sidecars: they cover a
     * whole-table snapshot (not one commit's imports), so the commit

@@ -118,7 +118,7 @@ class NativeScanSpec extends SparkTestBase {
       s"join-driven pruning must cut the fact file set: $runtime of $total")
   }
 
-  test("positional MOR deletes and rename epochs read NATIVELY (r11); equality deletes still bridge") {
+  test("positional MOR deletes, rename epochs AND equality deletes read NATIVELY (r11)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("""CREATE TABLE gns.web.mor (uid BIGINT, n BIGINT)
           |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
@@ -151,17 +151,49 @@ class NativeScanSpec extends SparkTestBase {
     assert(batchScans(r2).nonEmpty)
     assert(r2.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
       Seq(("x", 1L)))
-    // EQUALITY deletes (keyed GDPR merge-on-read) keep the V1 bridge —
-    // their sequence-scoped anti-join is a join, not a row filter
+    // EQUALITY deletes (keyed GDPR merge-on-read) read natively too
+    // (r11): each reader masks the out-sequencing generations' key
+    // tuples in place — the count(*) below must NOT see deleted keys,
+    // and the unrequested key column is read-and-dropped internally
     sql("""CREATE TABLE gns.web.eqdel (id BIGINT, v BIGINT, seq BIGINT)
           |TBLPROPERTIES (uniqueKeys 'id', numBuckets '2', orderCol 'seq',
           |'write.delete.mode' 'merge-on-read')""".stripMargin)
     sql("INSERT INTO gns.web.eqdel SELECT id, id, 1 FROM range(10)")
     sql("DELETE FROM gns.web.eqdel WHERE id >= 7")
     val e = sql("SELECT count(*) FROM gns.web.eqdel")
-    assert(batchScans(e).isEmpty,
-      "equality-delete snapshot must fall back to the V1 bridge")
+    assert(batchScans(e).nonEmpty,
+      "equality-delete snapshot must take the native V2 scan")
     assert(e.head.getLong(0) == 7L)
+    // a projection WITHOUT the key column still masks correctly (the
+    // reader reads the key as a helper column and projects it out)
+    val ev = sql("SELECT v FROM gns.web.eqdel ORDER BY v")
+    assert(batchScans(ev).nonEmpty)
+    assert(ev.collect().map(_.getLong(0)).toSeq == (0L until 7L))
+    // SEQUENCE SCOPING: a row re-inserted under the SAME key AFTER the
+    // delete out-sequences the tombstone and must survive the mask
+    sql("INSERT INTO gns.web.eqdel SELECT id, id + 100, 2 FROM range(8, 9)")
+    val re = sql("SELECT id, v FROM gns.web.eqdel WHERE id >= 7")
+    assert(batchScans(re).nonEmpty)
+    assert(re.collect().map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((8L, 108L)))
+    // a SECOND equality generation out-sequences the re-inserted file:
+    // generations compose, each masking only the files below it
+    sql("DELETE FROM gns.web.eqdel WHERE id = 8")
+    val both = sql("SELECT count(*) FROM gns.web.eqdel")
+    assert(batchScans(both).nonEmpty)
+    assert(both.head.getLong(0) == 7L)
+    // parity: the census equals the V1 direct-API read row for row
+    assert(sql("SELECT sum(v) FROM gns.web.eqdel").head.getLong(0) ==
+      (0L until 7L).sum)
+    // NULL keys mask null-safely (the V1 anti-join is <=>; the native
+    // probe's UnsafeRow null bit is one fixed pattern — same answer)
+    sql("INSERT INTO gns.web.eqdel SELECT NULL, 999, 3 FROM range(1)")
+    assert(sql("SELECT count(*) FROM gns.web.eqdel").head.getLong(0) == 8L)
+    sql("DELETE FROM gns.web.eqdel WHERE v = 999")
+    val n = sql("SELECT count(*) FROM gns.web.eqdel")
+    assert(batchScans(n).nonEmpty)
+    assert(n.head.getLong(0) == 7L,
+      "a null-key tombstone must mask exactly the null-key row")
   }
 
   test("aggregate pushdown: whole-table COUNT/MIN/MAX answer from the manifest, zero tasks") {
@@ -300,9 +332,10 @@ class NativeScanSpec extends SparkTestBase {
     val rq = sql("SELECT uid FROM gns.web.hf WHERE uid > 2")
     assert(rq.queryExecution.optimizedPlan.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]))
-    // V1-bridge leg: live EQUALITY deletes make the snapshot ineligible
-    // for the native scan, and the bridge must still apply handled
-    // filters row-for-row (readWhere re-filters the survivors)
+    // live EQUALITY deletes now read natively (r11), and the scan must
+    // still apply handled partition filters row-for-row WHILE masking
+    // the deleted key tuples (partition-decidable aggregate pushdown
+    // correctly refuses — masked rows are a data question)
     sql("""CREATE TABLE gns.web.hfmor (uid BIGINT, day INT, seq BIGINT)
           |PARTITIONED BY (day)
           |TBLPROPERTIES (uniqueKeys 'uid', numBuckets '2',
@@ -311,8 +344,8 @@ class NativeScanSpec extends SparkTestBase {
       sql(s"INSERT INTO gns.web.hfmor SELECT id + $d * 100, $d, 1 FROM range(10)")
     sql("DELETE FROM gns.web.hfmor WHERE uid % 100 >= 8")
     val m = sql("SELECT count(*) FROM gns.web.hfmor WHERE day = 2")
-    assert(batchScans(m).isEmpty,
-      "equality-delete snapshot must use the V1 bridge")
+    assert(batchScans(m).nonEmpty,
+      "equality-delete snapshot must take the native V2 scan")
     assert(m.head.getLong(0) == 8L)
     // time travel composes: the pinned snapshot decides the leaves
     sql("CREATE TABLE gns.web.hftt (n BIGINT, day INT) PARTITIONED BY (day)")

@@ -150,4 +150,58 @@ class NativeScanHardeningSpec extends SparkTestBase {
       assert(plannedFiles.size >= 3)
     }
   }
+
+  test("equality-delete native eligibility refuses: float keys, rename epochs, unstamped tuples") {
+    import spark.implicits._
+    // float/double keys: UnsafeRow byte equality is unsound for them
+    // (NaN bit patterns, 0.0 vs -0.0) — the V1 bridge's null-safe
+    // anti-join serves these snapshots
+    val p1 = Files.createTempDirectory("eqd_float").toString + "/t"
+    val tf = IcebergLikeTable(spark, p1, partitionCol = "day",
+      uniqueKeys = Seq("fk"), numBuckets = 2)
+    tf.write((0 until 10).map(i => (i.toFloat, i.toLong, 1, 1L))
+      .toDF("fk", "v", "day", "seq"), "seq")
+    tf.deleteMergeOnRead(col("v") >= 7)
+    assert(tf.nativeScanSnapshot(None).isEmpty,
+      "float keys must fall back to the V1 bridge under eq deletes")
+    assert(tf.read.count() == 7L)
+    // a rename epoch makes the delete files' stored key column names
+    // epoch-relative — only the V1 evolved read resolves them
+    val p2 = Files.createTempDirectory("eqd_ren").toString + "/t"
+    val tr = IcebergLikeTable(spark, p2, partitionCol = "day",
+      uniqueKeys = Seq("id"), numBuckets = 2)
+    tr.write((0 until 10).map(i => (s"k$i", i.toLong, 1, 1L))
+      .toDF("id", "v", "day", "seq"), "seq")
+    tr.deleteMergeOnRead(col("v") >= 8)
+    assert(tr.nativeScanSnapshot(None).isDefined,
+      "canonical string keys + stamped tuples must stay native-eligible")
+    tr.renameColumn("v", "n")
+    assert(tr.nativeScanSnapshot(None).isEmpty,
+      "rename epochs + eq deletes must fall back to the V1 bridge")
+    assert(tr.read.count() == 8L)
+    // an UNSTAMPED tuple count (doctored manifest — no write path
+    // produces one) disables the native mask: the broadcast budget
+    // check would be a guess
+    val p3 = Files.createTempDirectory("eqd_unstamped").toString + "/t"
+    val tu = IcebergLikeTable(spark, p3, partitionCol = "day",
+      uniqueKeys = Seq("id"), numBuckets = 2)
+    tu.write((0 until 10).map(i => (s"k$i", i.toLong, 1, 1L))
+      .toDF("id", "v", "day", "seq"), "seq")
+    tu.deleteMergeOnRead(col("v") >= 5)
+    val (snapT, _) = tu.nativeScanSnapshot(None)
+      .getOrElse(fail("stamped eq deletes must stay native-eligible"))
+    val doctored = snapT.entries.map(e =>
+      if (e.isDelete) e.copy(rowCount = -1L) else e)
+    val root = new Path(p3)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (v, raw) = Manifests.resolveSnapshot(fs, root)
+      .getOrElse(fail("table never committed"))
+    val doctorLeaf = s"${Manifests.LeafPrefix}doctor_unstamped"
+    Manifests.writeLeafManifest(fs, root, doctorLeaf, doctored)
+    Manifests.write(fs, root, v + 1,
+      Seq(Manifests.RefMark + doctorLeaf), raw.meta)
+    assert(tu.nativeScanSnapshot(None).isEmpty,
+      "unstamped delete tuple counts must fall back to the V1 bridge")
+    assert(tu.read.count() == 5L)
+  }
 }
