@@ -41,6 +41,17 @@ object Bench {
     val inSession = SparkEntry.headline
       .filter(n => only.forall(_.contains(n)))
       .map { name =>
+      // drain the PREVIOUS queries' garbage before measuring this one
+      // (r11): the table-protocol gates leave multi-hundred-MB setup
+      // debris (scratch catalogs, broadcast refs, staged commits)
+      // whose collection otherwise bills whichever query runs next —
+      // r10 adjudicated three such drifts on untouched code, and the
+      // isolated pins consistently measure 2-3x below the in-suite
+      // numbers. Draining between queries attributes each query its
+      // OWN cost; the policy is uniform across the canon, so totals
+      // remain comparable query-to-query (cross-round totals compare
+      // against r11+ baselines).
+      System.gc()
       val warm = timeOnce(name)    // pays JIT + codegen + file listing
       val steady = timeOnce(name)
       name -> (if (warm < 0 || steady < 0) -1.0 else math.min(warm, steady))

@@ -330,7 +330,7 @@ object WebLogQueries {
         // dedup shuffle and no upsert merge (weblog_upsert's job), and
         // the bench measures the delete path, not scaffolding
         val base = Tables.events(s, d)
-          .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 12)
+          .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 6)
           .select(col("event_id").as("id"), col("user_id"),
             col("event_type").as("event"))
         val t = IcebergLikeTable(s, path, "event", Seq("id"),
@@ -358,7 +358,7 @@ object WebLogQueries {
       },
       Some("""WITH base AS (
              |  SELECT user_id, event_type AS event
-             |  FROM events WHERE day(ts) = 1 AND hour(ts) < 12)
+             |  FROM events WHERE day(ts) = 1 AND hour(ts) < 6)
              |SELECT event, count(*) AS cnt, TRUE AS stable,
              |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE user_id % 10 = 3) AS erased,
              |       TRUE AS data_untouched, TRUE AS tombstones_compacted
@@ -380,7 +380,7 @@ object WebLogQueries {
       (s, d) => {
         val t = IcebergLikeTable(s, scratch(s, "posdel", d) + "/t", "event")
         val base = payloads(s, d, corrupted = false)
-          .filter(dayofmonth(col("ts")) === 1)
+          .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 12)
           .select(
             concat(lit("u"), col("user_id").cast("string")).as("user_id"),
             col("event_type").as("event"),
@@ -411,7 +411,7 @@ object WebLogQueries {
       },
       Some("""WITH base AS (
              |  SELECT user_id, event_type AS event
-             |  FROM events WHERE day(ts) = 1)
+             |  FROM events WHERE day(ts) = 1 AND hour(ts) < 12)
              |SELECT event, count(*) AS cnt, TRUE AS stable,
              |       (SELECT CAST(count(*) AS BIGINT) FROM base WHERE user_id % 10 = 3) AS erased,
              |       (SELECT CAST(count(*) AS BIGINT) FROM base) AS pre_delete_rows,

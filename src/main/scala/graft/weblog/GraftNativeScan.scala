@@ -191,11 +191,14 @@ final class GraftNativeScan private (
     * rows of a join key live in exactly one input partition) and the
     * scan reports `bucket(numBuckets, keys)` partitioning. Two
     * co-bucketed graft tables joined on their keys then skip the
-    * shuffle entirely. The trade (Iceberg's too): task count = bucket
-    * count, so the grouping engages only under the explicit conf.
+    * shuffle entirely; the grouping engages only under the explicit
+    * conf. Live EQUALITY deletes keep key grouping (masking only
+    * removes rows, never moves a key across buckets — the per-file
+    * readers apply the mask in place); rename epochs and positional
+    * deletes stand down.
     */
   private def bucketGrouping: Boolean =
-    table.uniqueKeys.nonEmpty && !morMode &&
+    table.uniqueKeys.nonEmpty && !hasEvo && !hasPosDels &&
       SQLConf.get.getConfString(
         "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
       table.uniqueKeys.forall(readSchema().fieldNames.contains)
@@ -279,34 +282,34 @@ final class GraftNativeScan private (
             math.min(split, e.size - off), Array.empty, 0L, e.size)
         }
       }
-    if (morMode) {
+    // the equality-delete generations whose tuples may mask a file's
+    // rows: same leaf, delete sequence STRICTLY above the file's write
+    // sequence (Iceberg v2 scoping). An unparseable write sequence
+    // (foreign import) applies none — exactly the V1 anti-join, where
+    // the NULL sequence fails every `seq < dseq` comparison and the
+    // row survives.
+    lazy val eqGens: Seq[(String, Long)] =
+      eqDelEntries.map(e => (table.leafOf(e.path), e.deleteSeq)).distinct
+    def eqKeysFor(e: Manifests.FileEntry): Seq[(String, Long)] =
+      if (!hasEqDels) Nil
+      else table.fileVersionOf(e.path) match {
+        case Some(fseq) =>
+          val leaf = table.leafOf(e.path)
+          eqGens.filter(g => g._1 == leaf && g._2 > fseq)
+        case None => Nil
+      }
+    if (morMode && staticBuckets.isEmpty) {
       // EPOCH-PURE partitions (each reads under its epoch's physical
       // schema); under live delete files additionally SINGLE-SPLIT
       // partitions, so the reader knows which data file its (file,
       // ordinal) skip list addresses / which equality-delete
-      // generations out-sequence it. Key grouping is off in this mode.
-      val eqGens: Seq[(String, Long)] =
-        eqDelEntries.map(e => (table.leafOf(e.path), e.deleteSeq)).distinct
+      // generations out-sequence it.
       return entries.groupBy(e => epochIndexOf(e.path)).toSeq.sortBy(_._1)
         .flatMap { case (epoch, es) =>
           if (hasPosDels || hasEqDels)
             es.sortBy(_.path).flatMap { e =>
-              // the generations whose tuples may mask this file's rows:
-              // same leaf, delete sequence STRICTLY above the file's
-              // write sequence (Iceberg v2 scoping). An unparseable
-              // write sequence (foreign import) applies none — exactly
-              // the V1 anti-join, where the NULL sequence fails every
-              // `seq < dseq` comparison and the row survives.
-              val eqKeys =
-                if (!hasEqDels) Nil
-                else table.fileVersionOf(e.path) match {
-                  case Some(fseq) =>
-                    val leaf = table.leafOf(e.path)
-                    eqGens.filter(g => g._1 == leaf && g._2 > fseq)
-                  case None => Nil
-                }
               filesOf(Seq(e), maxSplitBytes).map(pf =>
-                GraftMorPartition(epoch, Some(e.path), eqKeys,
+                GraftMorPartition(epoch, Some(e.path), eqKeysFor(e),
                   FilePartition(0, Array(pf))))
             }
           else
@@ -326,7 +329,12 @@ final class GraftNativeScan private (
         // still plan one zero-file partition, so the key-group set
         // never changes under Spark's feet. Entries here are a subset
         // of the static set (pruning only ever removes files as
-        // conjuncts are added), so every bucket parses.
+        // conjuncts are added), so every bucket parses. Live EQUALITY
+        // deletes keep the grouping (r11): masking only ever REMOVES
+        // rows, and a key's surviving rows still live in exactly its
+        // bucket — so co-bucketed GDPR tables join shuffle-free even
+        // with tombstones in flight; each per-file partition carries
+        // its out-sequencing generations for the reader's mask.
         val byBucket = entries.groupBy(e => bucketOf(e.path).getOrElse(
           throw new IllegalStateException(
             s"file without a parseable ${table.bucketCol}= leaf survived " +
@@ -336,11 +344,11 @@ final class GraftNativeScan private (
           val es = byBucket.getOrElse(bucket, Nil)
           if (es.isEmpty) {
             i += 1
-            Seq(GraftBucketedPartition(bucket,
+            Seq(GraftBucketedPartition(bucket, Nil,
               FilePartition(i, Array.empty)): InputPartition)
           } else es.map { e =>
             i += 1
-            GraftBucketedPartition(bucket,
+            GraftBucketedPartition(bucket, eqKeysFor(e),
               FilePartition(i, filesOf(Seq(e), Long.MaxValue).toArray))
               : InputPartition
           }
@@ -617,13 +625,15 @@ final class GraftNativeScan private (
   }
 }
 
-/** A key-grouped input partition: one bucket's files (across every
-  * partition value), stamped with the bucket id as its partition key —
-  * what [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
-  * groups storage-partitioned joins by.
+/** A key-grouped input partition: one file of one bucket, stamped with
+  * the bucket id as its partition key — what
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * groups storage-partitioned joins by. `eqKeys` carries the
+  * equality-delete generations that out-sequence the file (empty on
+  * delete-free snapshots) so SPJ composes with live tombstones.
   */
 private[weblog] final case class GraftBucketedPartition(bucket: Int,
-    inner: FilePartition) extends InputPartition
+    eqKeys: Seq[(String, Long)], inner: FilePartition) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
@@ -670,6 +680,10 @@ private[weblog] final class GraftMorReaderFactory(
     p match {
       case GraftMorPartition(e, rel, eqKeys, inner) =>
         (factories(e), rel, eqKeys, inner)
+      // the storage-partitioned-join shape under live equality deletes:
+      // single epoch (eligibility bars evo+eq), no positional skip list
+      case GraftBucketedPartition(_, eqKeys, inner) =>
+        (factories.head, None, eqKeys, inner)
       case other => (factories.head, None, Nil, other)
     }
 
@@ -768,7 +782,7 @@ private[weblog] final class MorFilteringReader(
 private[weblog] final class GraftUnwrappingReaderFactory(
     base: ParquetPartitionReaderFactory) extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition = p match {
-    case GraftBucketedPartition(_, inner) => inner
+    case GraftBucketedPartition(_, _, inner) => inner
     case other => other
   }
   override def createReader(p: InputPartition):

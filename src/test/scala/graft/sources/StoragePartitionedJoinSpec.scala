@@ -182,4 +182,46 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     assert(sql("SELECT sum(v) FROM gspj.web.plain").head.getLong(0) ==
       99L * 100L / 2)
   }
+
+  test("SPJ survives live EQUALITY deletes: shuffle-free join over tombstoned tables (r11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    // a key's surviving rows still live in exactly its bucket — masking
+    // only removes rows — so the GDPR tombstones must not cost the
+    // co-located join its shuffle-free plan (Trino keeps dynamic
+    // filtering under deletes; this is the same posture for SPJ)
+    for (t <- Seq("eql", "eqr")) {
+      sql(s"""CREATE TABLE gspj.web.$t (id STRING, v BIGINT, seq BIGINT)
+             |TBLPROPERTIES (uniqueKeys 'id', numBuckets '4', orderCol 'seq',
+             |'write.delete.mode' 'merge-on-read')""".stripMargin)
+      sql(s"""INSERT INTO gspj.web.$t
+             |SELECT concat('k', id), id * ${if (t == "eql") 1 else 10}, 1
+             |FROM range(200)""".stripMargin)
+    }
+    // tombstone DIFFERENT key ranges on each side: the join must see
+    // only rows both masks keep (inner join semantics post-delete)
+    sql("DELETE FROM gspj.web.eql WHERE v >= 150")
+    sql("DELETE FROM gspj.web.eqr WHERE v < 100")  // ids 0..9
+    val old = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(l.v + r.v) AS s
+                    |FROM gspj.web.eql l JOIN gspj.web.eqr r
+                    |ON l.id = r.id""".stripMargin)
+      val row = q.head
+      // survivors: left keeps ids 0..149, right keeps ids 10..199 —
+      // the join sees 10..149
+      assert(row.getLong(0) == 140L)
+      assert(row.getLong(1) == 11L * (10L to 149L).sum)
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"SPJ under equality deletes must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
