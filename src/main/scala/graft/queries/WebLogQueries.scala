@@ -106,7 +106,8 @@ object WebLogQueries {
       // metadata aggregates over a transform's partition dimension
       s.sql(s"""CREATE TABLE $cat.web.events_days
                |(user_id BIGINT, event STRING, ts TIMESTAMP)
-               |PARTITIONED BY (days(ts))""".stripMargin)
+               |PARTITIONED BY (days(ts))
+               |TBLPROPERTIES (statsColumns 'user_id')""".stripMargin)
       Tables.events(s, d)
         .filter(dayofmonth(col("ts")) <= 5)
         .select(col("user_id"), col("event_type").as("event"), col("ts"))
@@ -877,6 +878,78 @@ object WebLogQueries {
              |       TRUE AS plan_proof
              |FROM events WHERE day(ts) >= 4 AND day(ts) <= 5
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
+      headline = true),
+
+    // EXTRACT-GROUPED metadata aggregates (r11): `GROUP BY
+    // dayofweek(ts)` / `month(ts)` on a days(ts) hidden layout answer
+    // from the manifest — each leaf's day ordinal maps to the extract
+    // value (constant over the leaf's whole day), many-to-one mappings
+    // MERGE (every Monday is one group), and the plan is a zero-task
+    // LocalTableScan. "Traffic by weekday" is the second most common
+    // dashboard query after the filtered count. minute(ts) varies
+    // within every leaf, so its grouping must scan for real — the
+    // fallback boolean pins that. Census recomputed by the oracle
+    // (DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — the oracle
+    // shifts).
+    Q("weblog_agg_extract",
+      (s, d) => {
+        val tbl = aggFixture(s, d)
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        def zeroTask(q: DataFrame): Boolean =
+          nodes(q.queryExecution.executedPlan).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        val q1 = s.sql(s"""SELECT dayofweek(ts) AS dw,
+                          |       CAST(count(*) AS BIGINT) AS cnt_dw
+                          |FROM ${tbl}_days GROUP BY dayofweek(ts)""".stripMargin)
+        val r1 = q1.collect()
+        val meta1 = zeroTask(q1)
+        // the slice may span a month boundary (days 1-5 of EACH month
+        // in the data): fold the per-month groups into order-free
+        // scalars the oracle can recompute — group count, total rows,
+        // global bounds (min of mins / max of maxes)
+        val q2 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          |       min(user_id) AS lo, max(user_id) AS hi
+                          |FROM ${tbl}_days GROUP BY month(ts)""".stripMargin)
+        val r2 = q2.collect()
+        val meta2 = zeroTask(q2) && r2.nonEmpty
+        val mGroups = r2.length.toLong
+        val cntM = r2.map(_.getLong(0)).sum
+        val loM = r2.map(_.getLong(1)).min
+        val hiM = r2.map(_.getLong(2)).max
+        // minute-of-hour varies inside every day leaf: must really scan
+        val q3 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS minute_groups
+                          |FROM (SELECT minute(ts) FROM ${tbl}_days
+                          |      GROUP BY minute(ts))""".stripMargin)
+        val r3 = q3.head()
+        val scan3 = !zeroTask(q3)
+        import s.implicits._
+        r1.toSeq.map(r => (r.getInt(0), r.getLong(1),
+          mGroups, cntM, loM, hiM,
+          r3.getLong(0), meta1 && meta2 && scan3))
+          .toDF("dw", "cnt_dw", "m_groups", "cnt_m", "lo_m", "hi_m",
+            "minute_groups", "plan_proof")
+          .orderBy("dw")
+      },
+      Some("""SELECT CAST(dayofweek(ts) + 1 AS INT) AS dw,
+             |       CAST(count(*) AS BIGINT) AS cnt_dw,
+             |       (SELECT CAST(count(DISTINCT month(ts)) AS BIGINT)
+             |        FROM events WHERE day(ts) <= 5) AS m_groups,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) <= 5) AS cnt_m,
+             |       (SELECT min(user_id) FROM events WHERE day(ts) <= 5) AS lo_m,
+             |       (SELECT max(user_id) FROM events WHERE day(ts) <= 5) AS hi_m,
+             |       (SELECT CAST(count(DISTINCT minute(ts)) AS BIGINT)
+             |        FROM events WHERE day(ts) <= 5) AS minute_groups,
+             |       TRUE AS plan_proof
+             |FROM events WHERE day(ts) <= 5
+             |GROUP BY 1 ORDER BY dw""".stripMargin.replace("\n", " ")),
       headline = true),
 
     // NATIVE V2 SCAN UNDER MERGE-ON-READ (r11): a table that has BOTH

@@ -1023,6 +1023,99 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
           // internal representation, so each leaf answers one group.
           // The cast-to-date semantics depend on the session timezone;
           // only UTC matches the transform's epoch-day floor.
+          // r11: GROUP BY extract(field FROM src) on a days()/hours()
+          // hidden layout — answerable from the manifest whenever the
+          // field is CONSTANT over each leaf's time interval (date
+          // parts over a day; those plus HOUR over an hour). The
+          // ordinal→value mapping is many-to-one (every Monday maps to
+          // the same day-of-week), so leaves MERGE through the keyed
+          // variant — a pushed GROUP BY can never emit duplicate rows.
+          // UTC-only: extract semantics follow the session timezone,
+          // and only UTC matches the transform's epoch floor.
+          // the extract source, possibly through a CAST(src AS DATE)
+          // (Catalyst's date parts take a DATE child, so dayofweek(ts)
+          // pushes as Extract(DAY_OF_WEEK, Cast(ts AS DATE))): the UTC
+          // date floor of any instant in a leaf's interval is the
+          // leaf's own day, so the cast is leaf-consistent — but HOUR
+          // through a date cast would be the midnight hour, so it must
+          // ride the BARE timestamp reference only.
+          if (sys.env.contains("GRAFT_DEBUG_AGG"))
+            System.err.println(s"[graft-agg] groupBy ${g.getClass.getName}: $g")
+          def extractSource(e: org.apache.spark.sql.connector.expressions.Expression,
+              casted: Boolean): Option[(String, Boolean)] = e match {
+            case n: NamedReference if n.fieldNames.length == 1 =>
+              Some((n.fieldNames.head, casted))
+            case c: org.apache.spark.sql.connector.expressions.Cast
+                if c.dataType == org.apache.spark.sql.types.DateType =>
+              extractSource(c.expression(), casted = true)
+            case _ => None
+          }
+          // an integer-arithmetic tree over ONE inner extract (Spark
+          // pushes dayofweek() as `(EXTRACT(DAY_OF_WEEK …) % 7) + 1`
+          // and weekday() as `… - 1`): recognized and COMPOSED onto the
+          // raw extract, so the semantic conversion runs at planning on
+          // the group keys, exactly as the scan would have run it per
+          // row. Literal must sit right of the operator — the only
+          // shape the builder generates for these.
+          def intLit(e: org.apache.spark.sql.connector.expressions.Expression):
+              Option[Int] = e match {
+            case l: V2Literal[_] if l.dataType ==
+                org.apache.spark.sql.types.IntegerType =>
+              Some(l.value.asInstanceOf[Int])
+            case _ => None
+          }
+          def extractTree(e: org.apache.spark.sql.connector.expressions.Expression):
+              Option[(String, String, Boolean, Int => Int)] = e match {
+            case ex: org.apache.spark.sql.connector.expressions.Extract =>
+              extractSource(ex.source(), casted = false).map { case (n, c) =>
+                (ex.field(), n, c, identity[Int] _)
+              }
+            case ge: org.apache.spark.sql.connector.expressions
+                .GeneralScalarExpression if ge.children().length == 2 =>
+              for {
+                (f, n, c, fn) <- extractTree(ge.children()(0))
+                k <- intLit(ge.children()(1))
+                op <- ge.name() match {
+                  case "+" => Some((v: Int) => fn(v) + k)
+                  case "-" => Some((v: Int) => fn(v) - k)
+                  case "*" => Some((v: Int) => fn(v) * k)
+                  // SQL % = remainder with the dividend's sign — Java's
+                  case "%" if k != 0 => Some((v: Int) => fn(v) % k)
+                  case _ => None
+                }
+              } yield (f, n, c, op)
+            case _ => None
+          }
+          val byExtract: Option[(StructField, Long => Int)] =
+            if (org.apache.spark.sql.internal.SQLConf.get
+                .sessionLocalTimeZone != "UTC") None
+            else extractTree(g) match {
+              case Some((field, name, casted, post))
+                  if table.timeTransformSource.contains(name) &&
+                    !(casted && field == "HOUR") =>
+                table.leafExtract(field).map(f => (
+                  StructField(
+                    s"extract(${field.toLowerCase} from $name)",
+                    org.apache.spark.sql.types.IntegerType),
+                  (o: Long) => post(f(o))))
+              case _ => None
+            }
+          byExtract match {
+            case Some((gField, ordToValue)) =>
+              val keyed =
+                try table.manifestGroupedAggregatesKeyed(minMaxCols, handledSeq, {
+                    case Some(v) => v.toLongOption match {
+                      case Some(o) => ordToValue(o): Any
+                      case None => throw new IllegalStateException(
+                        s"unparseable leaf ordinal '$v'")
+                    }
+                    case None => null // SQL: null input → the null group
+                  }).getOrElse(return None)
+                catch { case scala.util.control.NonFatal(_) => return None }
+              keyed.map { case (k, count, bounds) =>
+                (Some((gField, k)), count, bounds)
+              }
+            case None =>
           val byPartCol = boundCol(g).filter(_.name == table.partitionCol)
           val byDaysCast: Option[StructField] = g match {
             case c: org.apache.spark.sql.connector.expressions.Cast
@@ -1062,6 +1155,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
               try value.map(toTyped).orNull
               catch { case scala.util.control.NonFatal(_) => return None }
             (Some((gField, typed)), count, bounds)
+          }
           }
         case _ => return None
       }

@@ -1790,13 +1790,15 @@ final case class IcebergLikeTable(
       : Option[Seq[(Option[String], Long, Map[String, (String, String)])]] = {
     val (_, snap) = resolveLive()
     // identity layouts group by the physical partition value; a
-    // single-spec days() layout may group by the DAY ORDINAL (each leaf
-    // value IS the ordinal — the caller maps ordinals into its grouping
-    // expression's value space). A multi-epoch spec history refuses:
-    // an old epoch's leaf value is an ordinal under a DIFFERENT spec.
+    // single-spec days()/hours() layout may group by the LEAF ORDINAL
+    // (each leaf value IS the ordinal — the caller maps ordinals into
+    // its grouping expression's value space, merging where the mapping
+    // is many-to-one). A multi-epoch spec history refuses: an old
+    // epoch's leaf value is an ordinal under a DIFFERENT spec.
     val layoutOk = transform match {
       case None => true
-      case Some(PartitionTransforms.Days(_)) =>
+      case Some(PartitionTransforms.Days(_)) |
+           Some(PartitionTransforms.Hours(_)) =>
         specHistOf(snap.meta).size <= 1
       case Some(_) => false
     }
@@ -1852,6 +1854,92 @@ final case class IcebergLikeTable(
       (value, es.map(_.rowCount).sum, bounds)
     }
     Some(rows.sortBy(_._1))
+  }
+
+  /** [[manifestGroupedAggregates]] re-keyed through `keyOf` (a leaf
+    * value → group key mapping, e.g. the UTC hour-of-day of an hours()
+    * ordinal): leaves mapping to the SAME key merge — counts sum,
+    * bounds combine under the column type's ordering — so a pushed
+    * `GROUP BY extract(...)` can never emit duplicate group rows. The
+    * null partition maps through `keyOf(None)` (SQL: a null input
+    * groups under the null extract). None whenever the underlying
+    * grouped aggregates refuse or `keyOf` throws on any leaf value.
+    */
+  private[graft] def manifestGroupedAggregatesKeyed(minMaxCols: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      keyOf: Option[String] => Any)
+      : Option[Seq[(Any, Long, Map[String, (String, String)])]] = {
+    val rows = manifestGroupedAggregates(minMaxCols, filters)
+      .getOrElse(return None)
+    val (_, snap) = resolveLive()
+    val schema = storedSchema(snap.meta).getOrElse(return None)
+    val cmps = minMaxCols.map { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(return None)
+      c -> boundCompare(f.dataType)
+    }.toMap
+    val keyed =
+      try rows.map { case (v, n, b) => (keyOf(v), n, b) }
+      catch { case scala.util.control.NonFatal(_) => return None }
+    Some(keyed.groupBy(_._1).toSeq.map { case (k, rs) =>
+      val bounds = minMaxCols.map { c =>
+        val cmp = cmps(c)
+        val bs = rs.map(_._3(c))
+        c -> ((bs.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+          bs.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+      }.toMap
+      (k, rs.map(_._2).sum, bounds)
+    }.sortBy(r => String.valueOf(r._1)))
+  }
+
+  /** The UTC mapping from this table's hidden-partition LEAF ORDINAL to
+    * a datetime EXTRACT field's value, when that field is CONSTANT over
+    * the leaf's whole time interval — the condition under which a
+    * pushed `GROUP BY extract(field FROM src)` is answerable from the
+    * manifest. Date parts (year/month/day/quarter/week/day-of-week/
+    * day-of-year) are constant over a days() leaf; those plus HOUR over
+    * an hours() leaf. MINUTE/SECOND vary within every leaf and never
+    * qualify. None = not answerable (wrong layout, non-constant field,
+    * multi-epoch spec history, non-UTC handled by the caller).
+    */
+  private[graft] def leafExtract(field: String): Option[Long => Int] = {
+    def dateParts(epochDay: Long => Long): Option[Long => Int] = {
+      def ld(o: Long) = java.time.LocalDate.ofEpochDay(epochDay(o))
+      field match {
+        case "YEAR" => Some(o => ld(o).getYear)
+        case "MONTH" => Some(o => ld(o).getMonthValue)
+        case "DAY" => Some(o => ld(o).getDayOfMonth)
+        case "QUARTER" => Some(o => (ld(o).getMonthValue - 1) / 3 + 1)
+        case "DAY_OF_YEAR" => Some(o => ld(o).getDayOfYear)
+        // the V2 Extract semantic is ISO (1 = Monday … 7 = Sunday);
+        // Spark's dayofweek()/weekday() push their own arithmetic ON
+        // TOP of this raw extract ((x % 7) + 1 / x - 1), which the
+        // caller composes
+        case "DAY_OF_WEEK" => Some(o => ld(o).getDayOfWeek.getValue)
+        // Spark's weekofyear / year-of-week: ISO-8601 week-based
+        case "WEEK" => Some(o => ld(o).get(
+          java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear()))
+        case "YEAR_OF_WEEK" => Some(o => ld(o).get(
+          java.time.temporal.WeekFields.ISO.weekBasedYear()))
+        case _ => None
+      }
+    }
+    val (_, snap) = resolveLive()
+    if (specHistOf(snap.meta).size > 1) return None
+    transform match {
+      case Some(PartitionTransforms.Days(_)) => dateParts(identity)
+      case Some(PartitionTransforms.Hours(_)) =>
+        if (field == "HOUR") Some(o => java.lang.Math.floorMod(o, 24L).toInt)
+        else dateParts(o => java.lang.Math.floorDiv(o, 24L))
+      case _ => None
+    }
+  }
+
+  /** The single hidden-transform source column (days() or hours()),
+    * for matching a pushed extract's argument.
+    */
+  private[graft] def timeTransformSource: Option[String] = transform.collect {
+    case PartitionTransforms.Days(s) => s
+    case PartitionTransforms.Hours(s) => s
   }
 
   /** Manifest-only COUNT for a PARTITION-COLUMN predicate: every row of

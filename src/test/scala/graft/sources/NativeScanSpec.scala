@@ -270,6 +270,95 @@ class NativeScanSpec extends SparkTestBase {
     assert(batchScans(k).isEmpty)
   }
 
+  test("extract-grouped metadata aggregates: GROUP BY hour/dayofweek answers from leaves, merged (r11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // hours() layout: 3 days x 4 distinct hours, 2 rows per hour —
+    // GROUP BY hour(ts) must MERGE the 12 leaves into 4 groups (the
+    // ordinal→hour-of-day mapping is many-to-one across days)
+    sql("""CREATE TABLE gns.web.exh (uid BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (hours(ts))
+          |TBLPROPERTIES (statsColumns 'uid')""".stripMargin)
+    sql("""INSERT INTO gns.web.exh
+          |SELECT id, timestamp'2024-03-04 00:30:00' +
+          |  make_interval(0, 0, 0, CAST(id % 3 AS INT), CAST((id % 8) DIV 2 AS INT) * 5, 0, id % 2)
+          |FROM range(24)""".stripMargin)
+    val q = sql("""SELECT hour(ts) AS h, count(*) AS c
+                  |FROM gns.web.exh GROUP BY hour(ts) ORDER BY h""".stripMargin)
+    assert(zeroTask(q),
+      s"hour(ts) grouping must be a zero-task manifest lookup:\n" +
+        s"${q.queryExecution.executedPlan}")
+    assert(q.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 6L), (5, 6L), (10, 6L), (15, 6L)))
+    // MINUTE varies WITHIN an hour leaf — must fall back to a real scan
+    val qm = sql("SELECT minute(ts) AS m, count(*) AS c FROM gns.web.exh GROUP BY minute(ts)")
+    qm.collect()
+    assert(batchScans(qm).nonEmpty,
+      "minute(ts) is not leaf-constant and must scan for real")
+    assert(qm.collect().map(_.getLong(1)).sum == 24L)
+    // days() layout: GROUP BY dayofweek + min/max bounds merge across
+    // same-weekday leaves; 2024-03-04 is a Monday (Spark dayofweek 2)
+    sql("""CREATE TABLE gns.web.exd (uid BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))
+          |TBLPROPERTIES (statsColumns 'uid')""".stripMargin)
+    sql("""INSERT INTO gns.web.exd
+          |SELECT id, timestamp'2024-03-04 12:00:00' +
+          |  make_interval(0, 0, 0, CAST(id % 9 AS INT), 0, 0, 0)
+          |FROM range(90)""".stripMargin)
+    val qd = sql("""SELECT dayofweek(ts) AS dw, count(*) AS c,
+                   |       min(uid) AS lo, max(uid) AS hi
+                   |FROM gns.web.exd GROUP BY dayofweek(ts) ORDER BY dw""".stripMargin)
+    assert(zeroTask(qd),
+      s"dayofweek grouping must be a zero-task manifest lookup:\n" +
+        s"${qd.queryExecution.executedPlan}")
+    val got = qd.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // oracle: recompute in Spark itself over the raw range
+    val expect = spark.sql(
+      """SELECT dayofweek(timestamp'2024-03-04 12:00:00' +
+        |  make_interval(0, 0, 0, CAST(id % 9 AS INT), 0, 0, 0)) AS dw,
+        |  count(*) AS c, min(id) AS lo, max(id) AS hi
+        |FROM range(90) GROUP BY 1 ORDER BY dw""".stripMargin)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    // month + year compose with a handled day-aligned time filter
+    val qy = sql("""SELECT month(ts) AS m, count(*) AS c FROM gns.web.exd
+                   |WHERE ts >= timestamp'2024-03-05 00:00:00'
+                   |GROUP BY month(ts) ORDER BY m""".stripMargin)
+    assert(zeroTask(qy))
+    val expect2 = spark.sql(
+      """SELECT month(ts) AS m, count(*) AS c FROM (
+        |  SELECT timestamp'2024-03-04 12:00:00' +
+        |    make_interval(0, 0, 0, CAST(id % 9 AS INT), 0, 0, 0) AS ts
+        |  FROM range(90)) WHERE ts >= timestamp'2024-03-05 00:00:00'
+        |GROUP BY 1 ORDER BY m""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(qy.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == expect2)
+    // the full date-part field sweep, each recomputed by Spark itself
+    // over the raw generator (the spec's oracle)
+    for (fn <- Seq("year", "quarter", "day", "dayofyear", "weekofyear",
+        "weekday", "dayofweek")) {
+      val qf = sql(s"""SELECT $fn(ts) AS g, count(*) AS c
+                      |FROM gns.web.exd GROUP BY $fn(ts) ORDER BY g""".stripMargin)
+      assert(zeroTask(qf), s"$fn(ts) grouping must be zero-task:\n" +
+        s"${qf.queryExecution.executedPlan}")
+      val exp = spark.sql(
+        s"""SELECT $fn(ts) AS g, count(*) AS c FROM (
+           |  SELECT timestamp'2024-03-04 12:00:00' +
+           |    make_interval(0, 0, 0, CAST(id % 9 AS INT), 0, 0, 0) AS ts
+           |  FROM range(90)) GROUP BY 1 ORDER BY g""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(qf.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == exp,
+        s"$fn(ts) group census must match Spark's own recomputation")
+    }
+  }
+
   test("limit pushdown: LIMIT opens only covering files (stamped row counts)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("""CREATE TABLE gns.web.lim (uid BIGINT, day INT)
