@@ -829,7 +829,11 @@ object WebLogQueries {
           nodes(q.queryExecution.executedPlan).exists(
             _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
         // filtered whole-table leg: the headline `WHERE day = 3`
+        // (count(event) — the r11 COUNT(col) pushdown — answers from
+        // the stamped null counts; no nulls here, so it must equal
+        // count(*), recomputed independently by the oracle)
         val q1 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          |       CAST(count(event) AS BIGINT) AS cnt_ev,
                           |       min(user_id) AS lo, max(user_id) AS hi
                           |FROM $tbl WHERE day = 3""".stripMargin)
         val r1 = q1.head()
@@ -859,15 +863,16 @@ object WebLogQueries {
         val meta4 = zeroTask(q4)
         import s.implicits._
         r2.toSeq.map(r => (r.getInt(0), r.getLong(1),
-          r1.getLong(0), r1.getLong(1), r1.getLong(2),
+          r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3),
           r3.getLong(0), r4.getLong(0), meta1 && meta2 && scan3 && meta4))
-          .toDF("day", "cnt_day", "cnt_d3", "lo_d3", "hi_d3",
+          .toDF("day", "cnt_day", "cnt_d3", "cnt_ev_d3", "lo_d3", "hi_d3",
             "cnt_mixed", "cnt_tslice", "plan_proof")
           .orderBy("day")
       },
       Some("""SELECT CAST(day(ts) AS INT) AS day,
              |       CAST(count(*) AS BIGINT) AS cnt_day,
              |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) = 3) AS cnt_d3,
+             |       (SELECT CAST(count(event_type) AS BIGINT) FROM events WHERE day(ts) = 3) AS cnt_ev_d3,
              |       (SELECT min(user_id) FROM events WHERE day(ts) = 3) AS lo_d3,
              |       (SELECT max(user_id) FROM events WHERE day(ts) = 3) AS hi_d3,
              |       (SELECT CAST(count(*) AS BIGINT) FROM events

@@ -977,7 +977,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
       Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     if (pinned.isDefined) return None // time travel reads through the scan
     // a RESIDUAL filter keeps a Filter node above the scan and Spark
@@ -999,23 +999,30 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       case m: Max => boundCol(m.column).map(_.name)
       case _ => Nil
     }.distinct
+    // COUNT(col) — the non-null count — answers from the stamped
+    // per-file null counts (r11): rows − nulls per file, exact
+    val countCols = agg.aggregateExpressions.toSeq.flatMap {
+      case c: Count if !c.isDistinct => boundCol(c.column).map(_.name)
+      case _ => Nil
+    }.distinct
     // answers per group: one global group, or one per value of the
     // PHYSICAL partition column (`GROUP BY day, count/min/max` —
     // Iceberg's partition-level metadata aggregates). Everything from
     // ONE resolved snapshot — a racing commit cannot mix versions.
-    val grouped: Seq[(Option[(StructField, Any)], Long, Map[String, (String, String)])] =
+    val grouped: Seq[(Option[(StructField, Any)], Long,
+        Map[String, (String, String)], Map[String, Long])] =
       agg.groupByExpressions.toSeq match {
         case Nil =>
-          val (count, bounds) =
+          val (count, bounds, counts) =
             try {
               if (handledSeq.isEmpty) {
-                val (c0, b0) = table.manifestAggregates(minMaxCols)
-                (c0.getOrElse(return None), b0)
+                val (c0, b0, cc0) = table.manifestAggregates(minMaxCols, countCols)
+                (c0.getOrElse(return None), b0, cc0)
               } else
-                table.manifestAggregatesWhereFilters(minMaxCols, handledSeq)
-                  .getOrElse(return None)
+                table.manifestAggregatesWhereFilters(minMaxCols, countCols,
+                  handledSeq).getOrElse(return None)
             } catch { case scala.util.control.NonFatal(_) => return None }
-          Seq((None, count, bounds))
+          Seq((None, count, bounds, counts))
         case Seq(g) =>
           // GROUP BY the physical partition column (identity layouts),
           // or — hidden days() layouts — GROUP BY CAST(source AS DATE):
@@ -1110,10 +1117,10 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
                         s"unparseable leaf ordinal '$v'")
                     }
                     case None => null // SQL: null input → the null group
-                  }).getOrElse(return None)
+                  }, countCols).getOrElse(return None)
                 catch { case scala.util.control.NonFatal(_) => return None }
-              keyed.map { case (k, count, bounds) =>
-                (Some((gField, k)), count, bounds)
+              keyed.map { case (k, count, bounds, counts) =>
+                (Some((gField, k)), count, bounds, counts)
               }
             case None =>
           val byPartCol = boundCol(g).filter(_.name == table.partitionCol)
@@ -1147,24 +1154,28 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
               }
             }
           val rows =
-            try table.manifestGroupedAggregates(minMaxCols, handledSeq)
+            try table.manifestGroupedAggregates(minMaxCols, handledSeq, countCols)
               .getOrElse(return None)
             catch { case scala.util.control.NonFatal(_) => return None }
-          rows.map { case (value, count, bounds) =>
+          rows.map { case (value, count, bounds, counts) =>
             val typed: Any =
               try value.map(toTyped).orNull
               catch { case scala.util.control.NonFatal(_) => return None }
-            (Some((gField, typed)), count, bounds)
+            (Some((gField, typed)), count, bounds, counts)
           }
           }
         case _ => return None
       }
     def rowOf(group: Option[(StructField, Any)], count: Long,
-        bounds: Map[String, (String, String)]):
+        bounds: Map[String, (String, String)],
+        counts: Map[String, Long]):
         Option[Seq[(StructField, Any)]] = {
       val aggs = agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
           Some((StructField("count(*)", LongType), count: Any))
+        case c: Count if !c.isDistinct => boundCol(c.column).flatMap(f =>
+          counts.get(f.name).map(v =>
+            (StructField(s"count(${f.name})", LongType), v: Any)))
         case m: Min => boundCol(m.column).flatMap(f =>
           try bounds.get(f.name).map(b =>
             (StructField(s"min(${f.name})", f.dataType),
@@ -1175,12 +1186,12 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
             (StructField(s"max(${f.name})", f.dataType),
               typedBound(f.dataType, b._2)))
           catch { case scala.util.control.NonFatal(_) => None })
-        case _ => None // COUNT(col)/SUM/AVG/DISTINCT: not metadata-decidable
+        case _ => None // COUNT(DISTINCT)/SUM/AVG: not metadata-decidable
       }
       if (aggs.exists(_.isEmpty)) None
       else Some(group.toSeq ++ aggs.flatten)
     }
-    val answered = grouped.map { case (g, c, b) => rowOf(g, c, b) }
+    val answered = grouped.map { case (g, c, b, cc) => rowOf(g, c, b, cc) }
     if (answered.isEmpty || answered.exists(_.isEmpty)) None
     else {
       val rows = answered.flatten

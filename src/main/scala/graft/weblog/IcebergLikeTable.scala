@@ -1705,16 +1705,34 @@ final case class IcebergLikeTable(
     else None
 
   /** One-snapshot metadata aggregates for the V2 aggregate pushdown:
-    * the row count and the requested columns' exact min/max, ALL
-    * resolved from the SAME live snapshot — a pushed aggregate row can
-    * never mix two versions racing a concurrent commit. Per-item
-    * None = undecidable (the caller falls back to a real scan).
+    * the row count, the requested columns' exact min/max, and exact
+    * non-null counts (`COUNT(col)` = stamped rows − stamped nulls per
+    * file, r11), ALL resolved from the SAME live snapshot — a pushed
+    * aggregate row can never mix two versions racing a concurrent
+    * commit. Per-item None/absence = undecidable (the caller falls
+    * back to a real scan).
     */
-  private[graft] def manifestAggregates(minMaxCols: Seq[String])
-      : (Option[Long], Map[String, (String, String)]) = {
+  private[graft] def manifestAggregates(minMaxCols: Seq[String],
+      countCols: Seq[String] = Nil)
+      : (Option[Long], Map[String, (String, String)], Map[String, Long]) = {
     val (_, snap) = resolveLive()
     (rowCountOf(snap),
-      minMaxCols.flatMap(c => columnMinMaxOf(snap, c).map(c -> _)).toMap)
+      minMaxCols.flatMap(c => columnMinMaxOf(snap, c).map(c -> _)).toMap,
+      countCols.flatMap(c => columnCountOf(snap, c).map(c -> _)).toMap)
+  }
+
+  /** Manifest-only `COUNT(col)` (non-null count): every live file
+    * carries a stamped row count and a stamped null count for the
+    * column, so the sum of (rows − nulls) IS the answer — exact, zero
+    * data I/O. None when any file predates the null stamp (pre-r11
+    * commits — `CALL analyze` backfills) or live delete files mask an
+    * unknowable number of rows.
+    */
+  private def columnCountOf(snap: TableSnapshot, c: String): Option[Long] = {
+    if (snap.deleteEntries.nonEmpty) return None
+    if (snap.entries.exists(e => e.rowCount < 0L || !e.nulls.contains(c)))
+      return None
+    Some(snap.entries.map(e => e.rowCount - e.nulls(c)).sum)
   }
 
   /** Manifest-only MIN/MAX of a stats-stamped column (Iceberg's
@@ -1786,8 +1804,10 @@ final case class IcebergLikeTable(
     transform.collect { case PartitionTransforms.Days(s) => s }
 
   private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String],
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
-      : Option[Seq[(Option[String], Long, Map[String, (String, String)])]] = {
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      countCols: Seq[String] = Nil)
+      : Option[Seq[(Option[String], Long, Map[String, (String, String)],
+        Map[String, Long])]] = {
     val (_, snap) = resolveLive()
     // identity layouts group by the physical partition value; a
     // single-spec days()/hours() layout may group by the LEAF ORDINAL
@@ -1851,7 +1871,13 @@ final case class IcebergLikeTable(
           typed.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
         catch { case scala.util.control.NonFatal(_) => return None }
       }.toMap
-      (value, es.map(_.rowCount).sum, bounds)
+      // per-group COUNT(col): rows − stamped nulls, exact; an
+      // unstamped null count anywhere refuses (fallback)
+      val counts = countCols.distinct.map { c =>
+        if (es.exists(e => !e.nulls.contains(c))) return None
+        c -> es.map(e => e.rowCount - e.nulls(c)).sum
+      }.toMap
+      (value, es.map(_.rowCount).sum, bounds, counts)
     }
     Some(rows.sortBy(_._1))
   }
@@ -1867,9 +1893,11 @@ final case class IcebergLikeTable(
     */
   private[graft] def manifestGroupedAggregatesKeyed(minMaxCols: Seq[String],
       filters: Seq[org.apache.spark.sql.sources.Filter],
-      keyOf: Option[String] => Any)
-      : Option[Seq[(Any, Long, Map[String, (String, String)])]] = {
-    val rows = manifestGroupedAggregates(minMaxCols, filters)
+      keyOf: Option[String] => Any,
+      countCols: Seq[String] = Nil)
+      : Option[Seq[(Any, Long, Map[String, (String, String)],
+        Map[String, Long])]] = {
+    val rows = manifestGroupedAggregates(minMaxCols, filters, countCols)
       .getOrElse(return None)
     val (_, snap) = resolveLive()
     val schema = storedSchema(snap.meta).getOrElse(return None)
@@ -1878,7 +1906,7 @@ final case class IcebergLikeTable(
       c -> boundCompare(f.dataType)
     }.toMap
     val keyed =
-      try rows.map { case (v, n, b) => (keyOf(v), n, b) }
+      try rows.map { case (v, n, b, cc) => (keyOf(v), n, b, cc) }
       catch { case scala.util.control.NonFatal(_) => return None }
     Some(keyed.groupBy(_._1).toSeq.map { case (k, rs) =>
       val bounds = minMaxCols.map { c =>
@@ -1887,7 +1915,9 @@ final case class IcebergLikeTable(
         c -> ((bs.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
           bs.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
       }.toMap
-      (k, rs.map(_._2).sum, bounds)
+      val counts = countCols.distinct
+        .map(c => c -> rs.map(_._4(c)).sum).toMap
+      (k, rs.map(_._2).sum, bounds, counts)
     }.sortBy(r => String.valueOf(r._1)))
   }
 
@@ -2010,8 +2040,8 @@ final case class IcebergLikeTable(
     if (snap.deleteEntries.nonEmpty) return None
     val (partSchema, expr) =
       partitionPredicate(snap, condition).getOrElse(return None)
-    manifestAggregatesByLeaf(minMaxCols, snap,
-      leafSatisfies(_, partSchema, expr))
+    manifestAggregatesByLeaf(minMaxCols, Nil, snap,
+      leafSatisfies(_, partSchema, expr)).map(r => (r._1, r._2))
   }
 
   /** As above for a set of HANDLED pushed filters — which may be
@@ -2021,17 +2051,19 @@ final case class IcebergLikeTable(
     * hidden-partitioned tables.
     */
   private[graft] def manifestAggregatesWhereFilters(minMaxCols: Seq[String],
+      countCols: Seq[String],
       filters: Seq[org.apache.spark.sql.sources.Filter])
-      : Option[(Long, Map[String, (String, String)])] = {
+      : Option[(Long, Map[String, (String, String)], Map[String, Long])] = {
     val (_, snap) = resolveLive()
     if (snap.deleteEntries.nonEmpty) return None
     leafDeciderFor(snap, filters).flatMap(
-      manifestAggregatesByLeaf(minMaxCols, snap, _))
+      manifestAggregatesByLeaf(minMaxCols, countCols, snap, _))
   }
 
   private def manifestAggregatesByLeaf(minMaxCols: Seq[String],
+      countCols: Seq[String],
       snap: TableSnapshot, decide: String => Option[Boolean])
-      : Option[(Long, Map[String, (String, String)])] = {
+      : Option[(Long, Map[String, (String, String)], Map[String, Long])] = {
     val schema = storedSchema(snap.meta).getOrElse(return None)
     // an unsupported/unstamped column is simply absent from the bounds
     // map — same posture as [[manifestAggregates]], the caller falls
@@ -2065,7 +2097,13 @@ final case class IcebergLikeTable(
         catch { case scala.util.control.NonFatal(_) => None }
       }
     }.toMap
-    Some((total, bounds))
+    // COUNT(col) over the kept leaves: rows − nulls per file, exact;
+    // an unstamped null count anywhere drops the column (fallback)
+    val counts = countCols.distinct.flatMap { c =>
+      if (matching.exists(e => !e.nulls.contains(c))) None
+      else Some(c -> matching.map(e => e.rowCount - e.nulls(c)).sum)
+    }.toMap
+    Some((total, bounds, counts))
   }
 
   /** A whole-leaf decision function for HANDLED filters: the returned

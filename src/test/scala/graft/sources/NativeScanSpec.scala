@@ -270,6 +270,56 @@ class NativeScanSpec extends SparkTestBase {
     assert(batchScans(k).isEmpty)
   }
 
+  test("COUNT(col) pushdown: non-null counts answer from stamped null counts, zero tasks (r11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    sql("""CREATE TABLE gns.web.cnn (uid BIGINT, name STRING, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'uid,name')""".stripMargin)
+    for (d <- 1 to 3)
+      sql(s"""INSERT INTO gns.web.cnn
+             |SELECT id, IF(id % 4 = 0, NULL, concat('n', id)), $d
+             |FROM range(40)""".stripMargin)
+    // whole-table: count(name) skips the nulls, count(uid) counts all
+    val q = sql("""SELECT count(name) AS cn, count(uid) AS cu,
+                  |count(*) AS ca FROM gns.web.cnn""".stripMargin)
+    assert(zeroTask(q), s"COUNT(col) must answer from the manifest:\n" +
+      s"${q.queryExecution.executedPlan}")
+    assert(q.head() == org.apache.spark.sql.Row(90L, 120L, 120L))
+    // grouped by the partition column
+    val qg = sql("""SELECT day, count(name) AS cn FROM gns.web.cnn
+                   |GROUP BY day ORDER BY day""".stripMargin)
+    assert(zeroTask(qg))
+    assert(qg.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 30L), (2, 30L), (3, 30L)))
+    // filtered by a handled partition predicate
+    val qf = sql("SELECT count(name) AS cn FROM gns.web.cnn WHERE day = 2")
+    assert(zeroTask(qf))
+    assert(qf.head.getLong(0) == 30L)
+    // a column OUTSIDE statsColumns has no null stamp — real scan,
+    // same answer
+    sql("""CREATE TABLE gns.web.cnu (uid BIGINT, name STRING)
+          |TBLPROPERTIES (statsColumns 'uid')""".stripMargin)
+    sql("""INSERT INTO gns.web.cnu
+          |SELECT id, IF(id % 2 = 0, NULL, 'x') FROM range(10)""".stripMargin)
+    val qu = sql("SELECT count(name) AS cn FROM gns.web.cnu")
+    qu.collect()
+    assert(batchScans(qu).nonEmpty,
+      "an unstamped column's COUNT must fall back to a real scan")
+    assert(qu.head.getLong(0) == 5L)
+    // COUNT(DISTINCT col) is never metadata-decidable
+    val qd = sql("SELECT count(DISTINCT name) AS cd FROM gns.web.cnn")
+    qd.collect()
+    assert(batchScans(qd).nonEmpty)
+    // the same 30 non-null names repeat in every day partition
+    assert(qd.head.getLong(0) == 30L)
+  }
+
   test("extract-grouped metadata aggregates: GROUP BY hour/dayofweek answers from leaves, merged (r11)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     def zeroTask(q: DataFrame): Boolean = {
