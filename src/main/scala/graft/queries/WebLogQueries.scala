@@ -911,8 +911,11 @@ object WebLogQueries {
         def zeroTask(q: DataFrame): Boolean =
           nodes(q.queryExecution.executedPlan).exists(
             _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        // sum(user_id) rides the r11 SUM pushdown (exact per-file
+        // decimal sum stamps, merged across same-weekday leaves)
         val q1 = s.sql(s"""SELECT dayofweek(ts) AS dw,
-                          |       CAST(count(*) AS BIGINT) AS cnt_dw
+                          |       CAST(count(*) AS BIGINT) AS cnt_dw,
+                          |       CAST(sum(user_id) AS BIGINT) AS sum_dw
                           |FROM ${tbl}_days GROUP BY dayofweek(ts)""".stripMargin)
         val r1 = q1.collect()
         val meta1 = zeroTask(q1)
@@ -936,15 +939,16 @@ object WebLogQueries {
         val r3 = q3.head()
         val scan3 = !zeroTask(q3)
         import s.implicits._
-        r1.toSeq.map(r => (r.getInt(0), r.getLong(1),
+        r1.toSeq.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
           mGroups, cntM, loM, hiM,
           r3.getLong(0), meta1 && meta2 && scan3))
-          .toDF("dw", "cnt_dw", "m_groups", "cnt_m", "lo_m", "hi_m",
+          .toDF("dw", "cnt_dw", "sum_dw", "m_groups", "cnt_m", "lo_m", "hi_m",
             "minute_groups", "plan_proof")
           .orderBy("dw")
       },
       Some("""SELECT CAST(dayofweek(ts) + 1 AS INT) AS dw,
              |       CAST(count(*) AS BIGINT) AS cnt_dw,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_dw,
              |       (SELECT CAST(count(DISTINCT month(ts)) AS BIGINT)
              |        FROM events WHERE day(ts) <= 5) AS m_groups,
              |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) <= 5) AS cnt_m,

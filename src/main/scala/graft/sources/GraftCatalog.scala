@@ -977,7 +977,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
       Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.types.{LongType, StructField}
     if (pinned.isDefined) return None // time travel reads through the scan
     // a RESIDUAL filter keeps a Filter node above the scan and Spark
@@ -1005,24 +1005,33 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       case c: Count if !c.isDistinct => boundCol(c.column).map(_.name)
       case _ => Nil
     }.distinct
+    // SUM(col) — from the stamped exact per-file decimal sums (r11);
+    // floating-point columns are never stamped (order-dependent
+    // addition), so they fall back by absence
+    val sumCols = agg.aggregateExpressions.toSeq.flatMap {
+      case s: Sum if !s.isDistinct => boundCol(s.column).map(_.name)
+      case _ => Nil
+    }.distinct
     // answers per group: one global group, or one per value of the
     // PHYSICAL partition column (`GROUP BY day, count/min/max` —
     // Iceberg's partition-level metadata aggregates). Everything from
     // ONE resolved snapshot — a racing commit cannot mix versions.
     val grouped: Seq[(Option[(StructField, Any)], Long,
-        Map[String, (String, String)], Map[String, Long])] =
+        Map[String, (String, String)], Map[String, Long],
+        Map[String, (java.math.BigDecimal, Long)])] =
       agg.groupByExpressions.toSeq match {
         case Nil =>
-          val (count, bounds, counts) =
+          val (count, bounds, counts, sums) =
             try {
               if (handledSeq.isEmpty) {
-                val (c0, b0, cc0) = table.manifestAggregates(minMaxCols, countCols)
-                (c0.getOrElse(return None), b0, cc0)
+                val (c0, b0, cc0, sm0) =
+                  table.manifestAggregates(minMaxCols, countCols, sumCols)
+                (c0.getOrElse(return None), b0, cc0, sm0)
               } else
                 table.manifestAggregatesWhereFilters(minMaxCols, countCols,
-                  handledSeq).getOrElse(return None)
+                  sumCols, handledSeq).getOrElse(return None)
             } catch { case scala.util.control.NonFatal(_) => return None }
-          Seq((None, count, bounds, counts))
+          Seq((None, count, bounds, counts, sums))
         case Seq(g) =>
           // GROUP BY the physical partition column (identity layouts),
           // or — hidden days() layouts — GROUP BY CAST(source AS DATE):
@@ -1117,10 +1126,10 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
                         s"unparseable leaf ordinal '$v'")
                     }
                     case None => null // SQL: null input → the null group
-                  }, countCols).getOrElse(return None)
+                  }, countCols, sumCols).getOrElse(return None)
                 catch { case scala.util.control.NonFatal(_) => return None }
-              keyed.map { case (k, count, bounds, counts) =>
-                (Some((gField, k)), count, bounds, counts)
+              keyed.map { case (k, count, bounds, counts, sums) =>
+                (Some((gField, k)), count, bounds, counts, sums)
               }
             case None =>
           val byPartCol = boundCol(g).filter(_.name == table.partitionCol)
@@ -1154,21 +1163,48 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
               }
             }
           val rows =
-            try table.manifestGroupedAggregates(minMaxCols, handledSeq, countCols)
-              .getOrElse(return None)
+            try table.manifestGroupedAggregates(minMaxCols, handledSeq,
+                countCols, sumCols).getOrElse(return None)
             catch { case scala.util.control.NonFatal(_) => return None }
-          rows.map { case (value, count, bounds, counts) =>
+          rows.map { case (value, count, bounds, counts, sums) =>
             val typed: Any =
               try value.map(toTyped).orNull
               catch { case scala.util.control.NonFatal(_) => return None }
-            (Some((gField, typed)), count, bounds, counts)
+            (Some((gField, typed)), count, bounds, counts, sums)
           }
           }
         case _ => return None
       }
+    // a (sum, non-null count) stamp as the TYPED result Spark expects
+    // of SUM over the column type: LongType for integrals (refuse when
+    // the exact sum exceeds the long range — Spark's own arithmetic
+    // could not represent it), the widened decimal for decimals, NULL
+    // when no non-null value contributed (SQL SUM semantics)
+    def sumValue(f: StructField, sum: java.math.BigDecimal,
+        nonNull: Long): Option[(StructField, Any)] = f.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType =>
+        val field = StructField(s"sum(${f.name})", LongType)
+        if (nonNull == 0L) Some((field, null))
+        else try Some((field, sum.longValueExact(): Any))
+        catch { case _: ArithmeticException => None }
+      case d: org.apache.spark.sql.types.DecimalType =>
+        val rt = org.apache.spark.sql.types.DecimalType(
+          math.min(38, d.precision + 10), d.scale)
+        val field = StructField(s"sum(${f.name})", rt)
+        if (nonNull == 0L) Some((field, null))
+        else {
+          val dec = org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(sum))
+          if (dec.changePrecision(rt.precision, rt.scale)) Some((field, dec))
+          else None
+        }
+      case _ => None
+    }
     def rowOf(group: Option[(StructField, Any)], count: Long,
         bounds: Map[String, (String, String)],
-        counts: Map[String, Long]):
+        counts: Map[String, Long],
+        sums: Map[String, (java.math.BigDecimal, Long)]):
         Option[Seq[(StructField, Any)]] = {
       val aggs = agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
@@ -1176,6 +1212,8 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
         case c: Count if !c.isDistinct => boundCol(c.column).flatMap(f =>
           counts.get(f.name).map(v =>
             (StructField(s"count(${f.name})", LongType), v: Any)))
+        case s: Sum if !s.isDistinct => boundCol(s.column).flatMap(f =>
+          sums.get(f.name).flatMap { case (bd, nn) => sumValue(f, bd, nn) })
         case m: Min => boundCol(m.column).flatMap(f =>
           try bounds.get(f.name).map(b =>
             (StructField(s"min(${f.name})", f.dataType),
@@ -1186,12 +1224,13 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
             (StructField(s"max(${f.name})", f.dataType),
               typedBound(f.dataType, b._2)))
           catch { case scala.util.control.NonFatal(_) => None })
-        case _ => None // COUNT(DISTINCT)/SUM/AVG: not metadata-decidable
+        case _ => None // COUNT(DISTINCT)/SUM(DISTINCT)/AVG: not metadata-decidable
       }
       if (aggs.exists(_.isEmpty)) None
       else Some(group.toSeq ++ aggs.flatten)
     }
-    val answered = grouped.map { case (g, c, b, cc) => rowOf(g, c, b, cc) }
+    val answered = grouped.map { case (g, c, b, cc, sm) =>
+      rowOf(g, c, b, cc, sm) }
     if (answered.isEmpty || answered.exists(_.isEmpty)) None
     else {
       val rows = answered.flatten

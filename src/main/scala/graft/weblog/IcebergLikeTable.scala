@@ -426,7 +426,10 @@ final case class IcebergLikeTable(
         max(col(c)).cast("string").as(s"_hi_$c"),
         count(col(c)).as(s"_nn_$c"),
         base64(hll_sketch_agg(col(c).cast("string"),
-          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c")))) ++
+          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c")) ++
+        IcebergLikeTable.sumCastType(
+            schema.fields.find(_.name == c).get.dataType).map(dec =>
+          sum(col(c).cast(dec)).cast("string").as(s"_sm_$c")))) ++
       bCols.map(c =>
         BloomStats.bloomAgg(xxhash64(col(c)), bloomExpectedItems, bloomFpp)
           .as(s"_bf_$c"))
@@ -453,10 +456,14 @@ final case class IcebergLikeTable(
           val nulls = cols.map(c => c -> (rc - r.getAs[Long](s"_nn_$c"))).toMap
           val ndv = cols.flatMap(c =>
             Option(r.getAs[String](s"_dv_$c")).map(c -> _)).toMap
+          val sums = cols.flatMap(c =>
+            IcebergLikeTable.sumStamp(r, c, nulls.getOrElse(c, 0L), rc)
+              .map(c -> _)).toMap
           e.copy(rowCount = rc,
             stats = e.stats ++ bounds,
             nulls = e.nulls ++ nulls,
-            ndv = e.ndv ++ ndv)
+            ndv = e.ndv ++ ndv,
+            sums = e.sums ++ sums)
       }
     }
     val version = nextVersion(liveVersion)
@@ -718,7 +725,13 @@ final case class IcebergLikeTable(
         // sees NDV/null counts at plan time, zero data I/O
         count(col(c)).as(s"_nn_$c"),
         base64(hll_sketch_agg(col(c).cast("string"),
-          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c")))) ++
+          IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c")) ++
+        // r11 SUM stamp: the file's exact non-null sum at 38-digit
+        // decimal precision (NULL = all-null or a per-file overflow —
+        // the extraction distinguishes via the non-null count)
+        IcebergLikeTable.sumCastType(
+            schema.fields.find(_.name == c).get.dataType).map(dec =>
+          sum(col(c).cast(dec)).cast("string").as(s"_sm_$c")))) ++
       bCols.map(c =>
         BloomStats.bloomAgg(xxhash64(col(c)), bloomExpectedItems, bloomFpp).as(s"_bf_$c"))
     readFileSet(imported, Some(schema))
@@ -739,7 +752,11 @@ final case class IcebergLikeTable(
           val nulls = sCols.map(c => c -> (rc - r.getAs[Long](s"_nn_$c"))).toMap
           val ndv = sCols.flatMap(c =>
             Option(r.getAs[String](s"_dv_$c")).map(c -> _)).toMap
-          rel -> IcebergLikeTable.ImportedMeta(rc, stats, blooms, nulls, ndv)
+          val sums = sCols.flatMap(c =>
+            IcebergLikeTable.sumStamp(r, c, nulls.getOrElse(c, 0L), rc)
+              .map(c -> _)).toMap
+          rel -> IcebergLikeTable.ImportedMeta(rc, stats, blooms, nulls, ndv,
+            sums)
         }
       }.toMap
   }
@@ -1713,12 +1730,35 @@ final case class IcebergLikeTable(
     * back to a real scan).
     */
   private[graft] def manifestAggregates(minMaxCols: Seq[String],
-      countCols: Seq[String] = Nil)
-      : (Option[Long], Map[String, (String, String)], Map[String, Long]) = {
+      countCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil)
+      : (Option[Long], Map[String, (String, String)], Map[String, Long],
+        Map[String, (java.math.BigDecimal, Long)]) = {
     val (_, snap) = resolveLive()
     (rowCountOf(snap),
       minMaxCols.flatMap(c => columnMinMaxOf(snap, c).map(c -> _)).toMap,
-      countCols.flatMap(c => columnCountOf(snap, c).map(c -> _)).toMap)
+      countCols.flatMap(c => columnCountOf(snap, c).map(c -> _)).toMap,
+      sumCols.flatMap(c => columnSumOf(snap, c).map(c -> _)).toMap)
+  }
+
+  /** Manifest-only SUM(col): (exact sum, non-null count) — every live
+    * file carries a sum stamp for the column, so the decimal sum of
+    * stamps IS the answer (the non-null count decides SQL's 0-vs-NULL
+    * and lets the caller refuse a result Spark's own long arithmetic
+    * could not represent). None when any file predates the stamp or
+    * live delete files mask unknowable rows.
+    */
+  private def columnSumOf(snap: TableSnapshot,
+      c: String): Option[(java.math.BigDecimal, Long)] = {
+    if (snap.deleteEntries.nonEmpty) return None
+    if (snap.entries.exists(e =>
+        e.rowCount < 0L || !e.nulls.contains(c) || !e.sums.contains(c)))
+      return None
+    try Some((
+      snap.entries.foldLeft(java.math.BigDecimal.ZERO)(
+        (a, e) => a.add(new java.math.BigDecimal(e.sums(c)))),
+      snap.entries.map(e => e.rowCount - e.nulls(c)).sum))
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Manifest-only `COUNT(col)` (non-null count): every live file
@@ -1805,9 +1845,10 @@ final case class IcebergLikeTable(
 
   private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String],
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-      countCols: Seq[String] = Nil)
+      countCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil)
       : Option[Seq[(Option[String], Long, Map[String, (String, String)],
-        Map[String, Long])]] = {
+        Map[String, Long], Map[String, (java.math.BigDecimal, Long)])]] = {
     val (_, snap) = resolveLive()
     // identity layouts group by the physical partition value; a
     // single-spec days()/hours() layout may group by the LEAF ORDINAL
@@ -1877,7 +1918,16 @@ final case class IcebergLikeTable(
         if (es.exists(e => !e.nulls.contains(c))) return None
         c -> es.map(e => e.rowCount - e.nulls(c)).sum
       }.toMap
-      (value, es.map(_.rowCount).sum, bounds, counts)
+      // per-group SUM(col): exact decimal fold of the sum stamps
+      val sums = sumCols.distinct.map { c =>
+        if (es.exists(e => !e.nulls.contains(c) || !e.sums.contains(c)))
+          return None
+        try c -> ((es.foldLeft(java.math.BigDecimal.ZERO)(
+            (a, e) => a.add(new java.math.BigDecimal(e.sums(c)))),
+          es.map(e => e.rowCount - e.nulls(c)).sum))
+        catch { case scala.util.control.NonFatal(_) => return None }
+      }.toMap
+      (value, es.map(_.rowCount).sum, bounds, counts, sums)
     }
     Some(rows.sortBy(_._1))
   }
@@ -1894,11 +1944,12 @@ final case class IcebergLikeTable(
   private[graft] def manifestGroupedAggregatesKeyed(minMaxCols: Seq[String],
       filters: Seq[org.apache.spark.sql.sources.Filter],
       keyOf: Option[String] => Any,
-      countCols: Seq[String] = Nil)
+      countCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil)
       : Option[Seq[(Any, Long, Map[String, (String, String)],
-        Map[String, Long])]] = {
-    val rows = manifestGroupedAggregates(minMaxCols, filters, countCols)
-      .getOrElse(return None)
+        Map[String, Long], Map[String, (java.math.BigDecimal, Long)])]] = {
+    val rows = manifestGroupedAggregates(minMaxCols, filters, countCols,
+      sumCols).getOrElse(return None)
     val (_, snap) = resolveLive()
     val schema = storedSchema(snap.meta).getOrElse(return None)
     val cmps = minMaxCols.map { c =>
@@ -1906,7 +1957,7 @@ final case class IcebergLikeTable(
       c -> boundCompare(f.dataType)
     }.toMap
     val keyed =
-      try rows.map { case (v, n, b, cc) => (keyOf(v), n, b, cc) }
+      try rows.map { case (v, n, b, cc, sm) => (keyOf(v), n, b, cc, sm) }
       catch { case scala.util.control.NonFatal(_) => return None }
     Some(keyed.groupBy(_._1).toSeq.map { case (k, rs) =>
       val bounds = minMaxCols.map { c =>
@@ -1917,7 +1968,12 @@ final case class IcebergLikeTable(
       }.toMap
       val counts = countCols.distinct
         .map(c => c -> rs.map(_._4(c)).sum).toMap
-      (k, rs.map(_._2).sum, bounds, counts)
+      val sums = sumCols.distinct.map { c =>
+        c -> ((rs.foldLeft(java.math.BigDecimal.ZERO)(
+            (a, r) => a.add(r._5(c)._1)),
+          rs.map(_._5(c)._2).sum))
+      }.toMap
+      (k, rs.map(_._2).sum, bounds, counts, sums)
     }.sortBy(r => String.valueOf(r._1)))
   }
 
@@ -2040,7 +2096,7 @@ final case class IcebergLikeTable(
     if (snap.deleteEntries.nonEmpty) return None
     val (partSchema, expr) =
       partitionPredicate(snap, condition).getOrElse(return None)
-    manifestAggregatesByLeaf(minMaxCols, Nil, snap,
+    manifestAggregatesByLeaf(minMaxCols, Nil, Nil, snap,
       leafSatisfies(_, partSchema, expr)).map(r => (r._1, r._2))
   }
 
@@ -2051,19 +2107,21 @@ final case class IcebergLikeTable(
     * hidden-partitioned tables.
     */
   private[graft] def manifestAggregatesWhereFilters(minMaxCols: Seq[String],
-      countCols: Seq[String],
+      countCols: Seq[String], sumCols: Seq[String],
       filters: Seq[org.apache.spark.sql.sources.Filter])
-      : Option[(Long, Map[String, (String, String)], Map[String, Long])] = {
+      : Option[(Long, Map[String, (String, String)], Map[String, Long],
+        Map[String, (java.math.BigDecimal, Long)])] = {
     val (_, snap) = resolveLive()
     if (snap.deleteEntries.nonEmpty) return None
     leafDeciderFor(snap, filters).flatMap(
-      manifestAggregatesByLeaf(minMaxCols, countCols, snap, _))
+      manifestAggregatesByLeaf(minMaxCols, countCols, sumCols, snap, _))
   }
 
   private def manifestAggregatesByLeaf(minMaxCols: Seq[String],
-      countCols: Seq[String],
+      countCols: Seq[String], sumCols: Seq[String],
       snap: TableSnapshot, decide: String => Option[Boolean])
-      : Option[(Long, Map[String, (String, String)], Map[String, Long])] = {
+      : Option[(Long, Map[String, (String, String)], Map[String, Long],
+        Map[String, (java.math.BigDecimal, Long)])] = {
     val schema = storedSchema(snap.meta).getOrElse(return None)
     // an unsupported/unstamped column is simply absent from the bounds
     // map — same posture as [[manifestAggregates]], the caller falls
@@ -2103,7 +2161,17 @@ final case class IcebergLikeTable(
       if (matching.exists(e => !e.nulls.contains(c))) None
       else Some(c -> matching.map(e => e.rowCount - e.nulls(c)).sum)
     }.toMap
-    Some((total, bounds, counts))
+    // SUM(col): exact decimal fold of the kept files' sum stamps
+    val sums = sumCols.distinct.flatMap { c =>
+      if (matching.exists(e => !e.nulls.contains(c) || !e.sums.contains(c)))
+        None
+      else try Some(c -> ((
+        matching.foldLeft(java.math.BigDecimal.ZERO)(
+          (a, e) => a.add(new java.math.BigDecimal(e.sums(c)))),
+        matching.map(e => e.rowCount - e.nulls(c)).sum)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+    Some((total, bounds, counts, sums))
   }
 
   /** A whole-leaf decision function for HANDLED filters: the returned
@@ -2338,7 +2406,7 @@ final case class IcebergLikeTable(
           fileMeta.get(p) match {
             case Some(m) =>
               p -> Manifests.FileEntry(p, size, m.rows, m.bounds,
-                nulls = m.nulls, ndv = m.ndv)
+                nulls = m.nulls, ndv = m.ndv, sums = m.sums)
             case None =>
               p -> Manifests.FileEntry(p, size, -1L, Map.empty)
           }
@@ -4376,7 +4444,43 @@ object IcebergLikeTable {
       bounds: Map[String, (String, String)],
       blooms: Map[String, Array[Byte]],
       nulls: Map[String, Long],
-      ndv: Map[String, String])
+      ndv: Map[String, String],
+      sums: Map[String, String])
+
+  /** The exact-decimal accumulator type for a column's per-file SUM
+    * stamp: 38-digit decimal at the column's own scale. None = the
+    * type is never sum-stamped — floating point (order-dependent
+    * addition: Spark's own answer varies run to run, so a stamped
+    * "exact" sum would be a lie) and non-numerics.
+    */
+  /** Extract a column's SUM stamp from a stats-pass row: the `_sm_`
+    * string when present; "0" when the column is all-null in the file
+    * (SQL SUM ignores nulls — the reader decides 0-vs-NULL from the
+    * null counts); None for an un-aggregated type, a row without the
+    * column, or a per-file decimal overflow (refusal).
+    */
+  private[weblog] def sumStamp(r: org.apache.spark.sql.Row, c: String,
+      nulls: Long, rowCount: Long): Option[String] = {
+    if (!r.schema.fieldNames.contains(s"_sm_$c")) return None
+    Option(r.getAs[String](s"_sm_$c")) match {
+      case Some(v) => Some(v)
+      case None if nulls == rowCount => Some("0")
+      case None => None // non-null values summed to NULL: overflow
+    }
+  }
+
+  private[weblog] def sumCastType(
+      dt: org.apache.spark.sql.types.DataType):
+      Option[org.apache.spark.sql.types.DecimalType] = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType =>
+      Some(org.apache.spark.sql.types.DecimalType(38, 0))
+    case d: org.apache.spark.sql.types.DecimalType =>
+      Some(org.apache.spark.sql.types.DecimalType(38, d.scale))
+    case _ => None
+  }
 
   /** A WHEN MATCHED / WHEN NOT MATCHED BY SOURCE clause of
     * [[IcebergLikeTable.mergeInto]]; clause order is evaluation order

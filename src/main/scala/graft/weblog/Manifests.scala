@@ -67,10 +67,18 @@ object Manifests {
     * distinct/null counts at plan time without touching data. Absent on
     * legacy manifests (empty maps — per-column refusal, never a guess).
     */
+  /** `sums` (r11): per-column EXACT sums of the file's non-null values
+    * as plain decimal strings (computed at 38-digit decimal precision —
+    * a per-file overflow, or a float/double column, is simply not
+    * stamped), for SUM(col) aggregate pushdown: Σ over files is the
+    * exact table sum, zero data I/O. "0" on an all-null file — the
+    * stamped null counts decide whether the SQL answer is 0 or NULL.
+    */
   final case class FileEntry(path: String, size: Long, rowCount: Long,
       stats: Map[String, (String, String)], deleteSeq: Long = -1L,
       nulls: Map[String, Long] = Map.empty,
-      ndv: Map[String, String] = Map.empty) {
+      ndv: Map[String, String] = Map.empty,
+      sums: Map[String, String] = Map.empty) {
     def isDelete: Boolean = deleteSeq >= 0L
   }
 
@@ -155,6 +163,10 @@ object Manifests {
         val dv = node.putObject("d")
         e.ndv.toSeq.sortBy(_._1).foreach { case (c, v) => dv.put(c, v) }
       }
+      if (e.sums.nonEmpty) {
+        val sm = node.putObject("m")
+        e.sums.toSeq.sortBy(_._1).foreach { case (c, v) => sm.put(c, v) }
+      }
       m.writeValueAsString(node)
     }
     val tmp = new Path(dir, s".$name.tmp")
@@ -205,10 +217,18 @@ object Manifests {
               b += e.getKey -> e.getValue.asText)
             b.result()
           }
+        val sums =
+          if (!node.has("m")) Map.empty[String, String]
+          else {
+            val b = Map.newBuilder[String, String]
+            node.get("m").properties().forEach(e =>
+              b += e.getKey -> e.getValue.asText)
+            b.result()
+          }
         FileEntry(node.get("p").asText, node.get("s").asLong,
           node.get("r").asLong, stats,
           if (node.has("q")) node.get("q").asLong else -1L,
-          nulls, ndv)
+          nulls, ndv, sums)
       }
     leafCache.put(key, entries)
     entries

@@ -320,6 +320,68 @@ class NativeScanSpec extends SparkTestBase {
     assert(qd.head.getLong(0) == 30L)
   }
 
+  test("SUM(col) pushdown: exact sums from stamped per-file decimal sums, zero tasks (r11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    sql("""CREATE TABLE gns.web.sm (v BIGINT, w DOUBLE, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'v,w')""".stripMargin)
+    for (d <- 1 to 3)
+      sql(s"""INSERT INTO gns.web.sm
+             |SELECT IF(id % 5 = 0, NULL, id + $d * 100), CAST(id AS DOUBLE), $d
+             |FROM range(50)""".stripMargin)
+    // whole-table: nulls are skipped, the sum is exact
+    val expect = (1 to 3).flatMap(d =>
+      (0 until 50).filter(_ % 5 != 0).map(_ + d * 100L)).sum
+    val q = sql("SELECT sum(v) AS s, count(*) AS c FROM gns.web.sm")
+    assert(zeroTask(q), s"SUM(bigint) must answer from the manifest:\n" +
+      s"${q.queryExecution.executedPlan}")
+    assert(q.head() == org.apache.spark.sql.Row(expect, 150L))
+    // grouped by the partition column
+    val qg = sql("SELECT day, sum(v) AS s FROM gns.web.sm GROUP BY day ORDER BY day")
+    assert(zeroTask(qg))
+    assert(qg.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      (1 to 3).map(d => (d,
+        (0 until 50).filter(_ % 5 != 0).map(_ + d * 100L).sum)))
+    // filtered by a handled partition predicate
+    val qf = sql("SELECT sum(v) AS s FROM gns.web.sm WHERE day = 2")
+    assert(zeroTask(qf))
+    assert(qf.head.getLong(0) ==
+      (0 until 50).filter(_ % 5 != 0).map(_ + 200L).sum)
+    // DOUBLE sums are never stamped (order-dependent addition): scan
+    val qw = sql("SELECT sum(w) AS s FROM gns.web.sm")
+    qw.collect()
+    assert(batchScans(qw).nonEmpty,
+      "floating-point SUM must fall back to a real scan")
+    assert(math.abs(qw.head.getDouble(0) - 3 * (0 until 50).sum.toDouble) < 1e-6)
+    // an all-null column sums to NULL (not 0) — SQL SUM semantics
+    sql("""CREATE TABLE gns.web.smn (v BIGINT, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'v')""".stripMargin)
+    sql("INSERT INTO gns.web.smn SELECT CAST(NULL AS BIGINT), 1 FROM range(5)")
+    val qn = sql("SELECT sum(v) AS s FROM gns.web.smn")
+    assert(zeroTask(qn))
+    assert(qn.head.isNullAt(0), "SUM over only nulls must be NULL")
+    // a sum beyond the long range REFUSES — the real scan decides, and
+    // under ANSI mode (Spark 4's default) that is Spark's own
+    // ARITHMETIC_OVERFLOW error. Answering the exact 38-digit value
+    // from metadata would SILENTLY diverge from engine semantics.
+    sql("""CREATE TABLE gns.web.smo (v BIGINT)
+          |TBLPROPERTIES (statsColumns 'v')""".stripMargin)
+    sql(s"INSERT INTO gns.web.smo VALUES (${Long.MaxValue}), (${Long.MaxValue})")
+    val qo = sql("SELECT sum(v) AS s FROM gns.web.smo")
+    assert(!allNodes(qo.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      "an over-long exact sum must fall back to the real scan")
+    val overflow = intercept[Exception] { qo.collect() }
+    assert(overflow.getMessage.contains("ARITHMETIC_OVERFLOW"))
+  }
+
   test("extract-grouped metadata aggregates: GROUP BY hour/dayofweek answers from leaves, merged (r11)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     def zeroTask(q: DataFrame): Boolean = {
