@@ -967,6 +967,10 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       case d: org.apache.spark.sql.types.DecimalType =>
         org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s),
           d.precision, d.scale)
+      // stamped as Catalyst's own internal encodings (r11): epoch
+      // micros / epoch days — the string parses straight to the value
+      case org.apache.spark.sql.types.TimestampType => s.toLong
+      case org.apache.spark.sql.types.DateType => s.toInt
       case other => throw new IllegalStateException(s"unstampable type $other")
     }
 

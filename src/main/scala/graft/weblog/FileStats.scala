@@ -31,12 +31,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FileStats {
 
-  /** Column types whose bounds are stamped and compared. */
+  /** Column types whose bounds are stamped and compared. Timestamps
+    * stamp as MICROSECONDS since the epoch and dates as epoch DAYS
+    * (r11) — Catalyst's own internal encodings, the same convention the
+    * partition-transform SYNTHESIZED bounds already use — so the
+    * freshness queries (`min/max(event_ts)`) answer from the manifest
+    * and time-range predicates on non-partition timestamp columns
+    * prune files. TimestampNTZ stays unstamped (its rendering is
+    * session-zone-entangled).
+    */
   def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | StringType => true
+         DoubleType | StringType | TimestampType | DateType => true
     case _: DecimalType => true
     case _ => false
+  }
+
+  /** The manifest rendering of a bound under the column type: epoch
+    * micros for timestamps, epoch days for dates (matching [[cmp]] and
+    * the transform-synthesized bounds), plain string cast otherwise.
+    */
+  def boundRender(c: org.apache.spark.sql.Column,
+      dt: DataType): org.apache.spark.sql.Column = dt match {
+    case TimestampType => org.apache.spark.sql.functions.unix_micros(c)
+      .cast(StringType)
+    case DateType => org.apache.spark.sql.functions.datediff(c,
+      org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("1970-01-01")))
+      .cast(StringType)
+    case _ => c.cast(StringType)
   }
 
   type Stats = Map[String, Map[String, (String, String)]]
@@ -116,9 +138,10 @@ object FileStats {
       case TimestampType | TimestampNTZType =>
         // bounds render as MICROSECONDS since the epoch (Catalyst's own
         // internal encoding, which is also what a timestamp Literal
-        // evaluates to) — the convention of the partition-transform
-        // SYNTHESIZED bounds ([[PartitionTransforms]]); timestamps are
-        // not in `supported`, so stamped stats never produce them
+        // evaluates to) — the shared convention of the
+        // partition-transform SYNTHESIZED bounds
+        // ([[PartitionTransforms]]) and, since r11, stamped
+        // TimestampType stats ([[boundRender]])
         val v = value match {
           case n: Number => n.longValue()
           case other => other.toString.toLong

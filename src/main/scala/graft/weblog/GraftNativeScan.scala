@@ -828,7 +828,10 @@ object GraftNativeScan {
           .compareTo(new java.math.BigDecimal(b)))
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
-           IntegerType | LongType =>
+           IntegerType | LongType |
+           // stamped as epoch micros / epoch days (r11)
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.DateType =>
         Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
       case _ => None
     }
@@ -846,6 +849,8 @@ object GraftNativeScan {
       case LongType => Some(s.toLong)
       case org.apache.spark.sql.types.FloatType => Some(s.toFloat)
       case org.apache.spark.sql.types.DoubleType => Some(s.toDouble)
+      case org.apache.spark.sql.types.TimestampType => Some(s.toLong)
+      case org.apache.spark.sql.types.DateType => Some(s.toInt)
       case d: org.apache.spark.sql.types.DecimalType =>
         Some(org.apache.spark.sql.types.Decimal(
           new java.math.BigDecimal(s), d.precision, d.scale))

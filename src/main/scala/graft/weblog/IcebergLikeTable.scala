@@ -420,10 +420,11 @@ final case class IcebergLikeTable(
     // Bloom filters) — the same aggregate shape the commit path stamps
     // batches with, here over the whole live file set (epoch-aware
     // scan, so renamed tables analyze under their current names)
+    def typeOf(c: String) = schema.fields.find(_.name == c).get.dataType
     val aggs = (count(lit(1)).as("_rc") +:
       cols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"_lo_$c"),
-        max(col(c)).cast("string").as(s"_hi_$c"),
+        FileStats.boundRender(min(col(c)), typeOf(c)).as(s"_lo_$c"),
+        FileStats.boundRender(max(col(c)), typeOf(c)).as(s"_hi_$c"),
         count(col(c)).as(s"_nn_$c"),
         base64(hll_sketch_agg(col(c).cast("string"),
           IcebergLikeTable.NdvSketchLgK)).as(s"_dv_$c")) ++
@@ -714,10 +715,11 @@ final case class IcebergLikeTable(
       schema.fields.exists(f => f.name == c && FileStats.supported(f.dataType)))
     val bCols = bloomColumns.distinct.filter(c => schema.fields.exists(_.name == c))
     val byName = imported.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    def typeOf(c: String) = schema.fields.find(_.name == c).get.dataType
     val aggs = (count(lit(1)).as("_rc") +:
       sCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"_lo_$c"),
-        max(col(c)).cast("string").as(s"_hi_$c"),
+        FileStats.boundRender(min(col(c)), typeOf(c)).as(s"_lo_$c"),
+        FileStats.boundRender(max(col(c)), typeOf(c)).as(s"_hi_$c"),
         // r11 column statistics: per-file null count and a MERGEABLE
         // DataSketches-HLL distinct sketch (over the string rendering —
         // type-uniform, injective for the stamped primitive types) —

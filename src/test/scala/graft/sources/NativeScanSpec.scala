@@ -320,6 +320,55 @@ class NativeScanSpec extends SparkTestBase {
     assert(qd.head.getLong(0) == 30L)
   }
 
+  test("timestamp/date stats stamp as epoch micros/days: freshness min/max push, ranges prune (r11)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // a NON-partition timestamp column in statsColumns (identity day
+    // partitioning): the freshness query answers from the manifest
+    sql("""CREATE TABLE gns.web.ts (uid BIGINT, ev_ts TIMESTAMP,
+          |ev_d DATE, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'ev_ts,ev_d')""".stripMargin)
+    for (d <- 1 to 3)
+      sql(s"""INSERT INTO gns.web.ts
+             |SELECT id, timestamp'2024-03-0$d 06:00:00' +
+             |  make_interval(0, 0, 0, 0, 0, CAST(id AS INT), 0),
+             |  date'2024-03-0$d', $d
+             |FROM range(30)""".stripMargin)
+    val q = sql("""SELECT min(ev_ts) AS lo, max(ev_ts) AS hi,
+                  |       min(ev_d) AS dlo, max(ev_d) AS dhi
+                  |FROM gns.web.ts""".stripMargin)
+    assert(zeroTask(q), s"min/max over a stamped timestamp column must " +
+      s"answer from the manifest:\n${q.queryExecution.executedPlan}")
+    val r = q.head()
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-03-01 06:00:00"))
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-03-03 06:29:00"))
+    assert(r.getDate(2) == java.sql.Date.valueOf("2024-03-01"))
+    assert(r.getDate(3) == java.sql.Date.valueOf("2024-03-03"))
+    // a time-range predicate on the DATA timestamp column prunes files
+    // at planning: only day-2's file can satisfy the interval
+    val t = graft.weblog.IcebergLikeTable(spark,
+      warehouse + "/web/ts", partitionCol = "day",
+      statsColumns = Seq("ev_ts", "ev_d"))
+    val total = t.filesFor(lit(true)).size
+    val hit = t.filesFor(
+      col("ev_ts") >= lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00")) &&
+        col("ev_ts") < lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00"))).size
+    assert(hit * 3 == total && hit > 0,
+      s"timestamp bounds must prune to day-2's commit (total=$total hit=$hit)")
+    val dhit = t.filesFor(col("ev_d") === lit(java.sql.Date.valueOf("2024-03-03"))).size
+    assert(dhit * 3 == total,
+      s"date bounds must prune to one commit's files (total=$total hit=$dhit)")
+    // row-identity through the pruned read
+    assert(t.readWhere(col("ev_d") === lit(java.sql.Date.valueOf("2024-03-03")))
+      .count() == 30L)
+  }
+
   test("SUM(col) pushdown: exact sums from stamped per-file decimal sums, zero tasks (r11)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     def zeroTask(q: DataFrame): Boolean = {
