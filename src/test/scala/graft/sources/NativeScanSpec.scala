@@ -116,6 +116,29 @@ class NativeScanSpec extends SparkTestBase {
     assert(runtime >= 0, "dynamic pruning must have re-planned the fact scan")
     assert(runtime < total && runtime > 0,
       s"join-driven pruning must cut the fact file set: $runtime of $total")
+    // runtime pruning COMPOSES with live equality deletes (r11): the
+    // keyed MOR fact keeps dynamic filtering — Trino's posture — and
+    // the surviving files' readers still mask the tombstoned keys
+    sql("""CREATE TABLE gns.web.factm (uid BIGINT, day INT, seq BIGINT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (uniqueKeys 'uid', numBuckets '2', orderCol 'seq',
+          |'write.delete.mode' 'merge-on-read')""".stripMargin)
+    for (d <- 1 to 8)
+      sql(s"INSERT INTO gns.web.factm SELECT id + $d * 10000, $d, 1 FROM range(500)")
+    sql("DELETE FROM gns.web.factm WHERE uid % 10 = 3")
+    val tm = IcebergLikeTable(spark, s"$warehouse/web/factm", "day",
+      uniqueKeys = Seq("uid"), numBuckets = 2)
+    val totalM = tm.filesFor(lit(true)).size
+    GraftNativeScan.clearPrune(tm.path)
+    val resM = sql("""SELECT count(*) FROM gns.web.factm f
+                     |JOIN gns.web.dim d ON f.day = d.day
+                     |WHERE d.tag = 'HOT'""".stripMargin)
+    assert(resM.head.getLong(0) == 450L,
+      "the mask must drop the tombstoned keys from the pruned read")
+    val (_, runtimeM) = GraftNativeScan.lastPrune(tm.path)
+      .getOrElse(fail("native scan did not plan the MOR fact"))
+    assert(runtimeM >= 0 && runtimeM < totalM && runtimeM > 0,
+      s"dynamic pruning must survive eq deletes: $runtimeM of $totalM")
   }
 
   test("positional MOR deletes, rename epochs AND equality deletes read NATIVELY (r11)") {
