@@ -1681,9 +1681,13 @@ final case class IcebergLikeTable(
     snap.entries.map { e =>
       val leaf = leafOf(e.path)
       (e.path, leaf, e.size, e.rowCount, e.stats.size,
-        blooms.get(e.path).map(_.size).getOrElse(0), e.isDelete)
+        blooms.get(e.path).map(_.size).getOrElse(0),
+        // r11 stamp coverage: which metadata aggregates this file can
+        // serve (null counts → COUNT(col), NDV → CBO, sums → SUM(col))
+        e.nulls.size, e.ndv.size, e.sums.size, e.isDelete)
     }.toDF("file", "leaf", "size_bytes", "row_count", "n_stat_cols",
-      "n_bloom_cols", "is_delete")
+      "n_bloom_cols", "n_null_cols", "n_ndv_cols", "n_sum_cols",
+      "is_delete")
   }
 
   /** Metadata TABLE (Iceberg's `table.partitions`): one row per live
