@@ -113,6 +113,13 @@ object WebLogQueries {
         .select(col("user_id"), col("event_type").as("event"), col("ts"))
         .createOrReplaceTempView(s"graft_aggs_srcd_$safe")
       s.sql(s"INSERT INTO $cat.web.events_days SELECT * FROM graft_aggs_srcd_$safe")
+      // the MULTI-SPEC twin (Iceberg's everyday `days(ts), event`
+      // layout) for the r12 multi-leg grouped metadata aggregates
+      s.sql(s"""CREATE TABLE $cat.web.events_multi
+               |(user_id BIGINT, event STRING, ts TIMESTAMP)
+               |PARTITIONED BY (days(ts), event)
+               |TBLPROPERTIES (statsColumns 'user_id')""".stripMargin)
+      s.sql(s"INSERT INTO $cat.web.events_multi SELECT * FROM graft_aggs_srcd_$safe")
       s"$cat.web.events"
     })
   }
@@ -753,17 +760,24 @@ object WebLogQueries {
         def zeroTask(q: DataFrame): Boolean =
           nodes(q.queryExecution.executedPlan).exists(
             _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
-        // whole-table leg
+        // whole-table leg — r12 adds AVG (exact (sum stamp)/(rows−nulls),
+        // emitted as the double Spark expects; the oracle recomputes it
+        // as sum::DOUBLE / count, the same round-once quotient) and
+        // COUNT(DISTINCT day) (= the distinct leaf count)
         val q1 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
                           |       min(user_id) AS min_uid, max(user_id) AS max_uid,
-                          |       min(event) AS min_event, max(event) AS max_event
+                          |       min(event) AS min_event, max(event) AS max_event,
+                          |       avg(user_id) AS avg_uid,
+                          |       CAST(count(DISTINCT day) AS BIGINT) AS n_days
                           |FROM $tbl""".stripMargin)
         val r1 = q1.head()
         val meta1 = zeroTask(q1)
-        // GROUP BY partition leg (per-day counts and bounds, zero tasks)
+        // GROUP BY partition leg (per-day counts, bounds and avg, zero
+        // tasks)
         val q2 = s.sql(s"""SELECT day, CAST(count(*) AS BIGINT) AS cnt_day,
                           |       min(user_id) AS min_uid_day,
-                          |       max(user_id) AS max_uid_day
+                          |       max(user_id) AS max_uid_day,
+                          |       avg(user_id) AS avg_uid_day
                           |FROM $tbl GROUP BY day""".stripMargin)
         val r2 = q2.collect()
         val meta2 = zeroTask(q2)
@@ -780,25 +794,32 @@ object WebLogQueries {
         import s.implicits._
         r2.toSeq.sortBy(_.getInt(0)).zipWithIndex.map { case (r, i) =>
           (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            hiddenByDay(i),
+            r.getDouble(4), hiddenByDay(i),
             r1.getLong(0), r1.getLong(1), r1.getLong(2),
-            r1.getString(3), r1.getString(4), meta1 && meta2 && meta3)
+            r1.getString(3), r1.getString(4), r1.getDouble(5), r1.getLong(6),
+            meta1 && meta2 && meta3)
         }
-          .toDF("day", "cnt_day", "min_uid_day", "max_uid_day",
+          .toDF("day", "cnt_day", "min_uid_day", "max_uid_day", "avg_uid_day",
             "cnt_day_hidden",
             "cnt", "min_uid", "max_uid", "min_event", "max_event",
+            "avg_uid", "n_days",
             "metadata_only")
           .orderBy("day")
       },
       Some("""SELECT CAST(day(ts) AS INT) AS day,
              |       CAST(count(*) AS BIGINT) AS cnt_day,
              |       min(user_id) AS min_uid_day, max(user_id) AS max_uid_day,
+             |       CAST(sum(user_id) AS DOUBLE) / count(user_id) AS avg_uid_day,
              |       CAST(count(*) AS BIGINT) AS cnt_day_hidden,
              |       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE day(ts) <= 5) AS cnt,
              |       (SELECT min(user_id) FROM events WHERE day(ts) <= 5) AS min_uid,
              |       (SELECT max(user_id) FROM events WHERE day(ts) <= 5) AS max_uid,
              |       (SELECT min(event_type) FROM events WHERE day(ts) <= 5) AS min_event,
              |       (SELECT max(event_type) FROM events WHERE day(ts) <= 5) AS max_event,
+             |       (SELECT CAST(sum(user_id) AS DOUBLE) / count(user_id)
+             |        FROM events WHERE day(ts) <= 5) AS avg_uid,
+             |       (SELECT CAST(count(DISTINCT day(ts)) AS BIGINT)
+             |        FROM events WHERE day(ts) <= 5) AS n_days,
              |       TRUE AS metadata_only
              |FROM events WHERE day(ts) <= 5
              |GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")),
@@ -961,6 +982,96 @@ object WebLogQueries {
              |GROUP BY 1 ORDER BY dw""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // MULTI-SPEC grouped metadata aggregates (r12): on the everyday
+    // Iceberg layout `PARTITIONED BY (days(ts), event)`, the most
+    // common dashboard pivots — GROUP BY event, GROUP BY day, event,
+    // GROUP BY dayofweek(ts), event — answer from the manifest as
+    // zero-task LocalTableScans: each leaf decomposes into its per-LEG
+    // values (day ordinal, event) and groups merge on the mapped key
+    // tuple. The fallback pin proves a grouping that references a DATA
+    // column still runs a real scan. Census recomputed by the oracle.
+    Q("weblog_agg_multi",
+      (s, d) => {
+        val tbl = aggFixture(s, d)
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        def zeroTask(q: DataFrame): Boolean =
+          nodes(q.queryExecution.executedPlan).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        // identity-leg pivot: per-event counts/bounds/sums, zero tasks
+        val q1 = s.sql(s"""SELECT event, CAST(count(*) AS BIGINT) AS cnt_e,
+                          |       min(user_id) AS lo_e, max(user_id) AS hi_e,
+                          |       CAST(sum(user_id) AS BIGINT) AS sum_e
+                          |FROM ${tbl}_multi GROUP BY event""".stripMargin)
+        val r1 = q1.collect()
+        val meta1 = zeroTask(q1)
+        // MULTI-KEY: time leg (through CAST AS DATE) × identity leg
+        val q2 = s.sql(s"""SELECT date_format(CAST(ts AS DATE), 'yyyy-MM-dd') AS day,
+                          |       event, CAST(count(*) AS BIGINT) AS cnt_de
+                          |FROM ${tbl}_multi
+                          |GROUP BY CAST(ts AS DATE), event""".stripMargin)
+        val r2 = q2.collect()
+        val meta2 = zeroTask(q2)
+        // extract leg × identity leg (weekday-by-event heatmap): fold
+        // to order-free scalars the oracle recomputes
+        val q3 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                          |       CAST(sum(c) AS BIGINT) AS n_rows
+                          |FROM (SELECT dayofweek(ts) AS dw, event,
+                          |             count(*) AS c
+                          |      FROM ${tbl}_multi GROUP BY 1, 2)""".stripMargin)
+        val r3 = q3.head()
+        val meta3 = zeroTask(q3)
+        // fallback pin: a data-column grouping leg must really scan
+        val q4 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS mixed_groups
+                          |FROM (SELECT event, user_id % 2 FROM ${tbl}_multi
+                          |      GROUP BY 1, 2)""".stripMargin)
+        val r4 = q4.head()
+        val scan4 = !zeroTask(q4)
+        val byEvent = r1.map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+        import s.implicits._
+        r2.toSeq.map { r =>
+          val (cntE, loE, hiE, sumE) = byEvent(r.getString(1))
+          (r.getString(0), r.getString(1), r.getLong(2),
+            cntE, loE, hiE, sumE,
+            r3.getLong(0), r3.getLong(1), r4.getLong(0),
+            meta1 && meta2 && meta3 && scan4)
+        }
+          .toDF("day", "event", "cnt_de", "cnt_e", "lo_e", "hi_e", "sum_e",
+            "dw_groups", "dw_rows", "mixed_groups", "plan_proof")
+          .orderBy("day", "event")
+      },
+      Some("""WITH base AS (SELECT user_id, event_type AS event, ts
+             |              FROM events WHERE day(ts) <= 5),
+             |a AS (SELECT event, CAST(count(*) AS BIGINT) AS cnt_e,
+             |             min(user_id) AS lo_e, max(user_id) AS hi_e,
+             |             CAST(sum(user_id) AS BIGINT) AS sum_e
+             |      FROM base GROUP BY event),
+             |b AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event,
+             |             CAST(count(*) AS BIGINT) AS cnt_de
+             |      FROM base GROUP BY 1, 2),
+             |w AS (SELECT CAST(count(*) AS BIGINT) AS dw_groups,
+             |             CAST(sum(c) AS BIGINT) AS dw_rows
+             |      FROM (SELECT dayofweek(ts), event, count(*) AS c
+             |            FROM base GROUP BY 1, 2)),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS mixed_groups
+             |      FROM (SELECT event, user_id % 2 FROM base GROUP BY 1, 2))
+             |SELECT b.day, b.event, b.cnt_de, a.cnt_e, a.lo_e, a.hi_e, a.sum_e,
+             |       (SELECT dw_groups FROM w) AS dw_groups,
+             |       (SELECT dw_rows FROM w) AS dw_rows,
+             |       (SELECT mixed_groups FROM m) AS mixed_groups,
+             |       TRUE AS plan_proof
+             |FROM b JOIN a USING (event)
+             |ORDER BY day, event""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // NATIVE V2 SCAN UNDER MERGE-ON-READ (r11): a table that has BOTH
     // renamed a column (two physical-name epochs) and taken positional
     // deletes still reads through the native BatchScan — per-epoch
@@ -1032,9 +1143,15 @@ object WebLogQueries {
     // gate the budget) and each reader masks the generations that
     // out-sequence its file, row-identical to the V1 bridge's
     // sequence-scoped anti-join. Trino keeps dynamic filtering under
-    // deletes; this closes the same gap. The proof boolean pins the
-    // BatchScanExec plan; the census (per-event counts/sums after the
-    // GDPR erasure) is recomputed by the oracle.
+    // deletes; this closes the same gap. r12: the table also RENAMES a
+    // data column mid-life — GDPR delete generations exist on BOTH
+    // sides of the rename epoch, and the native path must hold: the
+    // per-epoch reader schemas (stored files carry the OLD physical
+    // name for 'label') compose with the sequence-scoped key-tuple
+    // mask, where r11 surrendered the whole table to the V1 bridge.
+    // The proof boolean pins the BatchScanExec plan; the census
+    // (per-event counts/sums after both erasures) is recomputed by the
+    // oracle.
     Q("weblog_native_eqdel",
       (s, d) => {
         val wh = scratch(s, "nativeeq", d)
@@ -1053,6 +1170,12 @@ object WebLogQueries {
           .createOrReplaceTempView("graft_ne_src")
         s.sql("INSERT INTO gne.web.sessions SELECT * FROM graft_ne_src")
         s.sql("DELETE FROM gne.web.sessions WHERE user_id % 10 = 3")
+        // rename a data column: the stored files (and the gen-1 delete
+        // files) predate the rename — reads resolve 'label' to the old
+        // physical name per epoch WHILE masking both delete generations
+        s.sql("ALTER TABLE gne.web.sessions RENAME COLUMN event TO label")
+        // a SECOND delete generation, after the rename epoch
+        s.sql("DELETE FROM gne.web.sessions WHERE user_id % 10 = 7")
         def nodes(p: org.apache.spark.sql.execution.SparkPlan):
             Seq[org.apache.spark.sql.execution.SparkPlan] =
           (p +: p.children.flatMap(nodes)) ++ (p match {
@@ -1062,9 +1185,9 @@ object WebLogQueries {
               nodes(a.executedPlan)
             case _ => Nil
           })
-        val q = s.sql("""SELECT event, CAST(count(*) AS BIGINT) AS cnt,
+        val q = s.sql("""SELECT label AS event, CAST(count(*) AS BIGINT) AS cnt,
                         |       CAST(sum(user_id) AS BIGINT) AS sum_uid
-                        |FROM gne.web.sessions GROUP BY event""".stripMargin)
+                        |FROM gne.web.sessions GROUP BY label""".stripMargin)
         val rows = q.collect()
         val native = nodes(q.queryExecution.executedPlan).exists(
           _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
@@ -1077,7 +1200,8 @@ object WebLogQueries {
              |       CAST(sum(user_id) AS BIGINT) AS sum_uid,
              |       TRUE AS native_scan
              |FROM events
-             |WHERE day(ts) = 1 AND hour(ts) < 12 AND user_id % 10 <> 3
+             |WHERE day(ts) = 1 AND hour(ts) < 12
+             |  AND user_id % 10 <> 3 AND user_id % 10 <> 7
              |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
       headline = true),
 

@@ -975,14 +975,26 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     }
 
   /** The manifest-only answer to an aggregation — whole-table, or
-    * grouped by the physical partition column — or None when any part
-    * is undecidable from metadata (the caller then scans for real).
+    * grouped by ANY combination of partition-spec dimensions (r12):
+    * identity legs (the physical partition column, or an identity leg
+    * of a `multi(days(ts), event)` composite), `CAST(src AS DATE)`
+    * over a days()/hours() leg, and constant datetime extracts
+    * (`GROUP BY event`, `GROUP BY day, event`, `GROUP BY dayofweek(ts),
+    * event` all answer from the manifest on the everyday Iceberg
+    * layout). COUNT(*)/COUNT(col)/MIN/MAX/SUM resolve from the stamped
+    * per-file counts/bounds/sums; AVG(col) is the exact
+    * (sum stamp) / (rows − nulls) quotient; COUNT(DISTINCT dim) counts
+    * distinct leaf leg values. None when any part is undecidable from
+    * metadata — the caller then scans for real. EVERYTHING reads ONE
+    * resolved snapshot ([[IcebergLikeTable.aggView]]): a commit racing
+    * between probe and push cannot mix versions inside one answer.
     */
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation):
       Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    import org.apache.spark.sql.types.{LongType, StructField}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    import graft.weblog.IcebergLikeTable.AggLeg
     if (pinned.isDefined) return None // time travel reads through the scan
     // a RESIDUAL filter keeps a Filter node above the scan and Spark
     // never offers the aggregate; when it does offer, every pushed
@@ -992,192 +1004,214 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     // residual filter somehow reaching here refuses.
     if (!filters.forall(handled.contains)) return None
     val handledSeq: Seq[sources.Filter] = filters.toSeq
+    val view =
+      try table.aggView().getOrElse(return None)
+      catch { case scala.util.control.NonFatal(_) => return None }
     def boundCol(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[StructField] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
         fullSchema.fields.find(_.name == n.fieldNames.head)
       case _ => None
     }
-    val minMaxCols = agg.aggregateExpressions.toSeq.flatMap {
+    val aggExprs = agg.aggregateExpressions.toSeq
+    val minMaxCols = aggExprs.flatMap {
       case m: Min => boundCol(m.column).map(_.name)
       case m: Max => boundCol(m.column).map(_.name)
       case _ => Nil
     }.distinct
     // COUNT(col) — the non-null count — answers from the stamped
     // per-file null counts (r11): rows − nulls per file, exact
-    val countCols = agg.aggregateExpressions.toSeq.flatMap {
+    val countCols = aggExprs.flatMap {
       case c: Count if !c.isDistinct => boundCol(c.column).map(_.name)
       case _ => Nil
     }.distinct
     // SUM(col) — from the stamped exact per-file decimal sums (r11);
     // floating-point columns are never stamped (order-dependent
-    // addition), so they fall back by absence
-    val sumCols = agg.aggregateExpressions.toSeq.flatMap {
+    // addition), so they fall back by absence. The same stamps answer
+    // AVG(col) exactly: (sum) / (rows − nulls) (r12).
+    val sumCols = aggExprs.flatMap {
       case s: Sum if !s.isDistinct => boundCol(s.column).map(_.name)
+      case a: Avg if !a.isDistinct => boundCol(a.column).map(_.name)
       case _ => Nil
     }.distinct
-    // answers per group: one global group, or one per value of the
-    // PHYSICAL partition column (`GROUP BY day, count/min/max` —
-    // Iceberg's partition-level metadata aggregates). Everything from
-    // ONE resolved snapshot — a racing commit cannot mix versions.
-    val grouped: Seq[(Option[(StructField, Any)], Long,
-        Map[String, (String, String)], Map[String, Long],
-        Map[String, (java.math.BigDecimal, Long)])] =
-      agg.groupByExpressions.toSeq match {
-        case Nil =>
-          val (count, bounds, counts, sums) =
-            try {
-              if (handledSeq.isEmpty) {
-                val (c0, b0, cc0, sm0) =
-                  table.manifestAggregates(minMaxCols, countCols, sumCols)
-                (c0.getOrElse(return None), b0, cc0, sm0)
-              } else
-                table.manifestAggregatesWhereFilters(minMaxCols, countCols,
-                  sumCols, handledSeq).getOrElse(return None)
-            } catch { case scala.util.control.NonFatal(_) => return None }
-          Seq((None, count, bounds, counts, sums))
-        case Seq(g) =>
-          // GROUP BY the physical partition column (identity layouts),
-          // or — hidden days() layouts — GROUP BY CAST(source AS DATE):
-          // the leaf value is the UTC day ordinal, which IS the DATE's
-          // internal representation, so each leaf answers one group.
-          // The cast-to-date semantics depend on the session timezone;
-          // only UTC matches the transform's epoch-day floor.
-          // r11: GROUP BY extract(field FROM src) on a days()/hours()
-          // hidden layout — answerable from the manifest whenever the
-          // field is CONSTANT over each leaf's time interval (date
-          // parts over a day; those plus HOUR over an hour). The
-          // ordinal→value mapping is many-to-one (every Monday maps to
-          // the same day-of-week), so leaves MERGE through the keyed
-          // variant — a pushed GROUP BY can never emit duplicate rows.
-          // UTC-only: extract semantics follow the session timezone,
-          // and only UTC matches the transform's epoch floor.
-          // the extract source, possibly through a CAST(src AS DATE)
-          // (Catalyst's date parts take a DATE child, so dayofweek(ts)
-          // pushes as Extract(DAY_OF_WEEK, Cast(ts AS DATE))): the UTC
-          // date floor of any instant in a leaf's interval is the
-          // leaf's own day, so the cast is leaf-consistent — but HOUR
-          // through a date cast would be the midnight hour, so it must
-          // ride the BARE timestamp reference only.
-          if (sys.env.contains("GRAFT_DEBUG_AGG"))
-            System.err.println(s"[graft-agg] groupBy ${g.getClass.getName}: $g")
-          def extractSource(e: org.apache.spark.sql.connector.expressions.Expression,
-              casted: Boolean): Option[(String, Boolean)] = e match {
-            case n: NamedReference if n.fieldNames.length == 1 =>
-              Some((n.fieldNames.head, casted))
-            case c: org.apache.spark.sql.connector.expressions.Cast
-                if c.dataType == org.apache.spark.sql.types.DateType =>
-              extractSource(c.expression(), casted = true)
+
+    // ---- partition-DIMENSION resolution: a pushed V2 expression → the
+    // spec LEG it reads and the (per-leg leaf values → typed value)
+    // mapping. Grouping and COUNT(DISTINCT) both resolve through here.
+    // UTC-only for the time legs: cast/extract semantics follow the
+    // session timezone, and only UTC matches the transform's epoch
+    // floor. Many-to-one mappings (every Monday, a date over hour
+    // leaves) MERGE in the grouped fold — never duplicate group rows.
+    val utc = org.apache.spark.sql.internal.SQLConf.get
+      .sessionLocalTimeZone == "UTC"
+    val legs = view.legs.map(_.zipWithIndex)
+    // identity legs of a composite spec render as the column's own
+    // string cast — groupable where that rendering round-trips exactly
+    // through the typed parse (strings and integrals; a timestamp's
+    // calendar rendering does not)
+    def identityLegType(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    def extractSource(e: org.apache.spark.sql.connector.expressions.Expression,
+        casted: Boolean): Option[(String, Boolean)] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some((n.fieldNames.head, casted))
+      case c: org.apache.spark.sql.connector.expressions.Cast
+          if c.dataType == org.apache.spark.sql.types.DateType =>
+        extractSource(c.expression(), casted = true)
+      case _ => None
+    }
+    // an integer-arithmetic tree over ONE inner extract (Spark pushes
+    // dayofweek() as `(EXTRACT(DAY_OF_WEEK …) % 7) + 1` and weekday()
+    // as `… - 1`): recognized and COMPOSED onto the raw extract, so
+    // the semantic conversion runs at planning on the group keys,
+    // exactly as the scan would have run it per row. Literal must sit
+    // right of the operator — the only shape the builder generates.
+    def intLit(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[Int] = e match {
+      case l: V2Literal[_] if l.dataType ==
+          org.apache.spark.sql.types.IntegerType =>
+        Some(l.value.asInstanceOf[Int])
+      case _ => None
+    }
+    def extractTree(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[(String, String, Boolean, Int => Int)] = e match {
+      case ex: org.apache.spark.sql.connector.expressions.Extract =>
+        extractSource(ex.source(), casted = false).map { case (n, c) =>
+          (ex.field(), n, c, identity[Int] _)
+        }
+      case ge: org.apache.spark.sql.connector.expressions
+          .GeneralScalarExpression if ge.children().length == 2 =>
+        for {
+          (f, n, c, fn) <- extractTree(ge.children()(0))
+          k <- intLit(ge.children()(1))
+          op <- ge.name() match {
+            case "+" => Some((v: Int) => fn(v) + k)
+            case "-" => Some((v: Int) => fn(v) - k)
+            case "*" => Some((v: Int) => fn(v) * k)
+            // SQL % = remainder with the dividend's sign — Java's
+            case "%" if k != 0 => Some((v: Int) => fn(v) % k)
             case _ => None
           }
-          // an integer-arithmetic tree over ONE inner extract (Spark
-          // pushes dayofweek() as `(EXTRACT(DAY_OF_WEEK …) % 7) + 1`
-          // and weekday() as `… - 1`): recognized and COMPOSED onto the
-          // raw extract, so the semantic conversion runs at planning on
-          // the group keys, exactly as the scan would have run it per
-          // row. Literal must sit right of the operator — the only
-          // shape the builder generates for these.
-          def intLit(e: org.apache.spark.sql.connector.expressions.Expression):
-              Option[Int] = e match {
-            case l: V2Literal[_] if l.dataType ==
-                org.apache.spark.sql.types.IntegerType =>
-              Some(l.value.asInstanceOf[Int])
-            case _ => None
-          }
-          def extractTree(e: org.apache.spark.sql.connector.expressions.Expression):
-              Option[(String, String, Boolean, Int => Int)] = e match {
-            case ex: org.apache.spark.sql.connector.expressions.Extract =>
-              extractSource(ex.source(), casted = false).map { case (n, c) =>
-                (ex.field(), n, c, identity[Int] _)
-              }
-            case ge: org.apache.spark.sql.connector.expressions
-                .GeneralScalarExpression if ge.children().length == 2 =>
-              for {
-                (f, n, c, fn) <- extractTree(ge.children()(0))
-                k <- intLit(ge.children()(1))
-                op <- ge.name() match {
-                  case "+" => Some((v: Int) => fn(v) + k)
-                  case "-" => Some((v: Int) => fn(v) - k)
-                  case "*" => Some((v: Int) => fn(v) * k)
-                  // SQL % = remainder with the dividend's sign — Java's
-                  case "%" if k != 0 => Some((v: Int) => fn(v) % k)
-                  case _ => None
+        } yield (f, n, c, op)
+      case _ => None
+    }
+    def resolveDim(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(StructField, Seq[Option[String]] => Any)] =
+      legs.flatMap { ls =>
+        e match {
+          // identity dimensions: the leaf leg value IS the rows' value
+          case n: NamedReference if n.fieldNames.length == 1 =>
+            val nm = n.fieldNames.head
+            ls.collectFirst {
+              case (AggLeg.IdentityPhys(f), i) if f.name == nm =>
+                (f, (lv: Seq[Option[String]]) =>
+                  lv(i).map(v => typedBound(f.dataType, v)).orNull: Any)
+              case (AggLeg.IdentityData(f), i)
+                  if f.name == nm && identityLegType(f.dataType) =>
+                (f, (lv: Seq[Option[String]]) =>
+                  lv(i).map(v => typedBound(f.dataType, v)).orNull: Any)
+            }
+          // GROUP BY CAST(src AS DATE): a days() leaf ordinal IS the
+          // DATE's internal epoch-day; hour leaves floor-divide (24
+          // hours merge into one date group)
+          case c: org.apache.spark.sql.connector.expressions.Cast
+              if c.dataType == org.apache.spark.sql.types.DateType && utc =>
+            c.expression() match {
+              case n: NamedReference if n.fieldNames.length == 1 =>
+                ls.collectFirst {
+                  case (AggLeg.Time(src, hoursLeg), i)
+                      if src == n.fieldNames.head =>
+                    (StructField(s"cast($src as date)",
+                      org.apache.spark.sql.types.DateType),
+                      (lv: Seq[Option[String]]) => lv(i) match {
+                        case None => null
+                        case Some(v) => v.toLongOption match {
+                          case Some(o) =>
+                            val d = if (hoursLeg)
+                              java.lang.Math.floorDiv(o, 24L) else o
+                            if (d >= Int.MinValue && d <= Int.MaxValue)
+                              d.toInt: Any
+                            else throw new IllegalStateException(
+                              s"day ordinal out of range '$v'")
+                          case None => throw new IllegalStateException(
+                            s"unparseable leaf ordinal '$v'")
+                        }
+                      })
                 }
-              } yield (f, n, c, op)
-            case _ => None
-          }
-          val byExtract: Option[(StructField, Long => Int)] =
-            if (org.apache.spark.sql.internal.SQLConf.get
-                .sessionLocalTimeZone != "UTC") None
-            else extractTree(g) match {
-              case Some((field, name, casted, post))
-                  if table.timeTransformSource.contains(name) &&
-                    !(casted && field == "HOUR") =>
-                table.leafExtract(field).map(f => (
-                  StructField(
-                    s"extract(${field.toLowerCase} from $name)",
-                    org.apache.spark.sql.types.IntegerType),
-                  (o: Long) => post(f(o))))
               case _ => None
             }
-          byExtract match {
-            case Some((gField, ordToValue)) =>
-              val keyed =
-                try table.manifestGroupedAggregatesKeyed(minMaxCols, handledSeq, {
-                    case Some(v) => v.toLongOption match {
-                      case Some(o) => ordToValue(o): Any
-                      case None => throw new IllegalStateException(
-                        s"unparseable leaf ordinal '$v'")
+          // constant datetime extracts over a time leg (HOUR through a
+          // date cast would be the midnight hour — bare reference only)
+          case _ if utc =>
+            extractTree(e).flatMap { case (field, name, casted, post) =>
+              if (casted && field == "HOUR") None
+              else ls.collectFirst {
+                case (AggLeg.Time(src, hoursLeg), i) if src == name =>
+                  graft.weblog.IcebergLikeTable.leafExtract(hoursLeg, field)
+                    .map { f =>
+                      (StructField(
+                        s"extract(${field.toLowerCase} from $name)",
+                        org.apache.spark.sql.types.IntegerType),
+                        (lv: Seq[Option[String]]) => lv(i) match {
+                          case None => null // SQL: null input → null group
+                          case Some(v) => v.toLongOption match {
+                            case Some(o) => post(f(o)): Any
+                            case None => throw new IllegalStateException(
+                              s"unparseable leaf ordinal '$v'")
+                          }
+                        })
                     }
-                    case None => null // SQL: null input → the null group
-                  }, countCols, sumCols).getOrElse(return None)
-                catch { case scala.util.control.NonFatal(_) => return None }
-              keyed.map { case (k, count, bounds, counts, sums) =>
-                (Some((gField, k)), count, bounds, counts, sums)
-              }
-            case None =>
-          val byPartCol = boundCol(g).filter(_.name == table.partitionCol)
-          val byDaysCast: Option[StructField] = g match {
-            case c: org.apache.spark.sql.connector.expressions.Cast
-                if c.dataType == org.apache.spark.sql.types.DateType &&
-                  org.apache.spark.sql.internal.SQLConf.get
-                    .sessionLocalTimeZone == "UTC" =>
-              c.expression() match {
-                case n: NamedReference if n.fieldNames.length == 1 &&
-                    table.daysTransformSource.contains(n.fieldNames.head) =>
-                  Some(StructField(s"cast(${n.fieldNames.head} as date)",
-                    org.apache.spark.sql.types.DateType))
-                case _ => None
-              }
-            case _ => None
-          }
-          val (gField, toTyped): (StructField, String => Any) =
-            byPartCol match {
-              case Some(f) => (f, (v: String) => typedBound(f.dataType, v))
-              case None => byDaysCast match {
-                case Some(f) =>
-                  (f, (v: String) => v.toLongOption match {
-                    // DateType internal value = epoch days = the ordinal
-                    case Some(d) if d >= Int.MinValue && d <= Int.MaxValue =>
-                      d.toInt
-                    case _ => throw new IllegalStateException(
-                      s"unparseable day ordinal '$v'")
-                  })
-                case None => return None
-              }
+              }.flatten
             }
-          val rows =
-            try table.manifestGroupedAggregates(minMaxCols, handledSeq,
-                countCols, sumCols).getOrElse(return None)
-            catch { case scala.util.control.NonFatal(_) => return None }
-          rows.map { case (value, count, bounds, counts, sums) =>
-            val typed: Any =
-              try value.map(toTyped).orNull
-              catch { case scala.util.control.NonFatal(_) => return None }
-            (Some((gField, typed)), count, bounds, counts, sums)
-          }
-          }
-        case _ => return None
+          case _ => None
+        }
+      }
+    val groupResolved: Seq[(StructField, Seq[Option[String]] => Any)] =
+      agg.groupByExpressions.toSeq.map(g =>
+        resolveDim(g).getOrElse(return None))
+    // COUNT(DISTINCT dim): distinct MAPPED leg values over row-holding
+    // leaves — exact, because an identity/time dimension's value occurs
+    // in the data iff its leaf holds rows
+    val distinctResolved: Seq[(StructField, Seq[Option[String]] => Any)] =
+      aggExprs.collect { case c: Count if c.isDistinct =>
+        resolveDim(c.column()).getOrElse(return None) }
+    val distinctSlots: Map[Int, Int] = aggExprs.zipWithIndex
+      .collect { case (c: Count, i) if c.isDistinct => i }
+      .zipWithIndex.toMap
+
+    // answers per group: one global fold, or one row per distinct key
+    // tuple of the resolved dimensions
+    val grouped: Seq[(Seq[(StructField, Any)], Long,
+        Map[String, (String, String)], Map[String, Long],
+        Map[String, (java.math.BigDecimal, Long)], Seq[Long])] =
+      if (groupResolved.isEmpty && distinctResolved.isEmpty) {
+        view.aggregates(minMaxCols, countCols, sumCols, handledSeq) match {
+          case Some((count, bounds, counts, sums)) =>
+            Seq((Nil, count, bounds, counts, sums, Nil))
+          case None => return None
+        }
+      } else {
+        val keyFns = groupResolved.map(_._2)
+        val res = view.grouped(handledSeq, lv => keyFns.map(_(lv)),
+          minMaxCols, countCols, sumCols, distinctResolved.map(_._2))
+          .getOrElse(return None)
+        if (res.isEmpty && groupResolved.isEmpty)
+          // a GLOBAL aggregate over zero matching leaves still returns
+          // ONE row: counts and distincts 0, sums NULL (SQL semantics);
+          // bounds stay absent, so MIN/MAX correctly fall back
+          Seq((Nil, 0L, Map.empty, countCols.map(_ -> 0L).toMap,
+            sumCols.map(_ -> ((java.math.BigDecimal.ZERO, 0L))).toMap,
+            distinctResolved.map(_ => 0L)))
+        else res.map { case (k, count, bounds, counts, sums, dvals) =>
+          (groupResolved.map(_._1).zip(k), count, bounds, counts, sums, dvals)
+        }
       }
     // a (sum, non-null count) stamp as the TYPED result Spark expects
     // of SUM over the column type: LongType for integrals (refuse when
@@ -1205,36 +1239,66 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
         }
       case _ => None
     }
-    def rowOf(group: Option[(StructField, Any)], count: Long,
+    // AVG from the same stamps: the exact decimal sum over the exact
+    // non-null count, emitted as the DoubleType Spark expects for
+    // integral inputs. Refused unless the exact sum is itself exactly
+    // a double — then the round-once quotient equals any correctly
+    // accumulated execution (Spark's own double fold is order-dependent
+    // anyway; DuckDB's exact-sum AVG matches this bit for bit). Decimal
+    // AVG is refused: Spark's result scale/rounding contract differs.
+    def avgValue(f: StructField, sum: java.math.BigDecimal,
+        nonNull: Long): Option[(StructField, Any)] = f.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType =>
+        val field = StructField(s"avg(${f.name})", DoubleType)
+        if (nonNull == 0L) Some((field, null))
+        else {
+          val d = sum.doubleValue
+          if (new java.math.BigDecimal(d).compareTo(sum) != 0) None
+          else Some((field, d / nonNull: Any))
+        }
+      case _ => None
+    }
+    def rowOf(group: Seq[(StructField, Any)], count: Long,
         bounds: Map[String, (String, String)],
         counts: Map[String, Long],
-        sums: Map[String, (java.math.BigDecimal, Long)]):
+        sums: Map[String, (java.math.BigDecimal, Long)],
+        dvals: Seq[Long]):
         Option[Seq[(StructField, Any)]] = {
-      val aggs = agg.aggregateExpressions.toSeq.map {
-        case _: CountStar =>
+      val aggs = aggExprs.zipWithIndex.map {
+        case (_: CountStar, _) =>
           Some((StructField("count(*)", LongType), count: Any))
-        case c: Count if !c.isDistinct => boundCol(c.column).flatMap(f =>
+        case (c: Count, i) if c.isDistinct =>
+          for {
+            slot <- distinctSlots.get(i)
+            v <- dvals.lift(slot)
+            (rf, _) <- distinctResolved.lift(slot)
+          } yield (StructField(s"count(distinct ${rf.name})", LongType), v: Any)
+        case (c: Count, _) => boundCol(c.column).flatMap(f =>
           counts.get(f.name).map(v =>
             (StructField(s"count(${f.name})", LongType), v: Any)))
-        case s: Sum if !s.isDistinct => boundCol(s.column).flatMap(f =>
+        case (s: Sum, _) if !s.isDistinct => boundCol(s.column).flatMap(f =>
           sums.get(f.name).flatMap { case (bd, nn) => sumValue(f, bd, nn) })
-        case m: Min => boundCol(m.column).flatMap(f =>
+        case (a: Avg, _) if !a.isDistinct => boundCol(a.column).flatMap(f =>
+          sums.get(f.name).flatMap { case (bd, nn) => avgValue(f, bd, nn) })
+        case (m: Min, _) => boundCol(m.column).flatMap(f =>
           try bounds.get(f.name).map(b =>
             (StructField(s"min(${f.name})", f.dataType),
               typedBound(f.dataType, b._1)))
           catch { case scala.util.control.NonFatal(_) => None })
-        case m: Max => boundCol(m.column).flatMap(f =>
+        case (m: Max, _) => boundCol(m.column).flatMap(f =>
           try bounds.get(f.name).map(b =>
             (StructField(s"max(${f.name})", f.dataType),
               typedBound(f.dataType, b._2)))
           catch { case scala.util.control.NonFatal(_) => None })
-        case _ => None // COUNT(DISTINCT)/SUM(DISTINCT)/AVG: not metadata-decidable
+        case _ => None // SUM(DISTINCT)/AVG(DISTINCT): not metadata-decidable
       }
       if (aggs.exists(_.isEmpty)) None
-      else Some(group.toSeq ++ aggs.flatten)
+      else Some(group ++ aggs.flatten)
     }
-    val answered = grouped.map { case (g, c, b, cc, sm) =>
-      rowOf(g, c, b, cc, sm) }
+    val answered = grouped.map { case (g, c, b, cc, sm, dv) =>
+      rowOf(g, c, b, cc, sm, dv) }
     if (answered.isEmpty || answered.exists(_.isEmpty)) None
     else {
       val rows = answered.flatten

@@ -47,9 +47,11 @@ import org.apache.spark.util.SerializableConfiguration
   * Eligibility is decided per snapshot by
   * [[IcebergLikeTable.nativeScanSnapshot]] (schema/size-stamped;
   * rename/drop epochs, positional deletes and equality deletes all
-  * read natively — see the MOR state below); ineligible snapshots
-  * (over-budget or unstamped delete tuples, non-canonical key types,
-  * eq deletes under rename epochs) fall back to the V1 bridge, which
+  * read natively — including eq deletes UNDER rename epochs, r12: the
+  * mask's key columns resolve per epoch — see the MOR state below);
+  * ineligible snapshots (over-budget or unstamped delete tuples,
+  * non-canonical key types, a key column some epoch cannot resolve)
+  * fall back to the V1 bridge, which
   * composes the full merge-on-read and column-history machinery. Every pushed filter is declared
   * residual, so Spark re-applies them row-by-row — pruning here is an
   * I/O-only optimization, exactly like the rest of the engine.
@@ -246,10 +248,33 @@ final class GraftNativeScan private (
   /** Distinct schema EPOCHS of this snapshot's data files, indexed
     * stably (from the FULL data-file set, so a runtime re-plan and the
     * reader factory always agree on indices). One epoch — the identity
-    * mapping — for never-evolved snapshots.
+    * mapping — for never-evolved snapshots. Epochs resolve the pruned
+    * data columns PLUS — under live equality deletes — the key columns
+    * the query did not project ([[extraKeyFields]]): two epochs that
+    * agree on the data columns but renamed an unprojected key column
+    * must stay distinct, or a reader would probe the mask under the
+    * wrong physical key name (r12 — eq deletes compose with renames).
     */
+  private lazy val storedFields: StructType =
+    table.storedSchema(snap.meta).getOrElse(
+      throw new IllegalStateException(
+        s"native scan planned over an unstamped schema at ${table.path}"))
+
+  /** Key columns the query projected away — the equality mask still
+    * needs them in the read row; the reader reads them as extra
+    * trailing columns and the wrapper projects them back out.
+    */
+  private lazy val extraKeyFields: Seq[StructField] =
+    if (!hasEqDels) Nil
+    else table.uniqueKeys.filterNot(k => dataFields.exists(_.name == k))
+      .map(k => storedFields.fields.find(_.name == k).getOrElse(
+        throw new IllegalStateException(
+          s"unique key '$k' missing from the stored schema at ${table.path}")))
+
+  private lazy val epochFields: Seq[StructField] = dataFields ++ extraKeyFields
+
   private lazy val epochResolve: String => Seq[Option[String]] =
-    table.epochPhysicalNames(snap, dataFields)
+    table.epochPhysicalNames(snap, epochFields)
 
   private lazy val epochKeys: IndexedSeq[Seq[Option[String]]] =
     snap.dataEntries.map(e => epochResolve(e.path)).distinct.toIndexedSeq
@@ -426,23 +451,15 @@ final class GraftNativeScan private (
     // EQUALITY-delete masking needs the key columns in the read row
     // even when the query projected them away: the reader reads them
     // as EXTRA trailing columns and the wrapper projects them back out
-    // (eligibility bars eq deletes from rename epochs, so the extras'
-    // names are stable across every file)
-    val stored = table.storedSchema(snap.meta).getOrElse(
-      throw new IllegalStateException(
-        s"native scan planned over an unstamped schema at ${table.path}"))
-    val extraKeyFields: Seq[StructField] =
-      if (!hasEqDels) Nil
-      else table.uniqueKeys.filterNot(k => dataFields.exists(_.name == k))
-        .map(k => stored.fields.find(_.name == k).getOrElse(
-          throw new IllegalStateException(
-            s"unique key '$k' missing from the stored schema at ${table.path}")))
+    // (each epoch reads them under ITS OWN physical names — epochs are
+    // keyed on dataFields ++ extraKeyFields, so a renamed key column
+    // splits the epochs even when the data columns agree)
     val rowIdxField = StructField(GraftNativeScan.RowIndexCol, LongType)
     val factories = epochKeys.map { phys =>
-      val fields = dataFields.toSeq.zip(phys).zipWithIndex.map {
+      val fields = epochFields.zip(phys).zipWithIndex.map {
         case ((f, Some(p)), _) => StructField(p, f.dataType, f.nullable, f.metadata)
         case ((f, None), i) => StructField(s"__graft_absent_$i", f.dataType)
-      } ++ extraKeyFields
+      }
       val renames = dataFields.map(_.name).zip(phys).toMap
       val epochFilters = pushedFilters.flatMap(
         translateFilter(_, n => renames.getOrElse(n, None), exact = false))
@@ -470,20 +487,36 @@ final class GraftNativeScan private (
     // once at planning under the CURRENT schema's key types (a widened
     // key column promotes an old delete file's narrow values exactly
     // like the data files' scan does) and broadcast as canonical
-    // UnsafeRows — the reader's membership probe is byte equality
+    // UnsafeRows — the reader's membership probe is byte equality.
+    // r12: a delete file stores its key columns under the names of ITS
+    // OWN write epoch (the manifest's deleteSeq) — files group by that
+    // resolution and each group reads under its physical names, so a
+    // GDPR table that later renames a key keeps the native path.
     val eqTuples: Broadcast[Map[(String, Long), Array[
         org.apache.spark.sql.catalyst.expressions.UnsafeRow]]] =
       if (!hasEqDels) null
       else {
         val keySchema = StructType(table.uniqueKeys.map(k =>
-          stored.fields.find(_.name == k).get))
+          storedFields.fields.find(_.name == k).get))
         val byRel: Seq[(String, (String, Long))] = eqDelEntries.map(e =>
           e.path -> ((table.leafOf(e.path), e.deleteSeq)))
-        val raw = spark.read.schema(keySchema)
-          .parquet(eqDelEntries.map(e => s"${table.path}/${e.path}"): _*)
-          .select(table.uniqueKeys.map(col) :+
-            org.apache.spark.sql.functions.input_file_name().as("_graft_eqf"): _*)
-          .collect()
+        val byPhys = eqDelEntries.groupBy(e =>
+          table.physNamesAt(snap, keySchema.fields.toSeq, e.deleteSeq))
+        val raw: Array[org.apache.spark.sql.Row] =
+          byPhys.toSeq.sortBy(_._2.head.path).flatMap { case (phys, es) =>
+            val physSchema = StructType(keySchema.fields.toSeq.zip(phys).map {
+              case (f, p) => StructField(
+                p.getOrElse(throw new IllegalStateException(
+                  s"equality-delete key '${f.name}' unresolvable at its " +
+                    s"write epoch under ${table.path}")),
+                f.dataType, f.nullable, f.metadata)
+            })
+            spark.read.schema(physSchema)
+              .parquet(es.map(e => s"${table.path}/${e.path}"): _*)
+              .select(physSchema.fieldNames.toIndexedSeq.map(col) :+
+                org.apache.spark.sql.functions.input_file_name().as("_graft_eqf"): _*)
+              .collect().toSeq
+          }.toArray
         val toRow = CatalystTypeConverters.createToCatalystConverter(keySchema)
         val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
           .create(keySchema)
@@ -681,7 +714,8 @@ private[weblog] final class GraftMorReaderFactory(
       case GraftMorPartition(e, rel, eqKeys, inner) =>
         (factories(e), rel, eqKeys, inner)
       // the storage-partitioned-join shape under live equality deletes:
-      // single epoch (eligibility bars evo+eq), no positional skip list
+      // single epoch (bucket grouping stands down under rename epochs),
+      // no positional skip list
       case GraftBucketedPartition(_, eqKeys, inner) =>
         (factories.head, None, eqKeys, inner)
       case other => (factories.head, None, Nil, other)

@@ -1011,19 +1011,28 @@ final case class IcebergLikeTable(
       fields: Seq[StructField]): String => Seq[Option[String]] = {
     val hist = colHistOf(snap.meta)
     if (!hasEvolution(hist)) { _ => fields.map(f => Some(f.name)) }
-    else {
-      val ids = colIdsOf(snap.meta)
-      f => {
-        val vf = fileVersionOf(f).getOrElse(Long.MaxValue)
-        fields.map { fld =>
-          ids.get(fld.name).flatMap(hist.get) match {
-            case None => Some(fld.name) // no recorded history: stable
-            case Some(entries) =>
-              val applicable = entries.filter(_._1 <= vf)
-              if (applicable.isEmpty) None // the file predates the column
-              else applicable.maxBy(_._1)._2
-          }
-        }
+    else f => physNamesAt(snap, fields,
+      fileVersionOf(f).getOrElse(Long.MaxValue))
+  }
+
+  /** Physical names of `fields` as of write version `vf` under the
+    * snapshot's column history — the per-VERSION resolution behind
+    * [[epochPhysicalNames]], also used directly for DELETE files
+    * (their name grammar carries no `part-v` version; the manifest's
+    * `deleteSeq` IS their write version, and an equality-delete file
+    * stores its key columns under that epoch's names).
+    */
+  private[weblog] def physNamesAt(snap: TableSnapshot,
+      fields: Seq[StructField], vf: Long): Seq[Option[String]] = {
+    val hist = colHistOf(snap.meta)
+    val ids = colIdsOf(snap.meta)
+    fields.map { fld =>
+      ids.get(fld.name).flatMap(hist.get) match {
+        case None => Some(fld.name) // no recorded history: stable
+        case Some(entries) =>
+          val applicable = entries.filter(_._1 <= vf)
+          if (applicable.isEmpty) None // the file predates the column
+          else applicable.maxBy(_._1)._2
       }
     }
   }
@@ -1727,58 +1736,17 @@ final case class IcebergLikeTable(
       Some(snap.entries.map(_.rowCount).sum)
     else None
 
-  /** One-snapshot metadata aggregates for the V2 aggregate pushdown:
-    * the row count, the requested columns' exact min/max, and exact
-    * non-null counts (`COUNT(col)` = stamped rows − stamped nulls per
-    * file, r11), ALL resolved from the SAME live snapshot — a pushed
-    * aggregate row can never mix two versions racing a concurrent
-    * commit. Per-item None/absence = undecidable (the caller falls
-    * back to a real scan).
+  /** The ONE-RESOLUTION facade behind the V2 aggregate pushdown: every
+    * probe and fold of one pushed-aggregate computation (the
+    * supportCompletePushDown → pushAggregation pair, grouping, distinct
+    * counting) reads the SAME resolved snapshot and schema — a commit
+    * racing the planner can never pair version-A bounds with version-B
+    * comparators inside one answer. None when the live snapshot has no
+    * stamped schema (the caller scans for real).
     */
-  private[graft] def manifestAggregates(minMaxCols: Seq[String],
-      countCols: Seq[String] = Nil,
-      sumCols: Seq[String] = Nil)
-      : (Option[Long], Map[String, (String, String)], Map[String, Long],
-        Map[String, (java.math.BigDecimal, Long)]) = {
-    val (_, snap) = resolveLive()
-    (rowCountOf(snap),
-      minMaxCols.flatMap(c => columnMinMaxOf(snap, c).map(c -> _)).toMap,
-      countCols.flatMap(c => columnCountOf(snap, c).map(c -> _)).toMap,
-      sumCols.flatMap(c => columnSumOf(snap, c).map(c -> _)).toMap)
-  }
-
-  /** Manifest-only SUM(col): (exact sum, non-null count) — every live
-    * file carries a sum stamp for the column, so the decimal sum of
-    * stamps IS the answer (the non-null count decides SQL's 0-vs-NULL
-    * and lets the caller refuse a result Spark's own long arithmetic
-    * could not represent). None when any file predates the stamp or
-    * live delete files mask unknowable rows.
-    */
-  private def columnSumOf(snap: TableSnapshot,
-      c: String): Option[(java.math.BigDecimal, Long)] = {
-    if (snap.deleteEntries.nonEmpty) return None
-    if (snap.entries.exists(e =>
-        e.rowCount < 0L || !e.nulls.contains(c) || !e.sums.contains(c)))
-      return None
-    try Some((
-      snap.entries.foldLeft(java.math.BigDecimal.ZERO)(
-        (a, e) => a.add(new java.math.BigDecimal(e.sums(c)))),
-      snap.entries.map(e => e.rowCount - e.nulls(c)).sum))
-    catch { case scala.util.control.NonFatal(_) => None }
-  }
-
-  /** Manifest-only `COUNT(col)` (non-null count): every live file
-    * carries a stamped row count and a stamped null count for the
-    * column, so the sum of (rows − nulls) IS the answer — exact, zero
-    * data I/O. None when any file predates the null stamp (pre-r11
-    * commits — `CALL analyze` backfills) or live delete files mask an
-    * unknowable number of rows.
-    */
-  private def columnCountOf(snap: TableSnapshot, c: String): Option[Long] = {
-    if (snap.deleteEntries.nonEmpty) return None
-    if (snap.entries.exists(e => e.rowCount < 0L || !e.nulls.contains(c)))
-      return None
-    Some(snap.entries.map(e => e.rowCount - e.nulls(c)).sum)
+  private[graft] def aggView(): Option[AggView] = {
+    val snap = resolveLive()._2
+    storedSchema(snap.meta).map(new AggView(snap, _))
   }
 
   /** Manifest-only MIN/MAX of a stats-stamped column (Iceberg's
@@ -1830,208 +1798,183 @@ final case class IcebergLikeTable(
     case _ => (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
   }
 
-  /** One-snapshot GROUPED metadata aggregates (the V2 pushdown's
-    * `GROUP BY <partition column>` leg): one row per PHYSICAL partition
-    * value — (value string, None = the null partition), the group's
-    * row count, and exact per-group [min, max] for the requested
-    * stamped columns. Identity layouts only (a hidden transform's
-    * source values are not recoverable from leaves); None whenever any
-    * piece is undecidable — live delete files, an unparseable or
-    * missing partition segment, an unstamped row count or bound — and
-    * the caller runs the real aggregation.
+  /** One-snapshot aggregate computations for the V2 pushdown — see
+    * [[aggView]]. Whole-table (optionally filter-handled) folds,
+    * GENERALIZED grouping (r12): each live leaf decomposes into
+    * per-LEG raw values under the partition spec — one leg for
+    * identity layouts and single transforms, one per leg of a
+    * `multi(days(ts), event, …)` composite — and the caller's key
+    * function maps leg values into its grouping expressions' value
+    * space. Leaves mapping to the SAME key tuple MERGE (counts/sums
+    * add, bounds combine under the column ordering, distinct sets
+    * union), so a pushed GROUP BY can never emit duplicate rows, and
+    * many-to-one mappings (every Monday, two escapings of one value)
+    * collapse correctly. COUNT(DISTINCT <partition dimension>) counts
+    * distinct non-null mapped values over leaves that actually hold
+    * rows. None anywhere = undecidable — the caller scans for real.
     */
-  /** The hidden transform's source column when it is a single-leg
-    * `days()` — the one hidden layout whose leaf value is directly a
-    * groupable quantity (the UTC day ordinal). The aggregate pushdown
-    * uses this to answer `GROUP BY CAST(src AS DATE)` from the
-    * manifest.
-    */
-  private[graft] def daysTransformSource: Option[String] =
-    transform.collect { case PartitionTransforms.Days(s) => s }
+  private[graft] final class AggView private[weblog] (
+      snap: TableSnapshot, val schema: StructType) {
 
-  private[graft] def manifestGroupedAggregates(minMaxCols: Seq[String],
-      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-      countCols: Seq[String] = Nil,
-      sumCols: Seq[String] = Nil)
-      : Option[Seq[(Option[String], Long, Map[String, (String, String)],
-        Map[String, Long], Map[String, (java.math.BigDecimal, Long)])]] = {
-    val (_, snap) = resolveLive()
-    // identity layouts group by the physical partition value; a
-    // single-spec days()/hours() layout may group by the LEAF ORDINAL
-    // (each leaf value IS the ordinal — the caller maps ordinals into
-    // its grouping expression's value space, merging where the mapping
-    // is many-to-one). A multi-epoch spec history refuses: an old
-    // epoch's leaf value is an ordinal under a DIFFERENT spec.
-    val layoutOk = transform match {
-      case None => true
-      case Some(PartitionTransforms.Days(_)) |
-           Some(PartitionTransforms.Hours(_)) =>
-        specHistOf(snap.meta).size <= 1
-      case Some(_) => false
+    /** Whole-table aggregates over the leaves the HANDLED filters keep:
+      * (row count, per-column exact [min,max], non-null counts, exact
+      * decimal sums with non-null counts). Works on ANY layout — no
+      * leaf decomposition needed. None = undecidable (live delete
+      * files, unstamped row count, undecidable filter); a bound/count/
+      * sum missing for one column is simply absent from its map.
+      */
+    def aggregates(minMaxCols: Seq[String], countCols: Seq[String],
+        sumCols: Seq[String],
+        filters: Seq[org.apache.spark.sql.sources.Filter])
+        : Option[(Long, Map[String, (String, String)], Map[String, Long],
+          Map[String, (java.math.BigDecimal, Long)])] = {
+      if (snap.deleteEntries.nonEmpty) return None
+      val decide = leafDeciderFor(snap, filters).getOrElse(return None)
+      manifestAggregatesByLeaf(minMaxCols, countCols, sumCols, snap, decide)
     }
-    if (!layoutOk) return None
-    if (snap.deleteEntries.nonEmpty) return None
-    val schema = storedSchema(snap.meta).getOrElse(return None)
-    val cmps = minMaxCols.map { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(return None)
-      if (!FileStats.supported(f.dataType)) return None
-      c -> boundCompare(f.dataType)
-    }
-    // handled filters drop whole leaves BEFORE grouping — exactly
-    // Aggregate(Filter(scan)) order; undecidable ⇒ fall back
-    val matching =
-      if (filters.isEmpty) snap.dataEntries
-      else {
-        val decide = leafDeciderFor(snap, filters).getOrElse(return None)
-        snap.dataEntries.filter { e =>
-          decide(leafOf(e.path)) match {
-            case Some(keep) => keep
-            case None => return None
-          }
+
+    /** The partition spec's LEG descriptors (leaf-decomposition order),
+      * or None when leaves cannot be decomposed into groupable values:
+      * a multi-epoch spec history (an old epoch's leaf value encodes a
+      * DIFFERENT spec), a truncate/void single transform, or a missing
+      * schema field for a leg source.
+      */
+    val legs: Option[Seq[IcebergLikeTable.AggLeg]] = {
+      import IcebergLikeTable.AggLeg
+      def ofTransform(t: PartitionTransforms.Transform): Option[AggLeg] =
+        t match {
+          case PartitionTransforms.Days(s) => Some(AggLeg.Time(s, hoursLeg = false))
+          case PartitionTransforms.Hours(s) => Some(AggLeg.Time(s, hoursLeg = true))
+          case PartitionTransforms.Identity(s) =>
+            schema.fields.find(_.name == s).map(AggLeg.IdentityData)
+          // truncate buckets a RANGE of source values into one leaf —
+          // present for index alignment, never groupable
+          case _: PartitionTransforms.Truncate => Some(AggLeg.Opaque)
+          case _ => None
         }
+      transform match {
+        case None =>
+          schema.fields.find(_.name == partitionCol)
+            .map(f => Seq(AggLeg.IdentityPhys(f): AggLeg))
+        case Some(_) if specHistOf(snap.meta).size > 1 => None
+        case Some(m: PartitionTransforms.Multi) =>
+          val ls = m.legs.map(ofTransform)
+          if (ls.exists(_.isEmpty)) None else Some(ls.flatten)
+        case Some(t) => ofTransform(t).map(Seq(_))
       }
-    // group on the UNESCAPED logical value (inner Option: None = the
-    // null partition): two different path escapings of one value —
-    // possible via importFiles bringing a foreign directory layout —
-    // must land in ONE group, or the pushed GROUP BY would emit
-    // duplicate rows for equal logical partition values
-    val groups = matching.groupBy { e =>
-      leafOf(e.path).split('/')
+    }
+
+    /** Per-leg raw values of one leaf (inner None = the null leg value),
+      * or None when the leaf does not parse under the spec — a foreign
+      * directory layout brought in by importFiles.
+      */
+    private def legValues(leaf: String, nLegs: Int): Option[Seq[Option[String]]] = {
+      val raw = leaf.split('/')
         .find(_.startsWith(s"$partitionCol="))
         .map(_.substring(partitionCol.length + 1))
-        .map { raw =>
-          if (raw == org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None
-          else Some(org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(raw))
-        }
-    }
-    if (groups.contains(None)) return None // a leaf without the column
-    val rows = groups.toSeq.map { case (seg, es) =>
-      val value = seg.get
-      if (es.exists(_.rowCount < 0L)) return None
-      val bounds = cmps.map { case (c, cmp) =>
-        val bs = es.map(_.stats.get(c))
-        if (bs.exists(_.isEmpty)) return None
-        val typed = bs.flatten
-        try c -> ((typed.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-          typed.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
-        catch { case scala.util.control.NonFatal(_) => return None }
-      }.toMap
-      // per-group COUNT(col): rows − stamped nulls, exact; an
-      // unstamped null count anywhere refuses (fallback)
-      val counts = countCols.distinct.map { c =>
-        if (es.exists(e => !e.nulls.contains(c))) return None
-        c -> es.map(e => e.rowCount - e.nulls(c)).sum
-      }.toMap
-      // per-group SUM(col): exact decimal fold of the sum stamps
-      val sums = sumCols.distinct.map { c =>
-        if (es.exists(e => !e.nulls.contains(c) || !e.sums.contains(c)))
-          return None
-        try c -> ((es.foldLeft(java.math.BigDecimal.ZERO)(
-            (a, e) => a.add(new java.math.BigDecimal(e.sums(c)))),
-          es.map(e => e.rowCount - e.nulls(c)).sum))
-        catch { case scala.util.control.NonFatal(_) => return None }
-      }.toMap
-      (value, es.map(_.rowCount).sum, bounds, counts, sums)
-    }
-    Some(rows.sortBy(_._1))
-  }
-
-  /** [[manifestGroupedAggregates]] re-keyed through `keyOf` (a leaf
-    * value → group key mapping, e.g. the UTC hour-of-day of an hours()
-    * ordinal): leaves mapping to the SAME key merge — counts sum,
-    * bounds combine under the column type's ordering — so a pushed
-    * `GROUP BY extract(...)` can never emit duplicate group rows. The
-    * null partition maps through `keyOf(None)` (SQL: a null input
-    * groups under the null extract). None whenever the underlying
-    * grouped aggregates refuse or `keyOf` throws on any leaf value.
-    */
-  private[graft] def manifestGroupedAggregatesKeyed(minMaxCols: Seq[String],
-      filters: Seq[org.apache.spark.sql.sources.Filter],
-      keyOf: Option[String] => Any,
-      countCols: Seq[String] = Nil,
-      sumCols: Seq[String] = Nil)
-      : Option[Seq[(Any, Long, Map[String, (String, String)],
-        Map[String, Long], Map[String, (java.math.BigDecimal, Long)])]] = {
-    val rows = manifestGroupedAggregates(minMaxCols, filters, countCols,
-      sumCols).getOrElse(return None)
-    val (_, snap) = resolveLive()
-    val schema = storedSchema(snap.meta).getOrElse(return None)
-    val cmps = minMaxCols.map { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(return None)
-      c -> boundCompare(f.dataType)
-    }.toMap
-    val keyed =
-      try rows.map { case (v, n, b, cc, sm) => (keyOf(v), n, b, cc, sm) }
-      catch { case scala.util.control.NonFatal(_) => return None }
-    Some(keyed.groupBy(_._1).toSeq.map { case (k, rs) =>
-      val bounds = minMaxCols.map { c =>
-        val cmp = cmps(c)
-        val bs = rs.map(_._3(c))
-        c -> ((bs.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-          bs.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
-      }.toMap
-      val counts = countCols.distinct
-        .map(c => c -> rs.map(_._4(c)).sum).toMap
-      val sums = sumCols.distinct.map { c =>
-        c -> ((rs.foldLeft(java.math.BigDecimal.ZERO)(
-            (a, r) => a.add(r._5(c)._1)),
-          rs.map(_._5(c)._2).sum))
-      }.toMap
-      (k, rs.map(_._2).sum, bounds, counts, sums)
-    }.sortBy(r => String.valueOf(r._1)))
-  }
-
-  /** The UTC mapping from this table's hidden-partition LEAF ORDINAL to
-    * a datetime EXTRACT field's value, when that field is CONSTANT over
-    * the leaf's whole time interval — the condition under which a
-    * pushed `GROUP BY extract(field FROM src)` is answerable from the
-    * manifest. Date parts (year/month/day/quarter/week/day-of-week/
-    * day-of-year) are constant over a days() leaf; those plus HOUR over
-    * an hours() leaf. MINUTE/SECOND vary within every leaf and never
-    * qualify. None = not answerable (wrong layout, non-constant field,
-    * multi-epoch spec history, non-UTC handled by the caller).
-    */
-  private[graft] def leafExtract(field: String): Option[Long => Int] = {
-    def dateParts(epochDay: Long => Long): Option[Long => Int] = {
-      def ld(o: Long) = java.time.LocalDate.ofEpochDay(epochDay(o))
-      field match {
-        case "YEAR" => Some(o => ld(o).getYear)
-        case "MONTH" => Some(o => ld(o).getMonthValue)
-        case "DAY" => Some(o => ld(o).getDayOfMonth)
-        case "QUARTER" => Some(o => (ld(o).getMonthValue - 1) / 3 + 1)
-        case "DAY_OF_YEAR" => Some(o => ld(o).getDayOfYear)
-        // the V2 Extract semantic is ISO (1 = Monday … 7 = Sunday);
-        // Spark's dayofweek()/weekday() push their own arithmetic ON
-        // TOP of this raw extract ((x % 7) + 1 / x - 1), which the
-        // caller composes
-        case "DAY_OF_WEEK" => Some(o => ld(o).getDayOfWeek.getValue)
-        // Spark's weekofyear / year-of-week: ISO-8601 week-based
-        case "WEEK" => Some(o => ld(o).get(
-          java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear()))
-        case "YEAR_OF_WEEK" => Some(o => ld(o).get(
-          java.time.temporal.WeekFields.ISO.weekBasedYear()))
-        case _ => None
+        .getOrElse(return None)
+      if (raw == org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        return Some(Seq.fill(nLegs)(None))
+      // unescape the PATH escaping first (partitionBy wrote the derived
+      // value as a directory name); multi values then split on the
+      // composite separator, each identity leg unescaping its own
+      // INTERNAL rendering — the two layers compose injectively
+      val value = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(raw)
+      transform match {
+        case Some(m: PartitionTransforms.Multi) =>
+          val parts = value.split(
+            java.util.regex.Pattern.quote(PartitionTransforms.Multi.Sep), -1)
+          if (parts.length != nLegs) None
+          else Some(m.legs.zip(parts.toSeq).map {
+            case (_, PartitionTransforms.Multi.NullToken) => None
+            case (_: PartitionTransforms.Identity, p) =>
+              Some(PartitionTransforms.Multi.unescape(p))
+            case (_, p) => Some(p)
+          })
+        case _ => Some(Seq(Some(value)))
       }
     }
-    val (_, snap) = resolveLive()
-    if (specHistOf(snap.meta).size > 1) return None
-    transform match {
-      case Some(PartitionTransforms.Days(_)) => dateParts(identity)
-      case Some(PartitionTransforms.Hours(_)) =>
-        if (field == "HOUR") Some(o => java.lang.Math.floorMod(o, 24L).toInt)
-        else dateParts(o => java.lang.Math.floorDiv(o, 24L))
-      case _ => None
-    }
-  }
 
-  /** The single hidden-transform source column (days() or hours()),
-    * for matching a pushed extract's argument.
-    */
-  private[graft] def timeTransformSource: Option[String] = transform.collect {
-    case PartitionTransforms.Days(s) => s
-    case PartitionTransforms.Hours(s) => s
+    /** GROUPED aggregates keyed by `keyOf` over the per-leg leaf values:
+      * one row per distinct key tuple — (key, row count, per-column
+      * [min,max], non-null counts, (sum, non-null) pairs, per-spec
+      * distinct counts). `distinctOf` entries each map leg values to a
+      * COUNT(DISTINCT)-counted value (null = excluded, SQL semantics);
+      * only leaves that actually hold rows contribute (a zero-row
+      * leaf's value never occurs in the data). A throwing `keyOf` /
+      * `distinctOf` (unparseable leaf value) refuses — fallback, never
+      * a guess. Handled filters drop whole leaves BEFORE grouping —
+      * exactly Aggregate(Filter(scan)) order.
+      */
+    def grouped(filters: Seq[org.apache.spark.sql.sources.Filter],
+        keyOf: Seq[Option[String]] => Seq[Any],
+        minMaxCols: Seq[String], countCols: Seq[String], sumCols: Seq[String],
+        distinctOf: Seq[Seq[Option[String]] => Any])
+        : Option[Seq[(Seq[Any], Long, Map[String, (String, String)],
+          Map[String, Long], Map[String, (java.math.BigDecimal, Long)],
+          Seq[Long])]] = {
+      val legsSeq = legs.getOrElse(return None)
+      if (snap.deleteEntries.nonEmpty) return None
+      val cmps = minMaxCols.distinct.map { c =>
+        val f = schema.fields.find(_.name == c).getOrElse(return None)
+        if (!FileStats.supported(f.dataType)) return None
+        c -> boundCompare(f.dataType)
+      }
+      val matching =
+        if (filters.isEmpty) snap.dataEntries
+        else {
+          val decide = leafDeciderFor(snap, filters).getOrElse(return None)
+          snap.dataEntries.filter { e =>
+            decide(leafOf(e.path)) match {
+              case Some(keep) => keep
+              case None => return None
+            }
+          }
+        }
+      val byLeaf: Seq[(Seq[Option[String]], Seq[Manifests.FileEntry])] =
+        matching.groupBy(e => leafOf(e.path)).toSeq.map { case (leaf, es) =>
+          (legValues(leaf, legsSeq.size).getOrElse(return None), es)
+        }
+      val keyed =
+        try byLeaf.map { case (lv, es) => (keyOf(lv), lv, es) }
+        catch { case scala.util.control.NonFatal(_) => return None }
+      Some(keyed.groupBy(_._1).toSeq.map { case (k, leaves) =>
+        val es = leaves.flatMap(_._3)
+        if (es.exists(_.rowCount < 0L)) return None
+        val bounds = cmps.map { case (c, cmp) =>
+          val bs = es.map(_.stats.get(c))
+          if (bs.exists(_.isEmpty)) return None
+          val typed = bs.flatten
+          try c -> ((
+            typed.map(_._1).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+            typed.map(_._2).reduce((a, b) => if (cmp(a, b) >= 0) a else b)))
+          catch { case scala.util.control.NonFatal(_) => return None }
+        }.toMap
+        // per-group COUNT(col): rows − stamped nulls, exact; an
+        // unstamped null count anywhere refuses (fallback)
+        val counts = countCols.distinct.map { c =>
+          if (es.exists(e => !e.nulls.contains(c))) return None
+          c -> es.map(e => e.rowCount - e.nulls(c)).sum
+        }.toMap
+        // per-group SUM(col): exact decimal fold of the sum stamps
+        val sums = sumCols.distinct.map { c =>
+          if (es.exists(e => !e.nulls.contains(c) || !e.sums.contains(c)))
+            return None
+          try c -> ((es.foldLeft(java.math.BigDecimal.ZERO)(
+              (a, e) => a.add(new java.math.BigDecimal(e.sums(c)))),
+            es.map(e => e.rowCount - e.nulls(c)).sum))
+          catch { case scala.util.control.NonFatal(_) => return None }
+        }.toMap
+        val dvals = distinctOf.map { fn =>
+          try leaves.filter(_._3.exists(_.rowCount > 0L))
+            .map(l => fn(l._2)).filter(_ != null).distinct.size.toLong
+          catch { case scala.util.control.NonFatal(_) => return None }
+        }
+        (k, es.map(_.rowCount).sum, bounds, counts, sums, dvals)
+      }.sortBy(_._1.map(String.valueOf).mkString("\u0000")))
+    }
   }
 
   /** Manifest-only COUNT for a PARTITION-COLUMN predicate: every row of
@@ -2104,23 +2047,6 @@ final case class IcebergLikeTable(
       partitionPredicate(snap, condition).getOrElse(return None)
     manifestAggregatesByLeaf(minMaxCols, Nil, Nil, snap,
       leafSatisfies(_, partSchema, expr)).map(r => (r._1, r._2))
-  }
-
-  /** As above for a set of HANDLED pushed filters — which may be
-    * identity-partition predicates OR day-aligned half-lines on a
-    * days() transform's source ([[DaysExactFilter]]): the layer behind
-    * `count(*) … WHERE ts >= D1 AND ts < D2` as a zero-task lookup on
-    * hidden-partitioned tables.
-    */
-  private[graft] def manifestAggregatesWhereFilters(minMaxCols: Seq[String],
-      countCols: Seq[String], sumCols: Seq[String],
-      filters: Seq[org.apache.spark.sql.sources.Filter])
-      : Option[(Long, Map[String, (String, String)], Map[String, Long],
-        Map[String, (java.math.BigDecimal, Long)])] = {
-    val (_, snap) = resolveLive()
-    if (snap.deleteEntries.nonEmpty) return None
-    leafDeciderFor(snap, filters).flatMap(
-      manifestAggregatesByLeaf(minMaxCols, countCols, sumCols, snap, _))
   }
 
   private def manifestAggregatesByLeaf(minMaxCols: Seq[String],
@@ -3314,9 +3240,15 @@ final case class IcebergLikeTable(
     * when their stamped tuple counts fit the broadcast budget.
     * Equality tuples additionally require byte-canonical key types
     * (UnsafeRow equality is the membership test — float/double NaN and
-    * signed zeros would break it) and a never-renamed schema (a delete
-    * file stores the key COLUMN NAMES of its write epoch; under rename
-    * epochs the V1 bridge's evolved read resolves them instead).
+    * signed zeros would break it). r12: eq deletes COMPOSE with rename
+    * epochs — each delete file's key columns resolve through the column
+    * history at its own `deleteSeq`, each data file's at its write
+    * version — provided every live file (data or delete) resolves EVERY
+    * key column to a physical name; a file predating a key column (or
+    * whose physical twin belongs to a dead id) would read NULL keys,
+    * and a null tuple must never probe the mask (UnsafeRow equality
+    * would match null-to-null where the V1 anti-join's null-rejecting
+    * condition keeps the row) — such snapshots read through the bridge.
     */
   private[weblog] def nativeScanSnapshot(
       pinned: Option[Long]): Option[(TableSnapshot, StructType)] = {
@@ -3332,11 +3264,20 @@ final case class IcebergLikeTable(
       snap.deleteEntries.map(_.rowCount).sum <=
         IcebergLikeTable.NativePosDeleteTupleBudget
     val stored = storedSchema(snap.meta)
-    val eqOk = !snap.deleteEntries.exists(e => !Manifests.isPosDelete(e.path)) || {
-      !snapshotHasEvolution(snap) && uniqueKeys.nonEmpty &&
-        stored.exists(s => uniqueKeys.forall(k =>
-          s.fields.find(_.name == k).exists(f =>
-            IcebergLikeTable.eqDeleteKeyType(f.dataType))))
+    val eqDels = snap.deleteEntries.filterNot(e => Manifests.isPosDelete(e.path))
+    val eqOk = eqDels.isEmpty || {
+      uniqueKeys.nonEmpty && stored.exists { s =>
+        val keyFields = uniqueKeys.flatMap(k => s.fields.find(_.name == k))
+        keyFields.size == uniqueKeys.size &&
+          keyFields.forall(f => IcebergLikeTable.eqDeleteKeyType(f.dataType)) && {
+            !snapshotHasEvolution(snap) || {
+              val resolve = epochPhysicalNames(snap, keyFields)
+              snap.dataEntries.forall(e => resolve(e.path).forall(_.isDefined)) &&
+                eqDels.forall(e =>
+                  physNamesAt(snap, keyFields, e.deleteSeq).forall(_.isDefined))
+            }
+          }
+      }
     }
     stored match {
       case Some(s) if delsOk && eqOk && snap.entries.forall(_.size >= 0L) =>
@@ -4433,6 +4374,67 @@ object IcebergLikeTable {
     * the next analyze supersedes them.
     */
   private[weblog] val AnalyzeBloomPrefix = "_graft_bloom_analyze_"
+
+  /** One LEG of a partition spec as the aggregate pushdown sees it —
+    * what a grouping expression / COUNT(DISTINCT) column may resolve
+    * against (see [[IcebergLikeTable.AggView.legs]]):
+    *  - [[AggLeg.IdentityPhys]]: the physical partition column of an
+    *    untransformed layout (the leaf value IS the rows' value);
+    *  - [[AggLeg.IdentityData]]: an identity leg of a multi(...) spec
+    *    over a data column (leaf leg value = the column's string
+    *    rendering);
+    *  - [[AggLeg.Time]]: a days()/hours() leg (leaf leg value = the UTC
+    *    ordinal — groupable through CAST(src AS DATE) and constant
+    *    datetime extracts);
+    *  - [[AggLeg.Opaque]]: a truncate leg — present so indices align,
+    *    never groupable (one leaf holds a RANGE of source values).
+    */
+  private[graft] sealed trait AggLeg
+  private[graft] object AggLeg {
+    final case class IdentityPhys(field: org.apache.spark.sql.types.StructField)
+        extends AggLeg
+    final case class IdentityData(field: org.apache.spark.sql.types.StructField)
+        extends AggLeg
+    final case class Time(source: String, hoursLeg: Boolean) extends AggLeg
+    case object Opaque extends AggLeg
+  }
+
+  /** The UTC mapping from a time leg's LEAF ORDINAL to a datetime
+    * EXTRACT field's value, when that field is CONSTANT over the leaf's
+    * whole time interval — the condition under which a pushed
+    * `GROUP BY extract(field FROM src)` is answerable from the
+    * manifest. Date parts (year/month/day/quarter/week/day-of-week/
+    * day-of-year) are constant over a days() leaf; those plus HOUR over
+    * an hours() leaf. MINUTE/SECOND vary within every leaf and never
+    * qualify. None = not answerable.
+    */
+  private[graft] def leafExtract(hoursLeg: Boolean,
+      field: String): Option[Long => Int] = {
+    def dateParts(epochDay: Long => Long): Option[Long => Int] = {
+      def ld(o: Long) = java.time.LocalDate.ofEpochDay(epochDay(o))
+      field match {
+        case "YEAR" => Some(o => ld(o).getYear)
+        case "MONTH" => Some(o => ld(o).getMonthValue)
+        case "DAY" => Some(o => ld(o).getDayOfMonth)
+        case "QUARTER" => Some(o => (ld(o).getMonthValue - 1) / 3 + 1)
+        case "DAY_OF_YEAR" => Some(o => ld(o).getDayOfYear)
+        // the V2 Extract semantic is ISO (1 = Monday … 7 = Sunday);
+        // Spark's dayofweek()/weekday() push their own arithmetic ON
+        // TOP of this raw extract ((x % 7) + 1 / x - 1), which the
+        // caller composes
+        case "DAY_OF_WEEK" => Some(o => ld(o).getDayOfWeek.getValue)
+        // Spark's weekofyear / year-of-week: ISO-8601 week-based
+        case "WEEK" => Some(o => ld(o).get(
+          java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear()))
+        case "YEAR_OF_WEEK" => Some(o => ld(o).get(
+          java.time.temporal.WeekFields.ISO.weekBasedYear()))
+        case _ => None
+      }
+    }
+    if (!hoursLeg) dateParts(identity)
+    else if (field == "HOUR") Some(o => java.lang.Math.floorMod(o, 24L).toInt)
+    else dateParts(o => java.lang.Math.floorDiv(o, 24L))
+  }
 
   /** lgConfigK of the per-file NDV sketches (DataSketches HLL): 12 ⇒
     * ~1.6% standard error, a few hundred bytes compact-serialized for

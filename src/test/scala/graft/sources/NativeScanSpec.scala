@@ -795,4 +795,173 @@ class NativeScanSpec extends SparkTestBase {
     assert(q.head.getLong(0) == 1L)
     assert(sql("SELECT count(*) FROM gns.web.tt").head.getLong(0) == 2L)
   }
+
+  test("native scan under equality deletes + rename epochs: the mask composes with per-epoch schemas (r12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.eqren
+          |(id BIGINT, user_id BIGINT, tag STRING, seq BIGINT)
+          |TBLPROPERTIES (uniqueKeys 'id', numBuckets '2',
+          |orderCol 'seq', 'write.delete.mode' 'merge-on-read')""".stripMargin)
+    sql("""INSERT INTO gns.web.eqren
+          |SELECT id, id % 10, concat('t', id % 3), 1 FROM range(60)""".stripMargin)
+    sql("DELETE FROM gns.web.eqren WHERE user_id = 3")
+    // the GDPR table renames a DATA column mid-life: stored files (and
+    // the gen-1 delete files) predate the rename; r11 fell back to V1
+    sql("ALTER TABLE gns.web.eqren RENAME COLUMN tag TO label")
+    sql("DELETE FROM gns.web.eqren WHERE user_id = 7")
+    val live = (0 until 60).filter(i => i % 10 != 3 && i % 10 != 7)
+    val q = sql("""SELECT label, count(*) AS c, sum(id) AS s
+                  |FROM gns.web.eqren GROUP BY label ORDER BY label""".stripMargin)
+    assert(batchScans(q).nonEmpty,
+      "eq deletes under a rename epoch must keep the native scan (r12)")
+    assert(q.collect().toSeq ==
+      live.groupBy(i => s"t${i % 3}").toSeq.sortBy(_._1).map { case (t, is) =>
+        org.apache.spark.sql.Row(t, is.size.toLong, is.map(_.toLong).sum)
+      })
+    // a projection WITHOUT the key: the reader reads `id` as an extra
+    // trailing column under its epoch's physical name and still masks
+    val q2 = sql("SELECT count(*) FROM gns.web.eqren WHERE label = 't1'")
+    q2.collect()
+    assert(batchScans(q2).nonEmpty)
+    assert(q2.head.getLong(0) == live.count(_ % 3 == 1).toLong)
+  }
+
+  test("multi-spec grouped metadata aggregates: GROUP BY event / day,event on PARTITIONED BY (days(ts), event) is zero-task (r12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // the everyday Iceberg layout: a time leg AND an identity leg
+    sql("""CREATE TABLE gns.web.mgrp (uid BIGINT, event STRING, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts), event)
+          |TBLPROPERTIES (statsColumns 'uid')""".stripMargin)
+    sql("""INSERT INTO gns.web.mgrp
+          |SELECT id, concat('e', id % 3),
+          |  timestamp'2024-03-04 06:00:00' +
+          |  make_interval(0, 0, 0, CAST(id % 4 AS INT), 0, CAST(id AS INT), 0)
+          |FROM range(120)""".stripMargin)
+    def oracle(sel: String, group: String): Seq[org.apache.spark.sql.Row] =
+      spark.sql(
+        s"""SELECT $sel FROM (
+           |  SELECT id AS uid, concat('e', id % 3) AS event,
+           |    timestamp'2024-03-04 06:00:00' +
+           |    make_interval(0, 0, 0, CAST(id % 4 AS INT), 0, CAST(id AS INT), 0) AS ts
+           |  FROM range(120)) $group""".stripMargin).collect().toSeq
+    // GROUP BY the identity leg — the most common dashboard pivot
+    val q1 = sql("""SELECT event, count(*) AS c, min(uid) AS lo, max(uid) AS hi
+                   |FROM gns.web.mgrp GROUP BY event ORDER BY event""".stripMargin)
+    assert(zeroTask(q1), s"GROUP BY event must be a zero-task manifest " +
+      s"lookup:\n${q1.queryExecution.executedPlan}")
+    assert(q1.collect().toSeq ==
+      oracle("event, count(*) AS c, min(uid) AS lo, max(uid) AS hi",
+        "GROUP BY event ORDER BY event"))
+    // MULTI-KEY GROUP BY: the time leg (through CAST AS DATE) + event
+    val q2 = sql("""SELECT CAST(ts AS DATE) AS d, event, count(*) AS c
+                   |FROM gns.web.mgrp GROUP BY 1, 2 ORDER BY d, event""".stripMargin)
+    assert(zeroTask(q2), s"GROUP BY day, event must be zero-task:\n" +
+      s"${q2.queryExecution.executedPlan}")
+    assert(q2.collect().toSeq ==
+      oracle("CAST(ts AS DATE) AS d, event, count(*) AS c",
+        "GROUP BY 1, 2 ORDER BY d, event"))
+    // extract-grouped leg composes with the identity leg
+    val q3 = sql("""SELECT dayofweek(ts) AS dw, event, count(*) AS c
+                   |FROM gns.web.mgrp GROUP BY 1, 2 ORDER BY dw, event""".stripMargin)
+    assert(zeroTask(q3))
+    assert(q3.collect().toSeq ==
+      oracle("dayofweek(ts) AS dw, event, count(*) AS c",
+        "GROUP BY 1, 2 ORDER BY dw, event"))
+    // a leg referencing a DATA column must really scan — same answer
+    val q4 = sql("""SELECT uid % 2 AS p, count(*) AS c
+                   |FROM gns.web.mgrp GROUP BY 1 ORDER BY p""".stripMargin)
+    q4.collect()
+    assert(batchScans(q4).nonEmpty,
+      "a data-column grouping must fall back to a real scan")
+    assert(q4.collect().toSeq ==
+      oracle("uid % 2 AS p, count(*) AS c", "GROUP BY 1 ORDER BY p"))
+    // NULL leg values group under the null key (SQL semantics)
+    sql("""INSERT INTO gns.web.mgrp
+          |SELECT id + 1000, NULL, timestamp'2024-03-04 06:00:00'
+          |FROM range(7)""".stripMargin)
+    val q5 = sql("""SELECT event, count(*) AS c FROM gns.web.mgrp
+                   |GROUP BY event ORDER BY event NULLS FIRST""".stripMargin)
+    assert(zeroTask(q5))
+    val r5 = q5.collect()
+    assert(r5.head.isNullAt(0) && r5.head.getLong(1) == 7L)
+    assert(r5.map(_.getLong(1)).sum == 127L)
+  }
+
+  test("AVG and COUNT(DISTINCT partition-dim) push to metadata (r12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    sql("""CREATE TABLE gns.web.avgd (v BIGINT, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'v')""".stripMargin)
+    for (d <- 1 to 3)
+      sql(s"""INSERT INTO gns.web.avgd
+             |SELECT IF(id % 5 = 0, NULL, id + $d * 100), $d
+             |FROM range(50)""".stripMargin)
+    // whole-table AVG: exact (sum stamp) / (rows − nulls)
+    val vals = (1 to 3).flatMap(d =>
+      (0 until 50).filter(_ % 5 != 0).map(_ + d * 100L))
+    val q = sql("SELECT avg(v) AS a, count(*) AS c FROM gns.web.avgd")
+    assert(zeroTask(q), s"AVG(bigint) must answer from the manifest:\n" +
+      s"${q.queryExecution.executedPlan}")
+    assert(q.head() == org.apache.spark.sql.Row(
+      vals.sum.toDouble / vals.size, 150L))
+    // grouped AVG by the partition column
+    val qg = sql("SELECT day, avg(v) AS a FROM gns.web.avgd GROUP BY day ORDER BY day")
+    assert(zeroTask(qg))
+    assert(qg.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      (1 to 3).map { d =>
+        val vs = (0 until 50).filter(_ % 5 != 0).map(_ + d * 100L)
+        (d, vs.sum.toDouble / vs.size)
+      })
+    // COUNT(DISTINCT day) = the distinct leaf count, zero tasks
+    val qd = sql("SELECT count(DISTINCT day) AS d, count(*) AS c FROM gns.web.avgd")
+    assert(zeroTask(qd), s"COUNT(DISTINCT partition-dim) must answer " +
+      s"from the manifest:\n${qd.queryExecution.executedPlan}")
+    assert(qd.head() == org.apache.spark.sql.Row(3L, 150L))
+    // filtered variant stays zero-task; a DATA-column distinct scans
+    val qf = sql("SELECT count(DISTINCT day) AS d FROM gns.web.avgd WHERE day >= 2")
+    assert(zeroTask(qf))
+    assert(qf.head.getLong(0) == 2L)
+    val qv = sql("SELECT count(DISTINCT v) AS d FROM gns.web.avgd")
+    qv.collect()
+    assert(batchScans(qv).nonEmpty,
+      "COUNT(DISTINCT data-column) must fall back to a real scan")
+    // COUNT(DISTINCT CAST(ts AS DATE)) + COUNT(DISTINCT month(ts)) on a
+    // hidden days() layout: leaf ordinals / merged extracts
+    sql("""CREATE TABLE gns.web.avdt (uid BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))""".stripMargin)
+    sql("""INSERT INTO gns.web.avdt
+          |SELECT id, timestamp'2024-03-28 12:00:00' +
+          |  make_interval(0, 0, 0, CAST(id % 9 AS INT), 0, 0, 0)
+          |FROM range(45)""".stripMargin)
+    val qt = sql("""SELECT count(DISTINCT CAST(ts AS DATE)) AS days,
+                   |       count(DISTINCT month(ts)) AS months
+                   |FROM gns.web.avdt""".stripMargin)
+    assert(zeroTask(qt), s"distinct day/month counts must answer from " +
+      s"leaves:\n${qt.queryExecution.executedPlan}")
+    assert(qt.head() == org.apache.spark.sql.Row(9L, 2L))
+    // AVG over an all-null group is NULL; AVG of a float column scans
+    sql("""CREATE TABLE gns.web.avn (v BIGINT, w DOUBLE, day INT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (statsColumns 'v,w')""".stripMargin)
+    sql("INSERT INTO gns.web.avn SELECT CAST(NULL AS BIGINT), 1.5, 1 FROM range(5)")
+    val qn = sql("SELECT avg(v) AS a FROM gns.web.avn")
+    assert(zeroTask(qn))
+    assert(qn.head.isNullAt(0), "AVG over only nulls must be NULL")
+    val qw = sql("SELECT avg(w) AS a FROM gns.web.avn")
+    qw.collect()
+    assert(batchScans(qw).nonEmpty,
+      "floating-point AVG must fall back to a real scan")
+  }
 }

@@ -151,7 +151,7 @@ class NativeScanHardeningSpec extends SparkTestBase {
     }
   }
 
-  test("equality-delete native eligibility refuses: float keys, rename epochs, unstamped tuples") {
+  test("equality-delete native eligibility: float keys refuse, rename epochs compose (r12), unstamped tuples refuse") {
     import spark.implicits._
     // float/double keys: UnsafeRow byte equality is unsound for them
     // (NaN bit patterns, 0.0 vs -0.0) — the V1 bridge's null-safe
@@ -165,8 +165,12 @@ class NativeScanHardeningSpec extends SparkTestBase {
     assert(tf.nativeScanSnapshot(None).isEmpty,
       "float keys must fall back to the V1 bridge under eq deletes")
     assert(tf.read.count() == 7L)
-    // a rename epoch makes the delete files' stored key column names
-    // epoch-relative — only the V1 evolved read resolves them
+    // r12: a rename epoch no longer surrenders eq deletes to the V1
+    // bridge — key columns are rename/widen-immutable by construction
+    // (evolveSchema/widenColumn refuse them), so the mask's key names
+    // resolve stably across every epoch, and the per-epoch reader
+    // schemas serve the renamed DATA columns; eligibility holds with
+    // delete generations on BOTH sides of the rename
     val p2 = Files.createTempDirectory("eqd_ren").toString + "/t"
     val tr = IcebergLikeTable(spark, p2, partitionCol = "day",
       uniqueKeys = Seq("id"), numBuckets = 2)
@@ -176,9 +180,15 @@ class NativeScanHardeningSpec extends SparkTestBase {
     assert(tr.nativeScanSnapshot(None).isDefined,
       "canonical string keys + stamped tuples must stay native-eligible")
     tr.renameColumn("v", "n")
-    assert(tr.nativeScanSnapshot(None).isEmpty,
-      "rename epochs + eq deletes must fall back to the V1 bridge")
-    assert(tr.read.count() == 8L)
+    assert(tr.nativeScanSnapshot(None).isDefined,
+      "rename epochs + eq deletes stay native-eligible (r12)")
+    tr.deleteMergeOnRead(col("n") <= 1)
+    assert(tr.nativeScanSnapshot(None).isDefined,
+      "a post-rename delete generation keeps eligibility")
+    // V1 semantic truth unchanged: only n in [2, 7] survive
+    assert(tr.read.select("id", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq ==
+      (2 to 7).map(i => (s"k$i", i.toLong)))
     // an UNSTAMPED tuple count (doctored manifest — no write path
     // produces one) disables the native mask: the broadcast budget
     // check would be a guess
