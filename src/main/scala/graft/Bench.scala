@@ -167,6 +167,42 @@ object Bench {
           (col("id") % 97).as("a"), (col("id") % 89).as("b"))
       val t1 = mkGraft("graft1x", 8)
       val t10 = mkGraft("graft10x", 80)
+      // MERGE-ON-READ probes (r12): keyed twin tables (8 vs 80 day
+      // leaves, same rows per leaf) take the SAME fixed-size
+      // equality-delete retraction (~500 day-1 keys) and then the same
+      // positional predicate delete, each followed by a full masked
+      // scan. The delete COMMIT is O(matched rows) — fixed across the
+      // pair — and the masked SCAN is O(live rows), so the ratio must
+      // sit BELOW the 10× data ratio and far below superlinear (the
+      // broadcast mask is a per-reader hash probe, not a join
+      // explosion). Pins that MOR reads stay linear-or-better where
+      // the tuple budget admits the native mask.
+      def mkKeyed(dirName: String, days: Int): weblog.IcebergLikeTable = {
+        val t = weblog.IcebergLikeTable(spark, s"$scratch/$dirName", "day",
+          uniqueKeys = Seq("uid"), numBuckets = 4)
+        t.append(spark.range(days.toLong * 5000)
+          .select((col("id") % days).cast("int").as("day"),
+            col("id").as("uid"), (col("id") % 97).as("a"))
+          .repartition(math.min(days, 100), col("day")))
+        t
+      }
+      val k1 = mkKeyed("graftmor1x", 8)
+      val k10 = mkKeyed("graftmor10x", 80)
+      def eqDelThenScan(t: weblog.IcebergLikeTable, days: Int): Long = {
+        // 500 keys, all in day 1 (uid % days == 1 → day 1)
+        t.deleteMergeOnRead(col("uid") < 4000L * days &&
+          col("uid") % days === 1 && col("a") % 8 === 1)
+        t.read.count()
+      }
+      def posDelThenScan(t: weblog.IcebergLikeTable, days: Int): Long = {
+        t.deletePositional(col("uid") % days === 2 && col("a") % 8 === 3)
+        t.read.count()
+      }
+      val mor = Seq(
+        "mor_eqdel_1x" -> cold(() => eqDelThenScan(k1, 8)),
+        "mor_eqdel_10x" -> cold(() => eqDelThenScan(k10, 80)),
+        "mor_posdel_1x" -> cold(() => posDelThenScan(k1, 8)),
+        "mor_posdel_10x" -> cold(() => posDelThenScan(k10, 80)))
       val fmt = Seq(
         "replace_where_1x" ->
           cold(() => t1.replaceWhere(col("day") === 1, dayBatch(1))),
@@ -189,8 +225,10 @@ object Bench {
         "binary_topk_ratio" -> out(5)._2 / out(4)._2,
         "replace_where_ratio" -> fmt(1)._2 / fmt(0)._2,
         "overwrite_partitions_ratio" -> fmt(3)._2 / fmt(2)._2,
-        "zorder_where_ratio" -> fmt(5)._2 / fmt(4)._2)
-      out ++ fmt ++ ratios
+        "zorder_where_ratio" -> fmt(5)._2 / fmt(4)._2,
+        "mor_eqdel_ratio" -> mor(1)._2 / mor(0)._2,
+        "mor_posdel_ratio" -> mor(3)._2 / mor(2)._2)
+      out ++ fmt ++ mor ++ ratios
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }
     val sc = scaling.map { case (k, v) => "\"" + k + "\":" + r3(v) }

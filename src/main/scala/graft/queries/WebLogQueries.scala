@@ -344,24 +344,35 @@ object WebLogQueries {
         val t = IcebergLikeTable(s, path, "event", Seq("id"),
           numBuckets = 2)
         t.append(base)
-        val dataBefore = t.files.filter(!col("is_delete"))
-          .select("file").collect().map(_.getString(0)).toSet
+        // proof-boolean scaffolding reads the metadata table ONCE per
+        // point-in-time and assembles the result driver-side (r12):
+        // the MEASURED work — the append/delete/maintain commits and
+        // the two snapshot scans — is unchanged; the gate just stops
+        // paying extra jobs for its own bookkeeping
+        def fileCensus(): (Set[String], Long) = {
+          val rows = t.files.select("file", "is_delete").collect()
+          (rows.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
+            rows.count(_.getBoolean(1)).toLong)
+        }
+        val (dataBefore, _) = fileCensus()
         val erased = t.deleteMergeOnRead(col("user_id") % 10 === 3)
-        val dataAfter = t.files.filter(!col("is_delete"))
-          .select("file").collect().map(_.getString(0)).toSet
-        val delFiles = t.files.filter(col("is_delete")).count()
+        val (dataAfter, delFiles) = fileCensus()
         // pinned to the tombstoned snapshot (read resolves eagerly)
-        val morRead = t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+        val morRows = t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         t.maintain(fileThreshold = 1000, targetFiles = 1,
           deleteFileThreshold = 1)
-        val delAfterMaint = t.files.filter(col("is_delete")).count()
-        val compacted = t.read.groupBy("event").agg(count(lit(1)).as("cnt2"))
-        morRead.join(compacted, "event")
-          .select(col("event"), col("cnt"),
-            (col("cnt") === col("cnt2")).as("stable"),
-            lit(erased).as("erased"),
-            lit(dataAfter == dataBefore).as("data_untouched"),
-            lit(delFiles > 0 && delAfterMaint == 0).as("tombstones_compacted"))
+        val (_, delAfterMaint) = fileCensus()
+        val compactedRows = t.read.groupBy("event")
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        import s.implicits._
+        morRows.toSeq.sortBy(_._1).map { case (ev, cnt) =>
+          (ev, cnt, compactedRows.get(ev).contains(cnt), erased,
+            dataAfter == dataBefore, delFiles > 0 && delAfterMaint == 0)
+        }
+          .toDF("event", "cnt", "stable", "erased", "data_untouched",
+            "tombstones_compacted")
           .orderBy("event")
       },
       Some("""WITH base AS (
@@ -1034,6 +1045,14 @@ object WebLogQueries {
                           |      GROUP BY 1, 2)""".stripMargin)
         val r4 = q4.head()
         val scan4 = !zeroTask(q4)
+        // HANDLED identity-leg filter (r12): `WHERE event = 'view'` —
+        // filtered count AND filtered day-grouping stay zero-task
+        val q5 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS cnt_view,
+                          |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                          |         AS days_view
+                          |FROM ${tbl}_multi WHERE event = 'view'""".stripMargin)
+        val r5 = q5.head()
+        val meta5 = zeroTask(q5)
         val byEvent = r1.map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
         import s.implicits._
@@ -1042,10 +1061,12 @@ object WebLogQueries {
           (r.getString(0), r.getString(1), r.getLong(2),
             cntE, loE, hiE, sumE,
             r3.getLong(0), r3.getLong(1), r4.getLong(0),
-            meta1 && meta2 && meta3 && scan4)
+            r5.getLong(0), r5.getLong(1),
+            meta1 && meta2 && meta3 && scan4 && meta5)
         }
           .toDF("day", "event", "cnt_de", "cnt_e", "lo_e", "hi_e", "sum_e",
-            "dw_groups", "dw_rows", "mixed_groups", "plan_proof")
+            "dw_groups", "dw_rows", "mixed_groups", "cnt_view", "days_view",
+            "plan_proof")
           .orderBy("day", "event")
       },
       Some("""WITH base AS (SELECT user_id, event_type AS event, ts
@@ -1062,11 +1083,16 @@ object WebLogQueries {
              |      FROM (SELECT dayofweek(ts), event, count(*) AS c
              |            FROM base GROUP BY 1, 2)),
              |m AS (SELECT CAST(count(*) AS BIGINT) AS mixed_groups
-             |      FROM (SELECT event, user_id % 2 FROM base GROUP BY 1, 2))
+             |      FROM (SELECT event, user_id % 2 FROM base GROUP BY 1, 2)),
+             |v AS (SELECT CAST(count(*) AS BIGINT) AS cnt_view,
+             |             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_view
+             |      FROM base WHERE event = 'view')
              |SELECT b.day, b.event, b.cnt_de, a.cnt_e, a.lo_e, a.hi_e, a.sum_e,
              |       (SELECT dw_groups FROM w) AS dw_groups,
              |       (SELECT dw_rows FROM w) AS dw_rows,
              |       (SELECT mixed_groups FROM m) AS mixed_groups,
+             |       (SELECT cnt_view FROM v) AS cnt_view,
+             |       (SELECT days_view FROM v) AS days_view,
              |       TRUE AS plan_proof
              |FROM b JOIN a USING (event)
              |ORDER BY day, event""".stripMargin.replace("\n", " ")),

@@ -995,7 +995,6 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
     import graft.weblog.IcebergLikeTable.AggLeg
-    if (pinned.isDefined) return None // time travel reads through the scan
     // a RESIDUAL filter keeps a Filter node above the scan and Spark
     // never offers the aggregate; when it does offer, every pushed
     // filter was HANDLED (partition-exact) — the manifest answers from
@@ -1004,8 +1003,11 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     // residual filter somehow reaching here refuses.
     if (!filters.forall(handled.contains)) return None
     val handledSeq: Seq[sources.Filter] = filters.toSeq
+    // time travel answers from the PINNED snapshot's own manifests
+    // (r12) — an unknown version throws into the refusal and the real
+    // scan raises the proper error
     val view =
-      try table.aggView().getOrElse(return None)
+      try table.aggView(pinned).getOrElse(return None)
       catch { case scala.util.control.NonFatal(_) => return None }
     def boundCol(e: org.apache.spark.sql.connector.expressions.Expression):
         Option[StructField] = e match {
@@ -1047,16 +1049,31 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     val legs = view.legs.map(_.zipWithIndex)
     // identity legs of a composite spec render as the column's own
     // string cast — groupable where that rendering round-trips exactly
-    // through the typed parse (strings and integrals; a timestamp's
-    // calendar rendering does not)
+    // through the typed parse (strings, integrals, booleans, dates; a
+    // timestamp's session-zone calendar rendering does not)
     def identityLegType(dt: org.apache.spark.sql.types.DataType): Boolean =
       dt match {
         case org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType => true
         case _ => false
+      }
+    // a LEG VALUE parses under its RENDERING (the writer's string cast
+    // / the leaf path segment), not the stamped-bounds encoding
+    // typedBound expects: dates are ISO local dates, booleans
+    // true/false; everything else coincides with typedBound
+    def legTyped(dt: org.apache.spark.sql.types.DataType, v: String): Any =
+      dt match {
+        case org.apache.spark.sql.types.DateType =>
+          val d = java.time.LocalDate.parse(v).toEpochDay
+          if (d >= Int.MinValue && d <= Int.MaxValue) d.toInt
+          else throw new IllegalStateException(s"date out of range '$v'")
+        case org.apache.spark.sql.types.BooleanType => v.toBoolean
+        case _ => typedBound(dt, v)
       }
     def extractSource(e: org.apache.spark.sql.connector.expressions.Expression,
         casted: Boolean): Option[(String, Boolean)] = e match {
@@ -1112,11 +1129,11 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
             ls.collectFirst {
               case (AggLeg.IdentityPhys(f), i) if f.name == nm =>
                 (f, (lv: Seq[Option[String]]) =>
-                  lv(i).map(v => typedBound(f.dataType, v)).orNull: Any)
+                  lv(i).map(v => legTyped(f.dataType, v)).orNull: Any)
               case (AggLeg.IdentityData(f), i)
                   if f.name == nm && identityLegType(f.dataType) =>
                 (f, (lv: Seq[Option[String]]) =>
-                  lv(i).map(v => typedBound(f.dataType, v)).orNull: Any)
+                  lv(i).map(v => legTyped(f.dataType, v)).orNull: Any)
             }
           // GROUP BY CAST(src AS DATE): a days() leaf ordinal IS the
           // DATE's internal epoch-day; hour leaves floor-divide (24

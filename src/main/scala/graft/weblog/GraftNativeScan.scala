@@ -196,11 +196,14 @@ final class GraftNativeScan private (
     * shuffle entirely; the grouping engages only under the explicit
     * conf. Live EQUALITY deletes keep key grouping (masking only
     * removes rows, never moves a key across buckets — the per-file
-    * readers apply the mask in place); rename epochs and positional
-    * deletes stand down.
+    * readers apply the mask in place), and rename EPOCHS keep it too
+    * (r12: bucket hashing is key-value-based and keys are
+    * rename-immutable; each single-file partition carries its epoch so
+    * the reader resolves physical names); positional deletes stand
+    * down.
     */
   private def bucketGrouping: Boolean =
-    table.uniqueKeys.nonEmpty && !hasEvo && !hasPosDels &&
+    table.uniqueKeys.nonEmpty && !hasPosDels &&
       SQLConf.get.getConfString(
         "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
       table.uniqueKeys.forall(readSchema().fieldNames.contains)
@@ -369,11 +372,15 @@ final class GraftNativeScan private (
           val es = byBucket.getOrElse(bucket, Nil)
           if (es.isEmpty) {
             i += 1
-            Seq(GraftBucketedPartition(bucket, Nil,
+            Seq(GraftBucketedPartition(bucket, 0, Nil,
               FilePartition(i, Array.empty)): InputPartition)
           } else es.map { e =>
             i += 1
-            GraftBucketedPartition(bucket, eqKeysFor(e),
+            // each single-file partition carries its schema EPOCH (r12:
+            // key grouping composes with rename epochs — a renamed
+            // keyed table keeps its shuffle-free joins; bucket hashing
+            // is key-value-based, and keys are rename-immutable)
+            GraftBucketedPartition(bucket, epochIndexOf(e.path), eqKeysFor(e),
               FilePartition(i, filesOf(Seq(e), Long.MaxValue).toArray))
               : InputPartition
           }
@@ -430,13 +437,22 @@ final class GraftNativeScan private (
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // the never-evolved, delete-free snapshot (the overwhelmingly
-    // common case) keeps the single-factory plan, bit for bit
-    // (pushed filters reach the row-group stats; a filter naming a
-    // partition-directory column simply finds no footer column and
-    // prunes nothing there — the partition pruning already handled it)
+    // common case) keeps the single-factory plan, bit for bit.
+    // Pushed filters reach the row-group stats — but ONLY those whose
+    // columns survive column pruning (r12): a HANDLED filter on a
+    // pruned-away DATA column (a multi-spec identity/time leg the
+    // query filters on but never projects) must not reach the parquet
+    // reader, which would evaluate it against the projected schema —
+    // absent column ⇒ NULL ⇒ every row dropped. Handled filters are
+    // leaf-exact anyway (every surviving file's rows all match), so
+    // their row-group pruning adds nothing; residual filters always
+    // reference projected columns (Spark keeps their columns alive).
+    // The MOR path below gets this for free: per-epoch translation
+    // drops filters whose columns the epoch schema lacks.
     if (!morMode)
       return new GraftUnwrappingReaderFactory(
-        parquetFactory(readDataSchema, pushedFilters))
+        parquetFactory(readDataSchema, pushedFilters.filter(
+          _.references.forall(readDataSchema.fieldNames.contains))))
     // PER-EPOCH factories: each epoch reads under its physical column
     // names, positionally aligned with the current logical schema (an
     // absent column — the file predates it, or its physical twin
@@ -574,6 +590,15 @@ final class GraftNativeScan private (
     }
   }
 
+  /** Memo of the last computed column statistics, keyed by the pruned
+    * set's file paths: Spark may ask estimateStatistics more than once
+    * per planning (and runtime filtering re-plans), and the sketch
+    * unions need not repeat for an unchanged set.
+    */
+  @volatile private var colStatsMemo: Option[(Seq[String],
+    java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None
+
   /** Per-column V2 statistics of the PRUNED file set (r11): NULL counts
     * sum exactly; distinct counts union the per-file DataSketches-HLL
     * stamps — so with CBO on, join-output cardinality estimates (and
@@ -581,10 +606,18 @@ final class GraftNativeScan private (
     * time, zero data I/O. A column unstamped in ANY pruned entry is
     * omitted (refusal, never a guess), as is everything under live
     * positional deletes (deleted rows would distort both counts).
+    * r12: decoded sketches come from the JVM-wide immutable-file cache
+    * ([[GraftNativeScan.decodedSketch]]) and the whole result memoizes
+    * per pruned set — planning the same snapshot twice decodes nothing.
     */
   private def columnStatsOf(entries: Seq[Manifests.FileEntry]):
       java.util.Map[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val key = entries.map(_.path)
+    colStatsMemo match {
+      case Some((k, res)) if k == key => return res
+      case _ =>
+    }
     val out = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     if (hasPosDels || hasEqDels || entries.isEmpty) return out
@@ -596,8 +629,8 @@ final class GraftNativeScan private (
           val union = new org.apache.datasketches.hll.Union(
             IcebergLikeTable.NdvSketchLgK)
           entries.foreach { e =>
-            union.update(org.apache.datasketches.hll.HllSketch.heapify(
-              java.util.Base64.getMimeDecoder.decode(e.ndv(c))))
+            union.update(GraftNativeScan.decodedSketch(
+              table.path, e.path, c, e.ndv(c)))
           }
           val est = math.max(0L, math.round(union.getEstimate))
           // exact column [min, max] from the stamped per-file bounds
@@ -637,6 +670,7 @@ final class GraftNativeScan private (
         }
       }
     }
+    colStatsMemo = Some((key, out))
     out
   }
 
@@ -666,7 +700,8 @@ final class GraftNativeScan private (
   * delete-free snapshots) so SPJ composes with live tombstones.
   */
 private[weblog] final case class GraftBucketedPartition(bucket: Int,
-    eqKeys: Seq[(String, Long)], inner: FilePartition) extends InputPartition
+    epoch: Int, eqKeys: Seq[(String, Long)], inner: FilePartition)
+    extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
   override def preferredLocations(): Array[String] = inner.preferredLocations()
@@ -713,11 +748,11 @@ private[weblog] final class GraftMorReaderFactory(
     p match {
       case GraftMorPartition(e, rel, eqKeys, inner) =>
         (factories(e), rel, eqKeys, inner)
-      // the storage-partitioned-join shape under live equality deletes:
-      // single epoch (bucket grouping stands down under rename epochs),
-      // no positional skip list
-      case GraftBucketedPartition(_, eqKeys, inner) =>
-        (factories.head, None, eqKeys, inner)
+      // the storage-partitioned-join shape: each single-file partition
+      // reads under its own schema epoch; live equality deletes ride
+      // along (no positional skip list — grouping stands down there)
+      case GraftBucketedPartition(_, epoch, eqKeys, inner) =>
+        (factories(epoch), None, eqKeys, inner)
       case other => (factories.head, None, Nil, other)
     }
 
@@ -816,7 +851,7 @@ private[weblog] final class MorFilteringReader(
 private[weblog] final class GraftUnwrappingReaderFactory(
     base: ParquetPartitionReaderFactory) extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition = p match {
-    case GraftBucketedPartition(_, _, inner) => inner
+    case GraftBucketedPartition(_, _, _, inner) => inner
     case other => other
   }
   override def createReader(p: InputPartition):
@@ -831,6 +866,43 @@ private[weblog] final class GraftUnwrappingReaderFactory(
 }
 
 object GraftNativeScan {
+
+  /** JVM-wide DECODED NDV-sketch cache, keyed by (table path, relative
+    * file path, column): data files are immutable, so a decoded sketch
+    * can never go stale — repeated planning over the same snapshot (or
+    * overlapping pruned sets across snapshots) base64-decodes and
+    * heapifies each stamp ONCE instead of once per estimateStatistics
+    * call (r12: at 10⁵ files × 10 stamped columns the per-plan decode
+    * was real driver CPU). LRU-bounded; sketches are read-only after
+    * heapify (Union.update only reads them), so sharing across planner
+    * threads is safe.
+    */
+  private val SketchCacheMax = 65536
+  private val sketchCache: java.util.Map[(String, String, String),
+      org.apache.datasketches.hll.HllSketch] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String, String),
+          org.apache.datasketches.hll.HllSketch](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String, String),
+              org.apache.datasketches.hll.HllSketch]): Boolean =
+          size() > SketchCacheMax
+      })
+
+  /** Test hook: cumulative count of ACTUAL sketch decodes (cache
+    * misses) — specs pin that a second plan of the same snapshot
+    * decodes nothing.
+    */
+  private val sketchDecodeCounter = new java.util.concurrent.atomic.AtomicLong
+  def sketchDecodes: Long = sketchDecodeCounter.get
+
+  private[weblog] def decodedSketch(tablePath: String, relFile: String,
+      column: String, b64: String): org.apache.datasketches.hll.HllSketch =
+    sketchCache.computeIfAbsent((tablePath, relFile, column), _ => {
+      sketchDecodeCounter.incrementAndGet()
+      org.apache.datasketches.hll.HllSketch.heapify(
+        java.util.Base64.getMimeDecoder.decode(b64))
+    })
 
   /** Spark's reserved temporary metadata column name: a LongType field
     * under this name in the parquet read schema makes BOTH readers

@@ -1741,11 +1741,17 @@ final case class IcebergLikeTable(
     * supportCompletePushDown → pushAggregation pair, grouping, distinct
     * counting) reads the SAME resolved snapshot and schema — a commit
     * racing the planner can never pair version-A bounds with version-B
-    * comparators inside one answer. None when the live snapshot has no
-    * stamped schema (the caller scans for real).
+    * comparators inside one answer. `pinned` = a time-travel read: the
+    * historical snapshot's own manifests answer (r12 — `SELECT
+    * count(*) … VERSION AS OF v` is a zero-task lookup too, Iceberg's
+    * posture). None when the snapshot has no stamped schema (the
+    * caller scans for real).
     */
-  private[graft] def aggView(): Option[AggView] = {
-    val snap = resolveLive()._2
+  private[graft] def aggView(pinned: Option[Long] = None): Option[AggView] = {
+    val snap = pinned match {
+      case Some(v) => snapshotAt(v)
+      case None => resolveLive()._2
+    }
     storedSchema(snap.meta).map(new AggView(snap, _))
   }
 
@@ -1876,23 +1882,10 @@ final case class IcebergLikeTable(
       if (raw == org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
         return Some(Seq.fill(nLegs)(None))
-      // unescape the PATH escaping first (partitionBy wrote the derived
-      // value as a directory name); multi values then split on the
-      // composite separator, each identity leg unescaping its own
-      // INTERNAL rendering — the two layers compose injectively
       val value = org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.unescapePathName(raw)
       transform match {
-        case Some(m: PartitionTransforms.Multi) =>
-          val parts = value.split(
-            java.util.regex.Pattern.quote(PartitionTransforms.Multi.Sep), -1)
-          if (parts.length != nLegs) None
-          else Some(m.legs.zip(parts.toSeq).map {
-            case (_, PartitionTransforms.Multi.NullToken) => None
-            case (_: PartitionTransforms.Identity, p) =>
-              Some(PartitionTransforms.Multi.unescape(p))
-            case (_, p) => Some(p)
-          })
+        case Some(m: PartitionTransforms.Multi) => multiLegValues(m, value)
         case _ => Some(Seq(Some(value)))
       }
     }
@@ -2125,7 +2118,42 @@ final case class IcebergLikeTable(
       partitionPredicate(snap, conds.reduce(_ && _)).map {
         case (partSchema, expr) => leafSatisfies(_, partSchema, expr)
       }
-    } else leafExactTranslate match {
+    } else transform match {
+      // multi(...) specs (r12): each filter translates against exactly
+      // ONE leg — boundary-aligned half-lines on a time/truncate leg,
+      // exact value predicates on an identity leg — and evaluates
+      // against the leaf's decomposed leg values, so `WHERE event =
+      // 'view'` / the day-aligned time slice are HANDLED on Iceberg's
+      // everyday layout too
+      case Some(m: PartitionTransforms.Multi)
+          if specHistOf(snap.meta).isEmpty =>
+        val preds = filters.map(multiLegTranslate(m))
+        if (preds.exists(_.isEmpty)) return None
+        val ps = preds.flatten
+        Some { leaf =>
+          leaf.split('/').find(_.startsWith(s"$partitionCol="))
+            .map(_.substring(partitionCol.length + 1)) match {
+            case None => None // a leaf without the partition segment
+            case Some(raw)
+                if raw == org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+              // the whole-null leaf: every leg value is NULL
+              val nulls = Seq.fill[Option[String]](m.legs.size)(None)
+              ps.foldLeft(Option(true)) { (acc, p) =>
+                acc.flatMap(a => p._2(nulls(p._1)).map(a && _))
+              }
+            case Some(raw) =>
+              multiLegValues(m, org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(raw)) match {
+                case None => None // foreign value: not this spec's
+                case Some(lv) =>
+                  ps.foldLeft(Option(true)) { (acc, p) =>
+                    acc.flatMap(a => p._2(lv(p._1)).map(a && _))
+                  }
+              }
+          }
+        }
+      case _ => leafExactTranslate match {
       case Some(translate) if specHistOf(snap.meta).isEmpty =>
         val preds = filters.map(translate)
         if (preds.exists(_.isEmpty)) None
@@ -2147,7 +2175,65 @@ final case class IcebergLikeTable(
           }
         }
       case _ => None
+      }
     }
+  }
+
+  /** Per-leg raw values of one multi(...) composite value (already
+    * PATH-unescaped): split on the composite separator, each identity
+    * leg unescaping its own INTERNAL rendering — the two layers compose
+    * injectively. Inner None = the null leg; outer None = a part-count
+    * mismatch (the value was not written by this spec).
+    */
+  private def multiLegValues(m: PartitionTransforms.Multi,
+      value: String): Option[Seq[Option[String]]] = {
+    val parts = value.split(
+      java.util.regex.Pattern.quote(PartitionTransforms.Multi.Sep), -1)
+    if (parts.length != m.legs.size) None
+    else Some(m.legs.zip(parts.toSeq).map {
+      case (_, PartitionTransforms.Multi.NullToken) => None
+      case (_: PartitionTransforms.Identity, p) =>
+        Some(PartitionTransforms.Multi.unescape(p))
+      case (_, p) => Some(p)
+    })
+  }
+
+  /** Translate one pushed filter against exactly ONE leg of a
+    * multi(...) spec: (leg index, predicate over the leg's raw value —
+    * Some(keep)/None = undecidable leg value). Time/truncate legs ride
+    * [[DaysExactFilter]] (boundary-aligned half-lines over the leg
+    * ordinal); identity legs admit exact value predicates
+    * (=, <=>, IN, IS [NOT] NULL, and NOT/AND/OR over those) under SQL
+    * three-valued semantics, for literal types whose string rendering
+    * round-trips the leg encoding (strings, integrals, booleans).
+    * Legs use distinct source columns, so at most one leg translates a
+    * filter; None = not handleable (the filter stays residual).
+    */
+  private def multiLegTranslate(m: PartitionTransforms.Multi)(
+      f: org.apache.spark.sql.sources.Filter)
+      : Option[(Int, Option[String] => Option[Boolean])] = {
+    def ordinal(preds: Seq[DaysExactFilter.Pred])
+        : Option[String] => Option[Boolean] = {
+      case None => Some(preds.forall(_.holds(None)))
+      case Some(v) => v.toLongOption match {
+        case None => None // foreign value: not an ordinal
+        case Some(o) => Some(preds.forall(_.holds(Some(o))))
+      }
+    }
+    m.legs.zipWithIndex.flatMap {
+      case (PartitionTransforms.Days(s), i) =>
+        DaysExactFilter.of(f, s, PartitionTransforms.MicrosPerDay)
+          .map(ps => (i, ordinal(ps)))
+      case (PartitionTransforms.Hours(s), i) =>
+        DaysExactFilter.of(f, s, PartitionTransforms.MicrosPerHour)
+          .map(ps => (i, ordinal(ps)))
+      case (PartitionTransforms.Truncate(s, w), i) =>
+        DaysExactFilter.ofTruncate(f, s, w).map(ps => (i, ordinal(ps)))
+      case (PartitionTransforms.Identity(s), i) =>
+        IcebergLikeTable.identityLegPredicate(f, s).map(p =>
+          (i, (lv: Option[String]) => Some(p(lv).getOrElse(false))))
+      case _ => None
+    }.headOption
   }
 
   /** The filter translator of a leaf-exact HIDDEN transform: days and
@@ -2186,12 +2272,21 @@ final case class IcebergLikeTable(
             graft.sources.GraftFilterBridge.toColumn(f, exact = true).isDefined
         case None => _ => false
       }
-    } else leafExactTranslate match {
-      case Some(translate) =>
+    } else transform match {
+      // multi(...) specs handle per-leg filters (r12): the same
+      // translation the leaf decider evaluates — probe and decision
+      // can never disagree
+      case Some(m: PartitionTransforms.Multi) =>
         val (_, snap) = resolveLive()
         if (specHistOf(snap.meta).nonEmpty) _ => false
-        else f => translate(f).isDefined
-      case None => _ => false
+        else f => multiLegTranslate(m)(f).isDefined
+      case _ => leafExactTranslate match {
+        case Some(translate) =>
+          val (_, snap) = resolveLive()
+          if (specHistOf(snap.meta).nonEmpty) _ => false
+          else f => translate(f).isDefined
+        case None => _ => false
+      }
     }
 
   /** Restrict entries to the leaves the HANDLED filters keep — a
@@ -3262,7 +3357,12 @@ final case class IcebergLikeTable(
     // compacts delete files away at the threshold)
     val delsOk = snap.deleteEntries.forall(_.rowCount >= 0L) &&
       snap.deleteEntries.map(_.rowCount).sum <=
-        IcebergLikeTable.NativePosDeleteTupleBudget
+        IcebergLikeTable.NativePosDeleteTupleBudget &&
+      // byte-based twin cap (r12): 4M tuples of WIDE string keys could
+      // still make an uncomfortable broadcast — the stamped compressed
+      // sizes bound the decoded footprint to the same order
+      snap.deleteEntries.map(e => math.max(0L, e.size)).sum <=
+        IcebergLikeTable.NativeDeleteBytesBudget
     val stored = storedSchema(snap.meta)
     val eqDels = snap.deleteEntries.filterNot(e => Manifests.isPosDelete(e.path))
     val eqOk = eqDels.isEmpty || {
@@ -4038,9 +4138,18 @@ final case class IcebergLikeTable(
       val version = nextVersion(liveVersion)
       val token = java.util.UUID.randomUUID().toString.take(8)
       // stage the key tuples partitioned by the layout columns and
-      // import them as eqdel- files beside the data files they mask
+      // import them as eqdel- files beside the data files they mask.
+      // ONE delete file per affected leaf (r12 — the positional path
+      // always did this): without the repartition, every shuffle
+      // partition of the matched frame writes its own sliver per leaf
+      // — a handful of tuples fanned out to dozens of tombstone files,
+      // each a manifest entry and a reader-side anti-join input. The
+      // extra shuffle is O(matched keys), and sorted tuples give the
+      // reader's probe locality (Iceberg's delete-file sort order).
       val staging = new Path(root.getParent, s".staging_v${version}_$token")
       matched.drop("_graft_cnt")
+        .repartition(partCols.map(col): _*)
+        .sortWithinPartitions((partCols ++ uniqueKeys).map(col): _*)
         .write.mode("overwrite").partitionBy(partCols: _*)
         .option("compression", "snappy").parquet(staging.toString)
       try {
@@ -4346,6 +4455,14 @@ object IcebergLikeTable {
     */
   private[weblog] val NativePosDeleteTupleBudget = 4000000L
 
+  /** Byte twin of the tuple budget: total stamped (compressed) delete
+    * file bytes the native scan will collect and broadcast. 128 MB
+    * compressed key tuples decode to the high hundreds of MB — the
+    * same order as the tuple cap's worst case; past it, the V1
+    * bridge's distributed anti-join serves the snapshot.
+    */
+  private[weblog] val NativeDeleteBytesBudget = 128L << 20
+
   /** Key-column types the native scan's EQUALITY-delete mask admits:
     * the membership test is UnsafeRow byte equality, so only types
     * whose equal values are byte-identical in an UnsafeRow qualify.
@@ -4434,6 +4551,76 @@ object IcebergLikeTable {
     if (!hoursLeg) dateParts(identity)
     else if (field == "HOUR") Some(o => java.lang.Math.floorMod(o, 24L).toInt)
     else dateParts(o => java.lang.Math.floorDiv(o, 24L))
+  }
+
+  /** SQL THREE-VALUED predicate over an identity leg's raw rendering
+    * (Some(true/false) = decided, None = SQL NULL — the caller keeps a
+    * leaf iff the result IS TRUE, exactly a row filter's semantics):
+    * every row of a leaf shares the leg value, so these decide whole
+    * leaves exactly. Literal types are restricted to renderings that
+    * round-trip the leg encoding (strings verbatim; integrals and
+    * booleans via their canonical decimal/true-false rendering — the
+    * same `cast(col AS STRING)` the writer derived). None (outer) =
+    * the filter shape/type is not exactly translatable.
+    */
+  private[weblog] def identityLegPredicate(
+      f: org.apache.spark.sql.sources.Filter, source: String)
+      : Option[Option[String] => Option[Boolean]] = {
+    import org.apache.spark.sql.sources
+    def render(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long | _: java.lang.Boolean => Some(String.valueOf(v))
+      // dates render as the ISO local date — exactly `cast(d AS STRING)`
+      // (both the legacy and Java-8 literal encodings Spark pushes)
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    def kleene(a: Option[Boolean], b: Option[Boolean],
+        and: Boolean): Option[Boolean] = (a, b) match {
+      case (Some(x), Some(y)) => Some(if (and) x && y else x || y)
+      // one side NULL: false&&NULL = false, true||NULL = true; the
+      // dominant value survives, anything else stays NULL
+      case (Some(x), None) => if (x == and) None else Some(x)
+      case (None, Some(y)) => if (y == and) None else Some(y)
+      case (None, None) => None
+    }
+    def tv(f: sources.Filter): Option[Option[String] => Option[Boolean]] =
+      f match {
+        case sources.EqualTo(a, v) if a == source && v != null =>
+          render(v).map(s => lv => lv.map(_ == s))
+        case sources.EqualNullSafe(a, null) if a == source =>
+          Some(lv => Some(lv.isEmpty))
+        case sources.EqualNullSafe(a, v) if a == source =>
+          render(v).map(s => lv => Some(lv.contains(s)))
+        case sources.In(a, vs) if a == source && vs.nonEmpty =>
+          val hasNull = vs.contains(null)
+          val rendered = vs.toSeq.filter(_ != null).map(render)
+          if (rendered.exists(_.isEmpty)) None
+          else {
+            val set = rendered.flatten.toSet
+            Some {
+              case None => None // NULL IN (...) is NULL
+              case Some(x) if set.contains(x) => Some(true)
+              case Some(_) => if (hasNull) None else Some(false)
+            }
+          }
+        case sources.IsNull(a) if a == source => Some(lv => Some(lv.isEmpty))
+        case sources.IsNotNull(a) if a == source =>
+          Some(lv => Some(lv.isDefined))
+        case sources.Not(c) => tv(c).map(p => lv => p(lv).map(!_))
+        case sources.And(l, r) =>
+          for { a <- tv(l); b <- tv(r) }
+            yield (lv: Option[String]) => kleene(a(lv), b(lv), and = true)
+        case sources.Or(l, r) =>
+          for { a <- tv(l); b <- tv(r) }
+            yield (lv: Option[String]) => kleene(a(lv), b(lv), and = false)
+        case sources.AlwaysTrue() => Some(_ => Some(true))
+        case sources.AlwaysFalse() => Some(_ => Some(false))
+        case _ => None
+      }
+    tv(f)
   }
 
   /** lgConfigK of the per-file NDV sketches (DataSketches HLL): 12 ⇒

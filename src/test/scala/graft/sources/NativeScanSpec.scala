@@ -790,9 +790,19 @@ class NativeScanSpec extends SparkTestBase {
     sql("CREATE TABLE gns.web.tt (n BIGINT)")
     sql("INSERT INTO gns.web.tt VALUES (1)")
     sql("INSERT INTO gns.web.tt VALUES (2)")
+    // r12: the pinned snapshot's own manifests answer the aggregate —
+    // a historical count is a zero-task lookup too (Iceberg's posture)
     val q = sql("SELECT count(*) FROM gns.web.tt VERSION AS OF 1")
-    assert(batchScans(q).nonEmpty)
+    q.collect()
+    assert(allNodes(q.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"pinned count must answer from the pinned manifest:\n" +
+        s"${q.queryExecution.executedPlan}")
     assert(q.head.getLong(0) == 1L)
+    // ROW reads against the pinned snapshot stay on the native scan
+    val qr = sql("SELECT n FROM gns.web.tt VERSION AS OF 1")
+    assert(batchScans(qr).nonEmpty)
+    assert(qr.collect().map(_.getLong(0)).toSeq == Seq(1L))
     assert(sql("SELECT count(*) FROM gns.web.tt").head.getLong(0) == 2L)
   }
 
@@ -891,6 +901,119 @@ class NativeScanSpec extends SparkTestBase {
     val r5 = q5.collect()
     assert(r5.head.isNullAt(0) && r5.head.getLong(1) == 7L)
     assert(r5.map(_.getLong(1)).sum == 127L)
+  }
+
+  test("multi-spec HANDLED filters: per-leg predicates decide whole leaves exactly (r12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    sql("""CREATE TABLE gns.web.mhf (uid BIGINT, event STRING, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts), event)
+          |TBLPROPERTIES (statsColumns 'uid')""".stripMargin)
+    // escaped identity values + NULL legs ride along
+    sql("""INSERT INTO gns.web.mhf
+          |SELECT id,
+          |  CASE WHEN id % 11 = 10 THEN NULL
+          |       WHEN id % 3 = 2 THEN 'a b|c'
+          |       ELSE concat('e', id % 3) END,
+          |  timestamp'2024-03-04 00:00:00' +
+          |  make_interval(0, 0, 0, CAST(id % 4 AS INT), CAST(id % 20 AS INT), 0, 0)
+          |FROM range(200)""".stripMargin)
+    def oracle(where: String): Long = spark.sql(
+      s"""SELECT count(*) FROM (
+         |  SELECT id AS uid,
+         |    CASE WHEN id % 11 = 10 THEN NULL
+         |         WHEN id % 3 = 2 THEN 'a b|c'
+         |         ELSE concat('e', id % 3) END AS event,
+         |    timestamp'2024-03-04 00:00:00' +
+         |    make_interval(0, 0, 0, CAST(id % 4 AS INT), CAST(id % 20 AS INT), 0, 0) AS ts
+         |  FROM range(200)) WHERE $where""".stripMargin).head.getLong(0)
+    // identity-leg equality: the dashboard's `WHERE event = ...` is a
+    // zero-task count on the everyday layout, exact rows on projection
+    val q1 = sql("SELECT count(*) AS c FROM gns.web.mhf WHERE event = 'e1'")
+    assert(zeroTask(q1), s"identity-leg equality must be a zero-task " +
+      s"manifest count:\n${q1.queryExecution.executedPlan}")
+    assert(q1.head.getLong(0) == oracle("event = 'e1'"))
+    // the filter is HANDLED (not re-applied): row reads must be exact,
+    // including the escaped value and the composite separator
+    assert(sql("SELECT uid FROM gns.web.mhf WHERE event = 'a b|c'")
+      .collect().length.toLong == oracle("event = 'a b|c'"))
+    assert(sql("SELECT count(*) FROM gns.web.mhf WHERE event IS NULL")
+      .head.getLong(0) == oracle("event IS NULL"))
+    assert(sql("SELECT count(*) FROM gns.web.mhf WHERE event IS NOT NULL")
+      .head.getLong(0) == oracle("event IS NOT NULL"))
+    assert(sql("SELECT count(*) FROM gns.web.mhf WHERE event IN ('e0', 'e1')")
+      .head.getLong(0) == oracle("event IN ('e0', 'e1')"))
+    assert(sql("SELECT count(*) FROM gns.web.mhf WHERE NOT (event = 'e1')")
+      .head.getLong(0) == oracle("NOT (event = 'e1')"))
+    // time-leg half-line composes with the identity leg: aligned
+    // boundaries are handled (zero-task with the event conjunct)...
+    val q2 = sql("""SELECT count(*) AS c FROM gns.web.mhf
+                   |WHERE ts >= timestamp'2024-03-05 00:00:00' AND event = 'e0'""".stripMargin)
+    assert(zeroTask(q2), s"day-aligned slice × identity leg must be " +
+      s"zero-task:\n${q2.queryExecution.executedPlan}")
+    assert(q2.head.getLong(0) ==
+      oracle("ts >= timestamp'2024-03-05 00:00:00' AND event = 'e0'"))
+    // ...and filtered GROUP BY stays metadata-answered
+    val q3 = sql("""SELECT CAST(ts AS DATE) AS d, count(*) AS c
+                   |FROM gns.web.mhf WHERE event = 'e0'
+                   |GROUP BY 1 ORDER BY d""".stripMargin)
+    assert(zeroTask(q3))
+    assert(q3.collect().map(_.getLong(1)).sum == oracle("event = 'e0'"))
+    // unaligned time boundaries and data-column predicates stay
+    // residual — real scan, same answers
+    val q4 = sql("""SELECT count(*) FROM gns.web.mhf
+                   |WHERE ts >= timestamp'2024-03-05 00:30:00'""".stripMargin)
+    q4.collect()
+    assert(batchScans(q4).nonEmpty, "unaligned boundary must really scan")
+    assert(q4.head.getLong(0) ==
+      oracle("ts >= timestamp'2024-03-05 00:30:00'"))
+    val q5 = sql("SELECT count(*) FROM gns.web.mhf WHERE event = 'e1' AND uid % 2 = 0")
+    q5.collect()
+    assert(batchScans(q5).nonEmpty, "mixed predicate must really scan")
+    assert(q5.head.getLong(0) == oracle("event = 'e1' AND uid % 2 = 0"))
+  }
+
+  test("date identity legs: grouping and handled filters answer from leaves (r12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    def zeroTask(q: DataFrame): Boolean = {
+      q.collect()
+      batchScans(q).isEmpty && allNodes(q.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    sql("""CREATE TABLE gns.web.dleg (uid BIGINT, d DATE, event STRING)
+          |PARTITIONED BY (d, event)
+          |TBLPROPERTIES (statsColumns 'uid')""".stripMargin)
+    sql("""INSERT INTO gns.web.dleg
+          |SELECT id, date_add(date'2024-03-01', CAST(id % 3 AS INT)),
+          |       concat('e', id % 2)
+          |FROM range(60)""".stripMargin)
+    // GROUP BY the date leg: the ISO leaf rendering parses back to the
+    // DATE's epoch-day value
+    val q1 = sql("""SELECT d, event, count(*) AS c FROM gns.web.dleg
+                   |GROUP BY d, event ORDER BY d, event""".stripMargin)
+    assert(zeroTask(q1), s"date-leg grouping must be zero-task:\n" +
+      s"${q1.queryExecution.executedPlan}")
+    assert(q1.collect().map(r =>
+      (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSeq ==
+      (for (m <- 0 to 2; e <- 0 to 1) yield
+        (s"2024-03-0${m + 1}", s"e$e", 10L)))
+    // handled date-leg equality: zero-task count, exact row read
+    val q2 = sql("SELECT count(*) AS c FROM gns.web.dleg WHERE d = date'2024-03-02'")
+    assert(zeroTask(q2), s"date-leg equality must be a zero-task count:\n" +
+      s"${q2.queryExecution.executedPlan}")
+    assert(q2.head.getLong(0) == 20L)
+    assert(sql("SELECT uid FROM gns.web.dleg WHERE d = date'2024-03-02'")
+      .collect().length == 20)
+    // COUNT(DISTINCT d) = the distinct leg values
+    val q3 = sql("SELECT count(DISTINCT d) AS dd FROM gns.web.dleg")
+    assert(zeroTask(q3))
+    assert(q3.head.getLong(0) == 3L)
   }
 
   test("AVG and COUNT(DISTINCT partition-dim) push to metadata (r12)") {

@@ -115,6 +115,46 @@ class StatsReportSpec extends SparkTestBase {
       spark.conf.set("spark.sql.cbo.enabled", _))
   }
 
+  test("NDV decode cost is memoized: a second plan of the same snapshot decodes no sketches (r12)") {
+    val wh = Files.createTempDirectory("ndvmemo_wh").toString
+    spark.conf.set("spark.sql.catalog.gnm2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gnm2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnm2.web")
+    spark.sql("""CREATE TABLE gnm2.web.memo (k BIGINT, v BIGINT)
+                |TBLPROPERTIES (statsColumns 'k,v')""".stripMargin)
+    for (_ <- 0 until 3)
+      spark.sql("INSERT INTO gnm2.web.memo SELECT id, id * 2 FROM range(5000)")
+    val old = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def plan(): Unit = {
+        // force a FRESH scan + estimateStatistics (new plan, not a
+        // cached DataFrame)
+        val s = spark.table("gnm2.web.memo")
+          .filter(col("k") >= 0).groupBy().count()
+        s.queryExecution.optimizedPlan.stats
+        ()
+      }
+      plan() // warm: decodes each (file, column) stamp once at most
+      val after1 = graft.weblog.GraftNativeScan.sketchDecodes
+      plan()
+      plan()
+      val after3 = graft.weblog.GraftNativeScan.sketchDecodes
+      assert(after3 == after1,
+        s"re-planning the same snapshot must decode no sketches " +
+          s"(decodes went $after1 -> $after3)")
+      // a NEW commit adds new files: only THEIR stamps decode
+      spark.sql("INSERT INTO gnm2.web.memo SELECT id, id * 2 FROM range(100)")
+      plan()
+      val after4 = graft.weblog.GraftNativeScan.sketchDecodes
+      assert(after4 > after3, "new files' stamps must decode once")
+      plan()
+      assert(graft.weblog.GraftNativeScan.sketchDecodes == after4,
+        "and only once")
+    } finally old.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+  }
+
   test("NDV flips a downstream broadcast decision (CBO join-output cardinality)") {
     val wh = Files.createTempDirectory("ndvflip_wh").toString
     spark.conf.set("spark.sql.catalog.gnf", "graft.sources.GraftCatalog")

@@ -224,4 +224,46 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("SPJ survives RENAME epochs: a renamed keyed table keeps its shuffle-free joins (r12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    // bucket hashing is key-VALUE-based and keys are rename-immutable,
+    // so a rename epoch cannot move a key across buckets — each
+    // single-file partition reads under its own epoch's physical names
+    for (t <- Seq("rnl", "rnr")) {
+      sql(s"""CREATE TABLE gspj.web.$t (id STRING, v BIGINT, seq BIGINT)
+             |TBLPROPERTIES (uniqueKeys 'id', numBuckets '4',
+             |orderCol 'seq',
+             |'write.delete.mode' 'merge-on-read')""".stripMargin)
+      sql(s"""INSERT INTO gspj.web.$t
+             |SELECT concat('k', id), id * ${if (t == "rnl") 1 else 10}, 1
+             |FROM range(240)""".stripMargin)
+    }
+    // rename the LEFT side's value column mid-life: every stored file
+    // predates the rename (physical 'v' serves logical 'w' through the
+    // epoch factory), and a post-rename GDPR tombstone composes
+    sql("ALTER TABLE gspj.web.rnl RENAME COLUMN v TO w")
+    sql("DELETE FROM gspj.web.rnl WHERE w >= 220")
+    val old = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(l.w + r.v) AS s
+                    |FROM gspj.web.rnl l JOIN gspj.web.rnr r
+                    |ON l.id = r.id""".stripMargin)
+      val row = q.head
+      // left keeps ids 0..219 (delete removed 220..239); right has all
+      assert(row.getLong(0) == 220L)
+      assert(row.getLong(1) == 11L * (0L to 219L).sum)
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"SPJ under a rename epoch must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }

@@ -213,5 +213,30 @@ class NativeScanHardeningSpec extends SparkTestBase {
     assert(tu.nativeScanSnapshot(None).isEmpty,
       "unstamped delete tuple counts must fall back to the V1 bridge")
     assert(tu.read.count() == 5L)
+    // byte budget (r12): delete files whose stamped sizes exceed the
+    // broadcast byte cap refuse too — 4M tuples of wide string keys
+    // would otherwise make an uncomfortable driver broadcast
+    val p4 = Files.createTempDirectory("eqd_bytes").toString + "/t"
+    val tb = IcebergLikeTable(spark, p4, partitionCol = "day",
+      uniqueKeys = Seq("id"), numBuckets = 2)
+    tb.write((0 until 10).map(i => (s"k$i", i.toLong, 1, 1L))
+      .toDF("id", "v", "day", "seq"), "seq")
+    tb.deleteMergeOnRead(col("v") >= 5)
+    val (snapB, _) = tb.nativeScanSnapshot(None)
+      .getOrElse(fail("in-budget eq deletes must stay native-eligible"))
+    val fat = snapB.entries.map(e =>
+      if (e.isDelete) e.copy(size = IcebergLikeTable.NativeDeleteBytesBudget + 1)
+      else e)
+    val rootB = new Path(p4)
+    val fsB = rootB.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (vB, rawB) = Manifests.resolveSnapshot(fsB, rootB)
+      .getOrElse(fail("table never committed"))
+    val fatLeaf = s"${Manifests.LeafPrefix}doctor_fat"
+    Manifests.writeLeafManifest(fsB, rootB, fatLeaf, fat)
+    Manifests.write(fsB, rootB, vB + 1,
+      Seq(Manifests.RefMark + fatLeaf), rawB.meta)
+    assert(tb.nativeScanSnapshot(None).isEmpty,
+      "over-byte-budget delete files must fall back to the V1 bridge")
+    assert(tb.read.count() == 5L)
   }
 }
