@@ -1098,6 +1098,69 @@ object WebLogQueries {
              |ORDER BY day, event""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // METADATA-ONLY DELETE (Iceberg's partition-scoped delete, r12): a
+    // DELETE whose condition decides whole leaves — an identity-leg
+    // retraction and a day-aligned retention slice on the everyday
+    // multi(days(ts), event) layout — drops the matching leaves from
+    // the manifest: ZERO data I/O, zero tombstones, zero rewrites. The
+    // proof booleans pin that no file of any kind was written; the
+    // erased counts and the surviving census are recomputed by the
+    // oracle.
+    Q("weblog_metadata_delete",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "metadel", d) + "/t",
+          partitionCol = "pe",
+          partitionTransform = Some("multi(days(ts), identity(event))"))
+        val base = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 3)
+          .select(col("user_id"), col("event_type").as("event"), col("ts"))
+        t.append(base)
+        def census(): (Set[String], Long) = {
+          val rows = t.files.select("file", "is_delete").collect()
+          (rows.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
+            rows.count(_.getBoolean(1)).toLong)
+        }
+        val (before, _) = census()
+        // GDPR-style whole-dimension retraction: every 'purchase' leaf
+        val erasedEvent = t.delete(col("event") === "purchase")
+        val (mid, dels1) = census()
+        // retention-style day slice, boundary-aligned
+        val d0 = Tables.events(s, d)
+          .agg(date_trunc("DAY", min(col("ts")))).head.getTimestamp(0)
+        val lo = new java.sql.Timestamp(d0.getTime + 86400000L)
+        val hi = new java.sql.Timestamp(d0.getTime + 2 * 86400000L)
+        val erasedSlice = t.delete(col("ts") >= lit(lo) && col("ts") < lit(hi))
+        val (after, dels2) = census()
+        val metadataOnly = mid.subsetOf(before) && after.subsetOf(mid) &&
+          dels1 == 0L && dels2 == 0L
+        val rows = t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        import s.implicits._
+        rows.sortBy(_._1).map { case (ev, cnt) =>
+          (ev, cnt, erasedEvent, erasedSlice, metadataOnly)
+        }
+          .toDF("event", "cnt", "erased_event", "erased_slice",
+            "metadata_only")
+          .orderBy("event")
+      },
+      Some("""WITH base AS (SELECT user_id, event_type AS event, ts
+             |              FROM events WHERE day(ts) <= 3),
+             |d0 AS (SELECT date_trunc('day', min(ts)) AS t0 FROM events)
+             |SELECT event, CAST(count(*) AS BIGINT) AS cnt,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base
+             |        WHERE event = 'purchase') AS erased_event,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM base
+             |        WHERE event <> 'purchase'
+             |          AND ts >= (SELECT t0 + INTERVAL 1 DAY FROM d0)
+             |          AND ts <  (SELECT t0 + INTERVAL 2 DAY FROM d0)) AS erased_slice,
+             |       TRUE AS metadata_only
+             |FROM base
+             |WHERE event <> 'purchase'
+             |  AND NOT (ts >= (SELECT t0 + INTERVAL 1 DAY FROM d0)
+             |           AND ts < (SELECT t0 + INTERVAL 2 DAY FROM d0))
+             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " ")),
+      headline = true),
+
     // NATIVE V2 SCAN UNDER MERGE-ON-READ (r11): a table that has BOTH
     // renamed a column (two physical-name epochs) and taken positional
     // deletes still reads through the native BatchScan — per-epoch

@@ -369,7 +369,9 @@ final case class IcebergLikeTable(
             "existing rows violate it")
       }
       val version = nextVersion(liveVersion)
-      val meta = snap.meta +
+      // a normal commit drops the fast-forward ancestry mark (a later
+      // fastForward must see divergence, not silently clobber this)
+      val meta = snap.meta - FfKey +
         (ConstraintsKey -> constraintsJson(existing + (name -> predicateSql))) +
         (TsKey -> System.currentTimeMillis().toString)
       val lines =
@@ -490,7 +492,8 @@ final case class IcebergLikeTable(
           .filterNot(_.startsWith(IcebergLikeTable.AnalyzeBloomPrefix))
         Map(BloomKey -> (kept :+ name).mkString(","))
       }
-    val meta = snap.meta ++ bloom + (TsKey -> System.currentTimeMillis().toString)
+    val meta = snap.meta - FfKey ++ bloom +
+      (TsKey -> System.currentTimeMillis().toString)
     try publishVersion(version, token, restamped ++ snap.deleteEntries, meta,
       snap, reuseBaseLeaves = false)
     catch {
@@ -511,7 +514,7 @@ final case class IcebergLikeTable(
     val existing = constraintsOf(snap.meta)
     require(existing.contains(name), s"no constraint '$name' to drop")
     val version = nextVersion(liveVersion)
-    val meta = snap.meta +
+    val meta = snap.meta - FfKey +
       (ConstraintsKey -> constraintsJson(existing - name)) +
       (TsKey -> System.currentTimeMillis().toString)
     val lines =
@@ -2935,7 +2938,7 @@ final case class IcebergLikeTable(
               else f)).json)
           case _ => Map.empty
         }
-      val meta = snap.meta ++ schemaMeta +
+      val meta = snap.meta - FfKey ++ schemaMeta +
         (SpecHistKey -> specHistJson(hist)) +
         (TsKey -> System.currentTimeMillis().toString) +
         (LayoutKey -> layoutSpecFor(Some(nt)))
@@ -3484,10 +3487,76 @@ final case class IcebergLikeTable(
       }
   }
 
+  /** METADATA-ONLY row-level DELETE (Iceberg's partition-scoped
+    * delete, r12): when the condition decides WHOLE LEAVES — the same
+    * translation the handled-filter machinery uses (identity partition
+    * predicates, boundary-aligned half-lines on hidden time/truncate
+    * transforms, per-leg predicates on multi specs) — the matching
+    * leaves' files simply leave the manifest: zero data I/O, zero
+    * tombstones, zero rewrites. Retention and partition-scoped GDPR
+    * ("drop day 3", "drop event='debug'") on a 100 TB table are ONE
+    * manifest commit, whatever the table's delete mode. None = not
+    * metadata-decidable — the caller runs its row-level machinery.
+    * Requires stamped row counts (the return contract is rows deleted)
+    * and NO live delete files (a masked row must not double-count;
+    * tombstone-carrying tables resolve through the row paths until
+    * maintain() compacts).
+    */
+  private def metadataDeleteOnce(liveVersion: Long, snap: TableSnapshot,
+      condition: Column): Option[Long] = {
+    if (snap.deleteEntries.nonEmpty || snap.dataEntries.isEmpty) return None
+    val schema = storedSchema(snap.meta).getOrElse(return None)
+    val expr = analyzedPredicate(Some(schema), condition).getOrElse(return None)
+    // top-level conjuncts, each translated to the V1 filter grammar the
+    // whole-leaf decider consumes; any untranslatable conjunct refuses
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val translated = conjuncts(expr).map(
+      org.apache.spark.sql.graftbridge.CatalystFilterBridge.translate)
+    if (translated.exists(_.isEmpty)) return None
+    val decide = leafDeciderFor(snap, translated.flatten).getOrElse(return None)
+    // a leaf-constant predicate is TRUE for every row of a leaf or for
+    // none: TRUE leaves drop whole, FALSE leaves carry untouched, an
+    // undecidable leaf refuses the whole fast path (sound)
+    var deleted = 0L
+    val drop = scala.collection.mutable.Set.empty[String]
+    snap.dataEntries.groupBy(e => leafOf(e.path)).foreach { case (leaf, es) =>
+      decide(leaf) match {
+        case None => return None
+        case Some(true) =>
+          if (es.exists(_.rowCount < 0L)) return None
+          deleted += es.map(_.rowCount).sum
+          drop += leaf
+        case Some(false) =>
+      }
+    }
+    if (drop.isEmpty) return Some(0L)
+    val version = nextVersion(liveVersion)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val keep = snap.entries.filterNot(e => drop.contains(leafOf(e.path)))
+    // a normal commit: drop the fast-forward ancestry mark; everything
+    // else (schema, ids, history, constraints, stats, blooms, hwm)
+    // carries — the commit is purely subtractive metadata
+    val meta = snap.meta - FfKey +
+      (TsKey -> System.currentTimeMillis().toString) +
+      (LayoutKey -> layoutSpec)
+    publishVersion(version, token, keep, meta, snap)
+    expireSnapshots()
+    Some(deleted)
+  }
+
   private def deleteOnce(condition: Column): Long = {
     val (liveVersion, snap) = resolveLive()
     val previous = snap.files
     if (previous.isEmpty) return 0L
+    metadataDeleteOnce(liveVersion, snap, condition) match {
+      case Some(n) => return n
+      case None =>
+    }
     val schema = storedSchema(snap.meta)
     // the discovery scan composes the table's OWN file skipping: on a
     // stats/bloom-stamped key, a GDPR point delete opens the handful of
@@ -3883,7 +3952,7 @@ final case class IcebergLikeTable(
         val newSchema = StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = newType) else f))
         val version = nextVersion(liveVersion)
-        val meta = snap.meta +
+        val meta = snap.meta - FfKey +
           (SchemaKey -> newSchema.json) +
           (TsKey -> System.currentTimeMillis().toString)
         val lines =
@@ -3968,7 +4037,7 @@ final case class IcebergLikeTable(
     val newHist = hist + (id ->
       (hist.getOrElse(id, Seq((0L, Option(name)))) :+
         ((version: Long, renameTo))))
-    val meta = snap.meta +
+    val meta = snap.meta - FfKey +
       (SchemaKey -> newSchema.json) +
       (ColIdsKey -> idsJson(newIds)) +
       (ColHistKey -> histJson(newHist)) +
@@ -4035,6 +4104,11 @@ final case class IcebergLikeTable(
     val (liveVersion, snap) = resolveLive()
     validateLayout(snap.meta)
     if (snap.dataFiles.isEmpty) return 0L
+    // a whole-leaf predicate never needs tombstones: metadata delete
+    metadataDeleteOnce(liveVersion, snap, condition) match {
+      case Some(n) => return n
+      case None =>
+    }
     val schema = storedSchema(snap.meta)
     val candidates = prunedFiles(snap, schema, condition)
     if (candidates.isEmpty) return 0L
@@ -4084,6 +4158,7 @@ final case class IcebergLikeTable(
         }
         val meta = hwmOf(snap.meta) ++
           snap.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
+          snap.meta.get(ConstraintsKey).map(ConstraintsKey -> _) ++
           snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
           snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
           snap.meta.get(ColHistKey).map(ColHistKey -> _) ++
@@ -4117,6 +4192,11 @@ final case class IcebergLikeTable(
     val (liveVersion, snap) = resolveLive()
     validateLayout(snap.meta)
     if (snap.dataFiles.isEmpty) return 0L
+    // a whole-leaf predicate never needs tombstones: metadata delete
+    metadataDeleteOnce(liveVersion, snap, condition) match {
+      case Some(n) => return n
+      case None =>
+    }
     val schema = storedSchema(snap.meta)
     // same stats/bloom-pruned discovery as the copy-on-write path, over
     // MOR-LIVE rows (an already-tombstoned row must not be re-counted);
@@ -4167,6 +4247,7 @@ final case class IcebergLikeTable(
         // untouched — the commit is purely additive metadata
         val meta = hwmOf(snap.meta) ++
           snap.meta.get(BranchBaseKey).map(BranchBaseKey -> _) ++
+          snap.meta.get(ConstraintsKey).map(ConstraintsKey -> _) ++
           snap.meta.get(SchemaKey).map(SchemaKey -> _) ++
           snap.meta.get(ColIdsKey).map(ColIdsKey -> _) ++
           snap.meta.get(ColHistKey).map(ColHistKey -> _) ++

@@ -978,6 +978,51 @@ class NativeScanSpec extends SparkTestBase {
     assert(q5.head.getLong(0) == oracle("event = 'e1' AND uid % 2 = 0"))
   }
 
+  test("multi-spec handled filters: adversarial value alphabet round-trips exactly (r12)") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    // every layer's special characters at once: the composite separator
+    // and its escape, the null token, path-escaped characters, case,
+    // whitespace, empty string, NULL
+    val alphabet: Seq[Option[String]] = Seq(
+      Some("plain"), Some("PLAIN"), Some("a b"), Some("x%y"), Some("x|y"),
+      Some("%N"), Some("%25N"), Some("%7C"), Some(""), Some("eq=v"),
+      Some("hash#v"), Some("colon:v"), Some("slash/v"), Some("quote'v"),
+      None)
+    val rows = for {
+      d <- 0 until 2
+      (v, i) <- alphabet.zipWithIndex
+      r <- 0 until 3
+    } yield (d.toLong * 100 + i * 3 + r, v.orNull,
+      java.sql.Timestamp.valueOf(s"2024-03-0${d + 1} 0$r:00:00"))
+    sql("""CREATE TABLE gns.web.alpha (uid BIGINT, event STRING, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts), event)""".stripMargin)
+    rows.toDF("uid", "event", "ts").createOrReplaceTempView("graft_alpha_src")
+    sql("INSERT INTO gns.web.alpha SELECT * FROM graft_alpha_src")
+    assert(sql("SELECT count(*) FROM gns.web.alpha").head.getLong(0) ==
+      rows.size.toLong)
+    def expectEq(v: String): Long = rows.count(_._2 == v).toLong
+    // Column-API filters dodge SQL literal quoting for the specials
+    val tbl = spark.table("gns.web.alpha")
+    alphabet.flatten.foreach { v =>
+      assert(tbl.filter(col("event") === v).count() == expectEq(v),
+        s"equality must be row-exact for '$v'")
+      assert(tbl.filter(col("event") =!= v).count() ==
+        rows.count(r => r._2 != null && r._2 != v).toLong,
+        s"negated equality must be row-exact for '$v'")
+    }
+    assert(tbl.filter(col("event").isNull).count() ==
+      rows.count(_._2 == null).toLong)
+    assert(tbl.filter(col("event").isNotNull).count() ==
+      rows.count(_._2 != null).toLong)
+    assert(tbl.filter(col("event").isin("a b", "x|y", "%N")).count() ==
+      rows.count(r => Set("a b", "x|y", "%N").contains(r._2)).toLong)
+    // null-safe equality both ways
+    assert(tbl.filter(col("event") <=> lit(null)).count() ==
+      rows.count(_._2 == null).toLong)
+    assert(tbl.filter(col("event") <=> "x%y").count() == expectEq("x%y"))
+  }
+
   test("date identity legs: grouping and handled filters answer from leaves (r12)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     def zeroTask(q: DataFrame): Boolean = {

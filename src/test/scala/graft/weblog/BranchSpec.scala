@@ -155,6 +155,61 @@ class BranchSpec extends SparkTestBase {
     intercept[IllegalStateException](t2.fastForward(long))
   }
 
+  test("metadata-only commits break fast-forward ancestry too (r12)") {
+    // widen/rename/constraint/analyze commits change the live state the
+    // same as a data commit — a later fast-forward from the previously
+    // published branch must see DIVERGENCE, never silently clobber the
+    // metadata change (the FfKey ancestry mark must drop)
+    def fixture(dir: String): (IcebergLikeTable, IcebergLikeTable) = {
+      val t = IcebergLikeTable(spark,
+        Files.createTempDirectory(dir).toString + "/t",
+        "event", Seq("k"), numBuckets = 2)
+      t.write(rows(0 until 6, "orig", 1L), "seq")
+      val wap = t.createBranch("audit")
+      wap.write(rows(0 until 2, "fix1", 2L), "seq")
+      t.fastForward(wap)
+      wap.write(rows(2 until 4, "fix2", 3L), "seq")
+      (t, wap)
+    }
+    val (t1, w1) = fixture("br_ffmeta1")
+    t1.addConstraint("host_nonempty", "length(hostname) > 0")
+    intercept[IllegalStateException](t1.fastForward(w1))
+    assert(t1.constraints.contains("host_nonempty"),
+      "the constraint the divergence protects must still be live")
+    val (t2, w2) = fixture("br_ffmeta2")
+    t2.renameColumn("hostname", "host")
+    intercept[IllegalStateException](t2.fastForward(w2))
+    val (t3, w3) = fixture("br_ffmeta3")
+    t3.analyze(Seq("hostname"))
+    intercept[IllegalStateException](t3.fastForward(w3))
+  }
+
+  test("CHECK constraints survive merge-on-read and positional deletes (r12)") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_morcon").toString + "/t",
+      "event", Seq("k"), numBuckets = 2)
+    t.write(rows(0 until 8, "orig", 1L), "seq")
+    t.addConstraint("host_nonempty", "length(hostname) > 0")
+    t.deleteMergeOnRead(col("k") === "k1")
+    assert(t.constraints.contains("host_nonempty"),
+      "an equality-delete commit must carry the constraints")
+    intercept[Exception] {
+      t.write(Seq(("kx", "e", "", 9L)).toDF("k", "event", "hostname", "seq"),
+        "seq")
+    }
+    val t2 = IcebergLikeTable(spark,
+      Files.createTempDirectory("br_poscon").toString + "/t", "event")
+    t2.append(rows(0 until 8, "orig", 1L))
+    t2.addConstraint("host_nonempty", "length(hostname) > 0")
+    t2.deletePositional(col("k") === "k1")
+    assert(t2.constraints.contains("host_nonempty"),
+      "a positional-delete commit must carry the constraints")
+    intercept[Exception] {
+      t2.append(Seq(("kx", "e", "", 9L)).toDF("k", "event", "hostname", "seq"))
+    }
+  }
+
   test("branch bookkeeping: duplicates rejected, empty tables unbranchable, exactly-once per chain") {
     val t = IcebergLikeTable(spark,
       Files.createTempDirectory("br_book").toString + "/t",
