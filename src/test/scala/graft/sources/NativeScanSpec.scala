@@ -978,6 +978,32 @@ class NativeScanSpec extends SparkTestBase {
     assert(q5.head.getLong(0) == oracle("event = 'e1' AND uid % 2 = 0"))
   }
 
+  test("pushed-aggregate planning is version-consistent under a racing commit (r12)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.race (v BIGINT, day INT)
+          |PARTITIONED BY (day)""".stripMargin)
+    sql("INSERT INTO gns.web.race SELECT id, 1 FROM range(10)")
+    val t = IcebergLikeTable(spark, s"$warehouse/web/race", "day")
+    val builder = new GraftScanBuilder(t, None,
+      spark.table("gns.web.race").schema)
+    val agg = new org.apache.spark.sql.connector.expressions.aggregate
+      .Aggregation(
+        Array(new org.apache.spark.sql.connector.expressions.aggregate
+          .CountStar()),
+        Array.empty)
+    // Spark probes, then pushes, the SAME Aggregation instance; a
+    // commit racing in between must not mix versions inside one answer
+    assert(builder.supportCompletePushDown(agg))
+    sql("INSERT INTO gns.web.race SELECT id, 2 FROM range(5)")
+    assert(builder.pushAggregation(agg))
+    val rows = builder.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.LocalScan].rows
+    assert(rows.head.getLong(0) == 10L,
+      "probe and push must answer from ONE resolved snapshot")
+    // fresh planning sees the racing commit
+    assert(sql("SELECT count(*) FROM gns.web.race").head.getLong(0) == 15L)
+  }
+
   test("multi-spec handled filters: adversarial value alphabet round-trips exactly (r12)") {
     import spark.implicits._
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
