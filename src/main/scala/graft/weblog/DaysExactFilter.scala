@@ -81,6 +81,10 @@ private[graft] object DaysExactFilter {
     case sources.IsNotNull(a) if a == src =>
       // the NULL leaf holds exactly the NULL-source rows: leaf-exact
       Some(Seq(NotNull))
+    case sources.AlwaysTrue() =>
+      // no constraint: every leaf (incl. the NULL leaf) qualifies —
+      // `DELETE FROM t` without a WHERE drops every leaf metadata-only
+      Some(Seq.empty)
     case sources.And(l, r) =>
       for {
         a <- halfLines(l, src, value, lower, upper)

@@ -4690,6 +4690,14 @@ object IcebergLikeTable {
         case sources.IsNull(a) if a == source => Some(lv => Some(lv.isEmpty))
         case sources.IsNotNull(a) if a == source =>
           Some(lv => Some(lv.isDefined))
+        // LIKE shapes on a string leg: every row equals the leg value,
+        // so prefix/suffix/containment decide whole leaves exactly
+        case sources.StringStartsWith(a, p) if a == source =>
+          Some(lv => lv.map(_.startsWith(p)))
+        case sources.StringEndsWith(a, p) if a == source =>
+          Some(lv => lv.map(_.endsWith(p)))
+        case sources.StringContains(a, p) if a == source =>
+          Some(lv => lv.map(_.contains(p)))
         case sources.Not(c) => tv(c).map(p => lv => p(lv).map(!_))
         case sources.And(l, r) =>
           for { a <- tv(l); b <- tv(r) }

@@ -1047,6 +1047,13 @@ class NativeScanSpec extends SparkTestBase {
     assert(tbl.filter(col("event") <=> lit(null)).count() ==
       rows.count(_._2 == null).toLong)
     assert(tbl.filter(col("event") <=> "x%y").count() == expectEq("x%y"))
+    // LIKE shapes decide whole leaves exactly on a string leg (r12)
+    assert(tbl.filter(col("event").startsWith("a ")).count() ==
+      rows.count(r => r._2 != null && r._2.startsWith("a ")).toLong)
+    assert(tbl.filter(col("event").endsWith("N")).count() ==
+      rows.count(r => r._2 != null && r._2.endsWith("N")).toLong)
+    assert(tbl.filter(col("event").contains("%")).count() ==
+      rows.count(r => r._2 != null && r._2.contains("%")).toLong)
   }
 
   test("date identity legs: grouping and handled filters answer from leaves (r12)") {

@@ -57,6 +57,21 @@ class MetadataDeleteSpec extends SparkTestBase {
     assert(after.subsetOf(before) && dels == 0L,
       "aligned day-range delete must be metadata-only")
     assert(t.read.count() == 72L)
+    // an unconditioned DELETE FROM t is metadata-only on time layouts
+    // too (AlwaysTrue decides every leaf) — proven on a twin so the
+    // slice assertions below stay meaningful
+    val tw = IcebergLikeTable(spark,
+      Files.createTempDirectory("mdel_all").toString + "/t",
+      "ts_day", partitionTransform = Some("days(ts)"))
+    tw.append((0 until 20).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2024-03-0${i % 3 + 1} 01:00:00")))
+      .toDF("v", "ts"))
+    val (allBefore, _) = files(tw)
+    assert(tw.delete(lit(true)) == 20L)
+    val (allAfter, allDels) = files(tw)
+    assert(allAfter.isEmpty && allDels == 0L && allBefore.nonEmpty,
+      "DELETE FROM t must drop every leaf without writing a file")
+    assert(tw.read.count() == 0L)
     // an UNALIGNED boundary cannot decide whole leaves: the row path
     // rewrites matching files (new files appear), same answer
     // matches day-3 hours 3-5 (i%4==2 ∧ i%6>=3 ⇒ i≡10 mod 12: 8 rows)
