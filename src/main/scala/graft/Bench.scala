@@ -33,6 +33,61 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // ---- CALIBRATION ANCHOR (r13) ----
+    // Two fixed, engine-independent workloads whose wall time rides in
+    // the BENCH JSON as calib_cpu / calib_engine, so cross-round totals
+    // compare mechanically instead of needing forensic adjudication of
+    // ambient machine noise (r11 needed a policy note, r12 a four-line
+    // evidence chain for a uniform 1.38x drift on untouched plans).
+    //  - calib_cpu: a single-thread xorshift64* fold — raw
+    //    cycles-per-second of one core: no allocation, no Spark, pure
+    //    JIT-compiled scalar loop.
+    //  - calib_engine: a pinned-size hash aggregate + sort over
+    //    spark.range — the whole Spark stack (codegen, exchange, task
+    //    scheduling, the shared JVM's GC posture) on a workload whose
+    //    plan can never change with this repo's code.
+    // Each runs twice BEFORE and twice AFTER the headline canon; the
+    // reported value is the MIN of the four (the canon's own best-of-2
+    // estimator: a one-off GC pause must not inflate the anchor, while
+    // genuine ambient slowness — CPU contention, thermal throttling —
+    // depresses every run including the min, which is exactly what the
+    // anchor exists to capture). Normalized numbers divide by
+    // calib_engine / CALIB_ENGINE_REF (the engine anchor tracks query
+    // cost far better than the scalar loop; calib_cpu separates
+    // "machine is slow" from "JVM/GC is unhappy"). REF constants were
+    // measured in r13 on an otherwise-idle driver machine; SCALE.md
+    // documents the method.
+    val CalibEngineRef = 1.81
+    val CalibCpuRef = 0.66
+    def calibCpuOnce(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 300000000L) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        acc += x * 0x2545F4914F6CDD1DL
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.println("[bench] calib fold anchor")
+      dt
+    }
+    def calibEngineOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 40000000L, 1L, 64)
+        .select((col("id") % 1000000L).as("k"), col("id").as("v"))
+        .groupBy("k").agg(sum(col("v")).as("s"))
+        .orderBy(col("s").desc, col("k")).limit(101).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibPair(): (Double, Double) =
+      (math.min(calibCpuOnce(), calibCpuOnce()),
+        math.min(calibEngineOnce(), calibEngineOnce()))
+    val (cpuPre, enginePre) = calibPair()
+
     // local iteration only (driver sets neither): run a subset of the
     // headline canon, and/or skip the scaling probe
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -80,6 +135,12 @@ object Bench {
     val isolated = pinned
       .filter(n => inSession.exists(p => p._1 == n && p._2 >= 0))
       .map { n => System.gc(); n -> timeOnce(n) }
+    // post-canon calibration leg: min across pre+post legs is the
+    // anchor (see the CALIBRATION ANCHOR note above)
+    val (cpuPost, enginePost) = calibPair()
+    val calibCpu = math.min(cpuPre, cpuPost)
+    val calibEngine = math.min(enginePre, enginePost)
+    val normFactor = calibEngine / CalibEngineRef
     // millisecond precision keeps the stdout JSON line compact — r4's
     // full-precision doubles grew the line past the driver's captured
     // tail and cost the round its machine-readable numbers
@@ -145,6 +206,16 @@ object Bench {
           cold(() => operators.Similarity.binaryTopK(read("emb10x"),
             read("emb10x").filter(col("vec_id") % 10 === 0 && col("vec_id") < 100),
             k = 5, dim = 64).count()))
+      // candidate-pair census (r13): the distinct LSH candidate count —
+      // the quantity the banding geometry actually controls — at both
+      // scales, so a drifting minhash_keepers_ratio decomposes into
+      // candidate growth (data shape) vs per-candidate cost
+      // (algorithmic). Untimed on purpose; counts, not seconds.
+      val census = Seq(
+        "minhash_candidates_1x" ->
+          operators.Dedup.minhashCandidateCount(read("docs1x")).toDouble,
+        "minhash_candidates_10x" ->
+          operators.Dedup.minhashCandidateCount(read("docs10x")).toDouble)
       // TABLE-FORMAT probes: a FIXED one-partition operation against a
       // 1× vs 10× table (8 vs 80 day leaves, same rows per leaf). The
       // manifest protocol's claim is O(changed leaves) commit cost —
@@ -228,7 +299,7 @@ object Bench {
         "zorder_where_ratio" -> fmt(5)._2 / fmt(4)._2,
         "mor_eqdel_ratio" -> mor(1)._2 / mor(0)._2,
         "mor_posdel_ratio" -> mor(3)._2 / mor(2)._2)
-      out ++ fmt ++ mor ++ ratios
+      out ++ census ++ fmt ++ mor ++ ratios
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }
     val sc = scaling.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -236,8 +307,23 @@ object Bench {
     val iso = isolated.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
 
+    // calibration block + normalized numbers: every query both raw
+    // (the `queries` map, cross-round-comparable only between
+    // same-ambient runs) and calibration-normalized (`queries_norm` =
+    // raw / (calib_engine / CALIB_ENGINE_REF) — what cross-round
+    // comparisons read). The anchor legs ride along so the factor is
+    // auditable from the JSON alone.
+    val calib = s"""{"cpu":${r3(calibCpu)},"engine":${r3(calibEngine)},""" +
+      s""""cpu_ref":$CalibCpuRef,"engine_ref":$CalibEngineRef,""" +
+      s""""cpu_pre":${r3(cpuPre)},"cpu_post":${r3(cpuPost)},""" +
+      s""""engine_pre":${r3(enginePre)},"engine_post":${r3(enginePost)},""" +
+      s""""norm_factor":${r3(normFactor)}}"""
+    val qsNorm = results.map { case (k, v) =>
+      "\"" + k + "\":" + r3(if (v < 0) v else v / normFactor)
+    }.mkString("{", ",", "}")
+    val totalNorm = r3(total / normFactor)
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"isolated":$iso,"scaling":$sc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_norm":$totalNorm,"calib":$calib,"queries":$qs,"queries_norm":$qsNorm,"isolated":$iso,"scaling":$sc,"sf":"$sfDir"}"""
     // The full per-query JSON lands in a repo file (survives any stdout
     // truncation) and is printed for whoever reads the whole log.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
@@ -252,7 +338,7 @@ object Bench {
     val compactQs = slowest.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"n_queries":${results.size},"detail":"bench_out.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_norm":$totalNorm,"calib":$calib,"queries":$compactQs,"n_queries":${results.size},"detail":"bench_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

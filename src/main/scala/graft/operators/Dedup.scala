@@ -270,8 +270,16 @@ object Dedup {
         }
     }
 
-  private def minhashCoreCompute(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
+  /** The MinHash pipeline's front half, shared by the full core and the
+    * bench's candidate census: shingle-set collapse into `groups`
+    * (setkey → rep, members, shl — checkpointed, it feeds the LSH join
+    * fan-out and the member expansion), representatives' shingle sets,
+    * and the distinct cross-group LSH candidate pairs (each emitted
+    * once, from its first colliding band).
+    */
+  private def minhashGroupsCandidates(df: DataFrame, textCol: String,
+      idCol: String, n: Int, k: Int, bands: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sets = df
@@ -312,6 +320,35 @@ object Dedup {
       left.join(right, col(s"_b${j}_l") === col(s"_b${j}_r") && noEarlier)
         .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
     }.reduce(_ unionAll _)
+    (groups, repSets, candidates)
+  }
+
+  /** The LSH banding's distinct cross-group candidate-pair count — the
+    * quantity the band/row geometry actually controls, ahead of Jaccard
+    * verification. The bench's scaling probe emits this next to the
+    * keeper timings so a drifting 10× time ratio decomposes into
+    * candidate growth (data shape: how much the duplication structure
+    * inflates collisions) vs per-candidate cost (algorithmic). Not
+    * memoized — the census is a probe, never a query dependency.
+    */
+  def minhashCandidateCount(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 1, k: Int = 128,
+      bands: Int = 32): Long = {
+    val (groups, _, candidates) = minhashGroupsCandidates(
+      df, textCol, idCol, n, k, bands)
+    val cnt = candidates.count()
+    // drop the probe's checkpoint blocks eagerly (groups + the banded
+    // narrow frame inside the candidate plan) — a census must not leave
+    // executor storage behind
+    unpersistCheckpoint(candidates)
+    unpersistCheckpoint(groups)
+    cnt
+  }
+
+  private def minhashCoreCompute(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val (groups, repSets, candidates) = minhashGroupsCandidates(
+      df, textCol, idCol, n, k, bands)
 
     // exact verification: |A∩B| via the codegen'd sorted-merge expression
     // (shl is sorted), |A∪B| = na + nb - common — no hash-set builds.
