@@ -337,10 +337,17 @@ object WebLogQueries {
         // protocol cost is per-commit metadata, so the setup carries no
         // dedup shuffle and no upsert merge (weblog_upsert's job), and
         // the bench measures the delete path, not scaffolding
+        // coalesce(2) bounds the staged-file fanout: append stages
+        // partitionBy(leaf) from the INCOMING partitioning, so N scan
+        // partitions × ~10 leaves would write ~10N small files that
+        // every later phase (delete discovery, maintain rewrite, the
+        // two census scans) re-opens — the gate measures the delete
+        // PROTOCOL, not scan-partition fanout (r13)
         val base = Tables.events(s, d)
           .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 6)
           .select(col("event_id").as("id"), col("user_id"),
             col("event_type").as("event"))
+          .coalesce(2)
         val t = IcebergLikeTable(s, path, "event", Seq("id"),
           numBuckets = 2)
         t.append(base)
@@ -554,21 +561,83 @@ object WebLogQueries {
           .forall(_ > 400000L)
         val after = t.readWhere(slice)
           .groupBy("event").agg(count(lit(1)).as("cnt2"))
+        // REQUALIFICATION (r13): the same evolution through the SQL
+        // catalog, days(ts) → multi(days(ts), event) — Iceberg's
+        // everyday migration. While BOTH epochs are live, the grouped
+        // metadata answer stands down (fallback pin: a real scan, same
+        // numbers); once maintain(0) migrates every file, the spec
+        // history collapses and `GROUP BY event` / the handled
+        // `WHERE event = 'view'` count are zero-task LocalTableScans
+        // again — an evolved table is not demoted forever.
+        val wh2 = scratch(s, "specevoq", d)
+        s.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gevo.warehouse", wh2)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gevo.web")
+        s.sql("DROP TABLE IF EXISTS gevo.web.events")
+        s.sql("""CREATE TABLE gevo.web.events
+                |(user_id BIGINT, event STRING, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+        val src = Tables.events(s, d)
+          .select(col("user_id"), col("event_type").as("event"), col("ts"))
+        src.filter(dayofmonth(col("ts")) <= 2)
+          .createOrReplaceTempView("graft_specevo_src")
+        s.sql("INSERT INTO gevo.web.events SELECT * FROM graft_specevo_src")
+        s.sql("""CALL gevo.system.evolve_partition_spec(
+                |  `table` => 'web.events',
+                |  spec => 'multi(days(ts), identity(event))')""".stripMargin)
+        src.filter(dayofmonth(col("ts")) === 3)
+          .createOrReplaceTempView("graft_specevo_src3")
+        s.sql("INSERT INTO gevo.web.events SELECT * FROM graft_specevo_src3")
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        def zeroTask(q: DataFrame): Boolean =
+          nodes(q.queryExecution.executedPlan).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        def byEvent(): (Map[String, Long], Boolean) = {
+          val q = s.sql("""SELECT event, CAST(count(*) AS BIGINT) AS c
+                          |FROM gevo.web.events GROUP BY event""".stripMargin)
+          (q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+            zeroTask(q))
+        }
+        val (cntPre, metaPre) = byEvent()
+        s.sql("CALL gevo.system.maintain(`table` => 'web.events', file_threshold => 0)")
+        val (cntPost, metaPost) = byEvent()
+        val qView = s.sql("""SELECT CAST(count(*) AS BIGINT) AS c
+                            |FROM gevo.web.events
+                            |WHERE event = 'view'""".stripMargin)
+        val viewOk = qView.head.getLong(0) == cntPost.getOrElse("view", 0L)
+        val requalified = !metaPre && metaPost && zeroTask(qView) &&
+          viewOk && cntPre == cntPost
+        val evtCnt = udf((e: String) => cntPost.getOrElse(e, -1L))
         before.join(after, "event")
           .select(col("event"), col("cnt"),
+            evtCnt(col("event")).as("cnt_evt"),
             lit(metadataOnly).as("metadata_only"),
             lit(pruned).as("pruned"),
             lit(migrated).as("migrated"),
-            (col("cnt") === col("cnt2")).as("stable"))
+            (col("cnt") === col("cnt2")).as("stable"),
+            lit(requalified).as("requalified"))
           .orderBy("event")
       },
-      Some("""SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+      Some("""WITH e3 AS (SELECT event_type AS event,
+             |                   CAST(count(*) AS BIGINT) AS cnt_evt
+             |            FROM events WHERE day(ts) <= 3 GROUP BY 1)
+             |SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
+             |       (SELECT cnt_evt FROM e3
+             |        WHERE e3.event = event_type) AS cnt_evt,
              |       TRUE AS metadata_only, TRUE AS pruned,
-             |       TRUE AS migrated, TRUE AS stable
+             |       TRUE AS migrated, TRUE AS stable, TRUE AS requalified
              |FROM events
              |WHERE ts >= (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY FROM events)
              |  AND ts <  (SELECT date_trunc('day', min(ts)) + INTERVAL 2 DAY FROM events)
-             |GROUP BY 1 ORDER BY event""".stripMargin.replace("\n", " "))),
+             |GROUP BY event_type ORDER BY event""".stripMargin.replace("\n", " "))),
 
     // DSv2 SQL catalog: the table format as plain SQL objects — CREATE
     // NAMESPACE / CREATE TABLE PARTITIONED BY (days(ts)) / INSERT INTO /
@@ -1053,6 +1122,31 @@ object WebLogQueries {
                           |FROM ${tbl}_multi WHERE event = 'view'""".stripMargin)
         val r5 = q5.head()
         val meta5 = zeroTask(q5)
+        // the TRANSPOSE of q5 (r13): a HANDLED filter on the TIME leg +
+        // COUNT(DISTINCT <identity leg>) — a day-aligned slice keeps
+        // whole leaves, distinct events census the surviving leaves
+        val d0 = Tables.events(s, d)
+          .agg(date_trunc("DAY", min(col("ts")))).head.getTimestamp(0)
+        val lo = new java.sql.Timestamp(d0.getTime + 86400000L)
+        val hi = new java.sql.Timestamp(d0.getTime + 2 * 86400000L)
+        val q6 = s.table(s"${tbl}_multi")
+          .filter(col("ts") >= lit(lo) && col("ts") < lit(hi))
+          .agg(count(lit(1)).as("cnt_d2"),
+            countDistinct(col("event")).as("events_d2"))
+        val r6 = q6.head()
+        val meta6 = zeroTask(q6)
+        // MULTI-DISTINCT slot mapping (r13): two COUNT(DISTINCT <dim>)s
+        // interleaved with plain aggregates — pins `distinctSlots`
+        // against positional reordering regressions
+        val q7 = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_all,
+                          |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                          |         AS n_days,
+                          |       min(user_id) AS lo_all,
+                          |       CAST(count(DISTINCT event) AS BIGINT)
+                          |         AS n_events
+                          |FROM ${tbl}_multi""".stripMargin)
+        val r7 = q7.head()
+        val meta7 = zeroTask(q7)
         val byEvent = r1.map(r => r.getString(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
         import s.implicits._
@@ -1062,15 +1156,19 @@ object WebLogQueries {
             cntE, loE, hiE, sumE,
             r3.getLong(0), r3.getLong(1), r4.getLong(0),
             r5.getLong(0), r5.getLong(1),
-            meta1 && meta2 && meta3 && scan4 && meta5)
+            r6.getLong(0), r6.getLong(1),
+            r7.getLong(0), r7.getLong(1), r7.getLong(2), r7.getLong(3),
+            meta1 && meta2 && meta3 && scan4 && meta5 && meta6 && meta7)
         }
           .toDF("day", "event", "cnt_de", "cnt_e", "lo_e", "hi_e", "sum_e",
             "dw_groups", "dw_rows", "mixed_groups", "cnt_view", "days_view",
+            "cnt_d2", "events_d2", "n_all", "n_days", "lo_all", "n_events",
             "plan_proof")
           .orderBy("day", "event")
       },
       Some("""WITH base AS (SELECT user_id, event_type AS event, ts
              |              FROM events WHERE day(ts) <= 5),
+             |d0 AS (SELECT date_trunc('day', min(ts)) AS t0 FROM events),
              |a AS (SELECT event, CAST(count(*) AS BIGINT) AS cnt_e,
              |             min(user_id) AS lo_e, max(user_id) AS hi_e,
              |             CAST(sum(user_id) AS BIGINT) AS sum_e
@@ -1086,13 +1184,29 @@ object WebLogQueries {
              |      FROM (SELECT event, user_id % 2 FROM base GROUP BY 1, 2)),
              |v AS (SELECT CAST(count(*) AS BIGINT) AS cnt_view,
              |             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_view
-             |      FROM base WHERE event = 'view')
+             |      FROM base WHERE event = 'view'),
+             |s2 AS (SELECT CAST(count(*) AS BIGINT) AS cnt_d2,
+             |              CAST(count(DISTINCT event) AS BIGINT) AS events_d2
+             |       FROM base
+             |       WHERE ts >= (SELECT t0 + INTERVAL 1 DAY FROM d0)
+             |         AND ts <  (SELECT t0 + INTERVAL 2 DAY FROM d0)),
+             |md AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+             |              CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |              min(user_id) AS lo_all,
+             |              CAST(count(DISTINCT event) AS BIGINT) AS n_events
+             |       FROM base)
              |SELECT b.day, b.event, b.cnt_de, a.cnt_e, a.lo_e, a.hi_e, a.sum_e,
              |       (SELECT dw_groups FROM w) AS dw_groups,
              |       (SELECT dw_rows FROM w) AS dw_rows,
              |       (SELECT mixed_groups FROM m) AS mixed_groups,
              |       (SELECT cnt_view FROM v) AS cnt_view,
              |       (SELECT days_view FROM v) AS days_view,
+             |       (SELECT cnt_d2 FROM s2) AS cnt_d2,
+             |       (SELECT events_d2 FROM s2) AS events_d2,
+             |       (SELECT n_all FROM md) AS n_all,
+             |       (SELECT n_days FROM md) AS n_days,
+             |       (SELECT lo_all FROM md) AS lo_all,
+             |       (SELECT n_events FROM md) AS n_events,
              |       TRUE AS plan_proof
              |FROM b JOIN a USING (event)
              |ORDER BY day, event""".stripMargin.replace("\n", " ")),

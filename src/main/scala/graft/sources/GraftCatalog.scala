@@ -906,7 +906,10 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
     * query; any probe failure means nothing is handled (sound).
     */
   private lazy val handledExact: sources.Filter => Boolean =
-    try table.exactFilterProbe
+    // probed against the snapshot the scan will actually read — the
+    // pinned one for time travel (r13): a pre-evolution snapshot's
+    // leaves decide under THEIR spec, not the live handle's
+    try table.exactFilterProbeAt(pinned)
     catch { case scala.util.control.NonFatal(_) => (_: sources.Filter) => false }
 
   override def pushFilters(fs: Array[sources.Filter]): Array[sources.Filter] = {

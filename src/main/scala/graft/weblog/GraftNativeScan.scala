@@ -196,14 +196,18 @@ final class GraftNativeScan private (
     * shuffle entirely; the grouping engages only under the explicit
     * conf. Live EQUALITY deletes keep key grouping (masking only
     * removes rows, never moves a key across buckets — the per-file
-    * readers apply the mask in place), and rename EPOCHS keep it too
+    * readers apply the mask in place), rename EPOCHS keep it too
     * (r12: bucket hashing is key-value-based and keys are
     * rename-immutable; each single-file partition carries its epoch so
-    * the reader resolves physical names); positional deletes stand
-    * down.
+    * the reader resolves physical names), and POSITIONAL deletes keep
+    * it as well (r13: a skip list names (file, ordinal) tuples — it
+    * can only ever REMOVE rows of the one file it addresses, never
+    * move a key across buckets; each single-file partition carries its
+    * file's relative path so the reader resolves its skip list, the
+    * same composition argument that admitted the other two).
     */
   private def bucketGrouping: Boolean =
-    table.uniqueKeys.nonEmpty && !hasPosDels &&
+    table.uniqueKeys.nonEmpty &&
       SQLConf.get.getConfString(
         "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
       table.uniqueKeys.forall(readSchema().fieldNames.contains)
@@ -372,15 +376,19 @@ final class GraftNativeScan private (
           val es = byBucket.getOrElse(bucket, Nil)
           if (es.isEmpty) {
             i += 1
-            Seq(GraftBucketedPartition(bucket, 0, Nil,
+            Seq(GraftBucketedPartition(bucket, 0, None, Nil,
               FilePartition(i, Array.empty)): InputPartition)
           } else es.map { e =>
             i += 1
             // each single-file partition carries its schema EPOCH (r12:
             // key grouping composes with rename epochs — a renamed
             // keyed table keeps its shuffle-free joins; bucket hashing
-            // is key-value-based, and keys are rename-immutable)
-            GraftBucketedPartition(bucket, epochIndexOf(e.path), eqKeysFor(e),
+            // is key-value-based, and keys are rename-immutable) and —
+            // under live positional deletes — its file's relative path,
+            // so the reader resolves the (file, ordinal) skip list
+            // (r13: SPJ composes with positional tombstones too)
+            GraftBucketedPartition(bucket, epochIndexOf(e.path),
+              if (hasPosDels) Some(e.path) else None, eqKeysFor(e),
               FilePartition(i, filesOf(Seq(e), Long.MaxValue).toArray))
               : InputPartition
           }
@@ -604,8 +612,17 @@ final class GraftNativeScan private (
     * stamps — so with CBO on, join-output cardinality estimates (and
     * therefore downstream broadcast decisions) see real NDV at plan
     * time, zero data I/O. A column unstamped in ANY pruned entry is
-    * omitted (refusal, never a guess), as is everything under live
-    * positional deletes (deleted rows would distort both counts).
+    * omitted (refusal, never a guess).
+    *
+    * Live delete files of either kind demote, not erase (r13): the
+    * stamped [min, max] stays EXACT-or-wider — deletion can only ever
+    * shrink a column's true range, never widen it, and Spark's CBO
+    * treats ranges as bounds — so GDPR tables with tombstones in
+    * flight keep their range statistics. NDV and null counts are only
+    * UPPER bounds under masking; the V2 ColumnStatistics contract has
+    * no bound flag and an overstated NDV can flip a join-cardinality
+    * estimate the wrong way (underestimating output), so both are
+    * withheld until maintain() compacts the delete files away.
     * r12: decoded sketches come from the JVM-wide immutable-file cache
     * ([[GraftNativeScan.decodedSketch]]) and the whole result memoizes
     * per pruned set — planning the same snapshot twice decodes nothing.
@@ -620,41 +637,52 @@ final class GraftNativeScan private (
     }
     val out = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-    if (hasPosDels || hasEqDels || entries.isEmpty) return out
+    if (entries.isEmpty) return out
+    val masked = hasPosDels || hasEqDels
     readSchema().fields.foreach { f =>
       val c = f.name
-      if (entries.forall(e => e.nulls.contains(c) && e.ndv.contains(c))) {
-        try {
-          val nullsSum = entries.map(_.nulls(c)).sum
-          val union = new org.apache.datasketches.hll.Union(
-            IcebergLikeTable.NdvSketchLgK)
-          entries.foreach { e =>
-            union.update(GraftNativeScan.decodedSketch(
-              table.path, e.path, c, e.ndv(c)))
-          }
-          val est = math.max(0L, math.round(union.getEstimate))
-          // exact column [min, max] from the stamped per-file bounds
-          // (catalyst-typed) — without a range the CBO's equi-join
-          // estimator can misjudge key overlap; only stamped-everywhere
-          // columns contribute (refusal, never a guess)
-          val range: Option[(Any, Any)] =
-            if (!entries.forall(_.stats.contains(c))) None
-            else {
-              val cmp = GraftNativeScan.boundOrdering(f.dataType)
-              val typed = GraftNativeScan.typedBound(f.dataType) _
-              for {
-                ord <- cmp
-                lo = entries.map(_.stats(c)._1).reduce(
-                  (a, b) => if (ord(a, b) <= 0) a else b)
-                hi = entries.map(_.stats(c)._2).reduce(
-                  (a, b) => if (ord(a, b) >= 0) a else b)
-                tl <- typed(lo); th <- typed(hi)
-              } yield (tl, th)
+      val counted = !masked &&
+        entries.forall(e => e.nulls.contains(c) && e.ndv.contains(c))
+      try {
+        val countStats: Option[(Long, Long)] =
+          if (!counted) None
+          else {
+            val nullsSum = entries.map(_.nulls(c)).sum
+            val union = new org.apache.datasketches.hll.Union(
+              IcebergLikeTable.NdvSketchLgK)
+            entries.foreach { e =>
+              union.update(GraftNativeScan.decodedSketch(
+                table.path, e.path, c, e.ndv(c)))
             }
+            Some((math.max(0L, math.round(union.getEstimate)), nullsSum))
+          }
+        // exact-or-wider column [min, max] from the stamped per-file
+        // bounds (catalyst-typed) — without a range the CBO's equi-join
+        // estimator can misjudge key overlap; only stamped-everywhere
+        // columns contribute (refusal, never a guess)
+        val range: Option[(Any, Any)] =
+          if (!entries.forall(_.stats.contains(c))) None
+          else {
+            val cmp = GraftNativeScan.boundOrdering(f.dataType)
+            val typed = GraftNativeScan.typedBound(f.dataType) _
+            for {
+              ord <- cmp
+              lo = entries.map(_.stats(c)._1).reduce(
+                (a, b) => if (ord(a, b) <= 0) a else b)
+              hi = entries.map(_.stats(c)._2).reduce(
+                (a, b) => if (ord(a, b) >= 0) a else b)
+              tl <- typed(lo); th <- typed(hi)
+            } yield (tl, th)
+          }
+        if (countStats.nonEmpty || range.nonEmpty)
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-              override def distinctCount(): OptionalLong = OptionalLong.of(est)
-              override def nullCount(): OptionalLong = OptionalLong.of(nullsSum)
+              override def distinctCount(): OptionalLong =
+                countStats.map(s => OptionalLong.of(s._1))
+                  .getOrElse(OptionalLong.empty())
+              override def nullCount(): OptionalLong =
+                countStats.map(s => OptionalLong.of(s._2))
+                  .getOrElse(OptionalLong.empty())
               override def min(): java.util.Optional[Object] =
                 range.map(r => java.util.Optional.of(r._1.asInstanceOf[Object]))
                   .getOrElse(java.util.Optional.empty[Object]())
@@ -662,12 +690,11 @@ final class GraftNativeScan private (
                 range.map(r => java.util.Optional.of(r._2.asInstanceOf[Object]))
                   .getOrElse(java.util.Optional.empty[Object]())
             })
-        } catch {
-          // a malformed stamp contributes nothing — statistics are
-          // advisory, refusal is always sound
-          case scala.util.control.NonFatal(_) => out.remove(
-            org.apache.spark.sql.connector.expressions.Expressions.column(c))
-        }
+      } catch {
+        // a malformed stamp contributes nothing — statistics are
+        // advisory, refusal is always sound
+        case scala.util.control.NonFatal(_) => out.remove(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c))
       }
     }
     colStatsMemo = Some((key, out))
@@ -697,10 +724,13 @@ final class GraftNativeScan private (
   * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
   * groups storage-partitioned joins by. `eqKeys` carries the
   * equality-delete generations that out-sequence the file (empty on
-  * delete-free snapshots) so SPJ composes with live tombstones.
+  * delete-free snapshots) and `relFile` the file's relative path when
+  * a positional skip list may address it (None otherwise), so SPJ
+  * composes with live tombstones of both kinds.
   */
 private[weblog] final case class GraftBucketedPartition(bucket: Int,
-    epoch: Int, eqKeys: Seq[(String, Long)], inner: FilePartition)
+    epoch: Int, relFile: Option[String], eqKeys: Seq[(String, Long)],
+    inner: FilePartition)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
@@ -749,10 +779,11 @@ private[weblog] final class GraftMorReaderFactory(
       case GraftMorPartition(e, rel, eqKeys, inner) =>
         (factories(e), rel, eqKeys, inner)
       // the storage-partitioned-join shape: each single-file partition
-      // reads under its own schema epoch; live equality deletes ride
-      // along (no positional skip list — grouping stands down there)
-      case GraftBucketedPartition(_, epoch, eqKeys, inner) =>
-        (factories(epoch), None, eqKeys, inner)
+      // reads under its own schema epoch; live tombstones of both
+      // kinds ride along (r13: the partition carries its file's path
+      // so the positional skip list resolves exactly as in MOR mode)
+      case GraftBucketedPartition(_, epoch, rel, eqKeys, inner) =>
+        (factories(epoch), rel, eqKeys, inner)
       case other => (factories.head, None, Nil, other)
     }
 
@@ -851,7 +882,7 @@ private[weblog] final class MorFilteringReader(
 private[weblog] final class GraftUnwrappingReaderFactory(
     base: ParquetPartitionReaderFactory) extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition = p match {
-    case GraftBucketedPartition(_, _, _, inner) => inner
+    case GraftBucketedPartition(_, _, _, _, inner) => inner
     case other => other
   }
   override def createReader(p: InputPartition):

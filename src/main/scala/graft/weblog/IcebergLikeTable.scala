@@ -1302,6 +1302,39 @@ final case class IcebergLikeTable(
     }
   }
 
+  /** The partition transform GOVERNING every live data file of a
+    * snapshot, when ONE does — the basis of every leaf-exact metadata
+    * decision (grouped/handled aggregates, handled filters, whole-leaf
+    * DELETE):
+    *
+    *  - a SINGLE-ENTRY spec history applies its spec unconditionally:
+    *    the post-collapse fast path — once maintain() has rewritten
+    *    every pre-evolution file, the commit-time collapse drops the
+    *    old epochs and an evolved table RE-QUALIFIES for the zero-task
+    *    paths (r13; the r12 posture demoted it forever);
+    *  - NO history: the snapshot's OWN layout stamp, not the handle's
+    *    declared transform — a pinned pre-evolution snapshot read
+    *    through an evolved handle must decode its leaves under the
+    *    spec they were written with (a days() day-ordinal decoded as
+    *    an hours() ordinal would silently answer wrong); the handle's
+    *    transform only backstops unstamped legacy snapshots;
+    *  - a MULTI-ENTRY history has no single governing spec: None —
+    *    per-file epoch resolution ([[transformBoundsFn]]) still prunes,
+    *    but leaf-exact row decisions refuse (fallback, never a guess).
+    *
+    * Inner None = the physical identity layout (no hidden transform).
+    */
+  private[weblog] def governingTransform(snap: TableSnapshot)
+      : Option[Option[PartitionTransforms.Transform]] =
+    specHistOf(snap.meta) match {
+      case Nil => Some(storedTransform(snap.meta).orElse(transform))
+      case Seq((_, s)) =>
+        Some(Some(try transformOf(s) catch {
+          case scala.util.control.NonFatal(_) => return None
+        }))
+      case _ => None
+    }
+
   private def prunedFiles(snap: TableSnapshot,
       schema: Option[StructType], condition: Column): Seq[String] =
     (schema, analyzedPredicate(schema, condition)) match {
@@ -1828,19 +1861,37 @@ final case class IcebergLikeTable(
     /** Whole-table aggregates over the leaves the HANDLED filters keep:
       * (row count, per-column exact [min,max], non-null counts, exact
       * decimal sums with non-null counts). Works on ANY layout — no
-      * leaf decomposition needed. None = undecidable (live delete
-      * files, unstamped row count, undecidable filter); a bound/count/
-      * sum missing for one column is simply absent from its map.
+      * leaf decomposition needed. None = undecidable (unstamped row
+      * count, undecidable filter, a live delete file whose leaf the
+      * filters KEEP); a bound/count/sum missing for one column is
+      * simply absent from its map.
+      *
+      * Live tombstones refuse only when they can mask a CONTRIBUTING
+      * row (r13): both delete-file kinds are leaf-scoped, so a delete
+      * file whose leaf the handled filters exclude cannot touch the
+      * kept leaves' stamped counts — `count(*) WHERE day = 3` on a
+      * GDPR table tombstoned in day 5 stays a zero-task lookup.
       */
     def aggregates(minMaxCols: Seq[String], countCols: Seq[String],
         sumCols: Seq[String],
         filters: Seq[org.apache.spark.sql.sources.Filter])
         : Option[(Long, Map[String, (String, String)], Map[String, Long],
           Map[String, (java.math.BigDecimal, Long)])] = {
-      if (snap.deleteEntries.nonEmpty) return None
       val decide = leafDeciderFor(snap, filters).getOrElse(return None)
+      if (snap.deleteEntries.exists(e =>
+          !decide(leafOf(e.path)).contains(false))) return None
       manifestAggregatesByLeaf(minMaxCols, countCols, sumCols, snap, decide)
     }
+
+    /** The spec GOVERNING every live file of THIS snapshot (r13):
+      * single-entry histories qualify (the post-collapse path), absent
+      * histories resolve the snapshot's own layout stamp — so a pinned
+      * pre-evolution snapshot decodes under the spec its leaves were
+      * written with, and a collapsed evolved table re-qualifies for
+      * zero-task grouped answers. None (multi-epoch) refuses below.
+      */
+    private val gov: Option[Option[PartitionTransforms.Transform]] =
+      governingTransform(snap)
 
     /** The partition spec's LEG descriptors (leaf-decomposition order),
       * or None when leaves cannot be decomposed into groupable values:
@@ -1861,15 +1912,15 @@ final case class IcebergLikeTable(
           case _: PartitionTransforms.Truncate => Some(AggLeg.Opaque)
           case _ => None
         }
-      transform match {
-        case None =>
+      gov match {
+        case None => None // multi-epoch: no single governing spec
+        case Some(None) =>
           schema.fields.find(_.name == partitionCol)
             .map(f => Seq(AggLeg.IdentityPhys(f): AggLeg))
-        case Some(_) if specHistOf(snap.meta).size > 1 => None
-        case Some(m: PartitionTransforms.Multi) =>
+        case Some(Some(m: PartitionTransforms.Multi)) =>
           val ls = m.legs.map(ofTransform)
           if (ls.exists(_.isEmpty)) None else Some(ls.flatten)
-        case Some(t) => ofTransform(t).map(Seq(_))
+        case Some(Some(t)) => ofTransform(t).map(Seq(_))
       }
     }
 
@@ -1887,8 +1938,9 @@ final case class IcebergLikeTable(
         return Some(Seq.fill(nLegs)(None))
       val value = org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.unescapePathName(raw)
-      transform match {
-        case Some(m: PartitionTransforms.Multi) => multiLegValues(m, value)
+      gov match {
+        case Some(Some(m: PartitionTransforms.Multi)) =>
+          multiLegValues(m, value)
         case _ => Some(Seq(Some(value)))
       }
     }
@@ -1912,23 +1964,25 @@ final case class IcebergLikeTable(
           Map[String, Long], Map[String, (java.math.BigDecimal, Long)],
           Seq[Long])]] = {
       val legsSeq = legs.getOrElse(return None)
-      if (snap.deleteEntries.nonEmpty) return None
       val cmps = minMaxCols.distinct.map { c =>
         val f = schema.fields.find(_.name == c).getOrElse(return None)
         if (!FileStats.supported(f.dataType)) return None
         c -> boundCompare(f.dataType)
       }
-      val matching =
-        if (filters.isEmpty) snap.dataEntries
-        else {
-          val decide = leafDeciderFor(snap, filters).getOrElse(return None)
-          snap.dataEntries.filter { e =>
-            decide(leafOf(e.path)) match {
-              case Some(keep) => keep
-              case None => return None
-            }
-          }
+      val decide: String => Option[Boolean] =
+        if (filters.isEmpty) _ => Some(true)
+        else leafDeciderFor(snap, filters).getOrElse(return None)
+      // live tombstones refuse only when a KEPT leaf carries one (r13)
+      // — leaf-scoping makes excluded leaves' masks irrelevant to the
+      // surviving groups' stamped counts/bounds/sums
+      if (snap.deleteEntries.exists(e =>
+          !decide(leafOf(e.path)).contains(false))) return None
+      val matching = snap.dataEntries.filter { e =>
+        decide(leafOf(e.path)) match {
+          case Some(keep) => keep
+          case None => return None
         }
+      }
       val byLeaf: Seq[(Seq[Option[String]], Seq[Manifests.FileEntry])] =
         matching.groupBy(e => leafOf(e.path)).toSeq.map { case (leaf, es) =>
           (legValues(leaf, legsSeq.size).getOrElse(return None), es)
@@ -2038,11 +2092,52 @@ final case class IcebergLikeTable(
   private[graft] def manifestAggregatesWhere(minMaxCols: Seq[String],
       condition: Column): Option[(Long, Map[String, (String, String)])] = {
     val (_, snap) = resolveLive()
-    if (snap.deleteEntries.nonEmpty) return None
-    val (partSchema, expr) =
-      partitionPredicate(snap, condition).getOrElse(return None)
-    manifestAggregatesByLeaf(minMaxCols, Nil, Nil, snap,
-      leafSatisfies(_, partSchema, expr)).map(r => (r._1, r._2))
+    // primary route (r13): the same conjunct translation + whole-leaf
+    // decider the V2 pushdown and the metadata DELETE use — identity
+    // layouts AND hidden days()/hours()/truncate()/multi() transforms
+    // answer (`rowCountWhere(ts-day-slice)` on a days table is a
+    // zero-task lookup). Fallback: the direct partition-column
+    // expression evaluation, which admits predicate shapes the V1
+    // filter grammar cannot carry (e.g. `day % 2 = 0`). Either way,
+    // live tombstones refuse only when a KEPT leaf carries one —
+    // leaf-scoping makes excluded leaves' masks irrelevant.
+    def answer(decide: String => Option[Boolean])
+        : Option[(Long, Map[String, (String, String)])] = {
+      if (snap.deleteEntries.exists(e =>
+          !decide(leafOf(e.path)).contains(false))) return None
+      manifestAggregatesByLeaf(minMaxCols, Nil, Nil, snap, decide)
+        .map(r => (r._1, r._2))
+    }
+    val viaDecider = for {
+      schema <- storedSchema(snap.meta)
+      fs <- conditionToFilters(schema, condition)
+      decide <- leafDeciderFor(snap, fs)
+      res <- answer(decide)
+    } yield res
+    viaDecider.orElse {
+      partitionPredicate(snap, condition).flatMap { case (partSchema, expr) =>
+        answer(leafSatisfies(_, partSchema, expr))
+      }
+    }
+  }
+
+  /** `condition`'s top-level conjuncts translated to the V1 filter
+    * grammar the whole-leaf decider consumes; None when the condition
+    * does not analyze against `schema` or any conjunct fails to
+    * translate (refusal — the caller falls back).
+    */
+  private def conditionToFilters(schema: StructType, condition: Column)
+      : Option[Seq[org.apache.spark.sql.sources.Filter]] = {
+    val expr = analyzedPredicate(Some(schema), condition).getOrElse(return None)
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val translated = conjuncts(expr).map(
+      org.apache.spark.sql.graftbridge.CatalystFilterBridge.translate)
+    if (translated.exists(_.isEmpty)) None else Some(translated.flatten)
   }
 
   private def manifestAggregatesByLeaf(minMaxCols: Seq[String],
@@ -2061,7 +2156,10 @@ final case class IcebergLikeTable(
     }
     var total = 0L
     val kept = Seq.newBuilder[Manifests.FileEntry]
-    snap.entries.groupBy(e => leafOf(e.path)).foreach { case (leaf, entries) =>
+    // DATA entries only: callers may pass tombstone-carrying snapshots
+    // (r13) after proving no kept leaf is masked — a delete entry must
+    // never contribute its tuple count to a row-count fold
+    snap.dataEntries.groupBy(e => leafOf(e.path)).foreach { case (leaf, entries) =>
       decide(leaf) match {
         case None => return None
         case Some(false) => // the whole leaf is out — count 0 from it
@@ -2114,22 +2212,26 @@ final case class IcebergLikeTable(
       filters: Seq[org.apache.spark.sql.sources.Filter])
       : Option[String => Option[Boolean]] = {
     if (filters.isEmpty) return Some(_ => Some(true))
-    if (transform.isEmpty) {
-      val conds = filters.flatMap(f =>
-        graft.sources.GraftFilterBridge.toColumn(f, exact = true))
-      if (conds.size != filters.size) return None
-      partitionPredicate(snap, conds.reduce(_ && _)).map {
-        case (partSchema, expr) => leafSatisfies(_, partSchema, expr)
-      }
-    } else transform match {
+    // decisions run under the spec GOVERNING the snapshot's files (r13):
+    // single-entry histories qualify (post-collapse re-qualification),
+    // absent histories resolve the snapshot's own layout stamp (pinned
+    // pre-evolution reads decode under THEIR spec), multi-epoch refuses
+    governingTransform(snap) match {
+      case None => None // multi-epoch spec history: not leaf-decidable
+      case Some(None) =>
+        val conds = filters.flatMap(f =>
+          graft.sources.GraftFilterBridge.toColumn(f, exact = true))
+        if (conds.size != filters.size) return None
+        partitionPredicate(snap, conds.reduce(_ && _)).map {
+          case (partSchema, expr) => leafSatisfies(_, partSchema, expr)
+        }
       // multi(...) specs (r12): each filter translates against exactly
       // ONE leg — boundary-aligned half-lines on a time/truncate leg,
       // exact value predicates on an identity leg — and evaluates
       // against the leaf's decomposed leg values, so `WHERE event =
       // 'view'` / the day-aligned time slice are HANDLED on Iceberg's
       // everyday layout too
-      case Some(m: PartitionTransforms.Multi)
-          if specHistOf(snap.meta).isEmpty =>
+      case Some(Some(m: PartitionTransforms.Multi)) =>
         val preds = filters.map(multiLegTranslate(m))
         if (preds.exists(_.isEmpty)) return None
         val ps = preds.flatten
@@ -2156,8 +2258,8 @@ final case class IcebergLikeTable(
               }
           }
         }
-      case _ => leafExactTranslate match {
-      case Some(translate) if specHistOf(snap.meta).isEmpty =>
+      case Some(Some(t)) => leafExactTranslateOf(t) match {
+      case Some(translate) =>
         val preds = filters.map(translate)
         if (preds.exists(_.isEmpty)) None
         else {
@@ -2246,9 +2348,9 @@ final case class IcebergLikeTable(
     * types itself: a literal of the wrong kind simply never
     * translates, so no schema cross-check is needed here.
     */
-  private def leafExactTranslate:
+  private def leafExactTranslateOf(t: PartitionTransforms.Transform):
       Option[org.apache.spark.sql.sources.Filter => Option[Seq[DaysExactFilter.Pred]]] =
-    transform.flatMap {
+    t match {
       case PartitionTransforms.Days(s) =>
         Some((f: org.apache.spark.sql.sources.Filter) =>
           DaysExactFilter.of(f, s, PartitionTransforms.MicrosPerDay))
@@ -2268,29 +2370,42 @@ final case class IcebergLikeTable(
     * days()/hours()/truncate() transform's source.
     */
   private[graft] def exactFilterProbe: org.apache.spark.sql.sources.Filter => Boolean =
-    if (transform.isEmpty) {
-      exactPartitionFilterColumns match {
-        case Some(cols) => f =>
-          f.references.nonEmpty && f.references.forall(cols.contains) &&
-            graft.sources.GraftFilterBridge.toColumn(f, exact = true).isDefined
-        case None => _ => false
-      }
-    } else transform match {
+    exactFilterProbeAt(None)
+
+  /** [[exactFilterProbe]] against a PINNED snapshot: a time-travel
+    * scan's handled-filter promise must be probed under the spec
+    * governing THAT snapshot's files (r13) — probing the live spec
+    * could declare an hour-aligned filter handled and then find the
+    * pinned snapshot's day-ordinal leaves undecidable at planning.
+    */
+  private[graft] def exactFilterProbeAt(pinned: Option[Long])
+      : org.apache.spark.sql.sources.Filter => Boolean = {
+    // the probe resolves the SAME snapshot's governing spec the leaf
+    // decider will (r13) — probe and decision can never disagree, and
+    // a collapsed evolved table re-qualifies here too
+    val snap = pinned match {
+      case Some(v) => snapshotAt(v)
+      case None => resolveLive()._2
+    }
+    governingTransform(snap) match {
+      case None => _ => false // multi-epoch history: nothing is exact
+      case Some(None) =>
+        exactPartitionFilterColumns match {
+          case Some(cols) => f =>
+            f.references.nonEmpty && f.references.forall(cols.contains) &&
+              graft.sources.GraftFilterBridge.toColumn(f, exact = true).isDefined
+          case None => _ => false
+        }
       // multi(...) specs handle per-leg filters (r12): the same
-      // translation the leaf decider evaluates — probe and decision
-      // can never disagree
-      case Some(m: PartitionTransforms.Multi) =>
-        val (_, snap) = resolveLive()
-        if (specHistOf(snap.meta).nonEmpty) _ => false
-        else f => multiLegTranslate(m)(f).isDefined
-      case _ => leafExactTranslate match {
-        case Some(translate) =>
-          val (_, snap) = resolveLive()
-          if (specHistOf(snap.meta).nonEmpty) _ => false
-          else f => translate(f).isDefined
+      // translation the leaf decider evaluates
+      case Some(Some(m: PartitionTransforms.Multi)) =>
+        f => multiLegTranslate(m)(f).isDefined
+      case Some(Some(t)) => leafExactTranslateOf(t) match {
+        case Some(translate) => f => translate(f).isDefined
         case None => _ => false
       }
     }
+  }
 
   /** Restrict entries to the leaves the HANDLED filters keep — a
     * ROW-exact decision (see [[leafDeciderFor]]), which is what lets
@@ -3497,28 +3612,28 @@ final case class IcebergLikeTable(
     * ("drop day 3", "drop event='debug'") on a 100 TB table are ONE
     * manifest commit, whatever the table's delete mode. None = not
     * metadata-decidable — the caller runs its row-level machinery.
-    * Requires stamped row counts (the return contract is rows deleted)
-    * and NO live delete files (a masked row must not double-count;
-    * tombstone-carrying tables resolve through the row paths until
-    * maintain() compacts).
+    * Requires stamped row counts (the return contract is rows deleted).
+    *
+    * Live delete files compose (r13) as long as NO tombstone's leaf is
+    * among the dropped leaves: both delete-file kinds are leaf-scoped
+    * by construction (equality masks apply under the reader's leaf
+    * equality; positional tuples are staged `partitionBy` the layout
+    * columns, so a file only ever names data in its own leaf), so a
+    * dropped leaf with no tombstone provably holds zero masked rows —
+    * its stamped row counts ARE its live row counts — and the carried
+    * tombstones keep masking exactly the kept leaves they always did.
+    * A tombstone inside a dropped leaf refuses to the row paths: the
+    * count would overstate (masked rows re-counted as deleted), and
+    * the commit would orphan a delete file whose data is gone.
     */
   private def metadataDeleteOnce(liveVersion: Long, snap: TableSnapshot,
       condition: Column): Option[Long] = {
-    if (snap.deleteEntries.nonEmpty || snap.dataEntries.isEmpty) return None
+    if (snap.dataEntries.isEmpty) return None
     val schema = storedSchema(snap.meta).getOrElse(return None)
-    val expr = analyzedPredicate(Some(schema), condition).getOrElse(return None)
-    // top-level conjuncts, each translated to the V1 filter grammar the
+    // top-level conjuncts translated to the V1 filter grammar the
     // whole-leaf decider consumes; any untranslatable conjunct refuses
-    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
-        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val translated = conjuncts(expr).map(
-      org.apache.spark.sql.graftbridge.CatalystFilterBridge.translate)
-    if (translated.exists(_.isEmpty)) return None
-    val decide = leafDeciderFor(snap, translated.flatten).getOrElse(return None)
+    val translated = conditionToFilters(schema, condition).getOrElse(return None)
+    val decide = leafDeciderFor(snap, translated).getOrElse(return None)
     // a leaf-constant predicate is TRUE for every row of a leaf or for
     // none: TRUE leaves drop whole, FALSE leaves carry untouched, an
     // undecidable leaf refuses the whole fast path (sound)
@@ -3535,6 +3650,12 @@ final case class IcebergLikeTable(
       }
     }
     if (drop.isEmpty) return Some(0L)
+    // the leaf-scoping soundness gate (r13): any tombstone living in a
+    // dropped leaf means that leaf's stamped counts include masked rows
+    // — refuse to the row-level machinery. Tombstones in KEPT leaves
+    // carry through untouched and keep masking exactly what they did.
+    if (snap.deleteEntries.exists(e => drop.contains(leafOf(e.path))))
+      return None
     val version = nextVersion(liveVersion)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val keep = snap.entries.filterNot(e => drop.contains(leafOf(e.path)))

@@ -692,6 +692,41 @@ class NativeScanSpec extends SparkTestBase {
         s"${q7.queryExecution.executedPlan}")
   }
 
+  test("filtered metadata aggregates compose with NON-INTERSECTING tombstones (r13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.faggdel (uid BIGINT, day INT, seq BIGINT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES (uniqueKeys 'uid', numBuckets '2', orderCol 'seq',
+          |statsColumns 'uid', 'write.delete.mode' 'merge-on-read')""".stripMargin)
+    for (d <- 1 to 4)
+      sql(s"INSERT INTO gns.web.faggdel SELECT id + ${d * 1000}, $d, 1 FROM range(25)")
+    // a data-column retraction scoped to day 4: its equality tombstones
+    // live in day=4 leaves only
+    sql("DELETE FROM gns.web.faggdel WHERE uid >= 4020")
+    def isLocal(q: DataFrame): Boolean = {
+      q.collect()
+      allNodes(q.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // the filtered count over UNMASKED leaves stays a zero-task lookup
+    // — leaf-scoped tombstones in day 4 cannot touch day 2's counts
+    val q1 = sql("SELECT count(*) FROM gns.web.faggdel WHERE day = 2")
+    assert(q1.head.getLong(0) == 25L)
+    assert(isLocal(q1),
+      s"non-intersecting tombstones must not disable the filtered " +
+        s"pushdown:\n${q1.queryExecution.executedPlan}")
+    // a filter KEEPING the tombstoned leaf refuses (masked rows) and
+    // the real scan answers correctly
+    val q2 = sql("SELECT count(*) FROM gns.web.faggdel WHERE day = 4")
+    assert(q2.head.getLong(0) == 20L)
+    assert(!isLocal(q2),
+      "a kept masked leaf must force the real scan")
+    // and the UNFILTERED count still refuses (every leaf contributes)
+    val q3 = sql("SELECT count(*) FROM gns.web.faggdel")
+    assert(q3.head.getLong(0) == 95L)
+    assert(!isLocal(q3))
+  }
+
   test("day-aligned time filters are HANDLED on days() tables: the dashboard time slice is zero-task") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("""CREATE TABLE gns.web.tslice (uid BIGINT, ts TIMESTAMP)

@@ -234,6 +234,57 @@ class StatsReportSpec extends SparkTestBase {
     }
   }
 
+  test("live tombstones demote, not erase, column statistics: ranges survive (r13)") {
+    val wh = Files.createTempDirectory("gbnd_wh").toString
+    spark.conf.set("spark.sql.catalog.gbnd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbnd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbnd.web")
+    spark.sql("""CREATE TABLE gbnd.web.fact (k BIGINT, pad STRING)
+                |TBLPROPERTIES (statsColumns 'k',
+                |'write.delete.mode' 'merge-on-read')""".stripMargin)
+    spark.sql("""INSERT INTO gbnd.web.fact
+                |SELECT id, md5(CAST(id AS STRING)) FROM range(20000)""".stripMargin)
+    // a key-less MOR DELETE writes POSITIONAL tombstones; the snapshot
+    // then carries live delete files and still reads natively
+    spark.sql("DELETE FROM gbnd.web.fact WHERE k >= 19000")
+    val old = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("gbnd.web.fact")
+        .queryExecution.optimizedPlan.stats
+      val kStat = stats.attributeStats.find(_._1.name == "k").map(_._2)
+        .getOrElse(fail(
+          s"range statistics must survive live tombstones (deletion " +
+            s"cannot widen a range): ${stats.attributeStats}"))
+      // exact-or-wider bounds stay; NDV and null counts are only UPPER
+      // bounds under masking and the V2 contract has no bound flag —
+      // withheld (refusal, never a guess)
+      assert(kStat.min.contains(0L) && kStat.max.contains(19999L),
+        s"stamped bounds must surface: min=${kStat.min} max=${kStat.max}")
+      assert(kStat.distinctCount.isEmpty,
+        s"NDV must withhold under masking: ${kStat.distinctCount}")
+      assert(kStat.nullCount.isEmpty,
+        s"null count must withhold under masking: ${kStat.nullCount}")
+    } finally old.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+    // the broadcast decision is unchanged: a tombstoned 50-row dim
+    // still broadcasts in the INITIAL plan (manifest size reporting
+    // never depended on the withheld counts)
+    spark.sql("""CREATE TABLE gbnd.web.dim (k BIGINT, name STRING)
+                |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gbnd.web.dim SELECT id, concat('n', id) FROM range(60)")
+    spark.sql("DELETE FROM gbnd.web.dim WHERE k >= 50")
+    val big = spark.range(3000000).select(col("id").as("k"),
+      lpad(col("id").cast("string"), 64, "x").as("pad"))
+    val joined = big.join(spark.table("gbnd.web.dim"), "k")
+    assert(joined.queryExecution.sparkPlan.collect {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty,
+      s"tombstoned dim must still broadcast:\n" +
+        s"${joined.queryExecution.sparkPlan}")
+    assert(joined.count() == 50)
+  }
+
   test("statistics are PRUNING-aware: a filtered scan reports the pruned bytes") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,

@@ -266,4 +266,59 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("SPJ survives live POSITIONAL deletes: skip lists ride the key-grouped partitions (r13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    // a positional skip list names (file, ordinal) tuples — it can only
+    // ever REMOVE rows of the one file it addresses, never move a key
+    // across buckets (the same composition argument that admitted
+    // equality deletes in r11 and rename epochs in r12); each
+    // single-file partition carries its path so the reader resolves
+    // its skip list in place
+    for (t <- Seq("psl", "psr")) {
+      sql(s"""CREATE TABLE gspj.web.$t (id STRING, v BIGINT, seq BIGINT)
+             |TBLPROPERTIES (uniqueKeys 'id', numBuckets '4', orderCol 'seq')""".stripMargin)
+      sql(s"""INSERT INTO gspj.web.$t
+             |SELECT concat('k', id), id * ${if (t == "psl") 1 else 10}, 1
+             |FROM range(200)""".stripMargin)
+    }
+    // predicate deletes through the POSITIONAL path via direct handles
+    // on the catalog's layout (unpartitioned = gpart/void)
+    val tl = graft.weblog.IcebergLikeTable(spark, s"$warehouse/web/psl",
+      "gpart", uniqueKeys = Seq("id"), numBuckets = 4,
+      partitionTransform = Some("void(id)"))
+    val tr = graft.weblog.IcebergLikeTable(spark, s"$warehouse/web/psr",
+      "gpart", uniqueKeys = Seq("id"), numBuckets = 4,
+      partitionTransform = Some("void(id)"))
+    assert(tl.deletePositional(col("v") >= 150) == 50L)
+    assert(tr.deletePositional(col("v") < 1000) == 100L) // ids 0..99
+    assert(tl.files.filter(col("is_delete")).count() > 0 &&
+      tr.files.filter(col("is_delete")).count() > 0,
+      "the fixture must actually carry live positional tombstones")
+    val old = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(l.v + r.v) AS s
+                    |FROM gspj.web.psl l JOIN gspj.web.psr r
+                    |ON l.id = r.id""".stripMargin)
+      val row = q.head
+      // survivors: left keeps ids 0..149, right keeps ids 100..199 —
+      // the join sees 100..149, row-identical to the V1 masked read
+      assert(row.getLong(0) == 50L)
+      assert(row.getLong(1) == 11L * (100L to 149L).sum)
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"SPJ under positional deletes must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+      // the native key-grouped read matches the V1 MOR path row set
+      assert(sql("SELECT count(*) FROM gspj.web.psl").head.getLong(0) ==
+        tl.read.count())
+    } finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }

@@ -135,6 +135,42 @@ class MetadataDeleteSpec extends SparkTestBase {
     assert(t.read.filter(col("day") === 2).count() == 0L)
   }
 
+  test("non-intersecting live tombstones compose with the metadata path (r13)") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("mdel_carry").toString + "/t",
+      "day", uniqueKeys = Seq("k"), numBuckets = 2)
+    t.write((0 until 80).map(i => (s"k$i", i % 4, i.toLong)).toDF("k", "day", "seq"),
+      "seq")
+    // a data-column retraction scoped to day 3 ONLY: its tombstones
+    // live in day=3 leaves and nowhere else (i%4==3 ∧ i%7==0 ⇒ 7,35,63)
+    val nT = t.deleteMergeOnRead(col("day") === 3 && col("seq") % 7 === 0)
+    assert(nT == 3L)
+    val (dataBefore, delsBefore) = files(t)
+    assert(delsBefore > 0L)
+    // dropping day 0 intersects NO tombstone leaf: still one
+    // subtractive manifest commit — zero files of any kind written,
+    // the day-3 tombstones carried through untouched
+    val n = t.deleteMergeOnRead(col("day") === 0)
+    assert(n == 20L,
+      s"day-0 leaves hold no masked rows, stamped counts are exact (got $n)")
+    val (dataAfter, delsAfter) = files(t)
+    assert(dataAfter.subsetOf(dataBefore) && delsAfter == delsBefore,
+      "non-intersecting tombstones must not force the row path")
+    assert(dataBefore.diff(dataAfter).forall(_.contains("day=0")),
+      "only the dropped leaves' files leave the manifest")
+    // the carried tombstones still mask their rows
+    assert(t.read.count() == 80L - 20L - nT)
+    assert(t.read.filter(col("day") === 3).count() == 17L)
+    // dropping day 3 DOES intersect a tombstone leaf: the metadata path
+    // refuses and the row machinery returns LIVE rows only
+    val n3 = t.deleteMergeOnRead(col("day") === 3)
+    assert(n3 == 17L,
+      s"intersecting tombstones must force the row path (got $n3)")
+    assert(t.read.filter(col("day") === 3).count() == 0L)
+    assert(t.read.count() == 80L - 20L - 20L)
+  }
+
   test("fallbacks: data-column predicates and NULL-keeping semantics are untouched") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,

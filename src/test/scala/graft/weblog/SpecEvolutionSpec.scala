@@ -222,4 +222,78 @@ class SpecEvolutionSpec extends SparkTestBase {
     t.maintain(fileThreshold = 1000, deleteFileThreshold = 1)
     assert(t.read.count() == 10)
   }
+
+  test("post-collapse requalification: leaf-exact metadata decisions return after maintain(0) (r13)") {
+    val t0 = daysTable("se_requal")
+    for (d <- 1 to 3) t0.append(events(d to d).coalesce(1))
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    t.append(events(4 to 4).coalesce(1))
+    val slice = col("ts") >= lit(Timestamp.valueOf("2024-03-02 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-03 00:00:00"))
+    // multi-epoch history: the whole-leaf decision refuses (fallback
+    // pin) — a day ordinal and an hour ordinal cannot share a decider
+    assert(t.rowCountWhere(slice).isEmpty,
+      "a live multi-epoch history must refuse leaf-exact answers")
+    assert(t.readWhere(slice).count() == 4L)
+    // maintain(0) rewrites every file under the hours spec; the commit
+    // collapses the history to ONE epoch and the table RE-QUALIFIES
+    t.maintain(fileThreshold = 0)
+    assert(t.rowCountWhere(slice).contains(4L),
+      "a collapsed evolved table must answer whole-leaf counts from " +
+        "metadata again")
+  }
+
+  test("time travel to a pre-evolution snapshot decides leaves under ITS OWN spec (r13)") {
+    val wh = Files.createTempDirectory("se_tt_wh").toString
+    spark.conf.set("spark.sql.catalog.gsevo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsevo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsevo.web")
+    spark.sql("""CREATE TABLE gsevo.web.tt (user_id STRING, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+    import spark.implicits._
+    (1 to 2).flatMap(d => (0 until 4).map(h => (s"u$d-$h", ts(d, h * 6))))
+      .toDF("user_id", "ts").createOrReplaceTempView("gsevo_src")
+    spark.sql("INSERT INTO gsevo.web.tt SELECT * FROM gsevo_src")
+    val handle = IcebergLikeTable(spark, s"$wh/web/tt",
+      partitionCol = "ts_day", partitionTransform = Some("days(ts)"))
+    val v1 = handle.currentVersion.get
+    // evolve to hours and MIGRATE (collapse): the live spec is now a
+    // single-entry HOURS history, but snapshot v1's leaves are day
+    // ordinals — a day ordinal decoded as an hour ordinal (~24× too
+    // small) would keep EVERY leaf and silently answer 8 instead of 4
+    spark.sql("""CALL gsevo.system.evolve_partition_spec(
+                |  `table` => 'web.tt', spec => 'hours(ts)')""".stripMargin)
+    spark.sql("CALL gsevo.system.maintain(`table` => 'web.tt', file_threshold => 0)")
+    val q = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS c FROM gsevo.web.tt
+        |VERSION AS OF %d
+        |WHERE ts < TIMESTAMP '2024-03-02 00:00:00'""".stripMargin.format(v1))
+    assert(q.head.getLong(0) == 4L,
+      "the pinned snapshot must decide its day-ordinal leaves under " +
+        "the days() spec it was written with")
+    // and the answer comes from the manifest (zero tasks): the pinned
+    // snapshot's own spec qualifies the handled filter + the pushdown
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nodes(qs.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => Nil
+      })
+    assert(nodes(q.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      s"pinned pre-evolution aggregate must answer from metadata:\n" +
+        s"${q.queryExecution.executedPlan}")
+    // the LIVE table answers from metadata too (post-collapse
+    // requalification through the SQL surface)
+    val qLive = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS c FROM gsevo.web.tt
+        |WHERE ts < TIMESTAMP '2024-03-02 00:00:00'""".stripMargin)
+    assert(qLive.head.getLong(0) == 4L)
+    assert(nodes(qLive.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+      "a collapsed evolved table must re-qualify for zero-task counts")
+  }
 }
