@@ -57,8 +57,8 @@ object Bench {
     // "machine is slow" from "JVM/GC is unhappy"). REF constants were
     // measured in r13 on an otherwise-idle driver machine; SCALE.md
     // documents the method.
-    val CalibEngineRef = 1.81
-    val CalibCpuRef = 0.66
+    val CalibEngineRef = 1.95
+    val CalibCpuRef = 0.67
     def calibCpuOnce(): Double = {
       var x = 0x9E3779B97F4A7C15L
       var acc = 0L
@@ -86,6 +86,12 @@ object Bench {
     def calibPair(): (Double, Double) =
       (math.min(calibCpuOnce(), calibCpuOnce()),
         math.min(calibEngineOnce(), calibEngineOnce()))
+    // untimed warmup execution first: the anchor must measure the
+    // MACHINE, not this JVM's JIT progress — without it the pre legs
+    // run interpreted/C1 and the post legs' warmth depends on how
+    // heavy the canon happened to be, which made the min drift ~15%
+    // between a 1-query smoke run and the full canon
+    calibCpuOnce(); calibEngineOnce()
     val (cpuPre, enginePre) = calibPair()
 
     // local iteration only (driver sets neither): run a subset of the

@@ -331,12 +331,15 @@ object WebLogQueries {
     Q("weblog_mor_delete",
       (s, d) => {
         val path = scratch(s, "mordel", d) + "/t"
-        // naturally-unique key (event_id) + half-day slice + 2 buckets
+        // naturally-unique key (event_id) + half-day slice + ONE bucket
         // + plain-append load: the gate proves the MOR delete PROTOCOL
         // (tombstone files, stable reads, threshold compaction) —
         // protocol cost is per-commit metadata, so the setup carries no
         // dedup shuffle and no upsert merge (weblog_upsert's job), and
-        // the bench measures the delete path, not scaffolding
+        // the bench measures the delete path, not scaffolding. One
+        // bucket (r13): bucket fanout is weblog_upsert's dimension;
+        // here it only multiplied every phase's leaf/file counts
+        // (10→5 files, ~0.5 s of pure commit/scan overhead at sf0.1)
         // coalesce(2) bounds the staged-file fanout: append stages
         // partitionBy(leaf) from the INCOMING partitioning, so N scan
         // partitions × ~10 leaves would write ~10N small files that
@@ -349,7 +352,7 @@ object WebLogQueries {
             col("event_type").as("event"))
           .coalesce(2)
         val t = IcebergLikeTable(s, path, "event", Seq("id"),
-          numBuckets = 2)
+          numBuckets = 1)
         t.append(base)
         // proof-boolean scaffolding reads the metadata table ONCE per
         // point-in-time and assembles the result driver-side (r12):
@@ -607,6 +610,17 @@ object WebLogQueries {
             zeroTask(q))
         }
         val (cntPre, metaPre) = byEvent()
+        // DURING the migration (both epochs live): the day leg is
+        // derivable in BOTH specs, so day-grouped counts answer from
+        // the manifest per epoch (r13 per-epoch decomposition) while
+        // the event grouping above falls back (underivable old leg)
+        val qDays = s.sql("""SELECT CAST(count(*) AS BIGINT) AS n_days_evo,
+                            |       CAST(sum(c) AS BIGINT) AS rows_evo
+                            |FROM (SELECT CAST(ts AS DATE) AS d2,
+                            |             count(*) AS c
+                            |      FROM gevo.web.events GROUP BY 1)""".stripMargin)
+        val rDays = qDays.head()
+        val metaDays = zeroTask(qDays)
         s.sql("CALL gevo.system.maintain(`table` => 'web.events', file_threshold => 0)")
         val (cntPost, metaPost) = byEvent()
         val qView = s.sql("""SELECT CAST(count(*) AS BIGINT) AS c
@@ -614,11 +628,13 @@ object WebLogQueries {
                             |WHERE event = 'view'""".stripMargin)
         val viewOk = qView.head.getLong(0) == cntPost.getOrElse("view", 0L)
         val requalified = !metaPre && metaPost && zeroTask(qView) &&
-          viewOk && cntPre == cntPost
+          viewOk && cntPre == cntPost && metaDays
         val evtCnt = udf((e: String) => cntPost.getOrElse(e, -1L))
         before.join(after, "event")
           .select(col("event"), col("cnt"),
             evtCnt(col("event")).as("cnt_evt"),
+            lit(rDays.getLong(0)).as("n_days_evo"),
+            lit(rDays.getLong(1)).as("rows_evo"),
             lit(metadataOnly).as("metadata_only"),
             lit(pruned).as("pruned"),
             lit(migrated).as("migrated"),
@@ -632,6 +648,10 @@ object WebLogQueries {
              |SELECT event_type AS event, CAST(count(*) AS BIGINT) AS cnt,
              |       (SELECT cnt_evt FROM e3
              |        WHERE e3.event = event_type) AS cnt_evt,
+             |       (SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             |        FROM events WHERE day(ts) <= 3) AS n_days_evo,
+             |       (SELECT CAST(count(*) AS BIGINT)
+             |        FROM events WHERE day(ts) <= 3) AS rows_evo,
              |       TRUE AS metadata_only, TRUE AS pruned,
              |       TRUE AS migrated, TRUE AS stable, TRUE AS requalified
              |FROM events

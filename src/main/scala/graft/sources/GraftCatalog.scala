@@ -1123,7 +1123,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       case _ => None
     }
     def resolveDim(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[(StructField, Seq[Option[String]] => Any)] =
+        : Option[(StructField, Seq[Option[String]] => Any, Int)] =
       legs.flatMap { ls =>
         e match {
           // identity dimensions: the leaf leg value IS the rows' value
@@ -1132,11 +1132,11 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
             ls.collectFirst {
               case (AggLeg.IdentityPhys(f), i) if f.name == nm =>
                 (f, (lv: Seq[Option[String]]) =>
-                  lv(i).map(v => legTyped(f.dataType, v)).orNull: Any)
+                  lv(i).map(v => legTyped(f.dataType, v)).orNull: Any, i)
               case (AggLeg.IdentityData(f), i)
                   if f.name == nm && identityLegType(f.dataType) =>
                 (f, (lv: Seq[Option[String]]) =>
-                  lv(i).map(v => legTyped(f.dataType, v)).orNull: Any)
+                  lv(i).map(v => legTyped(f.dataType, v)).orNull: Any, i)
             }
           // GROUP BY CAST(src AS DATE): a days() leaf ordinal IS the
           // DATE's internal epoch-day; hour leaves floor-divide (24
@@ -1163,7 +1163,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
                           case None => throw new IllegalStateException(
                             s"unparseable leaf ordinal '$v'")
                         }
-                      })
+                      }, i)
                 }
               case _ => None
             }
@@ -1186,22 +1186,27 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
                             case None => throw new IllegalStateException(
                               s"unparseable leaf ordinal '$v'")
                           }
-                        })
+                        }, i)
                     }
               }.flatten
             }
           case _ => None
         }
       }
-    val groupResolved: Seq[(StructField, Seq[Option[String]] => Any)] =
+    val groupResolved: Seq[(StructField, Seq[Option[String]] => Any, Int)] =
       agg.groupByExpressions.toSeq.map(g =>
         resolveDim(g).getOrElse(return None))
     // COUNT(DISTINCT dim): distinct MAPPED leg values over row-holding
     // leaves — exact, because an identity/time dimension's value occurs
     // in the data iff its leaf holds rows
-    val distinctResolved: Seq[(StructField, Seq[Option[String]] => Any)] =
+    val distinctResolved: Seq[(StructField, Seq[Option[String]] => Any, Int)] =
       aggExprs.collect { case c: Count if c.isDistinct =>
         resolveDim(c.column()).getOrElse(return None) }
+    // the LEG indices the computation actually consumes — on a
+    // multi-epoch snapshot (r13) files of an epoch lacking a USED leg
+    // refuse, while unused missing legs cost nothing
+    val usedLegs: Set[Int] =
+      (groupResolved.map(_._3) ++ distinctResolved.map(_._3)).toSet
     val distinctSlots: Map[Int, Int] = aggExprs.zipWithIndex
       .collect { case (c: Count, i) if c.isDistinct => i }
       .zipWithIndex.toMap
@@ -1220,7 +1225,8 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
       } else {
         val keyFns = groupResolved.map(_._2)
         val res = view.grouped(handledSeq, lv => keyFns.map(_(lv)),
-          minMaxCols, countCols, sumCols, distinctResolved.map(_._2))
+          minMaxCols, countCols, sumCols, distinctResolved.map(_._2),
+          usedLegs)
           .getOrElse(return None)
         if (res.isEmpty && groupResolved.isEmpty)
           // a GLOBAL aggregate over zero matching leaves still returns
@@ -1293,7 +1299,7 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
           for {
             slot <- distinctSlots.get(i)
             v <- dvals.lift(slot)
-            (rf, _) <- distinctResolved.lift(slot)
+            (rf, _, _) <- distinctResolved.lift(slot)
           } yield (StructField(s"count(distinct ${rf.name})", LongType), v: Any)
         case (c: Count, _) => boundCol(c.column).flatMap(f =>
           counts.get(f.name).map(v =>

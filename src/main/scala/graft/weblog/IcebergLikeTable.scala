@@ -1877,9 +1877,10 @@ final case class IcebergLikeTable(
         filters: Seq[org.apache.spark.sql.sources.Filter])
         : Option[(Long, Map[String, (String, String)], Map[String, Long],
           Map[String, (java.math.BigDecimal, Long)])] = {
-      val decide = leafDeciderFor(snap, filters).getOrElse(return None)
-      if (snap.deleteEntries.exists(e =>
-          !decide(leafOf(e.path)).contains(false))) return None
+      // per-FILE decisions (r13): multi-epoch snapshots answer too when
+      // each touched file's own spec decides the filters; the
+      // kept-leaf tombstone soundness check lives in the fold
+      val decide = entryDeciderFor(snap, filters).getOrElse(return None)
       manifestAggregatesByLeaf(minMaxCols, countCols, sumCols, snap, decide)
     }
 
@@ -1888,10 +1889,24 @@ final case class IcebergLikeTable(
       * histories resolve the snapshot's own layout stamp — so a pinned
       * pre-evolution snapshot decodes under the spec its leaves were
       * written with, and a collapsed evolved table re-qualifies for
-      * zero-task grouped answers. None (multi-epoch) refuses below.
+      * zero-task grouped answers. None = multi-epoch: grouping then
+      * decodes per FILE epoch with leg alignment (below).
       */
     private val gov: Option[Option[PartitionTransforms.Transform]] =
       governingTransform(snap)
+
+    private val hist: Seq[(Long, String)] = specHistOf(snap.meta)
+
+    /** The CURRENT spec the grouping legs are declared against: the
+      * governing one when a single spec governs, the LAST history
+      * entry on a multi-epoch snapshot (new files' spec — old epochs
+      * align onto it per leg). Outer None = unresolvable.
+      */
+    private val currentT: Option[Option[PartitionTransforms.Transform]] =
+      gov.orElse(hist.lastOption.flatMap(h =>
+        try Some(Some(transformOf(h._2))) catch {
+          case scala.util.control.NonFatal(_) => None
+        }))
 
     /** The partition spec's LEG descriptors (leaf-decomposition order),
       * or None when leaves cannot be decomposed into groupable values:
@@ -1912,8 +1927,8 @@ final case class IcebergLikeTable(
           case _: PartitionTransforms.Truncate => Some(AggLeg.Opaque)
           case _ => None
         }
-      gov match {
-        case None => None // multi-epoch: no single governing spec
+      currentT match {
+        case None => None // unresolvable spec
         case Some(None) =>
           schema.fields.find(_.name == partitionCol)
             .map(f => Seq(AggLeg.IdentityPhys(f): AggLeg))
@@ -1923,6 +1938,16 @@ final case class IcebergLikeTable(
         case Some(Some(t)) => ofTransform(t).map(Seq(_))
       }
     }
+
+    /** The current legs' TRANSFORMS, for multi-epoch alignment; None
+      * for the physical-identity layout (which can never be
+      * multi-epoch — spec histories only exist on hidden transforms).
+      */
+    private val legTransforms: Option[Seq[PartitionTransforms.Transform]] =
+      currentT.flatten.map {
+        case m: PartitionTransforms.Multi => m.legs
+        case t => Seq(t)
+      }
 
     /** Per-leg raw values of one leaf (inner None = the null leg value),
       * or None when the leaf does not parse under the spec — a foreign
@@ -1938,7 +1963,7 @@ final case class IcebergLikeTable(
         return Some(Seq.fill(nLegs)(None))
       val value = org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.unescapePathName(raw)
-      gov match {
+      currentT match {
         case Some(Some(m: PartitionTransforms.Multi)) =>
           multiLegValues(m, value)
         case _ => Some(Seq(Some(value)))
@@ -1956,10 +1981,23 @@ final case class IcebergLikeTable(
       * a guess. Handled filters drop whole leaves BEFORE grouping —
       * exactly Aggregate(Filter(scan)) order.
       */
+    /** Occurrence-ranked leg keys of a transform list: leg i renders as
+      * (spec string, occurrence rank), so two legs with identical specs
+      * (degenerate but legal) still align positionally across epochs.
+      */
+    private def legOccurrences(ts: Seq[PartitionTransforms.Transform])
+        : Seq[(String, Int)] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      ts.map { t =>
+        val r = seen.getOrElse(t.spec, 0); seen(t.spec) = r + 1; (t.spec, r)
+      }
+    }
+
     def grouped(filters: Seq[org.apache.spark.sql.sources.Filter],
         keyOf: Seq[Option[String]] => Seq[Any],
         minMaxCols: Seq[String], countCols: Seq[String], sumCols: Seq[String],
-        distinctOf: Seq[Seq[Option[String]] => Any])
+        distinctOf: Seq[Seq[Option[String]] => Any],
+        usedLegs: Set[Int])
         : Option[Seq[(Seq[Any], Long, Map[String, (String, String)],
           Map[String, Long], Map[String, (java.math.BigDecimal, Long)],
           Seq[Long])]] = {
@@ -1969,29 +2007,94 @@ final case class IcebergLikeTable(
         if (!FileStats.supported(f.dataType)) return None
         c -> boundCompare(f.dataType)
       }
-      val decide: String => Option[Boolean] =
-        if (filters.isEmpty) _ => Some(true)
-        else leafDeciderFor(snap, filters).getOrElse(return None)
-      // live tombstones refuse only when a KEPT leaf carries one (r13)
-      // — leaf-scoping makes excluded leaves' masks irrelevant to the
-      // surviving groups' stamped counts/bounds/sums
-      if (snap.deleteEntries.exists(e =>
-          !decide(leafOf(e.path)).contains(false))) return None
+      // per-FILE decisions (r13): multi-epoch snapshots keep/drop each
+      // file under its OWN epoch's spec
+      val decide = entryDeciderFor(snap, filters).getOrElse(return None)
       val matching = snap.dataEntries.filter { e =>
-        decide(leafOf(e.path)) match {
+        decide(e) match {
           case Some(keep) => keep
           case None => return None
         }
       }
-      val byLeaf: Seq[(Seq[Option[String]], Seq[Manifests.FileEntry])] =
-        matching.groupBy(e => leafOf(e.path)).toSeq.map { case (leaf, es) =>
-          (legValues(leaf, legsSeq.size).getOrElse(return None), es)
+      // live tombstones refuse only when a KEPT leaf carries one (r13)
+      // — leaf-scoping makes excluded leaves' masks irrelevant to the
+      // surviving groups' stamped counts/bounds/sums
+      if (snap.deleteEntries.nonEmpty) {
+        val keptLeaves = matching.map(e => leafOf(e.path)).toSet
+        if (snap.deleteEntries.exists(e => keptLeaves.contains(leafOf(e.path))))
+          return None
+      }
+      // per-file CURRENT-leg values. Single-epoch: decode under the one
+      // governing spec. Multi-epoch (r13): decode each file's leaf
+      // under ITS epoch's spec, then align the epoch's legs onto the
+      // current legs by (spec string, occurrence) — a current leg the
+      // epoch lacks is acceptable only while the computation never
+      // consumes it (`usedLegs`), so `GROUP BY day` answers from
+      // metadata DURING a days→multi(days, event) migration while
+      // `GROUP BY event` (underivable for old files) falls back.
+      val valuesOf: Manifests.FileEntry => Option[Seq[Option[String]]] =
+        if (gov.isDefined) { e => legValues(leafOf(e.path), legsSeq.size) }
+        else {
+          val curT = legTransforms.getOrElse(return None)
+          val curOcc = legOccurrences(curT)
+          // per-epoch: the epoch's transform + current-leg → epoch-leg
+          // index map (-1 = unused placeholder); None = files of this
+          // epoch refuse (unparseable spec, or a USED leg is missing)
+          val alignments: Seq[Option[(PartitionTransforms.Transform, Array[Int])]] =
+            hist.map { case (_, s) =>
+              (try Some(transformOf(s)) catch {
+                case scala.util.control.NonFatal(_) => None
+              }).flatMap { t =>
+                val epochLegs = t match {
+                  case m: PartitionTransforms.Multi => m.legs
+                  case x => Seq(x)
+                }
+                val occIdx = legOccurrences(epochLegs).zipWithIndex.toMap
+                val arr = new Array[Int](curOcc.size)
+                var ok = true
+                curOcc.zipWithIndex.foreach { case (key, i) =>
+                  occIdx.get(key) match {
+                    case Some(j) => arr(i) = j
+                    case None =>
+                      if (usedLegs.contains(i)) ok = false else arr(i) = -1
+                  }
+                }
+                if (ok) Some((t, arr)) else None
+              }
+            }
+          e => {
+            val leaf = leafOf(e.path)
+            leaf.split('/').find(_.startsWith(s"$partitionCol="))
+              .map(_.substring(partitionCol.length + 1)).flatMap {
+                case org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+                  // the whole-null leaf: every leg is NULL under any spec
+                  Some(Seq.fill[Option[String]](legsSeq.size)(None))
+                case raw =>
+                  val value = org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.unescapePathName(raw)
+                  for {
+                    v <- fileVersionOf(e.path)
+                    k = hist.lastIndexWhere(_._1 <= v)
+                    if k >= 0
+                    (t, arr) <- alignments(k)
+                    epochVals <- t match {
+                      case m: PartitionTransforms.Multi =>
+                        multiLegValues(m, value)
+                      case _ => Some(Seq(Some(value)))
+                    }
+                  } yield arr.toSeq.map(j =>
+                    if (j < 0) None else epochVals(j))
+              }
+          }
         }
+      val valued: Seq[(Seq[Option[String]], Manifests.FileEntry)] =
+        matching.map(e => (valuesOf(e).getOrElse(return None), e))
       val keyed =
-        try byLeaf.map { case (lv, es) => (keyOf(lv), lv, es) }
+        try valued.map { case (lv, e) => (keyOf(lv), lv, e) }
         catch { case scala.util.control.NonFatal(_) => return None }
-      Some(keyed.groupBy(_._1).toSeq.map { case (k, leaves) =>
-        val es = leaves.flatMap(_._3)
+      Some(keyed.groupBy(_._1).toSeq.map { case (k, files) =>
+        val es = files.map(_._3)
         if (es.exists(_.rowCount < 0L)) return None
         val bounds = cmps.map { case (c, cmp) =>
           val bs = es.map(_.stats.get(c))
@@ -2018,8 +2121,8 @@ final case class IcebergLikeTable(
           catch { case scala.util.control.NonFatal(_) => return None }
         }.toMap
         val dvals = distinctOf.map { fn =>
-          try leaves.filter(_._3.exists(_.rowCount > 0L))
-            .map(l => fn(l._2)).filter(_ != null).distinct.size.toLong
+          try files.filter(_._3.rowCount > 0L)
+            .map(f => fn(f._2)).filter(_ != null).distinct.size.toLong
           catch { case scala.util.control.NonFatal(_) => return None }
         }
         (k, es.map(_.rowCount).sum, bounds, counts, sums, dvals)
@@ -2099,24 +2202,20 @@ final case class IcebergLikeTable(
     // zero-task lookup). Fallback: the direct partition-column
     // expression evaluation, which admits predicate shapes the V1
     // filter grammar cannot carry (e.g. `day % 2 = 0`). Either way,
-    // live tombstones refuse only when a KEPT leaf carries one —
-    // leaf-scoping makes excluded leaves' masks irrelevant.
-    def answer(decide: String => Option[Boolean])
-        : Option[(Long, Map[String, (String, String)])] = {
-      if (snap.deleteEntries.exists(e =>
-          !decide(leafOf(e.path)).contains(false))) return None
-      manifestAggregatesByLeaf(minMaxCols, Nil, Nil, snap, decide)
-        .map(r => (r._1, r._2))
-    }
+    // live tombstones refuse only when a KEPT leaf carries one
+    // (checked inside the fold) — leaf-scoping makes excluded leaves'
+    // masks irrelevant.
     val viaDecider = for {
       schema <- storedSchema(snap.meta)
       fs <- conditionToFilters(schema, condition)
-      decide <- leafDeciderFor(snap, fs)
-      res <- answer(decide)
-    } yield res
+      decide <- entryDeciderFor(snap, fs)
+      res <- manifestAggregatesByLeaf(minMaxCols, Nil, Nil, snap, decide)
+    } yield (res._1, res._2)
     viaDecider.orElse {
       partitionPredicate(snap, condition).flatMap { case (partSchema, expr) =>
-        answer(leafSatisfies(_, partSchema, expr))
+        manifestAggregatesByLeaf(minMaxCols, Nil, Nil, snap,
+          e => leafSatisfies(leafOf(e.path), partSchema, expr))
+          .map(r => (r._1, r._2))
       }
     }
   }
@@ -2142,7 +2241,7 @@ final case class IcebergLikeTable(
 
   private def manifestAggregatesByLeaf(minMaxCols: Seq[String],
       countCols: Seq[String], sumCols: Seq[String],
-      snap: TableSnapshot, decide: String => Option[Boolean])
+      snap: TableSnapshot, decide: Manifests.FileEntry => Option[Boolean])
       : Option[(Long, Map[String, (String, String)], Map[String, Long],
         Map[String, (java.math.BigDecimal, Long)])] = {
     val schema = storedSchema(snap.meta).getOrElse(return None)
@@ -2156,20 +2255,28 @@ final case class IcebergLikeTable(
     }
     var total = 0L
     val kept = Seq.newBuilder[Manifests.FileEntry]
-    // DATA entries only: callers may pass tombstone-carrying snapshots
-    // (r13) after proving no kept leaf is masked — a delete entry must
-    // never contribute its tuple count to a row-count fold
-    snap.dataEntries.groupBy(e => leafOf(e.path)).foreach { case (leaf, entries) =>
-      decide(leaf) match {
+    // DATA entries only, decided per FILE (r13: on a multi-epoch
+    // snapshot two files in one leaf directory can answer differently)
+    snap.dataEntries.foreach { e =>
+      decide(e) match {
         case None => return None
-        case Some(false) => // the whole leaf is out — count 0 from it
+        case Some(false) => // the file is out — count 0 from it
         case Some(true) =>
-          if (entries.exists(_.rowCount < 0L)) return None
-          total += entries.map(_.rowCount).sum
-          kept ++= entries
+          if (e.rowCount < 0L) return None
+          total += e.rowCount
+          kept += e
       }
     }
     val matching = kept.result()
+    // live-tombstone soundness (r13, centralized): a tombstone sharing
+    // a leaf with any KEPT file may mask kept rows — the stamped
+    // counts/bounds/sums would lie. Tombstones whose leaf holds only
+    // excluded (or no) data files mask nothing that contributes.
+    if (snap.deleteEntries.nonEmpty) {
+      val keptLeaves = matching.map(e => leafOf(e.path)).toSet
+      if (snap.deleteEntries.exists(e => keptLeaves.contains(leafOf(e.path))))
+        return None
+    }
     val bounds = cmps.flatMap { case (c, cmp) =>
       val bs = matching.map(_.stats.get(c))
       if (matching.isEmpty || bs.exists(_.isEmpty)) None
@@ -2215,9 +2322,10 @@ final case class IcebergLikeTable(
     // decisions run under the spec GOVERNING the snapshot's files (r13):
     // single-entry histories qualify (post-collapse re-qualification),
     // absent histories resolve the snapshot's own layout stamp (pinned
-    // pre-evolution reads decode under THEIR spec), multi-epoch refuses
+    // pre-evolution reads decode under THEIR spec); multi-epoch
+    // snapshots decide per FILE instead ([[entryDeciderFor]])
     governingTransform(snap) match {
-      case None => None // multi-epoch spec history: not leaf-decidable
+      case None => None // multi-epoch: no single leaf decider exists
       case Some(None) =>
         val conds = filters.flatMap(f =>
           graft.sources.GraftFilterBridge.toColumn(f, exact = true))
@@ -2225,40 +2333,52 @@ final case class IcebergLikeTable(
         partitionPredicate(snap, conds.reduce(_ && _)).map {
           case (partSchema, expr) => leafSatisfies(_, partSchema, expr)
         }
-      // multi(...) specs (r12): each filter translates against exactly
-      // ONE leg — boundary-aligned half-lines on a time/truncate leg,
-      // exact value predicates on an identity leg — and evaluates
-      // against the leaf's decomposed leg values, so `WHERE event =
-      // 'view'` / the day-aligned time slice are HANDLED on Iceberg's
-      // everyday layout too
-      case Some(Some(m: PartitionTransforms.Multi)) =>
-        val preds = filters.map(multiLegTranslate(m))
-        if (preds.exists(_.isEmpty)) return None
-        val ps = preds.flatten
-        Some { leaf =>
-          leaf.split('/').find(_.startsWith(s"$partitionCol="))
-            .map(_.substring(partitionCol.length + 1)) match {
-            case None => None // a leaf without the partition segment
-            case Some(raw)
-                if raw == org.apache.spark.sql.catalyst.catalog
-                  .ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
-              // the whole-null leaf: every leg value is NULL
-              val nulls = Seq.fill[Option[String]](m.legs.size)(None)
-              ps.foldLeft(Option(true)) { (acc, p) =>
-                acc.flatMap(a => p._2(nulls(p._1)).map(a && _))
-              }
-            case Some(raw) =>
-              multiLegValues(m, org.apache.spark.sql.catalyst.catalog
-                .ExternalCatalogUtils.unescapePathName(raw)) match {
-                case None => None // foreign value: not this spec's
-                case Some(lv) =>
-                  ps.foldLeft(Option(true)) { (acc, p) =>
-                    acc.flatMap(a => p._2(lv(p._1)).map(a && _))
-                  }
-              }
-          }
+      case Some(Some(t)) => transformDeciderFor(t, filters)
+    }
+  }
+
+  /** The whole-leaf decider of the HANDLED filters under ONE hidden
+    * transform — the per-spec core [[leafDeciderFor]] resolves for a
+    * single-epoch snapshot and [[entryDeciderFor]] resolves per file
+    * epoch on an evolved one.
+    */
+  private def transformDeciderFor(t: PartitionTransforms.Transform,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[String => Option[Boolean]] = t match {
+    // multi(...) specs (r12): each filter translates against exactly
+    // ONE leg — boundary-aligned half-lines on a time/truncate leg,
+    // exact value predicates on an identity leg — and evaluates
+    // against the leaf's decomposed leg values, so `WHERE event =
+    // 'view'` / the day-aligned time slice are HANDLED on Iceberg's
+    // everyday layout too
+    case m: PartitionTransforms.Multi =>
+      val preds = filters.map(multiLegTranslate(m))
+      if (preds.exists(_.isEmpty)) return None
+      val ps = preds.flatten
+      Some { leaf =>
+        leaf.split('/').find(_.startsWith(s"$partitionCol="))
+          .map(_.substring(partitionCol.length + 1)) match {
+          case None => None // a leaf without the partition segment
+          case Some(raw)
+              if raw == org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+            // the whole-null leaf: every leg value is NULL
+            val nulls = Seq.fill[Option[String]](m.legs.size)(None)
+            ps.foldLeft(Option(true)) { (acc, p) =>
+              acc.flatMap(a => p._2(nulls(p._1)).map(a && _))
+            }
+          case Some(raw) =>
+            multiLegValues(m, org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(raw)) match {
+              case None => None // foreign value: not this spec's
+              case Some(lv) =>
+                ps.foldLeft(Option(true)) { (acc, p) =>
+                  acc.flatMap(a => p._2(lv(p._1)).map(a && _))
+                }
+            }
         }
-      case Some(Some(t)) => leafExactTranslateOf(t) match {
+      }
+    case t => leafExactTranslateOf(t) match {
       case Some(translate) =>
         val preds = filters.map(translate)
         if (preds.exists(_.isEmpty)) None
@@ -2280,9 +2400,51 @@ final case class IcebergLikeTable(
           }
         }
       case _ => None
-      }
     }
   }
+
+  /** Per-FILE whole-file decision for the HANDLED filters — the
+    * multi-epoch generalization of [[leafDeciderFor]] (r13): on an
+    * evolved table each live file's leaf decides under the spec
+    * GOVERNING that file (the history entry with the greatest
+    * fromVersion <= the file's write version), so a day-aligned
+    * retention slice decides BOTH the old day-ordinal leaves and the
+    * new multi/hour leaves exactly, while both epochs are still live.
+    * A file returns None (undecidable) when its version cannot be
+    * parsed, its epoch's spec fails to translate the filters, or its
+    * leaf does not parse — callers refuse on the files they actually
+    * touch, so a dead epoch's untranslatable spec costs nothing.
+    * Single-epoch snapshots delegate to the leaf decider.
+    */
+  private[weblog] def entryDeciderFor(snap: TableSnapshot,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[Manifests.FileEntry => Option[Boolean]] =
+    governingTransform(snap) match {
+      case Some(_) =>
+        leafDeciderFor(snap, filters)
+          .map(d => (e: Manifests.FileEntry) => d(leafOf(e.path)))
+      case None =>
+        if (filters.isEmpty) return Some(_ => Some(true))
+        val hist = specHistOf(snap.meta)
+        // one decider per history epoch, resolved lazily per file: an
+        // epoch whose spec cannot decide the filters only refuses the
+        // files it actually governs
+        val deciders: Seq[Option[String => Option[Boolean]]] =
+          hist.map { case (_, s) =>
+            (try Some(transformOf(s)) catch {
+              case scala.util.control.NonFatal(_) => None
+            }).flatMap(t => transformDeciderFor(t, filters))
+          }
+        Some { e =>
+          fileVersionOf(e.path) match {
+            case None => None // foreign name: epoch unknowable
+            case Some(v) =>
+              val k = hist.lastIndexWhere(_._1 <= v)
+              if (k < 0) None
+              else deciders(k).flatMap(d => d(leafOf(e.path)))
+          }
+        }
+    }
 
   /** Per-leg raw values of one multi(...) composite value (already
     * PATH-unescaped): split on the composite separator, each identity
@@ -2388,7 +2550,31 @@ final case class IcebergLikeTable(
       case None => resolveLive()._2
     }
     governingTransform(snap) match {
-      case None => _ => false // multi-epoch history: nothing is exact
+      case None =>
+        // multi-epoch history (r13): a filter is handled iff every
+        // LIVE epoch's spec translates it — the per-file decider then
+        // decides each file under its own spec. Any live file whose
+        // epoch is unknowable (foreign name) disqualifies everything.
+        val hist = specHistOf(snap.meta)
+        val liveEpochs: Option[Set[Int]] = {
+          val ks = snap.dataEntries.map(e =>
+            fileVersionOf(e.path).map(v => hist.lastIndexWhere(_._1 <= v)))
+          if (ks.exists(k => k.isEmpty || k.contains(-1))) None
+          else Some(ks.flatten.toSet)
+        }
+        liveEpochs match {
+          case None => _ => false
+          case Some(ks) =>
+            val ts = ks.toSeq.map(k =>
+              try Some(transformOf(hist(k)._2)) catch {
+                case scala.util.control.NonFatal(_) => None
+              })
+            if (ts.exists(_.isEmpty)) _ => false
+            else {
+              val specs = ts.flatten
+              f => specs.forall(t => transformDeciderFor(t, Seq(f)).isDefined)
+            }
+        }
       case Some(None) =>
         exactPartitionFilterColumns match {
           case Some(cols) => f =>
@@ -2416,14 +2602,14 @@ final case class IcebergLikeTable(
   private[weblog] def exactEntriesKeeper(snap: TableSnapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter])
       : Seq[Manifests.FileEntry] => Seq[Manifests.FileEntry] = {
-    val decide = leafDeciderFor(snap, filters).getOrElse(
+    val decide = entryDeciderFor(snap, filters).getOrElse(
       throw new IllegalStateException(
         s"handled filters are undecidable against $path (layout changed " +
           "between filter pushdown and scan planning?)"))
     entries => entries.filter { e =>
-      decide(leafOf(e.path)).getOrElse(
+      decide(e).getOrElse(
         throw new IllegalStateException(
-          s"leaf '${leafOf(e.path)}' of $path cannot decide a handled " +
+          s"file '${e.path}' of $path cannot decide a handled " +
             "filter (foreign directory layout?)"))
     }
   }
@@ -3633,32 +3819,37 @@ final case class IcebergLikeTable(
     // top-level conjuncts translated to the V1 filter grammar the
     // whole-leaf decider consumes; any untranslatable conjunct refuses
     val translated = conditionToFilters(schema, condition).getOrElse(return None)
-    val decide = leafDeciderFor(snap, translated).getOrElse(return None)
-    // a leaf-constant predicate is TRUE for every row of a leaf or for
-    // none: TRUE leaves drop whole, FALSE leaves carry untouched, an
-    // undecidable leaf refuses the whole fast path (sound)
+    val decide = entryDeciderFor(snap, translated).getOrElse(return None)
+    // a leaf-constant predicate is TRUE for every row of a file or for
+    // none — decided per FILE (r13: on a multi-epoch snapshot each
+    // file's own spec governs, so retention slices stay metadata-only
+    // DURING a spec migration too): TRUE files drop, FALSE files carry
+    // untouched, an undecidable file refuses the whole fast path
     var deleted = 0L
-    val drop = scala.collection.mutable.Set.empty[String]
-    snap.dataEntries.groupBy(e => leafOf(e.path)).foreach { case (leaf, es) =>
-      decide(leaf) match {
+    val dropPaths = scala.collection.mutable.Set.empty[String]
+    val dropLeaves = scala.collection.mutable.Set.empty[String]
+    snap.dataEntries.foreach { e =>
+      decide(e) match {
         case None => return None
         case Some(true) =>
-          if (es.exists(_.rowCount < 0L)) return None
-          deleted += es.map(_.rowCount).sum
-          drop += leaf
+          if (e.rowCount < 0L) return None
+          deleted += e.rowCount
+          dropPaths += e.path
+          dropLeaves += leafOf(e.path)
         case Some(false) =>
       }
     }
-    if (drop.isEmpty) return Some(0L)
-    // the leaf-scoping soundness gate (r13): any tombstone living in a
-    // dropped leaf means that leaf's stamped counts include masked rows
-    // — refuse to the row-level machinery. Tombstones in KEPT leaves
-    // carry through untouched and keep masking exactly what they did.
-    if (snap.deleteEntries.exists(e => drop.contains(leafOf(e.path))))
+    if (dropPaths.isEmpty) return Some(0L)
+    // the leaf-scoping soundness gate (r13): any tombstone sharing a
+    // leaf with a dropped file means that file's stamped count may
+    // include masked rows — refuse to the row-level machinery.
+    // Tombstones in untouched leaves carry through and keep masking
+    // exactly what they did.
+    if (snap.deleteEntries.exists(e => dropLeaves.contains(leafOf(e.path))))
       return None
     val version = nextVersion(liveVersion)
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val keep = snap.entries.filterNot(e => drop.contains(leafOf(e.path)))
+    val keep = snap.entries.filterNot(e => dropPaths.contains(e.path))
     // a normal commit: drop the fast-forward ancestry mark; everything
     // else (schema, ids, history, constraints, stats, blooms, hwm)
     // carries — the commit is purely subtractive metadata

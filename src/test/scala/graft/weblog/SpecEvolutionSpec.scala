@@ -230,17 +230,105 @@ class SpecEvolutionSpec extends SparkTestBase {
     t.append(events(4 to 4).coalesce(1))
     val slice = col("ts") >= lit(Timestamp.valueOf("2024-03-02 00:00:00")) &&
       col("ts") < lit(Timestamp.valueOf("2024-03-03 00:00:00"))
-    // multi-epoch history: the whole-leaf decision refuses (fallback
-    // pin) — a day ordinal and an hour ordinal cannot share a decider
-    assert(t.rowCountWhere(slice).isEmpty,
-      "a live multi-epoch history must refuse leaf-exact answers")
+    // per-EPOCH decisions (r13): with BOTH epochs live, a day-aligned
+    // slice decides each file under its own spec (day boundaries are
+    // hour-aligned too) — the migration window keeps zero-task counts
+    assert(t.rowCountWhere(slice).contains(4L),
+      "a day-aligned slice must decide both epochs' files")
     assert(t.readWhere(slice).count() == 4L)
+    // an hour-aligned-but-not-day-aligned boundary is undecidable for
+    // the day-epoch files: refuses while they live (fallback pin)
+    val odd = col("ts") >= lit(Timestamp.valueOf("2024-03-02 06:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-03 00:00:00"))
+    assert(t.rowCountWhere(odd).isEmpty,
+      "a boundary only the new spec decides must refuse while " +
+        "day-epoch files live")
+    assert(t.readWhere(odd).count() == 3L)
     // maintain(0) rewrites every file under the hours spec; the commit
     // collapses the history to ONE epoch and the table RE-QUALIFIES
+    // for hour-aligned decisions too
     t.maintain(fileThreshold = 0)
     assert(t.rowCountWhere(slice).contains(4L),
       "a collapsed evolved table must answer whole-leaf counts from " +
         "metadata again")
+    assert(t.rowCountWhere(odd).contains(3L),
+      "post-collapse, hour-aligned slices decide every leaf")
+  }
+
+  test("multi-epoch metadata answers: per-epoch derivable legs answer, underivable fall back (r13)") {
+    val wh = Files.createTempDirectory("se_me_wh").toString
+    spark.conf.set("spark.sql.catalog.gsme", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsme.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsme.web")
+    spark.sql("""CREATE TABLE gsme.web.ev (user_id STRING, event STRING, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+    import spark.implicits._
+    (1 to 2).flatMap(d => (0 until 4).map(h =>
+        (s"u$d-$h", s"e${h % 2}", ts(d, h * 6))))
+      .toDF("user_id", "event", "ts").createOrReplaceTempView("gsme_src")
+    spark.sql("INSERT INTO gsme.web.ev SELECT * FROM gsme_src")
+    spark.sql("""CALL gsme.system.evolve_partition_spec(
+                |  `table` => 'web.ev', spec => 'multi(days(ts), identity(event))')""".stripMargin)
+    (3 to 3).flatMap(d => (0 until 4).map(h =>
+        (s"u$d-$h", s"e${h % 2}", ts(d, h * 6))))
+      .toDF("user_id", "event", "ts").createOrReplaceTempView("gsme_src3")
+    spark.sql("INSERT INTO gsme.web.ev SELECT * FROM gsme_src3")
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nodes(qs.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => Nil
+      })
+    def isLocal(q: org.apache.spark.sql.DataFrame): Boolean = {
+      q.collect()
+      nodes(q.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // BOTH epochs live. The day leg is derivable in BOTH specs
+    // (days(ts) aligns with the multi's days(ts) leg), so day-grouped
+    // counts answer from the manifest during the migration
+    val qDay = spark.sql("""SELECT CAST(ts AS DATE) AS d,
+                           |       CAST(count(*) AS BIGINT) AS c
+                           |FROM gsme.web.ev GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(qDay.collect().map(_.getLong(1)).toSeq == Seq(4L, 4L, 4L))
+    assert(isLocal(qDay),
+      s"day grouping must answer from metadata across epochs:\n" +
+        s"${qDay.queryExecution.executedPlan}")
+    // a day-aligned handled filter decides each file under ITS spec
+    val qCnt = spark.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS c FROM gsme.web.ev
+        |WHERE ts < TIMESTAMP '2024-03-02 00:00:00'""".stripMargin)
+    assert(qCnt.head.getLong(0) == 4L)
+    assert(isLocal(qCnt),
+      "a day-aligned count must stay zero-task during the migration")
+    // the event leg does NOT exist in the old epoch: GROUP BY event
+    // falls back to a real scan and still answers correctly
+    val qEvt = spark.sql("""SELECT event, CAST(count(*) AS BIGINT) AS c
+                           |FROM gsme.web.ev GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(qEvt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("e0", 6L), ("e1", 6L)))
+    assert(!isLocal(qEvt),
+      "an underivable leg must fall back while old-epoch files live")
+    // engine-level: the same per-epoch decisions serve rowCountWhere
+    // and the METADATA DELETE — a retention slice stays one
+    // subtractive manifest commit DURING the migration
+    val handle = IcebergLikeTable(spark, s"$wh/web/ev",
+      partitionCol = "ts_day",
+      partitionTransform = Some("multi(days(ts), identity(event))"))
+    val slice = col("ts") >= lit(Timestamp.valueOf("2024-03-01 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-02 00:00:00"))
+    assert(handle.rowCountWhere(slice).contains(4L),
+      "rowCountWhere must answer per epoch on a multi-epoch snapshot")
+    val dataBefore = handle.files.filter(!col("is_delete")).count()
+    assert(handle.delete(slice) == 4L)
+    val dataAfter = handle.files.filter(!col("is_delete")).count()
+    assert(dataAfter < dataBefore &&
+      handle.files.filter(col("is_delete")).count() == 0L,
+      "the migration-window retention DELETE must be metadata-only")
+    assert(spark.sql("SELECT count(*) FROM gsme.web.ev").head.getLong(0) == 8L)
   }
 
   test("time travel to a pre-evolution snapshot decides leaves under ITS OWN spec (r13)") {
