@@ -1382,6 +1382,10 @@ object WebLogQueries {
         s.conf.set("spark.sql.catalog.gne.warehouse", wh)
         s.sql("CREATE NAMESPACE IF NOT EXISTS gne.web")
         s.sql("DROP TABLE IF EXISTS gne.web.sessions")
+        // coalesced load (r13): the gate proves eq-delete masking under
+        // RENAME EPOCHS — scan-partition fanout into the bucketed
+        // leaves only multiplied the file counts every later phase
+        // (two delete discoveries, the masked grouped read) re-opens
         s.sql("""CREATE TABLE gne.web.sessions
                 |(id BIGINT, user_id BIGINT, event STRING, seq BIGINT)
                 |TBLPROPERTIES (uniqueKeys 'id', numBuckets '2',
@@ -1390,6 +1394,7 @@ object WebLogQueries {
           .filter(dayofmonth(col("ts")) === 1 && hour(col("ts")) < 12)
           .select(col("event_id").as("id"), col("user_id"),
             col("event_type").as("event"), lit(1L).as("seq"))
+          .coalesce(2)
           .createOrReplaceTempView("graft_ne_src")
         s.sql("INSERT INTO gne.web.sessions SELECT * FROM graft_ne_src")
         s.sql("DELETE FROM gne.web.sessions WHERE user_id % 10 = 3")
