@@ -147,16 +147,30 @@ final class GraftNativeScan private (
       // pushed LIMIT (only offered filter-free / handled-only): keep
       // files until the stamped row counts cover it — whole files,
       // Spark's own limit operator trims the excess. Any unstamped
-      // count disables the cut (the cover would be a guess), and so do
-      // live delete files of either kind (masked rows would starve the
-      // cover).
-      case Some(n) if !hasPosDels && !hasEqDels &&
-          entries.forall(_.rowCount >= 0L) =>
-        var acc = 0L
-        val kept = entries.takeWhile { e =>
-          val need = acc < n; acc += e.rowCount; need
+      // count disables the cut (the cover would be a guess). Live
+      // delete files compose when leaf-scoping allows (r13): a file in
+      // a tombstone-FREE leaf carries exact live counts, so when those
+      // files alone cover the limit, the cut keeps a prefix of THEM
+      // (LIMIT without ORDER BY delivers any n rows); if the unmasked
+      // files cannot cover it, the cut stands down entirely.
+      case Some(n) if entries.forall(_.rowCount >= 0L) =>
+        val unmasked =
+          if (!hasPosDels && !hasEqDels) Some(entries)
+          else {
+            val delLeaves =
+              snap.deleteEntries.map(e => table.leafOf(e.path)).toSet
+            val free =
+              entries.filter(e => !delLeaves.contains(table.leafOf(e.path)))
+            // masked files would starve the cover: cut only when the
+            // unmasked files alone can deliver n rows
+            if (free.map(_.rowCount).sum >= n) Some(free) else None
+          }
+        unmasked.fold(entries) { es =>
+          var acc = 0L
+          es.takeWhile { e =>
+            val need = acc < n; acc += e.rowCount; need
+          }
         }
-        kept
       case _ => entries
     }
   }
