@@ -331,6 +331,40 @@ class SpecEvolutionSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM gsme.web.ev").head.getLong(0) == 8L)
   }
 
+  test("boundary sweep: every per-epoch metadata answer equals the real scan (r13)") {
+    // a mixed-epoch days→hours table, swept across day-aligned,
+    // hour-aligned and unaligned boundaries in both directions: every
+    // boundary where rowCountWhere ANSWERS must equal the scan, and
+    // the answered set must include all day-aligned slices (the
+    // migration-window guarantee)
+    val t0 = daysTable("se_sweep")
+    for (d <- 1 to 3) t0.append(events(d to d).coalesce(1))
+    val t = t0.evolvePartitionSpec("hours(ts)")
+    t.append(events(4 to 5).coalesce(2))
+    var answered = 0
+    for {
+      day <- 1 to 5
+      hour <- Seq(0, 6, 12, 13)
+      op <- Seq("lt", "ge")
+    } {
+      val b = Timestamp.valueOf(f"2024-03-0$day $hour%02d:00:00")
+      val cond = if (op == "lt") col("ts") < lit(b) else col("ts") >= lit(b)
+      val expected = t.readWhere(cond).count()
+      t.rowCountWhere(cond) match {
+        case Some(n) =>
+          answered += 1
+          assert(n == expected,
+            s"metadata answer diverged at $op $b: $n vs $expected")
+        case None =>
+          // refusals must only happen where the OLD epoch genuinely
+          // cannot decide: a non-day-aligned boundary
+          assert(hour != 0,
+            s"a day-aligned boundary must answer during the migration: $op $b")
+      }
+    }
+    assert(answered >= 10, s"sweep answered only $answered boundaries")
+  }
+
   test("time travel to a pre-evolution snapshot decides leaves under ITS OWN spec (r13)") {
     val wh = Files.createTempDirectory("se_tt_wh").toString
     spark.conf.set("spark.sql.catalog.gsevo", "graft.sources.GraftCatalog")
