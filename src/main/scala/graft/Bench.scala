@@ -46,18 +46,21 @@ object Bench {
     //    spark.range — the whole Spark stack (codegen, exchange, task
     //    scheduling, the shared JVM's GC posture) on a workload whose
     //    plan can never change with this repo's code.
-    // Each runs twice BEFORE and twice AFTER the headline canon; the
-    // reported value is the MIN of the four (the canon's own best-of-2
-    // estimator: a one-off GC pause must not inflate the anchor, while
-    // genuine ambient slowness — CPU contention, thermal throttling —
-    // depresses every run including the min, which is exactly what the
-    // anchor exists to capture). Normalized numbers divide by
+    // The CPU anchor runs twice before and twice after the canon (min
+    // of the four — it is allocation-free and stable). The ENGINE
+    // anchor runs twice before, once MID-canon and twice after, and
+    // reports the MEDIAN of the five timed legs: a min-of-N anchor
+    // would measure the session's best case (each leg runs right
+    // after a System.gc()), but the queries run under the session's
+    // ACCUMULATED pressure — the median across pre/mid/post legs
+    // tracks what the canon actually experienced, which is what
+    // cross-round normalization needs. Normalized figures divide by
     // calib_engine / CALIB_ENGINE_REF (the engine anchor tracks query
     // cost far better than the scalar loop; calib_cpu separates
     // "machine is slow" from "JVM/GC is unhappy"). REF constants were
     // measured in r13 on an otherwise-idle driver machine; SCALE.md
-    // documents the method.
-    val CalibEngineRef = 1.95
+    // documents the method and the ~±10% ambient jitter band.
+    val CalibEngineRef = 2.0
     val CalibCpuRef = 0.67
     def calibCpuOnce(): Double = {
       var x = 0x9E3779B97F4A7C15L
@@ -83,25 +86,30 @@ object Bench {
         .orderBy(col("s").desc, col("k")).limit(101).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def calibPair(): (Double, Double) =
-      (math.min(calibCpuOnce(), calibCpuOnce()),
-        math.min(calibEngineOnce(), calibEngineOnce()))
+    val engineLegs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def engineLeg(): Double = { val v = calibEngineOnce(); engineLegs += v; v }
     // untimed warmup execution first: the anchor must measure the
     // MACHINE, not this JVM's JIT progress — without it the pre legs
     // run interpreted/C1 and the post legs' warmth depends on how
     // heavy the canon happened to be, which made the min drift ~15%
     // between a 1-query smoke run and the full canon
     calibCpuOnce(); calibEngineOnce()
-    val (cpuPre, enginePre) = calibPair()
+    val cpuPre = math.min(calibCpuOnce(), calibCpuOnce())
+    engineLeg(); engineLeg() // pre-canon engine legs
 
     // local iteration only (driver sets neither): run a subset of the
     // headline canon, and/or skip the scaling probe
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val noScaling = sys.env.contains("SPARK_GRAFT_BENCH_NO_SCALING")
 
-    val inSession = SparkEntry.headline
+    val canonNames = SparkEntry.headline
       .filter(n => only.forall(_.contains(n)))
-      .map { name =>
+    // the MID-canon engine leg fires halfway through the canon, under
+    // exactly the accumulated session pressure the queries see
+    val midAt = if (canonNames.size >= 4) canonNames.size / 2 else -1
+    val inSession = canonNames.zipWithIndex
+      .map { case (name, idx) =>
+      if (idx == midAt) engineLeg()
       // drain the PREVIOUS queries' garbage before measuring this one
       // (r11): the table-protocol gates leave multi-hundred-MB setup
       // debris (scratch catalogs, broadcast refs, staged commits)
@@ -141,11 +149,16 @@ object Bench {
     val isolated = pinned
       .filter(n => inSession.exists(p => p._1 == n && p._2 >= 0))
       .map { n => System.gc(); n -> timeOnce(n) }
-    // post-canon calibration leg: min across pre+post legs is the
-    // anchor (see the CALIBRATION ANCHOR note above)
-    val (cpuPost, enginePost) = calibPair()
+    // post-canon calibration legs; the engine anchor is the MEDIAN of
+    // every timed leg (see the CALIBRATION ANCHOR note above)
+    val cpuPost = math.min(calibCpuOnce(), calibCpuOnce())
+    engineLeg(); engineLeg() // post-canon engine legs
     val calibCpu = math.min(cpuPre, cpuPost)
-    val calibEngine = math.min(enginePre, enginePost)
+    val calibEngine = {
+      val sorted = engineLegs.sorted
+      val n = sorted.size
+      if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
+    }
     val normFactor = calibEngine / CalibEngineRef
     // millisecond precision keeps the stdout JSON line compact — r4's
     // full-precision doubles grew the line past the driver's captured
@@ -322,7 +335,7 @@ object Bench {
     val calib = s"""{"cpu":${r3(calibCpu)},"engine":${r3(calibEngine)},""" +
       s""""cpu_ref":$CalibCpuRef,"engine_ref":$CalibEngineRef,""" +
       s""""cpu_pre":${r3(cpuPre)},"cpu_post":${r3(cpuPost)},""" +
-      s""""engine_pre":${r3(enginePre)},"engine_post":${r3(enginePost)},""" +
+      s""""engine_legs":[${engineLegs.map(r3).mkString(",")}],""" +
       s""""norm_factor":${r3(normFactor)}}"""
     val qsNorm = results.map { case (k, v) =>
       "\"" + k + "\":" + r3(if (v < 0) v else v / normFactor)
