@@ -838,6 +838,61 @@ object WebLogQueries {
              |FROM p JOIN a ON p.user_id = a.user_id""".stripMargin.replace("\n", " ")),
       headline = true),
 
+    // MONTHLY hidden partitioning (Iceberg's `month(ts)` transform —
+    // the standard archival layout, r13): events spread across five
+    // calendar months via a per-user month shift, written under
+    // months(ts); a one-month time slice on the SOURCE column prunes
+    // to exactly that month's file (calendar-width inverse images —
+    // no fixed 30-day approximation), and the census is recomputed by
+    // the oracle with the same month arithmetic.
+    Q("weblog_monthly_partition",
+      (s, d) => {
+        val t = IcebergLikeTable(s, scratch(s, "monthly", d) + "/t",
+          partitionCol = "ts_month", partitionTransform = Some("months(ts)"))
+        val base = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 2)
+          .select(col("user_id"),
+            (col("ts") + expr("make_interval(0, CAST(pmod(user_id, 5) AS INT))"))
+              .as("ts"))
+          .coalesce(1)
+        t.append(base)
+        val total = t.filesFor(lit(true)).size
+        // the SECOND month's slice, derived from the data's own floor
+        val minTs = Tables.events(s, d).filter(dayofmonth(col("ts")) <= 2)
+          .agg(min(col("ts"))).head.getTimestamp(0)
+        val utc = java.time.ZoneOffset.UTC
+        val m0 = minTs.toInstant.atZone(utc).toLocalDate.withDayOfMonth(1)
+        val lo = java.sql.Timestamp.from(m0.plusMonths(1).atStartOfDay(utc).toInstant)
+        val hi = java.sql.Timestamp.from(m0.plusMonths(2).atStartOfDay(utc).toInstant)
+        val slice = col("ts") >= lit(lo) && col("ts") < lit(hi)
+        val planned = t.filesFor(slice).size
+        t.readWhere(slice)
+          .agg(count(lit(1)).as("rows_m1"),
+            countDistinct(col("user_id")).as("users_m1"))
+          .select(lit(total).as("files_total"),
+            lit(planned).as("files_scanned"),
+            col("rows_m1"), col("users_m1"))
+      },
+      Some("""WITH base AS (
+             |  SELECT user_id,
+             |         ts + to_months(CAST(user_id % 5 AS INT)) AS ts
+             |  FROM events WHERE day(ts) <= 2),
+             |m0 AS (SELECT date_trunc('month', min(ts)) AS t0 FROM events
+             |       WHERE day(ts) <= 2)
+             |SELECT
+             |  (SELECT CAST(count(DISTINCT date_trunc('month', ts)) AS INT)
+             |   FROM base) AS files_total,
+             |  (SELECT CAST(count(DISTINCT date_trunc('month', ts)) AS INT)
+             |   FROM base
+             |   WHERE ts >= (SELECT t0 + INTERVAL 1 MONTH FROM m0)
+             |     AND ts <  (SELECT t0 + INTERVAL 2 MONTH FROM m0)) AS files_scanned,
+             |  (SELECT count(*) FROM base
+             |   WHERE ts >= (SELECT t0 + INTERVAL 1 MONTH FROM m0)
+             |     AND ts <  (SELECT t0 + INTERVAL 2 MONTH FROM m0)) AS rows_m1,
+             |  (SELECT count(DISTINCT user_id) FROM base
+             |   WHERE ts >= (SELECT t0 + INTERVAL 1 MONTH FROM m0)
+             |     AND ts <  (SELECT t0 + INTERVAL 2 MONTH FROM m0)) AS users_m1""".stripMargin.replace("\n", " "))),
+
     // AGGREGATE-TO-METADATA pushdown (Iceberg's manifest aggregates —
     // what makes `SELECT count(*)` on a 100 TB table a driver lookup
     // instead of a scan): whole-table COUNT(*)/MIN/MAX resolve from

@@ -309,6 +309,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         val src = inSchema(ref(t)); (s"days($src)", s"${src}_day")
       case "hours" =>
         val src = inSchema(ref(t)); (s"hours($src)", s"${src}_hour")
+      case "months" | "month" =>
+        val src = inSchema(ref(t)); (s"months($src)", s"${src}_month")
+      case "years" | "year" =>
+        val src = inSchema(ref(t)); (s"years($src)", s"${src}_year")
       case "truncate" =>
         val src = inSchema(ref(t))
         val w = t.arguments.collectFirst {
@@ -322,7 +326,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "instead")
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform '$other' " +
-          "(supported: identity column, days, hours, truncate)")
+          "(supported: identity column, days, hours, months, years, truncate)")
     }
     partitions.toSeq match {
       case Nil =>
@@ -810,6 +814,8 @@ private[sources] final class GraftSqlTable(
       t match {
         case PT.Days(s) => Seq(Expressions.days(s))
         case PT.Hours(s) => Seq(Expressions.hours(s))
+        case PT.Months(s) => Seq(Expressions.months(s))
+        case PT.Years(s) => Seq(Expressions.years(s))
         case PT.Truncate(s, w) => Seq(Expressions.apply("truncate",
           Expressions.literal(w), Expressions.column(s)))
         case PT.Identity(s) => Seq(Expressions.identity(s))

@@ -90,6 +90,56 @@ object PartitionTransforms {
     def spec: String = s"hours($source)"
   }
 
+  /** The UTC calendar DATE of a timestamp, derived TZ-FREE: epoch-day
+    * arithmetic into a DateType (dates carry no zone), so a session-TZ
+    * change between writer and reader cannot mis-bucket or mis-prune —
+    * the same posture as the ordinal transforms. Foundation of the
+    * calendar-width transforms ([[Months]], [[Years]]).
+    */
+  private def utcDate(c: Column): Column =
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+      floorDiv(unix_micros(c), MicrosPerDay).cast("int"))
+
+  /** Iceberg's `month` transform: `(year − 1970) · 12 + (month − 1)`
+    * of the UTC calendar instant — the standard archival layout
+    * (`PARTITIONED BY (months(ts))`). Calendar-width partitions: the
+    * inverse image of one ordinal is that month's [first, last]
+    * microsecond via java.time, feeding the same interval pruning as
+    * the fixed-width transforms.
+    */
+  final case class Months(source: String) extends Transform {
+    def derive: Column = {
+      val d = utcDate(col(source))
+      ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast("long")
+    }
+    def sourceBounds(v: String): Option[(String, String)] =
+      scala.util.Try {
+        val m = v.toLong
+        val y = 1970L + java.lang.Math.floorDiv(m, 12L)
+        val start = java.time.LocalDate.of(
+          java.lang.Math.toIntExact(y),
+          java.lang.Math.floorMod(m, 12L).toInt + 1, 1)
+        ((start.toEpochDay * MicrosPerDay).toString,
+          (start.plusMonths(1).toEpochDay * MicrosPerDay - 1).toString)
+      }.toOption
+    def spec: String = s"months($source)"
+  }
+
+  /** Iceberg's `year` transform: `year − 1970` of the UTC calendar
+    * instant.
+    */
+  final case class Years(source: String) extends Transform {
+    def derive: Column = (year(utcDate(col(source))) - lit(1970)).cast("long")
+    def sourceBounds(v: String): Option[(String, String)] =
+      scala.util.Try {
+        val y = 1970L + v.toLong
+        val start = java.time.LocalDate.of(java.lang.Math.toIntExact(y), 1, 1)
+        ((start.toEpochDay * MicrosPerDay).toString,
+          (start.plusYears(1).toEpochDay * MicrosPerDay - 1).toString)
+      }.toOption
+    def spec: String = s"years($source)"
+  }
+
   /** Width-`w` truncation of an integral column — Iceberg's
     * `truncate[w]`: value → floor(value / w) * w, so each partition
     * holds one aligned width-w interval.
@@ -196,6 +246,8 @@ object PartitionTransforms {
 
   private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val HoursRe = """hours\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val YearsRe = """years\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
   private val VoidRe = """void\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val IdentRe = """identity\(\s*([A-Za-z0-9_]+)\s*\)""".r
@@ -226,6 +278,8 @@ object PartitionTransforms {
   def parse(spec: String): Transform = spec.trim match {
     case DaysRe(c) => Days(c)
     case HoursRe(c) => Hours(c)
+    case MonthsRe(c) => Months(c)
+    case YearsRe(c) => Years(c)
     case TruncRe(w, c) => Truncate(c, w.toLong)
     case VoidRe(c) => Void(c)
     case s if s.startsWith("multi(") && s.endsWith(")") =>
@@ -235,7 +289,8 @@ object PartitionTransforms {
       })
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other' " +
-        "(supported: days(col), hours(col), truncate(w, col), void(col), " +
+        "(supported: days(col), hours(col), months(col), years(col), " +
+        "truncate(w, col), void(col), " +
         "multi(leg, ...) with identity(col) legs)")
   }
 }

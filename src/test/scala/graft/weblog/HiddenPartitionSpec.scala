@@ -167,4 +167,54 @@ class HiddenPartitionSpec extends SparkTestBase {
     assert(t.readWhere(col("ts") === lit(old)).count() == 1)
     assert(t.filesFor(col("ts") >= lit(Timestamp.valueOf("1970-01-01 00:00:00"))).isEmpty)
   }
+
+  test("months(ts) and years(ts): Iceberg ordinals, calendar-width pruning, pre-epoch (r13)") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("hp_months").toString + "/t",
+      partitionCol = "pmonth", partitionTransform = Some("months(ts)"))
+    val rows = Seq(
+      ("jan24", Timestamp.valueOf("2024-01-15 08:00:00")),  // (2024-1970)*12+0 = 648
+      ("feb24", Timestamp.valueOf("2024-02-29 23:59:59")),  // leap February: 649
+      ("mar24", Timestamp.valueOf("2024-03-01 00:00:00")),  // month boundary: 650
+      ("dec69", Timestamp.valueOf("1969-12-31 10:00:00")))  // pre-epoch: -1
+    t.append(rows.toDF("tag", "ts").coalesce(1))
+    val leaves = t.files.select("file").collect()
+      .map(_.getString(0).split('/').head.stripPrefix("pmonth=").toLong).toSet
+    assert(leaves == Set(648L, 649L, 650L, -1L),
+      s"Iceberg month ordinals expected, got $leaves")
+    // calendar-width pruning: a February slice opens February's file only
+    val feb = col("ts") >= lit(Timestamp.valueOf("2024-02-01 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(t.filesFor(feb).size == 1)
+    assert(t.readWhere(feb).collect().map(_.getString(0)).toSeq == Seq("feb24"))
+    // leap-month inverse image: Feb 29 23:59:59 is INSIDE month 649's
+    // bounds (a 28-day assumption would mis-prune it)
+    assert(t.readWhere(col("ts") === lit(rows(1)._2)).count() == 1)
+    // whole-table count answers from metadata; the derived column is
+    // hidden from reads
+    assert(t.rowCount.contains(4L))
+    assert(t.read.columns.toSet == Set("tag", "ts"))
+
+    val ty = IcebergLikeTable(spark,
+      Files.createTempDirectory("hp_years").toString + "/t",
+      partitionCol = "pyear", partitionTransform = Some("years(ts)"))
+    ty.append(rows.toDF("tag", "ts").coalesce(1))
+    val yleaves = ty.files.select("file").collect()
+      .map(_.getString(0).split('/').head.stripPrefix("pyear=").toLong).toSet
+    assert(yleaves == Set(54L, -1L), s"Iceberg year ordinals expected, got $yleaves")
+    val y24 = col("ts") >= lit(Timestamp.valueOf("2024-01-01 00:00:00")) &&
+      col("ts") < lit(Timestamp.valueOf("2025-01-01 00:00:00"))
+    assert(ty.filesFor(y24).size == 1)
+    assert(ty.readWhere(y24).count() == 3)
+    // months inside a multi(...) spec prune per leg
+    val tm = IcebergLikeTable(spark,
+      Files.createTempDirectory("hp_mmulti").toString + "/t",
+      partitionCol = "pme",
+      partitionTransform = Some("multi(months(ts), identity(tag))"))
+    tm.append(rows.toDF("tag", "ts").coalesce(1))
+    assert(tm.filesFor(feb).size == 1)
+    assert(tm.filesFor(col("tag") === "jan24").size == 1)
+    assert(tm.readWhere(feb && col("tag") === "feb24").count() == 1)
+  }
 }
