@@ -847,15 +847,23 @@ object WebLogQueries {
     // the oracle with the same month arithmetic.
     Q("weblog_monthly_partition",
       (s, d) => {
-        val t = IcebergLikeTable(s, scratch(s, "monthly", d) + "/t",
-          partitionCol = "ts_month", partitionTransform = Some("months(ts)"))
-        val base = Tables.events(s, d)
+        val wh = scratch(s, "monthly", d)
+        s.conf.set("spark.sql.catalog.gmon", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gmon.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gmon.web")
+        s.sql("DROP TABLE IF EXISTS gmon.web.events")
+        s.sql("""CREATE TABLE gmon.web.events (user_id BIGINT, ts TIMESTAMP)
+                |PARTITIONED BY (months(ts))""".stripMargin)
+        Tables.events(s, d)
           .filter(dayofmonth(col("ts")) <= 2)
           .select(col("user_id"),
             (col("ts") + expr("make_interval(0, CAST(pmod(user_id, 5) AS INT))"))
               .as("ts"))
           .coalesce(1)
-        t.append(base)
+          .createOrReplaceTempView("graft_monthly_src")
+        s.sql("INSERT INTO gmon.web.events SELECT * FROM graft_monthly_src")
+        val t = IcebergLikeTable(s, s"$wh/web/events",
+          partitionCol = "ts_month", partitionTransform = Some("months(ts)"))
         val total = t.filesFor(lit(true)).size
         // the SECOND month's slice, derived from the data's own floor
         val minTs = Tables.events(s, d).filter(dayofmonth(col("ts")) <= 2)
@@ -866,12 +874,41 @@ object WebLogQueries {
         val hi = java.sql.Timestamp.from(m0.plusMonths(2).atStartOfDay(utc).toInstant)
         val slice = col("ts") >= lit(lo) && col("ts") < lit(hi)
         val planned = t.filesFor(slice).size
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        def zeroTask(q: DataFrame): Boolean =
+          nodes(q.queryExecution.executedPlan).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        // month-aligned slice count AND month-extract grouping both
+        // answer from the manifest (zero tasks) on the months() layout
+        val qCnt = s.table("gmon.web.events").filter(slice)
+          .agg(count(lit(1)).as("c"))
+        val cntMeta = qCnt.head.getLong(0)
+        val metaCnt = zeroTask(qCnt)
+        val qMon = s.sql("""SELECT CAST(count(*) AS BIGINT) AS groups,
+                           |       CAST(sum(c) AS BIGINT) AS total_rows
+                           |FROM (SELECT month(ts) AS m, count(*) AS c
+                           |      FROM gmon.web.events GROUP BY 1)""".stripMargin)
+        val rMon = qMon.head
+        val metaMon = zeroTask(qMon)
         t.readWhere(slice)
           .agg(count(lit(1)).as("rows_m1"),
             countDistinct(col("user_id")).as("users_m1"))
           .select(lit(total).as("files_total"),
             lit(planned).as("files_scanned"),
-            col("rows_m1"), col("users_m1"))
+            col("rows_m1"), col("users_m1"),
+            lit(rMon.getLong(0)).as("month_groups"),
+            lit(rMon.getLong(1)).as("total_rows"),
+            // the manifest-answered slice count equals the real scan's
+            (lit(cntMeta) === col("rows_m1")).as("slice_consistent"),
+            lit(metaCnt && metaMon).as("zero_task"))
       },
       Some("""WITH base AS (
              |  SELECT user_id,
@@ -891,7 +928,11 @@ object WebLogQueries {
              |     AND ts <  (SELECT t0 + INTERVAL 2 MONTH FROM m0)) AS rows_m1,
              |  (SELECT count(DISTINCT user_id) FROM base
              |   WHERE ts >= (SELECT t0 + INTERVAL 1 MONTH FROM m0)
-             |     AND ts <  (SELECT t0 + INTERVAL 2 MONTH FROM m0)) AS users_m1""".stripMargin.replace("\n", " "))),
+             |     AND ts <  (SELECT t0 + INTERVAL 2 MONTH FROM m0)) AS users_m1,
+             |  (SELECT CAST(count(DISTINCT month(ts)) AS BIGINT) FROM base)
+             |    AS month_groups,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS total_rows,
+             |  TRUE AS slice_consistent, TRUE AS zero_task""".stripMargin.replace("\n", " "))),
 
     // AGGREGATE-TO-METADATA pushdown (Iceberg's manifest aggregates —
     // what makes `SELECT count(*)` on a 100 TB table a driver lookup

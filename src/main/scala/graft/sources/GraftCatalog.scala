@@ -1178,23 +1178,31 @@ private[sources] final class GraftScanBuilder(table: IcebergLikeTable,
           case _ if utc =>
             extractTree(e).flatMap { case (field, name, casted, post) =>
               if (casted && field == "HOUR") None
-              else ls.collectFirst {
-                case (AggLeg.Time(src, hoursLeg), i) if src == name =>
-                  graft.weblog.IcebergLikeTable.leafExtract(hoursLeg, field)
-                    .map { f =>
-                      (StructField(
-                        s"extract(${field.toLowerCase} from $name)",
-                        org.apache.spark.sql.types.IntegerType),
-                        (lv: Seq[Option[String]]) => lv(i) match {
-                          case None => null // SQL: null input → null group
-                          case Some(v) => v.toLongOption match {
-                            case Some(o) => post(f(o)): Any
-                            case None => throw new IllegalStateException(
-                              s"unparseable leaf ordinal '$v'")
-                          }
-                        }, i)
-                    }
-              }.flatten
+              else {
+                def extractDim(i: Int, f: Long => Int)
+                    : (StructField, Seq[Option[String]] => Any, Int) =
+                  (StructField(
+                    s"extract(${field.toLowerCase} from $name)",
+                    org.apache.spark.sql.types.IntegerType),
+                    (lv: Seq[Option[String]]) => lv(i) match {
+                      case None => null // SQL: null input → null group
+                      case Some(v) => v.toLongOption match {
+                        case Some(o) => post(f(o)): Any
+                        case None => throw new IllegalStateException(
+                          s"unparseable leaf ordinal '$v'")
+                      }
+                    }, i)
+                ls.collectFirst {
+                  case (AggLeg.Time(src, hoursLeg), i) if src == name =>
+                    graft.weblog.IcebergLikeTable.leafExtract(hoursLeg, field)
+                      .map(extractDim(i, _))
+                  // calendar-width legs (r13): YEAR/MONTH/QUARTER over a
+                  // months() leaf, YEAR over a years() leaf
+                  case (AggLeg.CalTime(src, yearsLeg), i) if src == name =>
+                    graft.weblog.IcebergLikeTable.calLeafExtract(yearsLeg, field)
+                      .map(extractDim(i, _))
+                }.flatten
+              }
             }
           case _ => None
         }

@@ -112,4 +112,24 @@ private[graft] object DaysExactFilter {
       if (Math.floorMod(v, width) == 0L) Some(v) else None
     halfLines(f, src, integral, aligned, aligned)
   }
+
+  /** CALENDAR-width time transforms (months/years, r13): the leaf
+    * value is the Iceberg ordinal ((y−1970)·12+(mo−1), or y−1970); a
+    * boundary decides whole leaves iff it is UTC midnight of the FIRST
+    * of a month (respectively January 1st) — then the month/year
+    * ordinals on either side split exactly, leap years included.
+    */
+  def ofCalendar(f: sources.Filter, src: String,
+      yearsUnit: Boolean): Option[Seq[Pred]] = {
+    def aligned(m: Long): Option[Long] = {
+      if (Math.floorMod(m, PartitionTransforms.MicrosPerDay) != 0L) return None
+      val d = java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(m, PartitionTransforms.MicrosPerDay))
+      if (d.getDayOfMonth != 1) return None
+      if (yearsUnit) {
+        if (d.getMonthValue != 1) None else Some((d.getYear - 1970).toLong)
+      } else Some((d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1))
+    }
+    halfLines(f, src, micros, aligned, aligned)
+  }
 }

@@ -1920,6 +1920,10 @@ final case class IcebergLikeTable(
         t match {
           case PartitionTransforms.Days(s) => Some(AggLeg.Time(s, hoursLeg = false))
           case PartitionTransforms.Hours(s) => Some(AggLeg.Time(s, hoursLeg = true))
+          case PartitionTransforms.Months(s) =>
+            Some(AggLeg.CalTime(s, yearsLeg = false))
+          case PartitionTransforms.Years(s) =>
+            Some(AggLeg.CalTime(s, yearsLeg = true))
           case PartitionTransforms.Identity(s) =>
             schema.fields.find(_.name == s).map(AggLeg.IdentityData)
           // truncate buckets a RANGE of source values into one leaf —
@@ -2494,6 +2498,12 @@ final case class IcebergLikeTable(
       case (PartitionTransforms.Hours(s), i) =>
         DaysExactFilter.of(f, s, PartitionTransforms.MicrosPerHour)
           .map(ps => (i, ordinal(ps)))
+      case (PartitionTransforms.Months(s), i) =>
+        DaysExactFilter.ofCalendar(f, s, yearsUnit = false)
+          .map(ps => (i, ordinal(ps)))
+      case (PartitionTransforms.Years(s), i) =>
+        DaysExactFilter.ofCalendar(f, s, yearsUnit = true)
+          .map(ps => (i, ordinal(ps)))
       case (PartitionTransforms.Truncate(s, w), i) =>
         DaysExactFilter.ofTruncate(f, s, w).map(ps => (i, ordinal(ps)))
       case (PartitionTransforms.Identity(s), i) =>
@@ -2519,6 +2529,12 @@ final case class IcebergLikeTable(
       case PartitionTransforms.Hours(s) =>
         Some((f: org.apache.spark.sql.sources.Filter) =>
           DaysExactFilter.of(f, s, PartitionTransforms.MicrosPerHour))
+      case PartitionTransforms.Months(s) =>
+        Some((f: org.apache.spark.sql.sources.Filter) =>
+          DaysExactFilter.ofCalendar(f, s, yearsUnit = false))
+      case PartitionTransforms.Years(s) =>
+        Some((f: org.apache.spark.sql.sources.Filter) =>
+          DaysExactFilter.ofCalendar(f, s, yearsUnit = true))
       case PartitionTransforms.Truncate(s, w) =>
         Some((f: org.apache.spark.sql.sources.Filter) =>
           DaysExactFilter.ofTruncate(f, s, w))
@@ -4906,6 +4922,13 @@ object IcebergLikeTable {
     final case class IdentityData(field: org.apache.spark.sql.types.StructField)
         extends AggLeg
     final case class Time(source: String, hoursLeg: Boolean) extends AggLeg
+    /** A calendar-width time leg — months() (yearsLeg = false) or
+      * years() (yearsLeg = true). Leaf value = the Iceberg ordinal.
+      * Unlike [[Time]], `CAST(src AS DATE)` is NOT constant over a
+      * leaf (a month holds ~30 dates), so only the calendar extracts
+      * that ARE constant ([[IcebergLikeTable.calLeafExtract]]) group.
+      */
+    final case class CalTime(source: String, yearsLeg: Boolean) extends AggLeg
     case object Opaque extends AggLeg
   }
 
@@ -4945,6 +4968,25 @@ object IcebergLikeTable {
     else if (field == "HOUR") Some(o => java.lang.Math.floorMod(o, 24L).toInt)
     else dateParts(o => java.lang.Math.floorDiv(o, 24L))
   }
+
+  /** [[leafExtract]]'s calendar-width twin (r13): the extract fields
+    * CONSTANT over a months()/years() leaf, mapped from the Iceberg
+    * ordinal by pure arithmetic — YEAR/MONTH/QUARTER over a month
+    * leaf, YEAR alone over a year leaf (everything finer varies
+    * within the leaf and scans for real).
+    */
+  private[graft] def calLeafExtract(yearsLeg: Boolean,
+      field: String): Option[Long => Int] =
+    if (yearsLeg) field match {
+      case "YEAR" => Some(o => java.lang.Math.toIntExact(1970L + o))
+      case _ => None
+    } else field match {
+      case "YEAR" => Some(o =>
+        java.lang.Math.toIntExact(1970L + java.lang.Math.floorDiv(o, 12L)))
+      case "MONTH" => Some(o => java.lang.Math.floorMod(o, 12L).toInt + 1)
+      case "QUARTER" => Some(o => java.lang.Math.floorMod(o, 12L).toInt / 3 + 1)
+      case _ => None
+    }
 
   /** SQL THREE-VALUED predicate over an identity leg's raw rendering
     * (Some(true/false) = decided, None = SQL NULL — the caller keeps a

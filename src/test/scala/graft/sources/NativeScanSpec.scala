@@ -565,6 +565,68 @@ class NativeScanSpec extends SparkTestBase {
     assert(f.length == 4)
   }
 
+  test("months()/years() layouts: aligned slices HANDLED, calendar extracts group from metadata (r13)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.arch (uid BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (months(ts))""".stripMargin)
+    // 4 calendar months (Jan–Apr 2024), 25 rows each
+    sql("""INSERT INTO gns.web.arch
+          |SELECT id, TIMESTAMP '2024-01-10 00:00:00'
+          |           + make_interval(0, CAST(id % 4 AS INT))
+          |FROM range(100)""".stripMargin)
+    def isLocal(q: DataFrame): Boolean = {
+      q.collect()
+      allNodes(q.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // a month-aligned slice decides whole leaves: zero-task count
+    val q1 = sql("""SELECT CAST(count(*) AS BIGINT) AS c FROM gns.web.arch
+                   |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+                   |  AND ts <  TIMESTAMP '2024-03-01 00:00:00'""".stripMargin)
+    assert(q1.head.getLong(0) == 25L)
+    assert(isLocal(q1),
+      s"month-aligned slice must be zero-task:\n${q1.queryExecution.executedPlan}")
+    // GROUP BY month(ts): constant per month leaf — answers per leaf
+    val q2 = sql("""SELECT month(ts) AS m, CAST(count(*) AS BIGINT) AS c
+                   |FROM gns.web.arch GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(q2.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 25L), (2, 25L), (3, 25L), (4, 25L)))
+    assert(isLocal(q2), "month extract must group from metadata")
+    // quarters merge 3 month leaves per group
+    val q3 = sql("""SELECT quarter(ts) AS q, CAST(count(*) AS BIGINT) AS c
+                   |FROM gns.web.arch GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(q3.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 75L), (2, 25L)))
+    assert(isLocal(q3), "quarter extract must merge month leaves")
+    // an unaligned boundary stays residual: real scan, correct rows
+    val q4 = sql("""SELECT CAST(count(*) AS BIGINT) AS c FROM gns.web.arch
+                   |WHERE ts >= TIMESTAMP '2024-02-15 00:00:00'""".stripMargin)
+    assert(q4.head.getLong(0) == 50L)
+    assert(!isLocal(q4), "mid-month boundaries must scan for real")
+    // a DATE grouping is NOT constant over a month leaf: falls back
+    val q5 = sql("""SELECT CAST(count(*) AS BIGINT) AS groups
+                   |FROM (SELECT CAST(ts AS DATE) FROM gns.web.arch
+                   |      GROUP BY 1)""".stripMargin)
+    assert(q5.head.getLong(0) == 4L)
+    assert(!isLocal(q5), "date grouping over month leaves must scan")
+    // years(): YEAR extract groups, Jan-1 boundary handles
+    sql("""CREATE TABLE gns.web.archy (uid BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (years(ts))""".stripMargin)
+    sql("""INSERT INTO gns.web.archy
+          |SELECT id, TIMESTAMP '2023-06-10 00:00:00'
+          |           + make_interval(CAST(id % 2 AS INT), 0)
+          |FROM range(40)""".stripMargin)
+    val q6 = sql("""SELECT year(ts) AS y, CAST(count(*) AS BIGINT) AS c
+                   |FROM gns.web.archy GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(q6.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((2023, 20L), (2024, 20L)))
+    assert(isLocal(q6), "year extract must group from metadata")
+    val q7 = sql("""SELECT CAST(count(*) AS BIGINT) AS c FROM gns.web.archy
+                   |WHERE ts < TIMESTAMP '2024-01-01 00:00:00'""".stripMargin)
+    assert(q7.head.getLong(0) == 20L)
+    assert(isLocal(q7), "a January-1st boundary must be zero-task")
+  }
+
   test("limit pushdown composes with leaf-scoped tombstones (r13)") {
     sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
     sql("""CREATE TABLE gns.web.limdel (uid BIGINT, day INT)
