@@ -629,7 +629,10 @@ object WebLogQueries {
         val viewOk = qView.head.getLong(0) == cntPost.getOrElse("view", 0L)
         val requalified = !metaPre && metaPost && zeroTask(qView) &&
           viewOk && cntPre == cntPost && metaDays
-        val evtCnt = udf((e: String) => cntPost.getOrElse(e, -1L))
+        // Option return ⇒ nullable LongType: an event absent from the
+        // day<=3 window yields NULL, matching the oracle's correlated
+        // subquery (which returns NULL, never -1, for a missing event)
+        val evtCnt = udf((e: String) => cntPost.get(e))
         before.join(after, "event")
           .select(col("event"), col("cnt"),
             evtCnt(col("event")).as("cnt_evt"),

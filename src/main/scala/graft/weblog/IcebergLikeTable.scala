@@ -1328,10 +1328,21 @@ final case class IcebergLikeTable(
       : Option[Option[PartitionTransforms.Transform]] =
     specHistOf(snap.meta) match {
       case Nil => Some(storedTransform(snap.meta).orElse(transform))
-      case Seq((_, s)) =>
-        Some(Some(try transformOf(s) catch {
-          case scala.util.control.NonFatal(_) => return None
-        }))
+      case Seq((from, s)) =>
+        // Defense-in-depth (r14): a one-entry history with fromVersion
+        // > 0 encodes the collapse-commit invariant — every live data
+        // file was written at-or-past it. Verify instead of trusting:
+        // a stray old-named file (re-introduced by any future path that
+        // breaks the invariant) would otherwise have its old-epoch leaf
+        // decoded under the wrong spec. Violation ⇒ no single governing
+        // spec; per-file epoch resolution still prunes.
+        if (from > 0L &&
+            !snap.dataFiles.forall(f => fileVersionOf(f).exists(_ >= from)))
+          None
+        else
+          Some(Some(try transformOf(s) catch {
+            case scala.util.control.NonFatal(_) => return None
+          }))
       case _ => None
     }
 
@@ -2072,8 +2083,21 @@ final case class IcebergLikeTable(
               .map(_.substring(partitionCol.length + 1)).flatMap {
                 case org.apache.spark.sql.catalyst.catalog
                     .ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
-                  // the whole-null leaf: every leg is NULL under any spec
-                  Some(Seq.fill[Option[String]](legsSeq.size)(None))
+                  // the whole-null leaf proves only that the FILE's
+                  // epoch's own legs are NULL — it says nothing about a
+                  // current leg the epoch lacks (e.g. an identity leg
+                  // added by a later spec; those rows' values are real,
+                  // just unrecorded). Resolve the file's epoch and go
+                  // through the same alignment as named leaves: the
+                  // epoch's legs are all-None, and a USED current leg
+                  // missing from the epoch refuses (alignments(k) is
+                  // None) instead of silently answering NULL.
+                  for {
+                    v <- fileVersionOf(e.path)
+                    k = hist.lastIndexWhere(_._1 <= v)
+                    if k >= 0
+                    (_, arr) <- alignments(k)
+                  } yield arr.toSeq.map(_ => None: Option[String])
                 case raw =>
                   val value = org.apache.spark.sql.catalyst.catalog
                     .ExternalCatalogUtils.unescapePathName(raw)
@@ -2191,8 +2215,10 @@ final case class IcebergLikeTable(
     * PARTITION-COLUMN predicate keeps — the filtered twin of
     * [[manifestAggregates]] behind `SELECT count(*) … WHERE day = 3`
     * as a zero-task lookup. None when the condition references
-    * non-partition columns, any leaf is undecidable, live delete files
-    * exist, or a matching leaf predates the row-count stamp. A bound
+    * non-partition columns, any leaf is undecidable, a KEPT leaf
+    * carries a live delete file (r13: non-intersecting tombstones
+    * compose — only a tombstone on a leaf the predicate keeps
+    * refuses), or a matching leaf predates the row-count stamp. A bound
     * missing for a requested column is simply absent from the map (the
     * caller falls back for that aggregate).
     */

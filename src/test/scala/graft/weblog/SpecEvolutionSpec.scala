@@ -418,4 +418,66 @@ class SpecEvolutionSpec extends SparkTestBase {
       _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
       "a collapsed evolved table must re-qualify for zero-task counts")
   }
+
+  test("whole-null old-epoch leaf refuses a later-added identity leg (r14)") {
+    // The unsoundness this pins: a days(ts) NULL leaf proves only that
+    // ts IS NULL — it says NOTHING about an identity leg (event) a
+    // LATER spec adds. Pre-fix, the DEFAULT_PARTITION_NAME leaf
+    // short-circuited to all-None for the CURRENT legs, so when every
+    // live old-epoch file sat in the null leaf, GROUP BY event
+    // answered from metadata and silently parked those rows' real
+    // event values under the NULL group.
+    val wh = Files.createTempDirectory("se_null_wh").toString
+    spark.conf.set("spark.sql.catalog.gsnul", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsnul.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsnul.web")
+    spark.sql("""CREATE TABLE gsnul.web.ev (user_id STRING, event STRING, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts))""".stripMargin)
+    import spark.implicits._
+    // old epoch: ONLY null-ts rows — all land in the whole-null leaf,
+    // and their event values are real ('view'/'click')
+    Seq(("u1", "view", null), ("u2", "click", null), ("u3", "view", null))
+      .toDF("user_id", "event", "ts")
+      .select(col("user_id"), col("event"), col("ts").cast("timestamp"))
+      .createOrReplaceTempView("gsnul_src")
+    spark.sql("INSERT INTO gsnul.web.ev SELECT * FROM gsnul_src")
+    spark.sql("""CALL gsnul.system.evolve_partition_spec(
+                |  `table` => 'web.ev', spec => 'multi(days(ts), identity(event))')""".stripMargin)
+    (3 to 3).flatMap(d => (0 until 4).map(h =>
+        (s"u$d-$h", s"e${h % 2}", ts(d, h * 6))))
+      .toDF("user_id", "event", "ts").createOrReplaceTempView("gsnul_src3")
+    spark.sql("INSERT INTO gsnul.web.ev SELECT * FROM gsnul_src3")
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nodes(qs.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => Nil
+      })
+    def isLocal(q: org.apache.spark.sql.DataFrame): Boolean = {
+      q.collect()
+      nodes(q.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    // GROUP BY event must FALL BACK (the null leaf cannot derive the
+    // event leg) and answer the rows' REAL event values
+    val qEvt = spark.sql("""SELECT event, CAST(count(*) AS BIGINT) AS c
+                           |FROM gsnul.web.ev GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(qEvt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("click", 1L), ("e0", 2L), ("e1", 2L), ("view", 2L)),
+      "null-leaf rows' real event values must survive the migration")
+    assert(!isLocal(qEvt),
+      "a whole-null old-epoch leaf must refuse a later-added identity leg")
+    // the DAY leg is derivable in both epochs (null leaf ⇒ ts IS NULL
+    // ⇒ date NULL): day grouping keeps the zero-task answer
+    val qDay = spark.sql("""SELECT CAST(ts AS DATE) AS d,
+                           |       CAST(count(*) AS BIGINT) AS c
+                           |FROM gsnul.web.ev GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)
+    assert(qDay.collect().map(_.getLong(1)).toSeq == Seq(3L, 4L),
+      "NULL day group must carry exactly the null-leaf rows")
+    assert(isLocal(qDay),
+      "the derivable day leg must keep zero-task answers mid-migration")
+  }
 }
