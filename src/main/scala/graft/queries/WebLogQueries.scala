@@ -937,6 +937,117 @@ object WebLogQueries {
              |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS total_rows,
              |  TRUE AS slice_consistent, TRUE AS zero_task""".stripMargin.replace("\n", " "))),
 
+    // HIDDEN bucket(n, col) PARTITIONING (r14): Iceberg's standard
+    // layout for keyed tables — the reference's own table declares
+    // unique_keys ["user_id","timestamp"]
+    // (web-analytics-iceberg/.example.cdk.context.json:22-24), exactly
+    // the shape Iceberg buckets. A point lookup `user_id = ?` hashes
+    // the literal to ONE leaf (the GDPR / user-history access pattern:
+    // at 100 TB, skipping 15/16 of the files IS the query), IN-lists
+    // prune to the union of their buckets, two co-bucketed tables join
+    // with NO exchange on the join inputs (storage-partitioned join —
+    // the transform derives with the same xxhash64 the FunctionCatalog
+    // bucket() evaluates), and unfiltered COUNT(*) still answers from
+    // the manifest. The row counts are recomputed by the oracle; the
+    // pruning/plan facts are graft-side proof booleans.
+    Q("weblog_bucket_partition",
+      (s, d) => {
+        val wh = scratch(s, "bucketp", d)
+        s.conf.set("spark.sql.catalog.gbkt", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gbkt.warehouse", wh)
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gbkt.web")
+        s.sql("DROP TABLE IF EXISTS gbkt.web.events")
+        s.sql("DROP TABLE IF EXISTS gbkt.web.users")
+        s.sql("""CREATE TABLE gbkt.web.events
+                |(user_id BIGINT, event STRING, ts TIMESTAMP)
+                |PARTITIONED BY (bucket(16, user_id))""".stripMargin)
+        Tables.events(s, d).filter(dayofmonth(col("ts")) <= 3)
+          .select(col("user_id"), col("event_type").as("event"), col("ts"))
+          .coalesce(1)
+          .createOrReplaceTempView("graft_bucketp_src")
+        s.sql("INSERT INTO gbkt.web.events SELECT * FROM graft_bucketp_src")
+        val t = IcebergLikeTable(s, s"$wh/web/events",
+          partitionCol = "user_id_bucket",
+          partitionTransform = Some("bucket(16, user_id)"))
+        val filesTotal = t.filesFor(lit(true)).size
+        val probe = s.table("gbkt.web.events")
+          .agg(min(col("user_id"))).head.getLong(0)
+        val pointFiles = t.filesFor(col("user_id") === probe).size
+        val rowsProbe = t.readWhere(col("user_id") === probe).count()
+        val probes = s.table("gbkt.web.events").select(col("user_id"))
+          .distinct().orderBy(col("user_id")).limit(3)
+          .collect().map(_.getLong(0)).toSeq
+        val inFiles = t.filesFor(col("user_id").isin(probes: _*)).size
+        val rowsIn = t.readWhere(col("user_id").isin(probes: _*)).count()
+        // co-bucketed dim (even user_ids) → storage-partitioned join
+        s.sql("""CREATE TABLE gbkt.web.users (user_id BIGINT, seg STRING)
+                |PARTITIONED BY (bucket(16, user_id))""".stripMargin)
+        s.sql("""INSERT INTO gbkt.web.users
+                |SELECT DISTINCT user_id,
+                |       concat('s', CAST(pmod(user_id, 3) AS STRING))
+                |FROM gbkt.web.events WHERE pmod(user_id, 2) = 0""".stripMargin)
+        def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] =
+          (p +: p.children.flatMap(nodes)) ++ (p match {
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              nodes(qs.plan)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              nodes(a.executedPlan)
+            case _ => Nil
+          })
+        val old = (
+          s.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+          s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (joinRows, spjFree) = try {
+          val q = s.sql("""SELECT count(*) AS n FROM gbkt.web.events e
+                          |JOIN gbkt.web.users u ON e.user_id = u.user_id""".stripMargin)
+          val n = q.head.getLong(0)
+          val shuffles = nodes(q.queryExecution.executedPlan).collect {
+            case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => x
+          }
+          // the only exchange allowed is the single-partition one
+          // under the final global aggregate — the join inputs
+          // themselves must not shuffle
+          (n, shuffles.forall(_.outputPartitioning.numPartitions == 1))
+        } finally {
+          old._1.fold(s.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+            s.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+          old._2.fold(s.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+        }
+        val qCnt = s.table("gbkt.web.events").agg(count(lit(1)).as("c"))
+        val totalRows = qCnt.head.getLong(0)
+        val zeroTask = nodes(qCnt.queryExecution.executedPlan).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+        s.range(1).select(
+          lit(totalRows).as("total_rows"),
+          lit(rowsProbe).as("rows_probe"),
+          lit(rowsIn).as("rows_in"),
+          lit(joinRows).as("join_rows"),
+          lit(filesTotal > 1 && filesTotal <= 16).as("spread"),
+          lit(pointFiles == 1).as("point_pruned"),
+          lit(inFiles <= 3).as("in_pruned"),
+          lit(spjFree).as("spj_shuffle_free"),
+          lit(zeroTask).as("zero_task"))
+      },
+      Some("""WITH base AS (SELECT user_id, event_type AS event, ts
+             |              FROM events WHERE day(ts) <= 3),
+             |probes AS (SELECT DISTINCT user_id FROM base
+             |           ORDER BY user_id LIMIT 3)
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM base) AS total_rows,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM base
+             |   WHERE user_id = (SELECT min(user_id) FROM base)) AS rows_probe,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM base
+             |   WHERE user_id IN (SELECT user_id FROM probes)) AS rows_in,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM base
+             |   WHERE user_id % 2 = 0) AS join_rows,
+             |  TRUE AS spread, TRUE AS point_pruned, TRUE AS in_pruned,
+             |  TRUE AS spj_shuffle_free, TRUE AS zero_task""".stripMargin
+        .replace("\n", " "))),
+
     // AGGREGATE-TO-METADATA pushdown (Iceberg's manifest aggregates —
     // what makes `SELECT count(*)` on a 100 TB table a driver lookup
     // instead of a scan): whole-table COUNT(*)/MIN/MAX resolve from

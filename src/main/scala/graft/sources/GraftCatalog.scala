@@ -320,13 +320,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         }.getOrElse(throw new IllegalArgumentException(
           s"truncate transform needs a width literal: ${t.describe}"))
         (s"truncate($w, $src)", s"${src}_trunc")
-      case "bucket" => throw new IllegalArgumentException(
-        "bucket() partitioning is keyed layout in graft — declare " +
-          "TBLPROPERTIES (uniqueKeys '...', numBuckets '...', orderCol '...') " +
-          "instead")
+      case "bucket" =>
+        // Iceberg's everyday keyed layout (`PARTITIONED BY
+        // (bucket(16, user_id))`): hidden xxhash bucketing — point
+        // lookups prune to one leaf, and the native scan reports the
+        // layout as key-grouped so co-bucketed tables join
+        // shuffle-free. (The TBLPROPERTIES uniqueKeys/numBuckets
+        // keyed layout remains the UPSERT routing — this transform is
+        // the append-table counterpart.)
+        val src = inSchema(ref(t))
+        val n = t.arguments.collectFirst {
+          case l: V2Literal[_] => l.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a count literal: ${t.describe}"))
+        (s"bucket($n, $src)", s"${src}_bucket")
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform '$other' " +
-          "(supported: identity column, days, hours, months, years, truncate)")
+          "(supported: identity column, days, hours, months, years, " +
+          "truncate, bucket)")
     }
     partitions.toSeq match {
       case Nil =>
@@ -818,6 +829,7 @@ private[sources] final class GraftSqlTable(
         case PT.Years(s) => Seq(Expressions.years(s))
         case PT.Truncate(s, w) => Seq(Expressions.apply("truncate",
           Expressions.literal(w), Expressions.column(s)))
+        case PT.Bucket(s, n) => Seq(Expressions.bucket(n, s))
         case PT.Identity(s) => Seq(Expressions.identity(s))
         case PT.Multi(legs) => legs.flatMap(toV2)
         case PT.Void(_) => Nil

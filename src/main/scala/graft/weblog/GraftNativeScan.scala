@@ -220,17 +220,46 @@ final class GraftNativeScan private (
     * file's relative path so the reader resolves its skip list, the
     * same composition argument that admitted the other two).
     */
+  /** The scan's BUCKET LAYOUT, when one governs: (join-key columns,
+    * bucket count, leaf→bucket parser). Two shapes qualify:
+    *  - the KEYED upsert layout (`gbucket=` leaves hashed over
+    *    uniqueKeys) — the original SPJ path;
+    *  - a hidden `bucket(n, col)` partition transform (r14) governing
+    *    EVERY live file (single-epoch; a mid-spec-migration snapshot
+    *    refuses — old-epoch leaves decode under a different spec, so
+    *    grouping them by the current hash would mis-co-locate keys).
+    * Both hash with the same xxhash64(seed 42) the FunctionCatalog's
+    * `bucket(n, keys...)` evaluates, so the reported
+    * KeyGroupedPartitioning is sound on either layout.
+    */
+  private lazy val bucketLayout: Option[(Seq[String], Int, String => Option[Int])] =
+    if (table.uniqueKeys.nonEmpty)
+      Some((table.uniqueKeys, table.numBuckets, (rel: String) =>
+        table.leafOf(rel).split('/')
+          .find(_.startsWith(s"${table.bucketCol}="))
+          .flatMap(_.substring(table.bucketCol.length + 1).toIntOption)))
+    else table.governingTransform(snap) match {
+      case Some(Some(PartitionTransforms.Bucket(src, n))) =>
+        Some((Seq(src), n, (rel: String) =>
+          table.leafOf(rel).split('/')
+            .find(_.startsWith(s"${table.partitionCol}="))
+            .map(_.substring(table.partitionCol.length + 1))
+            .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+            .flatMap(_.toIntOption)
+            .filter(b => b >= 0 && b < n)))
+      case _ => None
+    }
+
   private def bucketGrouping: Boolean =
-    table.uniqueKeys.nonEmpty &&
+    bucketLayout.exists { case (keys, _, _) =>
       SQLConf.get.getConfString(
         "spark.sql.sources.v2.bucketing.enabled", "false") == "true" &&
-      table.uniqueKeys.forall(readSchema().fieldNames.contains)
+        keys.forall(readSchema().fieldNames.contains)
+    }
 
-  /** The gbucket value of a leaf path, if present. */
+  /** The bucket id of a leaf path under the governing layout. */
   private def bucketOf(relFile: String): Option[Int] =
-    table.leafOf(relFile).split('/')
-      .find(_.startsWith(s"${table.bucketCol}="))
-      .flatMap(_.substring(table.bucketCol.length + 1).toIntOption)
+    bucketLayout.flatMap(_._3(relFile))
 
   /** Bucket ids present under the STATIC (pushed-only) pruning,
     * ascending — None turns key grouping OFF for this scan:
@@ -256,13 +285,13 @@ final class GraftNativeScan private (
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    staticBuckets match {
-      case Some(buckets) =>
+    (staticBuckets, bucketLayout) match {
+      case (Some(buckets), Some((keys, n, _))) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-            table.numBuckets, table.uniqueKeys: _*)),
+            n, keys: _*)),
           buckets.size)
-      case None => new org.apache.spark.sql.connector.read.partitioning
+      case _ => new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
     }
 
@@ -383,7 +412,7 @@ final class GraftNativeScan private (
         // its out-sequencing generations for the reader's mask.
         val byBucket = entries.groupBy(e => bucketOf(e.path).getOrElse(
           throw new IllegalStateException(
-            s"file without a parseable ${table.bucketCol}= leaf survived " +
+            s"file without a parseable bucket leaf survived " +
               s"runtime pruning but not static pruning under ${table.path}")))
         var i = -1
         buckets.flatMap { bucket =>

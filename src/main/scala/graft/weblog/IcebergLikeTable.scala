@@ -1288,6 +1288,62 @@ final case class IcebergLikeTable(
     }
   }
 
+  /** Per-file MEMBERSHIP oracles synthesized from the partition
+    * transform ([[PartitionTransforms.Transform.allMembers]]) — the
+    * bucket(n, col) analogue of [[transformBoundsFn]]: a bucket leaf
+    * inverts to a hash class, not an interval, so point predicates
+    * (`=`, `IN`) decide per file through [[FileStats.mayMatch]]'s
+    * Membership hook instead of interval satisfiability. Same
+    * per-epoch resolution as the bounds (a file decodes under the
+    * spec governing ITS write version); empty maps for interval
+    * transforms and physical layouts — absence never prunes.
+    */
+  private[weblog] def transformMembersFn(meta: Map[String, String])
+      : String => Map[String, (Any, org.apache.spark.sql.types.DataType) => Option[Boolean]] = {
+    val hist = specHistOf(meta)
+    def membersOf(t: PartitionTransforms.Transform,
+        f: String): Map[String, (Any, org.apache.spark.sql.types.DataType) => Option[Boolean]] =
+      leafOf(f).split('/')
+        .find(_.startsWith(s"$partitionCol="))
+        .map(_.substring(partitionCol.length + 1))
+        .map {
+          case org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+            // the WHOLE-NULL leaf: for every transform EXCEPT void, a
+            // null derived value implies the source itself was NULL in
+            // every row, so no non-null point literal can live here.
+            // Sound because mayMatch only consults membership for
+            // non-null constants (a null literal's constOf is None and
+            // keeps the file). void() derives null REGARDLESS of the
+            // source — its null leaf holds every row, never prunable.
+            t match {
+              case _: PartitionTransforms.Void =>
+                Map.empty[String, (Any, org.apache.spark.sql.types.DataType) => Option[Boolean]]
+              case _ =>
+                t.sources.map(s => s ->
+                  ((_: Any, _: org.apache.spark.sql.types.DataType) =>
+                    Some(false): Option[Boolean])).toMap
+            }
+          case raw => t.allMembers(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(raw))
+        }.getOrElse(Map.empty)
+    if (transform.isEmpty) {
+      _ => Map.empty
+    } else if (hist.size > 1) { f =>
+      fileVersionOf(f)
+        .flatMap(v => hist.filter(_._1 <= v).lastOption)
+        .map(h => membersOf(transformOf(h._2), f))
+        .getOrElse(Map.empty)
+    } else {
+      val t = hist.headOption.map(h => transformOf(h._2))
+        .orElse(storedTransform(meta)).orElse(transform)
+      t.fold((_: String) =>
+        Map.empty[String, (Any, org.apache.spark.sql.types.DataType) => Option[Boolean]])(
+        tt => membersOf(tt, _))
+    }
+  }
+
   /** The transform a snapshot's stored layout stamp declares, if any —
     * `pcol=days(ts)/...` → `days(ts)`. None for unstamped (legacy) or
     * untransformed layouts.
@@ -1352,18 +1408,31 @@ final case class IcebergLikeTable(
       case (Some(s), Some(e)) =>
         val stats = snap.statsOf
         val transformBounds = transformBoundsFn(snap.meta)
+        val transformMembers = transformMembersFn(snap.meta)
         val sidecars = bloomSidecarsOf(snap.meta)
         lazy val blooms: BloomStats.Sidecar =
           sidecars.map(n => BloomStats.read(fs, new Path(root, n)))
             .foldLeft(Map.empty: BloomStats.Sidecar)(_ ++ _)
         val filterCache = scala.collection.mutable.Map.empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
         snap.dataFiles.filter { f =>
-          val member: FileStats.Membership =
+          val bloomMember: FileStats.Membership =
             if (sidecars.isEmpty) FileStats.NoMembership
             else (colName, value, dt) =>
               blooms.get(f).flatMap(_.get(colName)).map { bytes =>
                 filterCache.getOrElseUpdate((f, colName), BloomStats.filterOf(bytes))
                   .mightContainLong(BloomStats.hashOf(value, dt))
+              }
+          // bucket-transform membership composes with the blooms: a
+          // provable absence from EITHER side prunes (both are
+          // no-false-negative); otherwise defer to the other oracle
+          val tm = transformMembers(f)
+          val member: FileStats.Membership =
+            if (tm.isEmpty) bloomMember
+            else (colName, value, dt) =>
+              tm.get(colName).flatMap(fn => fn(value, dt)) match {
+                case Some(false) => Some(false)
+                case viaTransform =>
+                  bloomMember(colName, value, dt).orElse(viaTransform)
               }
           val cols = transformBounds(f) ++ stats.getOrElse(f, Map.empty)
           FileStats.mayMatch(cols, s, e, member)
@@ -1937,9 +2006,12 @@ final case class IcebergLikeTable(
             Some(AggLeg.CalTime(s, yearsLeg = true))
           case PartitionTransforms.Identity(s) =>
             schema.fields.find(_.name == s).map(AggLeg.IdentityData)
-          // truncate buckets a RANGE of source values into one leaf —
-          // present for index alignment, never groupable
-          case _: PartitionTransforms.Truncate => Some(AggLeg.Opaque)
+          // truncate buckets a RANGE of source values into one leaf,
+          // bucket a HASH CLASS — present for index alignment, never
+          // groupable (a leaf value inverts to neither a point nor an
+          // interval of the source)
+          case _: PartitionTransforms.Truncate |
+               _: PartitionTransforms.Bucket => Some(AggLeg.Opaque)
           case _ => None
         }
       currentT match {

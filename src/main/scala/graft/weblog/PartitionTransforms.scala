@@ -62,6 +62,19 @@ object PartitionTransforms {
       */
     def allBounds(partValue: String): Map[String, (String, String)] =
       sourceBounds(partValue).map(source -> _).toMap
+    /** Per-SOURCE-column MEMBERSHIP oracles of one partition value —
+      * the point-predicate analogue of [[allBounds]] for transforms
+      * whose inverse image is a hash class, not an interval
+      * ([[Bucket]]): `(literal, columnType) => Some(false)` when the
+      * literal provably cannot live in this partition (its bucket
+      * differs), Some(true) when it can, None when undecidable. Feeds
+      * [[FileStats.mayMatch]]'s `Membership` hook, so `=` / `IN`
+      * point lookups prune files with zero new predicate-walking code.
+      * Empty for interval transforms — absence never prunes.
+      */
+    def allMembers(partValue: String)
+        : Map[String, (Any, org.apache.spark.sql.types.DataType) => Option[Boolean]] =
+      Map.empty
     /** The spec string, stamped into the table layout. */
     def spec: String
   }
@@ -154,6 +167,50 @@ object PartitionTransforms {
     def spec: String = s"truncate($width, $source)"
   }
 
+  /** Iceberg's `bucket[n]` transform — `pmod(xxhash64(col), n)`, the
+    * standard layout for KEYED tables (the reference's own
+    * `unique_keys ["user_id","timestamp"]` table,
+    * `web-analytics-iceberg/.example.cdk.context.json:22-24`, is
+    * exactly the shape Iceberg buckets): a point lookup
+    * `user_id = ?` hashes to exactly ONE leaf — the GDPR /
+    * user-history access pattern at 100 TB, where pruning 15/16 of
+    * the files IS the query cost.
+    *
+    * The hash is Spark's own `xxhash64` (seed 42), BIT-IDENTICAL to
+    * the SPJ FunctionCatalog's `bucket(n, keys...)`
+    * ([[graft.sources.GraftBucketFunction]]) and the
+    * keyed upsert layout's `gbucket` routing — so storage buckets and
+    * Spark's `KeyGroupedPartitioning` agree and a
+    * `PARTITIONED BY (bucket(16, user_id))` table joins shuffle-free.
+    * NULL sources derive NULL (Iceberg's null partition), which keeps
+    * `IS NOT NULL` leaf decisions sound and never aliases NULL into a
+    * real bucket.
+    *
+    * A bucket value is NOT interval-invertible: [[sourceBounds]] is
+    * None (interval pruning never engages) and pruning rides
+    * [[allMembers]] point-membership instead. Bucket predicates are
+    * also never HANDLED (row-exact): a leaf holds every value of its
+    * hash class, so the scan keeps them residual and Spark re-applies.
+    */
+  final case class Bucket(source: String, numBuckets: Int) extends Transform {
+    require(numBuckets > 0, s"bucket count must be positive, got $numBuckets")
+    def derive: Column =
+      when(col(source).isNull, lit(null).cast("long"))
+        .otherwise(pmod(xxhash64(col(source)), lit(numBuckets.toLong)))
+    def sourceBounds(v: String): Option[(String, String)] = None
+    override def allMembers(v: String)
+        : Map[String, (Any, org.apache.spark.sql.types.DataType) => Option[Boolean]] =
+      v.toLongOption match {
+        case Some(b) if b >= 0 && b < numBuckets =>
+          Map(source -> ((value: Any, dt: org.apache.spark.sql.types.DataType) =>
+            try Some(Math.floorMod(BloomStats.hashOf(value, dt),
+              numBuckets.toLong) == b)
+            catch { case scala.util.control.NonFatal(_) => None }))
+        case _ => Map.empty // foreign/null leaf value: never prunes
+      }
+    def spec: String = s"bucket($numBuckets, $source)"
+  }
+
   /** Iceberg's `void` transform — every row maps to the single null
     * partition (the encoding of an UNPARTITIONED table in a format
     * whose layout always carries a partition column, and the target
@@ -198,7 +255,8 @@ object PartitionTransforms {
     require(legs.forall {
       case _: Multi | _: Void => false
       case _ => true
-    }, "multi legs must be days/hours/truncate/identity transforms")
+    }, "multi legs must be days/hours/months/years/truncate/bucket/" +
+      "identity transforms")
     require(legs.flatMap(_.sources).distinct.size == legs.size,
       s"multi legs must use distinct source columns: ${spec}")
     def source: String = legs.head.source
@@ -218,6 +276,15 @@ object PartitionTransforms {
       else legs.zip(parts).flatMap { case (leg, part) =>
         if (part == Multi.NullToken) None
         else leg.sourceBounds(part).map(leg.source -> _)
+      }.toMap
+    }
+    override def allMembers(v: String)
+        : Map[String, (Any, org.apache.spark.sql.types.DataType) => Option[Boolean]] = {
+      val parts = v.split(java.util.regex.Pattern.quote(Multi.Sep), -1)
+      if (parts.length != legs.size) Map.empty
+      else legs.zip(parts).flatMap { case (leg, part) =>
+        if (part == Multi.NullToken) Map.empty
+        else leg.allMembers(part)
       }.toMap
     }
     def spec: String = s"multi(${legs.map(_.spec).mkString(", ")})"
@@ -249,6 +316,7 @@ object PartitionTransforms {
   private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val YearsRe = """years\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
   private val VoidRe = """void\(\s*([A-Za-z0-9_]+)\s*\)""".r
   private val IdentRe = """identity\(\s*([A-Za-z0-9_]+)\s*\)""".r
 
@@ -281,6 +349,7 @@ object PartitionTransforms {
     case MonthsRe(c) => Months(c)
     case YearsRe(c) => Years(c)
     case TruncRe(w, c) => Truncate(c, w.toLong)
+    case BucketRe(n, c) => Bucket(c, n.toInt)
     case VoidRe(c) => Void(c)
     case s if s.startsWith("multi(") && s.endsWith(")") =>
       Multi(splitLegs(s.stripPrefix("multi(").stripSuffix(")")).map {
@@ -290,7 +359,7 @@ object PartitionTransforms {
     case other => throw new IllegalArgumentException(
       s"unsupported partition transform '$other' " +
         "(supported: days(col), hours(col), months(col), years(col), " +
-        "truncate(w, col), void(col), " +
+        "truncate(w, col), bucket(n, col), void(col), " +
         "multi(leg, ...) with identity(col) legs)")
   }
 }

@@ -321,4 +321,62 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("hidden bucket(n, col) transform tables join shuffle-free (r14)") {
+    // the HIDDEN-partition counterpart of the keyed layout: Iceberg's
+    // everyday `PARTITIONED BY (bucket(8, id))` DDL — no uniqueKeys
+    // TBLPROPERTIES, the layout itself declares the key grouping; the
+    // transform derives with the same xxhash64 the FunctionCatalog's
+    // bucket() evaluates, so the two surfaces co-locate identically
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    for (t <- Seq("hbl", "hbr")) {
+      sql(s"""CREATE TABLE gspj.web.$t (id STRING, v BIGINT)
+             |PARTITIONED BY (bucket(8, id))""".stripMargin)
+      sql(s"""INSERT INTO gspj.web.$t
+             |SELECT concat('k', id), id * ${if (t == "hbl") 1 else 100}
+             |FROM range(400)""".stripMargin)
+    }
+    val old = (
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(l.v + r.v) AS s
+                    |FROM gspj.web.hbl l JOIN gspj.web.hbr r
+                    |ON l.id = r.id""".stripMargin)
+      val row = q.head
+      assert(row.getLong(0) == 400L)
+      assert(row.getLong(1) == 101L * (399L * 400L / 2))
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"hidden-bucket SPJ must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+      // a point lookup through the SQL surface prunes AND answers
+      val r = sql("""SELECT l.v, r.v FROM gspj.web.hbl l
+                    |JOIN gspj.web.hbr r ON l.id = r.id
+                    |WHERE l.id = 'k7'""".stripMargin).head
+      assert((r.getLong(0), r.getLong(1)) == ((7L, 700L)))
+      // a keyed-layout table and a hidden-bucket table co-locate too:
+      // both hash pmod(xxhash64(key), n) — same function, same space
+      sql("""CREATE TABLE gspj.web.hbk (id STRING, v BIGINT, seq BIGINT)
+            |TBLPROPERTIES (uniqueKeys 'id', numBuckets '8', orderCol 'seq')""".stripMargin)
+      sql("INSERT INTO gspj.web.hbk SELECT concat('k', id), id, 1 FROM range(400)")
+      val q2 = sql("""SELECT count(*) AS n
+                     |FROM gspj.web.hbl l JOIN gspj.web.hbk k
+                     |ON l.id = k.id""".stripMargin)
+      assert(q2.head.getLong(0) == 400L)
+      val shuffles2 = allNodes(q2.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles2.forall(_.outputPartitioning.numPartitions == 1),
+        s"hidden-bucket × keyed-layout SPJ must not exchange join inputs:\n" +
+          s"${q2.queryExecution.executedPlan}")
+    } finally {
+      old._1.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      old._2.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
 }
