@@ -205,16 +205,28 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }
+      // median-of-3 for the sub-second span legs (r14): r13's
+      // span_removal_1x drifted 0.43 → 1.12 s while the 10× leg
+      // improved — a one-off pause inside a sub-second probe flips the
+      // ratio. Three GC-prefixed runs, middle value. NOT used for the
+      // minhash legs: their core is memoized per plan, so a repeat run
+      // would measure the cache, not the operator.
+      def coldMedian3(f: () => Any): Double =
+        (1 to 3).map(_ => cold(f)).sorted.apply(1)
       def read(p: String) = spark.read.parquet(s"$scratch/$p")
       val out = Seq(
         "minhash_keepers_1x" ->
           cold(() => operators.Dedup.minhashKeepers(read("docs1x")).count()),
         "minhash_keepers_10x" ->
           cold(() => operators.Dedup.minhashKeepers(read("docs10x")).count()),
+        "minhash_keepers_capped_1x" ->
+          cold(() => operators.Dedup.minhashKeepersCapped(read("docs1x")).count()),
+        "minhash_keepers_capped_10x" ->
+          cold(() => operators.Dedup.minhashKeepersCapped(read("docs10x")).count()),
         "span_removal_1x" ->
-          cold(() => operators.Dedup.removeDuplicateSpans(read("docs1x")).count()),
+          coldMedian3(() => operators.Dedup.removeDuplicateSpans(read("docs1x")).count()),
         "span_removal_10x" ->
-          cold(() => operators.Dedup.removeDuplicateSpans(read("docs10x")).count()),
+          coldMedian3(() => operators.Dedup.removeDuplicateSpans(read("docs10x")).count()),
         "binary_topk_1x" ->
           cold(() => operators.Similarity.binaryTopK(read("emb1x"),
             read("emb1x").filter(col("vec_id") < 10), k = 5, dim = 64).count()),
@@ -234,7 +246,15 @@ object Bench {
         "minhash_candidates_1x" ->
           operators.Dedup.minhashCandidateCount(read("docs1x")).toDouble,
         "minhash_candidates_10x" ->
-          operators.Dedup.minhashCandidateCount(read("docs10x")).toDouble)
+          operators.Dedup.minhashCandidateCount(read("docs10x")).toDouble,
+        // the CAPPED enumeration's census (r14): O(reps · bands ·
+        // fanout) by construction — the sub-quadratic growth the
+        // per-bucket cap buys against the exact path's within-cluster
+        // quadratics, shown side by side with the exact counts
+        "minhash_candidates_capped_1x" ->
+          operators.Dedup.minhashCandidateCount(read("docs1x"), fanout = 8).toDouble,
+        "minhash_candidates_capped_10x" ->
+          operators.Dedup.minhashCandidateCount(read("docs10x"), fanout = 8).toDouble)
       // TABLE-FORMAT probes: a FIXED one-partition operation against a
       // 1× vs 10× table (8 vs 80 day leaves, same rows per leaf). The
       // manifest protocol's claim is O(changed leaves) commit cost —
@@ -309,15 +329,15 @@ object Bench {
           cold(() => t10.maintainZOrder(Seq("a", "b"), targetFiles = 2,
             where = Some(col("day") === 3))))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
-      val ratios = Seq(
-        "minhash_keepers_ratio" -> out(1)._2 / out(0)._2,
-        "span_removal_ratio" -> out(3)._2 / out(2)._2,
-        "binary_topk_ratio" -> out(5)._2 / out(4)._2,
-        "replace_where_ratio" -> fmt(1)._2 / fmt(0)._2,
-        "overwrite_partitions_ratio" -> fmt(3)._2 / fmt(2)._2,
-        "zorder_where_ratio" -> fmt(5)._2 / fmt(4)._2,
-        "mor_eqdel_ratio" -> mor(1)._2 / mor(0)._2,
-        "mor_posdel_ratio" -> mor(3)._2 / mor(2)._2)
+      // name-keyed (r14): a positional index silently mislabels every
+      // ratio the moment a leg is inserted upstream
+      val legs = (out ++ fmt ++ mor).toMap
+      def ratio(base: String): (String, Double) =
+        s"${base}_ratio" -> legs(s"${base}_10x") / legs(s"${base}_1x")
+      val ratios = Seq("minhash_keepers", "minhash_keepers_capped",
+        "span_removal", "binary_topk", "replace_where",
+        "overwrite_partitions", "zorder_where", "mor_eqdel", "mor_posdel")
+        .map(ratio)
       out ++ census ++ fmt ++ mor ++ ratios
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaling probe failed: ${e.getMessage}"); Nil }

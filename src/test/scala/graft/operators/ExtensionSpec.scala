@@ -120,6 +120,30 @@ class ExtensionSpec extends SparkTestBase {
       report("keeper_docs") + report("duplicate_docs"))
   }
 
+  test("capped keepers: superset of exact keepers; huge fanout reproduces them (r14)") {
+    val exact = Dedup.minhashKeepers(docs, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the recall contract: capped candidates ⊆ full candidates, so
+    // components can only SPLIT — every exact keeper survives, some
+    // near-dups may additionally survive; no document is ever lost
+    val capped = Dedup.minhashKeepersCapped(docs, threshold = 0.8, fanout = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(capped),
+      "capping must never lose a keeper (components split, never merge)")
+    // fanout ≥ max bucket size − 1 covers every in-bucket pair: the
+    // capped path reproduces the exact result bit for bit
+    val wide = Dedup.minhashKeepersCapped(docs, threshold = 0.8,
+        fanout = docs.count().toInt)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wide == exact,
+      "an uncapping fanout must reproduce the exact keeper set")
+    // and the capped census is genuinely smaller than the exact one on
+    // this collision-heavy corpus
+    val full = Dedup.minhashCandidateCount(docs)
+    val cap = Dedup.minhashCandidateCount(docs, fanout = 2)
+    assert(cap < full, s"capped census $cap must undercut the exact $full")
+  }
+
   test("minhashKeepers equals the generic keepers-over-expanded-pairs composition") {
     val viaPairs = Dedup.keepers(docs, Dedup.minhashDedupPairs(docs, threshold = 0.8))
       .select("doc_id").collect().map(_.getLong(0)).toSet
