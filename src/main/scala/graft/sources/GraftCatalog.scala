@@ -186,6 +186,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         spark.createDataFrame(
           t.branches.map(b => (b, t.forBranch(b).currentVersion.getOrElse(0L))))
           .toDF("branch", "version"))
+      // operational-inspection parity (r14): Iceberg also serves
+      // .history / .manifests / .refs
+      case "history" => Some(() => t.history)
+      case "manifests" => Some(() => t.manifests)
+      case "refs" => Some(() => t.namedRefs)
       case _ => None
     }
     df.map(f => new GraftMetaTable(s"${fullName(parent)}.${ident.name}", f))

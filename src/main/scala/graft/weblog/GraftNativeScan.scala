@@ -665,7 +665,17 @@ final class GraftNativeScan private (
     * UPPER bounds under masking; the V2 ColumnStatistics contract has
     * no bound flag and an overstated NDV can flip a join-cardinality
     * estimate the wrong way (underestimating output), so both are
-    * withheld until maintain() compacts the delete files away.
+    * withheld — UNLESS the masked-row fraction is provably tiny
+    * (r14): every live tombstone row is stamped in the manifest (a
+    * positional tuple masks exactly one row; an equality tuple masks
+    * at most one row on a keyed table, whose upsert protocol keeps
+    * keys unique), so when
+    * `Σ tombstone rows / Σ pruned data rows ≤ 1%` the NDV/null-count
+    * overestimate is bounded by 1% of rows — BELOW the HLL sketch's
+    * own ~1.6% relative standard error at the stamped lgK. A bound as
+    * tight as the sketch's noise floor is a strictly better CBO input
+    * than nothing; above the ε the withhold stands, and an unstamped
+    * tombstone row count withholds too (refusal, never a guess).
     * r12: decoded sketches come from the JVM-wide immutable-file cache
     * ([[GraftNativeScan.decodedSketch]]) and the whole result memoizes
     * per pruned set — planning the same snapshot twice decodes nothing.
@@ -681,7 +691,22 @@ final class GraftNativeScan private (
     val out = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     if (entries.isEmpty) return out
-    val masked = hasPosDels || hasEqDels
+    // masked-row fraction of the PRUNED set: tombstones on leaves the
+    // prune dropped cannot mask these rows, so only intersecting-leaf
+    // delete files count. -1 (unstamped) anywhere ⇒ treat as fully
+    // masked (withhold).
+    val maskedFraction: Double =
+      if (!hasPosDels && !hasEqDels) 0.0
+      else {
+        val keptLeaves = entries.map(e => table.leafOf(e.path)).toSet
+        val dels = snap.deleteEntries
+          .filter(e => keptLeaves.contains(table.leafOf(e.path)))
+        val dataRows = entries.map(_.rowCount).sum
+        if (dels.exists(_.rowCount < 0L) || entries.exists(_.rowCount < 0L) ||
+            dataRows <= 0L) 1.0
+        else dels.map(_.rowCount).sum.toDouble / dataRows.toDouble
+      }
+    val masked = maskedFraction > GraftNativeScan.NdvMaskEpsilon
     readSchema().fields.foreach { f =>
       val c = f.name
       val counted = !masked &&
@@ -940,6 +965,13 @@ private[weblog] final class GraftUnwrappingReaderFactory(
 }
 
 object GraftNativeScan {
+
+  /** Masked-row fraction below which NDV/null counts are reported as
+    * upper bounds under live tombstones (r14): 1% keeps the masking
+    * bias under the HLL sketch's own ~1.6% relative standard error, so
+    * the reported NDV is no worse than an unmasked estimate's noise.
+    */
+  private[weblog] val NdvMaskEpsilon = 0.01
 
   /** JVM-wide DECODED NDV-sketch cache, keyed by (table path, relative
     * file path, column): data files are immutable, so a decoded sketch

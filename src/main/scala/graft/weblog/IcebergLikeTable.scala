@@ -1836,6 +1836,65 @@ final case class IcebergLikeTable(
       .toDF("partition", "n_files", "size_bytes", "row_count", "n_delete_files")
   }
 
+  /** Metadata TABLE (Iceberg's `table.history`): one row per retained
+    * snapshot of the live chain — version, commit timestamp, parent
+    * version (the previous retained version; null for the oldest), and
+    * the is-current-ancestor flag. Chains here are LINEAR by
+    * construction (rollback commits a NEW version replaying the old
+    * one rather than moving a pointer backwards, and branches live
+    * under their own chain prefix), so every retained version is an
+    * ancestor of the current snapshot — the column is emitted for
+    * Iceberg-shape parity and pinned true.
+    */
+  def history: DataFrame = {
+    import spark.implicits._
+    val vs = versions
+    vs.zip(None +: vs.init.map(Option(_))).map { case (v, parent) =>
+      (v,
+        Manifests.snapshotAt(fs, root, v, chainPrefix)
+          .flatMap(_.meta.get(TsKey)).flatMap(_.toLongOption),
+        parent, true)
+    }.toDF("version", "commit_ts", "parent_version", "is_current_ancestor")
+  }
+
+  /** Metadata TABLE (Iceberg's `table.manifests`): one row per PHYSICAL
+    * manifest object behind the live snapshot — the top-level version
+    * manifest plus every sharded per-leaf manifest it references, with
+    * size, entry census and (for leaf manifests) the one leaf each
+    * covers. The operational "how is my metadata laid out" question —
+    * at 10⁵ leaves the sharded layout is what keeps commits
+    * O(changed leaves) — answered with zero data I/O.
+    */
+  def manifests: DataFrame = {
+    import spark.implicits._
+    val (v, snap) = resolveLive()
+    val topName = s"$chainPrefix$v"
+    def sizeOf(n: String): Long =
+      try fs.getFileStatus(new Path(root, n)).getLen
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    val top = (topName, "top", sizeOf(topName),
+      snap.refs.size.toLong, null.asInstanceOf[String])
+    val leaves = snap.refs.sorted.map { n =>
+      val entries = Manifests.readLeafManifest(fs, root, n)
+      (n, "leaf", sizeOf(n), entries.size.toLong,
+        entries.headOption.map(e => leafOf(e.path)).orNull)
+    }
+    (top +: leaves)
+      .toDF("manifest", "kind", "size_bytes", "n_entries", "partition")
+  }
+
+  /** Metadata TABLE (Iceberg's `table.refs`): every named reference —
+    * `main`, branches, tags — with its kind and pinned/current version.
+    */
+  def namedRefs: DataFrame = {
+    import spark.implicits._
+    val main = ("main", "BRANCH", currentVersion.getOrElse(0L))
+    val branchRows = branches.map(b =>
+      (b, "BRANCH", forBranch(b).currentVersion.getOrElse(0L)))
+    val tagRows = tags.toSeq.sortBy(_._1).map { case (t, v) => (t, "TAG", v) }
+    ((main +: branchRows) ++ tagRows).toDF("name", "type", "version")
+  }
+
   /** Manifest-only `count(*)`: the live row count resolved from the
     * stamped per-file entries alone — zero data I/O, zero tasks. None
     * when any live entry predates the row-count stamp (legacy

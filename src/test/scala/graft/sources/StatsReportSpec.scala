@@ -285,6 +285,45 @@ class StatsReportSpec extends SparkTestBase {
     assert(joined.count() == 50)
   }
 
+  test("a provably tiny tombstone keeps NDV as an upper bound; a large one withholds (r14)") {
+    val wh = Files.createTempDirectory("gtiny_wh").toString
+    spark.conf.set("spark.sql.catalog.gtiny", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtiny.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtiny.web")
+    spark.sql("""CREATE TABLE gtiny.web.fact (k BIGINT, pad STRING)
+                |TBLPROPERTIES (statsColumns 'k',
+                |'write.delete.mode' 'merge-on-read')""".stripMargin)
+    spark.sql("""INSERT INTO gtiny.web.fact
+                |SELECT id, md5(CAST(id AS STRING)) FROM range(20000)""".stripMargin)
+    // a GDPR-sized tombstone: 50 of 20000 rows = 0.25% — the manifest
+    // stamps both sides, so the masked fraction is provably under the
+    // 1% ε and the masking bias sits below the HLL sketch's own ~1.6%
+    // standard error
+    spark.sql("DELETE FROM gtiny.web.fact WHERE k >= 19950")
+    val old = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("gtiny.web.fact")
+        .queryExecution.optimizedPlan.stats
+      val kStat = stats.attributeStats.find(_._1.name == "k").map(_._2)
+        .getOrElse(fail(s"stats must surface: ${stats.attributeStats}"))
+      assert(kStat.min.contains(0L) && kStat.max.contains(19999L))
+      // NDV survives as an upper bound: the stamped estimate covers
+      // all 20000 pre-masking keys, within sketch error of the 19950
+      // live ones — and NEVER an underestimate of the stamps
+      assert(kStat.distinctCount.isDefined,
+        "a sub-ε tombstone must keep the NDV upper bound")
+      val ndv = kStat.distinctCount.get.toLong
+      assert(ndv >= 19000L && ndv <= 21000L,
+        s"NDV bound must stay within sketch error of the stamps: $ndv")
+      assert(kStat.nullCount.isDefined && kStat.nullCount.get.toLong == 0L,
+        s"null count must surface as a bound too: ${kStat.nullCount}")
+    } finally old.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+      spark.conf.set("spark.sql.cbo.enabled", _))
+    // the contrast case lives in the r13 test above: a 5% tombstone on
+    // the same table shape still withholds NDV/null counts
+  }
+
   test("statistics are PRUNING-aware: a filtered scan reports the pruned bytes") {
     import spark.implicits._
     val t = IcebergLikeTable(spark,
