@@ -1387,13 +1387,13 @@ final case class IcebergLikeTable(
       case Seq((from, s)) =>
         // Defense-in-depth (r14): a one-entry history with fromVersion
         // > 0 encodes the collapse-commit invariant — every live data
-        // file was written at-or-past it. Verify instead of trusting:
-        // a stray old-named file (re-introduced by any future path that
-        // breaks the invariant) would otherwise have its old-epoch leaf
-        // decoded under the wrong spec. Violation ⇒ no single governing
-        // spec; per-file epoch resolution still prunes.
-        if (from > 0L &&
-            !snap.dataFiles.forall(f => fileVersionOf(f).exists(_ >= from)))
+        // file was written at-or-past it. Verify instead of trusting
+        // (one memoized pass per snapshot): a stray old-named file
+        // (re-introduced by any future path that breaks the invariant)
+        // would otherwise have its old-epoch leaf decoded under the
+        // wrong spec. Violation ⇒ no single governing spec; per-file
+        // epoch resolution still prunes.
+        if (from > 0L && !snap.minDataFileVersion.exists(_ >= from))
           None
         else
           Some(Some(try transformOf(s) catch {
@@ -5322,5 +5322,21 @@ object IcebergLikeTable {
       entries.map(e => e.path -> e).toMap
     lazy val statsOf: FileStats.Stats =
       entries.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap
+    /** The smallest parseable write version across the live data
+      * files; None when any file's name is foreign/legacy (version
+      * unknowable). Computed once per snapshot — the collapse-invariant
+      * verification in [[governingTransform]] consults it on every
+      * metadata decision, and re-parsing 10⁵ file names per call would
+      * tax exactly the zero-task paths it protects.
+      */
+    lazy val minDataFileVersion: Option[Long] = {
+      val vs = dataFiles.map { f =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        "^part-v(\\d+)-".r.findFirstMatchIn(name).flatMap(_.group(1).toLongOption)
+      }
+      if (vs.isEmpty) Some(Long.MaxValue)
+      else if (vs.exists(_.isEmpty)) None
+      else Some(vs.flatten.min)
+    }
   }
 }

@@ -140,13 +140,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("decontamination broadcasts the reference side — the corpus is never shuffled") {
-    for (q <- Seq("decon_pairs", "decon_ngram13")) {
-      val p = plan(q)
-      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-        s"$q must broadcast the reference/candidate side, never shuffle the corpus:\n$p")
-      assert(p.contains("BroadcastHashJoin"), s"$q should plan broadcast joins:\n$p")
-    }
+  test("decontamination never shuffles the corpus — pairs run join-free in the scan stage") {
+    // decon_pairs (r14): the reference side is a broadcast inverted
+    // index probed by the native ref_jaccard_pairs expression — the
+    // whole operator is ONE corpus scan + generate; the only exchange
+    // allowed is the final ORDER BY's range partitioning
+    val pp = plan("decon_pairs")
+    assert(!pp.contains("Join"),
+      s"decon_pairs must be join-free (broadcast index in the scan stage):\n$pp")
+    assert(pp.contains("ref_jaccard_pairs"),
+      s"decon_pairs must probe the native index expression:\n$pp")
+    assert(pp.linesIterator.filter(_.contains("Exchange"))
+        .forall(_.contains("rangepartitioning")),
+      s"only the final sort may exchange:\n$pp")
+    // decon_ngram13 keeps the broadcast posting join (long shingles are
+    // near-unique — the join output IS the true contamination)
+    val pn = plan("decon_ngram13")
+    assert(!pn.contains("SortMergeJoin") && !pn.contains("ShuffledHashJoin"),
+      s"decon_ngram13 must broadcast the reference side:\n$pn")
+    assert(pn.contains("BroadcastHashJoin"),
+      s"decon_ngram13 should plan broadcast joins:\n$pn")
   }
 
   test("stratified sampling pushes the per-stratum filter into one scan pass") {
