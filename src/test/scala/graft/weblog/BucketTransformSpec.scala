@@ -142,4 +142,68 @@ class BucketTransformSpec extends SparkTestBase {
     assert(t.rowCountWhere(lit(true)).contains(120L),
       "an unfiltered count must answer from the manifest on a bucket table")
   }
+
+  test("spec evolution days→bucket: per-epoch point pruning, both eras exact") {
+    import spark.implicits._
+    def ts(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")
+    val t0 = IcebergLikeTable(spark,
+      Files.createTempDirectory("bt_evo").toString + "/t",
+      partitionCol = "pb", partitionTransform = Some("days(ts)"))
+    val oldEra = (1 to 2).flatMap(d => (0 until 30).map(i =>
+      (s"user-$i", ts(d)))).toDF("user_id", "ts").coalesce(1)
+    t0.append(oldEra)
+    val t = t0.evolvePartitionSpec("bucket(4, user_id)")
+    val newEra = (0 until 30).map(i => (s"user-$i", ts(3)))
+      .toDF("user_id", "ts").coalesce(1)
+    t.append(newEra)
+    assert(t.read.count() == 90)
+    // a point lookup decides each file under ITS epoch's spec: old-era
+    // day leaves can't answer a user predicate (kept — sound), new-era
+    // bucket leaves prune to the one matching bucket
+    val pointFiles = t.filesFor(col("user_id") === "user-7")
+    assert(pointFiles.size == 2 + 1,
+      s"2 old-era day files (unprunable) + 1 new-era bucket file: $pointFiles")
+    assert(t.readWhere(col("user_id") === "user-7").count() == 3)
+    // the OLD epoch's time pruning still works mid-migration: day 2's
+    // old-era leaf drops; the new-era BUCKET leaves cannot answer a
+    // time predicate (a hash class spans every ts) and are kept — sound
+    val day1 = col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00"))
+    val day1Files = t.filesFor(day1)
+    assert(day1Files.size == 1 + 4 &&
+      !day1Files.exists(_.startsWith("pb=19784")),
+      s"old-era day-2 leaf must prune; bucket leaves stay: $day1Files")
+    assert(t.readWhere(day1).count() == 30)
+    // migrate + collapse: the whole table requalifies for bucket pruning
+    t.maintain(fileThreshold = 0)
+    val afterFiles = t.filesFor(col("user_id") === "user-7")
+    assert(afterFiles.map(_.split('/').head).distinct.size == 1,
+      s"post-collapse the whole table prunes to one bucket leaf: $afterFiles")
+    assert(t.readWhere(col("user_id") === "user-7").count() == 3)
+  }
+
+  test("MOR deletes compose with the bucket layout: masked reads + point pruning") {
+    import spark.implicits._
+    val t = IcebergLikeTable(spark,
+      Files.createTempDirectory("bt_mor").toString + "/t",
+      partitionCol = "ub", partitionTransform = Some("bucket(4, user_id)"))
+    t.append((0 until 80).map(i => (s"user-$i", i.toLong))
+      .toDF("user_id", "v").coalesce(1))
+    // positional MOR delete: tombstones live, data files untouched
+    val dataBefore = t.files.filter(!col("is_delete")).count()
+    val erased = t.deletePositional(col("v") % 10 === 3)
+    assert(erased == 8)
+    assert(t.files.filter(!col("is_delete")).count() == dataBefore,
+      "positional MOR must not rewrite data files")
+    assert(t.files.filter(col("is_delete")).count() > 0)
+    assert(t.read.count() == 72)
+    // point pruning still engages under live tombstones, and the
+    // masked read is row-exact for both surviving and erased users
+    val survivor = t.readWhere(col("user_id") === "user-7").collect()
+    assert(survivor.length == 1 && survivor.head.getAs[Long]("v") == 7L)
+    assert(t.readWhere(col("user_id") === "user-13").count() == 0,
+      "an erased user's point lookup must read empty through the mask")
+    val pf = t.filesFor(col("user_id") === "user-7")
+    assert(pf.size == 1, s"point pruning must survive tombstones: $pf")
+  }
 }
