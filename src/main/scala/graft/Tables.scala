@@ -46,19 +46,37 @@ object Tables {
     * with `ps_availqty`/`ps_supplycost` as pure integer functions of the
     * key pair, replayed verbatim by the DuckDB oracles
     * (`TpchQueries.PartsuppCte`), so the partsupp gates stay hash-exact.
-    * Cost: one distinct-shuffle over the two key columns; a real
-    * deployment materializes this table once instead.
+    * MATERIALIZED once per (JVM, sf dir) as scratch parquet (r14): the
+    * derivation is a full lineitem scan + a distinct shuffle, and every
+    * partsupp-consuming gate (Q2/Q9/Q11/Q20 shapes) was re-paying it —
+    * a real deployment has this table on disk, and parquet (unlike a
+    * checkpoint) keeps column pruning and filter pushdown working for
+    * the downstream plans. The file carries the derivation's input path
+    * in its name, so two scale factors never collide.
     */
   def partsupp(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    lineitem(spark, dir)
-      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .select(col("ps_partkey"), col("ps_suppkey"),
-        ((col("ps_partkey") * 7 + col("ps_suppkey") * 13) % 9999 + 1)
-          .cast("int").as("ps_availqty"),
-        ((col("ps_partkey") * 31 + col("ps_suppkey") * 7919) % 1000 + 1)
-          .as("ps_supplycost"))
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val epoch = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft_tables", s"partsupp_${safe}_$epoch").toString
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Tables.synchronized {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))) {
+        lineitem(spark, dir)
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+          .select(col("ps_partkey"), col("ps_suppkey"),
+            ((col("ps_partkey") * 7 + col("ps_suppkey") * 13) % 9999 + 1)
+              .cast("int").as("ps_availqty"),
+            ((col("ps_partkey") * 31 + col("ps_suppkey") * 7919) % 1000 + 1)
+              .as("ps_supplycost"))
+          .write.mode("overwrite").parquet(out)
+      }
+    }
+    spark.read.parquet(out)
   }
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")

@@ -845,7 +845,10 @@ object Dedup {
       idCol: String = "doc_id", n: Int = 13, minDocs: Int = 2,
       broadcastSurvivors: Boolean = true): DataFrame = {
     // phase 1: census on hash-composed grams only — no gram string is
-    // ever built, and the two aggregations shuffle pure longs
+    // ever built, and the two aggregations shuffle pure longs.
+    // Checkpointed (r14): BOTH downstream consumers (the survivor
+    // filter and the final attach join) re-scanned the census plan —
+    // the two cascaded aggregations ran twice.
     val counts = df
       .select(col(idCol).as("_id"), wordHashes(col(textCol)).as("_wh"))
       .select(col("_id"), explode(hashedNgramsAll(col("_wh"), n)).as("_gh"))
@@ -853,29 +856,45 @@ object Dedup {
       .groupBy("_gh")
       .agg(count(lit(1)).as("n_docs"), sum("_occ").as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
+      .localCheckpoint()
     // phase 2: attach the reporting text for the duplicated grams only.
-    // Gram strings still materialize in the scan (they must, to exist at
-    // all) but die before the exchange: only census survivors shuffle a
-    // string.
-    val texts = df
-      .select(words(col(textCol)).as("_w"))
-      .select(col("_w"), transform(col("_w"), x => xxhash64(x)).as("_wh"))
-      .select(explode(transform(
-        sequence(lit(0), greatest(size(col("_w")) - n, lit(0))),
-        i => struct(
-          (if (n == 1) element_at(col("_wh"), i + 1)
-           else xxhash64(slice(col("_wh"), i + 1, lit(n)))).as("_gh"),
-          concat_ws(" ", slice(col("_w"), i + 1, lit(n))).as("gram")))).as("p"))
-      .select(col("p._gh").as("_gh"), col("p.gram").as("gram"))
-      // explicit broadcast: without the hint a conservative size
-      // estimate degrades this to a sort-merge join that shuffles EVERY
-      // gram string — the exact cost this rewrite exists to avoid. The
-      // survivor hash set is duplication-bounded (8 bytes per
-      // duplicated gram); at extreme duplication rates callers opt out
-      // via broadcastSurvivors = false (no code edit needed).
-      .join(if (broadcastSurvivors) broadcast(counts.select("_gh"))
-            else counts.select("_gh"), "_gh")
-      .groupBy("_gh").agg(min("gram").as("gram"))
+    // The survivor BLOOM pre-filters window POSITIONS inside the
+    // projection (r14), so a gram string is only ever concatenated for
+    // a (probable) survivor — on a mostly-unique corpus the string
+    // construction cost drops to ~the duplication rate; false
+    // positives just build a string that dies in the exact join below.
+    graft.functions.BloomMightContain.register(df.sparkSession)
+    val bloomLit: Option[Column] =
+      if (!broadcastSurvivors) None
+      else {
+        val items = math.max(counts.count(), 1L) // checkpointed: cheap
+        Some(lit(graft.functions.BloomMightContain.serialize(
+          counts.stat.bloomFilter("_gh", items, 0.03))))
+      }
+    val texts = {
+      val base = df
+        .select(words(col(textCol)).as("_w"))
+        .select(col("_w"), transform(col("_w"), x => xxhash64(x)).as("_wh"))
+      def ghOf(i: Column) =
+        if (n == 1) element_at(col("_wh"), i + 1)
+        else xxhash64(slice(col("_wh"), i + 1, lit(n)))
+      val positions = sequence(lit(0), greatest(size(col("_w")) - n, lit(0)))
+      val kept = bloomLit.fold(positions)(b => filter(positions, i =>
+        call_function(graft.functions.BloomMightContain.FnName, ghOf(i), b)))
+      base.select(explode(transform(kept,
+          i => struct(ghOf(i).as("_gh"),
+            concat_ws(" ", slice(col("_w"), i + 1, lit(n))).as("gram")))).as("p"))
+        .select(col("p._gh").as("_gh"), col("p.gram").as("gram"))
+        // explicit broadcast: without the hint a conservative size
+        // estimate degrades this to a sort-merge join that shuffles
+        // EVERY gram string — the exact cost this rewrite exists to
+        // avoid. The survivor hash set is duplication-bounded (8 bytes
+        // per duplicated gram); at extreme duplication rates callers
+        // opt out via broadcastSurvivors = false (no code edit needed).
+        .join(if (broadcastSurvivors) broadcast(counts.select("_gh"))
+              else counts.select("_gh"), "_gh")
+        .groupBy("_gh").agg(min("gram").as("gram"))
+    }
     counts.join(texts, "_gh")
       .select("gram", "n_docs", "n_occurrences")
   }

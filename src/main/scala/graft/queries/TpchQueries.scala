@@ -627,16 +627,25 @@ object TpchQueries {
           .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
             col("n_regionkey") === col("r_regionkey"))
           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+        // the part filter moves BEFORE the min-cost aggregation (r14):
+        // Q2's per-part minimum ranges over the region's suppliers and
+        // never depends on part attributes, so computing it only for
+        // parts that survive the (selective) filter is equivalent —
+        // and cuts the aggregate AND the min-match self-join to the
+        // filtered part count instead of every part in the region. At
+        // 100 TB this is the difference between aggregating all of
+        // partsupp and aggregating the queried slice.
+        val partF = broadcast(Tables.part(s, d)
+          .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+          .select("p_partkey"))
         val cost = Tables.partsupp(s, d)
+          .join(partF, col("ps_partkey") === col("p_partkey"))
           .join(euroSup, col("ps_suppkey") === col("s_suppkey"))
         val minCost = cost.groupBy(col("ps_partkey").as("mc_part"))
           .agg(min(col("ps_supplycost")).as("min_cost"))
         cost
           .join(minCost, col("ps_partkey") === col("mc_part") &&
             col("ps_supplycost") === col("min_cost"))
-          .join(broadcast(Tables.part(s, d)
-            .filter(col("p_size") <= 15 && col("p_type") === "LARGE")),
-            col("ps_partkey") === col("p_partkey"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), col("ps_supplycost"))
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -664,10 +673,19 @@ object TpchQueries {
         val supNation = broadcast(Tables.supplier(s, d)
           .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey").as("ns_suppkey"), col("n_name")))
+        // the broadcast part filter applies to BOTH shuffle sides (r14):
+        // Catalyst pushes it into lineitem via the broadcast join but
+        // cannot infer it for partsupp (the filter column lives on
+        // part) — the explicit semi-join cuts the shuffled partsupp
+        // volume by the same 'bolt' selectivity before the composite-
+        // key exchange, which at 100 TB is most of the join's cost
+        val boltParts = broadcast(Tables.part(s, d)
+          .filter(col("p_name").contains("bolt")))
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("bolt"))),
-            col("l_partkey") === col("p_partkey"))
-          .join(Tables.partsupp(s, d),
+          .join(boltParts, col("l_partkey") === col("p_partkey"))
+          .join(Tables.partsupp(s, d)
+              .join(boltParts.select("p_partkey"),
+                col("ps_partkey") === col("p_partkey"), "left_semi"),
             col("l_partkey") === col("ps_partkey") &&
               col("l_suppkey") === col("ps_suppkey"))
           .join(supNation, col("l_suppkey") === col("ns_suppkey"))
