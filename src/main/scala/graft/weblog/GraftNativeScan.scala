@@ -221,16 +221,21 @@ final class GraftNativeScan private (
     * same composition argument that admitted the other two).
     */
   /** The scan's BUCKET LAYOUT, when one governs: (join-key columns,
-    * bucket count, leaf→bucket parser). Two shapes qualify:
+    * bucket count, leaf→bucket parser). Three shapes qualify:
     *  - the KEYED upsert layout (`gbucket=` leaves hashed over
     *    uniqueKeys) — the original SPJ path;
     *  - a hidden `bucket(n, col)` partition transform (r14) governing
     *    EVERY live file (single-epoch; a mid-spec-migration snapshot
     *    refuses — old-epoch leaves decode under a different spec, so
-    *    grouping them by the current hash would mis-co-locate keys).
-    * Both hash with the same xxhash64(seed 42) the FunctionCatalog's
+    *    grouping them by the current hash would mis-co-locate keys);
+    *  - a `multi(...)` spec with exactly ONE bucket leg (r14) — the
+    *    canonical Iceberg fact layout `(days(ts), bucket(n, key))`:
+    *    grouping decomposes the composite leaf and keys on the bucket
+    *    leg's value.
+    * All hash with the same xxhash64(seed 42) the FunctionCatalog's
     * `bucket(n, keys...)` evaluates, so the reported
-    * KeyGroupedPartitioning is sound on either layout.
+    * KeyGroupedPartitioning is sound on every layout (and they
+    * co-locate with EACH OTHER at equal counts).
     */
   private lazy val bucketLayout: Option[(Seq[String], Int, String => Option[Int])] =
     if (table.uniqueKeys.nonEmpty)
@@ -238,16 +243,46 @@ final class GraftNativeScan private (
         table.leafOf(rel).split('/')
           .find(_.startsWith(s"${table.bucketCol}="))
           .flatMap(_.substring(table.bucketCol.length + 1).toIntOption)))
-    else table.governingTransform(snap) match {
-      case Some(Some(PartitionTransforms.Bucket(src, n))) =>
-        Some((Seq(src), n, (rel: String) =>
-          table.leafOf(rel).split('/')
-            .find(_.startsWith(s"${table.partitionCol}="))
-            .map(_.substring(table.partitionCol.length + 1))
-            .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-            .flatMap(_.toIntOption)
-            .filter(b => b >= 0 && b < n)))
-      case _ => None
+    else {
+      def rawLeafValue(rel: String): Option[String] =
+        table.leafOf(rel).split('/')
+          .find(_.startsWith(s"${table.partitionCol}="))
+          .map(_.substring(table.partitionCol.length + 1))
+          .filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+          .map(ExternalCatalogUtils.unescapePathName)
+      def bucketId(n: Int)(v: String): Option[Int] =
+        v.toIntOption.filter(b => b >= 0 && b < n)
+      table.governingTransform(snap) match {
+        case Some(Some(PartitionTransforms.Bucket(src, n))) =>
+          Some((Seq(src), n, (rel: String) =>
+            rawLeafValue(rel).flatMap(bucketId(n))))
+        // the CANONICAL Iceberg fact layout (r14):
+        // `PARTITIONED BY (days(ts), bucket(n, key))` — a multi spec
+        // with exactly ONE bucket leg key-groups by that leg's value
+        // decomposed from the composite leaf (a key always hashes to
+        // one bucket whatever its day), so the table keeps time
+        // pruning AND shuffle-free key joins at once. A NullToken leg
+        // (null keys in that leaf) refuses — grouping null-key rows
+        // under a real bucket would mis-co-locate outer joins.
+        case Some(Some(m: PartitionTransforms.Multi)) =>
+          val bucketLegs = m.legs.zipWithIndex.collect {
+            case (b: PartitionTransforms.Bucket, i) => (b, i)
+          }
+          bucketLegs match {
+            case Seq((b, idx)) =>
+              Some((Seq(b.source), b.numBuckets, (rel: String) =>
+                rawLeafValue(rel).flatMap { v =>
+                  val parts = v.split(
+                    java.util.regex.Pattern.quote(PartitionTransforms.Multi.Sep), -1)
+                  if (parts.length != m.legs.size) None
+                  else Option(parts(idx))
+                    .filter(_ != PartitionTransforms.Multi.NullToken)
+                    .flatMap(bucketId(b.numBuckets))
+                }))
+            case _ => None
+          }
+        case _ => None
+      }
     }
 
   private def bucketGrouping: Boolean =

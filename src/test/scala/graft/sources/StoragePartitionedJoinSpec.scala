@@ -379,4 +379,73 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
     }
   }
+
+  test("the canonical (days, bucket) fact layout joins shuffle-free AND keeps time pruning (r14)") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = Timestamp.valueOf(f"2024-03-$day%02d 10:00:00")
+    sql("CREATE NAMESPACE IF NOT EXISTS gspj.web")
+    // two facts on Iceberg's everyday layout: time leg for pruning,
+    // bucket leg for the join
+    for (t <- Seq("fdl", "fdr")) {
+      sql(s"""CREATE TABLE gspj.web.$t (id STRING, v BIGINT, ts TIMESTAMP)
+             |PARTITIONED BY (days(ts), bucket(4, id))""".stripMargin)
+      spark.range(200).selectExpr("concat('k', id) AS id",
+          s"id * ${if (t == "fdl") 1 else 100} AS v",
+          "timestamp'2024-03-01 10:00:00' + make_interval(0,0,0, CAST(id % 3 AS INT)) AS ts")
+        .coalesce(1).createOrReplaceTempView(s"gspj_src_$t")
+      sql(s"INSERT INTO gspj.web.$t SELECT * FROM gspj_src_$t")
+    }
+    val old = (
+      spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = sql("""SELECT count(*) AS n, sum(l.v + r.v) AS s
+                    |FROM gspj.web.fdl l JOIN gspj.web.fdr r ON l.id = r.id""".stripMargin)
+      val row = q.head
+      assert(row.getLong(0) == 200L)
+      assert(row.getLong(1) == 101L * (199L * 200L / 2))
+      val shuffles = allNodes(q.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles.forall(_.outputPartitioning.numPartitions == 1),
+        s"(days, bucket) SPJ must not exchange join inputs:\n" +
+          s"${q.queryExecution.executedPlan}")
+      // the time leg still prunes through the engine handle: one day's
+      // slice keeps only that day's bucket leaves
+      val wh = warehouse
+      val t = graft.weblog.IcebergLikeTable(spark, s"$wh/web/fdl",
+        partitionCol = "ts_day_id_bucket",
+        partitionTransform = Some("multi(days(ts), bucket(4, id))"))
+      import org.apache.spark.sql.functions._
+      val day1 = col("ts") >= lit(ts(1)) &&
+        col("ts") < lit(Timestamp.valueOf("2024-03-02 00:00:00"))
+      val all = t.filesFor(lit(true)).size
+      val d1 = t.filesFor(day1)
+      assert(d1.nonEmpty && d1.size < all,
+        s"the days leg must prune inside the bucketed layout: $d1 of $all")
+      // and a point predicate prunes to one bucket per day
+      val pf = t.filesFor(col("id") === "k7")
+      assert(pf.map(_.split('/').head).distinct.size == 3,
+        s"k7 lives in one bucket leaf per of the 3 days: $pf")
+      // cross-shape co-location: a (days, bucket) fact joins a PLAIN
+      // bucket(4, id) dim shuffle-free — same hash, same count
+      sql("""CREATE TABLE gspj.web.fdd (id STRING, seg STRING)
+            |PARTITIONED BY (bucket(4, id))""".stripMargin)
+      sql("INSERT INTO gspj.web.fdd SELECT concat('k', id), concat('s', id % 3) FROM range(200)")
+      val q2 = sql("""SELECT count(*) AS n FROM gspj.web.fdl l
+                     |JOIN gspj.web.fdd d ON l.id = d.id""".stripMargin)
+      assert(q2.head.getLong(0) == 200L)
+      val shuffles2 = allNodes(q2.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeLike => s }
+      assert(shuffles2.forall(_.outputPartitioning.numPartitions == 1),
+        s"(days, bucket) × plain-bucket SPJ must not exchange join inputs:\n" +
+          s"${q2.queryExecution.executedPlan}")
+    } finally {
+      old._1.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      old._2.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
 }
