@@ -1290,4 +1290,37 @@ class NativeScanSpec extends SparkTestBase {
     assert(batchScans(qw).nonEmpty,
       "floating-point AVG must fall back to a real scan")
   }
+
+  test("dynamic pruning reaches HASH buckets: a dim filter prunes bucket-leaf files (r14)") {
+    // the GDPR/user-history pattern driven through a JOIN instead of a
+    // literal: the dim side's surviving keys route back as a runtime
+    // IN-filter, each key hashes to its bucket through the transform
+    // membership oracle, and the fact scan re-plans to the matching
+    // bucket leaves only — dynamic partition pruning over a hash
+    // layout, where no interval could ever prune
+    sql("CREATE NAMESPACE IF NOT EXISTS gns.web")
+    sql("""CREATE TABLE gns.web.bfact (uid BIGINT, v BIGINT)
+          |PARTITIONED BY (bucket(8, uid))""".stripMargin)
+    spark.range(4000).selectExpr("id AS uid", "id AS v").coalesce(1)
+      .createOrReplaceTempView("gns_bf_src")
+    sql("INSERT INTO gns.web.bfact SELECT * FROM gns_bf_src")
+    sql("CREATE TABLE gns.web.bdim (uid BIGINT, tag STRING)")
+    sql("INSERT INTO gns.web.bdim VALUES (7,'HOT'),(8,'cold'),(9,'cold')")
+    val t = IcebergLikeTable(spark, s"$warehouse/web/bfact",
+      partitionCol = "uid_bucket",
+      partitionTransform = Some("bucket(8, uid)"))
+    val total = t.filesFor(lit(true)).size
+    assert(total > 1, s"fixture must spread over several buckets: $total")
+    GraftNativeScan.clearPrune(t.path)
+    val res = sql("""SELECT count(*) FROM gns.web.bfact f
+                    |JOIN gns.web.bdim d ON f.uid = d.uid
+                    |WHERE d.tag = 'HOT'""".stripMargin)
+    assert(res.head.getLong(0) == 1L)
+    val (_, runtime) = GraftNativeScan.lastPrune(t.path)
+      .getOrElse(fail("native scan did not plan"))
+    assert(runtime >= 0, "dynamic pruning must have re-planned the fact scan")
+    assert(runtime < total && runtime > 0,
+      s"join-driven pruning must cut to the surviving keys' buckets: " +
+        s"$runtime of $total")
+  }
 }

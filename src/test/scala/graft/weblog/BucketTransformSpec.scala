@@ -143,6 +143,47 @@ class BucketTransformSpec extends SparkTestBase {
       "an unfiltered count must answer from the manifest on a bucket table")
   }
 
+  test("zero-task day aggregates survive the (days, bucket) layout") {
+    // the bucket leg aligns as an Opaque AggLeg: COUNT(*) and
+    // day-grouped counts still answer from the manifest on the
+    // canonical fact layout — bucketing must not cost the dashboards
+    val wh = Files.createTempDirectory("bt_zt_wh").toString
+    spark.conf.set("spark.sql.catalog.gbzt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbzt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbzt.web")
+    spark.sql("""CREATE TABLE gbzt.web.ev (user_id STRING, ts TIMESTAMP)
+                |PARTITIONED BY (days(ts), bucket(4, user_id))""".stripMargin)
+    import spark.implicits._
+    (1 to 3).flatMap(d => (0 until 20).map(i =>
+        (s"u$i", java.sql.Timestamp.valueOf(f"2024-03-$d%02d 08:00:00"))))
+      .toDF("user_id", "ts").coalesce(1)
+      .createOrReplaceTempView("gbzt_src")
+    spark.sql("INSERT INTO gbzt.web.ev SELECT * FROM gbzt_src")
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nodes(qs.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => Nil
+      })
+    def zeroTask(q: org.apache.spark.sql.DataFrame): Boolean = {
+      q.collect()
+      nodes(q.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    }
+    val qCnt = spark.sql("SELECT CAST(count(*) AS BIGINT) FROM gbzt.web.ev")
+    assert(qCnt.head.getLong(0) == 60L)
+    assert(zeroTask(qCnt), "COUNT(*) must stay a manifest lookup")
+    val qDay = spark.sql("""SELECT CAST(ts AS DATE) AS d,
+                           |CAST(count(*) AS BIGINT) AS c
+                           |FROM gbzt.web.ev GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(qDay.collect().map(_.getLong(1)).toSeq == Seq(20L, 20L, 20L))
+    assert(zeroTask(qDay),
+      "day grouping must answer from metadata despite the bucket leg")
+  }
+
   test("spec evolution days→bucket: per-epoch point pruning, both eras exact") {
     import spark.implicits._
     def ts(day: Int): java.sql.Timestamp =
