@@ -217,4 +217,34 @@ class HiddenPartitionSpec extends SparkTestBase {
     assert(tm.filesFor(col("tag") === "jan24").size == 1)
     assert(tm.readWhere(feb && col("tag") === "feb24").count() == 1)
   }
+
+  test("dynamic partition overwrite replaces whole months on a months() layout (r14)") {
+    import spark.implicits._
+    def ts(month: Int, day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-$month%02d-$day%02d 09:00:00")
+    val t = IcebergLikeTable(spark,
+      java.nio.file.Files.createTempDirectory("hp_owp").toString + "/t",
+      partitionCol = "pm", partitionTransform = Some("months(ts)"))
+    t.append((1 to 3).flatMap(m => (1 to 5).map(d =>
+      (s"u$m-$d", ts(m, d)))).toDF("user_id", "ts").coalesce(1))
+    val before = t.filesFor(lit(true)).toSet
+    // the backfill batch touches ONLY February: its leaf is replaced
+    // wholesale, January and March carry over by reference
+    t.overwritePartitions(
+      (1 to 2).map(d => (s"redo-$d", ts(2, d))).toDF("user_id", "ts").coalesce(1))
+    val after = t.filesFor(lit(true)).toSet
+    // 2024-02 ordinal = (2024-1970)*12 + 1 = 649
+    val febBefore = before.filter(_.startsWith("pm=649/"))
+    assert(febBefore.nonEmpty, s"fixture must have a February leaf: $before")
+    assert(febBefore.forall(!after.contains(_)),
+      s"February's old files must leave the manifest: kept ${febBefore.intersect(after)}")
+    assert((before -- febBefore).subsetOf(after),
+      "January and March must carry over by reference")
+    assert(t.read.count() == 10 + 2)
+    val feb = col("ts") >= lit(ts(2, 1)) &&
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    assert(t.readWhere(feb).collect().forall(
+      _.getAs[String]("user_id").startsWith("redo-")),
+      "the replaced month must hold only the backfill rows")
+  }
 }
