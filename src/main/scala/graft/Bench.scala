@@ -142,9 +142,15 @@ object Bench {
     // r11 additions: dedup_spans (1.75×) and decon_pairs/decon_bloom
     // (1.80×) drifted r9→r10 in the same direction on code untouched
     // since r8 — pin them so adjudication uses the isolated numbers.
+    // r15 additions: weblog_pos_delete (+40% raw) and weblog_mor_delete
+    // (+21%) drifted r13→r14 on unchanged code with a flat norm_factor,
+    // and neither was in this family — so the r14 artifact carried no
+    // attribution evidence (VERDICT r14 #1). Their isolated numbers now
+    // ride every round.
     val pinned = Seq("text_freq_stats", "sim_pq_topk", "sim_ivfpq_topk",
       "text_chunks", "q_markov_attribution", "text_sparse_neardup",
-      "weblog_stats_skipping", "dedup_spans", "decon_pairs", "decon_bloom")
+      "weblog_stats_skipping", "dedup_spans", "decon_pairs", "decon_bloom",
+      "weblog_pos_delete", "weblog_mor_delete")
     val results = inSession
     val isolated = pinned
       .filter(n => inSession.exists(p => p._1 == n && p._2 >= 0))
@@ -361,8 +367,16 @@ object Bench {
       "\"" + k + "\":" + r3(if (v < 0) v else v / normFactor)
     }.mkString("{", ",", "}")
     val totalNorm = r3(total / normFactor)
+    // gates whose timings EXCLUDE a per-JVM shared fixture build (r14
+    // policy, WebLogQueries.sharedFixture): their numbers measure the
+    // proof phase only and are discontinuous with pre-r14 rounds —
+    // stamped into the JSON so cross-round tooling never re-adjudicates
+    // the policy change (VERDICT r14 #8).
+    val fixtureShared = Seq("weblog_spj", "weblog_bucket_partition",
+      "weblog_native_mor", "weblog_native_eqdel", "weblog_stats_skipping")
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_norm":$totalNorm,"calib":$calib,"queries":$qs,"queries_norm":$qsNorm,"isolated":$iso,"scaling":$sc,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","value_norm":$totalNorm,"calib":$calib,"queries":$qs,"queries_norm":$qsNorm,"isolated":$iso,"fixture_shared":$fixtureShared,"scaling":$sc,"sf":"$sfDir"}"""
     // The full per-query JSON lands in a repo file (survives any stdout
     // truncation) and is printed for whoever reads the whole log.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")

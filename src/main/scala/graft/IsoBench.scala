@@ -21,6 +21,13 @@ object IsoBench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // ad-hoc session confs for A/B profiling runs, e.g.
+    // SPARK_GRAFT_CONF="spark.graft.iterate.aqe=true"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     for (name <- args; rep <- 1 to 3) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -30,6 +30,57 @@ object Checkpoints {
 
   val ReliableKey = "spark.graft.checkpoint.reliable"
 
+  /** Run an iterative operator's loop with planning sized to the LOOP
+    * frames instead of the session defaults. Iterative operators whose
+    * per-iteration frames are known-small at loop entry (rank vectors,
+    * chain-state grids, BFS frontiers over an aggregated click graph —
+    * all bounded by an already-materialized setup frame) pay two fixed
+    * session-level costs per iteration that dwarf the actual work:
+    * AQE's stage-by-stage materialization schedules one JOB per
+    * exchange (measured r15: ~8 one-task jobs per PageRank iteration),
+    * and without AQE every tiny exchange fans out to
+    * `spark.sql.shuffle.partitions` near-empty tasks. Since the loop
+    * input sizes are exact counts (the setup frames are checkpointed),
+    * partitioning is derived from THEM — guide §2's "derive from input
+    * size", not a constant: AQE off + shuffle partitions =
+    * ceil(rows / rowsPerPartition) clamped to the session value, so a
+    * vocabulary-sized loop runs one single-task job per iteration
+    * while a billion-row loop keeps the session's full fan-out (and a
+    * caller that wants runtime re-planning back can set
+    * `spark.graft.iterate.aqe=true`). Event-scale setup stays OUTSIDE
+    * this scope, under AQE. Rows-per-partition is deliberately small
+    * (256k — loop rows are id+decimal sized) and tunable via
+    * `spark.graft.iterate.rowsPerPartition`.
+    */
+  val IterateAqeKey = "spark.graft.iterate.aqe"
+  val IterateRowsPerPartitionKey = "spark.graft.iterate.rowsPerPartition"
+  def withIterationPlanning[T](spark: org.apache.spark.sql.SparkSession,
+      loopRows: Long)(body: => T): T = {
+    if (spark.conf.getOption(IterateAqeKey).exists(_.toBoolean)) body
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partsKey = "spark.sql.shuffle.partitions"
+      val perPart = spark.conf.getOption(IterateRowsPerPartitionKey)
+        .map(_.toLong).getOrElse(1L << 18)
+      val sessionParts = spark.conf.get(partsKey, "200").toInt
+      val loopParts = math.max(1L, math.min(sessionParts.toLong,
+        (loopRows + perPart - 1) / perPart)).toInt
+      val prevAqe = spark.conf.getOption(aqeKey)
+      val prevParts = spark.conf.getOption(partsKey)
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(partsKey, loopParts.toString)
+      try body
+      finally {
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        restore(aqeKey, prevAqe)
+        restore(partsKey, prevParts)
+      }
+    }
+  }
+
   /** Cut `df`'s lineage eagerly via the session-selected mechanism. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -40,29 +40,37 @@ object Graph {
   private def round12(c: Column): Column = PortableRound.r12(c)
 
   /** The static per-graph frames both rank operators iterate over:
-    * checkpointed node set, edges pre-joined with their source's total
-    * out-weight, and the dangling (no out-edge) nodes.
+    * checkpointed node set (with a per-node dangling flag), and edges
+    * pre-joined with their source's total out-weight.
     */
-  private case class GraphFrames(
-      nodes: DataFrame, eOut: DataFrame, dangling: DataFrame)
+  private case class GraphFrames(nodes: DataFrame, eOut: DataFrame)
 
   private def prep(edges: DataFrame): GraphFrames = {
+    // cut the INPUT once: `edges` is usually an event-scale derivation
+    // (e.g. [[Journey.transitionEdges]] — sessionize + window + agg) and
+    // every frame below consumes it — uncut, the nodes union re-ran it
+    // twice and outW/eOut once each (4 full passes measured in r15; one
+    // pass + three scans of the materialized edge list after the cut).
     val e = edges.select(
       col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
       col("weight").cast("long").as("weight"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
       .transform(Checkpoints.cut)
     val outW = e.groupBy("src").agg(sum("weight").as("out_w"))
-      .transform(Checkpoints.cut)
     // edges pre-joined with their source's total out-weight: static across
     // iterations, checkpoint once.
     val eOut = e.join(outW, "src").transform(Checkpoints.cut)
-    val dangling = nodes.join(outW, nodes("node") === outW("src"), "left_anti")
+    // dangling = no out-edge; carried as a FLAG on the node set so each
+    // iteration reads it off the ranks frame instead of re-joining a
+    // separate dangling list (one join per iteration saved, r15)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(outW.select(col("src").as("_ow")), col("node") === col("_ow"),
+        "left")
+      .select(col("node"), col("_ow").isNull.as("_dang"))
       .transform(Checkpoints.cut)
-    GraphFrames(nodes, eOut, dangling)
+    GraphFrames(nodes, eOut)
   }
 
   /** Per-destination in-mass: exact decimal sum of IEEE-double per-edge
@@ -102,6 +110,10 @@ object Graph {
     var frontier = dist.select("node")
     var hop = 0
     var exhausted = frontier.isEmpty
+    // hop frames (frontier, visited set) are bounded by the node set,
+    // itself bounded by the checkpointed edge list — size the loop on it
+    val loopRows = e.count()
+    Checkpoints.withIterationPlanning(edges.sparkSession, loopRows) {
     while (hop < maxHops && !exhausted) {
       hop += 1
       val next = frontier.join(e, frontier("node") === e("src"))
@@ -110,10 +122,14 @@ object Graph {
         .transform(Checkpoints.cut)
       if (next.isEmpty) exhausted = true
       else {
+        // no re-cut: `dist` stays a UNION of already-checkpointed hop
+        // frames — scanning it is exchange-free and the union depth is
+        // bounded by maxHops, so re-materializing the accumulated set
+        // every hop (one extra job per hop) bought nothing (r15)
         dist = dist.unionByName(next.withColumn("dist", lit(hop)))
-          .transform(Checkpoints.cut)
         frontier = next
       }
+    }
     }
     dist
   }
@@ -134,22 +150,28 @@ object Graph {
       .withColumn("pr", round12(lit(1.0) / lit(n.toDouble)).cast(Dec))
       .transform(Checkpoints.cut)
 
+    // loop frames are bounded by the checkpointed setup: ranks carry one
+    // row per node, contributions one per edge — size the loop from them
+    val loopRows = math.max(n, g.eOut.count())
+    Checkpoints.withIterationPlanning(edges.sparkSession, loopRows) {
     for (_ <- 1 to iters) {
       val contrib = contributions(g.eOut, ranks)
       // dangling mass rides along as a broadcast 1-row aggregate — no
-      // per-iteration driver action; the checkpoint below is the only one.
-      val dangOverN = g.dangling.select(col("node").as("_dnode"))
-        .join(ranks, col("_dnode") === col("node"))
+      // per-iteration driver action; the checkpoint below is the only
+      // one. The dangling filter is the `_dang` flag carried on the
+      // ranks frame itself (stamped once in prep), not a join.
+      val dangOverN = ranks.filter(col("_dang"))
         .agg((coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double") /
           lit(n.toDouble)).as("_dang_over_n"))
       ranks = g.nodes
         .join(contrib, g.nodes("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangOverN))
-        .select(col("node"),
+        .select(col("node"), col("_dang"),
           round12(lit(base) + lit(damping) *
             (coalesce(col("contrib").cast("double"), lit(0.0)) +
               col("_dang_over_n"))).cast(Dec).as("pr"))
         .transform(Checkpoints.cut)
+    }
     }
     ranks.select(col("node"), col("pr").cast("double").as("pr"))
   }
@@ -176,7 +198,7 @@ object Graph {
       .select(col("node").cast("long").as("_rn"), col("w").cast("long").as("_w"))
       .groupBy("_rn").agg(sum("_w").as("_w"))
     val rOnGraph = g.nodes.join(rw, g.nodes("node") === col("_rn"), "left")
-      .select(col("node"), coalesce(col("_w"), lit(0L)).as("_w"))
+      .select(col("node"), col("_dang"), coalesce(col("_w"), lit(0L)).as("_w"))
       .transform(Checkpoints.cut)
     // coalesce: an empty graph aggregates to NULL, which must surface as
     // the require message below, not a NullPointerException
@@ -184,28 +206,33 @@ object Graph {
       .collect()(0).getLong(0)
     require(totalW > 0, "restart mass must touch at least one graph node")
     val rFrame = rOnGraph
-      .select(col("node"),
+      .select(col("node"), col("_dang"),
         round12(col("_w").cast("double") / lit(totalW.toDouble))
           .cast(Dec).as("r"))
       .transform(Checkpoints.cut)
 
-    var ranks = rFrame.select(col("node"), col("r").as("pr"))
-      .transform(Checkpoints.cut)
+    // the initial ranks ARE the restart vector — read rFrame directly
+    // (the former copy-then-cut re-materialized an identical frame)
+    var ranks = rFrame.select(col("node"), col("_dang"), col("r").as("pr"))
+    val loopRows = math.max(rFrame.count(), g.eOut.count())
+    Checkpoints.withIterationPlanning(edges.sparkSession, loopRows) {
     for (_ <- 1 to iters) {
       val contrib = contributions(g.eOut, ranks)
-      val dang = g.dangling.select(col("node").as("_dnode"))
-        .join(ranks, col("_dnode") === col("node"))
+      // dangling mass via the `_dang` flag on the ranks frame (see
+      // [[pageRank]]) — no per-iteration join against a dangling list
+      val dang = ranks.filter(col("_dang"))
         .agg(coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double")
-          .as("_dang"))
+          .as("_dang_mass"))
       ranks = rFrame
         .join(contrib, rFrame("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dang))
-        .select(rFrame("node"),
+        .select(rFrame("node"), rFrame("_dang"),
           round12(lit(1.0 - damping) * col("r").cast("double") +
             lit(damping) *
               (coalesce(col("contrib").cast("double"), lit(0.0)) +
-                col("_dang") * col("r").cast("double"))).cast(Dec).as("pr"))
+                col("_dang_mass") * col("r").cast("double"))).cast(Dec).as("pr"))
         .transform(Checkpoints.cut)
+    }
     }
     ranks.select(col("node"), col("pr").cast("double").as("pr"))
   }

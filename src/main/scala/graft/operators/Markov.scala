@@ -99,23 +99,29 @@ object Markov {
       .withColumn("_nxt", lead(col("_ch"), 1).over(w))
       .withColumn("_rn", row_number().over(w))
 
-    val touchEdges = seq.select(col("_ch").as("src"),
-      coalesce(col("_nxt"),
-        when(col("_converted"), lit(Conversion)).otherwise(lit(Dropout)))
-        .as("dst"))
-    val startEdges = seq.filter(col("_rn") === 1)
-      .select(lit(Start).as("src"), col("_ch").as("dst"))
+    // ONE window pass (r15): each touch row emits its own transition
+    // edge plus, on the first row of a journey, the START edge — the
+    // former two-branch union re-ran the window sort per branch.
+    val dstExpr = coalesce(col("_nxt"),
+      when(col("_converted"), lit(Conversion)).otherwise(lit(Dropout)))
+    val rowEdges = seq.select(explode(when(col("_rn") === 1,
+        array(struct(col("_ch").as("src"), dstExpr.as("dst")),
+          struct(lit(Start).as("src"), col("_ch").as("dst"))))
+      .otherwise(
+        array(struct(col("_ch").as("src"), dstExpr.as("dst"))))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
     // converting users with no pre-conversion touch: START → CONVERSION
     val directEdges = conv
       .join(touches.select(col("_u")).distinct(),
         col("_cu") === col("_u"), "left_anti")
       .select(lit(Start).as("src"), lit(Conversion).as("dst"))
 
-    val edges = touchEdges.union(startEdges).union(directEdges)
+    val edges = rowEdges.union(directEdges)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
       .transform(Checkpoints.cut)
     val outW = edges.groupBy("src").agg(sum("cnt").as("out_w"))
-    val eOut = edges.join(outW, "src").transform(Checkpoints.cut)
+    // eOut is consumed exactly once (the ev grid build below) — no cut
+    val eOut = edges.join(outW, "src")
 
     val chans = edges.select(col("src").as("ch"))
       .union(edges.select(col("dst").as("ch")))
@@ -133,34 +139,50 @@ object Markov {
         "— coarsen channelCol (the removal grid is channels × edges)")
 
     // removal grid: the full chain plus one variant per removed channel;
-    // a variant's edge set excises every edge touching the removed state.
+    // a variant's edge set excises every edge touching the removed
+    // state. Dropout-destination edges are excised here too (their mass
+    // is discarded — the former loop re-filtered them every iteration),
+    // while out_w keeps counting them, which is the removal-effect
+    // semantics. A per-variant CONVERSION self-loop (cnt = out_w = 1,
+    // so term = round12(mass·1/1) = mass — the 12-decimal grid
+    // round-trips exactly through double) makes the absorbing-state
+    // carry part of the ONE join instead of a second union branch
+    // reading `v` (r15): with `v` referenced once per iteration the
+    // plan grows LINEARLY across iterations, so the loop runs uncut as
+    // a single action and lineage is cut once at the end — 6 chained
+    // join+agg pairs in one job instead of 6 checkpoint jobs of ~5
+    // AQE-materialization jobs each.
     val variants = chans.select(col("ch").as("removed"))
       .union(spark.range(1).select(lit(NoRemoval).as("removed")))
+    val selfLoop = variants.select(col("removed"),
+      lit(Conversion).as("src"), lit(Conversion).as("dst"),
+      lit(1L).as("cnt"), lit(1L).as("out_w"))
     val ev = variants.crossJoin(eOut)
-      .filter(col("src") =!= col("removed") && col("dst") =!= col("removed"))
+      .filter(col("src") =!= col("removed") && col("dst") =!= col("removed")
+        && col("dst") =!= lit(Dropout))
+      .unionByName(selfLoop)
       .transform(Checkpoints.cut)
 
     var v = variants.select(col("removed"), lit(Start).as("state"),
       lit(1.0).cast(Dec).as("mass"))
-    // cut-per-round measured FASTER than both broadcast-join and
-    // every-other-round cut variants (r9: 3.4 s vs 4.0–4.7 s at sf0.01
-    // — the grid is tiny, so the shuffle join beats a per-iteration
-    // driver broadcast collect, and an uncut round re-evaluates the
-    // doubled plan inside the next round's both branches)
-    for (_ <- 1 to iters) {
-      val moves = ev.join(
-        v.select(col("removed").as("_vr"), col("state"), col("mass")),
-        col("_vr") === col("removed") && col("state") === col("src"))
-        .filter(col("dst") =!= lit(Dropout))
-        .select(col("removed"), col("dst").as("state"),
-          round12(col("mass").cast("double") * col("cnt").cast("double") /
-            col("out_w").cast("double")).cast(Dec).as("term"))
-      val carry = v.filter(col("state") === lit(Conversion))
-        .select(col("removed"), col("state"), col("mass").as("term"))
-      v = moves.union(carry)
-        .groupBy(col("removed"), col("state"))
-        .agg(round12(sum(col("term")).cast("double")).cast(Dec).as("mass"))
-        .transform(Checkpoints.cut)
+    // the loop frames are grid-sized by the maxChannels contract — size
+    // the shuffles from the materialized grid (guide §2), don't pay the
+    // session's event-scale fan-out per vocabulary-sized exchange
+    Checkpoints.withIterationPlanning(spark, ev.count()) {
+      for (_ <- 1 to iters) {
+        v = ev.join(
+          v.select(col("removed").as("_vr"), col("state"), col("mass")),
+          col("_vr") === col("removed") && col("state") === col("src"))
+          .select(col("removed"), col("dst").as("state"),
+            round12(col("mass").cast("double") * col("cnt").cast("double") /
+              col("out_w").cast("double")).cast(Dec).as("term"))
+          .groupBy(col("removed"), col("state"))
+          .agg(round12(sum(col("term")).cast("double")).cast(Dec).as("mass"))
+      }
+      // ONE cut for the whole chain: downstream reads v twice (p_conv
+      // and the removal-effect join), which would re-run all `iters`
+      // rounds on an uncut plan
+      v = Checkpoints.cut(v)
     }
 
     val pConv = v.filter(col("state") === lit(Conversion))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Engagement, Graph, Journey, Markov}
+import graft.operators.{Checkpoints, Engagement, Graph, Journey, Markov}
 import Qutil._
 
 /** User-journey analytics gates: ordered funnel, weekly cohort retention,
@@ -550,8 +550,12 @@ object JourneyQueries {
     // dedup (bounded by nodes × hops, never path-combinatorial).
     Q("q_bfs_reach",
       (s, d) => {
+        // one event-scale pass: the sessionize+window edge derivation is
+        // cut HERE so the node-set union (2 scans) and the BFS edge prep
+        // read the materialized edge list instead of re-running it (r15)
         val edges = Journey.transitionEdges(ev(s, d), pageCol)
           .select(col("page").as("src"), col("next_page").as("dst"))
+          .transform(Checkpoints.cut)
         val nodes = edges.select(col("src").as("node"))
           .union(edges.select(col("dst").as("node"))).distinct()
         Graph.bfsDistances(edges, nodes.filter(col("node") % 10 === 0),

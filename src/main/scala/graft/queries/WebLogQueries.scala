@@ -444,18 +444,27 @@ object WebLogQueries {
             hour(col("ts")).as("h"))
         t.append(base)
         val preVersion = t.currentVersion.get
-        val dataBefore = t.files.filter(!col("is_delete"))
-          .select("file").collect().map(_.getString(0)).toSet
+        // one metadata collect per point-in-time (the weblog_mor_delete
+        // fileCensus pattern, r15): data-file set and delete-file count
+        // from the SAME pass instead of one job each
+        def fileCensus(): (Set[String], Long) = {
+          val rows = t.files.select("file", "is_delete").collect()
+          (rows.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
+            rows.count(_.getBoolean(1)).toLong)
+        }
+        val (dataBefore, _) = fileCensus()
         val erased = t.deletePositional(
           expr("CAST(substr(user_id, 2) AS BIGINT) % 10 = 3"))
-        val dataAfter = t.files.filter(!col("is_delete"))
-          .select("file").collect().map(_.getString(0)).toSet
-        val delFiles = t.files.filter(col("is_delete")).count()
-        val preRows = t.readAt(preVersion).count()
+        val (dataAfter, delFiles) = fileCensus()
+        // the pre-delete snapshot carries no tombstones, so its count is
+        // manifest-stamped — the zero-task time-travel count (r15);
+        // falls back to the real scan on unstamped legacy manifests
+        val preRows = t.rowCountAt(preVersion)
+          .getOrElse(t.readAt(preVersion).count())
         val morRead = t.read.groupBy("event").agg(count(lit(1)).as("cnt"))
         t.maintain(fileThreshold = 1000, targetFiles = 1,
           deleteFileThreshold = 1)
-        val delAfterMaint = t.files.filter(col("is_delete")).count()
+        val (_, delAfterMaint) = fileCensus()
         val compacted = t.read.groupBy("event").agg(count(lit(1)).as("cnt2"))
         morRead.join(compacted, "event")
           .select(col("event"), col("cnt"),
@@ -526,7 +535,9 @@ object WebLogQueries {
           concat(lit("u"), col("user_id").cast("string")).as("user_id"),
           dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 3)
-        for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+        finally ev.unpersist()
         val before = t.filesFor(lit(true))
         val rewritten = t.maintainWhere(col("event") === "view")
         val after = t.filesFor(lit(true))
@@ -1992,8 +2003,10 @@ object WebLogQueries {
           col("event_type").as("event"),
           concat(lit("u"), col("user_id").cast("string")).as("user_id"))
           .filter(dayofmonth(col("ts")) <= 7 && month(col("ts")) === 1)
-        for (day <- 1 to 7)
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 7)
           t.append(ev.filter(dayofmonth(col("ts")) === day).coalesce(1))
+        finally ev.unpersist()
         val slice = col("ts") >= to_timestamp(lit("2024-01-03 00:00:00")) &&
           col("ts") < to_timestamp(lit("2024-01-04 00:00:00"))
         val total = t.filesFor(lit(true)).size
@@ -2214,7 +2227,9 @@ object WebLogQueries {
           col("event_type").as("event"),
           dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 3)
-        for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+        finally ev.unpersist()
         val snaps = t.snapshots
           .select(lit("snapshot").as("kind"), col("version").cast("long").as("k"),
             col("n_files").as("n"),
@@ -2576,7 +2591,9 @@ object WebLogQueries {
           col("event_id"), col("user_id"),
           col("event_type").as("event"), dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 2)
-        for (day <- 1 to 2) t.append(ev.filter(col("day") === day).coalesce(1))
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 2) t.append(ev.filter(col("day") === day).coalesce(1))
+        finally ev.unpersist()
         val (lo, hi) = t.columnMinMax("event_id").get
         Seq(
           ("event_id_max", hi.toLong),
@@ -2605,7 +2622,9 @@ object WebLogQueries {
         val ev = Tables.events(s, d).select(
           col("event_type").as("event"), dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 3)
-        for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+          .persist() // read the source once, not once per day-commit
+        try for (day <- 1 to 3) t.append(ev.filter(col("day") === day).coalesce(1))
+        finally ev.unpersist()
         val Seq(v1, v2, v3) = t.versions
         t.tag("day1", v1)
         val expired = t.expireOlderThan(System.currentTimeMillis() + 60000L)
@@ -3234,11 +3253,16 @@ object WebLogQueries {
           col("user_id"),
           dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 3)
-        for (day <- 1 to 3) t.append(ev.filter(col("day") === day))
-        val before = t.files.filter(!col("is_delete"))
-          .select("file").collect().map(_.getString(0)).toSet
-        val removed = t.replaceWhere(col("day") === 2,
-          ev.filter(col("day") === 2 && col("user_id") % 10 =!= 3))
+          // read the source once: three day-appends plus the replacement
+          // batch each re-scanned events before (r15)
+          .persist()
+        val (before, removed) = try {
+          for (day <- 1 to 3) t.append(ev.filter(col("day") === day))
+          val b = t.files.filter(!col("is_delete"))
+            .select("file").collect().map(_.getString(0)).toSet
+          (b, t.replaceWhere(col("day") === 2,
+            ev.filter(col("day") === 2 && col("user_id") % 10 =!= 3)))
+        } finally ev.unpersist()
         val after = t.files.filter(!col("is_delete"))
           .select("file").collect().map(_.getString(0)).toSet
         val onlyDay2 = (before.diff(after) ++ after.diff(before))
@@ -3274,11 +3298,17 @@ object WebLogQueries {
           col("user_id"),
           dayofmonth(col("ts")).as("day"))
           .filter(col("day") <= 3)
-        for (day <- 1 to 3) t.append(ev.filter(col("day") === day))
-        val before = t.files.filter(!col("is_delete"))
-          .select("file").collect().map(_.getString(0)).toSet
-        val batch = ev.filter(col("day") === 2 && col("user_id") % 10 =!= 3)
-        t.overwritePartitions(batch)
+          // read the source once: three day-appends plus the overwrite
+          // batch each re-scanned events before (r15)
+          .persist()
+        val before = try {
+          for (day <- 1 to 3) t.append(ev.filter(col("day") === day))
+          val b = t.files.filter(!col("is_delete"))
+            .select("file").collect().map(_.getString(0)).toSet
+          t.overwritePartitions(
+            ev.filter(col("day") === 2 && col("user_id") % 10 =!= 3))
+          b
+        } finally ev.unpersist()
         val after = t.files.filter(!col("is_delete"))
           .select("file").collect().map(_.getString(0)).toSet
         val onlyDay2 = (before.diff(after) ++ after.diff(before))

@@ -1902,6 +1902,15 @@ final case class IcebergLikeTable(
     */
   def rowCount: Option[Long] = rowCountOf(resolveLive()._2)
 
+  /** Manifest-only `count(*)` for a PINNED retained version — the
+    * zero-task time-travel count (`SELECT count(*) ... VERSION AS OF v`,
+    * Iceberg's posture; the SQL pushdown already answers it this way,
+    * r12). Same refusal rule as [[rowCount]]: None under live delete
+    * files or unstamped entries, and callers fall back to a real scan.
+    */
+  def rowCountAt(version: Long): Option[Long] =
+    rowCountOf(snapshotAt(version))
+
   private def rowCountOf(snap: TableSnapshot): Option[Long] =
     // live equality-delete files make the count undecidable from
     // metadata (how many of their tuples actually hit is a data
