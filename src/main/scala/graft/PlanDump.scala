@@ -16,9 +16,14 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.sameElements(Array("--list"))) {
+      println("[plandump-headline] " + SparkEntry.headline.mkString(","))
+      return
+    }
     require(args.length >= 2, "usage: PlanDump <plans-subdir> <query>...")
     val tag = args.head
-    val names = args.tail
+    val names = if (args.tail.sameElements(Array("--headline")))
+      SparkEntry.headline else args.tail.toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -324,7 +324,16 @@ object Dedup {
     val (groups, repSets, narrow) =
       minhashNarrow(df, textCol, idCol, n, k, bands)
     // one narrow join per band; a pair surfaces only at its first
-    // colliding band, so the union is exactly the distinct candidate set
+    // colliding band, so the union is exactly the distinct candidate
+    // set. KEPT over the single exploded-(band, hash) self-join +
+    // distinct (r15, measured): the exploded join emits one row per
+    // COLLIDING band of each pair — near-dup pairs collide in most of
+    // their 32 bands, so the join output and the distinct that collapses
+    // it grow with the corpus's duplication structure, and the
+    // interleaved cold A/B ran 24 s (this shape) vs 42 s (exploded),
+    // twice, same ambient. The per-band joins read a checkpointed
+    // narrow frame, shuffle 1/bands of the exploded bytes each, and
+    // never materialize the collision multiplicity at all.
     val candidates = (0 until bands).map { j =>
       val left = narrow.toDF(narrow.columns.map(c => s"${c}_l"): _*)
       val right = narrow.toDF(narrow.columns.map(c => s"${c}_r"): _*)
@@ -365,18 +374,28 @@ object Dedup {
   private def minhashCappedCandidates(narrow: DataFrame, bands: Int,
       fanout: Int): DataFrame = {
     require(fanout >= 1, s"fanout cap must be >= 1, got $fanout")
-    (0 until bands).map { j =>
-      val order = Seq(col(s"_b${(j + 1) % bands}"), col("id"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(s"_b$j")).orderBy(order: _*)
-      val leads = (1 to fanout).map(d => lead(col("id"), d).over(w))
-      narrow.select(col("id"), col(s"_b$j"), col(s"_b${(j + 1) % bands}"))
-        .select(col("id"), array(leads: _*).as("_succ"))
-        .select(col("id"), explode(col("_succ")).as("_nid"))
-        .filter(col("_nid").isNotNull)
-        .select(least(col("id"), col("_nid")).as("id_a"),
-          greatest(col("id"), col("_nid")).as("id_b"))
-    }.reduce(_ unionAll _)
+    // ONE window over the exploded (band ordinal, bucket hash) key —
+    // identical per-band bucket traversals (ordered by the NEXT band's
+    // hash then id), formerly 32 separate windows = 32 shuffle+sort
+    // passes over the narrow frame (r15; same collapse as the exact
+    // enumeration above).
+    val bandStructs = array((0 until bands).map(j =>
+      struct(col(s"_b$j").as("_bh"),
+        col(s"_b${(j + 1) % bands}").as("_nxt"))): _*)
+    val exploded = narrow
+      .select(col("id"), posexplode(bandStructs).as(Seq("_band", "_s")))
+      .select(col("id"), col("_band"), col("_s._bh").as("_bh"),
+        col("_s._nxt").as("_nxt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_band"), col("_bh"))
+      .orderBy(col("_nxt"), col("id"))
+    val leads = (1 to fanout).map(d => lead(col("id"), d).over(w))
+    exploded
+      .select(col("id"), array(leads: _*).as("_succ"))
+      .select(col("id"), explode(col("_succ")).as("_nid"))
+      .filter(col("_nid").isNotNull)
+      .select(least(col("id"), col("_nid")).as("id_a"),
+        greatest(col("id"), col("_nid")).as("id_b"))
       // a pair can surface from several bands/offsets: one verification
       // per distinct pair (the capped volume makes this distinct cheap —
       // O(reps · bands · fanout) rows, never quadratic)

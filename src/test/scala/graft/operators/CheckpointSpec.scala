@@ -47,6 +47,49 @@ class CheckpointSpec extends SparkTestBase {
     assert(reliable == local, s"reliable=$reliable local=$local")
   }
 
+  test("withIterationPlanning sizes loop shuffles from rows and restores confs") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevParts = spark.conf.get(partsKey)
+    // tiny loop frame → 1 partition, AQE off inside, restored after
+    Checkpoints.withIterationPlanning(spark, loopRows = 100L) {
+      assert(spark.conf.get(aqeKey) == "false")
+      assert(spark.conf.get(partsKey) == "1")
+    }
+    assert(spark.conf.get(aqeKey) == prevAqe)
+    assert(spark.conf.get(partsKey) == prevParts)
+    // huge loop frame → clamped to the SESSION fan-out, never above it
+    Checkpoints.withIterationPlanning(spark, loopRows = Long.MaxValue / 4) {
+      assert(spark.conf.get(partsKey) == prevParts)
+    }
+    assert(spark.conf.get(partsKey) == prevParts)
+    // escape hatch: iterate.aqe=true leaves the session untouched
+    spark.conf.set(Checkpoints.IterateAqeKey, "true")
+    try Checkpoints.withIterationPlanning(spark, 100L) {
+      assert(spark.conf.get(aqeKey) == prevAqe)
+      assert(spark.conf.get(partsKey) == prevParts)
+    } finally spark.conf.unset(Checkpoints.IterateAqeKey)
+    // confs restored even when the body throws
+    intercept[RuntimeException](
+      Checkpoints.withIterationPlanning(spark, 100L) {
+        throw new RuntimeException("boom")
+      })
+    assert(spark.conf.get(aqeKey) == prevAqe)
+    assert(spark.conf.get(partsKey) == prevParts)
+  }
+
+  test("pageRank under the iterate-AQE escape hatch matches the default exactly") {
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 1L),
+      (4L, 1L, 5L)).toDF("src", "dst", "weight")
+    def run() = Graph.pageRank(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sized = run()
+    spark.conf.set(Checkpoints.IterateAqeKey, "true")
+    val aqe = try run() finally spark.conf.unset(Checkpoints.IterateAqeKey)
+    assert(aqe == sized)
+  }
+
   test("clusters' distributed loop under reliable checkpointing matches") {
     // force the distributed min-label path with a tiny driver-solve bound
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
