@@ -53,11 +53,19 @@ object Dedup {
     * consumer already makes — while per-document byte volume drops from
     * ~n× the text (each word appears in n gram strings) to one long per
     * word plus one per window.
+    *
+    * Since r15 the window fold runs in the native
+    * [[graft.functions.HashedNgrams]] expression — bit-identical to the
+    * HOF form it replaced (`transform(sequence(...), i =>
+    * xxhash64(slice(wh, i+1, n)))`, pinned by HashedNgramsSpec) but one
+    * tight loop per document instead of an n-element slice allocation
+    * plus a generic hash-expression re-entry per window.
     */
   private[operators] def hashedNgramsAll(wh: Column, n: Int): Column =
     if (n == 1) wh
-    else transform(sequence(lit(0), greatest(size(wh) - n, lit(0))),
-      i => xxhash64(slice(wh, i + 1, lit(n))))
+    else org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HashedNgrams(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(wh), n))
 
   /** Distinct hash-composed shingles over a materialized word-hash
     * array (n=1 → distinct word hashes).
@@ -891,12 +899,16 @@ object Dedup {
           counts.stat.bloomFilter("_gh", items, 0.03))))
       }
     val texts = {
+      // the gram-hash array is materialized as its OWN attribute before
+      // any lambda touches it (r15): the former per-position
+      // `xxhash64(slice(_wh, i+1, n))` re-hashed each window inside the
+      // bloom probe AND again when building the survivor struct; now
+      // both are element_at lookups into one native hashed_ngrams pass.
       val base = df
         .select(words(col(textCol)).as("_w"))
         .select(col("_w"), transform(col("_w"), x => xxhash64(x)).as("_wh"))
-      def ghOf(i: Column) =
-        if (n == 1) element_at(col("_wh"), i + 1)
-        else xxhash64(slice(col("_wh"), i + 1, lit(n)))
+        .select(col("_w"), hashedNgramsAll(col("_wh"), n).as("_gh"))
+      def ghOf(i: Column) = element_at(col("_gh"), i + 1)
       val positions = sequence(lit(0), greatest(size(col("_w")) - n, lit(0)))
       val kept = bloomLit.fold(positions)(b => filter(positions, i =>
         call_function(graft.functions.BloomMightContain.FnName, ghOf(i), b)))
