@@ -3396,12 +3396,32 @@ object WebLogQueries {
       (s, d) => {
         val t = IcebergLikeTable(s, scratch(s, "zorder", d) + "/t", "event",
           Nil, statsColumns = Seq("user_id", "day"))
-        def slice(g: Int) = Tables.events(s, d)
-          .filter(dayofmonth(col("ts")) <= 7 &&
-            pmod(col("event_id"), lit(4)) === g)
+        // Deterministically full-domain slices (r15): each append takes
+        // every 4th row of the per-event (day, user_id) order, so every
+        // (slice, event) file's stamped bounds span the whole (user_id,
+        // day) domain BY CONSTRUCTION — `unpruned_before` is a property
+        // of the data, not of the slicing accident. The former
+        // pmod(event_id, 4) slices were an inherited flake: at sf0.001
+        // one (click, slice) group held 8 rows all in days 4–7, whose
+        // file bounds excluded day 3 and flipped the boolean (and
+        // before r15's coalesce(1), the file split additionally varied
+        // with the source's scan partitioning — the same flake at the
+        // mercy of SPARK_GRAFT_CPUS). coalesce(1) pins one file per
+        // (slice, event) leaf; persist reads the source once, not once
+        // per slice-commit.
+        val sliceW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event")).orderBy(col("day"), col("user_id"),
+            col("event_id"))
+        val ev = Tables.events(s, d)
+          .filter(dayofmonth(col("ts")) <= 7)
           .select(col("event_type").as("event"), col("user_id"),
-            dayofmonth(col("ts")).as("day"))
-        for (g <- 0 to 3) t.append(slice(g))
+            dayofmonth(col("ts")).as("day"), col("event_id"))
+          .withColumn("_g", pmod(row_number().over(sliceW) - 1, lit(4)))
+          .drop("event_id")
+          .persist()
+        try for (g <- 0 to 3)
+          t.append(ev.filter(col("_g") === g).drop("_g").coalesce(1))
+        finally ev.unpersist()
         val total = t.filesFor(lit(true)).size
         val boxPred = col("user_id") <= 40 && col("day") === 3
         val beforeHit = t.filesFor(boxPred).size
