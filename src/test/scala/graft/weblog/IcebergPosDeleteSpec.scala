@@ -128,6 +128,24 @@ class IcebergPosDeleteSpec extends SparkTestBase {
     assert(t.read.count() == 19)
   }
 
+  test("rowCountAt answers pinned versions from the manifest, refusing under tombstones") {
+    val t = keyed("pos_meta_at")
+    t.write(rows(0 until 20, "orig", 1L), "seq")
+    val clean = t.currentVersion.get
+    t.deletePositional(col("k") === "k1")
+    val masked = t.currentVersion.get
+    // the pre-delete snapshot has no delete files: manifest answers,
+    // and it must equal the real time-travel scan
+    assert(t.rowCountAt(clean).contains(20L))
+    assert(t.rowCountAt(clean).contains(t.readAt(clean).count()))
+    // the tombstoned snapshot refuses (how many tuples hit is a data
+    // question), same rule as the live rowCount
+    assert(t.rowCountAt(masked).isEmpty)
+    // compaction consumes the tombstones; the pinned count resumes
+    t.maintain(fileThreshold = 1000, targetFiles = 1, deleteFileThreshold = 1)
+    assert(t.rowCountAt(t.currentVersion.get).contains(19L))
+  }
+
   test("overlapping deletes never re-count; positional composes with equality tombstones") {
     val t = keyed("pos_mix")
     t.write(rows(0 until 20, "orig", 1L), "seq")
