@@ -51,35 +51,73 @@ object Checkpoints {
     * this scope, under AQE. Rows-per-partition is deliberately small
     * (256k — loop rows are id+decimal sized) and tunable via
     * `spark.graft.iterate.rowsPerPartition`.
+    *
+    * CONF ISOLATION (r16): the overrides live on a CLONED session
+    * (same SparkContext, own session state — checkpointed RDD blocks
+    * are context-scoped, so the loop frames stay materialized), passed
+    * to `body`. The caller's session is NEVER mutated: a query planned
+    * concurrently on it mid-loop sees the session confs — the r15
+    * implementation set/restored the confs on the shared session,
+    * which silently mis-planned concurrent callers (a normal situation
+    * on a shared 100 TB cluster session). `body` re-binds its loop
+    * entry frames onto the loop session ([[rebind]] — the frames are
+    * checkpointed `LogicalRDD`s, session-independent by construction)
+    * and re-binds its result back to the caller's session, so callers
+    * never observe the clone. CheckpointSpec pins the isolation.
+    * Measured cost of the clone (r16, interleaved quiet-machine A/B on
+    * q_pagerank/q_markov_attribution): within rep-to-rep noise of the
+    * shared-session mutation it replaces (cloneSession ≈ 2–8 ms,
+    * per-action cost identical); `spark.graft.iterate.clone=false`
+    * selects the old mutate-and-restore behavior (single-threaded
+    * callers only) as the measured fallback.
     */
   val IterateAqeKey = "spark.graft.iterate.aqe"
   val IterateRowsPerPartitionKey = "spark.graft.iterate.rowsPerPartition"
   def withIterationPlanning[T](spark: org.apache.spark.sql.SparkSession,
-      loopRows: Long)(body: => T): T = {
-    if (spark.conf.getOption(IterateAqeKey).exists(_.toBoolean)) body
+      loopRows: Long)(body: org.apache.spark.sql.SparkSession => T): T = {
+    if (spark.conf.getOption(IterateAqeKey).exists(_.toBoolean)) body(spark)
     else {
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val partsKey = "spark.sql.shuffle.partitions"
       val perPart = spark.conf.getOption(IterateRowsPerPartitionKey)
         .map(_.toLong).getOrElse(1L << 18)
-      val sessionParts = spark.conf.get(partsKey, "200").toInt
+      val sessionParts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
       val loopParts = math.max(1L, math.min(sessionParts.toLong,
         (loopRows + perPart - 1) / perPart)).toInt
-      val prevAqe = spark.conf.getOption(aqeKey)
-      val prevParts = spark.conf.getOption(partsKey)
-      spark.conf.set(aqeKey, "false")
-      spark.conf.set(partsKey, loopParts.toString)
-      try body
-      finally {
-        def restore(key: String, prev: Option[String]): Unit = prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
+      val useClone = spark.conf.getOption("spark.graft.iterate.clone")
+        .forall(_.toBoolean)
+      if (useClone) {
+        val loopSession = org.apache.spark.sql.graftbridge.SessionBridge
+          .cloneSession(spark)
+        loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+        loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+        body(loopSession)
+      } else {
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val partsKey = "spark.sql.shuffle.partitions"
+        val prevAqe = spark.conf.getOption(aqeKey)
+        val prevParts = spark.conf.getOption(partsKey)
+        spark.conf.set(aqeKey, "false")
+        spark.conf.set(partsKey, loopParts.toString)
+        try body(spark)
+        finally {
+          def restore(key: String, prev: Option[String]): Unit = prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+          restore(aqeKey, prevAqe)
+          restore(partsKey, prevParts)
         }
-        restore(aqeKey, prevAqe)
-        restore(partsKey, prevParts)
       }
     }
   }
+
+  /** Re-bind `df` onto `session` (plan under ITS confs). Loop operators
+    * use it to move checkpointed entry frames onto the loop session and
+    * their result back onto the caller's.
+    */
+  def rebind(df: DataFrame,
+      session: org.apache.spark.sql.SparkSession): DataFrame =
+    if (df.sparkSession eq session) df
+    else org.apache.spark.sql.graftbridge.SessionBridge.rebind(df, session)
 
   /** Cut `df`'s lineage eagerly via the session-selected mechanism. */
   def cut(df: DataFrame): DataFrame = {

@@ -103,20 +103,23 @@ object Graph {
         col("dst").cast("long").as("dst"))
       .distinct()
       .transform(Checkpoints.cut)
-    var dist = sources.select(col("node").cast("long").as("node"))
+    val origin = edges.sparkSession
+    val dist0 = sources.select(col("node").cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0))
       .transform(Checkpoints.cut)
-    var frontier = dist.select("node")
-    var hop = 0
-    var exhausted = frontier.isEmpty
     // hop frames (frontier, visited set) are bounded by the node set,
     // itself bounded by the checkpointed edge list — size the loop on it
     val loopRows = e.count()
-    Checkpoints.withIterationPlanning(edges.sparkSession, loopRows) {
+    Checkpoints.withIterationPlanning(origin, loopRows) { loop =>
+    val eL = Checkpoints.rebind(e, loop)
+    var dist = Checkpoints.rebind(dist0, loop)
+    var frontier = dist.select("node")
+    var hop = 0
+    var exhausted = frontier.isEmpty
     while (hop < maxHops && !exhausted) {
       hop += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
+      val next = frontier.join(eL, frontier("node") === eL("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
         .transform(Checkpoints.cut)
@@ -130,8 +133,8 @@ object Graph {
         frontier = next
       }
     }
+    Checkpoints.rebind(dist, origin)
     }
-    dist
   }
 
   /** PageRank over weighted edges `(src: long, dst: long, weight: long)`.
@@ -145,26 +148,30 @@ object Graph {
     val n = g.nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
 
+    val origin = edges.sparkSession
     val base = (1.0 - damping) / n
-    var ranks = g.nodes
+    val ranks0 = g.nodes
       .withColumn("pr", round12(lit(1.0) / lit(n.toDouble)).cast(Dec))
       .transform(Checkpoints.cut)
 
     // loop frames are bounded by the checkpointed setup: ranks carry one
     // row per node, contributions one per edge — size the loop from them
     val loopRows = math.max(n, g.eOut.count())
-    Checkpoints.withIterationPlanning(edges.sparkSession, loopRows) {
+    val ranks = Checkpoints.withIterationPlanning(origin, loopRows) { loop =>
+    val eOutL = Checkpoints.rebind(g.eOut, loop)
+    val nodesL = Checkpoints.rebind(g.nodes, loop)
+    var r = Checkpoints.rebind(ranks0, loop)
     for (_ <- 1 to iters) {
-      val contrib = contributions(g.eOut, ranks)
+      val contrib = contributions(eOutL, r)
       // dangling mass rides along as a broadcast 1-row aggregate — no
       // per-iteration driver action; the checkpoint below is the only
       // one. The dangling filter is the `_dang` flag carried on the
       // ranks frame itself (stamped once in prep), not a join.
-      val dangOverN = ranks.filter(col("_dang"))
+      val dangOverN = r.filter(col("_dang"))
         .agg((coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double") /
           lit(n.toDouble)).as("_dang_over_n"))
-      ranks = g.nodes
-        .join(contrib, g.nodes("node") === contrib("dst"), "left")
+      r = nodesL
+        .join(contrib, nodesL("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangOverN))
         .select(col("node"), col("_dang"),
           round12(lit(base) + lit(damping) *
@@ -172,6 +179,7 @@ object Graph {
               col("_dang_over_n"))).cast(Dec).as("pr"))
         .transform(Checkpoints.cut)
     }
+    Checkpoints.rebind(r, origin)
     }
     ranks.select(col("node"), col("pr").cast("double").as("pr"))
   }
@@ -211,28 +219,32 @@ object Graph {
           .cast(Dec).as("r"))
       .transform(Checkpoints.cut)
 
+    val origin = edges.sparkSession
+    val loopRows = math.max(rFrame.count(), g.eOut.count())
+    val ranks = Checkpoints.withIterationPlanning(origin, loopRows) { loop =>
+    val eOutL = Checkpoints.rebind(g.eOut, loop)
+    val rFrameL = Checkpoints.rebind(rFrame, loop)
     // the initial ranks ARE the restart vector — read rFrame directly
     // (the former copy-then-cut re-materialized an identical frame)
-    var ranks = rFrame.select(col("node"), col("_dang"), col("r").as("pr"))
-    val loopRows = math.max(rFrame.count(), g.eOut.count())
-    Checkpoints.withIterationPlanning(edges.sparkSession, loopRows) {
+    var r = rFrameL.select(col("node"), col("_dang"), col("r").as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = contributions(g.eOut, ranks)
+      val contrib = contributions(eOutL, r)
       // dangling mass via the `_dang` flag on the ranks frame (see
       // [[pageRank]]) — no per-iteration join against a dangling list
-      val dang = ranks.filter(col("_dang"))
+      val dang = r.filter(col("_dang"))
         .agg(coalesce(sum(col("pr")), lit(0).cast(Dec)).cast("double")
           .as("_dang_mass"))
-      ranks = rFrame
-        .join(contrib, rFrame("node") === contrib("dst"), "left")
+      r = rFrameL
+        .join(contrib, rFrameL("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dang))
-        .select(rFrame("node"), rFrame("_dang"),
+        .select(rFrameL("node"), rFrameL("_dang"),
           round12(lit(1.0 - damping) * col("r").cast("double") +
             lit(damping) *
               (coalesce(col("contrib").cast("double"), lit(0.0)) +
                 col("_dang_mass") * col("r").cast("double"))).cast(Dec).as("pr"))
         .transform(Checkpoints.cut)
     }
+    Checkpoints.rebind(r, origin)
     }
     ranks.select(col("node"), col("pr").cast("double").as("pr"))
   }

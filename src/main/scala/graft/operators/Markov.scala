@@ -76,22 +76,33 @@ object Markov {
     require(iters >= 1, "need at least one chain step")
     val spark = events.sparkSession
 
+    // ONE event-scale pass (r16; guide §2.4 — the former conv/touches
+    // pair each ran its own full scan of `events`): rows matching either
+    // predicate are materialized once, narrow, with the two roles as
+    // flags; `conv` and `touches` both derive from the cut. Equivalence
+    // is a filter identity: evs.filter(_is_touch) ≡ events.filter(touchPred)
+    // and evs.filter(_is_conv) ≡ events.filter(convPred), row for row.
+    val evs = events.filter(touchPred || convPred)
+      .select(col("user_id").as("_u"), unix_micros(col("ts")).as("_ts"),
+        col("event_id").as("_eid"), channelCol.cast("long").as("_ch"),
+        touchPred.as("_is_touch"), convPred.as("_is_conv"))
+      .transform(Checkpoints.cut)
+
     // per-user first conversion instant (micros; ties can't matter for a min)
-    val conv = events.filter(convPred)
-      .groupBy(col("user_id").as("_cu"))
-      .agg(min(unix_micros(col("ts"))).as("_cts"))
+    val conv = evs.filter(col("_is_conv"))
+      .groupBy(col("_u").as("_cu"))
+      .agg(min(col("_ts")).as("_cts"))
       .transform(Checkpoints.cut)
 
     // pre-conversion touches, in deterministic order
-    val touches = events.filter(touchPred)
-      .select(col("user_id").as("_u"), unix_micros(col("ts")).as("_ts"),
-        col("event_id").as("_eid"), channelCol.cast("long").as("_ch"))
+    val touches = evs.filter(col("_is_touch"))
+      .select(col("_u"), col("_ts"), col("_eid"), col("_ch"))
       .join(conv, col("_u") === col("_cu"), "left")
       .filter(col("_cts").isNull || col("_ts") < col("_cts"))
       .select(col("_u"), col("_ts"), col("_eid"), col("_ch"),
         col("_cts").isNotNull.as("_converted"))
-      // the one event-scale frame: checkpoint so the two window passes,
-      // the anti-join, and the guard aggregate don't re-scan events
+      // checkpointed: the window pass, the anti-join, and the guard
+      // aggregate all consume it
       .transform(Checkpoints.cut)
 
     val w = Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_eid"))
@@ -163,15 +174,17 @@ object Markov {
       .unionByName(selfLoop)
       .transform(Checkpoints.cut)
 
-    var v = variants.select(col("removed"), lit(Start).as("state"),
+    val v0 = variants.select(col("removed"), lit(Start).as("state"),
       lit(1.0).cast(Dec).as("mass"))
     // the loop frames are grid-sized by the maxChannels contract — size
     // the shuffles from the materialized grid (guide §2), don't pay the
     // session's event-scale fan-out per vocabulary-sized exchange
-    Checkpoints.withIterationPlanning(spark, ev.count()) {
+    val v = Checkpoints.withIterationPlanning(spark, ev.count()) { loop =>
+      val evL = Checkpoints.rebind(ev, loop)
+      var vL = Checkpoints.rebind(v0, loop)
       for (_ <- 1 to iters) {
-        v = ev.join(
-          v.select(col("removed").as("_vr"), col("state"), col("mass")),
+        vL = evL.join(
+          vL.select(col("removed").as("_vr"), col("state"), col("mass")),
           col("_vr") === col("removed") && col("state") === col("src"))
           .select(col("removed"), col("dst").as("state"),
             round12(col("mass").cast("double") * col("cnt").cast("double") /
@@ -182,7 +195,7 @@ object Markov {
       // ONE cut for the whole chain: downstream reads v twice (p_conv
       // and the removal-effect join), which would re-run all `iters`
       // rounds on an uncut plan
-      v = Checkpoints.cut(v)
+      Checkpoints.rebind(Checkpoints.cut(vL), spark)
     }
 
     val pConv = v.filter(col("state") === lit(Conversion))

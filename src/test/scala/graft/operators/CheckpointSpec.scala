@@ -47,36 +47,72 @@ class CheckpointSpec extends SparkTestBase {
     assert(reliable == local, s"reliable=$reliable local=$local")
   }
 
-  test("withIterationPlanning sizes loop shuffles from rows and restores confs") {
+  test("withIterationPlanning sizes loop shuffles from rows on an isolated session") {
     val aqeKey = "spark.sql.adaptive.enabled"
     val partsKey = "spark.sql.shuffle.partitions"
     val prevAqe = spark.conf.get(aqeKey)
     val prevParts = spark.conf.get(partsKey)
-    // tiny loop frame → 1 partition, AQE off inside, restored after
-    Checkpoints.withIterationPlanning(spark, loopRows = 100L) {
-      assert(spark.conf.get(aqeKey) == "false")
-      assert(spark.conf.get(partsKey) == "1")
+    // tiny loop frame → 1 partition, AQE off, on the LOOP session only;
+    // the caller's session is untouched THROUGHOUT (not just restored
+    // after — a concurrent query mid-loop plans under session confs)
+    Checkpoints.withIterationPlanning(spark, loopRows = 100L) { loop =>
+      assert(loop ne spark)
+      assert(loop.conf.get(aqeKey) == "false")
+      assert(loop.conf.get(partsKey) == "1")
+      assert(spark.conf.get(aqeKey) == prevAqe)
+      assert(spark.conf.get(partsKey) == prevParts)
+      // a query planned on the CALLER's session mid-loop keeps the
+      // session fan-out — the r15 shared-conf implementation gave it
+      // the loop's 1-partition plan
+      import spark.implicits._
+      def exchangeParts(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        ("hashpartitioning\\([^)]*, (\\d+)\\)").r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString)
+          .map(_.group(1).toInt).toSeq
+      val onCaller = Seq(1 -> "a", 2 -> "b").toDF("k", "v")
+        .groupBy("k").count()
+      assert(exchangeParts(onCaller) == Seq(prevParts.toInt),
+        s"caller-session shuffle got ${exchangeParts(onCaller)}, want $prevParts")
+      // while the SAME aggregate built on the loop session gets 1
+      val onLoop = Checkpoints.rebind(Seq(1 -> "a", 2 -> "b").toDF("k", "v"), loop)
+        .groupBy("k").count()
+      assert(exchangeParts(onLoop) == Seq(1),
+        s"loop-session shuffle got ${exchangeParts(onLoop)}, want 1")
     }
     assert(spark.conf.get(aqeKey) == prevAqe)
     assert(spark.conf.get(partsKey) == prevParts)
     // huge loop frame → clamped to the SESSION fan-out, never above it
-    Checkpoints.withIterationPlanning(spark, loopRows = Long.MaxValue / 4) {
-      assert(spark.conf.get(partsKey) == prevParts)
+    Checkpoints.withIterationPlanning(spark, loopRows = Long.MaxValue / 4) { loop =>
+      assert(loop.conf.get(partsKey) == prevParts)
     }
-    assert(spark.conf.get(partsKey) == prevParts)
-    // escape hatch: iterate.aqe=true leaves the session untouched
+    // escape hatch: iterate.aqe=true hands back the caller's session
     spark.conf.set(Checkpoints.IterateAqeKey, "true")
-    try Checkpoints.withIterationPlanning(spark, 100L) {
-      assert(spark.conf.get(aqeKey) == prevAqe)
-      assert(spark.conf.get(partsKey) == prevParts)
+    try Checkpoints.withIterationPlanning(spark, 100L) { loop =>
+      assert(loop eq spark)
+      assert(loop.conf.get(aqeKey) == prevAqe)
+      assert(loop.conf.get(partsKey) == prevParts)
     } finally spark.conf.unset(Checkpoints.IterateAqeKey)
-    // confs restored even when the body throws
+    // a throwing body can't corrupt the caller's session (nothing on it
+    // was ever mutated)
     intercept[RuntimeException](
-      Checkpoints.withIterationPlanning(spark, 100L) {
+      Checkpoints.withIterationPlanning(spark, 100L) { _ =>
         throw new RuntimeException("boom")
       })
     assert(spark.conf.get(aqeKey) == prevAqe)
     assert(spark.conf.get(partsKey) == prevParts)
+  }
+
+  test("rebind keeps results and checkpointed frames across sessions") {
+    import spark.implicits._
+    val cut = Checkpoints.cut(Seq(1L, 2L, 3L).toDF("x"))
+    Checkpoints.withIterationPlanning(spark, 10L) { loop =>
+      val onLoop = Checkpoints.rebind(cut, loop)
+      assert(onLoop.sparkSession eq loop)
+      assert(onLoop.agg(sum("x")).head.getLong(0) == 6L)
+      val back = Checkpoints.rebind(onLoop, spark)
+      assert(back.sparkSession eq spark)
+      assert(back.agg(sum("x")).head.getLong(0) == 6L)
+    }
   }
 
   test("pageRank under the iterate-AQE escape hatch matches the default exactly") {
