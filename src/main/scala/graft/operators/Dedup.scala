@@ -258,10 +258,24 @@ object Dedup {
       "##" + analyzed.canonicalized.toString)
   }
 
+  /** `spark.graft.dedup.memo=off` bypasses the per-plan core memo —
+    * every call recomputes from the input (r16, VERDICT r15 #8). The
+    * memo stays the production default (an ingestion loop sweeping one
+    * corpus through several dedup views must not re-shingle it per
+    * view); the bypass exists so a TIMED measurement (IsoBench A/B,
+    * cold-path profiling) measures the computation instead of the
+    * cache. Bypassed calls also never INSERT into the memo, so they
+    * cannot evict a production entry.
+    */
+  val MemoKey = "spark.graft.dedup.memo"
+
   private def minhashCore(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) =
     planKey(df) match {
       case None =>
+        minhashCoreCompute(df, textCol, idCol, n, k, bands, threshold)
+      case _ if df.sparkSession.conf
+          .getOption(MemoKey).exists(_.equalsIgnoreCase("off")) =>
         minhashCoreCompute(df, textCol, idCol, n, k, bands, threshold)
       case Some(pk) =>
         val key: CoreKey =
@@ -326,23 +340,94 @@ object Dedup {
     (groups, repSets, narrow)
   }
 
+  /** Candidate-enumeration shape knob (r16):
+    * `spark.graft.dedup.lsh.shape = perband | exploded | chunked<c>` —
+    * default `perband`. All shapes emit each candidate pair EXACTLY
+    * once, at its first colliding band; the sets are identical by
+    * construction (census-pinned, A/B-verified byte-identical), only
+    * the plan differs. MEASURED (r16, cold, memo bypassed, interleaved,
+    * quiet local[32], sf0.1 probe corpora): per-band
+    * 4.8–9.2 s / 8.3–9.0 s (1×/10× near-dup density), exploded
+    * 2.3–2.7 s / **285–324 s**, i.e. the exploded join wins ~2× at low
+    * duplication and collapses ~35× at high duplication — the narrow
+    * rep frame fits the auto-broadcast threshold, so the per-band
+    * joins run as broadcast probes with no buffered key groups, while
+    * the 32×-row exploded side plans as a sort-merge join whose
+    * duplicate-key group buffering/replay is quadratic-in-bucket work
+    * per task at near-dup density. Default stays the shape that is
+    * robust to the duplication structure; the knob exists for cold
+    * A/Bs (IsoBench `SPARK_GRAFT_CONF`) and low-duplication corpora.
+    */
+  val LshShapeKey = "spark.graft.dedup.lsh.shape"
+
   private def minhashGroupsCandidates(df: DataFrame, textCol: String,
       idCol: String, n: Int, k: Int, bands: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val (groups, repSets, narrow) =
       minhashNarrow(df, textCol, idCol, n, k, bands)
-    // one narrow join per band; a pair surfaces only at its first
-    // colliding band, so the union is exactly the distinct candidate
-    // set. KEPT over the single exploded-(band, hash) self-join +
-    // distinct (r15, measured): the exploded join emits one row per
-    // COLLIDING band of each pair — near-dup pairs collide in most of
-    // their 32 bands, so the join output and the distinct that collapses
-    // it grow with the corpus's duplication structure, and the
-    // interleaved cold A/B ran 24 s (this shape) vs 42 s (exploded),
-    // twice, same ambient. The per-band joins read a checkpointed
-    // narrow frame, shuffle 1/bands of the exploded bytes each, and
-    // never materialize the collision multiplicity at all.
-    val candidates = (0 until bands).map { j =>
+    val shape = df.sparkSession.conf.getOption(LshShapeKey)
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("perband")
+    val candidates = shape match {
+      case "exploded" => minhashExplodedCandidates(narrow, bands, bands)
+      case s if s.startsWith("chunked") =>
+        minhashExplodedCandidates(narrow, bands,
+          s.stripPrefix("chunked").toInt)
+      case _ => minhashPerBandCandidates(narrow, bands)
+    }
+    (groups, repSets, candidates)
+  }
+
+  /** Band-exploded enumeration in `ceil(bands/chunk)` self-joins over
+    * the posexploded (band ordinal, bucket hash) key, each row carrying
+    * its band-hash array; matched rows — one per (pair, colliding band)
+    * incidence, the SAME row count the per-band joins probe in total —
+    * pass the native `band_prefix_neq(bs_l, bs_r, band)` filter only at
+    * the pair's FIRST colliding band, so each candidate surfaces
+    * exactly once and the join needs NO distinct (the r15 exploded
+    * experiment's killer — its distinct materialized and shuffled the
+    * full collision multiplicity). `chunk = bands` is the single-join
+    * "exploded" shape (2 exchanges instead of 64). NOT the default:
+    * see [[LshShapeKey]] — at near-dup density the exploded sides
+    * outgrow the broadcast threshold and the resulting sort-merge
+    * join's duplicate-key group replay measured 35× slower than the
+    * broadcast-probed per-band shape.
+    */
+  private def minhashExplodedCandidates(narrow: DataFrame,
+      bands: Int, chunk: Int): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1, got $chunk")
+    val bandArr = array((0 until bands).map(j => col(s"_b$j")): _*)
+    (0 until bands by chunk).map { c0 =>
+      val hi = math.min(c0 + chunk, bands)
+      val side = narrow
+        .select(col("id"), bandArr.as("_bs"),
+          posexplode(array((c0 until hi).map(j => col(s"_b$j")): _*))
+            .as(Seq("_bo", "_bh")))
+        .select(col("id"), col("_bs"),
+          (col("_bo") + lit(c0)).as("_band"), col("_bh"))
+      val l = side.toDF("id_l", "_bs_l", "_band_l", "_bh_l")
+      val r = side.toDF("id_r", "_bs_r", "_band_r", "_bh_r")
+      val firstCollision = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.BandPrefixNeq(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("_bs_l")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("_bs_r")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("_band_l"))))
+      l.join(r, col("_band_l") === col("_band_r") &&
+          col("_bh_l") === col("_bh_r") && col("id_l") < col("id_r"))
+        .filter(firstCollision)
+        .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The default shape: one narrow join per band; a pair surfaces only
+    * at its first colliding band (the `noEarlier` conjunction), so the
+    * union is exactly the distinct candidate set. Never materializes
+    * the collision multiplicity, and the narrow rep frame broadcasts
+    * (hash probes, no buffered key groups) whenever it fits the
+    * threshold — see [[LshShapeKey]] for the measured comparison.
+    */
+  private def minhashPerBandCandidates(narrow: DataFrame,
+      bands: Int): DataFrame =
+    (0 until bands).map { j =>
       val left = narrow.toDF(narrow.columns.map(c => s"${c}_l"): _*)
       val right = narrow.toDF(narrow.columns.map(c => s"${c}_r"): _*)
       val noEarlier = (0 until j)
@@ -351,8 +436,6 @@ object Dedup {
       left.join(right, col(s"_b${j}_l") === col(s"_b${j}_r") && noEarlier)
         .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
     }.reduce(_ unionAll _)
-    (groups, repSets, candidates)
-  }
 
   /** CAPPED-FANOUT candidate pairs: within each band bucket, every
     * representative pairs with only its `fanout` successors in the
@@ -409,6 +492,19 @@ object Dedup {
       // O(reps · bands · fanout) rows, never quadratic)
       .distinct()
   }
+
+  /** Plan probe for PlanSpec (r16): the candidate-enumeration frame
+    * BEFORE any downstream checkpoint, so the spec can pin the physical
+    * shape (one self-join, native first-collision filter, no distinct)
+    * — the enumeration is invisible in every GATE's final explain
+    * because the core's outputs are localCheckpoint'd (`Scan
+    * ExistingRDD` leaves). Builds the narrow frames (runs their
+    * checkpoint jobs); never part of a query path.
+    */
+  private[graft] def minhashCandidatesPlanProbe(df: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 1,
+      k: Int = 128, bands: Int = 32): DataFrame =
+    minhashGroupsCandidates(df, textCol, idCol, n, k, bands)._3
 
   /** The LSH banding's distinct cross-group candidate-pair count — the
     * quantity the band/row geometry actually controls, ahead of Jaccard

@@ -417,4 +417,51 @@ class PlanSpec extends SparkTestBase {
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 2, s"expected user + bucket exchanges only:\n$p")
   }
+
+  test("span census hashes n-grams via the native expression, not per-window HOFs") {
+    // the r15 hashed_ngrams rewrite (one tight loop per document) must
+    // stay in the physical plan: the HOF form it replaced —
+    // xxhash64(slice(_wh, ...)) re-entered per window — silently
+    // returning would multiply the span family's per-task CPU
+    // (VERDICT r15 #2: pin the expression, not just the result).
+    // dedup_spans is the one span gate whose final explain SHOWS the
+    // expression (its report phase is not checkpointed); the other
+    // family members consume it behind localCheckpoint'd frames
+    // (ExistingRDD leaves), where no final plan can show it — their
+    // behavior rides on the same hashedNgramsAll helper.
+    val p = plan("dedup_spans")
+    assert(p.contains("hashedngrams"),
+      s"dedup_spans lost the native hashed_ngrams expression:\n$p")
+    assert(!p.contains("xxhash64(slice("),
+      s"dedup_spans re-grew a per-window xxhash64(slice(...)):\n$p")
+  }
+
+  test("exact LSH enumeration never distincts/aggregates candidate pairs") {
+    // probed on the pre-checkpoint candidates frame — every gate's
+    // final explain hides the enumeration behind the core's
+    // localCheckpoints. Both shapes emit each pair once at its first
+    // colliding band BY CONSTRUCTION; a Distinct/Aggregate appearing
+    // here means the collision multiplicity got materialized (the r15
+    // exploded experiment's killer, re-measured r16: the distinct-free
+    // invariant is what both shapes' economics rest on).
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+    // default (per-band): bands broadcast-probe joins, no distinct
+    val p = operators.Dedup.minhashCandidatesPlanProbe(docs)
+      .queryExecution.explainString(SimpleMode)
+    assert(!p.contains("HashAggregate") && !p.contains("Distinct"),
+      s"candidate pairs must not be distinct'd/aggregated:\n$p")
+    // exploded opt-in: ONE self-join, native first-collision filter
+    spark.conf.set(operators.Dedup.LshShapeKey, "exploded")
+    try {
+      val e = operators.Dedup.minhashCandidatesPlanProbe(docs)
+        .queryExecution.explainString(SimpleMode)
+      assert(e.contains("bandprefixneq"),
+        s"first-collision filter (band_prefix_neq) missing:\n$e")
+      val joins = e.linesIterator.count(l => l.contains("Join"))
+      assert(joins == 1, s"exploded shape must be ONE self-join, got $joins:\n$e")
+      assert(!e.contains("HashAggregate") && !e.contains("Distinct"),
+        s"exploded candidates must not be distinct'd (r15 killer):\n$e")
+    } finally spark.conf.unset(operators.Dedup.LshShapeKey)
+  }
 }
