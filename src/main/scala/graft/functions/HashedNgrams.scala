@@ -49,7 +49,17 @@ case class HashedNgrams(child: Expression, n: Int) extends UnaryExpression {
       var h = 42L // xxhash64's default seed
       val end = math.min(i + n, size)
       var j = i
-      while (j < end) { h = XXH64.hashLong(arr.getLong(j), h); j += 1 }
+      // null elements are SKIPPED (fold unchanged), exactly like
+      // Spark's xxhash64 over an array — verified:
+      // xxhash64(array(1,NULL,2)) = xxhash64(array(1,2)) and
+      // xxhash64(array(NULL)) = 42. The Dedup call sites only produce
+      // containsNull=false arrays, but the session-registered SQL
+      // function must not silently diverge from the HOF form it
+      // documents (r16, ADVICE r15).
+      while (j < end) {
+        if (!arr.isNullAt(j)) h = XXH64.hashLong(arr.getLong(j), h)
+        j += 1
+      }
       out(i) = h
       i += 1
     }

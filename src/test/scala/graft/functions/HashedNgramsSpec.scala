@@ -61,4 +61,23 @@ class HashedNgramsSpec extends SparkTestBase {
     val df = Seq(Tuple1(Seq.empty[Long])).toDF("wh")
     assert(df.select(nativeForm(13)).as[Seq[Long]].head == Seq(42L))
   }
+
+  test("null elements are skipped, matching xxhash64 (r16)") {
+    // xxhash64 over an array SKIPS null elements (fold unchanged):
+    // xxhash64(array(1,NULL,2)) = xxhash64(array(1,2)), and an
+    // all-null window hashes to the 42 seed. The registered SQL
+    // function must match on containsNull inputs too (ADVICE r15).
+    val cases = Gen.zip(
+      Gen.listOf(Gen.option(Gen.long)), Gen.choose(1, 5))
+    forAll(cases, n = 40) { case (wh, n) =>
+      val df = Seq(Tuple1(wh)).toDF("wh")
+      val native = df.select(nativeForm(n)).as[Seq[Long]].head
+      val hof = df.select(hofForm(n)).as[Seq[Long]].head
+      assert(native == hof, s"n=$n wh=$wh")
+    }
+    val df = Seq(Tuple1(Seq(Some(1L), None, Some(2L)))).toDF("wh")
+    val noNull = Seq(Tuple1(Seq(1L, 2L))).toDF("wh")
+    assert(df.select(nativeForm(3)).as[Seq[Long]].head.head ==
+      noNull.select(xxhash64(col("wh"))).as[Long].head)
+  }
 }
