@@ -643,9 +643,19 @@ object TpchQueries {
           .join(euroSup, col("ps_suppkey") === col("s_suppkey"))
         val minCost = cost.groupBy(col("ps_partkey").as("mc_part"))
           .agg(min(col("ps_supplycost")).as("min_cost"))
+        // min-match join keyed on the PART alone, with the cost match as
+        // a residual `<=` (r16): `min_cost` is the group's lower bound,
+        // so `ps_supplycost <= min_cost` keeps exactly the equality rows
+        // — and a single-key join partitions both sides by ps_partkey,
+        // which the min-cost aggregate's output ALREADY is, so the
+        // aggregate feeds the join in place (guide §2.4 "two operations
+        // keyed the same way share one exchange"). The former
+        // (partkey, supplycost) pair key forced a third exchange
+        // re-shuffling the aggregate output onto the pair:
+        // 3 Exchange → 2 (plans/r16/q_min_cost_supplier_{before,after}).
         cost
           .join(minCost, col("ps_partkey") === col("mc_part") &&
-            col("ps_supplycost") === col("min_cost"))
+            col("ps_supplycost") <= col("min_cost"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), col("ps_supplycost"))
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
