@@ -147,10 +147,15 @@ object Bench {
     // and neither was in this family — so the r14 artifact carried no
     // attribution evidence (VERDICT r14 #1). Their isolated numbers now
     // ride every round.
+    // r16 additions: weblog_agg_multi, weblog_metadata_delete and
+    // q_min_cost_supplier entered the r15 top-8 with ZERO code change
+    // during a 1.77×-contended run (VERDICT r15 #5) — pinned so the
+    // next drift on any of them carries isolated attribution evidence.
     val pinned = Seq("text_freq_stats", "sim_pq_topk", "sim_ivfpq_topk",
       "text_chunks", "q_markov_attribution", "text_sparse_neardup",
       "weblog_stats_skipping", "dedup_spans", "decon_pairs", "decon_bloom",
-      "weblog_pos_delete", "weblog_mor_delete")
+      "weblog_pos_delete", "weblog_mor_delete",
+      "weblog_agg_multi", "weblog_metadata_delete", "q_min_cost_supplier")
     val results = inSession
     val isolated = pinned
       .filter(n => inSession.exists(p => p._1 == n && p._2 >= 0))
